@@ -1,0 +1,1422 @@
+"""Core sparse containers re-expressed over Ray Data.
+
+Reference data model (SURVEY.md §1; ``graphblas/core/matrix.py:167``,
+``vector.py:141``, ``scalar.py:45``):
+
+- ``GBMatrix``  — 2-D sparse map ``(row, col) → value`` = a ``ray.data.Dataset``
+  with columns ``(src:int64, dst:int64, val:T)``; rows absent = structurally
+  missing (missing ≠ zero).
+- ``GBVector``  — 1-D sparse map = Dataset ``(vid:int64, val:T)``.
+- ``GBScalar``  — 0-D, possibly empty (reference ``scalar.py:317``): a plain
+  driver-side value or None.
+
+Every operator returns a NEW container wrapping a lazy Dataset — Ray Data's
+lazy plan plays the role of the reference's delayed expressions
+(``core/base.py:535``); execution happens on consumption (``nvals``,
+``to_coo``, ``write_parquet``). Masks/accum/replace are explicit kwargs
+(``update`` / ``merge_into``) implementing the invariant of
+``docs/user_guide/fundamentals.rst:10-38``: result = accum(old, computed) on
+masked positions; unmasked kept (or dropped when ``replace=True``).
+
+Scale notes: joins are hash-partitioned shuffles (``stages/join.py``); small
+sides (vectors in mxv, mask key sets) are broadcast once via ``ray.put`` and
+read zero-copy per task. Iterative algorithms do NOT run through these
+generic kernels — they use the pinned CSR actor engine in
+``state/superstep.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from .functions.aggregators import Aggregator
+from .functions.monoids import Monoid, Semiring, monoid as _monoid_ns
+from .functions.ops import (
+    BinaryOp,
+    IndexUnaryOp,
+    UnaryOp,
+    binary,
+    binary_from_string,
+    select_from_string,
+)
+from .stages.join import (
+    broadcast_key_set,
+    hash_join,
+    semi_join_filter,
+)
+from .stages.reduce import (
+    global_monoid_reduce,
+    groupby_aggregator,
+    groupby_monoid,
+    np_group_reduce,
+)
+
+
+class DuplicateIndexError(ValueError):
+    """Reference ``from_coo`` with ``dup_op=None`` errors on duplicate
+    indices (``matrix.py:850``)."""
+
+
+class DimensionMismatch(ValueError):
+    pass
+
+
+def _empty_ds(val_dtype="float64", vector=False):
+    if vector:
+        schema = {"vid": pa.array([], type=pa.int64()),
+                  "val": pa.array([], type=pa.from_numpy_dtype(np.dtype(val_dtype)))}
+    else:
+        schema = {"src": pa.array([], type=pa.int64()),
+                  "dst": pa.array([], type=pa.int64()),
+                  "val": pa.array([], type=pa.from_numpy_dtype(np.dtype(val_dtype)))}
+    return ray.data.from_arrow(pa.table(schema))
+
+
+def _np(col, batch):
+    return batch[col].to_numpy(zero_copy_only=False)
+
+
+def _to_table(ds) -> pa.Table:
+    """Materialize a (small) Dataset to one Arrow table on the driver."""
+    batches = list(ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+    if not batches:
+        return None
+    return pa.concat_tables(batches, promote_options="permissive")
+
+
+class GBScalar:
+    """0-D container; ``value is None`` = structurally empty
+    (reference ``core/scalar.py:317``)."""
+
+    __slots__ = ("value", "dtype")
+
+    def __init__(self, value=None, dtype=None):
+        self.value = value
+        self.dtype = dtype
+
+    @classmethod
+    def from_value(cls, value, dtype=None):
+        """Reference ``scalar.py:529``."""
+        return cls(value, dtype)
+
+    @property
+    def is_empty(self):
+        return self.value is None
+
+    @property
+    def nvals(self):
+        return 0 if self.value is None else 1
+
+    def __bool__(self):
+        return bool(self.value) if self.value is not None else False
+
+    def __eq__(self, other):
+        if isinstance(other, GBScalar):
+            other = other.value
+        return self.value == other
+
+    def isclose(self, other, rel_tol=1e-7, abs_tol=0.0):
+        if isinstance(other, GBScalar):
+            other = other.value
+        if self.value is None or other is None:
+            return self.value is None and other is None
+        return abs(self.value - other) <= abs_tol + rel_tol * abs(other)
+
+    def __repr__(self):
+        return f"GBScalar({self.value!r})"
+
+
+class _Base:
+    """Shared masked-update protocol (the ``C(mask, accum, replace) << expr``
+    idiom — reference ``core/base.py:200-263`` + ``core/expr.py:404``)."""
+
+    def update(self, computed, mask=None, accum=None, replace=False,
+               complement=False, mask_structure=True):
+        """result = accum(old, computed) on masked positions; unmasked kept
+        (dropped when ``replace``). Returns a NEW container."""
+        keys = self._key_cols
+        old = self.ds
+        new = computed.ds
+        if accum is not None:
+            accum = binary_from_string(accum)
+        if mask is None:
+            # no mask: without accum the result is just `computed`;
+            # with accum we merge old and new over the full key space
+            if accum is None:
+                return self._wrap(new)
+            return self._wrap(_accum_outer(old, new, keys, accum))
+        mask, complement, mask_structure = _resolve_mask(
+            mask, complement, mask_structure)
+        mset = mask._mask_keyset(structure=mask_structure)
+        new = semi_join_filter(new, keys, mset, anti=complement)
+        kept_old = (None if replace
+                    else semi_join_filter(old, keys, mset, anti=not complement))
+        if accum is None:
+            masked_new = new
+        else:
+            masked_old = semi_join_filter(old, keys, mset, anti=complement)
+            masked_new = _accum_outer(masked_old, new, keys, accum)
+        if kept_old is None:
+            return self._wrap(masked_new)
+        return self._wrap(kept_old.union(masked_new))
+
+    def _mask_keyset(self, structure=True):
+        """Broadcast key set for use as a structural (``M.S``) or value
+        (``M.V``) mask — reference ``core/mask.py:133,:151``."""
+        ds = self.ds
+        if not structure:
+            def truthy(batch: pa.Table) -> pa.Table:
+                return batch.filter(pa.array(np.asarray(
+                    _np("val", batch), dtype=bool)))
+            ds = ds.map_batches(truthy, batch_format="pyarrow")
+        return broadcast_key_set(ds, self._key_cols)
+
+
+def _accum_outer(old_ds, new_ds, keys, accum):
+    """Full outer join old/new on keys; accum(old, new) where both, else the
+    present side. Uses native join suffixing (no pre-rename: Ray skips
+    0-row blocks in map_batches, so schemas must never depend on a UDF)."""
+    keys = tuple(keys)
+    joined = hash_join(old_ds, new_ds, on=keys, how="full_outer",
+                       left_suffix="_l", right_suffix="_r")
+
+    def combine(batch: pa.Table) -> pa.Table:
+        lv = batch["val_l"].to_numpy(zero_copy_only=False)
+        rv = batch["val_r"].to_numpy(zero_copy_only=False)
+        l_null = np.asarray(batch["val_l"].is_null())
+        r_null = np.asarray(batch["val_r"].is_null())
+        both = ~l_null & ~r_null
+        out = np.where(r_null, lv, rv)
+        if both.any():
+            out = out.copy()
+            out[both] = accum.fn(lv[both], rv[both])
+        cols = {c: batch[c] for c in keys}
+        cols["val"] = out
+        return pa.table(cols)
+
+    return joined.map_batches(combine, batch_format="pyarrow")
+
+
+def _rename_arrow(ds, mapping):
+    """Column rename as an Arrow map_batches (zero-copy metadata op).
+    Ray's native ``rename_columns`` Project operator fails on pandas blocks
+    emitted by ``map_groups``, so we normalize to Arrow while renaming."""
+
+    def r(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [mapping.get(c, c) for c in batch.column_names])
+
+    return ds.map_batches(r, batch_format="pyarrow")
+
+
+def _resolve_mask(mask, complement, structure):
+    """Accept a container (GBMatrix/GBVector) or a ``_MaskView`` (``A.S`` /
+    ``~A.V``) as the mask argument; a view's own flags win."""
+    if isinstance(mask, _MaskView):
+        return mask.parent, complement or mask.complement, mask.structure
+    return mask, complement, structure
+
+
+def _resolve_indices(sel, dim):
+    """Normalize an extract/assign index selector (int | slice | list/array)
+    to an int64 index array. Reference ``core/expr.py:100`` IndexerResolver /
+    ``core/slice.py:20``."""
+    if isinstance(sel, slice):
+        return np.arange(*sel.indices(dim), dtype=np.int64)
+    if np.isscalar(sel) or isinstance(sel, (int, np.integer)):
+        i = int(sel)
+        if i < 0:
+            i += dim
+        return np.array([i], dtype=np.int64)
+    arr = np.asarray(sel, dtype=np.int64)
+    arr = np.where(arr < 0, arr + dim, arr)
+    return arr
+
+
+def _expand_index_map(old_vals, sel):
+    """For extract: each input index ``old_vals[r]`` maps to every output
+    position p with ``sel[p] == old_vals[r]`` (handles repeats). Returns
+    ``(row_take, new_positions)`` — fully vectorized."""
+    order = np.argsort(sel, kind="stable")
+    sorted_sel = sel[order]
+    left = np.searchsorted(sorted_sel, old_vals, "left")
+    right = np.searchsorted(sorted_sel, old_vals, "right")
+    counts = right - left
+    total = int(counts.sum())
+    row_take = np.repeat(np.arange(len(old_vals)), counts)
+    if total == 0:
+        return row_take, np.array([], dtype=np.int64)
+    csum = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=csum[1:])
+    flat = np.repeat(left, counts) + (np.arange(total) - np.repeat(csum, counts))
+    return row_take, order[flat]
+
+
+class GBVector(_Base):
+    """1-D sparse vector over a ``(vid, val)`` Dataset.
+    Reference ``core/vector.py:141``."""
+
+    _key_cols = ("vid",)
+
+    def __init__(self, ds, size, dtype="float64"):
+        self.ds = ds
+        self.size = int(size)
+        self.dtype = np.dtype(dtype)
+
+    def _wrap(self, ds):
+        return GBVector(ds, self.size, self.dtype)
+
+    # ---- construction (reference vector.py:682,:740,:789,:849,:2051) ----
+    @classmethod
+    def from_coo(cls, indices, values=1.0, size=None, dup_op=None, dtype=None):
+        indices = np.asarray(indices, dtype=np.int64)
+        if np.isscalar(values) or np.ndim(values) == 0:
+            values = np.full(len(indices), values)
+        else:
+            values = np.asarray(values)
+        if dtype is not None:
+            values = values.astype(dtype)
+        if size is None:
+            size = int(indices.max()) + 1 if len(indices) else 0
+        if len(indices) and len(np.unique(indices)) != len(indices):
+            if dup_op is None:
+                raise DuplicateIndexError("duplicate indices and dup_op=None")
+            m = dup_op if isinstance(dup_op, Monoid) else _monoid_ns[
+                binary_from_string(dup_op).name]
+            (indices,), values = np_group_reduce((indices,), values, m)
+        if len(indices) == 0:
+            return cls(_empty_ds(values.dtype if hasattr(values, "dtype")
+                                 else "float64", vector=True), size,
+                       values.dtype if hasattr(values, "dtype") else "float64")
+        t = pa.table({"vid": indices, "val": values})
+        return cls(ray.data.from_arrow(t), size, values.dtype)
+
+    @classmethod
+    def from_pairs(cls, pairs, size=None, dup_op=None):
+        arr = np.asarray(list(pairs))
+        if arr.size == 0:
+            return cls(_empty_ds(vector=True), size or 0)
+        return cls.from_coo(arr[:, 0].astype(np.int64), arr[:, 1],
+                            size=size, dup_op=dup_op)
+
+    @classmethod
+    def from_scalar(cls, value, size, dtype=None):
+        return cls.from_dense(np.full(size, value, dtype=dtype))
+
+    @classmethod
+    def from_dense(cls, values, missing_value=None):
+        values = np.asarray(values)
+        full_size = len(values)
+        idx = np.arange(full_size, dtype=np.int64)
+        if missing_value is not None:
+            keep = values != missing_value
+            idx, values = idx[keep], values[keep]
+        return cls.from_coo(idx, values, size=full_size)
+
+    @classmethod
+    def from_dict(cls, d, size=None):
+        idx = np.fromiter(d.keys(), dtype=np.int64, count=len(d))
+        vals = np.array(list(d.values()))
+        return cls.from_coo(idx, vals, size=size)
+
+    @classmethod
+    def from_dataset(cls, ds, size, vid="vid", val="val", dtype="float64"):
+        if vid != "vid" or val != "val":
+            ds = _rename_arrow(ds, {vid: "vid", val: "val"})
+        return cls(ds, size, dtype)
+
+    # ---- exports (reference vector.py:465,:903,:2093) ----
+    def to_table(self):
+        t = _to_table(self.ds)
+        if t is None:
+            t = pa.table({"vid": pa.array([], pa.int64()),
+                          "val": pa.array([], pa.from_numpy_dtype(self.dtype))})
+        return t
+
+    def to_coo(self, sort=True):
+        t = self.to_table()
+        idx = t["vid"].to_numpy(zero_copy_only=False)
+        vals = t["val"].to_numpy(zero_copy_only=False)
+        if sort:
+            o = np.argsort(idx, kind="stable")
+            idx, vals = idx[o], vals[o]
+        return idx, vals
+
+    def to_numpy_pair(self):
+        """(sorted ids, vals) for broadcast lookup in mxv/vxm kernels."""
+        return self.to_coo(sort=True)
+
+    def to_dense(self, fill_value=0, dtype=None):
+        idx, vals = self.to_coo()
+        out = np.full(self.size, fill_value,
+                      dtype=dtype or np.result_type(vals.dtype if len(vals)
+                                                    else self.dtype,
+                                                    type(fill_value)))
+        out[idx] = vals
+        return out
+
+    def to_dict(self):
+        idx, vals = self.to_coo()
+        return {int(i): v for i, v in zip(idx, vals.tolist())}
+
+    @property
+    def nvals(self):
+        return self.ds.count()
+
+    def dup(self, dtype=None):
+        if dtype is None:
+            return GBVector(self.ds, self.size, self.dtype)
+        def cast(batch: pa.Table) -> pa.Table:
+            return pa.table({"vid": batch["vid"],
+                             "val": _np("val", batch).astype(dtype)})
+        return GBVector(self.ds.map_batches(cast, batch_format="pyarrow"),
+                        self.size, dtype)
+
+    def clear(self):
+        return GBVector(_empty_ds(self.dtype, vector=True), self.size, self.dtype)
+
+    def resize(self, size):
+        if size >= self.size:
+            return GBVector(self.ds, size, self.dtype)
+        def filt(batch: pa.Table) -> pa.Table:
+            return batch.filter(pa.array(_np("vid", batch) < size))
+        return GBVector(self.ds.map_batches(filt, batch_format="pyarrow"),
+                        size, self.dtype)
+
+    # ---- elementwise (reference vector.py:968,:1060,:1150) ----
+    def ewise_add(self, other, op="plus"):
+        return _ewise(self, other, binary_from_string(op), how="full_outer")
+
+    def ewise_mult(self, other, op="times"):
+        return _ewise(self, other, binary_from_string(op), how="inner")
+
+    def ewise_union(self, other, op, left_default, right_default):
+        return _ewise(self, other, binary_from_string(op), how="full_outer",
+                      left_default=left_default, right_default=right_default)
+
+    def __or__(self, other):
+        return _EwiseInfix(self, other, "full_outer")
+
+    def __and__(self, other):
+        return _EwiseInfix(self, other, "inner")
+
+    # ---- apply / select (reference vector.py:1536; matrix analogue) ----
+    def apply(self, op, right=None, left=None, thunk=None):
+        return _apply(self, op, right, left, thunk)
+
+    def select(self, op, thunk=0):
+        return _select(self, op, thunk)
+
+    # ---- reductions (reference vector.py:1635,:1684,:1746) ----
+    def reduce(self, op="plus", allow_empty=True):
+        if isinstance(op, Aggregator):
+            val = op.reduce_np(*_vals_and_ids(self))
+            return GBScalar(val)
+        m = _as_monoid(op)
+        val = global_monoid_reduce(self.ds, "val", m)
+        if val is None:
+            return GBScalar(None if allow_empty else m.identity)
+        return GBScalar(val)
+
+    def inner(self, other, op=None):
+        """Dot product (reference ``vector.py:1684``)."""
+        from .functions.monoids import semiring as _sr
+        op = op or _sr.plus_times
+        prod = self.ewise_mult(other, op.binaryop)
+        return prod.reduce(op.monoid, allow_empty=True)
+
+    def outer(self, other, op="times"):
+        """Outer product → Matrix (reference ``vector.py:1746``). The other
+        side is broadcast — only valid when it fits in memory (guarded small
+        in the reference too)."""
+        op = binary_from_string(op)
+        oidx, ovals = other.to_numpy_pair()
+        ref = ray.put((oidx, ovals))
+
+        def kern(batch: pa.Table) -> pa.Table:
+            vi = _np("vid", batch)
+            vv = _np("val", batch)
+            oi, ov = ray.get(ref)
+            n, m = len(vi), len(oi)
+            src = np.repeat(vi, m)
+            dst = np.tile(oi, n)
+            vals = op.fn(np.repeat(vv, m), np.tile(ov, n))
+            return pa.table({"src": src, "dst": dst, "val": vals})
+
+        return GBMatrix(self.ds.map_batches(kern, batch_format="pyarrow"),
+                        self.size, other.size, self.dtype)
+
+    def vxm(self, B, op=None, mask=None, complement=False, mask_structure=True):
+        """Row-vector × matrix (reference ``vector.py:1309``)."""
+        from .functions.monoids import semiring as _sr
+        op = op or _sr.plus_times
+        if self.size != B.nrows:
+            raise DimensionMismatch(f"{self.size} != {B.nrows}")
+        out = _spmv(B.ds, self, op, lookup_col="src", group_col="dst",
+                    out_size=B.ncols)
+        if mask is not None:
+            out = _apply_vec_mask(out, mask, complement, mask_structure)
+        return out
+
+    def diag(self, k=0):
+        """Vector → diagonal Matrix (reference ``vector.py:605``)."""
+        def kern(batch: pa.Table) -> pa.Table:
+            vi = _np("vid", batch)
+            row = vi + (-k if k < 0 else 0)
+            col = vi + (k if k > 0 else 0)
+            return pa.table({"src": row, "dst": col, "val": batch["val"]})
+        n = self.size + abs(k)
+        return GBMatrix(self.ds.map_batches(kern, batch_format="pyarrow"),
+                        n, n, self.dtype)
+
+    def reposition(self, offset, size=None):
+        """Reference ``vector.py:1789``."""
+        size = size if size is not None else self.size
+
+        def kern(batch: pa.Table) -> pa.Table:
+            vi = _np("vid", batch) + offset
+            keep = (vi >= 0) & (vi < size)
+            return pa.table({"vid": vi[keep],
+                             "val": _np("val", batch)[keep]})
+
+        return GBVector(self.ds.map_batches(kern, batch_format="pyarrow"),
+                        size, self.dtype)
+
+    # ---- extract / assign ----
+    def extract(self, sel):
+        idx = _resolve_indices(sel, self.size)
+        ref = ray.put(idx)
+
+        def kern(batch: pa.Table) -> pa.Table:
+            sel_arr = ray.get(ref)
+            vi = _np("vid", batch)
+            take, newpos = _expand_index_map(vi, sel_arr)
+            return pa.table({"vid": newpos,
+                             "val": _np("val", batch)[take]})
+
+        return GBVector(self.ds.map_batches(kern, batch_format="pyarrow"),
+                        len(idx), self.dtype)
+
+    def __getitem__(self, sel):
+        if np.isscalar(sel) or isinstance(sel, (int, np.integer)):
+            v = self.extract(sel)
+            t = v.to_table()
+            return GBScalar(t["val"][0].as_py() if t.num_rows else None)
+        return self.extract(sel)
+
+    def assign(self, sel, value, accum=None):
+        """v[sel] = value (vector or scalar); reference assign path."""
+        idx = _resolve_indices(sel, self.size)
+        idx_ref = ray.put(np.sort(idx))
+
+        def drop_region(batch: pa.Table) -> pa.Table:
+            s = ray.get(idx_ref)
+            vi = _np("vid", batch)
+            pos = np.searchsorted(s, vi)
+            pos_c = np.minimum(pos, len(s) - 1) if len(s) else pos
+            inr = (s[pos_c] == vi) if len(s) else np.zeros(len(vi), bool)
+            return batch.filter(pa.array(~inr))
+
+        if isinstance(value, GBVector):
+            ref = ray.put(idx)
+
+            def remap(batch: pa.Table) -> pa.Table:
+                m = ray.get(ref)
+                p = _np("vid", batch)
+                return pa.table({"vid": m[p], "val": batch["val"]})
+
+            new_rows = value.ds.map_batches(remap, batch_format="pyarrow")
+        else:
+            new_rows = ray.data.from_arrow(pa.table({
+                "vid": idx, "val": np.full(len(idx), value)}))
+        if accum is not None:
+            merged = _accum_outer(
+                semi_join_filter(self.ds, ("vid",),
+                                 ray.put(np.sort(idx.astype(np.int64)))),
+                new_rows, ("vid",), binary_from_string(accum))
+            kept = self.ds.map_batches(drop_region, batch_format="pyarrow")
+            return GBVector(kept.union(merged), self.size, self.dtype)
+        kept = self.ds.map_batches(drop_region, batch_format="pyarrow")
+        return GBVector(kept.union(new_rows), self.size, self.dtype)
+
+    # ---- comparison (reference vector.py:340,:381; recipe :102) ----
+    def isequal(self, other, check_dtype=False):
+        return _isequal(self, other, exact=True)
+
+    def isclose(self, other, rel_tol=1e-7, abs_tol=0.0):
+        return _isequal(self, other, exact=False, rel_tol=rel_tol,
+                        abs_tol=abs_tol)
+
+    def wait(self):
+        """Reference ``matrix.py:764`` — force completion."""
+        self.ds = self.ds.materialize()
+        return self
+
+    def __repr__(self):
+        return f"GBVector(size={self.size}, dtype={self.dtype})"
+
+
+class _EwiseInfix:
+    """Delayed ``a | b`` / ``a & b`` awaiting the op — mirrors reference
+    infix expressions (``core/infix.py:48-487``): ``op.min(f | gp)``."""
+
+    def __init__(self, left, right, how):
+        self.left, self.right, self.how = left, right, how
+
+    def with_op(self, op):
+        if self.how == "inner":
+            return self.left.ewise_mult(self.right, op)
+        return self.left.ewise_add(self.right, op)
+
+
+def _as_monoid(op):
+    if isinstance(op, Monoid):
+        return op
+    if isinstance(op, BinaryOp):
+        return _monoid_ns[op.name]
+    if isinstance(op, str):
+        name = binary_from_string(op).name
+        return _monoid_ns[name]
+    raise TypeError(op)
+
+
+def _vals_and_ids(vec):
+    idx, vals = vec.to_coo(sort=True)
+    return vals, idx
+
+
+def _ewise(a, b, op, how, left_default=None, right_default=None):
+    """Element-wise union/intersection via hash join (SURVEY §2.3:
+    ewise_add = full outer join with pass-through; ewise_mult = inner)."""
+    keys = a._key_cols
+    if isinstance(a, GBVector):
+        if a.size != b.size:
+            raise DimensionMismatch(f"{a.size} != {b.size}")
+    else:
+        if (a.nrows, a.ncols) != (b.nrows, b.ncols):
+            raise DimensionMismatch("shape mismatch")
+
+    joined = hash_join(a.ds, b.ds, on=keys, how=how,
+                       left_suffix="_l", right_suffix="_r")
+
+    def combine(batch: pa.Table) -> pa.Table:
+        lv = batch["val_l"].to_numpy(zero_copy_only=False)
+        rv = batch["val_r"].to_numpy(zero_copy_only=False)
+        l_null = np.asarray(batch["val_l"].is_null())
+        r_null = np.asarray(batch["val_r"].is_null())
+        if how == "inner":
+            out = op.fn(lv, rv)
+        elif left_default is not None or right_default is not None:
+            # ewise_union (reference matrix.py:2043): fill missing side
+            lf = np.where(l_null, left_default, lv)
+            rf = np.where(r_null, right_default, rv)
+            out = op.fn(lf, rf)
+        else:
+            # ewise_add: op where both, pass-through where one
+            both = ~l_null & ~r_null
+            out = np.where(l_null, rv, lv)
+            if both.any():
+                out = np.asarray(out)
+                res = op.fn(lv[both], rv[both])
+                out = out.astype(np.result_type(out.dtype, np.asarray(res).dtype))
+                out[both] = res
+        cols = {c: batch[c] for c in keys}
+        cols["val"] = out
+        return pa.table(cols)
+
+    out_ds = joined.map_batches(combine, batch_format="pyarrow")
+    return a._wrap(out_ds)
+
+
+def _apply(obj, op, right=None, left=None, thunk=None):
+    """Stateless ``map_batches`` over the value column (reference
+    ``matrix.py:2375``); index-unary ops also read the index columns."""
+    from .functions.ops import indexunary, unary
+
+    is_vec = isinstance(obj, GBVector)
+    if isinstance(op, str):
+        if right is not None or left is not None:
+            op = binary_from_string(op)
+        elif op in unary:
+            op = unary[op]
+        elif op in indexunary:
+            op = indexunary[op]
+        else:
+            op = binary_from_string(op)
+
+    def kern(batch: pa.Table) -> pa.Table:
+        vals = _np("val", batch)
+        if isinstance(op, IndexUnaryOp):
+            if is_vec:
+                rows = _np("vid", batch)
+                cols_ = np.zeros(len(rows), dtype=np.int64)
+            else:
+                rows = _np("src", batch)
+                cols_ = _np("dst", batch)
+            out = op.fn(vals, rows, cols_, thunk if thunk is not None else 0)
+        elif isinstance(op, BinaryOp):
+            if right is not None:
+                out = op.fn(vals, right)
+            else:
+                out = op.fn(np.broadcast_to(np.asarray(left), vals.shape)
+                            if np.ndim(left) == 0 else left, vals)
+        else:
+            out = op.fn(vals)
+        cols = {c: batch[c] for c in obj._key_cols}
+        cols["val"] = np.asarray(out)
+        return pa.table(cols)
+
+    return obj._wrap(obj.ds.map_batches(kern, batch_format="pyarrow"))
+
+
+def _select(obj, op, thunk=0):
+    """Filter by positional/value predicate (reference ``matrix.py:2534``,
+    ops ``core/operator/select.py:62``); mask-select = semi-join."""
+    if isinstance(op, (GBMatrix, GBVector, _MaskView)):
+        # A.select(B.S) — mask select (matrix.py:2579-2595)
+        parent, comp, structure = _resolve_mask(op, False, True)
+        mset = parent._mask_keyset(structure=structure)
+        return obj._wrap(semi_join_filter(obj.ds, obj._key_cols, mset,
+                                          anti=comp))
+    if isinstance(op, str):
+        op = select_from_string(op)
+    is_vec = isinstance(obj, GBVector)
+
+    def kern(batch: pa.Table) -> pa.Table:
+        vals = _np("val", batch)
+        if is_vec:
+            rows = _np("vid", batch)
+            cols_ = np.zeros(len(rows), dtype=np.int64)
+        else:
+            rows = _np("src", batch)
+            cols_ = _np("dst", batch)
+        keep = np.asarray(op.fn(vals, rows, cols_, thunk), dtype=bool)
+        return batch.filter(pa.array(keep))
+
+    return obj._wrap(obj.ds.map_batches(kern, batch_format="pyarrow"))
+
+
+def _spmv(mat_ds, vec, sr: Semiring, lookup_col, group_col, out_size):
+    """The SpMV kernel: broadcast the vector once (``ray.put``), per-batch
+    lookup + multiply + per-batch group-reduce (combiner), then one
+    ``groupby(vid).aggregate(monoid)`` shuffle merging partials.
+
+    ``mxv``: w[i] = ⊕_j A[i,j] ⊗ v[j] → lookup on ``dst``, group on ``src``.
+    ``vxm``: w[j] = ⊕_i v[i] ⊗ A[i,j] → lookup on ``src``, group on ``dst``.
+
+    Scale path: v is O(#vertices) — broadcast is the right call whenever the
+    frontier fits a node (it is re-used zero-copy by every task); beyond
+    that, co-partition v with the edge table on ``lookup_col`` ranges (the
+    superstep engine in ``state/superstep.py`` does exactly this)."""
+    ids, vals = vec.to_numpy_pair()
+    ref = ray.put((ids, vals))
+    mult = sr.binaryop.fn
+    second = sr.binaryop.name == "second"
+    first = sr.binaryop.name == "first"
+    pair = sr.binaryop.name == "pair"
+
+    def kern(batch: pa.Table) -> pa.Table:
+        look = _np(lookup_col, batch)
+        grp = _np(group_col, batch)
+        av = _np("val", batch)
+        vids, vvals = ray.get(ref)
+        if len(vids) == 0:
+            return pa.table({"vid": np.array([], dtype=np.int64),
+                             "val": np.array([], dtype="float64")})
+        pos = np.searchsorted(vids, look)
+        pos_c = np.minimum(pos, len(vids) - 1)
+        hit = vids[pos_c] == look
+        grp = grp[hit]
+        if second:
+            prod = vvals[pos_c[hit]]
+        elif first:
+            prod = av[hit]
+        elif pair:
+            prod = np.ones(int(hit.sum()), dtype=np.int64)
+        else:
+            prod = mult(av[hit], vvals[pos_c[hit]])
+        (k,), pv = np_group_reduce((grp,), prod, sr.monoid)
+        return pa.table({"vid": k, "val": pv})
+
+    partials = mat_ds.map_batches(kern, batch_format="pyarrow")
+    out = groupby_monoid(partials, ["vid"], "val", sr.monoid,
+                         pre_aggregate=False)
+    return GBVector(out, out_size)
+
+
+def _apply_vec_mask(vec, mask, complement, structure):
+    mask, complement, structure = _resolve_mask(mask, complement, structure)
+    mset = mask._mask_keyset(structure=structure)
+    return vec._wrap(semi_join_filter(vec.ds, ("vid",), mset, anti=complement))
+
+
+def _isequal(a, b, exact=True, rel_tol=1e-7, abs_tol=0.0):
+    """Structure + value comparison via full outer join (reference
+    ``matrix.py:373,:417``; recipe ``vector.py:102``). isclose:
+    ``|a-b| <= abs_tol + rel_tol*|b|``."""
+    if isinstance(a, GBVector):
+        if a.size != b.size:
+            return False
+    else:
+        if (a.nrows, a.ncols) != (b.nrows, b.ncols):
+            return False
+    keys = a._key_cols
+    joined = hash_join(a.ds, b.ds, on=keys, how="full_outer",
+                       left_suffix="_l", right_suffix="_r")
+
+    def check(batch: pa.Table) -> pa.Table:
+        l_null = np.asarray(batch["val_l"].is_null())
+        r_null = np.asarray(batch["val_r"].is_null())
+        if (l_null | r_null).any():
+            return pa.table({"ok": [False]})
+        lv = batch["val_l"].to_numpy(zero_copy_only=False)
+        rv = batch["val_r"].to_numpy(zero_copy_only=False)
+        if exact:
+            ok = bool(np.all(lv == rv))
+        else:
+            ok = bool(np.all(np.abs(lv - rv) <= abs_tol + rel_tol * np.abs(rv)))
+        return pa.table({"ok": [ok]})
+
+    for batch in joined.map_batches(check, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        arr = batch["ok"].to_numpy(zero_copy_only=False)
+        if len(arr) and not arr.all():
+            return False
+    return True
+
+
+class GBMatrix(_Base):
+    """2-D sparse matrix over a ``(src, dst, val)`` edge-table Dataset.
+    Reference ``core/matrix.py:167``."""
+
+    _key_cols = ("src", "dst")
+
+    def __init__(self, ds, nrows, ncols, dtype="float64"):
+        self.ds = ds
+        self.nrows = int(nrows)
+        self.ncols = int(ncols)
+        self.dtype = np.dtype(dtype)
+
+    def _wrap(self, ds):
+        return GBMatrix(ds, self.nrows, self.ncols, self.dtype)
+
+    @property
+    def shape(self):
+        return (self.nrows, self.ncols)
+
+    @property
+    def nvals(self):
+        return self.ds.count()
+
+    # ---- construction (reference matrix.py:818,:897,:1337,:1398,:1519) ----
+    @classmethod
+    def from_coo(cls, rows, cols, values=1.0, nrows=None, ncols=None,
+                 dup_op=None, dtype=None):
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        if np.isscalar(values) or np.ndim(values) == 0:
+            values = np.full(len(rows), values)  # iso build (matrix.py:880)
+        else:
+            values = np.asarray(values)
+        if dtype is not None:
+            values = values.astype(dtype)
+        if nrows is None:
+            nrows = int(rows.max()) + 1 if len(rows) else 0
+        if ncols is None:
+            ncols = int(cols.max()) + 1 if len(cols) else 0
+        if len(rows):
+            packed = (rows.astype(np.int64) << np.int64(32)) | cols \
+                if ncols < (1 << 32) else None
+            uniq = (len(np.unique(packed)) if packed is not None
+                    else len(np.unique(np.stack([rows, cols]), axis=1)[0]))
+            if uniq != len(rows):
+                if dup_op is None:
+                    raise DuplicateIndexError(
+                        "duplicate (row, col) indices and dup_op=None "
+                        "(reference matrix.py:850)")
+                m = _as_monoid(dup_op)
+                (rows, cols), values = np_group_reduce((rows, cols), values, m)
+        if len(rows) == 0:
+            return cls(_empty_ds(values.dtype if hasattr(values, "dtype")
+                                 else "float64"), nrows, ncols)
+        t = pa.table({"src": rows, "dst": cols, "val": values})
+        return cls(ray.data.from_arrow(t), nrows, ncols, values.dtype)
+
+    @classmethod
+    def from_edgelist(cls, edgelist, values=1.0, nrows=None, ncols=None,
+                      dup_op=None):
+        arr = np.asarray(list(edgelist))
+        if arr.size == 0:
+            return cls(_empty_ds(), nrows or 0, ncols or 0)
+        if arr.shape[1] == 3:
+            return cls.from_coo(arr[:, 0].astype(np.int64),
+                                arr[:, 1].astype(np.int64), arr[:, 2],
+                                nrows=nrows, ncols=ncols, dup_op=dup_op)
+        return cls.from_coo(arr[:, 0].astype(np.int64),
+                            arr[:, 1].astype(np.int64), values,
+                            nrows=nrows, ncols=ncols, dup_op=dup_op)
+
+    @classmethod
+    def from_csr(cls, indptr, col_indices, values=1.0, ncols=None):
+        """Reference ``matrix.py:1071`` (``_from_csx :992``)."""
+        indptr = np.asarray(indptr, dtype=np.int64)
+        rows = np.repeat(np.arange(len(indptr) - 1, dtype=np.int64),
+                         np.diff(indptr))
+        return cls.from_coo(rows, col_indices, values,
+                            nrows=len(indptr) - 1, ncols=ncols)
+
+    @classmethod
+    def from_csc(cls, indptr, row_indices, values=1.0, nrows=None):
+        indptr = np.asarray(indptr, dtype=np.int64)
+        cols = np.repeat(np.arange(len(indptr) - 1, dtype=np.int64),
+                         np.diff(indptr))
+        return cls.from_coo(row_indices, cols, values,
+                            nrows=nrows, ncols=len(indptr) - 1)
+
+    @classmethod
+    def from_dcsr(cls, compressed_rows, indptr, col_indices, values=1.0,
+                  nrows=None, ncols=None):
+        """Hypersparse build (reference ``matrix.py:1167``)."""
+        indptr = np.asarray(indptr, dtype=np.int64)
+        rows = np.repeat(np.asarray(compressed_rows, dtype=np.int64),
+                         np.diff(indptr))
+        return cls.from_coo(rows, col_indices, values, nrows=nrows, ncols=ncols)
+
+    @classmethod
+    def from_dcsc(cls, compressed_cols, indptr, row_indices, values=1.0,
+                  nrows=None, ncols=None):
+        indptr = np.asarray(indptr, dtype=np.int64)
+        cols = np.repeat(np.asarray(compressed_cols, dtype=np.int64),
+                         np.diff(indptr))
+        return cls.from_coo(row_indices, cols, values, nrows=nrows, ncols=ncols)
+
+    @classmethod
+    def from_scalar(cls, value, nrows, ncols):
+        """Dense iso matrix (reference ``matrix.py:1337``). O(nrows*ncols)
+        rows here — callers keep it small; iso-ness is preserved upstream by
+        using scalars directly where possible."""
+        rows = np.repeat(np.arange(nrows, dtype=np.int64), ncols)
+        cols = np.tile(np.arange(ncols, dtype=np.int64), nrows)
+        return cls.from_coo(rows, cols, value, nrows=nrows, ncols=ncols)
+
+    @classmethod
+    def from_dense(cls, values, missing_value=None):
+        """Reference ``matrix.py:1398``."""
+        values = np.asarray(values)
+        nr, nc = values.shape
+        rows, cols = np.nonzero(np.ones_like(values, dtype=bool))
+        vals = values.ravel()
+        if missing_value is not None:
+            keep = vals != missing_value
+            rows, cols, vals = rows[keep], cols[keep], vals[keep]
+        return cls.from_coo(rows, cols, vals, nrows=nr, ncols=nc)
+
+    @classmethod
+    def from_dicts(cls, d, order="rowwise", nrows=None, ncols=None):
+        """dict-of-dicts (reference ``matrix.py:1519``)."""
+        rows, cols, vals = [], [], []
+        for r, inner in d.items():
+            for c, v in inner.items():
+                rows.append(r)
+                cols.append(c)
+                vals.append(v)
+        if order == "columnwise":
+            rows, cols = cols, rows
+        return cls.from_coo(np.array(rows, dtype=np.int64),
+                            np.array(cols, dtype=np.int64),
+                            np.array(vals), nrows=nrows, ncols=ncols)
+
+    @classmethod
+    def from_dataset(cls, ds, nrows, ncols, src="src", dst="dst", val="val",
+                     default_value=1.0, dtype="float64"):
+        """Adopt an existing edge-table Dataset (the 100 TB ingest path —
+        no analogue in the reference, which starts at ``from_coo``)."""
+        cols = ds.schema().names
+
+        def norm(batch: pa.Table) -> pa.Table:
+            out = {"src": batch[src].to_numpy(zero_copy_only=False).astype(np.int64),
+                   "dst": batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)}
+            if val in cols:
+                out["val"] = batch[val]
+            else:
+                out["val"] = np.full(batch.num_rows, default_value)
+            return pa.table(out)
+
+        return cls(ds.map_batches(norm, batch_format="pyarrow"),
+                   nrows, ncols, dtype)
+
+    def dedup(self, dup_op="plus"):
+        """Distributed duplicate-(src,dst) resolution — the Dataset-scale
+        version of ``from_coo``'s ``dup_op`` (reference ``matrix.py:850``):
+        per-batch combine then one groupby shuffle."""
+        m = _as_monoid(dup_op)
+        out = groupby_monoid(self.ds, ["src", "dst"], "val", m)
+        return self._wrap(out)
+
+    # ---- exports (reference matrix.py:525,:596,:1601-1754,:1461,:1801) ----
+    def to_table(self):
+        t = _to_table(self.ds)
+        if t is None:
+            t = pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64()),
+                          "val": pa.array([], pa.from_numpy_dtype(self.dtype))})
+        return t
+
+    def to_coo(self, sort=True):
+        t = self.to_table()
+        rows = t["src"].to_numpy(zero_copy_only=False)
+        cols = t["dst"].to_numpy(zero_copy_only=False)
+        vals = t["val"].to_numpy(zero_copy_only=False)
+        if sort:  # row-major (reference matrix.py:525 sort=True)
+            o = np.lexsort((cols, rows))
+            rows, cols, vals = rows[o], cols[o], vals[o]
+        return rows, cols, vals
+
+    def to_edgelist(self):
+        r, c, v = self.to_coo()
+        return np.stack([r, c], axis=1), v
+
+    def to_csr(self):
+        r, c, v = self.to_coo(sort=True)
+        indptr = np.zeros(self.nrows + 1, dtype=np.int64)
+        np.add.at(indptr, r + 1, 1)
+        np.cumsum(indptr, out=indptr)
+        return indptr, c, v
+
+    def to_csc(self):
+        r, c, v = self.to_coo(sort=False)
+        o = np.lexsort((r, c))
+        r, c, v = r[o], c[o], v[o]
+        indptr = np.zeros(self.ncols + 1, dtype=np.int64)
+        np.add.at(indptr, c + 1, 1)
+        np.cumsum(indptr, out=indptr)
+        return indptr, r, v
+
+    def to_dcsr(self):
+        indptr, c, v = self.to_csr()
+        nnz_rows = np.flatnonzero(np.diff(indptr))
+        new_indptr = np.concatenate([[0], np.cumsum(np.diff(indptr)[nnz_rows])])
+        return nnz_rows, new_indptr, c, v
+
+    def to_dcsc(self):
+        indptr, r, v = self.to_csc()
+        nnz_cols = np.flatnonzero(np.diff(indptr))
+        new_indptr = np.concatenate([[0], np.cumsum(np.diff(indptr)[nnz_cols])])
+        return nnz_cols, new_indptr, r, v
+
+    def to_dense(self, fill_value=0, dtype=None):
+        r, c, v = self.to_coo()
+        out = np.full((self.nrows, self.ncols), fill_value,
+                      dtype=dtype or np.result_type(
+                          v.dtype if len(v) else self.dtype, type(fill_value)))
+        out[r, c] = v
+        return out
+
+    def to_dicts(self, order="rowwise"):
+        r, c, v = self.to_coo()
+        if order == "columnwise":
+            r, c = c, r
+        out = {}
+        for i, j, x in zip(r.tolist(), c.tolist(), v.tolist()):
+            out.setdefault(i, {})[j] = x
+        return out
+
+    def dup(self, dtype=None):
+        if dtype is None:
+            return GBMatrix(self.ds, self.nrows, self.ncols, self.dtype)
+
+        def cast(batch: pa.Table) -> pa.Table:
+            return pa.table({"src": batch["src"], "dst": batch["dst"],
+                             "val": _np("val", batch).astype(dtype)})
+
+        return GBMatrix(self.ds.map_batches(cast, batch_format="pyarrow"),
+                        self.nrows, self.ncols, dtype)
+
+    def clear(self):
+        return GBMatrix(_empty_ds(self.dtype), self.nrows, self.ncols,
+                        self.dtype)
+
+    def resize(self, nrows, ncols):
+        if nrows >= self.nrows and ncols >= self.ncols:
+            return GBMatrix(self.ds, nrows, ncols, self.dtype)
+
+        def filt(batch: pa.Table) -> pa.Table:
+            keep = (_np("src", batch) < nrows) & (_np("dst", batch) < ncols)
+            return batch.filter(pa.array(keep))
+
+        return GBMatrix(self.ds.map_batches(filt, batch_format="pyarrow"),
+                        nrows, ncols, self.dtype)
+
+    # ---- transpose (reference matrix.py:497,:3825) ----
+    @property
+    def T(self):
+        def swap(batch: pa.Table) -> pa.Table:
+            return pa.table({"src": batch["dst"], "dst": batch["src"],
+                             "val": batch["val"]})
+        return GBMatrix(self.ds.map_batches(swap, batch_format="pyarrow"),
+                        self.ncols, self.nrows, self.dtype)
+
+    # ---- core compute (SURVEY §2.3) ----
+    def mxv(self, v, op=None, mask=None, complement=False, mask_structure=True):
+        """w[i] = ⊕_j A[i,j] ⊗ v[j] (reference ``matrix.py:2203``)."""
+        from .functions.monoids import semiring as _sr
+        op = op or _sr.plus_times
+        if self.ncols != v.size:
+            raise DimensionMismatch(f"{self.ncols} != {v.size}")
+        out = _spmv(self.ds, v, op, lookup_col="dst", group_col="src",
+                    out_size=self.nrows)
+        if mask is not None:
+            out = _apply_vec_mask(out, mask, complement, mask_structure)
+        return out
+
+    def mxm(self, other, op=None, mask=None, complement=False,
+            mask_structure=True):
+        """C = A ⊕.⊗ B over a semiring (reference ``matrix.py:2264``).
+
+        Edge-table join ``A.dst == B.src`` (hash-partitioned shuffle) →
+        multiply → pre-aggregated ``groupby(i,j)`` with the monoid. A
+        structural mask is pushed INTO the pipeline as a broadcast semi-join
+        *before* aggregation — the masked-mxm fusion the reference gets from
+        the C descriptor path (``base.py:468-503``); this is what keeps
+        triangle counting from materializing Ω(n²) products."""
+        from .functions.monoids import semiring as _sr
+        op = op or _sr.plus_times
+        if self.ncols != other.nrows:
+            raise DimensionMismatch(f"{self.ncols} != {other.nrows}")
+
+        # natural suffix join A.dst == B.src: output columns are
+        # src (=i), dst_l (=k), val_l (=a), dst_r (=j), val_r (=b)
+        joined = hash_join(self.ds, other.ds, on=("dst",), right_on=("src",),
+                           how="inner", left_suffix="_l", right_suffix="_r")
+        mult = op.binaryop.fn
+        name = op.binaryop.name
+
+        def multiply(batch: pa.Table) -> pa.Table:
+            av = _np("val_l", batch)
+            bv = _np("val_r", batch)
+            if name == "pair":
+                val = np.ones(len(av), dtype=np.int64)
+            elif name == "first":
+                val = av
+            elif name == "second":
+                val = bv
+            else:
+                val = mult(av, bv)
+            return pa.table({"src": batch["src"], "dst": batch["dst_r"],
+                             "val": val})
+
+        prod = joined.map_batches(multiply, batch_format="pyarrow")
+        if mask is not None:
+            mask, complement, mask_structure = _resolve_mask(
+                mask, complement, mask_structure)
+            mset = mask._mask_keyset(structure=mask_structure)
+            prod = semi_join_filter(prod, ("src", "dst"), mset,
+                                    anti=complement)
+        out = groupby_monoid(prod, ["src", "dst"], "val", op.monoid)
+        return GBMatrix(out, self.nrows, other.ncols, self.dtype)
+
+    def kronecker(self, other, op="times"):
+        """Reference ``matrix.py:2333``. B is broadcast (small side)."""
+        op = binary_from_string(op)
+        br, bc, bv = other.to_coo(sort=False)
+        ref = ray.put((br, bc, bv))
+        nb_r, nb_c = other.nrows, other.ncols
+
+        def kern(batch: pa.Table) -> pa.Table:
+            ar = _np("src", batch)
+            ac = _np("dst", batch)
+            av = _np("val", batch)
+            rb, cb, vb = ray.get(ref)
+            n, m = len(ar), len(rb)
+            src = np.repeat(ar, m) * nb_r + np.tile(rb, n)
+            dst = np.repeat(ac, m) * nb_c + np.tile(cb, n)
+            val = op.fn(np.repeat(av, m), np.tile(vb, n))
+            return pa.table({"src": src, "dst": dst, "val": val})
+
+        return GBMatrix(self.ds.map_batches(kern, batch_format="pyarrow"),
+                        self.nrows * nb_r, self.ncols * nb_c, self.dtype)
+
+    def power(self, n, op=None):
+        """Repeated-squaring A^n (reference ``matrix.py:2840``, recipe
+        ``:101-164``) — a driver loop of mxm supersteps."""
+        from .functions.monoids import semiring as _sr
+        op = op or _sr.plus_times
+        if self.nrows != self.ncols:
+            raise DimensionMismatch("power needs a square matrix")
+        if n < 1:
+            raise ValueError("n must be >= 1 (reference requires positive)")
+        result = None
+        base = self
+        while n:
+            if n & 1:
+                result = base if result is None else result.mxm(base, op)
+                if result is not base:
+                    result.ds = result.ds.materialize()
+            n >>= 1
+            if n:
+                base = base.mxm(base, op)
+                base.ds = base.ds.materialize()
+        return result
+
+    # ---- elementwise ----
+    def ewise_add(self, other, op="plus"):
+        return _ewise(self, other, binary_from_string(op), how="full_outer")
+
+    def ewise_mult(self, other, op="times"):
+        return _ewise(self, other, binary_from_string(op), how="inner")
+
+    def ewise_union(self, other, op, left_default, right_default):
+        return _ewise(self, other, binary_from_string(op), how="full_outer",
+                      left_default=left_default, right_default=right_default)
+
+    def __or__(self, other):
+        return _EwiseInfix(self, other, "full_outer")
+
+    def __and__(self, other):
+        return _EwiseInfix(self, other, "inner")
+
+    # ---- apply / select ----
+    def apply(self, op, right=None, left=None, thunk=None):
+        return _apply(self, op, right, left, thunk)
+
+    def select(self, op, thunk=0):
+        return _select(self, op, thunk)
+
+    # ---- reductions (reference matrix.py:2636,:2674,:2712) ----
+    def reduce_rowwise(self, op="plus"):
+        if isinstance(op, Aggregator):
+            out = groupby_aggregator(self.ds, ["src"], "val", op,
+                                     idx_col="dst")
+            return GBVector(_rename_arrow(out, {"src": "vid"}), self.nrows)
+        m = _as_monoid(op)
+        out = groupby_monoid(self.ds, ["src"], "val", m)
+        return GBVector(_rename_arrow(out, {"src": "vid"}), self.nrows)
+
+    def reduce_columnwise(self, op="plus"):
+        if isinstance(op, Aggregator):
+            out = groupby_aggregator(self.ds, ["dst"], "val", op,
+                                     idx_col="src")
+            return GBVector(_rename_arrow(out, {"dst": "vid"}), self.ncols)
+        m = _as_monoid(op)
+        out = groupby_monoid(self.ds, ["dst"], "val", m)
+        return GBVector(_rename_arrow(out, {"dst": "vid"}), self.ncols)
+
+    def reduce_scalar(self, op="plus", allow_empty=True):
+        m = _as_monoid(op)
+        val = global_monoid_reduce(self.ds, "val", m)
+        if val is None:
+            return GBScalar(None if allow_empty else m.identity)
+        return GBScalar(val)
+
+    # ---- diag / reposition ----
+    def diag(self, k=0):
+        """Extract k-th diagonal → Vector (reference ``matrix.py:720``;
+        GxB semantics: v[i] = A[i - min(0,k), i + max(0,k)])."""
+        size = (min(self.nrows, self.ncols - k) if k >= 0
+                else min(self.nrows + k, self.ncols))
+
+        def kern(batch: pa.Table) -> pa.Table:
+            r = _np("src", batch)
+            c = _np("dst", batch)
+            keep = (c - r) == k
+            vid = r[keep] - (0 if k >= 0 else -k) if k < 0 else r[keep]
+            return pa.table({"vid": vid, "val": _np("val", batch)[keep]})
+
+        return GBVector(self.ds.map_batches(kern, batch_format="pyarrow"),
+                        max(size, 0))
+
+    def setdiag(self, v, k=0):
+        """Assign diagonal from vector/scalar (reference ``matrix.py:2905``)."""
+        if isinstance(v, GBVector):
+            diag_mat = v.diag(k).resize(self.nrows, self.ncols)
+        else:
+            size = (min(self.nrows, self.ncols - k) if k >= 0
+                    else min(self.nrows + k, self.ncols))
+            diag_mat = GBVector.from_scalar(v, size).diag(k).resize(
+                self.nrows, self.ncols)
+
+        def drop_diag(batch: pa.Table) -> pa.Table:
+            keep = (_np("dst", batch) - _np("src", batch)) != k
+            return batch.filter(pa.array(keep))
+
+        kept = self.ds.map_batches(drop_diag, batch_format="pyarrow")
+        return self._wrap(kept.union(diag_mat.ds))
+
+    def reposition(self, row_offset, col_offset, nrows=None, ncols=None):
+        """Reference ``matrix.py:2764``."""
+        nrows = nrows if nrows is not None else self.nrows
+        ncols = ncols if ncols is not None else self.ncols
+
+        def kern(batch: pa.Table) -> pa.Table:
+            r = _np("src", batch) + row_offset
+            c = _np("dst", batch) + col_offset
+            keep = (r >= 0) & (r < nrows) & (c >= 0) & (c < ncols)
+            return pa.table({"src": r[keep], "dst": c[keep],
+                             "val": _np("val", batch)[keep]})
+
+        return GBMatrix(self.ds.map_batches(kern, batch_format="pyarrow"),
+                        nrows, ncols, self.dtype)
+
+    # ---- extract / assign (reference matrix.py:305,:327,:3116) ----
+    def extract(self, rows, cols):
+        row_idx = _resolve_indices(rows, self.nrows)
+        col_idx = _resolve_indices(cols, self.ncols)
+        r_ref = ray.put(row_idx)
+        c_ref = ray.put(col_idx)
+
+        def kern(batch: pa.Table) -> pa.Table:
+            rsel = ray.get(r_ref)
+            csel = ray.get(c_ref)
+            r = _np("src", batch)
+            c = _np("dst", batch)
+            v = _np("val", batch)
+            take_r, new_r = _expand_index_map(r, rsel)
+            c2, v2 = c[take_r], v[take_r]
+            take_c, new_c = _expand_index_map(c2, csel)
+            return pa.table({"src": new_r[take_c], "dst": new_c,
+                             "val": v2[take_c]})
+
+        return GBMatrix(self.ds.map_batches(kern, batch_format="pyarrow"),
+                        len(row_idx), len(col_idx), self.dtype)
+
+    def __getitem__(self, key):
+        rows, cols = key
+        r_scalar = np.isscalar(rows) or isinstance(rows, (int, np.integer))
+        c_scalar = np.isscalar(cols) or isinstance(cols, (int, np.integer))
+        sub = self.extract(rows, cols)
+        if r_scalar and c_scalar:
+            t = sub.to_table()
+            return GBScalar(t["val"][0].as_py() if t.num_rows else None)
+        if r_scalar:
+            return sub._row_vector()
+        if c_scalar:
+            return sub._col_vector()
+        return sub
+
+    def _row_vector(self):
+        def kern(batch: pa.Table) -> pa.Table:
+            return pa.table({"vid": batch["dst"], "val": batch["val"]})
+        return GBVector(self.ds.map_batches(kern, batch_format="pyarrow"),
+                        self.ncols, self.dtype)
+
+    def _col_vector(self):
+        def kern(batch: pa.Table) -> pa.Table:
+            return pa.table({"vid": batch["src"], "val": batch["val"]})
+        return GBVector(self.ds.map_batches(kern, batch_format="pyarrow"),
+                        self.nrows, self.dtype)
+
+    def get(self, row, col, default=None):
+        """Point lookup (reference ``matrix.py:791``) — driver convenience."""
+        s = self[row, col]
+        return default if s.is_empty else s.value
+
+    def assign(self, rows, cols, value, accum=None):
+        """C[rows, cols] = A | scalar (reference ``_prep_for_assign``
+        ``matrix.py:3116``): anti-join out the target region ∪ remapped
+        insert; scalar assign = upsert of constant rows."""
+        row_idx = _resolve_indices(rows, self.nrows)
+        col_idx = _resolve_indices(cols, self.ncols)
+        rs_ref = ray.put(np.sort(row_idx))
+        cs_ref = ray.put(np.sort(col_idx))
+
+        def in_region(batch: pa.Table):
+            rs = ray.get(rs_ref)
+            cs = ray.get(cs_ref)
+            r = _np("src", batch)
+            c = _np("dst", batch)
+
+            def member(sorted_a, x):
+                if len(sorted_a) == 0:
+                    return np.zeros(len(x), dtype=bool)
+                p = np.minimum(np.searchsorted(sorted_a, x), len(sorted_a) - 1)
+                return sorted_a[p] == x
+
+            return member(rs, r) & member(cs, c)
+
+        def drop_region(batch: pa.Table) -> pa.Table:
+            return batch.filter(pa.array(~in_region(batch)))
+
+        def keep_region(batch: pa.Table) -> pa.Table:
+            return batch.filter(pa.array(in_region(batch)))
+
+        if isinstance(value, GBMatrix):
+            r_ref = ray.put(row_idx)
+            c_ref = ray.put(col_idx)
+
+            def remap(batch: pa.Table) -> pa.Table:
+                rm = ray.get(r_ref)
+                cm = ray.get(c_ref)
+                return pa.table({"src": rm[_np("src", batch)],
+                                 "dst": cm[_np("dst", batch)],
+                                 "val": batch["val"]})
+
+            new_rows = value.ds.map_batches(remap, batch_format="pyarrow")
+        else:
+            nr, nc = len(row_idx), len(col_idx)
+            new_rows = ray.data.from_arrow(pa.table({
+                "src": np.repeat(row_idx, nc),
+                "dst": np.tile(col_idx, nr),
+                "val": np.full(nr * nc, value)}))
+        kept = self.ds.map_batches(drop_region, batch_format="pyarrow")
+        if accum is not None:
+            old_region = self.ds.map_batches(keep_region,
+                                             batch_format="pyarrow")
+            merged = _accum_outer(old_region, new_rows, ("src", "dst"),
+                                  binary_from_string(accum))
+            return self._wrap(kept.union(merged))
+        return self._wrap(kept.union(new_rows))
+
+    def delete_element(self, row, col):
+        """``del A[i, j]`` (reference ``matrix.py:3529``)."""
+        def filt(batch: pa.Table) -> pa.Table:
+            keep = ~((_np("src", batch) == row) & (_np("dst", batch) == col))
+            return batch.filter(pa.array(keep))
+        return self._wrap(self.ds.map_batches(filt, batch_format="pyarrow"))
+
+    # ---- comparison ----
+    def isequal(self, other, check_dtype=False):
+        return _isequal(self, other, exact=True)
+
+    def isclose(self, other, rel_tol=1e-7, abs_tol=0.0):
+        return _isequal(self, other, exact=False, rel_tol=rel_tol,
+                        abs_tol=abs_tol)
+
+    def wait(self):
+        self.ds = self.ds.materialize()
+        return self
+
+    # ---- masks: A.S / A.V views (reference matrix.py:286,:291) ----
+    @property
+    def S(self):
+        return _MaskView(self, structure=True)
+
+    @property
+    def V(self):
+        return _MaskView(self, structure=False)
+
+    def __repr__(self):
+        return f"GBMatrix({self.nrows}x{self.ncols}, dtype={self.dtype})"
+
+
+class _MaskView:
+    """Structural/value mask view (reference ``core/mask.py:9``); ``~`` for
+    complement."""
+
+    def __init__(self, parent, structure=True, complement=False):
+        self.parent = parent
+        self.structure = structure
+        self.complement = complement
+
+    def __invert__(self):
+        return _MaskView(self.parent, self.structure, not self.complement)
+
+    def keyset(self):
+        return self.parent._mask_keyset(structure=self.structure)
+
+
+# Vector also gets S/V mask views
+GBVector.S = property(lambda self: _MaskView(self, structure=True))
+GBVector.V = property(lambda self: _MaskView(self, structure=False))

@@ -1,0 +1,323 @@
+"""Operator registries: UnaryOp / BinaryOp / IndexUnaryOp (select predicates).
+
+Re-expresses python-graphblas's operator taxonomy (reference
+``graphblas/core/operator/unary.py:132``, ``binary.py:425-457``,
+``indexunary.py:76``) as plain vectorized numpy callables applied to whole
+Arrow/numpy batches inside ``map_batches`` — no numba JIT needed because we
+never apply ops per element.
+
+Each op is a named object holding a vectorized ``fn``; user registration
+mirrors the reference's ``register_new`` (``unary.py:331``,
+``binary.py:724``) but accepts any numpy-vectorized Python callable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "UnaryOp",
+    "BinaryOp",
+    "IndexUnaryOp",
+    "unary",
+    "binary",
+    "indexunary",
+    "binary_from_string",
+    "unary_from_string",
+]
+
+
+class _Namespace:
+    """Attribute/dict hybrid namespace like ``gb.unary`` / ``gb.binary``."""
+
+    def __init__(self):
+        self._ops: dict[str, object] = {}
+
+    def _register(self, op):
+        self._ops[op.name] = op
+        setattr(self, op.name, op)
+        return op
+
+    def __getitem__(self, name):
+        return self._ops[name]
+
+    def __contains__(self, name):
+        return name in self._ops
+
+    def __iter__(self):
+        return iter(self._ops.values())
+
+    def names(self):
+        return sorted(self._ops)
+
+
+class UnaryOp:
+    """Vectorized elementwise op ``z = f(x)``.
+
+    Mirrors reference ``core/operator/unary.py:132``; builtin inventory from
+    the parse regexes at ``unary.py:144-168``.
+    """
+
+    def __init__(self, name, fn):
+        self.name = name
+        self.fn = fn
+
+    def __call__(self, x):
+        return self.fn(np.asarray(x))
+
+    def __repr__(self):
+        return f"unary.{self.name}"
+
+    @staticmethod
+    def register_new(name, fn):
+        """User extension hook (reference ``unary.py:331``)."""
+        op = UnaryOp(name, fn)
+        unary._register(op)
+        return op
+
+
+class BinaryOp:
+    """Vectorized elementwise op ``z = f(x, y)``.
+
+    Mirrors reference ``core/operator/binary.py``; builtin inventory from the
+    parse regexes at ``binary.py:425-457``.
+    """
+
+    def __init__(self, name, fn, commutes_to=None):
+        self.name = name
+        self.fn = fn
+        self.commutes_to = commutes_to if commutes_to is not None else name
+
+    def __call__(self, x, y):
+        return self.fn(np.asarray(x), np.asarray(y))
+
+    def __repr__(self):
+        return f"binary.{self.name}"
+
+    @staticmethod
+    def register_new(name, fn, commutes_to=None):
+        op = BinaryOp(name, fn, commutes_to)
+        binary._register(op)
+        return op
+
+
+class IndexUnaryOp:
+    """Positional op ``z = f(val, row, col, thunk)`` (vectorized).
+
+    Mirrors reference ``core/operator/indexunary.py:76``; bool-valued ones
+    double as SelectOps (``core/operator/select.py:62``).
+    """
+
+    def __init__(self, name, fn, bool_valued=True):
+        self.name = name
+        self.fn = fn
+        self.bool_valued = bool_valued
+
+    def __call__(self, val, row, col, thunk=0):
+        return self.fn(np.asarray(val), np.asarray(row), np.asarray(col), thunk)
+
+    def __repr__(self):
+        return f"indexunary.{self.name}"
+
+    @staticmethod
+    def register_new(name, fn, bool_valued=True):
+        op = IndexUnaryOp(name, fn, bool_valued)
+        indexunary._register(op)
+        return op
+
+
+unary = _Namespace()
+binary = _Namespace()
+indexunary = _Namespace()
+
+
+def _safe_minv(x):
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(x != 0, 1.0 / np.where(x == 0, 1, x), np.inf * np.sign(1))
+
+
+_UNARY_BUILTINS = {
+    # reference regex inventory: unary.py:144-168
+    "identity": lambda x: x,
+    "ainv": np.negative,
+    "minv": lambda x: np.divide(1.0, x, where=np.asarray(x) != 0,
+                                out=np.full(np.shape(x), np.inf, dtype="float64")),
+    "abs": np.abs,
+    "lnot": np.logical_not,
+    "bnot": np.invert,
+    "one": lambda x: np.ones_like(np.asarray(x)) if np.asarray(x).dtype != np.bool_
+    else np.ones(np.shape(x), dtype=bool),
+    "sqrt": np.sqrt,
+    "log": np.log,
+    "exp": np.exp,
+    "log2": np.log2,
+    "sin": np.sin,
+    "cos": np.cos,
+    "tan": np.tan,
+    "acos": np.arccos,
+    "asin": np.arcsin,
+    "atan": np.arctan,
+    "sinh": np.sinh,
+    "cosh": np.cosh,
+    "tanh": np.tanh,
+    "acosh": np.arccosh,
+    "asinh": np.arcsinh,
+    "atanh": np.arctanh,
+    "signum": np.sign,
+    "ceil": np.ceil,
+    "floor": np.floor,
+    "round": np.round,
+    "trunc": np.trunc,
+    "exp2": np.exp2,
+    "expm1": np.expm1,
+    "log10": np.log10,
+    "log1p": np.log1p,
+    "cbrt": np.cbrt,
+    "isinf": np.isinf,
+    "isnan": np.isnan,
+    "isfinite": np.isfinite,
+    "lgamma": lambda x: _scipy_or_math("gammaln", x),
+    "tgamma": lambda x: _scipy_or_math("gamma", x),
+    "erf": lambda x: _scipy_or_math("erf", x),
+    "erfc": lambda x: _scipy_or_math("erfc", x),
+}
+
+
+def _scipy_or_math(name, x):
+    try:  # scipy may not be present; fall back to vectorized math.*
+        import scipy.special as sp
+
+        return getattr(sp, name)(x)
+    except ImportError:  # pragma: no cover
+        import math
+
+        fn = {"gammaln": math.lgamma, "gamma": math.gamma,
+              "erf": math.erf, "erfc": math.erfc}[name]
+        return np.vectorize(fn)(x)
+
+
+for _name, _fn in _UNARY_BUILTINS.items():
+    unary._register(UnaryOp(_name, _fn))
+
+
+def _cdiv(x, y):
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.divide(x, y)
+
+
+_BINARY_BUILTINS = {
+    # reference regex inventory: binary.py:425-457 (+ commutes-to table :459+)
+    "first": (lambda x, y: x, "second"),
+    "second": (lambda x, y: np.broadcast_to(np.asarray(y), np.shape(x)).copy()
+               if np.ndim(y) == 0 else y, "first"),
+    "pair": (lambda x, y: np.ones(np.broadcast_shapes(np.shape(x), np.shape(y)),
+                                  dtype="int64"), "pair"),
+    "plus": (np.add, "plus"),
+    "minus": (np.subtract, "rminus"),
+    "rminus": (lambda x, y: np.subtract(y, x), "minus"),
+    "times": (np.multiply, "times"),
+    "truediv": (_cdiv, "rtruediv"),
+    "div": (_cdiv, "rdiv"),
+    "rdiv": (lambda x, y: _cdiv(y, x), "div"),
+    "rtruediv": (lambda x, y: _cdiv(y, x), "truediv"),
+    "floordiv": (lambda x, y: np.floor_divide(x, y), "rfloordiv"),
+    "rfloordiv": (lambda x, y: np.floor_divide(y, x), "floordiv"),
+    "min": (np.minimum, "min"),
+    "max": (np.maximum, "max"),
+    "pow": (np.power, "rpow"),
+    "rpow": (lambda x, y: np.power(y, x), "pow"),
+    "any": (lambda x, y: x, "any"),  # 'any' may return either; we pick first
+    "iseq": (lambda x, y: (np.asarray(x) == y).astype("int64"), "iseq"),
+    "isne": (lambda x, y: (np.asarray(x) != y).astype("int64"), "isne"),
+    "isgt": (lambda x, y: (np.asarray(x) > y).astype("int64"), "islt"),
+    "islt": (lambda x, y: (np.asarray(x) < y).astype("int64"), "isgt"),
+    "isge": (lambda x, y: (np.asarray(x) >= y).astype("int64"), "isle"),
+    "isle": (lambda x, y: (np.asarray(x) <= y).astype("int64"), "isge"),
+    "lor": (np.logical_or, "lor"),
+    "land": (np.logical_and, "land"),
+    "lxor": (np.logical_xor, "lxor"),
+    "lxnor": (lambda x, y: np.logical_not(np.logical_xor(x, y)), "lxnor"),
+    "eq": (lambda x, y: np.asarray(x) == y, "eq"),
+    "ne": (lambda x, y: np.asarray(x) != y, "ne"),
+    "gt": (lambda x, y: np.asarray(x) > y, "lt"),
+    "lt": (lambda x, y: np.asarray(x) < y, "gt"),
+    "ge": (lambda x, y: np.asarray(x) >= y, "le"),
+    "le": (lambda x, y: np.asarray(x) <= y, "ge"),
+    "atan2": (np.arctan2, None),
+    "hypot": (np.hypot, "hypot"),
+    "fmod": (np.fmod, None),
+    "remainder": (np.remainder, None),
+    "ldexp": (np.ldexp, None),
+    "copysign": (np.copysign, None),
+    "bor": (np.bitwise_or, "bor"),
+    "band": (np.bitwise_and, "band"),
+    "bxor": (np.bitwise_xor, "bxor"),
+    "bxnor": (lambda x, y: np.invert(np.bitwise_xor(x, y)), "bxnor"),
+    # Python-UDF extras from graphblas/binary/__init__.py:14-22
+    "absfirst": (lambda x, y: np.abs(x), "abssecond"),
+    "abssecond": (lambda x, y: np.abs(np.broadcast_to(np.asarray(y), np.shape(x))
+                                      if np.ndim(y) == 0 else y), "absfirst"),
+}
+
+for _name, (_fn, _comm) in _BINARY_BUILTINS.items():
+    binary._register(BinaryOp(_name, _fn, _comm))
+
+
+_INDEXUNARY_BUILTINS = {
+    # reference regex inventory: indexunary.py:98-109
+    "rowindex": (lambda v, r, c, t: r + t, False),
+    "colindex": (lambda v, r, c, t: c + t, False),
+    "diagindex": (lambda v, r, c, t: c - r + t, False),
+    "tril": (lambda v, r, c, t: c <= r + t, True),
+    "triu": (lambda v, r, c, t: c >= r + t, True),
+    "diag": (lambda v, r, c, t: c == r + t, True),
+    "offdiag": (lambda v, r, c, t: c != r + t, True),
+    "rowle": (lambda v, r, c, t: r <= t, True),
+    "rowgt": (lambda v, r, c, t: r > t, True),
+    "colle": (lambda v, r, c, t: c <= t, True),
+    "colgt": (lambda v, r, c, t: c > t, True),
+    "valueeq": (lambda v, r, c, t: v == t, True),
+    "valuene": (lambda v, r, c, t: v != t, True),
+    "valuegt": (lambda v, r, c, t: v > t, True),
+    "valuege": (lambda v, r, c, t: v >= t, True),
+    "valuelt": (lambda v, r, c, t: v < t, True),
+    "valuele": (lambda v, r, c, t: v <= t, True),
+}
+
+for _name, (_fn, _bool) in _INDEXUNARY_BUILTINS.items():
+    indexunary._register(IndexUnaryOp(_name, _fn, _bool))
+
+
+_STRING_TO_BINARY = {
+    "+": "plus", "-": "minus", "*": "times", "/": "truediv", "//": "floordiv",
+    "%": "remainder", "**": "pow", "&": "land", "|": "lor", "^": "lxor",
+    "==": "eq", "!=": "ne", ">": "gt", "<": "lt", ">=": "ge", "<=": "le",
+}
+
+_STRING_TO_SELECT = {
+    "==": "valueeq", "!=": "valuene", ">": "valuegt",
+    ">=": "valuege", "<": "valuelt", "<=": "valuele",
+}
+
+
+def binary_from_string(s):
+    """``"+"``-style shorthand (reference ``core/operator/utils.py``;
+    accum parsing ``base.py:222-223``)."""
+    if isinstance(s, BinaryOp):
+        return s
+    name = _STRING_TO_BINARY.get(s, s)
+    return binary[name]
+
+
+def unary_from_string(s):
+    if isinstance(s, UnaryOp):
+        return s
+    return unary[s]
+
+
+def select_from_string(s):
+    """``A.select(">=", 1)`` string dispatch (reference ``matrix.py:2564``)."""
+    if isinstance(s, IndexUnaryOp):
+        return s
+    name = _STRING_TO_SELECT.get(s, s)
+    return indexunary[name]

@@ -1,0 +1,121 @@
+"""Pages → edge-table ingest (the engine's front-end; SURVEY.md §1.4).
+
+``read_parquet(pages) → map_batches(extract) → edge table`` — the stage the
+reference does not have (it starts at ``from_coo``, reference
+``matrix.py:818``). Extraction is defined here once and is byte-exact:
+
+- ``extract_text(html) -> str``: strip tags, collapse whitespace — the
+  per-url byte-identical invariant (BASELINE.md) is tested by comparing the
+  distributed output against this same function run single-process.
+- ``extract_links(html) -> list[url]``: ``<a href="...">`` regex.
+
+Vertex ids: urls are hashed to int64 via a deterministic splitmix64 of the
+url bytes when no id map is given (``vid_from_url``), or resolved against
+a page-id scheme when the universe is known (synthetic pages encode the id
+in the path). At 100 TB scale the hash-vid path is the right one: no
+global dictionary build, collision probability ~E²/2⁶⁴.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+_HREF_RE = re.compile(rb'<a\s+href="([^"]+)"')
+_TAG_RE = re.compile(rb"<[^>]+>")
+_WS_RE = re.compile(rb"\s+")
+
+
+def extract_text(html: bytes) -> str:
+    """Byte-exact text extraction: drop tags, collapse whitespace, strip."""
+    no_tags = _TAG_RE.sub(b" ", html)
+    collapsed = _WS_RE.sub(b" ", no_tags).strip()
+    return collapsed.decode("utf-8")
+
+
+def extract_links(html: bytes) -> list:
+    return [m.decode("utf-8") for m in _HREF_RE.findall(html)]
+
+
+def _splitmix64_bytes(data: bytes) -> int:
+    """Deterministic 64-bit hash of bytes (FNV-1a folded through
+    splitmix64 finalizer) — pure python, stable across processes."""
+    h = 0xCBF29CE484222325
+    for b in data:
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    # splitmix64 finalizer
+    h = (h ^ (h >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
+    h = (h ^ (h >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
+    return (h ^ (h >> 31)) & 0x7FFFFFFFFFFFFFFF  # int64-positive
+
+
+def vid_from_url(urls) -> np.ndarray:
+    return np.array([_splitmix64_bytes(u.encode("utf-8")) for u in urls],
+                    dtype=np.int64)
+
+
+_PAGE_PATH_RE = re.compile(r"/page/(\d+)$")
+
+
+def vid_from_synthetic_url(urls) -> np.ndarray:
+    """Synthetic pages encode the page id in the url path — gives dense
+    [0, n) vids so vertex vectors are plain arrays."""
+    return np.array([int(_PAGE_PATH_RE.search(u).group(1)) for u in urls],
+                    dtype=np.int64)
+
+
+class LinkExtractor:
+    """Actor-pool stage: compiled regexes + vid scheme held per actor
+    (stateful setup ONCE in __init__, per-batch work in __call__)."""
+
+    def __init__(self, synthetic_ids=True):
+        self.synthetic = synthetic_ids
+        # regexes are module-level compiled; held here to pin per-actor
+        self.href_re = _HREF_RE
+        self.tag_re = _TAG_RE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        htmls = batch["html"].to_pylist()
+        urls = batch["url"].to_pylist()
+        src_urls, dst_urls = [], []
+        for u, h in zip(urls, htmls):
+            for link in extract_links(h):
+                src_urls.append(u)
+                dst_urls.append(link)
+        if self.synthetic:
+            src = vid_from_synthetic_url(src_urls)
+            dst = vid_from_synthetic_url(dst_urls)
+        else:
+            src = vid_from_url(src_urls)
+            dst = vid_from_url(dst_urls)
+        return pa.table({
+            "src": src,
+            "dst": dst,
+            "val": np.ones(len(src), dtype=np.float64),
+        })
+
+
+def extract_edges(pages_ds, synthetic_ids=True, concurrency=4,
+                  batch_size=2048):
+    """pages Dataset → edge Dataset (src, dst, val). Column-pruned read is
+    the caller's job (``read_parquet(columns=['url','html'])``)."""
+    return pages_ds.map_batches(
+        LinkExtractor(synthetic_ids),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
+def extract_text_table(pages_ds):
+    """pages Dataset → (url, text) extracted-text table (byte-identical
+    invariant surface)."""
+
+    def kern(batch: pa.Table) -> pa.Table:
+        texts = [extract_text(h) for h in batch["html"].to_pylist()]
+        return pa.table({"url": batch["url"],
+                         "extracted_text": pa.array(texts, type=pa.string())})
+
+    return pages_ds.map_batches(kern, batch_format="pyarrow")

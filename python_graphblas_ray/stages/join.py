@@ -1,0 +1,214 @@
+"""Join utilities over Ray Datasets.
+
+GraphBLAS element-wise ops and mxm are index-aligned joins (SURVEY.md §2.3).
+We use Ray Data's native hash-partitioned ``Dataset.join`` (Ray ≥2.46) for
+the wide cases, and broadcast semi/anti-joins (``ray.put`` the key set once,
+filter inside ``map_batches``) when one side is small — the 100 TB rule:
+never shuffle the big side to meet a small side.
+
+Empty-side handling: Ray 2.49's hash-shuffle join silently drops 0-row
+blocks, so a side that is entirely empty reaches Acero as a zero-column
+table and the join fails ("No match ... FieldRef"). Structural emptiness is
+*normal* in GraphBLAS (empty masks, cleared containers), so ``hash_join``
+materializes both sides (the join is an all-to-all barrier anyway), prunes
+empty blocks, and when a side has no rows at all synthesizes the join
+result directly with the correct suffixed schema.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+DEFAULT_JOIN_PARTITIONS = 16
+
+
+def _num_join_partitions(*dss):
+    try:
+        n = max(ds.num_blocks() for ds in dss)
+    except Exception:
+        n = DEFAULT_JOIN_PARTITIONS
+    return max(1, min(64, n))
+
+
+def _materialize_clean(ds):
+    """Materialize and drop 0-row blocks (Ray's aggregate/shuffle stages emit
+    schema-less empties that break downstream Acero joins).
+
+    Returns ``(clean_ds_or_None, pyarrow_schema_or_None, total_rows)``."""
+    mat = ds.materialize()
+    schema = None
+    try:
+        s = mat.schema(fetch_if_missing=True)
+        if s is not None and s.names:
+            schema = pa.schema([(n, t) for n, t in zip(s.names, s.types)])
+    except Exception:
+        pass
+    refs, counts = [], []
+    try:
+        for bundle in mat.iter_internal_ref_bundles():
+            for block_ref, meta in bundle.blocks:
+                refs.append(block_ref)
+                counts.append(meta.num_rows if meta.num_rows is not None else -1)
+    except Exception:
+        refs = mat.to_arrow_refs()
+        counts = [-1] * len(refs)
+    if any(c < 0 for c in counts):
+        @ray.remote
+        def _nrows(t):
+            return t.num_rows
+        counts = ray.get([_nrows.remote(r) for r in refs])
+    nonempty = [r for r, c in zip(refs, counts) if c > 0]
+    total = int(sum(c for c in counts if c > 0))
+    if not nonempty:
+        return None, schema, 0
+    return ray.data.from_arrow_refs(nonempty), schema, total
+
+
+def _join_name_maps(left_schema, right_schema, on, right_on,
+                    left_suffix, right_suffix):
+    """Replicate Ray 2.49 join output naming (observed behavior): the right
+    key columns are dropped (coalesced into the left key columns); any name
+    collision between remaining columns — keys included — gets the
+    suffixes. Returns ``(left_map, right_map)`` of input→output names
+    (right keys map to the left key's output name)."""
+    ls, rs = (left_suffix or ""), (right_suffix or "")
+    right_out = [f.name for f in right_schema if f.name not in right_on]
+    left_names = set(left_schema.names)
+    right_names = set(right_out)
+    left_map = {f.name: (f.name + ls if f.name in right_names else f.name)
+                for f in left_schema}
+    right_map = {}
+    for f in right_schema:
+        if f.name in right_on:
+            right_map[f.name] = left_map[on[list(right_on).index(f.name)]]
+        else:
+            right_map[f.name] = (f.name + rs if f.name in left_names
+                                 else f.name)
+    return left_map, right_map
+
+
+def _suffixed_schema(left_schema, right_schema, on, right_on,
+                     left_suffix, right_suffix):
+    left_map, right_map = _join_name_maps(left_schema, right_schema, on,
+                                          right_on, left_suffix, right_suffix)
+    fields = [pa.field(left_map[f.name], f.type) for f in left_schema]
+    fields += [pa.field(right_map[f.name], f.type) for f in right_schema
+               if f.name not in right_on]
+    return pa.schema(fields)
+
+
+def _empty_side_result(present_ds, present_side, left_schema, right_schema,
+                       on, right_on, how, left_suffix, right_suffix):
+    """Join result when one side has zero rows, built without Ray's join.
+
+    inner → empty with the joined schema; outer joins → the surviving
+    side's rows with the other side's columns null."""
+    out_schema = _suffixed_schema(left_schema, right_schema, on, right_on,
+                                  left_suffix, right_suffix)
+    keep_side = None
+    if how == "full_outer":
+        keep_side = present_side
+    elif how == "left_outer" and present_side == "left":
+        keep_side = "left"
+    elif how == "right_outer" and present_side == "right":
+        keep_side = "right"
+    if keep_side is None or present_ds is None:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    left_map, right_map = _join_name_maps(left_schema, right_schema, on,
+                                          right_on, left_suffix, right_suffix)
+    side_map = left_map if keep_side == "left" else right_map
+    side_schema = left_schema if keep_side == "left" else right_schema
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {f.name: pa.nulls(n, f.type) for f in out_schema}
+        for f in side_schema:
+            out_name = side_map[f.name]
+            cols[out_name] = batch[f.name].cast(
+                out_schema.field(out_name).type)
+        return pa.table({f.name: cols[f.name] for f in out_schema})
+
+    return present_ds.map_batches(expand, batch_format="pyarrow")
+
+
+def hash_join(left, right, on, right_on=None, how="inner",
+              left_suffix=None, right_suffix=None, num_partitions=None):
+    """Hash-partitioned join of two Datasets on key column(s)."""
+    on = (on,) if isinstance(on, str) else tuple(on)
+    right_on = on if right_on is None else (
+        (right_on,) if isinstance(right_on, str) else tuple(right_on))
+    left_c, left_schema, left_n = _materialize_clean(left)
+    right_c, right_schema, right_n = _materialize_clean(right)
+    if left_n == 0 or right_n == 0:
+        if left_n == 0 and right_n == 0:
+            if left_schema is None or right_schema is None:
+                raise ValueError("joining two empty datasets with unknown schema")
+            return ray.data.from_arrow(_suffixed_schema(
+                left_schema, right_schema, on, right_on,
+                left_suffix, right_suffix).empty_table())
+        present_ds, present_side = ((left_c, "left") if left_n
+                                    else (right_c, "right"))
+        return _empty_side_result(present_ds, present_side, left_schema,
+                                  right_schema, on, right_on, how,
+                                  left_suffix, right_suffix)
+    num_partitions = num_partitions or _num_join_partitions(left_c, right_c)
+    return left_c.join(
+        right_c,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=on,
+        right_on=right_on,
+        left_suffix=left_suffix,
+        right_suffix=right_suffix,
+    )
+
+
+def _key_view(arrs):
+    """Pack 1-2 int64 key columns into one sortable array (i<<32|j when the
+    second column fits 32 bits, else a structured-array view)."""
+    if len(arrs) == 1:
+        return np.asarray(arrs[0], dtype=np.int64)
+    a = np.asarray(arrs[0], dtype=np.int64)
+    b = np.asarray(arrs[1], dtype=np.int64)
+    return (a << np.int64(32)) | b  # caller guarantees 0 <= b < 2**32
+
+
+def broadcast_key_set(ds, key_cols):
+    """Collect the distinct packed key set of ``ds`` to a sorted numpy array
+    and ``ray.put`` it once (broadcast side of a semi/anti join). Only valid
+    when the key set fits driver memory; callers document the scale path
+    (shuffle semi-join) for when it does not."""
+    packed = []
+    for batch in ds.select_columns(list(key_cols)).iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20):
+        arrs = [batch[c].to_numpy(zero_copy_only=False) for c in key_cols]
+        packed.append(np.unique(_key_view(arrs)))
+    keys = (np.unique(np.concatenate(packed)) if packed
+            else np.array([], dtype=np.int64))
+    return ray.put(keys)
+
+
+def semi_join_filter(ds, key_cols, keyset_ref, anti=False):
+    """Keep (semi) or drop (anti) rows whose packed key is in the broadcast
+    sorted key set. One ``ray.get`` per task — zero-copy from the local
+    object store."""
+    key_cols = tuple(key_cols)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keyset_ref)
+        arrs = [batch[c].to_numpy(zero_copy_only=False) for c in key_cols]
+        packed = _key_view(arrs)
+        if len(keys) == 0:
+            hit = np.zeros(len(packed), dtype=bool)
+        else:
+            pos = np.searchsorted(keys, packed)
+            pos_c = np.minimum(pos, len(keys) - 1)
+            hit = keys[pos_c] == packed
+        mask = ~hit if anti else hit
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(filt, batch_format="pyarrow")

@@ -1,0 +1,199 @@
+"""Distributed reduction primitives.
+
+The load-bearing pattern (SURVEY.md §2.4, reference ``agg.py:233-259``):
+**pre-aggregate inside map_batches (combiner), then a small
+groupby().aggregate() over partials** — so the all-to-all shuffle moves one
+row per (key, batch) instead of one row per input row. At 100 TB this is the
+difference between shuffling partials (~#keys × #blocks rows) and shuffling
+the whole dataset.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data.aggregate import AggregateFn, Count, Max, Min, Sum
+
+# monoid name -> numpy ufunc usable with .reduceat for per-batch group reduce
+_MONOID_UFUNC = {
+    "plus": np.add,
+    "times": np.multiply,
+    "min": np.minimum,
+    "max": np.maximum,
+    "lor": np.logical_or,
+    "land": np.logical_and,
+    "lxor": np.logical_xor,
+    "bor": np.bitwise_or,
+    "band": np.bitwise_and,
+    "bxor": np.bitwise_xor,
+}
+
+
+def np_group_reduce(keys, vals, monoid):
+    """Sort-based per-batch group reduction (the combiner).
+
+    ``keys``: tuple of equal-length int64 arrays (1 or 2 key columns).
+    Returns ``(keys_out: tuple[np.ndarray], vals_out: np.ndarray)`` with one
+    row per distinct key. Runs entirely in numpy — no Python per-row loop.
+    """
+    vals = np.asarray(vals)
+    n = len(vals)
+    if n == 0:
+        return tuple(k[:0] for k in keys), vals[:0]
+    if len(keys) == 1:
+        order = np.argsort(keys[0], kind="stable")
+    else:
+        order = np.lexsort(tuple(reversed(keys)))
+    sk = tuple(k[order] for k in keys)
+    sv = vals[order]
+    # group boundaries
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for k in sk:
+        change[1:] |= k[1:] != k[:-1]
+    starts = np.flatnonzero(change)
+    ufunc = _MONOID_UFUNC.get(monoid.name)
+    if monoid.name == "any":
+        out = sv[starts]
+    elif ufunc is not None:
+        out = ufunc.reduceat(sv, starts)
+    else:
+        # generic fallback for user-registered monoids (rare; partials only)
+        ends = np.append(starts[1:], n)
+        out = np.array([monoid.reduce_np(sv[s:e]) for s, e in zip(starts, ends)])
+    return tuple(k[starts] for k in sk), out
+
+
+def make_batch_combiner(key_cols, val_col, monoid, out_val_col=None):
+    """Arrow-batch combiner fn for ``map_batches``: one output row per
+    distinct key per batch."""
+    out_val_col = out_val_col or val_col
+
+    def combine(batch: pa.Table) -> pa.Table:
+        keys = tuple(batch[c].to_numpy(zero_copy_only=False) for c in key_cols)
+        vals = batch[val_col].to_numpy(zero_copy_only=False)
+        k_out, v_out = np_group_reduce(keys, vals, monoid)
+        cols = {c: k for c, k in zip(key_cols, k_out)}
+        cols[out_val_col] = v_out
+        return pa.table(cols)
+
+    return combine
+
+
+def _monoid_aggregate_fn(monoid, val_col, out_col):
+    """Generic Ray ``AggregateFn`` for any monoid (used when no builtin
+    Sum/Min/Max matches)."""
+    fn = monoid.binaryop.fn
+    identity = monoid.identity
+
+    def accumulate_block(acc, block):
+        if isinstance(block, pa.Table):
+            arr = block[val_col].to_numpy(zero_copy_only=False)
+        else:  # pandas
+            arr = block[val_col].to_numpy()
+        r = monoid.reduce_np(arr)
+        return r if acc is None else fn(acc, r)
+
+    return AggregateFn(
+        init=lambda k: None,
+        merge=lambda a, b: b if a is None else (a if b is None else fn(a, b)),
+        accumulate_block=accumulate_block,
+        finalize=lambda a: identity if a is None else a,
+        name=out_col,
+    )
+
+
+def groupby_monoid(ds, key_cols, val_col, monoid, out_col=None,
+                   pre_aggregate=True):
+    """``ds.groupby(keys).aggregate(monoid)`` with per-batch combining.
+
+    Maps monoid → Ray builtin aggregate (Sum/Min/Max hit Arrow-native
+    vectorized paths) when possible, else a generic AggregateFn. Returns a
+    Dataset with columns ``key_cols + [out_col]``.
+    """
+    out_col = out_col or val_col
+    if pre_aggregate:
+        ds = ds.map_batches(make_batch_combiner(key_cols, val_col, monoid),
+                            batch_format="pyarrow")
+    key = key_cols[0] if len(key_cols) == 1 else key_cols
+    builtin = {
+        "plus": Sum, "min": Min, "max": Max,
+    }.get(monoid.name)
+    if builtin is not None:
+        out = ds.groupby(key).aggregate(builtin(val_col, alias_name=out_col))
+    else:
+        out = ds.groupby(key).aggregate(_monoid_aggregate_fn(monoid, val_col, out_col))
+    return out
+
+
+def global_monoid_reduce(ds, val_col, monoid):
+    """Matrix/Vector → Scalar reduction: per-batch fold, tiny driver merge.
+
+    Streams one partial per block to the driver; never materializes rows.
+    Returns None when the input has no entries (structural empty — reference
+    ``matrix.py:2712`` ``allow_empty`` semantics handled by caller).
+    """
+
+    def fold(batch: pa.Table) -> pa.Table:
+        vals = batch[val_col].to_numpy(zero_copy_only=False)
+        if len(vals) == 0:
+            return pa.table({"p": pa.array([], type=pa.float64())})
+        return pa.table({"p": [monoid.reduce_np(vals)]})
+
+    parts = [b["p"].to_numpy(zero_copy_only=False)
+             for b in ds.map_batches(fold, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")]
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return None
+    allp = np.concatenate(parts)
+    return monoid.reduce_np(allp)
+
+
+def groupby_aggregator(ds, key_cols, val_col, aggregator, out_col="val",
+                       idx_col=None):
+    """Grouped reduction with a composite Aggregator (mean/std/argmin/...).
+
+    Two-level: per-batch ``partial`` rows (combiner) → shuffle → per-group
+    ``final`` over the few partial rows. ``idx_col`` feeds positional
+    aggregators (argmin/first/...)."""
+
+    def make_partials(batch: pa.Table) -> pa.Table:
+        keys = tuple(batch[c].to_numpy(zero_copy_only=False) for c in key_cols)
+        vals = batch[val_col].to_numpy(zero_copy_only=False)
+        idx = (batch[idx_col].to_numpy(zero_copy_only=False)
+               if idx_col else np.arange(len(vals), dtype=np.int64))
+        n = len(vals)
+        if n == 0:
+            return pa.table({c: pa.array([], type=pa.int64()) for c in key_cols})
+        if len(keys) == 1:
+            order = np.argsort(keys[0], kind="stable")
+        else:
+            order = np.lexsort(tuple(reversed(keys)))
+        sk = tuple(k[order] for k in keys)
+        sv, si = vals[order], idx[order]
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for k in sk:
+            change[1:] |= k[1:] != k[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        rows = [aggregator.partial(sv[s:e], si[s:e]) for s, e in zip(starts, ends)]
+        cols = {c: k[starts] for c, k in zip(key_cols, sk)}
+        for pname in rows[0]:
+            cols[f"__p_{pname}"] = np.array([r[pname] for r in rows])
+        return pa.table(cols)
+
+    partials = ds.map_batches(make_partials, batch_format="pyarrow")
+
+    import pandas as pd
+
+    def finalize_group(g: pd.DataFrame) -> pd.DataFrame:
+        d = {c[4:]: g[c].to_numpy() for c in g.columns if c.startswith("__p_")}
+        out = {c: [g[c].iloc[0]] for c in key_cols}
+        out[out_col] = [aggregator.final(d)]
+        return pd.DataFrame(out)
+
+    key = key_cols[0] if len(key_cols) == 1 else key_cols
+    return partials.groupby(key).map_groups(finalize_group, batch_format="pandas")
