@@ -1,0 +1,268 @@
+"""Graph algorithms over the superstep engine.
+
+Each driver loop replicates the reference's recipe EXACTLY (superstep
+count and convergence semantics must match — SURVEY.md §2.7):
+
+- ``pagerank``   — ``pagerank_3f`` from ``notebooks/Pagerank Demo.ipynb``
+  (LAGraph_pagerank3f): no dangling redistribution, ``rdiff = sum|t-r|``,
+  stop when ``rdiff <= tol`` checked at loop top.
+- ``connected_components`` — ``fastSV`` from ``notebooks/Connected
+  Components -- FastSV.ipynb``: min_second hooking, shortcutting,
+  grandparent gather ``gp = f[f]``.
+- ``bfs_level``  — ``notebooks/Example B.1 -- Level BFS.ipynb``:
+  ``q<(~v.S)> << any_pair(A.T @ q)``.
+- ``sssp``       — ``docs/getting_started/primer.rst:210-250``:
+  ``v(min) << min_plus(A.T @ v)`` to fixpoint.
+- ``label_propagation`` — synchronous LPA with deterministic min-label
+  tie-break (``notebooks/Louvain.ipynb`` family; exactness contract).
+
+The O(E) work per superstep runs in the pinned partition actors
+(``state/superstep.py``); the O(V) vector updates are vectorized numpy on
+the driver, standing in for a range-partitioned vertex dataset (each slice
+maps 1:1 to a partition at scale; see superstep.py scale notes).
+
+Edge-table conventions: edge (src, dst) = link src→dst; the engine's
+``spmv`` aggregates into ``dst`` reading the vector at ``src`` — exactly
+``A.T @ x`` in reference orientation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..state.checkpoint import CheckpointManager, SuperstepMetrics
+from ..state.superstep import SuperstepEngine
+
+
+def symmetrize(edges_ds):
+    """A ∪ A.T (undirected view) — union of the edge table with its swap;
+    duplicates are harmless for the idempotent monoids (min/lor/mode) the
+    undirected algorithms use."""
+
+    def swap(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["dst"], "dst": batch["src"],
+                         "val": batch["val"]})
+
+    return edges_ds.union(edges_ds.map_batches(swap, batch_format="pyarrow"))
+
+
+def build_engine(edges_ds, n, num_partitions=8, weighted=False,
+                 undirected=False):
+    if undirected:
+        edges_ds = symmetrize(edges_ds)
+    return SuperstepEngine(edges_ds, n, num_partitions=num_partitions,
+                           weighted=weighted)
+
+
+def pagerank(engine: SuperstepEngine, damping=0.85, itermax=100, tol=1e-4,
+             checkpoint: CheckpointManager | None = None,
+             checkpoint_every=10, metrics: SuperstepMetrics | None = None):
+    """LAGraph pagerank_3f (reference notebook, FP64 here).
+
+    Returns ``(r, iters, metrics)``; ``iters`` matches the reference's
+    returned ``i`` (number of completed update supersteps).
+
+    Per iteration: ``w = t/d_scaled`` on vertices with out-degree (dangling
+    vertices contribute nothing — ewise_mult intersection semantics),
+    ``r = teleport + A.T@w (plus_second)``, ``rdiff = sum|t - r|``.
+    """
+    n = engine.n
+    metrics = metrics or SuperstepMetrics()
+    teleport = (1.0 - damping) / n
+    d_out = engine.out_degrees().astype(np.float64)
+    has_out = d_out > 0
+    d_scaled = np.where(has_out, d_out / damping, 1.0)
+
+    start_iter = 0
+    r = np.full(n, 1.0 / n)
+    rdiff = 1.0  # "first iteration is always done"
+    if checkpoint is not None:
+        latest = checkpoint.latest()
+        if latest is not None:
+            it, manifest = latest
+            vecs, _ = checkpoint.load(it)
+            r = vecs["r"]
+            rdiff = manifest["metrics"].get("rdiff", 1.0)
+            start_iter = it + 1
+
+    i = start_iter
+    for i in range(start_iter, itermax):
+        if rdiff <= tol:
+            break
+        t = r
+        w = np.where(has_out, t / d_scaled, 0.0)
+        r = engine.spmv("plus_second", w) + teleport
+        rdiff = float(np.abs(t - r).sum())
+        metrics.record(i, algorithm="pagerank", rdiff=rdiff,
+                       edges=engine.num_edges)
+        if checkpoint is not None and (i + 1) % checkpoint_every == 0:
+            checkpoint.save(i, {"r": r}, metrics={"rdiff": rdiff},
+                            lineage=[{"superstep": i,
+                                      "partitions": engine.partition_stats}])
+    return r, i, metrics
+
+
+def pagerank_numpy(src, dst, n, damping=0.85, itermax=100, tol=1e-4,
+                   dtype=np.float64):
+    """Single-process oracle — the same recipe in pure numpy (plays the
+    role of running the reference's pagerank_3f; tests assert allclose
+    1e-6 AND identical superstep count)."""
+    d_out = np.bincount(src, minlength=n).astype(dtype)
+    has_out = d_out > 0
+    d_scaled = np.where(has_out, d_out / dtype(damping), 1.0)
+    teleport = (1.0 - damping) / n
+    r = np.full(n, 1.0 / n, dtype=dtype)
+    rdiff = 1.0
+    i = 0
+    for i in range(itermax):
+        if rdiff <= tol:
+            break
+        t = r
+        w = np.where(has_out, t / d_scaled, 0.0)
+        r = np.bincount(dst, weights=w[src], minlength=n).astype(dtype) + teleport
+        rdiff = float(np.abs(t - r).sum())
+    return r, i
+
+
+def connected_components(engine: SuperstepEngine,
+                         metrics: SuperstepMetrics | None = None):
+    """FastSV exact min-label components (engine must be built with
+    ``undirected=True``). Returns ``(f, supersteps, metrics)`` where
+    ``f[i]`` = smallest vertex id in i's component."""
+    n = engine.n
+    metrics = metrics or SuperstepMetrics()
+    f = np.arange(n, dtype=np.int64)
+    gp = f.copy()
+    gp_dup = gp.copy()
+    it = 0
+    while True:
+        # Step 1: hooking — mngp = min_second(A @ gp)
+        mngp = engine.spmv("min_second", gp.astype(np.float64))
+        present = np.isfinite(mngp)
+        mngp_i = np.where(present, mngp, np.inf)
+        f = np.minimum(f, np.where(present, mngp_i, np.inf)).astype(np.int64)
+        # Step 2: shortcutting — f = min(f | gp)
+        f = np.minimum(f, gp)
+        # Step 3: grandparents — gp = f[f]
+        gp = f[f]
+        changed = bool(np.any(gp != gp_dup))
+        metrics.record(it, algorithm="fastsv", changed=changed,
+                       components=int(len(np.unique(gp))))
+        gp_dup = gp.copy()
+        it += 1
+        if not changed:
+            break
+    return f, it, metrics
+
+
+def connected_components_numpy(src, dst, n):
+    """Single-process FastSV oracle (same recipe, symmetrized input)."""
+    s = np.concatenate([src, dst])
+    d = np.concatenate([dst, src])
+    f = np.arange(n, dtype=np.int64)
+    gp = f.copy()
+    gp_dup = gp.copy()
+    while True:
+        mngp = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mngp, s, gp[d])
+        f = np.minimum(f, mngp)
+        f = np.minimum(f, gp)
+        gp = f[f]
+        if not np.any(gp != gp_dup):
+            break
+        gp_dup = gp.copy()
+    return f
+
+
+def bfs_level(engine: SuperstepEngine, source: int,
+              metrics: SuperstepMetrics | None = None):
+    """Level BFS along edge direction (reference Example B.1). Returns
+    int64 levels, -1 = unreached."""
+    n = engine.n
+    metrics = metrics or SuperstepMetrics()
+    v = np.full(n, -1, dtype=np.int64)
+    v[source] = 0
+    q = np.zeros(n, dtype=bool)
+    q[source] = True
+    level = 1
+    while q.any():
+        reached = engine.spmv("lor_second", q)
+        q = reached & (v < 0)  # q<(~v.S)> masked push
+        v[q] = level
+        metrics.record(level, algorithm="bfs", frontier=int(q.sum()))
+        level += 1
+    return v, metrics
+
+
+def sssp(engine: SuperstepEngine, source: int,
+         metrics: SuperstepMetrics | None = None, itermax=None):
+    """Bellman-Ford fixpoint of ``v(min) << min_plus(A.T @ v)`` (reference
+    primer.rst:210-250). Engine must be built with ``weighted=True``.
+    Returns float64 distances, inf = unreachable."""
+    n = engine.n
+    metrics = metrics or SuperstepMetrics()
+    dist = np.full(n, np.inf)
+    dist[source] = 0.0
+    it = 0
+    itermax = itermax or n
+    while it < itermax:
+        nd = engine.spmv("min_plus", dist)
+        new = np.minimum(dist, nd)
+        changed = bool(np.any(new < dist))
+        metrics.record(it, algorithm="sssp",
+                       settled=int(np.isfinite(new).sum()))
+        dist = new
+        it += 1
+        if not changed:
+            break
+    return dist, metrics
+
+
+def label_propagation(engine: SuperstepEngine, itermax=100,
+                      metrics: SuperstepMetrics | None = None):
+    """Synchronous LPA, deterministic: each vertex takes the most frequent
+    neighbor label, ties → smallest label; keeps its own when it has no
+    neighbors. Stops when labels stop changing. Engine must be undirected.
+    Returns ``(labels, iters, metrics)``."""
+    n = engine.n
+    metrics = metrics or SuperstepMetrics()
+    labels = np.arange(n, dtype=np.int64)
+    it = 0
+    for it in range(itermax):
+        mode = engine.mode(labels)
+        new = np.where(mode >= 0, mode, labels)
+        changed = bool(np.any(new != labels))
+        metrics.record(it, algorithm="lpa",
+                       distinct=int(len(np.unique(new))))
+        labels = new
+        if not changed:
+            break
+    return labels, it + 1, metrics
+
+
+def label_propagation_numpy(src, dst, n, itermax=100):
+    """Single-process oracle for the same deterministic synchronous LPA
+    (symmetrized)."""
+    s = np.concatenate([src, dst])
+    d = np.concatenate([dst, src])
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(itermax):
+        lab = labels[s]
+        packed = (d.astype(np.int64) << np.int64(31)) | lab
+        uniq, counts = np.unique(packed, return_counts=True)
+        ud = uniq >> np.int64(31)
+        ul = uniq & np.int64((1 << 31) - 1)
+        order = np.lexsort((ul, -counts, ud))
+        ud_s = ud[order]
+        first = np.empty(len(ud_s), dtype=bool)
+        mode = np.full(n, -1, dtype=np.int64)
+        if len(ud_s):
+            first[0] = True
+            first[1:] = ud_s[1:] != ud_s[:-1]
+            mode[ud_s[first]] = ul[order][first]
+        new = np.where(mode >= 0, mode, labels)
+        if not np.any(new != labels):
+            return new
+        labels = new
+    return labels

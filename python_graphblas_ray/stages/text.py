@@ -1,0 +1,164 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+All stages are actor-pool ``map_batches`` classes: regexes/tables compiled
+ONCE per actor in ``__init__``, vectorized work per batch. Operate on the
+``documents`` table ``(doc_id, text, lang, source, n_chars)``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Minimal public stopword lists per language (top function words).
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "ich", "nicht", "mit", "ein", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "je", "pas", "pour", "une", "dans"},
+    "es": {"el", "la", "los", "y", "es", "no", "por", "una", "para", "con"},
+    "it": {"il", "la", "e", "che", "di", "non", "per", "una", "con", "sono"},
+}
+
+
+class TokenCounter:
+    """Whitespace tokens + a BPE-ish sub-word estimate (len/4 heuristic on
+    non-space chars, the public rule-of-thumb)."""
+
+    def __init__(self):
+        self.ws = re.compile(r"\S+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ws_counts = np.fromiter((len(self.ws.findall(t)) for t in texts),
+                                dtype=np.int64, count=len(texts))
+        nonspace = np.fromiter((sum(len(w) for w in self.ws.findall(t))
+                                for t in texts), dtype=np.int64,
+                               count=len(texts))
+        bpe_est = (nonspace + 3) // 4
+        return batch.append_column("ws_tokens", pa.array(ws_counts)) \
+                    .append_column("bpe_tokens_est", pa.array(bpe_est))
+
+
+class QualityScorer:
+    """Length / punctuation / stopword-ratio quality features + a composite
+    score in [0, 1] (C4/Gopher-style heuristics, public recipes)."""
+
+    def __init__(self):
+        self.word = re.compile(r"[a-zA-Z]+")
+        self.punct = re.compile(r"[.!?]")
+        self.stop_en = _STOPWORDS["en"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n = len(texts)
+        length = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+        words = [self.word.findall(t.lower()) for t in texts]
+        n_words = np.fromiter((len(w) for w in words), dtype=np.int64, count=n)
+        mean_wlen = np.fromiter(
+            ((sum(len(x) for x in w) / len(w)) if w else 0.0 for w in words),
+            dtype=np.float64, count=n)
+        punct = np.fromiter((len(self.punct.findall(t)) for t in texts),
+                            dtype=np.int64, count=n)
+        stop_ratio = np.fromiter(
+            ((sum(1 for x in w if x in self.stop_en) / len(w)) if w else 0.0
+             for w in words), dtype=np.float64, count=n)
+        punct_ratio = punct / np.maximum(length, 1)
+        score = (np.clip(n_words / 100.0, 0, 1) * 0.4
+                 + np.clip(stop_ratio / 0.4, 0, 1) * 0.3
+                 + np.clip(mean_wlen / 8.0, 0, 1) * 0.3)
+        out = batch
+        for name, arr in [("q_len", length), ("q_words", n_words),
+                          ("q_mean_word_len", mean_wlen),
+                          ("q_punct_ratio", punct_ratio),
+                          ("q_stop_ratio", stop_ratio),
+                          ("quality_score", score)]:
+            out = out.append_column(name, pa.array(arr))
+        return out
+
+
+class LangId:
+    """N-gram/stopword-vote language id over the stopword tables — a
+    heuristic classifier (no external models). Emits ``lang_pred`` and a
+    confidence = vote margin."""
+
+    def __init__(self):
+        self.word = re.compile(r"[a-zA-Zäöüéèêàìí]+")
+        self.tables = {k: v for k, v in _STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        preds, confs = [], []
+        for t in texts:
+            ws = self.word.findall(t.lower())
+            votes = {lang: sum(1 for w in ws if w in tbl)
+                     for lang, tbl in self.tables.items()}
+            best = max(votes, key=lambda k: (votes[k], -ord(k[0])))
+            total = sum(votes.values())
+            preds.append(best if total else "und")
+            confs.append(votes[best] / total if total else 0.0)
+        return batch.append_column("lang_pred", pa.array(preds)) \
+                    .append_column("lang_conf", pa.array(confs, pa.float64()))
+
+
+class Fingerprinter:
+    """Rolling-hash document fingerprint (Rabin-Karp over bytes, window 8)
+    → 64-bit content fingerprint + winnowed min-sample; deterministic."""
+
+    B = 257
+    MOD = (1 << 61) - 1
+
+    def __init__(self, window=8):
+        self.window = window
+
+    def _rolling(self, data: bytes) -> np.ndarray:
+        if len(data) < self.window:
+            data = data + b"\x00" * (self.window - len(data))
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+        n = len(arr) - self.window + 1
+        with np.errstate(over="ignore"):
+            h = np.zeros(n, dtype=np.int64)
+            acc = 0
+            for k in range(self.window):  # window is tiny constant (8)
+                acc = (acc * self.B + int(arr[k])) % self.MOD
+            h[0] = acc
+            if n > 1:
+                pw = pow(self.B, self.window - 1, self.MOD)
+                prev = acc
+                lead = arr[: n - 1]
+                trail = arr[self.window:]
+                for i in range(1, n):  # per-byte loop bounded by doc length
+                    prev = ((prev - int(lead[i - 1]) * pw) * self.B
+                            + int(trail[i - 1])) % self.MOD
+                    h[i] = prev
+        return h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        fps = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            h = self._rolling(t.encode("utf-8"))
+            fps[i] = int(h.min()) if len(h) else 0
+        return batch.append_column("fingerprint", pa.array(fps))
+
+
+def token_count(docs_ds, concurrency=4):
+    return docs_ds.map_batches(TokenCounter, batch_format="pyarrow",
+                               concurrency=concurrency, batch_size=4096)
+
+
+def quality_score(docs_ds, concurrency=4):
+    return docs_ds.map_batches(QualityScorer, batch_format="pyarrow",
+                               concurrency=concurrency, batch_size=4096)
+
+
+def lang_id(docs_ds, concurrency=4):
+    return docs_ds.map_batches(LangId, batch_format="pyarrow",
+                               concurrency=concurrency, batch_size=4096)
+
+
+def fingerprint(docs_ds, concurrency=4):
+    return docs_ds.map_batches(Fingerprinter, batch_format="pyarrow",
+                               concurrency=concurrency, batch_size=2048)
