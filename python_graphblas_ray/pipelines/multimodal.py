@@ -1,0 +1,164 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns with typed metadata; decode /
+feature-extract / resize / frame-sample are actor-pool ``map_batches``
+stages. The decode libraries (PIL/ffmpeg/torchaudio) are NOT in this
+container, so the codec step is stubbed behind an import-try: with the
+real library absent, ``DETERMINISTIC_FAKE`` mode derives a tiny pixel
+block from a hash of the bytes so the Ray-side plumbing — schema, batch
+size, actor signature, output layout — is real and testable end-to-end.
+
+Schema convention for a media table:
+    (media_id:int64, media:binary, media_type:string,
+     meta:struct<width:int32, height:int32, duration_ms:int32>)
+
+Batch-size note (scale): binary payloads dominate memory — callers size
+``batch_size`` so batch_bytes × concurrency fits the worker heap (e.g.
+~4 MB images → batch_size≈32 at 8 concurrent actors on a 16 GB worker).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+try:  # pragma: no cover - not installed in this container
+    from PIL import Image  # noqa: F401
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+DETERMINISTIC_FAKE = "fake"
+STRICT = "strict"
+
+
+def media_table(media_ids, payloads, media_type="image") -> pa.Table:
+    ids = np.asarray(media_ids, dtype=np.int64)
+    meta = pa.array(
+        [{"width": 4, "height": 4, "duration_ms": 0} for _ in ids],
+        type=pa.struct([("width", pa.int32()), ("height", pa.int32()),
+                        ("duration_ms", pa.int32())]))
+    return pa.table({
+        "media_id": ids,
+        "media": pa.array(list(payloads), type=pa.binary()),
+        "media_type": pa.array([media_type] * len(ids), type=pa.string()),
+        "meta": meta,
+    })
+
+
+def _fake_pixels(data: bytes, h=4, w=4) -> np.ndarray:
+    """Deterministic stand-in decode: FNV-1a stream over the payload fills
+    an (h, w, 3) uint8 block. Stable across processes."""
+    acc = 0xCBF29CE484222325
+    out = np.empty(h * w * 3, dtype=np.uint8)
+    i = 0
+    for b in data if data else b"\x00":
+        acc ^= b
+        acc = (acc * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    for j in range(h * w * 3):
+        acc = (acc * 6364136223846793005 + 1442695040888963407) & (
+            (1 << 64) - 1)
+        out[i] = (acc >> 33) & 0xFF
+        i += 1
+    return out.reshape(h, w, 3)
+
+
+class ImageDecoder:
+    """Actor-pool stage: decode ``media`` bytes → fixed-size pixel tensor
+    flattened into a ``list<uint8>`` column (+ shape columns).
+
+    mode=STRICT raises NotImplementedError when PIL is unavailable (the
+    clearly-marked stub); mode=DETERMINISTIC_FAKE uses the hash decode so
+    the pipeline shape is exercised.
+    """
+
+    def __init__(self, mode=DETERMINISTIC_FAKE, out_hw=(4, 4)):
+        if mode == STRICT and not _HAVE_PIL:
+            raise NotImplementedError(
+                "image decode requires PIL, which is not available in this "
+                "environment; use mode=DETERMINISTIC_FAKE for plumbing tests")
+        self.mode = mode
+        self.h, self.w = out_hw
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["media"].to_pylist()
+        if self.mode == STRICT and _HAVE_PIL:  # pragma: no cover
+            import io
+            pix = [np.asarray(Image.open(io.BytesIO(p)).convert("RGB")
+                              .resize((self.w, self.h)), dtype=np.uint8)
+                   for p in payloads]
+        else:
+            pix = [_fake_pixels(p, self.h, self.w) for p in payloads]
+        flat = [p.ravel().tolist() for p in pix]
+        return pa.table({
+            "media_id": batch["media_id"],
+            "pixels": pa.array(flat, type=pa.list_(pa.uint8())),
+            "height": pa.array([self.h] * len(flat), pa.int32()),
+            "width": pa.array([self.w] * len(flat), pa.int32()),
+        })
+
+
+class ImageFeatures:
+    """Feature extraction over decoded pixels: per-channel mean/std —
+    vectorized numpy over the reassembled (N, H, W, 3) tensor."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = batch["height"][0].as_py()
+        w = batch["width"][0].as_py()
+        pix = np.stack([np.asarray(p, dtype=np.float64).reshape(h, w, 3)
+                        for p in batch["pixels"].to_pylist()])
+        mean = pix.mean(axis=(1, 2))
+        std = pix.std(axis=(1, 2))
+        return pa.table({
+            "media_id": batch["media_id"],
+            "feat_mean": pa.array(mean.tolist(),
+                                  type=pa.list_(pa.float64())),
+            "feat_std": pa.array(std.tolist(), type=pa.list_(pa.float64())),
+        })
+
+
+class FrameSampler:
+    """Video frame sampling stub: treats the payload as a concatenation of
+    fixed-size fake frames and emits every ``stride``-th frame id — real
+    ffmpeg decode is NotImplemented in this container (STRICT mode)."""
+
+    def __init__(self, mode=DETERMINISTIC_FAKE, frame_bytes=64, stride=2):
+        if mode == STRICT:
+            raise NotImplementedError(
+                "video decode requires ffmpeg, not available here")
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        payloads = batch["media"].to_pylist()
+        out_id, out_frame = [], []
+        for mid, p in zip(ids, payloads):
+            nframes = max(1, len(p) // self.frame_bytes)
+            for f in range(0, nframes, self.stride):
+                out_id.append(mid)
+                out_frame.append(f)
+        return pa.table({"media_id": np.array(out_id, dtype=np.int64),
+                         "frame_idx": np.array(out_frame, dtype=np.int64)})
+
+
+def decode_images(media_ds, concurrency=2, batch_size=32,
+                  mode=DETERMINISTIC_FAKE):
+    """Actor pool: small batches (binary payloads), setup once per actor."""
+    return media_ds.map_batches(
+        ImageDecoder, fn_constructor_kwargs=dict(mode=mode),
+        batch_format="pyarrow", concurrency=concurrency,
+        batch_size=batch_size)
+
+
+def image_features(decoded_ds, concurrency=2, batch_size=64):
+    return decoded_ds.map_batches(ImageFeatures, batch_format="pyarrow",
+                                  concurrency=concurrency,
+                                  batch_size=batch_size)
+
+
+def sample_frames(media_ds, concurrency=2, batch_size=16, stride=2):
+    return media_ds.map_batches(
+        FrameSampler, fn_constructor_kwargs=dict(stride=stride),
+        batch_format="pyarrow", concurrency=concurrency,
+        batch_size=batch_size)

@@ -1,0 +1,180 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``ann_topk``   — exact brute-force cosine top-k: the (small) query matrix
+  is broadcast once via ``ray.put``; every corpus batch does one numpy
+  matmul and emits per-batch top-k candidates; a final per-query
+  ``groupby.map_groups`` merges candidates into the global top-k. The
+  corpus streams — nothing is materialized driver-side.
+- ``ivf_build`` / ``ivf_search`` — the scale path: k-means (Lloyd over
+  ``map_batches`` partial sums) → bucket assignment (one shuffle) →
+  search probes only ``nprobe`` nearest buckets.
+
+No reference analogue (the reference has no similarity surface); this is
+first-class training-data-pipeline surface per the build brief.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _stack(col_list) -> np.ndarray:
+    return np.stack([np.asarray(x, dtype=np.float64) for x in col_list])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+
+
+def ann_topk(emb_ds, query_ids, k=10, id_col="vec_id", emb_col="embedding",
+             exclude_self=True):
+    """Exact top-k cosine neighbors for each query id.
+
+    Returns a Dataset ``(query_id, neighbor_id, rank)`` with rank 1..k by
+    descending cosine (ties broken by neighbor id asc — deterministic).
+    """
+    query_ids = np.asarray(query_ids, dtype=np.int64)
+    qset = set(query_ids.tolist())
+
+    # gather the query vectors (small side) — one streaming pass
+    qvecs = {}
+    for b in emb_ds.select_columns([id_col, emb_col]).iter_batches(
+            batch_format="pyarrow", batch_size=1 << 16):
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        hits = [i for i, v in enumerate(ids) if int(v) in qset]
+        for i in hits:
+            qvecs[int(ids[i])] = np.asarray(b[emb_col][i].as_py(),
+                                            dtype=np.float64)
+    qids = np.array(sorted(qvecs), dtype=np.int64)
+    qm = _normalize(_stack([qvecs[int(q)] for q in qids]))
+    ref = ray.put((qids, qm))
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_stack(batch[emb_col].to_pylist()))
+        qi, q = ray.get(ref)
+        sims = q @ m.T                      # (nq, batch)
+        nq, nb = sims.shape
+        take = min(k + (1 if exclude_self else 0), nb)
+        part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+        rowq = np.repeat(qi, take)
+        cols = part.ravel()
+        return pa.table({
+            "query_id": rowq,
+            "neighbor_id": ids[cols],
+            "sim": sims[np.repeat(np.arange(nq), take), cols],
+        })
+
+    cand = emb_ds.map_batches(candidates, batch_format="pyarrow",
+                              batch_size=8192)
+
+    def merge(group: pa.Table) -> pa.Table:
+        q = group["query_id"][0].as_py()
+        nid = group["neighbor_id"].to_numpy(zero_copy_only=False)
+        sim = group["sim"].to_numpy(zero_copy_only=False)
+        if exclude_self:
+            keep = nid != q
+            nid, sim = nid[keep], sim[keep]
+        order = np.lexsort((nid, -sim))[:k]
+        return pa.table({
+            "query_id": np.full(len(order), q, dtype=np.int64),
+            "neighbor_id": nid[order],
+            "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+        })
+
+    return cand.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) — the at-scale variant
+# ---------------------------------------------------------------------------
+
+def ivf_build(emb_ds, num_centroids=16, iters=5, id_col="vec_id",
+              emb_col="embedding", seed=42):
+    """K-means centroids via distributed Lloyd iterations: each iteration is
+    one ``map_batches`` producing per-batch (sum, count) partials per
+    centroid + a driver-side combine — no shuffle of the corpus. Returns
+    ``(centroids, assignments_ds)`` where assignments adds a ``bucket``
+    column (the one shuffle happens only if the caller groups by it)."""
+    first = next(iter(emb_ds.select_columns([emb_col]).iter_batches(
+        batch_format="pyarrow", batch_size=max(num_centroids * 8, 256))))
+    m0 = _normalize(_stack(first[emb_col].to_pylist()))
+    rng = np.random.default_rng(seed)
+    cents = m0[rng.choice(len(m0), size=min(num_centroids, len(m0)),
+                          replace=False)]
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = _normalize(_stack(batch[emb_col].to_pylist()))
+            a = np.argmax(m @ c.T, axis=1)
+            kc, d = c.shape
+            sums = np.zeros((kc, d))
+            np.add.at(sums, a, m)
+            counts = np.bincount(a, minlength=kc).astype(np.int64)
+            return pa.table({
+                "centroid": np.arange(kc, dtype=np.int64),
+                "vsum": [row.tolist() for row in sums],
+                "n": counts,
+            })
+
+        tot = np.zeros_like(cents)
+        cnt = np.zeros(len(cents), dtype=np.int64)
+        for b in emb_ds.map_batches(partials, batch_format="pyarrow",
+                                    batch_size=8192).iter_batches(
+                batch_format="pyarrow"):
+            cid = b["centroid"].to_numpy(zero_copy_only=False)
+            tot[cid] += _stack(b["vsum"].to_pylist())
+            cnt[cid] += b["n"].to_numpy(zero_copy_only=False)
+        nz = cnt > 0
+        cents[nz] = _normalize(tot[nz] / cnt[nz, None])
+
+    ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _normalize(_stack(batch[emb_col].to_pylist()))
+        a = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        return batch.append_column("bucket", pa.array(a))
+
+    return cents, emb_ds.map_batches(assign, batch_format="pyarrow",
+                                     batch_size=8192)
+
+
+def ivf_search(centroids, assigned_ds, query_vec, k=10, nprobe=4,
+               id_col="vec_id", emb_col="embedding"):
+    """Search only the ``nprobe`` buckets nearest to the query: a filter
+    (pruned scan) + per-batch matmul + driver-side merge of ≤ k·nblocks
+    candidates. Returns ``(ids, sims)`` arrays sorted by descending sim."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-30)
+    probe = set(np.argsort(-(centroids @ q))[:nprobe].tolist())
+
+    def scan(batch: pa.Table) -> pa.Table:
+        sel = np.isin(batch["bucket"].to_numpy(zero_copy_only=False),
+                      list(probe))
+        sub = batch.filter(pa.array(sel))
+        if sub.num_rows == 0:
+            return pa.table({"nid": np.array([], dtype=np.int64),
+                             "sim": np.array([], dtype=np.float64)})
+        m = _normalize(_stack(sub[emb_col].to_pylist()))
+        sims = m @ q
+        take = min(k, len(sims))
+        top = np.argpartition(-sims, take - 1)[:take]
+        return pa.table({"nid": sub[id_col].to_numpy(
+            zero_copy_only=False)[top], "sim": sims[top]})
+
+    nid, sim = [], []
+    for b in assigned_ds.map_batches(scan, batch_format="pyarrow",
+                                     batch_size=8192).iter_batches(
+            batch_format="pyarrow"):
+        nid.append(b["nid"].to_numpy(zero_copy_only=False))
+        sim.append(b["sim"].to_numpy(zero_copy_only=False))
+    nid = np.concatenate(nid) if nid else np.array([], dtype=np.int64)
+    sim = np.concatenate(sim) if sim else np.array([], dtype=np.float64)
+    order = np.lexsort((nid, -sim))[:k]
+    return nid[order], sim[order]

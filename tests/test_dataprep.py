@@ -1,0 +1,257 @@
+"""Training-data pipeline operators: dedup (exact / MinHash-LSH / SimHash /
+word-Jaccard / embedding-cosine), ANN search, windowed aggregates,
+multimodal plumbing — each verified against a single-process numpy/python
+oracle on deterministic synthetic inputs + the driver testdata tables."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from python_graphblas_ray.pipelines.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    word_jaccard_pairs,
+    word_shingles,
+)
+from python_graphblas_ray.pipelines.multimodal import (
+    decode_images,
+    image_features,
+    media_table,
+    sample_frames,
+)
+from python_graphblas_ray.pipelines.similarity import (
+    ann_topk,
+    ivf_build,
+    ivf_search,
+)
+from python_graphblas_ray.pipelines.windows import (
+    sessionize,
+    windowed_aggregate,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _table(ds) -> pa.Table:
+    return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")),
+                            promote_options="permissive")
+
+
+# ---------------------------------------------------------------------------
+# corpus with planted duplicates / near-duplicates
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(7)
+    vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    texts = []
+    for i in range(60):
+        nw = 20 + int(rng.integers(0, 20))
+        texts.append(" ".join(vocab[j] for j in rng.integers(0, len(vocab),
+                                                             nw)))
+    # exact duplicates: 60..64 copy 0..4
+    for i in range(5):
+        texts.append(texts[i])
+    # near duplicates: 65..69 = 5..9 with one word changed
+    for i in range(5):
+        w = texts[5 + i].split()
+        w[len(w) // 2] = "changedword"
+        texts.append(" ".join(w))
+    ids = np.arange(len(texts), dtype=np.int64)
+    return ids, texts, ray.data.from_arrow(pa.table({
+        "doc_id": ids, "text": texts}))
+
+
+def test_exact_dedup(corpus):
+    ids, texts, ds = corpus
+    out = _table(exact_dedup(ds)).to_pandas()
+    # oracle
+    seen = {}
+    for i, t in zip(ids, texts):
+        seen.setdefault(t, []).append(i)
+    assert len(out) == len(seen)
+    got = {r.text: (r.keep_id, r.n_dups) for r in out.itertuples()}
+    for t, members in seen.items():
+        assert got[t] == (min(members), len(members))
+
+
+def _jaccard_oracle(texts, n=3, threshold=0.5):
+    sets = [word_shingles(t, n) for t in texts]
+    pairs = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            sa, sb = sets[i], sets[j]
+            if len(sa) == 0 and len(sb) == 0:
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            if inter / (len(sa) + len(sb) - inter) >= threshold:
+                pairs.add((i, j))
+    return pairs
+
+
+def test_minhash_lsh_finds_planted_dups(corpus):
+    ids, texts, ds = corpus
+    out = _table(minhash_lsh_pairs(ds, threshold=0.5)).to_pandas()
+    got = set(zip(out.ia.tolist(), out.ib.tolist()))
+    # every exact duplicate pair must be found (jaccard 1.0, all bands agree)
+    for i in range(5):
+        assert (i, 60 + i) in got
+    # every near-duplicate (1 word of ~30 changed → jaccard ~0.8) found
+    for i in range(5):
+        assert (5 + i, 65 + i) in got
+    # no pair below the verification threshold survives
+    oracle = _jaccard_oracle(texts, threshold=0.5)
+    assert got <= oracle
+
+
+def test_simhash_pairs_finds_exact_dups(corpus):
+    ids, texts, ds = corpus
+    out = _table(simhash_pairs(ds, max_hamming=3)).to_pandas()
+    got = set(zip(out.ia.tolist(), out.ib.tolist()))
+    for i in range(5):
+        assert (i, 60 + i) in got  # identical text → hamming 0
+    assert (out.hamming <= 3).all()
+
+
+def test_word_jaccard_pairs_matches_oracle(corpus):
+    ids, texts, ds = corpus
+    out = _table(word_jaccard_pairs(ds, threshold=0.9)).to_pandas()
+    got = set(zip(out.ia.tolist(), out.ib.tolist()))
+    # oracle on distinct-word sets
+    sets = [set(t.split()) for t in texts]
+    expect = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if union and inter / union >= 0.9:
+                expect.add((i, j))
+    assert got == expect
+    assert len(expect) >= 5  # planted exact dups qualify
+
+
+# ---------------------------------------------------------------------------
+# embeddings
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def embeddings():
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    m = np.stack([np.asarray(x, dtype=np.float64)
+                  for x in t["embedding"].to_pylist()])
+    return ids, m, ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_embedding_neardup_matches_bruteforce(embeddings):
+    ids, m, ds = embeddings
+    thr = 0.3
+    out = _table(embedding_neardup_pairs(ds, threshold=thr)).to_pandas()
+    got = set(zip(out.ia.tolist(), out.ib.tolist()))
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    ii, jj = np.nonzero(np.triu(sims >= thr, k=1))
+    expect = set(zip(ids[ii].tolist(), ids[jj].tolist()))
+    assert got == expect
+
+
+def test_ann_topk_matches_bruteforce(embeddings):
+    ids, m, ds = embeddings
+    qids = [0, 1, 2]
+    out = _table(ann_topk(ds, qids, k=5)).to_pandas()
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    for q in qids:
+        sims = mn[pos[q]] @ mn.T
+        sims[pos[q]] = -np.inf
+        order = np.lexsort((ids, -sims))[:5]
+        expect = ids[order].tolist()
+        got = out[out.query_id == q].sort_values("rank").neighbor_id.tolist()
+        assert got == expect
+
+
+def test_ivf_recall(embeddings):
+    ids, m, ds = embeddings
+    cents, assigned = ivf_build(ds, num_centroids=8, iters=3)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    q = mn[0]
+    nid, sim = ivf_search(cents, assigned, q, k=10, nprobe=4)
+    # exact top-10
+    sims = mn @ q
+    exact = set(ids[np.argsort(-sims)[:10]].tolist())
+    # probing half the buckets must recover at least half of the true top-10
+    assert len(set(nid.tolist()) & exact) >= 5
+
+
+# ---------------------------------------------------------------------------
+# windows / sessions (events table)
+# ---------------------------------------------------------------------------
+
+def test_windowed_aggregate_matches_pandas():
+    ds = ray.data.read_parquet(f"{SF_DIR}/events.parquet")
+    out = _table(windowed_aggregate(ds, keys=("event_type",),
+                                    every="day")).to_pandas()
+    df = pq.read_table(f"{SF_DIR}/events.parquet").to_pandas()
+    df["window"] = df.ts.dt.floor("D")
+    exp = df.groupby(["event_type", "window"]).agg(
+        n=("value", "size"), vmin=("value", "min"),
+        vmax=("value", "max")).reset_index()
+    merged = out.merge(exp, on=["event_type", "window"],
+                       suffixes=("", "_e"))
+    assert len(merged) == len(exp) == len(out)
+    assert (merged.n == merged.n_e).all()
+    assert np.allclose(merged.vmin, merged.vmin_e)
+    assert np.allclose(merged.vmax, merged.vmax_e)
+
+
+def test_sessionize():
+    ts = pa.array([0, 10, 20, 100_000, 100_010, 500_000], pa.int64())
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 1, 2], pa.int64()),
+        "ts": ts.cast(pa.timestamp("us")).cast(pa.timestamp("us")),
+    })
+    # gap threshold 50ms → user 1: [0,10,20] then [100000,100010]; user 2: one
+    out = _table(sessionize(ray.data.from_arrow(t),
+                            gap_minutes=50 / 60 / 1000)).to_pandas()
+    u1 = out[out.user_id == 1].sort_values("session_start")
+    assert list(u1.n_events) == [3, 2]
+    assert len(out[out.user_id == 2]) == 1
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_multimodal_decode_features_frames():
+    rng = np.random.default_rng(3)
+    payloads = [rng.bytes(200) for _ in range(10)]
+    t = media_table(np.arange(10), payloads)
+    ds = ray.data.from_arrow(t)
+    dec = decode_images(ds, concurrency=2, batch_size=4)
+    feats = _table(image_features(dec)).to_pandas()
+    assert len(feats) == 10
+    assert all(len(f) == 3 for f in feats.feat_mean)
+    # determinism: same payload → same features
+    dec2 = decode_images(ray.data.from_arrow(t), concurrency=2, batch_size=4)
+    feats2 = _table(image_features(dec2)).to_pandas()
+    f1 = [list(x) for x in feats.sort_values("media_id").feat_mean]
+    f2 = [list(x) for x in feats2.sort_values("media_id").feat_mean]
+    assert f1 == f2
+    frames = _table(sample_frames(ds, stride=2)).to_pandas()
+    # 200 bytes / 64 per frame = 3 frames → sampled 0, 2
+    assert set(frames[frames.media_id == 0].frame_idx) == {0, 2}
+
+
+def test_decode_strict_raises_without_pil():
+    from python_graphblas_ray.pipelines.multimodal import (
+        STRICT, ImageDecoder, _HAVE_PIL)
+    if _HAVE_PIL:
+        pytest.skip("PIL present")
+    with pytest.raises(NotImplementedError):
+        ImageDecoder(mode=STRICT)
