@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: ``entry()`` smoke pipeline, ``queries()`` — one entry
+per implemented operator/pipeline from SURVEY.md §2 — and ``oracle_sql()``
+with the DuckDB-equivalent SQL for every SQL-expressible query.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Graph queries run over a deterministic edge table derived from the
+``lineitem`` testdata table (``src = l_orderkey % 512``,
+``dst = l_partkey % 512``, ``val = count(*)``) so the DuckDB oracle can
+reproduce it exactly; iterative algorithms (PageRank, FastSV, SSSP, LPA)
+and hash-based dedup have no SQL equivalent and get rows-only checks.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +17,572 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+N_VERT = 512  # vertex space of the derived graph (shared with the SQL CTE)
+
+# The shared edge-table derivation, as a DuckDB CTE prefix. Every graph
+# oracle starts with this so the Ray and SQL sides compute over the SAME
+# deterministic graph.
+_E_CTE = (
+    "WITH E AS (SELECT l_orderkey % 512 AS src, l_partkey % 512 AS dst, "
+    "CAST(count(*) AS DOUBLE) AS val FROM lineitem GROUP BY 1, 2)"
+)
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                 columns=columns)
+
+
+def _edge_dataset(sf_dir: str):
+    """lineitem → (src, dst, val=1.0) raw edge rows (column-pruned read)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def mod(batch: pa.Table) -> pa.Table:
+        o = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": (o % N_VERT).astype(np.int64),
+            "dst": (p % N_VERT).astype(np.int64),
+            "val": np.ones(len(o), dtype=np.float64),
+        })
+
+    return ds.map_batches(mod, batch_format="pyarrow")
+
+
+def _edge_matrix(sf_dir: str):
+    """The derived GBMatrix: dedup("plus") turns duplicate (src, dst) rows
+    into edge multiplicities — matching the SQL ``count(*)``."""
+    from python_graphblas_ray.core import GBMatrix
+
+    return GBMatrix.from_dataset(_edge_dataset(sf_dir),
+                                 N_VERT, N_VERT).dedup("plus")
+
+
+def _scalar_table(value, name="val"):
+    return pa.table({name: [value]})
+
+
+def _vec(v):
+    """GBVector → its (vid, val) Dataset."""
+    return v.ds
+
+
+# ---------------------------------------------------------------------------
+# graph kernel queries (SQL-checked)
+# ---------------------------------------------------------------------------
+
+def _q_edges_build(sf_dir):
+    return _edge_matrix(sf_dir).ds
+
+
+def _q_degree_out(sf_dir):
+    return _vec(_edge_matrix(sf_dir).reduce_rowwise("plus"))
+
+
+def _q_degree_in(sf_dir):
+    return _vec(_edge_matrix(sf_dir).reduce_columnwise("plus"))
+
+
+def _q_mxv_plus_times(sf_dir):
+    from python_graphblas_ray.functions.monoids import semiring
+
+    A = _edge_matrix(sf_dir)
+    d_in = A.reduce_columnwise("plus")
+    return _vec(A.mxv(d_in, semiring.plus_times))
+
+
+def _q_vxm_min_plus(sf_dir):
+    from python_graphblas_ray.functions.monoids import semiring
+
+    A = _edge_matrix(sf_dir)
+    d_out = A.reduce_rowwise("plus")
+    return _vec(d_out.vxm(A, semiring.min_plus))
+
+
+def _q_mxm_plus_times(sf_dir):
+    from python_graphblas_ray.functions.monoids import semiring
+
+    A = _edge_matrix(sf_dir)
+    return A.mxm(A, semiring.plus_times).ds
+
+
+def _q_ewise_add(sf_dir):
+    A = _edge_matrix(sf_dir)
+    return A.ewise_add(A.T, "plus").ds
+
+
+def _q_ewise_mult(sf_dir):
+    A = _edge_matrix(sf_dir)
+    return A.ewise_mult(A.T, "times").ds
+
+
+def _q_ewise_union(sf_dir):
+    A = _edge_matrix(sf_dir)
+    return A.ewise_union(A.T, "minus", 0.0, 0.0).ds
+
+
+def _q_select_tril(sf_dir):
+    return _edge_matrix(sf_dir).select("tril", thunk=0).ds
+
+
+def _q_select_valuegt(sf_dir):
+    return _edge_matrix(sf_dir).select(">", 2.0).ds
+
+
+def _q_apply_ainv(sf_dir):
+    return _edge_matrix(sf_dir).apply("ainv").ds
+
+
+def _q_apply_rowindex(sf_dir):
+    return _edge_matrix(sf_dir).apply("rowindex", thunk=0).ds
+
+
+def _q_transpose(sf_dir):
+    return _edge_matrix(sf_dir).T.ds
+
+
+def _q_diag(sf_dir):
+    return _vec(_edge_matrix(sf_dir).diag(0))
+
+
+def _q_reduce_scalar_plus(sf_dir):
+    return _scalar_table(_edge_matrix(sf_dir).reduce_scalar("plus").value)
+
+
+def _q_reduce_scalar_max(sf_dir):
+    return _scalar_table(_edge_matrix(sf_dir).reduce_scalar("max").value)
+
+
+def _q_extract_submatrix(sf_dir):
+    return _edge_matrix(sf_dir).extract(slice(100, 200), slice(0, N_VERT)).ds
+
+
+def _q_assign_scalar(sf_dir):
+    return _edge_matrix(sf_dir).assign(slice(0, 10), slice(0, 10), 99.0).ds
+
+
+def _q_kronecker(sf_dir):
+    A = _edge_matrix(sf_dir).extract(slice(0, 6), slice(0, 6))
+    B = _edge_matrix(sf_dir).extract(slice(0, 4), slice(0, 4))
+    return A.kronecker(B, "times").ds
+
+
+def _q_triangle_count(sf_dir):
+    from python_graphblas_ray.pipelines.triangles import (
+        simple_undirected, triangle_count)
+
+    A = simple_undirected(_edge_dataset(sf_dir), N_VERT)
+    return pa.table({"triangles": pa.array([triangle_count(A)],
+                                           pa.int64())})
+
+
+def _q_bfs_levels(sf_dir):
+    from python_graphblas_ray.pipelines.algorithms import (
+        bfs_level, build_engine)
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
+    levels, _ = bfs_level(eng, source=0)
+    eng.shutdown()
+    vid = np.flatnonzero(levels >= 0).astype(np.int64)
+    return pa.table({"vid": vid, "lvl": levels[vid]})
+
+
+# ---------------------------------------------------------------------------
+# iterative algorithms (rows-only checks)
+# ---------------------------------------------------------------------------
+
+def _q_pagerank(sf_dir):
+    from python_graphblas_ray.pipelines.algorithms import (
+        build_engine, pagerank)
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
+    r, _, _ = pagerank(eng, tol=1e-6)
+    eng.shutdown()
+    return pa.table({"vid": np.arange(N_VERT, dtype=np.int64), "rank": r})
+
+
+def _q_connected_components(sf_dir):
+    from python_graphblas_ray.pipelines.algorithms import (
+        build_engine, connected_components)
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4,
+                       undirected=True)
+    f, _, _ = connected_components(eng)
+    eng.shutdown()
+    return pa.table({"vid": np.arange(N_VERT, dtype=np.int64), "comp": f})
+
+
+def _q_sssp(sf_dir):
+    from python_graphblas_ray.pipelines.algorithms import build_engine, sssp
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4,
+                       weighted=True)
+    dist, _ = sssp(eng, source=0)
+    eng.shutdown()
+    vid = np.flatnonzero(np.isfinite(dist)).astype(np.int64)
+    return pa.table({"vid": vid, "dist": dist[vid]})
+
+
+def _q_label_propagation(sf_dir):
+    from python_graphblas_ray.pipelines.algorithms import (
+        build_engine, label_propagation)
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4,
+                       undirected=True)
+    labels, _, _ = label_propagation(eng)
+    eng.shutdown()
+    return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
+                     "label": labels})
+
+
+def _q_pages_pagerank(sf_dir):
+    """Flagship front-end: synthetic Common-Crawl-style pages → link
+    extraction → PageRank (the BASELINE.json input_hint pipeline; sized by
+    sf so it stays a smoke-scale run here — bench.py runs it big)."""
+    import ray.data
+
+    from python_graphblas_ray.pipelines.algorithms import (
+        build_engine, pagerank)
+    from python_graphblas_ray.pipelines.ingest import extract_edges
+    from python_graphblas_ray.sources.pages import pages_dataset
+
+    n_pages = 2000
+    pages = pages_dataset(n_pages, parallelism=4)
+    edges = extract_edges(pages)
+    eng = build_engine(edges, n_pages, num_partitions=4)
+    r, _, _ = pagerank(eng, tol=1e-6)
+    eng.shutdown()
+    return pa.table({"vid": np.arange(n_pages, dtype=np.int64), "rank": r})
+
+
+def _q_pages_extract_text(sf_dir):
+    """Per-url extracted text (the byte-identical invariant surface)."""
+    from python_graphblas_ray.pipelines.ingest import extract_text_table
+    from python_graphblas_ray.sources.pages import pages_dataset
+
+    return extract_text_table(pages_dataset(2000, parallelism=4))
+
+
+# ---------------------------------------------------------------------------
+# documents / embeddings / events queries
+# ---------------------------------------------------------------------------
+
+def _q_dedup_exact(sf_dir):
+    from python_graphblas_ray.pipelines.dedup import exact_dedup
+
+    return exact_dedup(_read(sf_dir, "documents",
+                             columns=["doc_id", "text"]))
+
+
+def _q_word_jaccard(sf_dir):
+    from python_graphblas_ray.pipelines.dedup import word_jaccard_pairs
+
+    return word_jaccard_pairs(_read(sf_dir, "documents",
+                                    columns=["doc_id", "text"]),
+                              threshold=0.8)
+
+
+def _q_minhash_pairs(sf_dir):
+    from python_graphblas_ray.pipelines.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_read(sf_dir, "documents",
+                                   columns=["doc_id", "text"]),
+                             threshold=0.5)
+
+
+def _q_simhash_sigs(sf_dir):
+    from python_graphblas_ray.pipelines.dedup import simhash_signatures
+
+    return simhash_signatures(_read(sf_dir, "documents",
+                                    columns=["doc_id", "text"]))
+
+
+def _q_embedding_neardup(sf_dir):
+    from python_graphblas_ray.pipelines.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_read(sf_dir, "embeddings"),
+                                   threshold=0.4)
+
+
+def _q_ann_topk(sf_dir):
+    from python_graphblas_ray.pipelines.similarity import ann_topk
+
+    return ann_topk(_read(sf_dir, "embeddings"), query_ids=list(range(10)),
+                    k=10)
+
+
+def _q_token_count(sf_dir):
+    from python_graphblas_ray.stages.text import token_count
+
+    ds = token_count(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "ws_tokens"])
+
+
+def _q_doc_stats(sf_dir):
+    from python_graphblas_ray.stages.text import quality_score
+
+    ds = quality_score(_read(sf_dir, "documents",
+                             columns=["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "q_len", "q_words"])
+
+
+def _q_lang_count(sf_dir):
+    ds = _read(sf_dir, "documents", columns=["lang"])
+
+    def cnt(group: pa.Table) -> pa.Table:
+        return pa.table({"lang": group["lang"].slice(0, 1),
+                         "n_docs": pa.array([group.num_rows], pa.int64())})
+
+    return ds.groupby("lang").map_groups(cnt, batch_format="pyarrow")
+
+
+def _q_events_window(sf_dir):
+    from python_graphblas_ray.pipelines.windows import windowed_aggregate
+
+    return windowed_aggregate(_read(sf_dir, "events"),
+                              keys=("event_type",), every="day")
+
+
+def _q_events_sessionize(sf_dir):
+    from python_graphblas_ray.pipelines.windows import sessionize
+
+    return sessionize(_read(sf_dir, "events"), gap_minutes=30)
+
+
+def _q_lineitem_agg(sf_dir):
+    """Plain wide aggregate (general groupby surface)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def agg(group: pa.Table) -> pa.Table:
+        q = group["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": group["l_returnflag"].slice(0, 1),
+            "l_linestatus": group["l_linestatus"].slice(0, 1),
+            "sum_qty": pa.array([float(q.sum())], pa.float64()),
+            "n": pa.array([len(q)], pa.int64()),
+        })
+
+    return ds.groupby(["l_returnflag", "l_linestatus"]).map_groups(
+        agg, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship on sf0.001: derived edge table → PageRank + components,
+    returned as one vertex table."""
+    sf_dir = "/root/testdata/sf0.001"
+    from python_graphblas_ray.pipelines.algorithms import (
+        build_engine, connected_components, pagerank)
+
+    edges = _edge_dataset(sf_dir).materialize()
+    eng = build_engine(edges, N_VERT, num_partitions=4)
+    r, iters, _ = pagerank(eng, tol=1e-6)
+    eng.shutdown()
+    eng2 = build_engine(edges, N_VERT, num_partitions=4, undirected=True)
+    f, _, _ = connected_components(eng2)
+    eng2.shutdown()
+    return pa.table({
+        "vid": np.arange(N_VERT, dtype=np.int64),
+        "rank": r,
+        "comp": f,
+    }).to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # construction / exports
+        "edges_build": _q_edges_build,
+        # reductions
+        "degree_out": _q_degree_out,
+        "degree_in": _q_degree_in,
+        "reduce_scalar_plus": _q_reduce_scalar_plus,
+        "reduce_scalar_max": _q_reduce_scalar_max,
+        # semiring matmuls
+        "mxv_plus_times": _q_mxv_plus_times,
+        "vxm_min_plus": _q_vxm_min_plus,
+        "mxm_plus_times": _q_mxm_plus_times,
+        "kronecker": _q_kronecker,
+        # elementwise
+        "ewise_add_plus": _q_ewise_add,
+        "ewise_mult_times": _q_ewise_mult,
+        "ewise_union_minus": _q_ewise_union,
+        # select / apply / views
+        "select_tril": _q_select_tril,
+        "select_valuegt": _q_select_valuegt,
+        "apply_ainv": _q_apply_ainv,
+        "apply_rowindex": _q_apply_rowindex,
+        "transpose": _q_transpose,
+        "diag": _q_diag,
+        "extract_submatrix": _q_extract_submatrix,
+        "assign_scalar": _q_assign_scalar,
+        # algorithms
+        "triangle_count": _q_triangle_count,
+        "bfs_levels": _q_bfs_levels,
+        "pagerank": _q_pagerank,
+        "connected_components": _q_connected_components,
+        "sssp": _q_sssp,
+        "label_propagation": _q_label_propagation,
+        "pages_pagerank": _q_pages_pagerank,
+        "pages_extract_text": _q_pages_extract_text,
+        # training-data prep
+        "dedup_exact": _q_dedup_exact,
+        "word_jaccard_pairs": _q_word_jaccard,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_sigs": _q_simhash_sigs,
+        "embedding_neardup": _q_embedding_neardup,
+        "ann_topk": _q_ann_topk,
+        "token_count": _q_token_count,
+        "doc_stats": _q_doc_stats,
+        "lang_count": _q_lang_count,
+        "events_window": _q_events_window,
+        "events_sessionize": _q_events_sessionize,
+        "lineitem_agg": _q_lineitem_agg,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    E = _E_CTE
+    return {
+        "edges_build": f"{E} SELECT src, dst, val FROM E",
+        "degree_out": (f"{E} SELECT src AS vid, sum(val) AS val "
+                       "FROM E GROUP BY 1"),
+        "degree_in": (f"{E} SELECT dst AS vid, sum(val) AS val "
+                      "FROM E GROUP BY 1"),
+        "reduce_scalar_plus": f"{E} SELECT sum(val) AS val FROM E",
+        "reduce_scalar_max": f"{E} SELECT max(val) AS val FROM E",
+        "mxv_plus_times": (
+            f"{E}, d AS (SELECT dst AS vid, sum(val) AS val FROM E "
+            "GROUP BY 1) "
+            "SELECT e.src AS vid, sum(e.val * d.val) AS val "
+            "FROM E e JOIN d ON e.dst = d.vid GROUP BY 1"),
+        "vxm_min_plus": (
+            f"{E}, d AS (SELECT src AS vid, sum(val) AS val FROM E "
+            "GROUP BY 1) "
+            "SELECT e.dst AS vid, min(d.val + e.val) AS val "
+            "FROM E e JOIN d ON e.src = d.vid GROUP BY 1"),
+        "mxm_plus_times": (
+            f"{E} SELECT a.src AS src, b.dst AS dst, "
+            "sum(a.val * b.val) AS val "
+            "FROM E a JOIN E b ON a.dst = b.src GROUP BY 1, 2"),
+        "kronecker": (
+            f"{E}, A AS (SELECT * FROM E WHERE src < 6 AND dst < 6), "
+            "B AS (SELECT * FROM E WHERE src < 4 AND dst < 4) "
+            "SELECT a.src * 4 + b.src AS src, a.dst * 4 + b.dst AS dst, "
+            "a.val * b.val AS val FROM A a CROSS JOIN B b"),
+        "ewise_add_plus": (
+            f"{E} SELECT COALESCE(a.src, b.src) AS src, "
+            "COALESCE(a.dst, b.dst) AS dst, "
+            "COALESCE(a.val, 0) + COALESCE(b.val, 0) AS val FROM E a "
+            "FULL OUTER JOIN (SELECT dst AS src, src AS dst, val FROM E) b "
+            "ON a.src = b.src AND a.dst = b.dst"),
+        "ewise_mult_times": (
+            f"{E} SELECT a.src, a.dst, a.val * b.val AS val FROM E a "
+            "JOIN (SELECT dst AS src, src AS dst, val FROM E) b "
+            "ON a.src = b.src AND a.dst = b.dst"),
+        "ewise_union_minus": (
+            f"{E} SELECT COALESCE(a.src, b.src) AS src, "
+            "COALESCE(a.dst, b.dst) AS dst, "
+            "COALESCE(a.val, 0) - COALESCE(b.val, 0) AS val FROM E a "
+            "FULL OUTER JOIN (SELECT dst AS src, src AS dst, val FROM E) b "
+            "ON a.src = b.src AND a.dst = b.dst"),
+        "select_tril": f"{E} SELECT src, dst, val FROM E WHERE dst <= src",
+        "select_valuegt": f"{E} SELECT src, dst, val FROM E WHERE val > 2.0",
+        "apply_ainv": f"{E} SELECT src, dst, -val AS val FROM E",
+        "apply_rowindex": f"{E} SELECT src, dst, src AS val FROM E",
+        "transpose": f"{E} SELECT dst AS src, src AS dst, val FROM E",
+        "diag": f"{E} SELECT src AS vid, val FROM E WHERE src = dst",
+        "extract_submatrix": (
+            f"{E} SELECT src - 100 AS src, dst, val FROM E "
+            "WHERE src >= 100 AND src < 200"),
+        "assign_scalar": (
+            f"{E} SELECT src, dst, val FROM E "
+            "WHERE NOT (src < 10 AND dst < 10) "
+            "UNION ALL "
+            "SELECT r1.range AS src, r2.range AS dst, "
+            "CAST(99.0 AS DOUBLE) AS val FROM range(10) r1, range(10) r2"),
+        "triangle_count": (
+            f"{E}, P AS (SELECT DISTINCT least(src, dst) AS a, "
+            "greatest(src, dst) AS b FROM E WHERE src <> dst) "
+            "SELECT count(*) AS triangles FROM P p1 "
+            "JOIN P p2 ON p1.b = p2.a "
+            "JOIN P p3 ON p3.a = p1.a AND p3.b = p2.b"),
+        "dedup_exact": (
+            "SELECT min(doc_id) AS keep_id, "
+            "CAST(count(*) AS BIGINT) AS n_dups, text "
+            "FROM documents GROUP BY text"),
+        "word_jaccard_pairs": (
+            r"WITH tok AS (SELECT doc_id, unnest(list_distinct("
+            r"regexp_split_to_array(trim(text), '\s+'))) AS word "
+            "FROM documents), "
+            "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n "
+            "FROM tok GROUP BY 1), "
+            "co AS (SELECT a.doc_id AS ia, b.doc_id AS ib, "
+            "CAST(count(*) AS BIGINT) AS inter FROM tok a "
+            "JOIN tok b ON a.word = b.word AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT co.ia, co.ib, "
+            "CAST(co.inter AS DOUBLE) / (sa.n + sb.n - co.inter) AS jaccard "
+            "FROM co JOIN sizes sa ON co.ia = sa.doc_id "
+            "JOIN sizes sb ON co.ib = sb.doc_id "
+            "WHERE CAST(co.inter AS DOUBLE) / (sa.n + sb.n - co.inter) "
+            ">= 0.8"),
+        "embedding_neardup": (
+            "SELECT a.vec_id AS ia, b.vec_id AS ib "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) "
+            ">= 0.4"),
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id, embedding FROM embeddings "
+            "WHERE vec_id < 10), "
+            "s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+            "list_cosine_similarity(q.embedding, e.embedding) AS sim "
+            "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id) "
+            "SELECT query_id, neighbor_id, rank FROM ("
+            "SELECT query_id, neighbor_id, "
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY sim DESC, neighbor_id) AS rank FROM s) "
+            "WHERE rank <= 10"),
+        "token_count": (
+            r"SELECT doc_id, CAST(length(regexp_split_to_array(trim(text), "
+            r"'\s+')) AS BIGINT) AS ws_tokens FROM documents"),
+        "doc_stats": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS q_len, "
+            "CAST(length(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) "
+            "AS q_words FROM documents"),
+        "lang_count": ("SELECT lang, CAST(count(*) AS BIGINT) AS n_docs "
+                       "FROM documents GROUP BY 1"),
+        "events_window": (
+            "SELECT event_type, date_trunc('day', ts) AS window, "
+            "CAST(count(*) AS BIGINT) AS n, min(value) AS vmin, "
+            "max(value) AS vmax FROM events GROUP BY 1, 2"),
+        "events_sessionize": (
+            "WITH x AS (SELECT user_id, ts, CASE WHEN epoch_us(ts) - "
+            "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) "
+            "> 1800000000 THEN 1 ELSE 0 END AS newsess FROM events), "
+            "y AS (SELECT user_id, ts, sum(newsess) OVER ("
+            "PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) "
+            "AS sess FROM x) "
+            "SELECT user_id, min(ts) AS session_start, "
+            "max(ts) AS session_end, CAST(count(*) AS BIGINT) AS n_events "
+            "FROM y GROUP BY user_id, sess"),
+        "lineitem_agg": (
+            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+            "CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2"),
+    } | {"bfs_levels": (
+        "WITH RECURSIVE E AS (SELECT l_orderkey % 512 AS src, "
+        "l_partkey % 512 AS dst FROM lineitem GROUP BY 1, 2), "
+        "bfs(vid, lvl) AS ("
+        "SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+        "UNION "
+        "SELECT e.dst, b.lvl + 1 FROM bfs b JOIN E e ON e.src = b.vid "
+        "WHERE b.lvl < 30) "
+        "SELECT vid, min(lvl) AS lvl FROM bfs GROUP BY vid")}

@@ -1,0 +1,84 @@
+"""Driver-contract checks: entry() runs, and a sample of queries() matches
+oracle_sql() via DuckDB at sf0.001 (the full sweep runs in the driver at
+sf0.01 — this keeps the suite fast while guarding the contract)."""
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import __ray_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+# representative SQL-checked sample: one per operator family
+SAMPLE = ["edges_build", "degree_out", "mxv_plus_times", "mxm_plus_times",
+          "ewise_add_plus", "select_tril", "assign_scalar",
+          "triangle_count", "bfs_levels", "dedup_exact", "ann_topk",
+          "token_count", "events_window"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def _to_df(res):
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    batches = list(res.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return pd.DataFrame()
+    return pa.concat_tables(batches,
+                            promote_options="permissive").to_pandas()
+
+
+def _canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_entry_runs():
+    df = entry_mod.entry()
+    assert len(df) >= 0
+    assert {"vid", "rank", "comp"} <= set(df.columns)
+    assert np.isclose(df["rank"].sum(), 1.0, atol=1e-6)
+
+
+def test_every_query_has_callable():
+    qs = entry_mod.queries()
+    assert len(qs) >= 35
+    for name, fn in qs.items():
+        assert callable(fn), name
+    # every oracle key must have a query
+    assert set(entry_mod.oracle_sql()) <= set(qs)
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_query_matches_oracle(con, name):
+    qs = entry_mod.queries()
+    mine = _canon(_to_df(qs[name](SF)))
+    ora = _canon(con.sql(entry_mod.oracle_sql()[name]).df())
+    assert list(mine.columns) == list(ora.columns)
+    assert len(mine) == len(ora)
+    for c in mine.columns:
+        av, bv = mine[c].to_numpy(), ora[c].to_numpy()
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            assert np.allclose(av.astype(float), bv.astype(float),
+                               rtol=0, atol=0), (name, c)
+        else:
+            assert (av == bv).all(), (name, c)
