@@ -172,13 +172,30 @@ def _q_kronecker(sf_dir):
     return A.kronecker(B, "times").ds
 
 
+def _q_row_scan(sf_dir):
+    from python_graphblas_ray.stages.perrow import row_scan
+
+    return row_scan(_edge_matrix(sf_dir), "plus").ds
+
+
+def _q_row_selectk(sf_dir):
+    from python_graphblas_ray.stages.perrow import row_selectk
+
+    return row_selectk(_edge_matrix(sf_dir), "first", 2).ds
+
+
+def _q_row_sort(sf_dir):
+    from python_graphblas_ray.stages.perrow import row_sort
+
+    return row_sort(_edge_matrix(sf_dir)).ds
+
+
 def _q_triangle_count(sf_dir):
     from python_graphblas_ray.pipelines.triangles import (
-        simple_undirected, triangle_count)
+        triangle_count_broadcast)
 
-    A = simple_undirected(_edge_dataset(sf_dir), N_VERT)
-    return pa.table({"triangles": pa.array([triangle_count(A)],
-                                           pa.int64())})
+    tri = triangle_count_broadcast(_edge_dataset(sf_dir), num_tasks=8)
+    return pa.table({"triangles": pa.array([tri], pa.int64())})
 
 
 def _q_bfs_levels(sf_dir):
@@ -424,6 +441,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diag": _q_diag,
         "extract_submatrix": _q_extract_submatrix,
         "assign_scalar": _q_assign_scalar,
+        # per-row .ss extras
+        "row_scan_plus": _q_row_scan,
+        "row_selectk_first2": _q_row_selectk,
+        "row_sort": _q_row_sort,
         # algorithms
         "triangle_count": _q_triangle_count,
         "bfs_levels": _q_bfs_levels,
@@ -509,6 +530,16 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT r1.range AS src, r2.range AS dst, "
             "CAST(99.0 AS DOUBLE) AS val FROM range(10) r1, range(10) r2"),
+        "row_scan_plus": (
+            f"{E} SELECT src, dst, sum(val) OVER (PARTITION BY src "
+            "ORDER BY dst ROWS UNBOUNDED PRECEDING) AS val FROM E"),
+        "row_selectk_first2": (
+            f"{E} SELECT src, dst, val FROM (SELECT *, row_number() "
+            "OVER (PARTITION BY src ORDER BY dst) AS rn FROM E) "
+            "WHERE rn <= 2"),
+        "row_sort": (
+            f"{E} SELECT src, CAST(row_number() OVER (PARTITION BY src "
+            "ORDER BY val, dst) - 1 AS BIGINT) AS dst, val FROM E"),
         "triangle_count": (
             f"{E}, P AS (SELECT DISTINCT least(src, dst) AS a, "
             "greatest(src, dst) AS b FROM E WHERE src <> dst) "

@@ -53,7 +53,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     from python_graphblas_ray.pipelines.ingest import extract_edges
     from python_graphblas_ray.pipelines.similarity import ann_topk
     from python_graphblas_ray.pipelines.triangles import (
-        simple_undirected, triangle_count)
+        triangle_count_broadcast)
     from python_graphblas_ray.pipelines.windows import windowed_aggregate
     from python_graphblas_ray.sources.pages import pages_dataset
 
@@ -70,6 +70,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
     t0 = time.time()
     eng = build_engine(edges, n_pages, num_partitions=num_cpus)
+    timings["graph_build"] = time.time() - t0
+
+    t0 = time.time()
     r, iters, _ = pagerank(eng, tol=1e-6)
     timings["pagerank"] = time.time() - t0
     extra["pagerank_supersteps"] = iters
@@ -81,13 +84,14 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.time()
     eng_u = build_engine(edges, n_pages, num_partitions=num_cpus,
                          undirected=True)
+    timings["graph_build_undirected"] = time.time() - t0
+    t0 = time.time()
     f, cc_iters, _ = connected_components(eng_u)
     timings["connected_components"] = time.time() - t0
     eng_u.shutdown()
 
     t0 = time.time()
-    A = simple_undirected(edges, n_pages)
-    tri = triangle_count(A)
+    tri = triangle_count_broadcast(edges, num_tasks=num_cpus)
     timings["triangle_count"] = time.time() - t0
     extra["triangles"] = tri
 
@@ -155,7 +159,8 @@ def main():
             "sf": _sf_from_dir(sf_dir),
             "num_cpus": num_cpus,
         }
-        out.update({k: (round(v, 3) if isinstance(v, float) else v)
+        out.update({k: (round(float(v), 3) if isinstance(v, (float,))
+                        else int(v))
                     for k, v in res["extra"].items()})
         print(json.dumps(out))
         ray.shutdown()

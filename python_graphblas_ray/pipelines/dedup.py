@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..stages.join import hash_join
+from ..stages.join import hash_join, semi_join_filter
 
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -81,16 +81,20 @@ def exact_dedup(docs_ds, key_col="text", id_col="doc_id"):
     ``map_batches``; semantics are identical.
     """
 
-    def pick_first(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_numpy(zero_copy_only=False)
+    from ray.data.aggregate import Count, Min
+
+    out = docs_ds.select_columns([id_col, key_col]).groupby(key_col) \
+        .aggregate(Min(id_col, alias_name="keep_id"),
+                   Count(alias_name="n_dups"))
+
+    def cast(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "keep_id": np.array([ids.min()], dtype=np.int64),
-            "n_dups": np.array([len(ids)], dtype=np.int64),
-            key_col: [group[key_col][0].as_py()],
+            "keep_id": batch["keep_id"].cast(pa.int64()),
+            "n_dups": batch["n_dups"].cast(pa.int64()),
+            key_col: batch[key_col],
         })
 
-    return docs_ds.select_columns([id_col, key_col]) \
-        .groupby(key_col).map_groups(pick_first, batch_format="pyarrow")
+    return out.map_batches(cast, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -148,49 +152,86 @@ def minhash_signatures(docs_ds, num_perm=64, shingle_n=3, text_col="text",
 
 def _band_rows(sig_batch: pa.Table, bands: int, rows: int,
                id_col: str) -> pa.Table:
-    """Signature rows → (band, bucket, id) rows: bucket = hash of the band's
-    ``rows`` signature slots. flat_map-style expansion, fully vectorized."""
+    """Signature rows → (bkey, id) rows: ``bkey`` = hash of (band index,
+    the band's ``rows`` signature slots) — one packed int64 join key per
+    (doc, band). flat_map-style expansion, fully vectorized."""
     n = sig_batch.num_rows
     ids = sig_batch[id_col].to_numpy(zero_copy_only=False)
     sig = np.stack([sig_batch[f"mh{i}"].to_numpy(zero_copy_only=False)
                     .view(np.uint64)
                     for i in range(bands * rows)], axis=1)
-    out_band = np.repeat(np.arange(bands, dtype=np.int64), n)
     out_id = np.tile(ids, bands)
     buckets = np.empty(bands * n, dtype=np.uint64)
     for b in range(bands):
-        acc = np.zeros(n, dtype=np.uint64)
+        acc = np.full(n, np.uint64(b + 1), dtype=np.uint64)
         for r in range(rows):
-            acc = _splitmix64(acc ^ sig[:, b * rows + r] ^
-                              np.uint64(b + 1))
+            acc = _splitmix64(acc ^ sig[:, b * rows + r])
         buckets[b * n:(b + 1) * n] = acc
-    return pa.table({"band": out_band, "bucket": buckets.view(np.int64),
-                     id_col: out_id})
+    return pa.table({"bkey": buckets.view(np.int64), id_col: out_id})
 
 
-def _bucket_pairs(group: pa.Table, id_col: str, max_bucket=256) -> pa.Table:
-    """All (ia < ib) pairs within one LSH bucket. Buckets larger than
-    ``max_bucket`` are truncated (logged via the `truncated` column) —
-    a hot-bucket guard; real near-dup clusters that big are caught by the
-    surviving pairs' transitive closure."""
-    ids = np.unique(group[id_col].to_numpy(zero_copy_only=False))
-    trunc = len(ids) > max_bucket
-    if trunc:
-        ids = ids[:max_bucket]
-    m = len(ids)
-    if m < 2:
-        return pa.table({"ia": np.array([], dtype=np.int64),
-                         "ib": np.array([], dtype=np.int64)})
-    iu, ju = np.triu_indices(m, k=1)
-    return pa.table({"ia": ids[iu], "ib": ids[ju]})
+def _dedup_pairs(pairs_ds):
+    """Distinct (ia, ib) via one native groupby-count (vectorized; no
+    per-group Python)."""
+    out = pairs_ds.groupby(["ia", "ib"]).count()
+
+    def drop(batch: pa.Table) -> pa.Table:
+        return batch.select(["ia", "ib"])
+
+    return out.map_batches(drop, batch_format="pyarrow")
+
+
+def _hot_bucket_keys(band_ds, max_bucket):
+    """Bucket keys with more than ``max_bucket`` members, computed by
+    STREAMING per-batch (key, count) partials to the driver and merging
+    with np.unique — no shuffle. The merged key set is bounded by the
+    bucket-key cardinality (≤ rows), the same driver-memory class as the
+    engine's other broadcast key sets; beyond that, swap in a
+    groupby-count pre-pass."""
+    import ray
+
+    keys = np.array([], dtype=np.int64)
+    counts = np.array([], dtype=np.int64)
+    for b in band_ds.select_columns(["bkey"]).iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20):
+        k, c = np.unique(b["bkey"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        both = np.concatenate([keys, k])
+        keys, inv = np.unique(both, return_inverse=True)
+        merged = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(merged, inv, np.concatenate([counts, c]))
+        counts = merged
+    return ray.put(np.sort(keys[counts > max_bucket]))
+
+
+def _join_pairs(band_ds, id_col, max_bucket=256):
+    """Self-join the (bkey, id) table on bkey → candidate (ia < ib) pairs.
+    A streaming size pre-pass drops pathological hot buckets BEFORE the
+    join (the join's output is quadratic per bucket; the guard keeps it
+    linear-ish). All stages vectorized Arrow ops."""
+    band_ds = band_ds.materialize()
+    hot_ref = _hot_bucket_keys(band_ds, max_bucket)
+    cold = semi_join_filter(band_ds, ("bkey",), hot_ref, anti=True)
+
+    j = hash_join(cold, cold, on=("bkey",), how="inner",
+                  left_suffix="_a", right_suffix="_b")
+    ca, cb = f"{id_col}_a", f"{id_col}_b"
+
+    def ordered(batch: pa.Table) -> pa.Table:
+        a = batch[ca].to_numpy(zero_copy_only=False)
+        b = batch[cb].to_numpy(zero_copy_only=False)
+        keep = a < b
+        return pa.table({"ia": a[keep], "ib": b[keep]})
+
+    return _dedup_pairs(j.map_batches(ordered, batch_format="pyarrow"))
 
 
 def minhash_lsh_pairs(docs_ds, num_perm=64, bands=16, shingle_n=3,
                       threshold=0.5, text_col="text", id_col="doc_id",
-                      verify=True):
-    """Full near-dup pipeline: signatures → band buckets (ONE groupby
-    shuffle keyed by (band, bucket)) → within-bucket candidate pairs →
-    dedup pairs → optional exact-Jaccard verification on candidates only.
+                      verify=True, max_bucket=256):
+    """Full near-dup pipeline: signatures → band-bucket keys → bucket
+    self-join (hash-partitioned, hot buckets guarded) → distinct candidate
+    pairs → optional exact-Jaccard verification on the candidates only.
 
     Returns a Dataset of ``(ia, ib)`` (plus ``jaccard`` when verified).
     """
@@ -200,11 +241,7 @@ def minhash_lsh_pairs(docs_ds, num_perm=64, bands=16, shingle_n=3,
     band_ds = sigs.map_batches(
         lambda b: _band_rows(b, bands, rows, id_col),
         batch_format="pyarrow")
-    pairs = band_ds.groupby(["band", "bucket"]).map_groups(
-        lambda g: _bucket_pairs(g, id_col), batch_format="pyarrow")
-    # a pair can surface from several bands — dedup with one small groupby
-    pairs = pairs.groupby(["ia", "ib"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    pairs = _join_pairs(band_ds, id_col, max_bucket=max_bucket)
     if not verify:
         return pairs
     return verify_jaccard(pairs, docs_ds, threshold=threshold,
@@ -214,38 +251,57 @@ def minhash_lsh_pairs(docs_ds, num_perm=64, bands=16, shingle_n=3,
 
 def verify_jaccard(pairs_ds, docs_ds, threshold=0.5, text_col="text",
                    id_col="doc_id", shingle_n=3):
-    """Exact Jaccard on candidate pairs: two hash joins pull both texts onto
-    the pair row, then a vectorized shingle-set comparison per batch.
-    Touches only candidates — never the O(N²) space."""
-    docs = docs_ds.select_columns([id_col, text_col])
-    j1 = hash_join(pairs_ds, docs, on=("ia",), right_on=(id_col,),
-                   how="inner", left_suffix="", right_suffix="_a")
-    j2 = hash_join(j1, docs, on=("ib",), right_on=(id_col,),
-                   how="inner", left_suffix="", right_suffix="_b")
-    ta, tb = f"{text_col}_a", f"{text_col}_b"
+    """Exact Jaccard on candidate pairs: candidate ids are collected
+    (small by LSH construction), the matching docs' shingle sets gathered
+    with one broadcast semi-join pass and ``ray.put`` once; the pair
+    stream then scores zero-copy against the broadcast map — no join
+    shuffles. Touches only candidates — never the O(N²) space. If the
+    candidate set ever outgrows a node, replace the broadcast with two
+    hash joins on ia/ib (same semantics)."""
+    import ray
+
+    pairs_ds = pairs_ds.materialize()
+    id_chunks = []
+    for b in pairs_ds.select_columns(["ia", "ib"]).iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20):
+        id_chunks.append(np.unique(np.concatenate(
+            [b["ia"].to_numpy(zero_copy_only=False),
+             b["ib"].to_numpy(zero_copy_only=False)])))
+    if not id_chunks:
+        return pairs_ds.map_batches(
+            lambda b: pa.table({"ia": b["ia"], "ib": b["ib"],
+                                "jaccard": np.zeros(b.num_rows)}),
+            batch_format="pyarrow")
+    cand = np.unique(np.concatenate(id_chunks))
+    cand_ref = ray.put(cand)
+    cand_docs = semi_join_filter(
+        docs_ds.select_columns([id_col, text_col]), (id_col,), cand_ref)
+    shingle_map = {}
+    for b in cand_docs.iter_batches(batch_format="pyarrow",
+                                    batch_size=1 << 16):
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        for i, t in zip(ids, b[text_col].to_pylist()):
+            shingle_map[int(i)] = word_shingles(t, shingle_n)
+    map_ref = ray.put(shingle_map)
 
     def score(batch: pa.Table) -> pa.Table:
-        cols = set(batch.column_names)
-        # join suffixes only apply on collision; resolve either layout
-        a_col = ta if ta in cols else text_col
-        b_col = tb if tb in cols else text_col
-        texts_a = batch[a_col].to_pylist()
-        texts_b = batch[b_col].to_pylist()
-        jac = np.empty(len(texts_a), dtype=np.float64)
-        for i, (x, y) in enumerate(zip(texts_a, texts_b)):
-            sa = word_shingles(x, shingle_n)
-            sb = word_shingles(y, shingle_n)
+        m = ray.get(map_ref)
+        ia = batch["ia"].to_numpy(zero_copy_only=False)
+        ib = batch["ib"].to_numpy(zero_copy_only=False)
+        jac = np.empty(len(ia), dtype=np.float64)
+        for i in range(len(ia)):
+            sa = m[int(ia[i])]
+            sb = m[int(ib[i])]
             if len(sa) == 0 and len(sb) == 0:
                 jac[i] = 1.0
                 continue
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             jac[i] = inter / (len(sa) + len(sb) - inter)
-        t = pa.table({"ia": batch["ia"], "ib": batch["ib"],
-                      "jaccard": jac})
+        t = pa.table({"ia": ia, "ib": ib, "jaccard": jac})
         return t.filter(pc.greater_equal(t["jaccard"],
                                          pa.scalar(threshold)))
 
-    return j2.map_batches(score, batch_format="pyarrow")
+    return pairs_ds.map_batches(score, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -285,53 +341,68 @@ def simhash_signatures(docs_ds, text_col="text", id_col="doc_id",
         batch_format="pyarrow", concurrency=concurrency, batch_size=1024)
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR)."""
+    x = x.astype(np.uint64, copy=True)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    x -= (x >> np.uint64(1)) & m1
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    with np.errstate(over="ignore"):
+        return ((x * h01) >> np.uint64(56)).astype(np.int64)
+
+
 def simhash_pairs(docs_ds, max_hamming=3, text_col="text", id_col="doc_id"):
     """Near-dup pairs with Hamming(simhash) ≤ ``max_hamming`` via the
     pigeonhole trick: any pair within Hamming ≤ 3 agrees exactly on at
-    least one of 4 16-bit bands → bucket-groupby on each band, verify
-    Hamming within buckets. One shuffle keyed by (band, 16-bit chunk)."""
+    least one of 4 16-bit bands → hash-join on each band's chunk key,
+    then a vectorized popcount verify. One join shuffle, no per-group
+    Python."""
     sigs = simhash_signatures(docs_ds, text_col, id_col)
 
     def bands(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         sh = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
         n = len(ids)
+        # bkey packs (band, 16-bit chunk) into one int64 join key
         band = np.repeat(np.arange(4, dtype=np.int64), n)
         chunk = np.concatenate([
             ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
             for b in range(4)])
-        return pa.table({"band": band, "chunk": chunk,
+        return pa.table({"bkey": (band << np.int64(17)) | chunk,
                          id_col: np.tile(ids, 4),
                          "simhash": np.tile(sh.view(np.int64), 4)})
 
     band_ds = sigs.map_batches(bands, batch_format="pyarrow")
+    j = hash_join(band_ds, band_ds, on=("bkey",), how="inner",
+                  left_suffix="_a", right_suffix="_b")
+    ca, cb = f"{id_col}_a", f"{id_col}_b"
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_numpy(zero_copy_only=False)
-        sh = group["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
-        ids, keep = np.unique(ids, return_index=True)
-        sh = sh[keep]
-        m = len(ids)
-        if m < 2 or m > 512:
-            return pa.table({"ia": np.array([], dtype=np.int64),
-                             "ib": np.array([], dtype=np.int64),
-                             "hamming": np.array([], dtype=np.int64)})
-        iu, ju = np.triu_indices(m, k=1)
-        x = sh[iu] ^ sh[ju]
-        ham = np.zeros(len(x), dtype=np.int64)
-        for _ in range(64):
-            ham += (x & np.uint64(1)).astype(np.int64)
-            x >>= np.uint64(1)
-            if not x.any():
-                break
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch[ca].to_numpy(zero_copy_only=False)
+        b = batch[cb].to_numpy(zero_copy_only=False)
+        sa = batch["simhash_a"].to_numpy(zero_copy_only=False).view(np.uint64)
+        sb = batch["simhash_b"].to_numpy(zero_copy_only=False).view(np.uint64)
+        keep = a < b
+        ham = _popcount64(sa[keep] ^ sb[keep])
         sel = ham <= max_hamming
-        return pa.table({"ia": ids[iu[sel]], "ib": ids[ju[sel]],
+        return pa.table({"ia": a[keep][sel], "ib": b[keep][sel],
                          "hamming": ham[sel]})
 
-    pairs = band_ds.groupby(["band", "chunk"]).map_groups(
-        bucket_pairs, batch_format="pyarrow")
-    return pairs.groupby(["ia", "ib"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    cand = j.map_batches(verify, batch_format="pyarrow")
+    # distinct (a pair can agree on several bands); hamming is a pure
+    # function of the pair so keeping the min is exact
+    out = cand.groupby(["ia", "ib"]).min("hamming")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["hamming" if c == "min(hamming)" else c
+             for c in batch.column_names])
+
+    return out.map_batches(rename, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,107 @@
+"""Cluster job entrypoint — submit with::
+
+    ray job submit --working-dir . -- \
+        python scripts/run_job.py --algorithm pagerank \
+        --pages /data/pages_parquet --n-pages 1000000 \
+        --checkpoint-dir /data/ckpt --run-id run1 --output /data/out
+
+Reads the Common-Crawl-style pages Parquet (``url, warc_ts, html, text,
+lang``), extracts the link graph, runs the requested algorithm with
+per-partition checkpoints every ``--checkpoint-every`` supersteps, and
+writes the per-vertex result as partitioned Parquet. Re-submitting the
+same ``--run-id`` resumes from the latest complete checkpoint.
+
+On the driver-managed sandbox Ray is already local; on a real cluster
+``ray.init(address="auto")`` attaches to the running cluster.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--algorithm", default="pagerank",
+                   choices=["pagerank", "cc", "lpa", "tricount"])
+    p.add_argument("--pages", required=True,
+                   help="pages Parquet dir (url, warc_ts, html, text, lang)")
+    p.add_argument("--n-pages", type=int, required=True)
+    p.add_argument("--num-partitions", type=int, default=32)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=10)
+    p.add_argument("--run-id", default="run0")
+    p.add_argument("--output", default=None)
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--metrics-out", default=None)
+    args = p.parse_args(argv)
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(address="auto" if "--cluster" in (argv or sys.argv)
+                 else "local", include_dashboard=False)
+
+    from python_graphblas_ray.pipelines.algorithms import (
+        build_engine, connected_components, label_propagation, pagerank)
+    from python_graphblas_ray.pipelines.ingest import extract_edges
+    from python_graphblas_ray.pipelines.triangles import (
+        triangle_count_broadcast)
+    from python_graphblas_ray.state.checkpoint import (
+        CheckpointManager, SuperstepMetrics)
+
+    t0 = time.time()
+    pages = ray.data.read_parquet(args.pages, columns=["url", "html"])
+    edges = extract_edges(pages).materialize()
+
+    if args.algorithm == "tricount":
+        tri = triangle_count_broadcast(edges, num_tasks=args.num_partitions)
+        print(json.dumps({"algorithm": "tricount", "triangles": int(tri),
+                          "sec": round(time.time() - t0, 2)}))
+        return
+
+    ckpt = (CheckpointManager(args.checkpoint_dir, args.run_id,
+                              args.num_partitions)
+            if args.checkpoint_dir else None)
+    metrics = SuperstepMetrics()
+    undirected = args.algorithm in ("cc", "lpa")
+    eng = build_engine(edges, args.n_pages,
+                       num_partitions=args.num_partitions,
+                       undirected=undirected)
+
+    if args.algorithm == "pagerank":
+        vec, iters, _ = pagerank(eng, tol=args.tol, checkpoint=ckpt,
+                                 checkpoint_every=args.checkpoint_every,
+                                 metrics=metrics)
+        col = "rank"
+    elif args.algorithm == "cc":
+        vec, iters, _ = connected_components(eng, metrics=metrics)
+        col = "comp"
+    else:
+        vec, iters, _ = label_propagation(eng, metrics=metrics)
+        col = "label"
+
+    if args.output:
+        out = ray.data.from_arrow(pa.table({
+            "vid": np.arange(args.n_pages, dtype=np.int64), col: vec}))
+        out.repartition(args.num_partitions).write_parquet(args.output)
+    if args.metrics_out:
+        metrics.dump(args.metrics_out)
+    print(json.dumps({
+        "algorithm": args.algorithm, "supersteps": int(iters),
+        "edges": int(eng.num_edges), "n": args.n_pages,
+        "sec": round(time.time() - t0, 2),
+        "edges_per_sec": round(eng.num_edges * max(iters, 1) /
+                               max(metrics.total_sec, 1e-9), 1),
+    }))
+    eng.shutdown()
+
+
+if __name__ == "__main__":
+    main()

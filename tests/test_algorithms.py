@@ -157,8 +157,18 @@ def test_triangle_count(graph):
     assert got > 0  # sanity: the synthetic graph has triangles
 
 
+def test_triangle_count_broadcast(graph):
+    from python_graphblas_ray.pipelines.triangles import (
+        triangle_count_broadcast)
+    src, dst, w, ds = graph
+    got = triangle_count_broadcast(ds, num_tasks=4)
+    assert got == triangle_count_numpy(src, dst, N)
+
+
 def test_small_triangle():
     import pyarrow as pa
+    from python_graphblas_ray.pipelines.triangles import (
+        triangle_count_broadcast)
     # K4 minus one edge has 2 triangles
     src = np.array([0, 0, 0, 1, 1], dtype=np.int64)
     dst = np.array([1, 2, 3, 2, 3], dtype=np.int64)
@@ -166,4 +176,5 @@ def test_small_triangle():
         "src": src, "dst": dst, "val": np.ones(5)}))
     A = simple_undirected(ds, 4)
     assert triangle_count(A) == 2
+    assert triangle_count_broadcast(ds, num_tasks=2) == 2
     assert triangle_count_numpy(src, dst, 4) == 2

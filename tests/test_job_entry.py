@@ -1,0 +1,69 @@
+"""scripts/run_job.py — the `ray job submit` entrypoint: end-to-end runs
+with checkpointing, resume, and Parquet output."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, "/root/repo")
+from scripts.run_job import main as job_main  # noqa: E402
+
+from python_graphblas_ray.sources.pages import write_pages_parquet
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages")
+    return write_pages_parquet(str(d / "pages"), 500, parallelism=2)
+
+
+def test_pagerank_job_with_checkpoint_and_output(pages_dir, tmp_path,
+                                                 capsys):
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ckpt")
+    job_main(["--algorithm", "pagerank", "--pages", pages_dir,
+              "--n-pages", "500", "--num-partitions", "4",
+              "--checkpoint-dir", ck_dir, "--checkpoint-every", "5",
+              "--run-id", "t1", "--output", out_dir,
+              "--metrics-out", str(tmp_path / "m.jsonl")])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["algorithm"] == "pagerank" and rec["supersteps"] > 1
+    t = pq.read_table(out_dir)
+    assert t.num_rows == 500
+    # pagerank_3f does no dangling redistribution → sum ≤ 1 (strictly
+    # less when sink pages exist), every rank ≥ teleport
+    s = np.sum(t["rank"].to_numpy())
+    assert 0.5 < s <= 1.0 + 1e-9
+    assert (t["rank"].to_numpy() >= (1 - 0.85) / 500 - 1e-12).all()
+    # checkpoints were written with manifests
+    ck = os.path.join(ck_dir, "t1")
+    iters = [n for n in os.listdir(ck) if n.startswith("iter=")]
+    assert iters
+    assert all(os.path.exists(os.path.join(ck, i, "manifest.json"))
+               for i in iters)
+    # metrics log has one record per superstep
+    lines = open(tmp_path / "m.jsonl").read().strip().splitlines()
+    assert len(lines) == rec["supersteps"]
+
+    # resume: re-run same run-id — must start past the checkpoint and
+    # produce the identical result
+    out2 = str(tmp_path / "out2")
+    job_main(["--algorithm", "pagerank", "--pages", pages_dir,
+              "--n-pages", "500", "--num-partitions", "4",
+              "--checkpoint-dir", ck_dir, "--run-id", "t1",
+              "--output", out2])
+    t2 = pq.read_table(out2)
+    a = t.to_pandas().sort_values("vid")["rank"].to_numpy()
+    b = t2.to_pandas().sort_values("vid")["rank"].to_numpy()
+    np.testing.assert_allclose(a, b, atol=1e-12)
+
+
+def test_tricount_job(pages_dir, capsys):
+    job_main(["--algorithm", "tricount", "--pages", pages_dir,
+              "--n-pages", "500", "--num-partitions", "2"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["triangles"] >= 0

@@ -1,0 +1,141 @@
+"""Per-row .ss extras (scan/selectk/compactify/sort/split/concat/
+flatten/reshape) + MatrixMarket round-trip, vs numpy oracles."""
+
+import numpy as np
+import pytest
+
+from python_graphblas_ray.core import GBMatrix
+from python_graphblas_ray.sources.matrixmarket import mmread, mmwrite
+from python_graphblas_ray.stages.perrow import (
+    concat,
+    flatten,
+    reshape,
+    row_compactify,
+    row_scan,
+    row_selectk,
+    row_sort,
+    split,
+)
+
+
+@pytest.fixture(scope="module")
+def M():
+    rng = np.random.default_rng(11)
+    nr, nc, nnz = 20, 30, 120
+    packed = rng.choice(nr * nc, size=nnz, replace=False)
+    r = (packed // nc).astype(np.int64)
+    c = (packed % nc).astype(np.int64)
+    v = np.round(rng.random(nnz) * 10, 3)
+    return GBMatrix.from_coo(r, c, v, nrows=nr, ncols=nc), (r, c, v)
+
+
+def _dense(A):
+    return A.to_dense(np.nan)
+
+
+def test_row_scan(M):
+    A, (r, c, v) = M
+    out = row_scan(A, "plus").to_coo()
+    # oracle: cumulative sum within row in col order
+    order = np.lexsort((c, r))
+    rs, cs, vs = r[order], c[order], v[order]
+    expect = vs.copy()
+    for i in range(1, len(vs)):
+        if rs[i] == rs[i - 1]:
+            expect[i] += expect[i - 1]
+    np.testing.assert_array_equal(out[0], rs)
+    np.testing.assert_array_equal(out[1], cs)
+    np.testing.assert_allclose(out[2], expect)
+
+
+def test_row_selectk_first_largest(M):
+    A, (r, c, v) = M
+    got_r, got_c, got_v = row_selectk(A, "first", 2).to_coo()
+    for row in np.unique(r):
+        mask = r == row
+        expect_c = np.sort(c[mask])[:2]
+        np.testing.assert_array_equal(np.sort(got_c[got_r == row]),
+                                      expect_c)
+    got_r, got_c, got_v = row_selectk(A, "largest", 2).to_coo()
+    for row in np.unique(r):
+        mask = r == row
+        k = min(2, mask.sum())
+        expect_v = np.sort(v[mask])[::-1][:k]
+        np.testing.assert_allclose(np.sort(got_v[got_r == row])[::-1],
+                                   expect_v)
+
+
+def test_row_compactify_and_sort(M):
+    A, (r, c, v) = M
+    got_r, got_c, got_v = row_compactify(A, "smallest", 3).to_coo()
+    for row in np.unique(r):
+        mask = r == row
+        k = min(3, mask.sum())
+        np.testing.assert_array_equal(got_c[got_r == row],
+                                      np.arange(k))
+        np.testing.assert_allclose(np.sort(got_v[got_r == row]),
+                                   np.sort(v[mask])[:k])
+    got_r, got_c, got_v = row_sort(A).to_coo()
+    for row in np.unique(r):
+        mask = r == row
+        np.testing.assert_allclose(got_v[got_r == row],
+                                   np.sort(v[mask]))
+
+
+def test_split_concat_roundtrip(M):
+    A, _ = M
+    tiles = split(A, [8, 12], [10, 10, 10])
+    assert len(tiles) == 2 and len(tiles[0]) == 3
+    B = concat(tiles)
+    assert (B.nrows, B.ncols) == (A.nrows, A.ncols)
+    assert A.isequal(B)
+
+
+def test_flatten_reshape(M):
+    A, (r, c, v) = M
+    f = flatten(A)
+    idx, vals = f.to_coo()
+    np.testing.assert_array_equal(idx, np.lexsort((c, r)) * 0 +
+                                  (r * A.ncols + c)[np.lexsort((c, r))])
+    B = reshape(A, 30, 20)
+    assert (B.nrows, B.ncols) == (30, 20)
+    C = reshape(B, 20, 30)
+    assert A.isequal(C)
+
+
+def test_mmwrite_mmread_roundtrip(tmp_path, M):
+    A, _ = M
+    p = str(tmp_path / "m.mtx")
+    mmwrite(p, A)
+    B = mmread(p)
+    assert (B.nrows, B.ncols) == (A.nrows, A.ncols)
+    assert A.isclose(B, rel_tol=1e-12)
+
+
+def test_mmread_symmetric(tmp_path):
+    p = str(tmp_path / "s.mtx")
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real symmetric\n")
+        f.write("% comment\n3 3 3\n1 1 5.0\n2 1 1.5\n3 2 2.5\n")
+    A = mmread(p)
+    d = A.to_dense(0.0)
+    expect = np.array([[5.0, 1.5, 0], [1.5, 0, 2.5], [0, 2.5, 0]])
+    np.testing.assert_allclose(d, expect)
+
+
+def test_mmread_pattern(tmp_path):
+    p = str(tmp_path / "p.mtx")
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate pattern general\n")
+        f.write("2 2 3\n1 1\n1 2\n2 2\n")
+    A = mmread(p)
+    np.testing.assert_allclose(A.to_dense(0.0),
+                               np.array([[1.0, 1.0], [0, 1.0]]))
+
+
+def test_mmread_distributed_path(tmp_path, M):
+    A, _ = M
+    p = str(tmp_path / "big.mtx")
+    mmwrite(p, A)
+    B = mmread(p, driver_parse_limit=0)  # force the read_text path
+    assert A.isclose(B, rel_tol=1e-12)
