@@ -48,11 +48,15 @@ def symmetrize(edges_ds):
 
 
 def build_engine(edges_ds, n, num_partitions=8, weighted=False,
-                 undirected=False):
+                 undirected=False, **engine_kwargs):
+    """``engine_kwargs`` pass through to ``SuperstepEngine`` (e.g.
+    ``partition_mode="scan"``, ``hub_split_factor=None`` — the latter is
+    required for ``label_propagation``, whose per-dst mode kernel needs
+    whole dst groups)."""
     if undirected:
         edges_ds = symmetrize(edges_ds)
     return SuperstepEngine(edges_ds, n, num_partitions=num_partitions,
-                           weighted=weighted)
+                           weighted=weighted, **engine_kwargs)
 
 
 def pagerank(engine: SuperstepEngine, damping=0.85, itermax=100, tol=1e-4,

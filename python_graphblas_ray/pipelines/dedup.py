@@ -146,7 +146,7 @@ def minhash_signatures(docs_ds, num_perm=64, shingle_n=3, text_col="text",
         MinHasher,
         fn_constructor_kwargs=dict(num_perm=num_perm, shingle_n=shingle_n,
                                    text_col=text_col, id_col=id_col),
-        batch_format="pyarrow", concurrency=concurrency,
+        batch_format="pyarrow", concurrency=(1, concurrency),
         batch_size=batch_size)
 
 
@@ -338,7 +338,7 @@ def simhash_signatures(docs_ds, text_col="text", id_col="doc_id",
     return docs_ds.map_batches(
         SimHasher, fn_constructor_kwargs=dict(text_col=text_col,
                                               id_col=id_col),
-        batch_format="pyarrow", concurrency=concurrency, batch_size=1024)
+        batch_format="pyarrow", concurrency=(1, concurrency), batch_size=1024)
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:

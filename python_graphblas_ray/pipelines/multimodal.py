@@ -147,18 +147,18 @@ def decode_images(media_ds, concurrency=2, batch_size=32,
     """Actor pool: small batches (binary payloads), setup once per actor."""
     return media_ds.map_batches(
         ImageDecoder, fn_constructor_kwargs=dict(mode=mode),
-        batch_format="pyarrow", concurrency=concurrency,
+        batch_format="pyarrow", concurrency=(1, concurrency),
         batch_size=batch_size)
 
 
 def image_features(decoded_ds, concurrency=2, batch_size=64):
     return decoded_ds.map_batches(ImageFeatures, batch_format="pyarrow",
-                                  concurrency=concurrency,
+                                  concurrency=(1, concurrency),
                                   batch_size=batch_size)
 
 
 def sample_frames(media_ds, concurrency=2, batch_size=16, stride=2):
     return media_ds.map_batches(
         FrameSampler, fn_constructor_kwargs=dict(stride=stride),
-        batch_format="pyarrow", concurrency=concurrency,
+        batch_format="pyarrow", concurrency=(1, concurrency),
         batch_size=batch_size)

@@ -146,19 +146,19 @@ class Fingerprinter:
 
 def token_count(docs_ds, concurrency=4):
     return docs_ds.map_batches(TokenCounter, batch_format="pyarrow",
-                               concurrency=concurrency, batch_size=4096)
+                               concurrency=(1, concurrency), batch_size=4096)
 
 
 def quality_score(docs_ds, concurrency=4):
     return docs_ds.map_batches(QualityScorer, batch_format="pyarrow",
-                               concurrency=concurrency, batch_size=4096)
+                               concurrency=(1, concurrency), batch_size=4096)
 
 
 def lang_id(docs_ds, concurrency=4):
     return docs_ds.map_batches(LangId, batch_format="pyarrow",
-                               concurrency=concurrency, batch_size=4096)
+                               concurrency=(1, concurrency), batch_size=4096)
 
 
 def fingerprint(docs_ds, concurrency=4):
     return docs_ds.map_batches(Fingerprinter, batch_format="pyarrow",
-                               concurrency=concurrency, batch_size=2048)
+                               concurrency=(1, concurrency), batch_size=2048)

@@ -58,18 +58,32 @@ class GraphPartitionActor:
     (per-actor setup), every superstep call reuses them (per-batch work).
     """
 
-    def __init__(self, block_refs, lo, hi, weighted):
+    def __init__(self, block_refs, lo, hi, weighted, range_filter=False):
         self.lo = int(lo)
         self.hi = int(hi)
-        tables = [ray.get(r) if isinstance(r, ray.ObjectRef) else r
-                  for r in block_refs]
-        tables = [t for t in tables if t.num_rows > 0]
-        if tables:
-            t = pa.concat_tables(tables)
-            src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-            dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-            w = (t["val"].to_numpy(zero_copy_only=False).astype(np.float64)
+        srcs, dsts, ws = [], [], []
+        for r in block_refs:
+            t = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+            if t.num_rows == 0:
+                continue
+            s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = (t["val"].to_numpy(zero_copy_only=False).astype(np.float64)
                  if weighted and "val" in t.column_names else None)
+            if range_filter:
+                # scan mode: every actor reads all blocks (zero-copy from
+                # the shared object store) and keeps only its dst range
+                keep = (d >= self.lo) & (d < self.hi)
+                s, d = s[keep], d[keep]
+                v = v[keep] if v is not None else None
+            srcs.append(s)
+            dsts.append(d)
+            if v is not None:
+                ws.append(v)
+        if srcs:
+            src = np.concatenate(srcs)
+            dst = np.concatenate(dsts)
+            w = np.concatenate(ws) if ws else None
         else:
             src = dst = np.array([], dtype=np.int64)
             w = np.array([], dtype=np.float64) if weighted else None
@@ -156,6 +170,94 @@ class GraphPartitionActor:
         out[dstl[starts]] = ufunc.reduceat(vals, starts)
         return out
 
+    # ---- in-actor PageRank (vertex state partitioned; O(P) driver) ----
+    def deg_partial(self):
+        """Sparse out-degree partial of THIS partition's edges:
+        (unique src, count) — O(E/P) rows, never a dense O(n) vector."""
+        if not self.nedges:
+            return (np.array([], dtype=np.int64),
+                    np.array([], dtype=np.int64))
+        usrc, cnt = np.unique(self.src, return_counts=True)
+        return usrc, cnt
+
+    def pr_init(self, partial_refs, damping, n, bounds):
+        """Install PageRank vertex state for this actor's dst range.
+        Out-degrees are built IN the actor by merging the sparse partials
+        of every partition (batched zero-copy object-store reads) — the
+        driver never materializes an O(n) vector. ``bounds``: global
+        partition boundaries for the slice-exchange plan."""
+        self._pr_n = int(n)
+        self._pr_bounds = np.asarray(bounds, dtype=np.int64)
+        lo, hi = self.lo, self.hi
+        d = np.zeros(hi - lo)
+        for usrc, cnt in ray.get(list(partial_refs)):
+            sel = (usrc >= lo) & (usrc < hi)
+            if sel.any():
+                np.add.at(d, usrc[sel] - lo, cnt[sel])
+        self._pr_has = d > 0
+        self._pr_d = np.where(self._pr_has, d / damping, 1.0)
+        self._pr_tele = (1.0 - damping) / n
+        self._pr_r = np.full(self.hi - self.lo, 1.0 / n)
+        # per source-partition gather plan: edge positions + local source
+        # offsets, so a superstep touches O(E/P) — never O(n) — and only
+        # the slices this partition's sources live in are fetched
+        # (multi-node: only those move; single node: shared-memory reads)
+        self._pr_gather = []
+        if self.nedges:
+            P = len(self._pr_bounds)
+            sp = np.clip(np.searchsorted(self._pr_bounds, self.src,
+                                         "right") - 1, 0, P - 1)
+            order = np.argsort(sp, kind="stable")
+            sps = sp[order]
+            starts = np.flatnonzero(np.concatenate(
+                [[True], sps[1:] != sps[:-1]]))
+            ends = np.append(starts[1:], len(sps))
+            for s, e in zip(starts, ends):
+                p = int(sps[s])
+                pos = order[s:e]
+                local = self.src[pos] - self._pr_bounds[p]
+                self._pr_gather.append((p, pos, local))
+
+    def pr_set_r(self, r_slice):
+        self._pr_r = np.asarray(r_slice, dtype=np.float64)
+
+    def pr_w(self):
+        """w_p = t_p / d_scaled_p on vertices with out-degree (the
+        pagerank_3f scaling step) — returned into the object store."""
+        return np.where(self._pr_has, self._pr_r / self._pr_d, 0.0)
+
+    def pr_step(self, w_refs):
+        """One pull superstep over this partition's in-edges. Fetches only
+        the needed w slices (zero-copy locally), gathers per the
+        precomputed plan — O(E/P) work, no O(n) scratch — computes the
+        new r slice and returns the partial rdiff Σ|t_p - r_p|."""
+        size = self.hi - self.lo
+        out = np.zeros(size)
+        if self.nedges:
+            # ONE batched ray.get resolves all needed slices in parallel
+            # (a per-slice get would serialize P owner round-trips)
+            slices = ray.get([w_refs[p] for p, _, _ in self._pr_gather])
+            vals = np.empty(self.nedges)
+            for (p, pos, local), sl in zip(self._pr_gather, slices):
+                vals[pos] = sl[local]
+            out[self.group_dst] = np.add.reduceat(vals, self.starts)
+        new_r = out + self._pr_tele
+        rdiff = float(np.abs(self._pr_r - new_r).sum())
+        self._pr_r = new_r
+        return rdiff
+
+    @ray.method(num_returns=2)
+    def pr_step_fused(self, w_refs):
+        """Fused superstep: pull + update + NEXT w in one dispatch round.
+        Returns (rdiff, w_next_slice) as two object refs, so the driver
+        fetches only the float and forwards the slice refs — one actor
+        round per superstep instead of two."""
+        rdiff = self.pr_step(w_refs)
+        return rdiff, self.pr_w()
+
+    def pr_result(self):
+        return self._pr_r
+
     def mode_step(self, labels_ref):
         """Label-propagation kernel: for each dst in range, the most frequent
         label among in-neighbors, ties → smallest label. Exact and
@@ -191,47 +293,90 @@ class SuperstepEngine:
     """Builds the pinned actor pool from an edge Dataset; drives supersteps."""
 
     def __init__(self, edges_ds, n, num_partitions=8, weighted=False,
-                 sample_size=1_000_000):
+                 sample_size=1_000_000, partition_mode="sort",
+                 hub_split_factor=2.0):
+        """``partition_mode``:
+
+        - ``"sort"``  (default): tag + ONE all-to-all sort shuffle + exact
+          split — each actor receives exactly its blocks. The multi-node
+          scale path: data moves once, O(E/P) per node.
+        - ``"scan"``: every actor reads ALL materialized blocks zero-copy
+          from the (single-node shared) object store and keeps its dst
+          range — O(P·E) reads but no shuffle machinery; measurably
+          faster than the sort below ~10⁸ edges on one node. On a real
+          multi-node cluster this ships E to every node — use "sort".
+        """
         self.n = int(n)
         P = self.num_partitions = int(num_partitions)
+        self.hub_split_factor = hub_split_factor
 
         # 1. Edge-balanced range boundaries from a dst sample (power-law
         #    skew: quantiles put equal EDGE counts, not equal vertex counts,
         #    in each partition).
         boundaries = self._quantile_boundaries(edges_ds, P, sample_size)
 
-        # 2. Tag each edge with its partition id (cheap map), then ONE
-        #    all-to-all sort on the tag and an exact row-level split — this
-        #    is the engine's only shuffle; every subsequent superstep is
-        #    partition-local.
-        b_ref = ray.put(boundaries)
+        if partition_mode == "scan":
+            all_refs = edges_ds.materialize().to_arrow_refs()
+            per_part_refs = [all_refs] * P
+            range_filter = True
+        else:
+            # 2. Tag each edge with its partition id (cheap map), then ONE
+            #    all-to-all sort on the tag and an exact row-level split —
+            #    the engine's only shuffle; every subsequent superstep is
+            #    partition-local.
+            b_ref = ray.put(boundaries)
 
-        def tag(batch: pa.Table) -> pa.Table:
-            b = ray.get(b_ref)
-            dst = batch["dst"].to_numpy(zero_copy_only=False)
-            part = np.clip(np.searchsorted(b, dst, side="right") - 1,
-                           0, P - 1).astype(np.int64)
-            return batch.append_column("part", pa.array(part))
+            def tag(batch: pa.Table) -> pa.Table:
+                b = ray.get(b_ref)
+                dst = batch["dst"].to_numpy(zero_copy_only=False)
+                part = np.clip(np.searchsorted(b, dst, side="right") - 1,
+                               0, P - 1).astype(np.int64)
+                return batch.append_column("part", pa.array(part))
 
-        tagged = edges_ds.map_batches(tag, batch_format="pyarrow")
-        counts_tbl = tagged.groupby("part").count().to_pandas()
-        counts = np.zeros(P, dtype=np.int64)
-        counts[counts_tbl["part"].to_numpy()] = counts_tbl["count()"].to_numpy()
-        cum = np.cumsum(counts)[:-1].tolist()
-        sorted_ds = tagged.sort("part").materialize()
-        splits = sorted_ds.split_at_indices(cum)
+            tagged = edges_ds.map_batches(tag, batch_format="pyarrow")
+            counts_tbl = tagged.groupby("part").count().to_pandas()
+            counts = np.zeros(P, dtype=np.int64)
+            counts[counts_tbl["part"].to_numpy()] = \
+                counts_tbl["count()"].to_numpy()
+            cum = np.cumsum(counts)[:-1].tolist()
+            sorted_ds = tagged.sort("part").materialize()
+            splits = sorted_ds.split_at_indices(cum)
+            per_part_refs = [sub.to_arrow_refs() for sub in splits]
+            range_filter = False
+
+        # 2b. Hub splitting (power-law skew): a dst range whose edge count
+        #     exceeds ``hub_split_factor ×`` the per-partition target is
+        #     split row-wise into duplicate-range actors; ``_stitch``
+        #     merges their slices with the superstep's monoid. (Quantile
+        #     boundaries bound a range at ONE vertex's in-edges — a true
+        #     hub can exceed the target on its own; this re-balances it.)
+        part_jobs = []  # (refs, lo, hi)
+        if partition_mode == "sort":
+            target = max(1, int(sum(counts)) // P)
+        for p in range(P):
+            lo = int(boundaries[p])
+            hi = int(boundaries[p + 1]) if p + 1 < len(boundaries) else self.n
+            if (partition_mode == "sort" and self.hub_split_factor
+                    and counts[p] > self.hub_split_factor * target):
+                k = int(np.ceil(counts[p] / target))
+                sub_cum = np.linspace(0, counts[p], k + 1)[1:-1]
+                sub_splits = splits[p].split_at_indices(
+                    [int(x) for x in sub_cum])
+                for ss in sub_splits:
+                    part_jobs.append((ss.to_arrow_refs(), lo, hi))
+            else:
+                part_jobs.append((per_part_refs[p], lo, hi))
 
         # 3. Pin each partition in a long-lived actor (CSC-like arrays built
         #    once in __init__, reused every superstep).
         self.actors = []
         self.ranges = []
-        for p, sub in enumerate(splits):
-            lo = int(boundaries[p])
-            hi = int(boundaries[p + 1]) if p + 1 < len(boundaries) else self.n
-            refs = sub.to_arrow_refs()
+        for refs, lo, hi in part_jobs:
             self.ranges.append((lo, hi))
-            self.actors.append(
-                GraphPartitionActor.remote(refs, lo, hi, weighted))
+            self.actors.append(GraphPartitionActor.remote(
+                refs, lo, hi, weighted, range_filter=range_filter))
+        # duplicate ranges ⇒ hub-split active ⇒ _stitch must monoid-merge
+        self.has_hub_split = len({r for r in self.ranges}) < len(self.ranges)
         self.partition_stats = ray.get([a.stats.remote() for a in self.actors])
         self.num_edges = sum(s["edges"] for s in self.partition_stats)
 
@@ -270,16 +415,23 @@ class SuperstepEngine:
         x_ref = ray.put(x)
         slices = ray.get([a.spmv.remote(kind, x_ref) for a in self.actors])
         return self._stitch(slices, _KINDS[kind][1],
-                            bool_out=(kind == "lor_second"))
+                            bool_out=(kind == "lor_second"),
+                            merge_ufunc=_KINDS[kind][0])
 
     def spmv_masked(self, kind, x, active):
         x_ref = ray.put(x)
         a_ref = ray.put(active)
         slices = ray.get([a.spmv_masked.remote(kind, x_ref, a_ref)
                           for a in self.actors])
-        return self._stitch(slices, _KINDS[kind][1])
+        return self._stitch(slices, _KINDS[kind][1],
+                            merge_ufunc=_KINDS[kind][0])
 
     def mode(self, labels):
+        if self.has_hub_split:
+            raise NotImplementedError(
+                "LPA's per-dst mode needs whole dst groups — rebuild the "
+                "engine with hub_split_factor=None (label counts cannot "
+                "be merged across split hub partitions)")
         l_ref = ray.put(labels)
         slices = ray.get([a.mode_step.remote(l_ref) for a in self.actors])
         out = np.full(self.n, -1, dtype=np.int64)
@@ -288,9 +440,79 @@ class SuperstepEngine:
                 out[lo:hi] = s
         return out
 
-    def _stitch(self, slices, identity, bool_out=False):
+    def _stitch(self, slices, identity, bool_out=False, merge_ufunc=None):
+        """Assemble dense output from per-partition slices. Duplicate
+        ranges (hub splitting) are merged with the superstep's monoid —
+        safe for every ``_KINDS`` entry because they're all associative
+        & commutative reductions."""
         out = (np.zeros(self.n, dtype=bool) if bool_out
                else np.full(self.n, identity, dtype=np.float64))
+        if not self.has_hub_split:
+            for (lo, hi), s in zip(self.ranges, slices):
+                if hi > lo:
+                    out[lo:hi] = s
+            return out
+        merge = (np.logical_or if bool_out else merge_ufunc)
+        for (lo, hi), s in zip(self.ranges, slices):
+            if hi > lo:
+                out[lo:hi] = merge(out[lo:hi], s)
+        return out
+
+    def pagerank_inactor(self, damping=0.85, itermax=100, tol=1e-4,
+                         metrics=None, force_iters=None):
+        """PageRank with vertex state pinned IN the partition actors:
+        per superstep the driver does O(P) work (2·P actor calls and a
+        P-float sum) — no O(n) broadcast, gather or arithmetic on the
+        driver. w slices travel actor→actor through the object store
+        (zero-copy on-node; only needed ranges fetched), which is the
+        multi-node scale path the frontier-broadcast engine documents.
+
+        Semantics identical to ``pipelines.algorithms.pagerank``
+        (pagerank_3f): same update order, same rdiff, same superstep
+        count. ``force_iters`` pins the superstep count (benchmark mode:
+        identical work at every parallelism level).
+        """
+        n = self.n
+        if self.has_hub_split:
+            raise NotImplementedError(
+                "pagerank_inactor assumes exclusive range ownership; "
+                "rebuild with hub_split_factor=None, or use the "
+                "monoid-merging pipelines.algorithms.pagerank driver")
+        bounds = np.array([lo for lo, _ in self.ranges], dtype=np.int64)
+        partial_refs = [a.deg_partial.remote() for a in self.actors]
+        ray.wait(partial_refs, num_returns=len(partial_refs))
+        ray.get([a.pr_init.remote(partial_refs, damping, n, bounds)
+                 for a in self.actors])
+        rdiff = 1.0
+        i = 0
+        w_refs = None
+        for i in range(itermax):
+            if force_iters is None and rdiff <= tol:
+                break
+            if w_refs is None:
+                w_refs = [a.pr_w.remote() for a in self.actors]
+                # barrier: dispatching pr_step with unresolved refs makes
+                # every actor block inside ray.get while holding its task
+                # slot — measured ~10× slower than waiting here first
+                ray.wait(w_refs, num_returns=len(w_refs))
+            # fused round: each call returns (rdiff_ref, w_next_ref); the
+            # rdiff get is the per-superstep barrier, so the forwarded
+            # w refs are always resolved
+            pairs = [a.pr_step_fused.remote(w_refs) for a in self.actors]
+            rd_refs = [p[0] for p in pairs]
+            w_refs = [p[1] for p in pairs]
+            rdiff = float(sum(ray.get(rd_refs)))
+            if metrics is not None:
+                metrics.record(i, algorithm="pagerank_inactor",
+                               rdiff=rdiff, edges=self.num_edges)
+            if force_iters is not None and i + 1 >= force_iters:
+                i += 1
+                break
+        slices = ray.get([a.pr_result.remote() for a in self.actors])
+        return self._stitch_exact(slices), i
+
+    def _stitch_exact(self, slices):
+        out = np.zeros(self.n)
         for (lo, hi), s in zip(self.ranges, slices):
             if hi > lo:
                 out[lo:hi] = s

@@ -70,6 +70,75 @@ def test_pagerank_matches_oracle(engine, graph):
     assert len(metrics.records) == iters
 
 
+def test_pagerank_inactor_matches_oracle(engine, graph):
+    """In-actor PageRank (vertex state partitioned into the actors, O(P)
+    driver per superstep) must be bit-for-bit the same recipe: identical
+    superstep count and allclose values."""
+    src, dst, w, ds = graph
+    r, iters = engine.pagerank_inactor(tol=1e-6)
+    r_np, iters_np = pagerank_numpy(src, dst, N, tol=1e-6)
+    assert iters == iters_np
+    np.testing.assert_allclose(r, r_np, rtol=1e-6, atol=1e-12)
+
+
+def test_scan_partition_mode_matches_sort(graph):
+    """partition_mode='scan' (no shuffle; actors range-filter the shared
+    blocks) must produce the identical engine results."""
+    from python_graphblas_ray.state.superstep import SuperstepEngine
+    src, dst, w, ds = graph
+    eng = SuperstepEngine(ds, N, num_partitions=3, partition_mode="scan")
+    r, iters = eng.pagerank_inactor(tol=1e-6)
+    r_np, iters_np = pagerank_numpy(src, dst, N, tol=1e-6)
+    assert iters == iters_np
+    np.testing.assert_allclose(r, r_np, rtol=1e-6, atol=1e-12)
+    x = np.arange(N, dtype=np.float64)
+    y = eng.spmv("plus_second", x)
+    expect = np.bincount(dst, weights=x[src], minlength=N)
+    np.testing.assert_allclose(y, expect)
+    eng.shutdown()
+
+
+def test_hub_split_skewed_graph():
+    """Power-law skew: one vertex receives ~60% of all edges. With
+    hub_split_factor the oversized dst range is split across duplicate
+    actors and _stitch monoid-merges their partials — results must be
+    identical to the unsplit engine and the numpy oracle."""
+    import pyarrow as pa
+    from python_graphblas_ray.state.superstep import SuperstepEngine
+    rng = np.random.default_rng(5)
+    n = 200
+    # 3000 edges into the hub (vertex 7), 2000 spread elsewhere
+    hub_src = rng.integers(0, n, 3000)
+    oth_src = rng.integers(0, n, 2000)
+    oth_dst = rng.integers(0, n, 2000)
+    src = np.concatenate([hub_src, oth_src]).astype(np.int64)
+    dst = np.concatenate([np.full(3000, 7), oth_dst]).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    ds = ray.data.from_arrow(pa.table({
+        "src": src, "dst": dst, "val": np.ones(len(src))}))
+    eng = SuperstepEngine(ds, n, num_partitions=4, hub_split_factor=1.5)
+    assert eng.has_hub_split, "the planted hub must trigger splitting"
+    assert len(eng.actors) > 4
+    x = rng.random(n)
+    got = eng.spmv("plus_second", x)
+    expect = np.bincount(dst, weights=x[src], minlength=n)
+    np.testing.assert_allclose(got, expect)
+    got_min = eng.spmv("min_second", x)
+    exp_min = np.full(n, np.inf)
+    np.minimum.at(exp_min, dst, x[src])
+    np.testing.assert_allclose(got_min, exp_min)
+    # pagerank via the monoid-merging driver loop still matches
+    r, iters, _ = pagerank(eng, tol=1e-6)
+    r_np, iters_np = pagerank_numpy(src, dst, n, tol=1e-6)
+    assert iters == iters_np
+    np.testing.assert_allclose(r, r_np, rtol=1e-6, atol=1e-12)
+    # LPA refuses a split engine with a clear error
+    with pytest.raises(NotImplementedError):
+        eng.mode(np.arange(n, dtype=np.int64))
+    eng.shutdown()
+
+
 def test_pagerank_checkpoint_resume(engine, graph, tmp_path):
     src, dst, w, ds = graph
     ck = CheckpointManager(str(tmp_path), "pr_run", num_partitions=3)
