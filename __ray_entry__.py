@@ -172,6 +172,37 @@ def _q_kronecker(sf_dir):
     return A.kronecker(B, "times").ds
 
 
+def _q_degree_mean(sf_dir):
+    """reduce_rowwise with a composite Aggregator (mean = sum/count
+    partials + finalize — reference ``agg.py:478``)."""
+    from python_graphblas_ray.functions.aggregators import agg
+
+    return _vec(_edge_matrix(sf_dir).reduce_rowwise(agg["mean"]))
+
+
+def _q_mxv_masked(sf_dir):
+    """Masked mxv: structural mask keeps only rows where the degree
+    vector has an entry with val > 8 (mask pushed into the pipeline as a
+    broadcast semi-join)."""
+    from python_graphblas_ray.functions.monoids import semiring
+
+    A = _edge_matrix(sf_dir)
+    d_in = A.reduce_columnwise("plus")
+    mask = d_in.select(">", 8.0)
+    return _vec(A.mxv(d_in, semiring.plus_times, mask=mask))
+
+
+def _q_vec_ewise_add(sf_dir):
+    A = _edge_matrix(sf_dir)
+    return _vec(A.reduce_rowwise("plus").ewise_add(
+        A.reduce_columnwise("plus"), "plus"))
+
+
+def _q_vec_extract(sf_dir):
+    A = _edge_matrix(sf_dir)
+    return _vec(A.reduce_rowwise("plus").extract(slice(10, 100)))
+
+
 def _q_row_scan(sf_dir):
     from python_graphblas_ray.stages.perrow import row_scan
 
@@ -423,6 +454,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_in": _q_degree_in,
         "reduce_scalar_plus": _q_reduce_scalar_plus,
         "reduce_scalar_max": _q_reduce_scalar_max,
+        "degree_mean": _q_degree_mean,
+        # vector ops
+        "mxv_masked": _q_mxv_masked,
+        "vec_ewise_add": _q_vec_ewise_add,
+        "vec_extract": _q_vec_extract,
         # semiring matmuls
         "mxv_plus_times": _q_mxv_plus_times,
         "vxm_min_plus": _q_vxm_min_plus,
@@ -480,6 +516,25 @@ def oracle_sql() -> dict[str, str]:
                       "FROM E GROUP BY 1"),
         "reduce_scalar_plus": f"{E} SELECT sum(val) AS val FROM E",
         "reduce_scalar_max": f"{E} SELECT max(val) AS val FROM E",
+        "degree_mean": (f"{E} SELECT src AS vid, avg(val) AS val "
+                        "FROM E GROUP BY 1"),
+        "mxv_masked": (
+            f"{E}, d AS (SELECT dst AS vid, sum(val) AS val FROM E "
+            "GROUP BY 1), w AS ("
+            "SELECT e.src AS vid, sum(e.val * d.val) AS val "
+            "FROM E e JOIN d ON e.dst = d.vid GROUP BY 1) "
+            "SELECT vid, val FROM w "
+            "WHERE vid IN (SELECT vid FROM d WHERE val > 8.0)"),
+        "vec_ewise_add": (
+            f"{E}, o AS (SELECT src AS vid, sum(val) AS val FROM E "
+            "GROUP BY 1), i AS (SELECT dst AS vid, sum(val) AS val "
+            "FROM E GROUP BY 1) "
+            "SELECT COALESCE(o.vid, i.vid) AS vid, "
+            "COALESCE(o.val, 0) + COALESCE(i.val, 0) AS val "
+            "FROM o FULL OUTER JOIN i ON o.vid = i.vid"),
+        "vec_extract": (
+            f"{E} SELECT src - 10 AS vid, sum(val) AS val FROM E "
+            "WHERE src >= 10 AND src < 100 GROUP BY 1"),
         "mxv_plus_times": (
             f"{E}, d AS (SELECT dst AS vid, sum(val) AS val FROM E "
             "GROUP BY 1) "

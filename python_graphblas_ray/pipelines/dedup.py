@@ -171,9 +171,18 @@ def _band_rows(sig_batch: pa.Table, bands: int, rows: int,
 
 
 def _dedup_pairs(pairs_ds):
-    """Distinct (ia, ib) via one native groupby-count (vectorized; no
-    per-group Python)."""
-    out = pairs_ds.groupby(["ia", "ib"]).count()
+    """Distinct (ia, ib) via the combining groupby (vectorized; driver
+    merge when the distinct set is small)."""
+    from ..functions.monoids import monoid
+    from ..stages.reduce import groupby_monoid
+
+    def add_one(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "val", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+
+    out = groupby_monoid(pairs_ds.map_batches(add_one,
+                                              batch_format="pyarrow"),
+                         ["ia", "ib"], "val", monoid["min"])
 
     def drop(batch: pa.Table) -> pa.Table:
         return batch.select(["ia", "ib"])
@@ -455,11 +464,15 @@ def word_jaccard_pairs(docs_ds, threshold=0.8, text_col="text",
         a = batch[ca].to_numpy(zero_copy_only=False)
         b = batch[cb].to_numpy(zero_copy_only=False)
         keep = a < b
-        return pa.table({"ia": a[keep], "ib": b[keep]})
+        return pa.table({"ia": a[keep], "ib": b[keep],
+                         "inter": np.ones(int(keep.sum()),
+                                          dtype=np.int64)})
 
-    co = _rename(j.map_batches(ordered, batch_format="pyarrow")
-                 .groupby(["ia", "ib"]).count(),
-                 {"count()": "inter"})  # (ia, ib, inter = |A ∩ B|)
+    from ..functions.monoids import monoid as _m
+    from ..stages.reduce import groupby_monoid as _gbm
+
+    co = _gbm(j.map_batches(ordered, batch_format="pyarrow"),
+              ["ia", "ib"], "inter", _m["plus"])  # inter = |A ∩ B|
 
     s_a = hash_join(co, sizes_a, on=("ia",), how="inner")
     s_ab = hash_join(s_a, sizes_b, on=("ib",), how="inner")

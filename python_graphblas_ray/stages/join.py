@@ -25,12 +25,11 @@ import ray.data
 DEFAULT_JOIN_PARTITIONS = 16
 
 
-def _num_join_partitions(*dss):
-    try:
-        n = max(ds.num_blocks() for ds in dss)
-    except Exception:
-        n = DEFAULT_JOIN_PARTITIONS
-    return max(1, min(64, n))
+def _num_join_partitions(total_rows):
+    """Partitions sized to the data: ~500k rows per join partition. Tiny
+    joins collapse to one partition (hash-shuffle fixed cost dominates
+    them); the cap keeps very large joins within task-overhead sanity."""
+    return max(1, min(64, int(total_rows) // 500_000 + 1))
 
 
 def _materialize_clean(ds):
@@ -155,7 +154,8 @@ def hash_join(left, right, on, right_on=None, how="inner",
         return _empty_side_result(present_ds, present_side, left_schema,
                                   right_schema, on, right_on, how,
                                   left_suffix, right_suffix)
-    num_partitions = num_partitions or _num_join_partitions(left_c, right_c)
+    num_partitions = num_partitions or _num_join_partitions(
+        left_n + right_n)
     return left_c.join(
         right_c,
         join_type=how,

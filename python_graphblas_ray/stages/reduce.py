@@ -105,17 +105,43 @@ def _monoid_aggregate_fn(monoid, val_col, out_col):
 
 
 def groupby_monoid(ds, key_cols, val_col, monoid, out_col=None,
-                   pre_aggregate=True):
+                   pre_aggregate=True, driver_merge_threshold=4_000_000):
     """``ds.groupby(keys).aggregate(monoid)`` with per-batch combining.
 
-    Maps monoid → Ray builtin aggregate (Sum/Min/Max hit Arrow-native
-    vectorized paths) when possible, else a generic AggregateFn. Returns a
-    Dataset with columns ``key_cols + [out_col]``.
+    The per-batch combiner shrinks the stream to ≤ one row per (key,
+    block). When the combined partial set is small (≤
+    ``driver_merge_threshold`` rows — it is bounded by
+    #distinct-keys × #blocks, NOT by input rows), the final merge runs
+    as one vectorized ``np_group_reduce`` on the driver: Ray's
+    sort-shuffle groupby costs ~30s on even 250k two-key rows, two
+    orders of magnitude more than the numpy merge. Larger partial sets
+    (true large-key-cardinality outputs) take the distributed
+    groupby/aggregate shuffle. Returns a Dataset with columns
+    ``key_cols + [out_col]``.
     """
     out_col = out_col or val_col
     if pre_aggregate:
         ds = ds.map_batches(make_batch_combiner(key_cols, val_col, monoid),
                             batch_format="pyarrow")
+    if driver_merge_threshold:
+        import ray.data
+
+        mat = ds.materialize()
+        if mat.count() <= driver_merge_threshold:
+            batches = list(mat.iter_batches(batch_format="pyarrow",
+                                            batch_size=1 << 20))
+            batches = [b for b in batches if b.num_rows]
+            if not batches:
+                return mat
+            t = pa.concat_tables(batches, promote_options="permissive")
+            keys = tuple(t[c].to_numpy(zero_copy_only=False)
+                         for c in key_cols)
+            vals = t[val_col].to_numpy(zero_copy_only=False)
+            k_out, v_out = np_group_reduce(keys, vals, monoid)
+            cols = {c: k for c, k in zip(key_cols, k_out)}
+            cols[out_col] = v_out
+            return ray.data.from_arrow(pa.table(cols))
+        ds = mat
     key = key_cols[0] if len(key_cols) == 1 else key_cols
     builtin = {
         "plus": Sum, "min": Min, "max": Max,
