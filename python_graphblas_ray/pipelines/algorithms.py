@@ -191,8 +191,11 @@ def bfs_level(engine: SuperstepEngine, source: int,
     q[source] = True
     level = 1
     while q.any():
-        reached = engine.spmv("lor_second", q)
-        q = reached & (v < 0)  # q<(~v.S)> masked push
+        # frontier-masked push: only edges whose src is in the frontier
+        # are touched (work ∝ frontier out-edges, not E per level)
+        reached = engine.spmv_masked("plus_second",
+                                     q.astype(np.float64), q)
+        q = (reached > 0) & (v < 0)  # q<(~v.S)> masked push
         v[q] = level
         metrics.record(level, algorithm="bfs", frontier=int(q.sum()))
         level += 1
@@ -208,18 +211,20 @@ def sssp(engine: SuperstepEngine, source: int,
     metrics = metrics or SuperstepMetrics()
     dist = np.full(n, np.inf)
     dist[source] = 0.0
+    active = np.zeros(n, dtype=bool)
+    active[source] = True
     it = 0
     itermax = itermax or n
-    while it < itermax:
-        nd = engine.spmv("min_plus", dist)
+    while it < itermax and active.any():
+        # delta relaxation: only out-edges of vertices whose distance
+        # improved last round can improve anything this round
+        nd = engine.spmv_masked("min_plus", dist, active)
         new = np.minimum(dist, nd)
-        changed = bool(np.any(new < dist))
+        active = new < dist
         metrics.record(it, algorithm="sssp",
                        settled=int(np.isfinite(new).sum()))
         dist = new
         it += 1
-        if not changed:
-            break
     return dist, metrics
 
 
