@@ -379,6 +379,27 @@ def _q_doc_stats(sf_dir):
     return ds.select_columns(["doc_id", "q_len", "q_words"])
 
 
+def _q_quality_filter(sf_dir):
+    """Quality-gate pipeline: score docs, keep q_words ≥ 40, count per
+    lang (the C4-style filter step as a query)."""
+    from python_graphblas_ray.stages.text import quality_score
+
+    ds = quality_score(_read(sf_dir, "documents",
+                             columns=["doc_id", "text", "lang"]))
+
+    def filt(batch: pa.Table) -> pa.Table:
+        keep = batch["q_words"].to_numpy(zero_copy_only=False) >= 40
+        return batch.filter(pa.array(keep)).select(["lang"])
+
+    kept = ds.map_batches(filt, batch_format="pyarrow")
+
+    def cnt(group: pa.Table) -> pa.Table:
+        return pa.table({"lang": group["lang"].slice(0, 1),
+                         "n_docs": pa.array([group.num_rows], pa.int64())})
+
+    return kept.groupby("lang").map_groups(cnt, batch_format="pyarrow")
+
+
 def _q_lang_count(sf_dir):
     ds = _read(sf_dir, "documents", columns=["lang"])
 
@@ -500,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "doc_stats": _q_doc_stats,
         "lang_count": _q_lang_count,
+        "quality_filter": _q_quality_filter,
         "events_window": _q_events_window,
         "events_sessionize": _q_events_sessionize,
         "lineitem_agg": _q_lineitem_agg,
@@ -646,6 +668,22 @@ def oracle_sql() -> dict[str, str]:
             "AS q_words FROM documents"),
         "lang_count": ("SELECT lang, CAST(count(*) AS BIGINT) AS n_docs "
                        "FROM documents GROUP BY 1"),
+        "quality_filter": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM documents "
+            "WHERE length(regexp_extract_all(text, '[a-zA-Z]+')) >= 40 "
+            "GROUP BY 1"),
+        "connected_components": (
+            "WITH RECURSIVE E AS (SELECT l_orderkey % 512 AS src, "
+            "l_partkey % 512 AS dst FROM lineitem GROUP BY 1, 2), "
+            "V AS (SELECT range::BIGINT AS vid FROM range(512)), "
+            "E2 AS (SELECT src, dst FROM E "
+            "UNION SELECT dst AS src, src AS dst FROM E), "
+            "reach(vid, root) AS (SELECT vid, vid FROM V UNION "
+            "SELECT e.dst, r.root FROM reach r JOIN E2 e "
+            "ON e.src = r.vid) "
+            "SELECT vid, CAST(min(root) AS BIGINT) AS comp FROM reach "
+            "GROUP BY vid"),
         "events_window": (
             "SELECT event_type, date_trunc('day', ts) AS window, "
             "CAST(count(*) AS BIGINT) AS n, min(value) AS vmin, "

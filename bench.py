@@ -47,8 +47,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
     DataContext.get_current().enable_progress_bars = False
 
-    from python_graphblas_ray.pipelines.algorithms import (
-        build_engine, connected_components, pagerank)
+    from python_graphblas_ray.pipelines.algorithms import build_engine
     from python_graphblas_ray.pipelines.dedup import minhash_lsh_pairs
     from python_graphblas_ray.pipelines.ingest import extract_edges
     from python_graphblas_ray.pipelines.similarity import ann_topk
@@ -86,7 +85,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                          undirected=True)
     timings["graph_build_undirected"] = time.time() - t0
     t0 = time.time()
-    f, cc_iters, _ = connected_components(eng_u)
+    f, cc_iters = eng_u.connected_components_inactor()
     timings["connected_components"] = time.time() - t0
     eng_u.shutdown()
 

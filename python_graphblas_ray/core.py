@@ -1388,6 +1388,38 @@ class GBMatrix(_Base):
         self.ds = self.ds.materialize()
         return self
 
+    # ---- streaming access (reference core/ss/matrix.py:3686,:428) ----
+    def head(self, n=10, sort=False):
+        """First n entries (reference ``ss.head``)."""
+        ds = self.ds
+        if sort:
+            ds = ds.sort(["src", "dst"])
+        t = pa.concat_tables(list(ds.limit(n).iter_batches(
+            batch_format="pyarrow")), promote_options="permissive") \
+            if n else self.to_table().slice(0, 0)
+        return (t["src"].to_numpy(zero_copy_only=False),
+                t["dst"].to_numpy(zero_copy_only=False),
+                t["val"].to_numpy(zero_copy_only=False))
+
+    def iteritems(self, batch_size=1 << 16):
+        """Stream ((row, col), value) without materializing (reference
+        ``ss.iteritems`` ``core/ss/matrix.py:499``)."""
+        for b in self.ds.iter_batches(batch_format="pyarrow",
+                                      batch_size=batch_size):
+            r = b["src"].to_numpy(zero_copy_only=False)
+            c = b["dst"].to_numpy(zero_copy_only=False)
+            v = b["val"].to_numpy(zero_copy_only=False)
+            for i in range(len(r)):
+                yield (int(r[i]), int(c[i])), v[i]
+
+    def iterkeys(self, batch_size=1 << 16):
+        for k, _ in self.iteritems(batch_size):
+            yield k
+
+    def itervalues(self, batch_size=1 << 16):
+        for _, v in self.iteritems(batch_size):
+            yield v
+
     # ---- masks: A.S / A.V views (reference matrix.py:286,:291) ----
     @property
     def S(self):

@@ -202,21 +202,7 @@ class GraphPartitionActor:
         # offsets, so a superstep touches O(E/P) — never O(n) — and only
         # the slices this partition's sources live in are fetched
         # (multi-node: only those move; single node: shared-memory reads)
-        self._pr_gather = []
-        if self.nedges:
-            P = len(self._pr_bounds)
-            sp = np.clip(np.searchsorted(self._pr_bounds, self.src,
-                                         "right") - 1, 0, P - 1)
-            order = np.argsort(sp, kind="stable")
-            sps = sp[order]
-            starts = np.flatnonzero(np.concatenate(
-                [[True], sps[1:] != sps[:-1]]))
-            ends = np.append(starts[1:], len(sps))
-            for s, e in zip(starts, ends):
-                p = int(sps[s])
-                pos = order[s:e]
-                local = self.src[pos] - self._pr_bounds[p]
-                self._pr_gather.append((p, pos, local))
+        self._ensure_gather_plan()
 
     def pr_set_r(self, r_slice):
         self._pr_r = np.asarray(r_slice, dtype=np.float64)
@@ -257,6 +243,76 @@ class GraphPartitionActor:
 
     def pr_result(self):
         return self._pr_r
+
+    # ---- in-actor FastSV connected components (O(P) driver) ----
+    def cc_init(self, n, bounds):
+        """f = gp = identity on this dst-range slice; gather plan reuses
+        the PageRank source-partition plan (same edge layout)."""
+        self._pr_n = int(n)
+        self._pr_bounds = np.asarray(bounds, dtype=np.int64)
+        lo, hi = self.lo, self.hi
+        self._cc_f = np.arange(lo, hi, dtype=np.int64)
+        self._cc_gp = self._cc_f.copy()
+        self._cc_gp_prev = self._cc_f.copy()
+        self._ensure_gather_plan()
+        return self._cc_gp
+
+    def _ensure_gather_plan(self):
+        if getattr(self, "_pr_gather", None) is not None:
+            return
+        self._pr_gather = []
+        if self.nedges:
+            P = len(self._pr_bounds)
+            sp = np.clip(np.searchsorted(self._pr_bounds, self.src,
+                                         "right") - 1, 0, P - 1)
+            order = np.argsort(sp, kind="stable")
+            sps = sp[order]
+            starts = np.flatnonzero(np.concatenate(
+                [[True], sps[1:] != sps[:-1]]))
+            ends = np.append(starts[1:], len(sps))
+            for s, e in zip(starts, ends):
+                p = int(sps[s])
+                pos = order[s:e]
+                local = self.src[pos] - self._pr_bounds[p]
+                self._pr_gather.append((p, pos, local))
+
+    def cc_hook(self, gp_refs):
+        """FastSV steps 1+2 on this slice: mngp = min over in-edges of
+        gp[src] (slice-exchange gather), then f = min(f, mngp, gp).
+        Returns the updated f slice."""
+        size = self.hi - self.lo
+        mngp = np.full(size, np.iinfo(np.int64).max, dtype=np.int64)
+        if self.nedges:
+            slices = ray.get([gp_refs[p] for p, _, _ in self._pr_gather])
+            vals = np.empty(self.nedges, dtype=np.int64)
+            for (p, pos, local), sl in zip(self._pr_gather, slices):
+                vals[pos] = sl[local]
+            mngp[self.group_dst] = np.minimum.reduceat(vals, self.starts)
+        self._cc_f = np.minimum(np.minimum(self._cc_f, mngp), self._cc_gp)
+        return self._cc_f
+
+    @ray.method(num_returns=2)
+    def cc_grandparent(self, f_refs, bounds):
+        """FastSV step 3: gp = f[f] — a value-dependent gather across the
+        exchanged f slices. Returns (changed, gp slice) so the driver
+        forwards gp refs into the next round and fetches only the bool."""
+        bounds = np.asarray(bounds, dtype=np.int64)
+        P = len(bounds)
+        tgt = self._cc_f  # gp[i] = f[tgt[i]]
+        part = np.clip(np.searchsorted(bounds, tgt, "right") - 1, 0, P - 1)
+        gp = np.empty(len(tgt), dtype=np.int64)
+        needed = np.unique(part)
+        slices = ray.get([f_refs[p] for p in needed])
+        for p, sl in zip(needed, slices):
+            sel = part == p
+            gp[sel] = sl[tgt[sel] - bounds[p]]
+        changed = bool(np.any(gp != self._cc_gp_prev))
+        self._cc_gp_prev = gp.copy()
+        self._cc_gp = gp
+        return changed, gp
+
+    def cc_result(self):
+        return self._cc_f
 
     def mode_step(self, labels_ref):
         """Label-propagation kernel: for each dst in range, the most frequent
@@ -511,8 +567,39 @@ class SuperstepEngine:
         slices = ray.get([a.pr_result.remote() for a in self.actors])
         return self._stitch_exact(slices), i
 
-    def _stitch_exact(self, slices):
-        out = np.zeros(self.n)
+    def connected_components_inactor(self, metrics=None):
+        """FastSV with vertex state pinned in the actors: two O(P) rounds
+        per superstep (hook+shortcut, then the f[f] grandparent gather as
+        a value-dependent slice exchange). Identical recipe and superstep
+        count to ``pipelines.algorithms.connected_components``. The engine
+        must be built over the SYMMETRIZED edge table (undirected)."""
+        if self.has_hub_split:
+            raise NotImplementedError(
+                "connected_components_inactor assumes exclusive range "
+                "ownership; rebuild with hub_split_factor=None")
+        bounds = np.array([lo for lo, _ in self.ranges], dtype=np.int64)
+        gp_refs = [a.cc_init.remote(self.n, bounds) for a in self.actors]
+        ray.wait(gp_refs, num_returns=len(gp_refs))
+        it = 0
+        while True:
+            f_refs = [a.cc_hook.remote(gp_refs) for a in self.actors]
+            ray.wait(f_refs, num_returns=len(f_refs))
+            pairs = [a.cc_grandparent.remote(f_refs, bounds)
+                     for a in self.actors]
+            ch_refs = [p[0] for p in pairs]
+            gp_refs = [p[1] for p in pairs]
+            changed = any(ray.get(ch_refs))
+            if metrics is not None:
+                metrics.record(it, algorithm="fastsv_inactor",
+                               changed=changed)
+            it += 1
+            if not changed:
+                break
+        slices = ray.get([a.cc_result.remote() for a in self.actors])
+        return self._stitch_exact(slices, dtype=np.int64), it
+
+    def _stitch_exact(self, slices, dtype=np.float64):
+        out = np.zeros(self.n, dtype=dtype)
         for (lo, hi), s in zip(self.ranges, slices):
             if hi > lo:
                 out[lo:hi] = s

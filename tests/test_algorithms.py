@@ -98,6 +98,17 @@ def test_scan_partition_mode_matches_sort(graph):
     eng.shutdown()
 
 
+def test_connected_components_inactor(undirected_engine, graph):
+    """In-actor FastSV: exact same labels and superstep count as the
+    driver loop and the numpy oracle."""
+    src, dst, w, ds = graph
+    f, iters = undirected_engine.connected_components_inactor()
+    expect = connected_components_numpy(src, dst, N)
+    np.testing.assert_array_equal(f, expect)
+    f2, iters2, _ = connected_components(undirected_engine)
+    assert iters == iters2
+
+
 def test_hub_split_skewed_graph():
     """Power-law skew: one vertex receives ~60% of all edges. With
     hub_split_factor the oversized dst range is split across duplicate

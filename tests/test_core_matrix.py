@@ -414,3 +414,13 @@ def test_dedup():
     M = GBMatrix.from_dataset(ray.data.from_arrow(t), 3, 3).dedup("plus")
     assert M.nvals == 2
     assert M[0, 1].value == 3.0
+
+
+def test_head_and_iter(A):
+    r, c, v = A.head(5, sort=True)
+    assert len(r) == 5
+    items = dict(A.iteritems())
+    assert len(items) == A.nvals
+    rr, cc, vv = A.to_coo()
+    for i, j, x in zip(rr, cc, vv):
+        assert items[(int(i), int(j))] == x
