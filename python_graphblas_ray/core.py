@@ -1388,6 +1388,34 @@ class GBMatrix(_Base):
         self.ds = self.ds.materialize()
         return self
 
+    # ---- parquet sink/source (the Dataset-scale serialize/deserialize;
+    #      reference core/ss/matrix.py:4050,:4120) ----
+    def write_parquet(self, path, num_partitions=None):
+        """Partitioned Parquet sink (resumable output — one file per
+        block, never one giant file)."""
+        ds = self.ds
+        if num_partitions:
+            ds = ds.repartition(num_partitions)
+        ds.write_parquet(path)
+        return path
+
+    @classmethod
+    def read_parquet(cls, path, nrows=None, ncols=None, dtype="float64"):
+        import ray.data
+
+        ds = ray.data.read_parquet(path)
+        if nrows is None or ncols is None:
+            import pyarrow.compute as pc_
+            mx_r = mx_c = -1
+            for b in ds.select_columns(["src", "dst"]).iter_batches(
+                    batch_format="pyarrow", batch_size=1 << 20):
+                if b.num_rows:
+                    mx_r = max(mx_r, pc_.max(b["src"]).as_py())
+                    mx_c = max(mx_c, pc_.max(b["dst"]).as_py())
+            nrows = nrows if nrows is not None else mx_r + 1
+            ncols = ncols if ncols is not None else mx_c + 1
+        return cls(ds, nrows, ncols, dtype)
+
     # ---- streaming access (reference core/ss/matrix.py:3686,:428) ----
     def head(self, n=10, sort=False):
         """First n entries (reference ``ss.head``)."""

@@ -424,3 +424,15 @@ def test_head_and_iter(A):
     rr, cc, vv = A.to_coo()
     for i, j, x in zip(rr, cc, vv):
         assert items[(int(i), int(j))] == x
+
+
+def test_parquet_roundtrip(A, tmp_path):
+    p = str(tmp_path / "mat")
+    A.write_parquet(p, num_partitions=3)
+    import os
+    assert len([f for f in os.listdir(p) if f.endswith(".parquet")]) >= 1
+    from python_graphblas_ray.core import GBMatrix
+    B = GBMatrix.read_parquet(p, nrows=A.nrows, ncols=A.ncols)
+    assert A.isequal(B)
+    C = GBMatrix.read_parquet(p)  # shape inferred from data
+    assert C.nrows <= A.nrows and C.isequal(A.resize(C.nrows, C.ncols))
