@@ -555,6 +555,30 @@ class GBVector(_Base):
         self.ds = self.ds.materialize()
         return self
 
+    def write_parquet(self, path, num_partitions=None):
+        """Partitioned Parquet sink (checkpoint/export parity with the
+        matrix container)."""
+        ds = self.ds
+        if num_partitions:
+            ds = ds.repartition(num_partitions)
+        ds.write_parquet(path)
+        return path
+
+    @classmethod
+    def read_parquet(cls, path, size=None, dtype="float64"):
+        import pyarrow.compute as pc_
+        import ray.data
+
+        ds = ray.data.read_parquet(path)
+        if size is None:
+            mx = -1
+            for b in ds.select_columns(["vid"]).iter_batches(
+                    batch_format="pyarrow", batch_size=1 << 20):
+                if b.num_rows:
+                    mx = max(mx, pc_.max(b["vid"]).as_py())
+            size = mx + 1
+        return cls(ds, size, dtype)
+
     def __repr__(self):
         return f"GBVector(size={self.size}, dtype={self.dtype})"
 

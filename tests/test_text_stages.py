@@ -1,0 +1,73 @@
+"""Text-analysis stage unit tests against hand oracles."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from python_graphblas_ray.stages.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+
+def _run(fn, texts):
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts}))
+    return pa.concat_tables(list(fn(ds).iter_batches(
+        batch_format="pyarrow")), promote_options="permissive") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def test_token_count_oracle():
+    texts = ["one two  three", "  spaced   out ", "", "single"]
+    out = _run(token_count, texts)
+    assert list(out.ws_tokens) == [3, 2, 0, 1]
+    # bpe estimate = ceil(nonspace_chars / 4)
+    assert out.bpe_tokens_est[0] == (len("onetwothree") + 3) // 4
+
+
+def test_quality_score_components():
+    texts = ["The cat and the dog ran to the house.", "zzz"]
+    out = _run(quality_score, texts)
+    assert out.q_len[0] == len(texts[0])
+    assert out.q_words[0] == 9
+    assert out.q_punct_ratio[0] > 0
+    assert 0 <= out.quality_score[0] <= 1
+    assert out.quality_score[0] > out.quality_score[1]
+
+
+def test_lang_id_votes():
+    texts = [
+        "the cat and the dog in a house for it is that",  # en stopwords
+        "der hund und die katze ist nicht mit einem zu",  # de stopwords
+        "xyzzy qwerty",                                   # no votes
+    ]
+    out = _run(lang_id, texts)
+    assert out.lang_pred[0] == "en"
+    assert out.lang_pred[1] == "de"
+    assert out.lang_pred[2] == "und"
+    assert out.lang_conf[0] > 0.5
+
+
+def test_fingerprint_deterministic_and_content_sensitive():
+    texts = ["hello world document", "hello world document",
+             "completely different content here"]
+    out = _run(fingerprint, texts)
+    assert out.fingerprint[0] == out.fingerprint[1]
+    # min-of-rolling-hashes is robust to small edits by design; disjoint
+    # content must differ
+    assert out.fingerprint[0] != out.fingerprint[2]
+
+
+def test_vector_parquet_roundtrip(tmp_path):
+    from python_graphblas_ray.core import GBVector
+    v = GBVector.from_coo([1, 5, 9], [1.0, 2.0, 3.0], size=12)
+    p = str(tmp_path / "vec")
+    v.write_parquet(p, num_partitions=2)
+    w = GBVector.read_parquet(p, size=12)
+    assert v.isequal(w)
+    w2 = GBVector.read_parquet(p)
+    assert w2.size == 10
