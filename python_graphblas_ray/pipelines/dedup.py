@@ -328,16 +328,26 @@ class SimHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
+        word_lists = [t.split() for t in texts]
+        lens = np.fromiter((len(w) for w in word_lists), dtype=np.int64,
+                           count=len(word_lists))
         out = np.zeros(len(texts), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            words = t.split()
-            if not words:
-                continue
-            hs = np.fromiter((_hash_str_u64(w) for w in words),
-                             dtype=np.uint64, count=len(words))
-            bits = (hs[:, None] & self.bit_masks[None, :]) != 0
-            votes = bits.sum(axis=0) * 2 - len(hs)   # (+1/-1 votes)
-            out[i] = np.sum(self.bit_masks[votes > 0], dtype=np.uint64)
+        nonempty = np.flatnonzero(lens > 0)
+        if len(nonempty):
+            flat_words = [w for i in nonempty for w in word_lists[i]]
+            H = np.fromiter((_hash_str_u64(w) for w in flat_words),
+                            dtype=np.uint64, count=len(flat_words))
+            starts = np.zeros(len(nonempty), dtype=np.int64)
+            np.cumsum(lens[nonempty][:-1], out=starts[1:])
+            ne_lens = lens[nonempty]
+            acc = np.zeros(len(nonempty), dtype=np.uint64)
+            # per bit: one reduceat over ALL words (no per-doc loop)
+            for b in range(64):
+                ones = ((H >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+                votes = np.add.reduceat(ones, starts)
+                acc |= (np.uint64(1) << np.uint64(b)) * (
+                    (2 * votes > ne_lens).astype(np.uint64))
+            out[nonempty] = acc
         return pa.table({self.id_col: batch[self.id_col],
                          "simhash": out.view(np.int64)})
 
@@ -364,12 +374,15 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
         return ((x * h01) >> np.uint64(56)).astype(np.int64)
 
 
-def simhash_pairs(docs_ds, max_hamming=3, text_col="text", id_col="doc_id"):
+def simhash_pairs(docs_ds, max_hamming=3, text_col="text", id_col="doc_id",
+                  max_bucket=512):
     """Near-dup pairs with Hamming(simhash) ≤ ``max_hamming`` via the
     pigeonhole trick: any pair within Hamming ≤ 3 agrees exactly on at
     least one of 4 16-bit bands → hash-join on each band's chunk key,
     then a vectorized popcount verify. One join shuffle, no per-group
-    Python."""
+    Python. Buckets over ``max_bucket`` members are dropped before the
+    join (quadratic-blowup guard, same as the MinHash path) — real
+    near-dup clusters that big still surface through their other bands."""
     sigs = simhash_signatures(docs_ds, text_col, id_col)
 
     def bands(batch: pa.Table) -> pa.Table:
@@ -385,8 +398,10 @@ def simhash_pairs(docs_ds, max_hamming=3, text_col="text", id_col="doc_id"):
                          id_col: np.tile(ids, 4),
                          "simhash": np.tile(sh.view(np.int64), 4)})
 
-    band_ds = sigs.map_batches(bands, batch_format="pyarrow")
-    j = hash_join(band_ds, band_ds, on=("bkey",), how="inner",
+    band_ds = sigs.map_batches(bands, batch_format="pyarrow").materialize()
+    hot_ref = _hot_bucket_keys(band_ds, max_bucket)
+    cold = semi_join_filter(band_ds, ("bkey",), hot_ref, anti=True)
+    j = hash_join(cold, cold, on=("bkey",), how="inner",
                   left_suffix="_a", right_suffix="_b")
     ca, cb = f"{id_col}_a", f"{id_col}_b"
 
