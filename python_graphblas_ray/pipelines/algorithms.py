@@ -50,9 +50,9 @@ def symmetrize(edges_ds):
 def build_engine(edges_ds, n, num_partitions=8, weighted=False,
                  undirected=False, **engine_kwargs):
     """``engine_kwargs`` pass through to ``SuperstepEngine`` (e.g.
-    ``partition_mode="scan"``, ``hub_split_factor=None`` — the latter is
-    required for ``label_propagation``, whose per-dst mode kernel needs
-    whole dst groups)."""
+    ``partition_mode="scan"``, ``hub_split_factor=...``). All algorithm
+    kernels — including LPA's mode, which count-merges sparse partials
+    across split hub partitions — are hub-split-safe."""
     if undirected:
         edges_ds = symmetrize(edges_ds)
     return SuperstepEngine(edges_ds, n, num_partitions=num_partitions,

@@ -18,11 +18,11 @@ the property the one-time sort buys, and it holds at any scale.
 Skew (power-law hubs, SURVEY §4): partition boundaries are **edge-count
 balanced** (quantiles of dst over the edge distribution), so a hub's
 in-edges land in one partition but partitions hold equal edge counts.
-``hub_split`` additionally splits any dst range whose edge count exceeds
-``2×`` the target into duplicate-range actors whose slices the driver
-merges with the semiring monoid (safe for all monoids used here; the
-mode/LPA kernel documents that it requires hub_split to keep dst groups
-whole, which edge-balanced boundaries guarantee).
+``hub_split_factor`` additionally splits any dst range whose edge count
+exceeds that multiple of the target into duplicate-range actors whose
+slices the driver merges with the semiring monoid (safe: every kernel's
+reduction is associative+commutative; the mode/LPA kernel count-merges
+sparse (dst, label, count) partials across splits before its argmax).
 
 Scale notes: the broadcast frontier is O(n) floats — right while a vertex
 vector fits a node (256-node cluster: 10^9-10^10 vertices); beyond that the
@@ -48,6 +48,21 @@ _KINDS = {
     "max_second": (np.maximum, -np.inf, True, False),
     "lor_second": (np.logical_or, False, True, False),
 }
+
+
+def _argmax_per_dst(ud, ul, counts, size):
+    """Per dst: label with max count, ties → smallest label. Inputs sorted
+    by (dst, label) asc, so a stable sort on -count keeps label ascending
+    within equal counts."""
+    out = np.full(size, -1, dtype=np.int64)
+    if len(ud):
+        order = np.lexsort((ul, -counts, ud))
+        ud_s = ud[order]
+        first = np.empty(len(ud_s), dtype=bool)
+        first[0] = True
+        first[1:] = ud_s[1:] != ud_s[:-1]
+        out[ud_s[first]] = ul[order][first]
+    return out
 
 
 @ray.remote
@@ -314,35 +329,38 @@ class GraphPartitionActor:
     def cc_result(self):
         return self._cc_f
 
+    def _mode_counts(self, labels):
+        """Sparse per-(local dst, label) in-neighbor counts."""
+        dstl = self.dstl
+        lab = labels[self.src]
+        # pack keys (labels < 2**31 guaranteed by n)
+        packed = (dstl.astype(np.int64) << np.int64(31)) | lab
+        uniq, counts = np.unique(packed, return_counts=True)
+        return (uniq >> np.int64(31), uniq & np.int64((1 << 31) - 1),
+                counts.astype(np.int64))
+
     def mode_step(self, labels_ref):
         """Label-propagation kernel: for each dst in range, the most frequent
         label among in-neighbors, ties → smallest label. Exact and
-        deterministic (synchronous LPA). Requires whole dst groups
-        (guaranteed by dst-range partitioning)."""
+        deterministic (synchronous LPA)."""
         labels = (ray.get(labels_ref)
                   if isinstance(labels_ref, ray.ObjectRef) else labels_ref)
         size = self.hi - self.lo
-        out = np.full(size, -1, dtype=np.int64)
         if not self.nedges:
-            return out
-        dstl = self.dstl
-        lab = labels[self.src]
-        # count per (dst, label): pack keys (labels < 2**31 guaranteed by n)
-        packed = (dstl.astype(np.int64) << np.int64(31)) | lab
-        uniq, counts = np.unique(packed, return_counts=True)
-        ud = uniq >> np.int64(31)
-        ul = uniq & np.int64((1 << 31) - 1)
-        # per dst: max count, tie -> min label. Sort by (dst, -count, label);
-        # np.unique output is already sorted by (dst, label) asc, so a stable
-        # sort on -count keeps label ascending within equal counts.
-        order = np.lexsort((ul, -counts, ud))
-        ud_s = ud[order]
-        first = np.empty(len(ud_s), dtype=bool)
-        if len(ud_s):
-            first[0] = True
-            first[1:] = ud_s[1:] != ud_s[:-1]
-            out[ud_s[first]] = ul[order][first]
-        return out
+            return np.full(size, -1, dtype=np.int64)
+        ud, ul, counts = self._mode_counts(labels)
+        return _argmax_per_dst(ud, ul, counts, size)
+
+    def mode_counts_step(self, labels_ref):
+        """Hub-split variant: return the SPARSE (dst, label, count)
+        partials so same-range splits can be count-merged before the
+        argmax (a split dst's in-edges live in several actors)."""
+        labels = (ray.get(labels_ref)
+                  if isinstance(labels_ref, ray.ObjectRef) else labels_ref)
+        if not self.nedges:
+            z = np.array([], dtype=np.int64)
+            return z, z, z
+        return self._mode_counts(labels)
 
 
 class SuperstepEngine:
@@ -483,17 +501,38 @@ class SuperstepEngine:
                             merge_ufunc=_KINDS[kind][0])
 
     def mode(self, labels):
-        if self.has_hub_split:
-            raise NotImplementedError(
-                "LPA's per-dst mode needs whole dst groups — rebuild the "
-                "engine with hub_split_factor=None (label counts cannot "
-                "be merged across split hub partitions)")
         l_ref = ray.put(labels)
-        slices = ray.get([a.mode_step.remote(l_ref) for a in self.actors])
         out = np.full(self.n, -1, dtype=np.int64)
-        for (lo, hi), s in zip(self.ranges, slices):
-            if hi > lo:
-                out[lo:hi] = s
+        if not self.has_hub_split:
+            slices = ray.get([a.mode_step.remote(l_ref)
+                              for a in self.actors])
+            for (lo, hi), s in zip(self.ranges, slices):
+                if hi > lo:
+                    out[lo:hi] = s
+            return out
+        # hub-split: same-range actors return sparse (dst, label, count)
+        # partials; merge counts per range, then one argmax per range
+        parts = ray.get([a.mode_counts_step.remote(l_ref)
+                         for a in self.actors])
+        by_range = {}
+        for (lo, hi), (ud, ul, cnt) in zip(self.ranges, parts):
+            by_range.setdefault((lo, hi), []).append((ud, ul, cnt))
+        for (lo, hi), chunks in by_range.items():
+            if hi <= lo:
+                continue
+            ud = np.concatenate([c[0] for c in chunks])
+            ul = np.concatenate([c[1] for c in chunks])
+            cnt = np.concatenate([c[2] for c in chunks])
+            if len(ud) == 0:
+                continue
+            # sum counts of identical (dst, label) pairs across splits
+            packed = (ud << np.int64(31)) | ul
+            uniq, inv = np.unique(packed, return_inverse=True)
+            merged = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(merged, inv, cnt)
+            out[lo:hi] = _argmax_per_dst(
+                uniq >> np.int64(31), uniq & np.int64((1 << 31) - 1),
+                merged, hi - lo)
         return out
 
     def _stitch(self, slices, identity, bool_out=False, merge_ufunc=None):

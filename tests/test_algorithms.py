@@ -144,9 +144,22 @@ def test_hub_split_skewed_graph():
     r_np, iters_np = pagerank_numpy(src, dst, n, tol=1e-6)
     assert iters == iters_np
     np.testing.assert_allclose(r, r_np, rtol=1e-6, atol=1e-12)
-    # LPA refuses a split engine with a clear error
-    with pytest.raises(NotImplementedError):
-        eng.mode(np.arange(n, dtype=np.int64))
+    # LPA mode kernel on the split engine: the sparse count-merge across
+    # split hub partitions must equal a hand argmax over all in-edges
+    lab0 = np.arange(n, dtype=np.int64)
+    got_mode = eng.mode(lab0)
+    exp_mode = np.full(n, -1, dtype=np.int64)
+    packed = (dst.astype(np.int64) << np.int64(31)) | lab0[src]
+    uniq, counts = np.unique(packed, return_counts=True)
+    ud = uniq >> np.int64(31)
+    ul = uniq & np.int64((1 << 31) - 1)
+    order = np.lexsort((ul, -counts, ud))
+    ud_s = ud[order]
+    first = np.empty(len(ud_s), dtype=bool)
+    first[0] = True
+    first[1:] = ud_s[1:] != ud_s[:-1]
+    exp_mode[ud_s[first]] = ul[order][first]
+    np.testing.assert_array_equal(got_mode, exp_mode)
     eng.shutdown()
 
 
