@@ -244,6 +244,22 @@ def _q_bfs_levels(sf_dir):
 # iterative algorithms (rows-only checks)
 # ---------------------------------------------------------------------------
 
+def _q_k_core(sf_dir):
+    from python_graphblas_ray.pipelines.kcore import k_core
+    from python_graphblas_ray.pipelines.triangles import simple_undirected
+
+    A = simple_undirected(_edge_dataset(sf_dir), N_VERT)
+    return k_core(A, 8).ds
+
+
+def _q_k_truss(sf_dir):
+    from python_graphblas_ray.pipelines.kcore import k_truss
+    from python_graphblas_ray.pipelines.triangles import simple_undirected
+
+    A = simple_undirected(_edge_dataset(sf_dir), N_VERT)
+    return k_truss(A, 5).ds
+
+
 def _q_pagerank(sf_dir):
     from python_graphblas_ray.pipelines.algorithms import (
         build_engine, pagerank)
@@ -504,6 +520,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "row_sort": _q_row_sort,
         # algorithms
         "triangle_count": _q_triangle_count,
+        "k_core": _q_k_core,
+        "k_truss": _q_k_truss,
         "bfs_levels": _q_bfs_levels,
         "pagerank": _q_pagerank,
         "connected_components": _q_connected_components,
