@@ -1097,7 +1097,7 @@ class GBMatrix(_Base):
         return out
 
     def mxm(self, other, op=None, mask=None, complement=False,
-            mask_structure=True):
+            mask_structure=True, mask_mode="broadcast"):
         """C = A ⊕.⊗ B over a semiring (reference ``matrix.py:2264``).
 
         Edge-table join ``A.dst == B.src`` (hash-partitioned shuffle) →
@@ -1136,9 +1136,24 @@ class GBMatrix(_Base):
         if mask is not None:
             mask, complement, mask_structure = _resolve_mask(
                 mask, complement, mask_structure)
-            mset = mask._mask_keyset(structure=mask_structure)
-            prod = semi_join_filter(prod, ("src", "dst"), mset,
-                                    anti=complement)
+            if mask_mode == "shuffle":
+                # scale path: mask key set too big to broadcast — apply
+                # it as a hash-partitioned semi join instead
+                from .stages.join import semi_join_shuffle
+
+                mask_keys = mask.ds
+                if not mask_structure:
+                    def truthy(batch: pa.Table) -> pa.Table:
+                        return batch.filter(pa.array(np.asarray(
+                            _np("val", batch), dtype=bool)))
+                    mask_keys = mask_keys.map_batches(
+                        truthy, batch_format="pyarrow")
+                prod = semi_join_shuffle(prod, ("src", "dst"),
+                                         mask_keys, anti=complement)
+            else:
+                mset = mask._mask_keyset(structure=mask_structure)
+                prod = semi_join_filter(prod, ("src", "dst"), mset,
+                                        anti=complement)
         out = groupby_monoid(prod, ["src", "dst"], "val", op.monoid)
         return GBMatrix(out, self.nrows, other.ncols, self.dtype)
 

@@ -192,6 +192,49 @@ def broadcast_key_set(ds, key_cols):
     return ray.put(keys)
 
 
+def semi_join_shuffle(ds, key_cols, keys_ds, anti=False,
+                      num_partitions=None):
+    """Shuffle-based semi/anti join — the scale path for key sets too big
+    to broadcast (``broadcast_key_set`` collects to the driver; this
+    never does). Implementation: distinct the key side, hash-join, and
+    for ``anti`` use a left-outer join + null-probe filter.
+
+    ``keys_ds`` must contain exactly ``key_cols``.
+    """
+    key_cols = tuple(key_cols)
+
+    def distinct_keys(batch: pa.Table) -> pa.Table:
+        arrs = [batch[c].to_numpy(zero_copy_only=False) for c in key_cols]
+        packed = _key_view(arrs)
+        _, first = np.unique(packed, return_index=True)
+        return batch.select(list(key_cols)).take(pa.array(first))
+
+    keys_d = keys_ds.select_columns(list(key_cols)).map_batches(
+        distinct_keys, batch_format="pyarrow")
+    # block-level distinct above + groupby-free join below: duplicates
+    # across blocks are removed by marking instead of multiplying — we
+    # join against (keys, marker) and keep/drop on marker presence
+    marked = keys_d.map_batches(
+        lambda b: b.append_column("__m", pa.array(
+            np.ones(b.num_rows, dtype=np.int8))),
+        batch_format="pyarrow")
+    from ..functions.monoids import monoid as _mono
+    from .reduce import groupby_monoid
+
+    # exact distinct across blocks (combining groupby; driver merge when
+    # small) so the inner join can't fan out rows
+    marked = groupby_monoid(marked, list(key_cols), "__m", _mono["min"])
+
+    joined = hash_join(ds, marked, on=key_cols, how="left_outer")
+
+    def probe(batch: pa.Table) -> pa.Table:
+        hit = ~np.asarray(batch["__m"].is_null())
+        keep = ~hit if anti else hit
+        return batch.filter(pa.array(keep)).drop_columns(["__m"])
+
+    return joined.map_batches(probe, batch_format="pyarrow")
+
+
 def semi_join_filter(ds, key_cols, keyset_ref, anti=False):
     """Keep (semi) or drop (anti) rows whose packed key is in the broadcast
     sorted key set. One ``ray.get`` per task — zero-copy from the local

@@ -436,3 +436,17 @@ def test_parquet_roundtrip(A, tmp_path):
     assert A.isequal(B)
     C = GBMatrix.read_parquet(p)  # shape inferred from data
     assert C.nrows <= A.nrows and C.isequal(A.resize(C.nrows, C.ncols))
+
+
+def test_mxm_masked_shuffle_mode(A):
+    """mask_mode='shuffle' (hash-partitioned semi join — the big-mask
+    scale path) must equal the broadcast mask path, incl. complement."""
+    from python_graphblas_ray.functions.monoids import semiring
+    L = A.select("tril", thunk=-1)
+    b = L.mxm(L, semiring.plus_pair, mask=L.S)
+    s = L.mxm(L, semiring.plus_pair, mask=L.S, mask_mode="shuffle")
+    assert b.isequal(s)
+    bc = L.mxm(L, semiring.plus_pair, mask=L.S, complement=True)
+    sc = L.mxm(L, semiring.plus_pair, mask=L.S, complement=True,
+               mask_mode="shuffle")
+    assert bc.isequal(sc)
