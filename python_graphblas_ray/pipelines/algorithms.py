@@ -61,7 +61,8 @@ def build_engine(edges_ds, n, num_partitions=8, weighted=False,
 
 def pagerank(engine: SuperstepEngine, damping=0.85, itermax=100, tol=1e-4,
              checkpoint: CheckpointManager | None = None,
-             checkpoint_every=10, metrics: SuperstepMetrics | None = None):
+             checkpoint_every=10, metrics: SuperstepMetrics | None = None,
+             personalization=None):
     """LAGraph pagerank_3f (reference notebook, FP64 here).
 
     Returns ``(r, iters, metrics)``; ``iters`` matches the reference's
@@ -70,16 +71,24 @@ def pagerank(engine: SuperstepEngine, damping=0.85, itermax=100, tol=1e-4,
     Per iteration: ``w = t/d_scaled`` on vertices with out-degree (dangling
     vertices contribute nothing — ewise_mult intersection semantics),
     ``r = teleport + A.T@w (plus_second)``, ``rdiff = sum|t - r|``.
+
+    ``personalization``: optional per-vertex teleport distribution
+    (sums to 1) — personalized PageRank; ``None`` = uniform 1/n.
     """
     n = engine.n
     metrics = metrics or SuperstepMetrics()
-    teleport = (1.0 - damping) / n
+    if personalization is not None:
+        p = np.asarray(personalization, dtype=np.float64)
+        teleport = (1.0 - damping) * p
+    else:
+        teleport = (1.0 - damping) / n
     d_out = engine.out_degrees().astype(np.float64)
     has_out = d_out > 0
     d_scaled = np.where(has_out, d_out / damping, 1.0)
 
     start_iter = 0
-    r = np.full(n, 1.0 / n)
+    r = (p.copy() if personalization is not None
+         else np.full(n, 1.0 / n))
     rdiff = 1.0  # "first iteration is always done"
     if checkpoint is not None:
         latest = checkpoint.latest()
@@ -108,15 +117,20 @@ def pagerank(engine: SuperstepEngine, damping=0.85, itermax=100, tol=1e-4,
 
 
 def pagerank_numpy(src, dst, n, damping=0.85, itermax=100, tol=1e-4,
-                   dtype=np.float64):
+                   dtype=np.float64, personalization=None):
     """Single-process oracle — the same recipe in pure numpy (plays the
     role of running the reference's pagerank_3f; tests assert allclose
     1e-6 AND identical superstep count)."""
     d_out = np.bincount(src, minlength=n).astype(dtype)
     has_out = d_out > 0
     d_scaled = np.where(has_out, d_out / dtype(damping), 1.0)
-    teleport = (1.0 - damping) / n
-    r = np.full(n, 1.0 / n, dtype=dtype)
+    if personalization is not None:
+        p = np.asarray(personalization, dtype=dtype)
+        teleport = (1.0 - damping) * p
+        r = p.copy()
+    else:
+        teleport = (1.0 - damping) / n
+        r = np.full(n, 1.0 / n, dtype=dtype)
     rdiff = 1.0
     i = 0
     for i in range(itermax):

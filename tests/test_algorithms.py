@@ -70,6 +70,21 @@ def test_pagerank_matches_oracle(engine, graph):
     assert len(metrics.records) == iters
 
 
+def test_personalized_pagerank(engine, graph):
+    """Personalized teleport vector: same recipe, biased restart set."""
+    src, dst, w, ds = graph
+    p = np.zeros(N)
+    p[:10] = 0.1  # restart mass concentrated on vertices 0..9
+    r, iters, _ = pagerank(engine, tol=1e-6, personalization=p)
+    r_np, iters_np = pagerank_numpy(src, dst, N, tol=1e-6,
+                                    personalization=p)
+    assert iters == iters_np
+    np.testing.assert_allclose(r, r_np, rtol=1e-6, atol=1e-12)
+    # seeds hold more mass than under uniform teleport
+    r_u, _, _ = pagerank(engine, tol=1e-6)
+    assert r[:10].sum() > r_u[:10].sum()
+
+
 def test_pagerank_inactor_matches_oracle(engine, graph):
     """In-actor PageRank (vertex state partitioned into the actors, O(P)
     driver per superstep) must be bit-for-bit the same recipe: identical
