@@ -133,3 +133,39 @@ def test_select_golden(A):
     assert A.select("valueeq", 3).isequal(A3)
     A2cols = _golden([3, 0, 3, 5, 6], [0, 1, 2, 2, 2], [3, 2, 3, 1, 5])
     assert A.select("colle", 2).isequal(A2cols)
+
+
+# -- vector goldens (reference graphblas/tests/test_vector.py:299,:371,
+#    :402,:866) --------------------------------------------------------
+
+def test_vxm_golden(A, v):
+    w = v.vxm(A, semiring.plus_times)
+    expect = GBVector.from_coo([0, 2, 3, 4, 5, 6],
+                               [3.0, 3.0, 0.0, 8.0, 14.0, 4.0], size=7)
+    assert w.isequal(expect)
+
+
+def test_vector_ewise_golden(v):
+    v2 = GBVector.from_coo([0, 3, 5, 6], [2.0, 3.0, 2.0, 1.0], size=7)
+    assert v.ewise_mult(v2, "times").isequal(
+        GBVector.from_coo([3, 6], [3.0, 0.0], size=7))
+    assert v.ewise_add(v2, "max").isequal(GBVector.from_coo(
+        [0, 1, 3, 4, 5, 6], [2.0, 1.0, 3.0, 2.0, 2.0, 1.0], size=7))
+
+
+def test_vector_reduce_golden(v):
+    assert v.reduce("plus").value == 4
+    # structurally-empty reduce stays empty (allow_empty semantics)
+    empty = GBVector.from_coo([], [], size=7)
+    assert empty.reduce("plus").is_empty
+    assert empty.reduce("plus", allow_empty=False).value == 0
+
+
+def test_inner_outer_golden(v):
+    s = v.inner(v)
+    # Σ v_i² over present entries: 1+1+4+0 = 6
+    assert s.value == 6.0
+    O = v.outer(v, "times")
+    idx, vals = v.to_coo()
+    assert O.nvals == len(idx) ** 2
+    assert O.get(3, 4) == 2.0 and O.get(4, 4) == 4.0 and O.get(6, 6) == 0.0
