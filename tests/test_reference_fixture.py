@@ -169,3 +169,53 @@ def test_inner_outer_golden(v):
     idx, vals = v.to_coo()
     assert O.nvals == len(idx) ** 2
     assert O.get(3, 4) == 2.0 and O.get(4, 4) == 4.0 and O.get(6, 6) == 0.0
+
+
+# -- extract / assign / apply / kronecker goldens (test_matrix.py:427,
+#    :443,:607,:1158,:1714) --------------------------------------------
+
+def test_extract_golden(A):
+    result = _golden([0, 0, 1, 2, 2, 2], [0, 2, 1, 1, 2, 3],
+                     [2, 3, 3, 5, 7, 3], nrows=3, ncols=4)
+    assert A.extract([0, 3, 6], [1, 2, 3, 4]).isequal(result)
+    assert A.extract(slice(0, None, 3), slice(1, 5)).isequal(result)
+
+
+def test_extract_row_golden(A):
+    # A[6, cols] yields the row restricted to cols, remapped to 0..len-1
+    w = A[6, [0, 2, 4]]
+    expect = GBVector.from_coo([1, 2], [5.0, 3.0], size=3)
+    assert w.isequal(expect)
+
+
+def test_assign_matrix_golden(A):
+    B = GBMatrix.from_coo([0, 0, 1], [0, 1, 0],
+                          np.array([9, 8, 7], dtype=np.float64))
+    result = _golden(
+        [0, 0, 2, 3, 0, 3, 5, 6, 0, 6, 1, 6, 4, 1],
+        [0, 5, 0, 0, 1, 2, 2, 2, 3, 3, 4, 4, 5, 6],
+        [9, 8, 7, 3, 2, 3, 1, 5, 3, 7, 8, 3, 7, 4])
+    C = A.assign([0, 2], [0, 5], B)
+    assert C.isequal(result)
+
+
+def test_apply_golden(A):
+    result = _golden(_ROWS, _COLS, [-x for x in _VALS])
+    assert A.apply("ainv").isequal(result)
+
+
+def test_transpose_golden(A):
+    result = _golden(_COLS, _ROWS, _VALS)
+    assert A.T.isequal(result)
+
+
+def test_kronecker_golden():
+    A = GBMatrix.from_coo([0, 1, 1], [0, 0, 1],
+                          np.array([1, 2, 3], dtype=np.float64))
+    B = GBMatrix.from_coo([0, 0, 1, 1], [1, 2, 0, 2],
+                          np.array([2, 3, 8, 4], dtype=np.float64))
+    result = _golden(
+        [0, 0, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3],
+        [1, 2, 0, 2, 1, 2, 4, 5, 0, 2, 3, 5],
+        [2, 3, 8, 4, 4, 6, 6, 9, 16, 8, 24, 12], nrows=4, ncols=6)
+    assert A.kronecker(B, "times").isequal(result)
