@@ -8,8 +8,9 @@ Ray-Data-first:
 - ``exact_dedup``           — hash-partition on content key, keep first per
   group (one groupby shuffle; the Dataset-scale ``dup_op=first``).
 - ``minhash_signatures`` / ``minhash_lsh_pairs`` — shingle → MinHash →
-  LSH band buckets (flat_map) → per-bucket pair generation (groupby
-  map_groups) → exact-Jaccard verification on the candidates only.
+  LSH band-bucket keys (flat_map) → hot-bucket-guarded bucket self-join
+  → distinct candidate pairs → exact-Jaccard verification on the
+  candidates only (broadcast of the candidate shingle sets).
 - ``simhash_signatures`` / ``simhash_pairs`` — 64-bit SimHash; Hamming ≤ k
   near-dups via the pigeonhole band trick (4×16-bit exact-match buckets).
 - ``word_jaccard_pairs``    — exact n-gram/word-set Jaccard via a
