@@ -380,6 +380,17 @@ def _q_ann_topk(sf_dir):
                     k=10)
 
 
+def _q_doc_embed_ann(sf_dir):
+    """Text → feature-hashing embedding → ANN top-5 (the full text
+    similarity chain; hashing not SQL-reproducible → rows-only)."""
+    from python_graphblas_ray.pipelines.similarity import ann_topk
+    from python_graphblas_ray.stages.text import embed_text
+
+    emb = embed_text(_read(sf_dir, "documents",
+                           columns=["doc_id", "text"]), dim=64)
+    return ann_topk(emb, query_ids=list(range(5)), k=5, id_col="doc_id")
+
+
 def _q_token_count(sf_dir):
     from python_graphblas_ray.stages.text import token_count
 
@@ -536,6 +547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_sigs": _q_simhash_sigs,
         "embedding_neardup": _q_embedding_neardup,
         "ann_topk": _q_ann_topk,
+        "doc_embed_ann": _q_doc_embed_ann,
         "token_count": _q_token_count,
         "doc_stats": _q_doc_stats,
         "lang_count": _q_lang_count,

@@ -144,6 +144,58 @@ class Fingerprinter:
         return batch.append_column("fingerprint", pa.array(fps))
 
 
+class HashingEmbedder:
+    """Deterministic text → dense vector via feature hashing (the public
+    'hashing trick'): each token hashes to a dimension and a ±1 sign;
+    the vector is the L2-normalized signed bag-of-words. No model files —
+    the stand-in for a learned embedder with identical Ray plumbing
+    (actor-pool stage, list<float> output column ready for ANN / near-dup
+    cosine stages)."""
+
+    def __init__(self, dim=64, text_col="text"):
+        self.dim = int(dim)
+        self.text_col = text_col
+
+    @staticmethod
+    def _h(s: str) -> int:
+        h = 0xCBF29CE484222325
+        for b in s.encode("utf-8"):
+            h ^= b
+            h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        word_lists = [t.split() for t in texts]
+        lens = np.fromiter((len(w) for w in word_lists), dtype=np.int64,
+                           count=len(word_lists))
+        out = np.zeros((len(texts), self.dim))
+        nonempty = np.flatnonzero(lens > 0)
+        if len(nonempty):
+            flat = [w for i in nonempty for w in word_lists[i]]
+            H = np.fromiter((self._h(w) for w in flat), dtype=np.uint64,
+                            count=len(flat))
+            dims = (H % np.uint64(self.dim)).astype(np.int64)
+            signs = np.where((H >> np.uint64(63)) & np.uint64(1), -1.0, 1.0)
+            doc_idx = np.repeat(nonempty, lens[nonempty])
+            np.add.at(out, (doc_idx, dims), signs)
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        out = out / np.maximum(norms, 1e-30)
+        cols = {c: batch[c] for c in batch.column_names}
+        cols["embedding"] = pa.array(
+            [row.astype(np.float32).tolist() for row in out],
+            type=pa.list_(pa.float32()))
+        return pa.table(cols)
+
+
+def embed_text(docs_ds, dim=64, concurrency=4, batch_size=2048):
+    """documents → + embedding column (feature-hashing embedder)."""
+    return docs_ds.map_batches(
+        HashingEmbedder, fn_constructor_kwargs=dict(dim=dim),
+        batch_format="pyarrow", concurrency=(1, concurrency),
+        batch_size=batch_size)
+
+
 def token_count(docs_ds, concurrency=4):
     return docs_ds.map_batches(TokenCounter, batch_format="pyarrow",
                                concurrency=(1, concurrency), batch_size=4096)

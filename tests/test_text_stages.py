@@ -71,3 +71,35 @@ def test_vector_parquet_roundtrip(tmp_path):
     assert v.isequal(w)
     w2 = GBVector.read_parquet(p)
     assert w2.size == 10
+
+
+def test_hashing_embedder_end_to_end():
+    """Text → embedding → ANN chain: deterministic, unit-norm, and
+    near-dup texts land close in cosine space."""
+    from python_graphblas_ray.stages.text import embed_text
+    from python_graphblas_ray.pipelines.similarity import ann_topk
+    texts = []
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    for i in range(30):
+        words = (base + f" filler{i} extra{i} more{i} words{i}").split()
+        texts.append(" ".join(words))
+    texts.append(base + " filler0 extra0 more0 wordX")  # near-dup of doc 0
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}))
+    emb = embed_text(ds, dim=32).materialize()
+    t = pa.concat_tables(list(emb.iter_batches(batch_format="pyarrow")))
+    vecs = np.stack([np.asarray(x) for x in t["embedding"].to_pylist()])
+    np.testing.assert_allclose(np.linalg.norm(vecs, axis=1), 1.0,
+                               atol=1e-5)
+    # determinism
+    t2 = pa.concat_tables(list(embed_text(ds, dim=32).iter_batches(
+        batch_format="pyarrow")))
+    vecs2 = np.stack([np.asarray(x) for x in t2["embedding"].to_pylist()])
+    order = np.argsort(t["doc_id"].to_numpy(zero_copy_only=False))
+    order2 = np.argsort(t2["doc_id"].to_numpy(zero_copy_only=False))
+    np.testing.assert_array_equal(vecs[order], vecs2[order2])
+    # ANN over the generated embeddings finds the planted near-dup
+    out = pa.concat_tables(list(ann_topk(
+        emb, query_ids=[0], k=3, id_col="doc_id").iter_batches(
+        batch_format="pyarrow"))).to_pandas()
+    assert out[out["rank"] == 1].neighbor_id.iloc[0] == 30
