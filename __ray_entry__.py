@@ -304,6 +304,20 @@ def _q_label_propagation(sf_dir):
                      "label": labels})
 
 
+def _q_betweenness(sf_dir):
+    from python_graphblas_ray.pipelines.centrality import (
+        betweenness, reverse_edges)
+    from python_graphblas_ray.state.superstep import SuperstepEngine
+
+    edges = _edge_dataset(sf_dir).materialize()
+    fwd = SuperstepEngine(edges, N_VERT, num_partitions=4)
+    rev = SuperstepEngine(reverse_edges(edges), N_VERT, num_partitions=4)
+    bc = betweenness(fwd, rev, sources=list(range(8)))
+    fwd.shutdown()
+    rev.shutdown()
+    return pa.table({"vid": np.arange(N_VERT, dtype=np.int64), "bc": bc})
+
+
 def _q_pages_pagerank(sf_dir):
     """Flagship front-end: synthetic Common-Crawl-style pages → link
     extraction → PageRank (the BASELINE.json input_hint pipeline; sized by
@@ -538,6 +552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": _q_connected_components,
         "sssp": _q_sssp,
         "label_propagation": _q_label_propagation,
+        "betweenness": _q_betweenness,
         "pages_pagerank": _q_pages_pagerank,
         "pages_extract_text": _q_pages_extract_text,
         # training-data prep
