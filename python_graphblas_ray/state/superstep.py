@@ -329,6 +329,38 @@ class GraphPartitionActor:
     def cc_result(self):
         return self._cc_f
 
+    # ---- in-actor synchronous LPA (O(P) driver) ----
+    def lpa_init(self, n, bounds):
+        self._pr_n = int(n)
+        self._pr_bounds = np.asarray(bounds, dtype=np.int64)
+        self._lpa_lab = np.arange(self.lo, self.hi, dtype=np.int64)
+        self._ensure_gather_plan()
+        return self._lpa_lab
+
+    @ray.method(num_returns=2)
+    def lpa_step(self, lab_refs):
+        """One synchronous LPA superstep on this dst range: gather
+        neighbor labels by the slice-exchange plan, per-dst mode (ties →
+        smallest), keep own label when no in-neighbors. Returns
+        (changed, new label slice)."""
+        size = self.hi - self.lo
+        if self.nedges:
+            slices = ray.get([lab_refs[p] for p, _, _ in self._pr_gather])
+            lab = np.empty(self.nedges, dtype=np.int64)
+            for (p, pos, local), sl in zip(self._pr_gather, slices):
+                lab[pos] = sl[local]
+            packed = (self.dstl.astype(np.int64) << np.int64(31)) | lab
+            uniq, counts = np.unique(packed, return_counts=True)
+            mode = _argmax_per_dst(
+                uniq >> np.int64(31), uniq & np.int64((1 << 31) - 1),
+                counts.astype(np.int64), size)
+        else:
+            mode = np.full(size, -1, dtype=np.int64)
+        new = np.where(mode >= 0, mode, self._lpa_lab)
+        changed = bool(np.any(new != self._lpa_lab))
+        self._lpa_lab = new
+        return changed, new
+
     def _mode_counts(self, labels):
         """Sparse per-(local dst, label) in-neighbor counts."""
         dstl = self.dstl
@@ -636,6 +668,35 @@ class SuperstepEngine:
                 break
         slices = ray.get([a.cc_result.remote() for a in self.actors])
         return self._stitch_exact(slices, dtype=np.int64), it
+
+    def label_propagation_inactor(self, itermax=100, metrics=None):
+        """Synchronous deterministic LPA with labels pinned in the
+        actors — one fused O(P) round per superstep (changed flag + new
+        label slice per actor). Identical semantics and superstep count
+        to ``pipelines.algorithms.label_propagation``. Engine must be
+        undirected; hub-split engines unsupported (labels exchange
+        assumes exclusive range ownership)."""
+        if self.has_hub_split:
+            raise NotImplementedError(
+                "label_propagation_inactor assumes exclusive range "
+                "ownership; use pipelines.algorithms.label_propagation")
+        bounds = np.array([lo for lo, _ in self.ranges], dtype=np.int64)
+        lab_refs = [a.lpa_init.remote(self.n, bounds)
+                    for a in self.actors]
+        ray.wait(lab_refs, num_returns=len(lab_refs))
+        it = 0
+        for it in range(itermax):
+            pairs = [a.lpa_step.remote(lab_refs) for a in self.actors]
+            ch_refs = [p[0] for p in pairs]
+            lab_refs = [p[1] for p in pairs]
+            changed = any(ray.get(ch_refs))
+            if metrics is not None:
+                metrics.record(it, algorithm="lpa_inactor",
+                               changed=changed)
+            if not changed:
+                break
+        labels = self._stitch_exact(ray.get(lab_refs), dtype=np.int64)
+        return labels, it + 1
 
     def _stitch_exact(self, slices, dtype=np.float64):
         out = np.zeros(self.n, dtype=dtype)

@@ -256,6 +256,17 @@ def test_label_propagation_deterministic(undirected_engine, graph):
     np.testing.assert_array_equal(labels, expect)
 
 
+def test_label_propagation_inactor(undirected_engine, graph):
+    """In-actor LPA: identical labels and superstep count to the driver
+    loop and the numpy oracle."""
+    src, dst, w, ds = graph
+    labels, iters = undirected_engine.label_propagation_inactor(itermax=20)
+    expect = label_propagation_numpy(src, dst, N, itermax=20)
+    np.testing.assert_array_equal(labels, expect)
+    labels2, iters2, _ = label_propagation(undirected_engine, itermax=20)
+    assert iters == iters2
+
+
 def test_triangle_count(graph):
     src, dst, w, ds = graph
     A = simple_undirected(ds, N)
