@@ -87,6 +87,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.time()
     f, cc_iters = eng_u.connected_components_inactor()
     timings["connected_components"] = time.time() - t0
+    t0 = time.time()
+    labels, lpa_iters = eng_u.label_propagation_inactor(itermax=50)
+    timings["label_propagation"] = time.time() - t0
     eng_u.shutdown()
 
     t0 = time.time()
