@@ -219,3 +219,45 @@ def test_kronecker_golden():
         [1, 2, 0, 2, 1, 2, 4, 5, 0, 2, 3, 5],
         [2, 3, 8, 4, 4, 6, 6, 9, 16, 8, 24, 12], nrows=4, ncols=6)
     assert A.kronecker(B, "times").isequal(result)
+
+
+# -- reduce / diag / reposition goldens (test_matrix.py:1355,:1648,
+#    :1656,:2655-2681,:3792) -------------------------------------------
+
+def test_reduce_goldens(A):
+    rw = A.reduce_rowwise("plus")
+    assert rw.isequal(GBVector.from_coo(
+        [0, 1, 2, 3, 4, 5, 6],
+        [5.0, 12.0, 1.0, 6.0, 7.0, 1.0, 15.0], size=7))
+    cw = A.reduce_columnwise("plus")
+    assert cw.isequal(GBVector.from_coo(
+        [0, 1, 2, 3, 4, 5, 6],
+        [3.0, 2.0, 9.0, 10.0, 11.0, 8.0, 4.0], size=7))
+    assert A.reduce_scalar("plus").value == 47
+
+
+@pytest.mark.parametrize("k,indices,values", [
+    (0, [], []),
+    (1, [0, 4], [2, 7]),
+    (3, [0, 1, 2], [3, 8, 1]),
+    (10, [], []),
+    (-1, [2], [3]),
+    (-3, [0, 2, 3], [3, 1, 7]),
+    (-10, [], []),
+])
+def test_diag_goldens(A, k, indices, values):
+    expected = GBVector.from_coo(indices,
+                                 np.array(values, dtype=np.float64),
+                                 size=max(0, 7 - abs(k)))
+    assert A.diag(k).isequal(expected)
+    assert A.T.diag(-k).isequal(expected)
+
+
+@pytest.mark.parametrize("ro,co", [(1, 2), (-2, 0), (3, -4), (0, 0)])
+def test_reposition_goldens(A, ro, co):
+    r = np.array(_ROWS) + ro
+    c = np.array(_COLS) + co
+    keep = (r >= 0) & (r < 7) & (c >= 0) & (c < 7)
+    expected = _golden(r[keep], c[keep],
+                       np.array(_VALS, dtype=np.float64)[keep])
+    assert A.reposition(ro, co).isequal(expected)
