@@ -255,3 +255,37 @@ def test_decode_strict_raises_without_pil():
         pytest.skip("PIL present")
     with pytest.raises(NotImplementedError):
         ImageDecoder(mode=STRICT)
+
+
+def test_prepare_corpus_end_to_end():
+    """Flagship corpus-prep composition: quality gate + exact dedup +
+    near-dup removal + embedding, with per-stage lineage counts."""
+    from python_graphblas_ray.pipelines.corpus import prepare_corpus
+    rng = np.random.default_rng(11)
+    vocab = ("data model train token corpus sample batch shard layer "
+             "weight gradient loss epoch metric eval split merge clean "
+             "filter dedup").split()
+    texts = []
+    for i in range(40):
+        nw = 30 + int(rng.integers(0, 20))
+        texts.append(" ".join(vocab[j]
+                              for j in rng.integers(0, len(vocab), nw)))
+    texts += [texts[0], texts[1]]           # exact dups (40, 41)
+    w = texts[2].split(); w[3] = "changed"
+    texts.append(" ".join(w))               # near-dup of 2 (42)
+    texts += ["too short", "tiny"]          # quality rejects (43, 44)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts}))
+    clean, stats = prepare_corpus(ds, min_words=20, min_quality=0.0,
+                                  neardup_threshold=0.6)
+    t = _table(clean)
+    ids = set(t["doc_id"].to_numpy(zero_copy_only=False).tolist())
+    assert stats["input"] == 45
+    assert stats["after_quality"] == 43          # 2 short docs gone
+    assert stats["after_exact_dedup"] == 41      # 2 exact dups gone
+    assert 40 not in ids and 41 not in ids
+    assert 42 not in ids                         # near-dup dropped
+    assert 2 in ids                              # keep-first policy
+    assert "embedding" in t.column_names
+    assert stats["after_neardup"] == len(ids)
