@@ -350,6 +350,17 @@ def _q_pages_extract_text(sf_dir):
 # documents / embeddings / events queries
 # ---------------------------------------------------------------------------
 
+def _q_prepare_corpus(sf_dir):
+    """Flagship training-corpus prep composition (quality gate → exact
+    dedup → near-dup removal → embeddings); returns the surviving ids."""
+    from python_graphblas_ray.pipelines.corpus import prepare_corpus
+
+    clean, _ = prepare_corpus(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        min_words=10, min_quality=0.0, neardup_threshold=0.6)
+    return clean.select_columns(["doc_id"])
+
+
 def _q_dedup_exact(sf_dir):
     from python_graphblas_ray.pipelines.dedup import exact_dedup
 
@@ -556,6 +567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_pagerank": _q_pages_pagerank,
         "pages_extract_text": _q_pages_extract_text,
         # training-data prep
+        "prepare_corpus": _q_prepare_corpus,
         "dedup_exact": _q_dedup_exact,
         "word_jaccard_pairs": _q_word_jaccard,
         "minhash_pairs": _q_minhash_pairs,
