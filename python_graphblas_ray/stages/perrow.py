@@ -27,21 +27,24 @@ _SCAN_UFUNC = {
 }
 
 
-def row_scan(A: GBMatrix, op: str = "plus") -> GBMatrix:
-    """Prefix scan within each row, in dst order (``ss.scan`` rowwise —
-    reference recipe does log-depth mxm against shift matrices; here each
-    row scans locally after one row co-location shuffle)."""
+def row_scan(A: GBMatrix, op: str = "plus", order: str = "rowwise"
+             ) -> GBMatrix:
+    """Prefix scan within each row in dst order (``ss.scan`` rowwise), or
+    within each column in src order (``order="columnwise"``) — reference
+    recipe does log-depth mxm against shift matrices; here each group
+    scans locally after one co-location shuffle."""
     ufunc = _SCAN_UFUNC[op]
+    key, other = (("src", "dst") if order == "rowwise"
+                  else ("dst", "src"))
 
     def scan(group: pa.Table) -> pa.Table:
-        dst = group["dst"].to_numpy(zero_copy_only=False)
+        o = group[other].to_numpy(zero_copy_only=False)
         val = group["val"].to_numpy(zero_copy_only=False)
-        order = np.argsort(dst, kind="stable")
-        out = ufunc.accumulate(val[order])
-        return pa.table({"src": group["src"],
-                         "dst": dst[order], "val": out})
+        srt = np.argsort(o, kind="stable")
+        out = ufunc.accumulate(val[srt])
+        return pa.table({key: group[key], other: o[srt], "val": out})
 
-    return A._wrap(A.ds.groupby("src").map_groups(
+    return A._wrap(A.ds.groupby(key).map_groups(
         scan, batch_format="pyarrow"))
 
 

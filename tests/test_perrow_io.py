@@ -139,3 +139,18 @@ def test_mmread_distributed_path(tmp_path, M):
     mmwrite(p, A)
     B = mmread(p, driver_parse_limit=0)  # force the read_text path
     assert A.isclose(B, rel_tol=1e-12)
+
+
+def test_col_scan(M):
+    A, (r, c, v) = M
+    out_r, out_c, out_v = row_scan(A, "plus", order="columnwise").to_coo(
+        sort=False)
+    order = np.lexsort((r, c))
+    rs, cs, vs = r[order], c[order], v[order]
+    expect = vs.copy()
+    for i in range(1, len(vs)):
+        if cs[i] == cs[i - 1]:
+            expect[i] += expect[i - 1]
+    got = {(i, j): x for i, j, x in zip(out_r, out_c, out_v)}
+    for i, j, x in zip(rs, cs, expect):
+        assert np.isclose(got[(i, j)], x)
