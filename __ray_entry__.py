@@ -469,6 +469,25 @@ def _q_events_window(sf_dir):
                               keys=("event_type",), every="day")
 
 
+def _q_events_asof(sf_dir):
+    """As-of join: for each click, the user's latest prior purchase."""
+    from python_graphblas_ray.pipelines.windows import asof_join
+
+    ev = _read(sf_dir, "events")
+
+    def side(t):
+        def f(batch: pa.Table) -> pa.Table:
+            keep = pa.compute.equal(batch["event_type"], pa.scalar(t))
+            return batch.filter(keep)
+        return f
+
+    clicks = ev.map_batches(side("click"), batch_format="pyarrow")
+    purchases = ev.map_batches(side("purchase"), batch_format="pyarrow")
+    out = asof_join(clicks, purchases, key="user_id", ts_col="ts",
+                    right_value_cols=("ts",))
+    return out.select_columns(["event_id", "ts_r"])
+
+
 def _q_events_sessionize(sf_dir):
     from python_graphblas_ray.pipelines.windows import sessionize
 
@@ -580,6 +599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_count": _q_lang_count,
         "quality_filter": _q_quality_filter,
         "events_window": _q_events_window,
+        "events_asof_join": _q_events_asof,
         "events_sessionize": _q_events_sessionize,
         "lineitem_agg": _q_lineitem_agg,
     }
@@ -745,6 +765,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, date_trunc('day', ts) AS window, "
             "CAST(count(*) AS BIGINT) AS n, min(value) AS vmin, "
             "max(value) AS vmax FROM events GROUP BY 1, 2"),
+        "events_asof_join": (
+            "SELECT l.event_id, r.ts AS ts_r "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') l "
+            "ASOF JOIN (SELECT * FROM events "
+            "WHERE event_type = 'purchase') r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts"),
         "events_sessionize": (
             "WITH x AS (SELECT user_id, ts, CASE WHEN epoch_us(ts) - "
             "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) "

@@ -51,6 +51,83 @@ def windowed_aggregate(events_ds, keys=("event_type",), ts_col="ts",
     return ds.groupby(keys).map_groups(agg, batch_format="pyarrow")
 
 
+def asof_join(left_ds, right_ds, key="user_id", ts_col="ts",
+              right_value_cols=("ts",), suffix="_r"):
+    """As-of join (inner): each left row matches the LATEST right row of
+    the same key with ``right.ts <= left.ts`` (DuckDB ``ASOF JOIN``
+    semantics); left rows with no earlier right row are dropped.
+
+    Ray-Data-first: both sides are tagged and unioned so ONE shuffle
+    keyed by ``key`` co-locates them; each group does a vectorized
+    sorted-merge (``searchsorted``). The reference has no join surface
+    at all (SURVEY §2.7) — this is new engine surface for event streams.
+    """
+
+    def tag(side):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__side", pa.array(np.full(batch.num_rows, side,
+                                           dtype=np.int8)))
+        return f
+
+    left_t = left_ds.map_batches(tag(0), batch_format="pyarrow")
+    right_keep = list(dict.fromkeys([key, ts_col, *right_value_cols]))
+    right_t = right_ds.select_columns(right_keep).map_batches(
+        tag(1), batch_format="pyarrow")
+
+    left_schema = left_ds.schema()
+    lcols = list(left_schema.names)
+    out_right = [c for c in right_value_cols]
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = group["__side"].to_numpy(zero_copy_only=False)
+        ts = group[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        l_idx = np.flatnonzero(side == 0)
+        r_idx = np.flatnonzero(side == 1)
+        empty_cols = {c: group[c].take(pa.array([], pa.int64()))
+                      for c in lcols}
+        for c in out_right:
+            empty_cols[c + suffix] = group[c].take(pa.array([], pa.int64()))
+        if len(l_idx) == 0 or len(r_idx) == 0:
+            return pa.table(empty_cols)
+        r_order = r_idx[np.argsort(ts[r_idx], kind="stable")]
+        pos = np.searchsorted(ts[r_order], ts[l_idx], side="right") - 1
+        hit = pos >= 0
+        l_hit = l_idx[hit]
+        r_hit = r_order[pos[hit]]
+        cols = {c: group[c].take(pa.array(l_hit)) for c in lcols}
+        for c in out_right:
+            cols[c + suffix] = group[c].take(pa.array(r_hit))
+        return pa.table(cols)
+
+    return left_t.union(right_t).groupby(key).map_groups(
+        merge, batch_format="pyarrow")
+
+
+def range_join(left_ds, right_ds, key, left_val, right_lo, right_hi,
+               suffix="_r"):
+    """Interval/range join: left rows matched to right rows of the same
+    key with ``right_lo <= left_val < right_hi``. Implemented as a hash
+    join on the key + vectorized interval filter — right-sized when the
+    key join is selective; an interval-index (sorted endpoints per key)
+    is the densifying scale path."""
+    from ..stages.join import hash_join
+
+    j = hash_join(left_ds, right_ds, on=(key,), how="inner",
+                  left_suffix="", right_suffix=suffix)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        names = set(batch.column_names)
+        lo = right_lo + suffix if right_lo + suffix in names else right_lo
+        hi = right_hi + suffix if right_hi + suffix in names else right_hi
+        v = batch[left_val].to_numpy(zero_copy_only=False)
+        keep = ((batch[lo].to_numpy(zero_copy_only=False) <= v) &
+                (v < batch[hi].to_numpy(zero_copy_only=False)))
+        return batch.filter(pa.array(keep))
+
+    return j.map_batches(filt, batch_format="pyarrow")
+
+
 def sessionize(events_ds, gap_minutes=30, user_col="user_id", ts_col="ts"):
     """Session windows per user: one shuffle keyed by user, then a
     per-group vectorized gap scan (sorted ts; new session when the gap

@@ -289,3 +289,42 @@ def test_prepare_corpus_end_to_end():
     assert 2 in ids                              # keep-first policy
     assert "embedding" in t.column_names
     assert stats["after_neardup"] == len(ids)
+
+
+def test_asof_join_oracle():
+    from python_graphblas_ray.pipelines.windows import asof_join
+    lt = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 3], pa.int64()),
+        "ts": pa.array([10, 20, 5, 50, 7], pa.int64()).cast(
+            pa.timestamp("us")),
+        "event_id": pa.array([100, 101, 102, 103, 104], pa.int64()),
+    })
+    rt = pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array([8, 15, 60], pa.int64()).cast(pa.timestamp("us")),
+        "price": pa.array([1.0, 2.0, 3.0]),
+    })
+    out = _table(asof_join(ray.data.from_arrow(lt),
+                           ray.data.from_arrow(rt), key="user_id",
+                           ts_col="ts", right_value_cols=("ts", "price"))
+                 ).to_pandas().sort_values("event_id")
+    # event 100 (u1,t10) -> right t8; 101 (u1,t20) -> t15; 102 (u1,t5) ->
+    # none; 103 (u2,t50) -> none (right at 60 is later); 104 (u3) -> none
+    assert list(out.event_id) == [100, 101]
+    assert list(out.price_r) == [1.0, 2.0]
+
+
+def test_range_join_oracle():
+    from python_graphblas_ray.pipelines.windows import range_join
+    lt = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                   "x": pa.array([5.0, 15.0, 5.0])})
+    rt = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                   "lo": pa.array([0.0, 10.0, 6.0]),
+                   "hi": pa.array([10.0, 20.0, 9.0])})
+    out = _table(range_join(ray.data.from_arrow(lt),
+                            ray.data.from_arrow(rt), key="k",
+                            left_val="x", right_lo="lo", right_hi="hi")
+                 ).to_pandas()
+    got = set(zip(out.x.tolist(), out.lo.tolist()))
+    # (1,5) in [0,10); (1,15) in [10,20); (2,5) matches nothing
+    assert got == {(5.0, 0.0), (15.0, 10.0)}
