@@ -469,6 +469,12 @@ def _q_events_window(sf_dir):
                               keys=("event_type",), every="day")
 
 
+def _q_events_hopping(sf_dir):
+    from python_graphblas_ray.pipelines.windows import hopping_window_count
+
+    return hopping_window_count(_read(sf_dir, "events"))
+
+
 def _q_events_asof(sf_dir):
     """As-of join: for each click, the user's latest prior purchase."""
     from python_graphblas_ray.pipelines.windows import asof_join
@@ -599,6 +605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_count": _q_lang_count,
         "quality_filter": _q_quality_filter,
         "events_window": _q_events_window,
+        "events_hopping_window": _q_events_hopping,
         "events_asof_join": _q_events_asof,
         "events_sessionize": _q_events_sessionize,
         "lineitem_agg": _q_lineitem_agg,
@@ -765,6 +772,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, date_trunc('day', ts) AS window, "
             "CAST(count(*) AS BIGINT) AS n, min(value) AS vmin, "
             "max(value) AS vmax FROM events GROUP BY 1, 2"),
+        "events_hopping_window": (
+            "WITH e AS (SELECT event_type, epoch_us(ts) AS t FROM events),"
+            " w AS (SELECT event_type, unnest(generate_series("
+            "CAST(ceil((t - 7200000000 + 1) / 3600000000.0) AS BIGINT) "
+            "* 3600000000, (t // 3600000000) * 3600000000, 3600000000)) "
+            "AS window_us FROM e) "
+            "SELECT event_type, window_us, CAST(count(*) AS BIGINT) AS n "
+            "FROM w GROUP BY 1, 2"),
         "events_asof_join": (
             "SELECT l.event_id, r.ts AS ts_r "
             "FROM (SELECT * FROM events WHERE event_type = 'click') l "

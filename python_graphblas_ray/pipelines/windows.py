@@ -51,6 +51,40 @@ def windowed_aggregate(events_ds, keys=("event_type",), ts_col="ts",
     return ds.groupby(keys).map_groups(agg, batch_format="pyarrow")
 
 
+def hopping_window_count(events_ds, keys=("event_type",), ts_col="ts",
+                         size_us=7_200_000_000, hop_us=3_600_000_000):
+    """Hopping (sliding) window counts: each event lands in every window
+    ``[ws, ws + size)`` with ``ws ≡ 0 (mod hop)`` — a vectorized flat_map
+    expansion (size/hop rows per event) + ONE groupby shuffle. Emits
+    ``(keys..., window_us:int64, n:int64)``."""
+    keys = list(keys)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        t = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        first = (-(-(t - size_us + 1) // hop_us)) * hop_us  # ceil div
+        last = (t // hop_us) * hop_us
+        counts = ((last - first) // hop_us + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(t)), counts)
+        offs = (np.arange(int(counts.sum())) -
+                np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]),
+                          counts))
+        ws = np.repeat(first, counts) + offs * hop_us
+        cols = {k: batch[k].take(pa.array(idx)) for k in keys}
+        cols["window_us"] = ws
+        return pa.table(cols)
+
+    ds = events_ds.select_columns(keys + [ts_col]).map_batches(
+        expand, batch_format="pyarrow")
+
+    def agg(group: pa.Table) -> pa.Table:
+        cols = {k: group[k].slice(0, 1) for k in keys + ["window_us"]}
+        cols["n"] = pa.array([group.num_rows], pa.int64())
+        return pa.table(cols)
+
+    return ds.groupby(keys + ["window_us"]).map_groups(
+        agg, batch_format="pyarrow")
+
+
 def asof_join(left_ds, right_ds, key="user_id", ts_col="ts",
               right_value_cols=("ts",), suffix="_r"):
     """As-of join (inner): each left row matches the LATEST right row of
