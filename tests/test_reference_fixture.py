@@ -261,3 +261,28 @@ def test_reposition_goldens(A, ro, co):
     expected = _golden(r[keep], c[keep],
                        np.array(_VALS, dtype=np.float64)[keep])
     assert A.reposition(ro, co).isequal(expected)
+
+
+# -- bound-binary / indexunary apply goldens (test_matrix.py:1168,:1203) --
+
+def test_apply_binary_golden(A):
+    # right-bound: A > 1 elementwise (booleans)
+    result_right = _golden(
+        _ROWS, _COLS, [1, 1, 1, 0, 1, 1, 1, 1, 1, 0, 1, 1])
+    got = A.apply(">", right=1)
+    rr, cc, vv = got.to_coo()
+    er, ec, ev = result_right.to_coo()
+    np.testing.assert_array_equal(rr, er)
+    np.testing.assert_array_equal(cc, ec)
+    np.testing.assert_array_equal(vv.astype(np.int64), ev.astype(np.int64))
+    # left-bound: 8 - A
+    result_left = _golden(
+        _ROWS, _COLS, [5, 6, 5, 7, 3, 5, 1, 0, 5, 7, 1, 4])
+    assert A.apply("-", left=8).isequal(result_left)
+
+
+def test_apply_indexunary_golden(A):
+    Ar = _golden(_ROWS, _COLS, _ROWS)
+    assert A.apply("rowindex", thunk=0).isequal(Ar)
+    Ac = _golden(_ROWS, _COLS, [c + 2 for c in _COLS])
+    assert A.apply("colindex", thunk=2).isequal(Ac)
