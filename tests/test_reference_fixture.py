@@ -286,3 +286,17 @@ def test_apply_indexunary_golden(A):
     assert A.apply("rowindex", thunk=0).isequal(Ar)
     Ac = _golden(_ROWS, _COLS, [c + 2 for c in _COLS])
     assert A.apply("colindex", thunk=2).isequal(Ac)
+
+
+def test_select_positional_goldens(A):
+    # triu (test_matrix.py:1257)
+    Aupper = _golden([0, 0, 1, 2, 4, 1], [1, 3, 4, 5, 5, 6],
+                     [2, 3, 8, 1, 7, 4])
+    assert A.select("triu").isequal(Aupper)
+    # rowle 2 (:1265)
+    A3rows = _golden([0, 0, 1, 1, 2], [1, 3, 4, 6, 5], [2, 3, 8, 4, 1])
+    assert A.select("rowle", 2).isequal(A3rows)
+    # mask-select: keep entries where another matrix has entries (:1278)
+    mask3 = A.select("==", 3)
+    A3 = _golden([0, 3, 3, 6], [3, 0, 2, 4], [3, 3, 3, 3])
+    assert A.select(mask3.S).isequal(A3)
