@@ -180,6 +180,19 @@ def _q_degree_mean(sf_dir):
     return _vec(_edge_matrix(sf_dir).reduce_rowwise(agg["mean"]))
 
 
+def _q_degree_count(sf_dir):
+    """reduce_columnwise with the count Aggregator."""
+    from python_graphblas_ray.functions.aggregators import agg
+
+    out = _edge_matrix(sf_dir).reduce_columnwise(agg["count"])
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table({"vid": batch["vid"],
+                         "val": batch["val"].cast(pa.int64())})
+
+    return out.ds.map_batches(cast, batch_format="pyarrow")
+
+
 def _q_mxv_masked(sf_dir):
     """Masked mxv: structural mask keeps only rows where the degree
     vector has an entry with val > 8 (mask pushed into the pipeline as a
@@ -553,6 +566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reduce_scalar_plus": _q_reduce_scalar_plus,
         "reduce_scalar_max": _q_reduce_scalar_max,
         "degree_mean": _q_degree_mean,
+        "degree_count": _q_degree_count,
         # vector ops
         "mxv_masked": _q_mxv_masked,
         "vec_ewise_add": _q_vec_ewise_add,
@@ -624,6 +638,9 @@ def oracle_sql() -> dict[str, str]:
         "reduce_scalar_max": f"{E} SELECT max(val) AS val FROM E",
         "degree_mean": (f"{E} SELECT src AS vid, avg(val) AS val "
                         "FROM E GROUP BY 1"),
+        "degree_count": (f"{E} SELECT dst AS vid, "
+                         "CAST(count(*) AS BIGINT) AS val "
+                         "FROM E GROUP BY 1"),
         "mxv_masked": (
             f"{E}, d AS (SELECT dst AS vid, sum(val) AS val FROM E "
             "GROUP BY 1), w AS ("
