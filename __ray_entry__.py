@@ -482,6 +482,16 @@ def _q_events_window(sf_dir):
                               keys=("event_type",), every="day")
 
 
+def _q_events_hll(sf_dir):
+    """Approximate distinct users per event type (HyperLogLog sketch;
+    approximate → rows-only check; unit test bounds the error)."""
+    from python_graphblas_ray.stages.sketch import hll_distinct
+
+    return hll_distinct(_read(sf_dir, "events",
+                              columns=["event_type", "user_id"]),
+                        keys=["event_type"], value_col="user_id")
+
+
 def _q_events_hopping(sf_dir):
     from python_graphblas_ray.pipelines.windows import hopping_window_count
 
@@ -619,6 +629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_count": _q_lang_count,
         "quality_filter": _q_quality_filter,
         "events_window": _q_events_window,
+        "events_hll_distinct": _q_events_hll,
         "events_hopping_window": _q_events_hopping,
         "events_asof_join": _q_events_asof,
         "events_sessionize": _q_events_sessionize,

@@ -328,3 +328,26 @@ def test_range_join_oracle():
     got = set(zip(out.x.tolist(), out.lo.tolist()))
     # (1,5) in [0,10); (1,15) in [10,20); (2,5) matches nothing
     assert got == {(5.0, 0.0), (15.0, 10.0)}
+
+
+def test_hll_distinct_within_error():
+    """HLL grouped approx-distinct within ~3σ of standard error vs the
+    exact counts (p=12 → σ≈1.6%)."""
+    from python_graphblas_ray.stages.sketch import hll_distinct
+    rng = np.random.default_rng(3)
+    n = 60_000
+    group = rng.integers(0, 3, n)
+    # distinct cardinalities per group: ~100, ~5000, ~20000
+    vals = np.where(group == 0, rng.integers(0, 100, n),
+                    np.where(group == 1, rng.integers(0, 5000, n),
+                             rng.integers(0, 20000, n)))
+    ds = ray.data.from_arrow(pa.table({
+        "g": group.astype(np.int64), "v": vals.astype(np.int64)}))
+    out = _table(hll_distinct(ds, keys=["g"], value_col="v")).to_pandas()
+    import pandas as pd
+    exact = pd.DataFrame({"g": group, "v": vals}).groupby("g")["v"] \
+        .nunique()
+    for row in out.itertuples():
+        e = exact[row.g]
+        assert abs(row.approx_distinct - e) <= max(0.05 * e, 10), \
+            (row.g, row.approx_distinct, e)
