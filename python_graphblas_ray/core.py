@@ -1461,9 +1461,17 @@ class GBMatrix(_Base):
         ds = self.ds
         if sort:
             ds = ds.sort(["src", "dst"])
-        t = pa.concat_tables(list(ds.limit(n).iter_batches(
-            batch_format="pyarrow")), promote_options="permissive") \
-            if n else self.to_table().slice(0, 0)
+        batches = (list(ds.limit(n).iter_batches(batch_format="pyarrow"))
+                   if n else [])
+        if batches:
+            t = pa.concat_tables(batches, promote_options="permissive")
+        else:  # n == 0, or an empty matrix yields zero batches
+            t = pa.table({
+                "src": pa.array([], pa.int64()),
+                "dst": pa.array([], pa.int64()),
+                "val": pa.array([], pa.from_numpy_dtype(
+                    np.dtype(self.dtype))),
+            })
         return (t["src"].to_numpy(zero_copy_only=False),
                 t["dst"].to_numpy(zero_copy_only=False),
                 t["val"].to_numpy(zero_copy_only=False))

@@ -79,6 +79,11 @@ def k_truss(A: GBMatrix, k: int, max_iter: int = 100) -> GBMatrix:
     from ..functions.monoids import semiring
 
     need = k - 2
+    if need <= 0:
+        # the 2-truss (and below) is the graph unchanged — the masked
+        # plus_pair mxm emits NO entry for triangle-free edges, so the
+        # select would wrongly drop them
+        return A
     cur = A
     for _ in range(max_iter):
         support = cur.mxm(cur, semiring.plus_pair, mask=cur.S)

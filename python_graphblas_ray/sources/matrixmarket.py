@@ -92,11 +92,38 @@ def mmread(path: str, parallelism: int = 8,
                 if body == 1:
                     continue  # dims line
                 vals.append(float(s))
-        arr = np.array(vals).reshape((nc, nr)).T
+        vals = np.array(vals, dtype=np.float64)
         if symmetry in ("symmetric", "skew-symmetric"):
-            lower = np.tril(arr, -1)
-            arr = arr + lower.T * (-1 if symmetry == "skew-symmetric"
-                                   else 1)
+            # Spec-conformant files list only the lower triangle
+            # column-major: n(n+1)/2 values (skew: strictly-lower,
+            # n(n-1)/2). Scatter into the triangle, then mirror.
+            n = nr
+            skew = symmetry == "skew-symmetric"
+            expect = n * (n - 1) // 2 if skew else n * (n + 1) // 2
+            if len(vals) == expect:
+                start = 1 if skew else 0  # first stored row of column j
+                rows = np.concatenate(
+                    [np.arange(j + start, n) for j in range(n)]
+                    or [np.array([], np.int64)]).astype(np.int64)
+                cols = np.concatenate(
+                    [np.full(n - j - start, j) for j in range(n)]
+                    or [np.array([], np.int64)]).astype(np.int64)
+                arr = np.zeros((n, n), dtype=np.float64)
+                arr[rows, cols] = vals
+                if skew:
+                    arr = arr - arr.T
+                else:
+                    arr = arr + arr.T - np.diag(np.diag(arr))
+            elif len(vals) == nr * nc:
+                # lenient: a (non-conformant) full listing — trust it
+                arr = vals.reshape((nc, nr)).T
+            else:
+                raise ValueError(
+                    f"{symmetry} array file: expected {expect} "
+                    f"(triangular) or {nr * nc} (full) values, "
+                    f"got {len(vals)}")
+        else:
+            arr = vals.reshape((nc, nr)).T
         return GBMatrix.from_dense(arr)
 
     if os.path.getsize(path) <= driver_parse_limit:
@@ -117,24 +144,29 @@ def mmread(path: str, parallelism: int = 8,
 
         return GBMatrix(ray.data.from_arrow(t), nr, nc, "float64")
 
-    # distributed body parse; the dims line is identified by exact match
-    # against the header-known (nr, nc, nnz) triple
+    # Distributed body parse. The dims line is skipped BY POSITION, not by
+    # value-matching (a data entry may legitimately equal the dims triple):
+    # exactly one batch contains the %%MatrixMarket banner (byte 0 of the
+    # file → first read_text block), and the dims line is the first
+    # non-comment line after it. Assumes the comment header fits in one
+    # block (always true for spec-sized headers).
     import ray.data
 
     lines = ray.data.read_text(path, override_num_blocks=parallelism)
-    dims_triple = (nr, nc, nnz)
 
     def parse(batch: pa.Table) -> pa.Table:
         keep = []
+        saw_banner = dropped_dims = False
         for s in batch["text"].to_pylist():
             s = s.strip()
+            if s.startswith("%%MatrixMarket"):
+                saw_banner = True
+                continue
             if not s or s.startswith("%"):
                 continue
-            parts = s.split()
-            if (len(parts) == 3 and parts[2].lstrip("+-").isdigit()
-                    and (int(parts[0]), int(parts[1]),
-                         int(parts[2])) == dims_triple):
-                continue  # the dims line
+            if saw_banner and not dropped_dims:
+                dropped_dims = True  # the dims line
+                continue
             keep.append(s)
         r, c, v = _parse_lines(keep, pattern)
         return _entries_to_table(r, c, v, symmetry)

@@ -485,8 +485,12 @@ class SuperstepEngine:
             self.ranges.append((lo, hi))
             self.actors.append(GraphPartitionActor.remote(
                 refs, lo, hi, weighted, range_filter=range_filter))
-        # duplicate ranges ⇒ hub-split active ⇒ _stitch must monoid-merge
-        self.has_hub_split = len({r for r in self.ranges}) < len(self.ranges)
+        # duplicate NON-EMPTY ranges ⇒ hub-split active ⇒ _stitch must
+        # monoid-merge. (Repeated quantile boundaries on skewed dst
+        # distributions produce duplicate EMPTY (lo == hi) ranges without
+        # any hub split — those must not trip the flag.)
+        nonempty = [r for r in self.ranges if r[1] > r[0]]
+        self.has_hub_split = len(set(nonempty)) < len(nonempty)
         self.partition_stats = ray.get([a.stats.remote() for a in self.actors])
         self.num_edges = sum(s["edges"] for s in self.partition_stats)
 

@@ -297,3 +297,24 @@ def test_small_triangle():
     assert triangle_count(A) == 2
     assert triangle_count_broadcast(ds, num_tasks=2) == 2
     assert triangle_count_numpy(src, dst, 4) == 2
+
+
+def test_skewed_dst_no_spurious_hub_split_flag():
+    """All edges share one dst → repeated quantile boundaries produce
+    duplicate EMPTY ranges; that must not trip has_hub_split (ADVICE r1)
+    and the in-actor algorithms must still run."""
+    import pyarrow as pa
+    n = 64
+    src = np.arange(1, 41, dtype=np.int64)
+    dst = np.zeros(40, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "src": src, "dst": dst, "val": np.ones(40)}))
+    eng = build_engine(ds, n, num_partitions=4,
+                       sample_size=1000)  # quantiles collapse to 0
+    try:
+        if all(hi <= lo for lo, hi in eng.ranges[:-1]):
+            assert not eng.has_hub_split
+        r, iters, _ = pagerank(eng, tol=1e-8)
+        assert np.argmax(r) == 0  # the sink hub gets the mass
+    finally:
+        eng.shutdown()

@@ -450,3 +450,11 @@ def test_mxm_masked_shuffle_mode(A):
     sc = L.mxm(L, semiring.plus_pair, mask=L.S, complement=True,
                mask_mode="shuffle")
     assert bc.isequal(sc)
+
+
+def test_head_empty_matrix():
+    """head(n>0) on an empty matrix returns empty arrays, not
+    ArrowInvalid (ADVICE r1)."""
+    E = GBMatrix.from_coo([], [], [], nrows=4, ncols=4)
+    r, c, v = E.head(5)
+    assert len(r) == 0 and len(c) == 0 and len(v) == 0

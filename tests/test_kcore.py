@@ -71,3 +71,11 @@ def test_k_truss(G, k):
     expect_edges = {(int(i), int(j))
                     for i, j in zip(*np.nonzero(keep))}
     assert set(zip(rr.tolist(), cc.tolist())) == expect_edges
+
+
+def test_k_truss_k2_is_identity(G):
+    """2-truss is the graph unchanged — triangle-free edges must survive
+    (ADVICE r1: masked plus_pair emits no entry for 0-support edges)."""
+    A, r, c = G
+    sub = k_truss(A, 2)
+    assert sub.nvals == A.nvals

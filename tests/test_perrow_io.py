@@ -154,3 +154,44 @@ def test_col_scan(M):
     got = {(i, j): x for i, j, x in zip(out_r, out_c, out_v)}
     for i, j, x in zip(rs, cs, expect):
         assert np.isclose(got[(i, j)], x)
+
+
+def test_mmread_distributed_entry_equals_dims(tmp_path):
+    """A data entry whose (row, col, value) equals the dims triple must
+    NOT be dropped by the distributed parse (ADVICE r1: dims line is
+    skipped by position, not value)."""
+    p = str(tmp_path / "trap.mtx")
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate integer general\n")
+        f.write("% header comment\n")
+        f.write("3 3 3\n")      # dims
+        f.write("1 1 2\n")
+        f.write("2 2 4\n")
+        f.write("3 3 3\n")      # data entry == dims triple
+    A = mmread(p, driver_parse_limit=0)  # force distributed path
+    expect = np.array([[2.0, 0, 0], [0, 4.0, 0], [0, 0, 3.0]])
+    np.testing.assert_allclose(A.to_dense(0.0), expect)
+
+
+def test_mmread_array_symmetric_triangular(tmp_path):
+    """Spec-conformant symmetric array files store only the lower
+    triangle column-major: n(n+1)/2 values (ADVICE r1)."""
+    p = str(tmp_path / "sym.mtx")
+    # n=3 lower triangle col-major: a11 a21 a31 | a22 a32 | a33
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix array real symmetric\n")
+        f.write("3 3\n1\n2\n3\n4\n5\n6\n")
+    A = mmread(p)
+    expect = np.array([[1.0, 2, 3], [2, 4, 5], [3, 5, 6]])
+    np.testing.assert_allclose(A.to_dense(0.0), expect)
+
+
+def test_mmread_array_skew_symmetric_triangular(tmp_path):
+    p = str(tmp_path / "skew.mtx")
+    # n=3 strictly-lower col-major: a21 a31 | a32
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix array real skew-symmetric\n")
+        f.write("3 3\n1\n2\n3\n")
+    A = mmread(p)
+    expect = np.array([[0.0, -1, -2], [1, 0, -3], [2, 3, 0]])
+    np.testing.assert_allclose(A.to_dense(0.0), expect)
