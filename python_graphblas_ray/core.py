@@ -456,7 +456,7 @@ class GBVector(_Base):
         if self.size != B.nrows:
             raise DimensionMismatch(f"{self.size} != {B.nrows}")
         out = _spmv(B.ds, self, op, lookup_col="src", group_col="dst",
-                    out_size=B.ncols)
+                    out_size=B.ncols, mode="vxm")
         if mask is not None:
             out = _apply_vec_mask(out, mask, complement, mask_structure)
         return out
@@ -507,8 +507,12 @@ class GBVector(_Base):
             return GBScalar(t["val"][0].as_py() if t.num_rows else None)
         return self.extract(sel)
 
-    def assign(self, sel, value, accum=None):
-        """v[sel] = value (vector or scalar); reference assign path."""
+    def assign(self, sel, value, accum=None, mask=None, replace=False,
+               complement=False, mask_structure=True, subassign=False):
+        """v[sel] = value (vector or scalar); reference assign path.
+        ``mask``/``replace``/``subassign`` follow the matrix assign
+        semantics (v-shaped mask for assign, region-shaped for
+        subassign)."""
         idx = _resolve_indices(sel, self.size)
         idx_ref = ray.put(np.sort(idx))
 
@@ -532,15 +536,47 @@ class GBVector(_Base):
         else:
             new_rows = ray.data.from_arrow(pa.table({
                 "vid": idx, "val": np.full(len(idx), value)}))
-        if accum is not None:
-            merged = _accum_outer(
-                semi_join_filter(self.ds, ("vid",),
-                                 ray.put(np.sort(idx.astype(np.int64)))),
-                new_rows, ("vid",), binary_from_string(accum))
-            kept = self.ds.map_batches(drop_region, batch_format="pyarrow")
-            return GBVector(kept.union(merged), self.size, self.dtype)
+        keys = ("vid",)
         kept = self.ds.map_batches(drop_region, batch_format="pyarrow")
-        return GBVector(kept.union(new_rows), self.size, self.dtype)
+        old_region = semi_join_filter(
+            self.ds, keys, ray.put(np.sort(idx.astype(np.int64))))
+        if accum is not None:
+            region_z = _accum_outer(old_region, new_rows, keys,
+                                    binary_from_string(accum))
+        else:
+            region_z = new_rows
+        if mask is None:
+            return GBVector(kept.union(region_z), self.size, self.dtype)
+
+        mparent, complement, mask_structure = _resolve_mask(
+            mask, complement, mask_structure)
+        m_ds = mparent.ds
+        if not mask_structure:
+            def truthy(batch: pa.Table) -> pa.Table:
+                return batch.filter(pa.array(np.asarray(
+                    _np("val", batch), dtype=bool)))
+            m_ds = m_ds.map_batches(truthy, batch_format="pyarrow")
+        if subassign:
+            ref2 = ray.put(idx)
+
+            def remap_mask(batch: pa.Table) -> pa.Table:
+                m = ray.get(ref2)
+                return pa.table({"vid": m[_np("vid", batch)],
+                                 "val": batch["val"]})
+
+            m_ds = m_ds.map_batches(remap_mask, batch_format="pyarrow")
+        mset = broadcast_key_set(m_ds, keys)
+        parts = [semi_join_filter(region_z, keys, mset, anti=complement)]
+        if not replace:
+            parts.append(semi_join_filter(old_region, keys, mset,
+                                          anti=not complement))
+        if not subassign and replace:
+            kept = semi_join_filter(kept, keys, mset, anti=complement)
+        parts.append(kept)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return GBVector(out, self.size, self.dtype)
 
     # ---- comparison (reference vector.py:340,:381; recipe :102) ----
     def isequal(self, other, check_dtype=False):
@@ -625,26 +661,44 @@ def _ewise(a, b, op, how, left_default=None, right_default=None):
 
     joined = hash_join(a.ds, b.ds, on=keys, how=how,
                        left_suffix="_l", right_suffix="_r")
+    pos_op = op if getattr(op, "positional", None) else None
 
     def combine(batch: pa.Table) -> pa.Table:
         lv = batch["val_l"].to_numpy(zero_copy_only=False)
         rv = batch["val_r"].to_numpy(zero_copy_only=False)
         l_null = np.asarray(batch["val_l"].is_null())
         r_null = np.asarray(batch["val_r"].is_null())
+
+        def op_vals(sel=None):
+            """op over aligned entries (positional: both operands share
+            (i, j) — the join keys)."""
+            if pos_op is None:
+                return (op.fn(lv, rv) if sel is None
+                        else op.fn(lv[sel], rv[sel]))
+            i = _np(keys[0], batch)
+            j = (_np(keys[1], batch) if len(keys) > 1
+                 else np.zeros(len(i), dtype=np.int64))
+            if sel is not None:
+                i, j = i[sel], j[sel]
+            return pos_op.index_values(i, j, i, j)
+
         if how == "inner":
-            out = op.fn(lv, rv)
+            out = op_vals()
         elif left_default is not None or right_default is not None:
             # ewise_union (reference matrix.py:2043): fill missing side
-            lf = np.where(l_null, left_default, lv)
-            rf = np.where(r_null, right_default, rv)
-            out = op.fn(lf, rf)
+            if pos_op is None:
+                lf = np.where(l_null, left_default, lv)
+                rf = np.where(r_null, right_default, rv)
+                out = op.fn(lf, rf)
+            else:
+                out = op_vals()
         else:
             # ewise_add: op where both, pass-through where one
             both = ~l_null & ~r_null
             out = np.where(l_null, rv, lv)
             if both.any():
                 out = np.asarray(out)
-                res = op.fn(lv[both], rv[both])
+                res = op_vals(both)
                 out = out.astype(np.result_type(out.dtype, np.asarray(res).dtype))
                 out[both] = res
         cols = {c: batch[c] for c in keys}
@@ -723,7 +777,8 @@ def _select(obj, op, thunk=0):
     return obj._wrap(obj.ds.map_batches(kern, batch_format="pyarrow"))
 
 
-def _spmv(mat_ds, vec, sr: Semiring, lookup_col, group_col, out_size):
+def _spmv(mat_ds, vec, sr: Semiring, lookup_col, group_col, out_size,
+          mode="mxv"):
     """The SpMV kernel: broadcast the vector once (``ray.put``), per-batch
     lookup + multiply + per-batch group-reduce (combiner), then one
     ``groupby(vid).aggregate(monoid)`` shuffle merging partials.
@@ -741,6 +796,8 @@ def _spmv(mat_ds, vec, sr: Semiring, lookup_col, group_col, out_size):
     second = sr.binaryop.name == "second"
     first = sr.binaryop.name == "first"
     pair = sr.binaryop.name == "pair"
+    pos_op = sr.binaryop if getattr(sr.binaryop, "positional",
+                                    None) else None
 
     def kern(batch: pa.Table) -> pa.Table:
         look = _np(lookup_col, batch)
@@ -754,7 +811,14 @@ def _spmv(mat_ds, vec, sr: Semiring, lookup_col, group_col, out_size):
         pos_c = np.minimum(pos, len(vids) - 1)
         hit = vids[pos_c] == look
         grp = grp[hit]
-        if second:
+        if pos_op is not None:
+            lk = look[hit]
+            zero = np.zeros(len(lk), dtype=np.int64)
+            if mode == "mxv":  # A[i,k] ⊗ u[k]: first=(i,k), second=(k,0)
+                prod = pos_op.index_values(grp, lk, lk, zero)
+            else:              # u[k] ⊗ A[k,j]: first=(k,0), second=(k,j)
+                prod = pos_op.index_values(lk, zero, lk, grp)
+        elif second:
             prod = vvals[pos_c[hit]]
         elif first:
             prod = av[hit]
@@ -1091,6 +1155,7 @@ class GBMatrix(_Base):
         if self.ncols != v.size:
             raise DimensionMismatch(f"{self.ncols} != {v.size}")
         out = _spmv(self.ds, v, op, lookup_col="dst", group_col="src",
+                    mode="mxv",
                     out_size=self.nrows)
         if mask is not None:
             out = _apply_vec_mask(out, mask, complement, mask_structure)
@@ -1117,11 +1182,19 @@ class GBMatrix(_Base):
                            how="inner", left_suffix="_l", right_suffix="_r")
         mult = op.binaryop.fn
         name = op.binaryop.name
+        pos_op = op.binaryop if getattr(op.binaryop, "positional",
+                                        None) else None
 
         def multiply(batch: pa.Table) -> pa.Table:
             av = _np("val_l", batch)
             bv = _np("val_r", batch)
-            if name == "pair":
+            if pos_op is not None:
+                # A[i,k] ⊗ B[k,j]: first = A (i, k), second = B (k, j)
+                i = _np("src", batch)
+                k = _np("dst_l", batch)
+                j = _np("dst_r", batch)
+                val = pos_op.index_values(i, k, k, j)
+            elif name == "pair":
                 val = np.ones(len(av), dtype=np.int64)
             elif name == "first":
                 val = av
@@ -1352,10 +1425,29 @@ class GBMatrix(_Base):
         s = self[row, col]
         return default if s.is_empty else s.value
 
-    def assign(self, rows, cols, value, accum=None):
+    def assign(self, rows, cols, value, accum=None, mask=None,
+               replace=False, complement=False, mask_structure=True,
+               subassign=False):
         """C[rows, cols] = A | scalar (reference ``_prep_for_assign``
         ``matrix.py:3116``): anti-join out the target region ∪ remapped
-        insert; scalar assign = upsert of constant rows."""
+        insert; scalar assign = upsert of constant rows.
+
+        ``mask`` (GBMatrix or ``M.S``/``M.V`` view) + ``replace`` follow
+        GraphBLAS assign semantics (reference ``matrix.py:3116``
+        mask/submask handling):
+
+        - **assign** (``subassign=False``, GrB_Matrix_assign): the mask is
+          C-shaped and governs the WHOLE output — masked positions take
+          the region update, unmasked positions keep C (deleted when
+          ``replace=True``, including entries OUTSIDE the region).
+        - **subassign** (``subassign=True``, GxB_subassign): the mask is
+          REGION-shaped (``len(rows) × len(cols)``); masking and
+          ``replace`` apply only inside the region, entries outside are
+          always kept.
+
+        Masks are broadcast key sets (``ray.put`` once, probed per batch);
+        at scale swap ``semi_join_filter`` for ``semi_join_shuffle``.
+        """
         row_idx = _resolve_indices(rows, self.nrows)
         col_idx = _resolve_indices(cols, self.ncols)
         rs_ref = ray.put(np.sort(row_idx))
@@ -1400,13 +1492,53 @@ class GBMatrix(_Base):
                 "dst": np.tile(col_idx, nr),
                 "val": np.full(nr * nc, value)}))
         kept = self.ds.map_batches(drop_region, batch_format="pyarrow")
+        keys = ("src", "dst")
+        old_region = self.ds.map_batches(keep_region,
+                                         batch_format="pyarrow")
         if accum is not None:
-            old_region = self.ds.map_batches(keep_region,
-                                             batch_format="pyarrow")
-            merged = _accum_outer(old_region, new_rows, ("src", "dst"),
-                                  binary_from_string(accum))
-            return self._wrap(kept.union(merged))
-        return self._wrap(kept.union(new_rows))
+            region_z = _accum_outer(old_region, new_rows, keys,
+                                    binary_from_string(accum))
+        else:
+            region_z = new_rows
+        if mask is None:
+            return self._wrap(kept.union(region_z))
+
+        mparent, complement, mask_structure = _resolve_mask(
+            mask, complement, mask_structure)
+        m_ds = mparent.ds
+        if not mask_structure:
+            def truthy(batch: pa.Table) -> pa.Table:
+                return batch.filter(pa.array(np.asarray(
+                    _np("val", batch), dtype=bool)))
+            m_ds = m_ds.map_batches(truthy, batch_format="pyarrow")
+        if subassign:
+            # region-shaped mask → C coordinates
+            mr_ref = ray.put(row_idx)
+            mc_ref = ray.put(col_idx)
+
+            def remap_mask(batch: pa.Table) -> pa.Table:
+                rm = ray.get(mr_ref)
+                cm = ray.get(mc_ref)
+                return pa.table({"src": rm[_np("src", batch)],
+                                 "dst": cm[_np("dst", batch)],
+                                 "val": batch["val"]})
+
+            m_ds = m_ds.map_batches(remap_mask, batch_format="pyarrow")
+        mset = broadcast_key_set(m_ds, keys)
+
+        parts = [semi_join_filter(region_z, keys, mset, anti=complement)]
+        if not replace:  # unmasked region positions keep old C
+            parts.append(semi_join_filter(old_region, keys, mset,
+                                          anti=not complement))
+        if not subassign and replace:
+            # GrB_assign + replace: unmasked entries OUTSIDE the region
+            # are deleted too
+            kept = semi_join_filter(kept, keys, mset, anti=complement)
+        parts.append(kept)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return self._wrap(out)
 
     def delete_element(self, row, col):
         """``del A[i, j]`` (reference ``matrix.py:3529``)."""

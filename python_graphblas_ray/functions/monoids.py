@@ -172,3 +172,10 @@ for _add, _mult in [
     ("plus", "max"),
 ]:
     get_semiring(_add, _mult)
+
+# positional semiring families (reference semiring.py:190-218
+# ``min_firsti``-style) — parent BFS (min_secondi), argmin recipes
+for _add in ("min", "max", "any"):
+    for _pos in ("firsti", "firstj", "secondi", "secondj"):
+        get_semiring(_add, _pos)
+        get_semiring(_add, _pos + "1")

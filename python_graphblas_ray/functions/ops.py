@@ -18,6 +18,7 @@ import numpy as np
 __all__ = [
     "UnaryOp",
     "BinaryOp",
+    "PositionalBinaryOp",
     "IndexUnaryOp",
     "unary",
     "binary",
@@ -99,6 +100,32 @@ class BinaryOp:
         op = BinaryOp(name, fn, commutes_to)
         binary._register(op)
         return op
+
+
+class PositionalBinaryOp(BinaryOp):
+    """Positional multiply op (reference ``core/operator/binary.py:470-480``
+    ``firsti/firsti1/firstj/firstj1/secondi/secondi1/secondj/secondj1``):
+    the result is an INDEX of one operand, not a function of the values.
+    Kernels (mxm / mxv / vxm / ewise) special-case on ``.positional`` to
+    source the index columns; calling ``fn`` directly raises."""
+
+    def __init__(self, name, which, offset, commutes_to=None):
+        def _no_fn(x, y):
+            raise TypeError(
+                f"binary.{name} is positional — only usable inside "
+                "mxm/mxv/vxm/ewise kernels, not as a value function")
+
+        super().__init__(name, _no_fn, commutes_to)
+        self.positional = which  # 'firsti' | 'firstj' | 'secondi' | 'secondj'
+        self.offset = offset
+
+    def index_values(self, i1, j1, i2, j2):
+        """Pick the index array this op denotes. ``i1/j1``: row/col of the
+        first operand's entries; ``i2/j2``: second operand's."""
+        base = {"firsti": i1, "firstj": j1,
+                "secondi": i2, "secondj": j2}[self.positional]
+        out = np.asarray(base, dtype=np.int64)
+        return out + self.offset if self.offset else out
 
 
 class IndexUnaryOp:
@@ -261,6 +288,14 @@ _BINARY_BUILTINS = {
 
 for _name, (_fn, _comm) in _BINARY_BUILTINS.items():
     binary._register(BinaryOp(_name, _fn, _comm))
+
+# positional binaries (reference binary.py:470-480; offset +1 variants)
+for _which in ("firsti", "firstj", "secondi", "secondj"):
+    _comm = {"firsti": "secondi", "firstj": "secondj",
+             "secondi": "firsti", "secondj": "firstj"}[_which]
+    binary._register(PositionalBinaryOp(_which, _which, 0, _comm))
+    binary._register(PositionalBinaryOp(_which + "1", _which, 1,
+                                        _comm + "1"))
 
 
 _INDEXUNARY_BUILTINS = {

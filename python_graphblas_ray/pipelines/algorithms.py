@@ -216,6 +216,49 @@ def bfs_level(engine: SuperstepEngine, source: int,
     return v, metrics
 
 
+def bfs_parent(engine: SuperstepEngine, source: int,
+               metrics: SuperstepMetrics | None = None):
+    """Parent BFS (reference ``notebooks/Example B.3 -- Parent BFS.ipynb``
+    — the ``min_secondi`` semiring recipe): each vertex discovered at
+    level L gets as parent the SMALLEST id among its level-(L-1)
+    in-neighbors (deterministic). ``parent[source] = source``; -1 =
+    unreached. The ``min_secondi`` reduce is expressed as ``min_second``
+    over the identity vector (x[u] = u)."""
+    n = engine.n
+    metrics = metrics or SuperstepMetrics()
+    parent = np.full(n, -1, dtype=np.int64)
+    parent[source] = source
+    q = np.zeros(n, dtype=bool)
+    q[source] = True
+    ids = np.arange(n, dtype=np.float64)
+    level = 1
+    while q.any():
+        cand = engine.spmv_masked("min_second", ids, q)
+        q = np.isfinite(cand) & (parent < 0)
+        parent[q] = cand[q].astype(np.int64)
+        metrics.record(level, algorithm="bfs_parent",
+                       frontier=int(q.sum()))
+        level += 1
+    return parent, metrics
+
+
+def bfs_parent_numpy(src, dst, n, source):
+    """Single-process oracle for the same deterministic parent BFS."""
+    parent = np.full(n, -1, dtype=np.int64)
+    parent[source] = source
+    q = np.zeros(n, dtype=bool)
+    q[source] = True
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    while q.any():
+        sel = q[src]
+        cand = np.full(n, n, dtype=np.int64)
+        np.minimum.at(cand, dst[sel], src[sel])
+        q = (cand < n) & (parent < 0)
+        parent[q] = cand[q]
+    return parent
+
+
 def sssp(engine: SuperstepEngine, source: int,
          metrics: SuperstepMetrics | None = None, itermax=None):
     """Bellman-Ford fixpoint of ``v(min) << min_plus(A.T @ v)`` (reference

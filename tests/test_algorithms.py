@@ -318,3 +318,13 @@ def test_skewed_dst_no_spurious_hub_split_flag():
         assert np.argmax(r) == 0  # the sink hub gets the mass
     finally:
         eng.shutdown()
+
+
+def test_bfs_parent(graph, engine):
+    from python_graphblas_ray.pipelines.algorithms import (
+        bfs_parent, bfs_parent_numpy)
+    src, dst, w, ds = graph
+    got, _ = bfs_parent(engine, source=0)
+    want = bfs_parent_numpy(src, dst, N, 0)
+    np.testing.assert_array_equal(got, want)
+    assert got[0] == 0 and (got >= -1).all()
