@@ -258,11 +258,13 @@ def _q_bfs_levels(sf_dir):
 # ---------------------------------------------------------------------------
 
 def _q_k_core(sf_dir):
+    """k = 162 exercises a real 3-round peel on the sf0.01 derived graph
+    (502 of 512 vertices survive); oracle = iterative-peel recursive CTE."""
     from python_graphblas_ray.pipelines.kcore import k_core
     from python_graphblas_ray.pipelines.triangles import simple_undirected
 
     A = simple_undirected(_edge_dataset(sf_dir), N_VERT)
-    return k_core(A, 8).ds
+    return k_core(A, 162).ds
 
 
 def _q_k_truss(sf_dir):
@@ -283,6 +285,54 @@ def _q_pagerank(sf_dir):
     return pa.table({"vid": np.arange(N_VERT, dtype=np.int64), "rank": r})
 
 
+def _q_pagerank_iter5(sf_dir):
+    """Fixed-5-superstep PageRank over the raw (multigraph) edge rows,
+    rounded to 8 decimals so the DuckDB recursive-CTE oracle reproduces it
+    exactly (summation order differs only below the rounding grain; the
+    convergent-tolerance variant stays the rows-only ``pagerank`` query)."""
+    from python_graphblas_ray.pipelines.algorithms import (
+        build_engine, pagerank)
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
+    r, _, _ = pagerank(eng, tol=0.0, itermax=5)
+    eng.shutdown()
+    return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
+                     "rank": np.round(r, 8)})
+
+
+def _q_bfs_parents(sf_dir):
+    """Parent BFS (min_secondi recipe): deterministic smallest-id parent
+    among level-(L-1) in-neighbors — SQL-expressible via the bfs-levels
+    recursive CTE + per-vertex min over the previous level."""
+    from python_graphblas_ray.pipelines.algorithms import (
+        bfs_parent, build_engine)
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
+    parent, _ = bfs_parent(eng, source=0)
+    eng.shutdown()
+    vid = np.flatnonzero(parent >= 0).astype(np.int64)
+    return pa.table({"vid": vid, "parent": parent[vid]})
+
+
+def _q_assign_masked(sf_dir):
+    """Value-masked scalar subassign (GxB_subassign semantics): region
+    entries where the region-shaped mask (val > 2) holds become 99.0,
+    unmasked region entries and everything outside the region keep C."""
+    A = _edge_matrix(sf_dir)
+    m = A.extract(slice(0, 20), slice(0, 20)).select(">", 2.0)
+    return A.assign(slice(0, 20), slice(0, 20), 99.0, mask=m.S,
+                    subassign=True).ds
+
+
+def _q_mxm_min_secondi(sf_dir):
+    """Positional semiring matmul: C[i,j] = min over contributing k of k
+    (``min_secondi`` — reference ``semiring.py:190-218`` family)."""
+    from python_graphblas_ray.functions.monoids import semiring
+
+    A = _edge_matrix(sf_dir)
+    return A.mxm(A, semiring.min_secondi).ds
+
+
 def _q_connected_components(sf_dir):
     from python_graphblas_ray.pipelines.algorithms import (
         build_engine, connected_components)
@@ -295,9 +345,12 @@ def _q_connected_components(sf_dir):
 
 
 def _q_sssp(sf_dir):
+    """Weighted Bellman-Ford over the dedup'd matrix (weight = edge
+    multiplicity) so the hop-bounded recursive-CTE oracle sees the same
+    weights."""
     from python_graphblas_ray.pipelines.algorithms import build_engine, sssp
 
-    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4,
+    eng = build_engine(_edge_matrix(sf_dir).ds, N_VERT, num_partitions=4,
                        weighted=True)
     dist, _ = sssp(eng, source=0)
     eng.shutdown()
@@ -446,7 +499,9 @@ def _q_doc_stats(sf_dir):
 
 def _q_quality_filter(sf_dir):
     """Quality-gate pipeline: score docs, keep q_words ≥ 40, count per
-    lang (the C4-style filter step as a query)."""
+    lang (the C4-style filter step as a query). The count is a per-batch
+    Arrow hash-aggregate combiner + tiny merge — no per-group Python."""
+    from python_graphblas_ray.stages.reduce import grouped_agg
     from python_graphblas_ray.stages.text import quality_score
 
     ds = quality_score(_read(sf_dir, "documents",
@@ -457,22 +512,14 @@ def _q_quality_filter(sf_dir):
         return batch.filter(pa.array(keep)).select(["lang"])
 
     kept = ds.map_batches(filt, batch_format="pyarrow")
-
-    def cnt(group: pa.Table) -> pa.Table:
-        return pa.table({"lang": group["lang"].slice(0, 1),
-                         "n_docs": pa.array([group.num_rows], pa.int64())})
-
-    return kept.groupby("lang").map_groups(cnt, batch_format="pyarrow")
+    return grouped_agg(kept, ["lang"], [(None, "count", "n_docs")])
 
 
 def _q_lang_count(sf_dir):
+    from python_graphblas_ray.stages.reduce import grouped_agg
+
     ds = _read(sf_dir, "documents", columns=["lang"])
-
-    def cnt(group: pa.Table) -> pa.Table:
-        return pa.table({"lang": group["lang"].slice(0, 1),
-                         "n_docs": pa.array([group.num_rows], pa.int64())})
-
-    return ds.groupby("lang").map_groups(cnt, batch_format="pyarrow")
+    return grouped_agg(ds, ["lang"], [(None, "count", "n_docs")])
 
 
 def _q_events_window(sf_dir):
@@ -524,21 +571,15 @@ def _q_events_sessionize(sf_dir):
 
 
 def _q_lineitem_agg(sf_dir):
-    """Plain wide aggregate (general groupby surface)."""
+    """Plain wide aggregate (general groupby surface) — per-batch Arrow
+    combiner, partial rows ≤ #groups × #blocks, tiny driver merge."""
+    from python_graphblas_ray.stages.reduce import grouped_agg
+
     ds = _read(sf_dir, "lineitem",
                columns=["l_returnflag", "l_linestatus", "l_quantity"])
-
-    def agg(group: pa.Table) -> pa.Table:
-        q = group["l_quantity"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "l_returnflag": group["l_returnflag"].slice(0, 1),
-            "l_linestatus": group["l_linestatus"].slice(0, 1),
-            "sum_qty": pa.array([float(q.sum())], pa.float64()),
-            "n": pa.array([len(q)], pa.int64()),
-        })
-
-    return ds.groupby(["l_returnflag", "l_linestatus"]).map_groups(
-        agg, batch_format="pyarrow")
+    return grouped_agg(ds, ["l_returnflag", "l_linestatus"],
+                       [("l_quantity", "sum", "sum_qty"),
+                        (None, "count", "n")])
 
 
 # ---------------------------------------------------------------------------
@@ -567,6 +608,10 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Ordered so every SQL-oracle-backed query (the first 50 — see
+    ``oracle_sql``) sits inside the driver's 50-entry window; the
+    rows-only queries (iterative fixpoints, hash signatures, synthetic
+    pages) follow at the tail."""
     return {
         # construction / exports
         "edges_build": _q_edges_build,
@@ -585,6 +630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mxv_plus_times": _q_mxv_plus_times,
         "vxm_min_plus": _q_vxm_min_plus,
         "mxm_plus_times": _q_mxm_plus_times,
+        "mxm_min_secondi": _q_mxm_min_secondi,
         "kronecker": _q_kronecker,
         # elementwise
         "ewise_add_plus": _q_ewise_add,
@@ -599,41 +645,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diag": _q_diag,
         "extract_submatrix": _q_extract_submatrix,
         "assign_scalar": _q_assign_scalar,
+        "assign_masked": _q_assign_masked,
         # per-row .ss extras
         "row_scan_plus": _q_row_scan,
         "row_selectk_first2": _q_row_selectk,
         "row_sort": _q_row_sort,
-        # algorithms
+        # algorithms (SQL-checkable)
         "triangle_count": _q_triangle_count,
         "k_core": _q_k_core,
-        "k_truss": _q_k_truss,
         "bfs_levels": _q_bfs_levels,
-        "pagerank": _q_pagerank,
+        "bfs_parents": _q_bfs_parents,
+        "pagerank_iter5": _q_pagerank_iter5,
         "connected_components": _q_connected_components,
         "sssp": _q_sssp,
-        "label_propagation": _q_label_propagation,
-        "betweenness": _q_betweenness,
-        "pages_pagerank": _q_pages_pagerank,
-        "pages_extract_text": _q_pages_extract_text,
-        # training-data prep
-        "prepare_corpus": _q_prepare_corpus,
+        # training-data prep (SQL-checkable)
         "dedup_exact": _q_dedup_exact,
         "word_jaccard_pairs": _q_word_jaccard,
-        "minhash_pairs": _q_minhash_pairs,
-        "simhash_sigs": _q_simhash_sigs,
         "embedding_neardup": _q_embedding_neardup,
         "ann_topk": _q_ann_topk,
-        "doc_embed_ann": _q_doc_embed_ann,
         "token_count": _q_token_count,
         "doc_stats": _q_doc_stats,
         "lang_count": _q_lang_count,
         "quality_filter": _q_quality_filter,
         "events_window": _q_events_window,
-        "events_hll_distinct": _q_events_hll,
         "events_hopping_window": _q_events_hopping,
         "events_asof_join": _q_events_asof,
         "events_sessionize": _q_events_sessionize,
         "lineitem_agg": _q_lineitem_agg,
+        # ---- rows-only tail (no SQL equivalent) ----
+        "k_truss": _q_k_truss,
+        "pagerank": _q_pagerank,
+        "label_propagation": _q_label_propagation,
+        "betweenness": _q_betweenness,
+        "pages_pagerank": _q_pages_pagerank,
+        "pages_extract_text": _q_pages_extract_text,
+        "prepare_corpus": _q_prepare_corpus,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_sigs": _q_simhash_sigs,
+        "doc_embed_ann": _q_doc_embed_ann,
+        "events_hll_distinct": _q_events_hll,
     }
 
 
@@ -827,6 +877,75 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_agg": (
             "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
             "CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2"),
+        "mxm_min_secondi": (
+            f"{E} SELECT a.src AS src, b.dst AS dst, "
+            "CAST(min(a.dst) AS BIGINT) AS val "
+            "FROM E a JOIN E b ON a.dst = b.src GROUP BY 1, 2"),
+        "assign_masked": (
+            f"{E} SELECT src, dst, CASE WHEN src < 20 AND dst < 20 "
+            "AND val > 2.0 THEN 99.0 ELSE val END AS val FROM E"),
+        "sssp": (
+            "WITH RECURSIVE E AS (SELECT l_orderkey % 512 AS src, "
+            "l_partkey % 512 AS dst, CAST(count(*) AS DOUBLE) AS val "
+            "FROM lineitem GROUP BY 1, 2), "
+            "walk(vid, d, hop) AS ("
+            "SELECT CAST(0 AS BIGINT), CAST(0 AS DOUBLE), 0 "
+            "UNION "
+            "SELECT e.dst, w.d + e.val, w.hop + 1 "
+            "FROM walk w JOIN E e ON e.src = w.vid WHERE w.hop < 6) "
+            "SELECT vid, min(d) AS dist FROM walk GROUP BY vid"),
+        "k_core": (
+            "WITH RECURSIVE E AS (SELECT l_orderkey % 512 AS src, "
+            "l_partkey % 512 AS dst FROM lineitem GROUP BY 1, 2), "
+            "U AS (SELECT DISTINCT least(src, dst) AS a, "
+            "greatest(src, dst) AS b FROM E WHERE src <> dst), "
+            "S AS (SELECT a AS src, b AS dst FROM U "
+            "UNION ALL SELECT b, a FROM U), "
+            "peel(it, vid) AS ("
+            "SELECT 0, CAST(range AS BIGINT) FROM range(512) "
+            "UNION ALL "
+            "SELECT p.it + 1, p.vid FROM peel p "
+            "JOIN S e ON e.src = p.vid "
+            "JOIN peel q ON q.vid = e.dst AND q.it = p.it "
+            "WHERE p.it < 40 "
+            "GROUP BY p.it, p.vid HAVING count(*) >= 162), "
+            "core AS (SELECT vid FROM peel "
+            "WHERE it = (SELECT max(it) FROM peel)) "
+            "SELECT s.src, s.dst, CAST(1.0 AS DOUBLE) AS val FROM S s "
+            "WHERE s.src IN (SELECT vid FROM core) "
+            "AND s.dst IN (SELECT vid FROM core)"),
+        "pagerank_iter5": (
+            "WITH RECURSIVE R AS (SELECT l_orderkey % 512 AS src, "
+            "l_partkey % 512 AS dst FROM lineitem), "
+            "Ew AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS cnt "
+            "FROM R GROUP BY 1, 2), "
+            "deg AS (SELECT src AS vid, CAST(count(*) AS DOUBLE) AS d "
+            "FROM R GROUP BY 1), "
+            "V AS (SELECT CAST(range AS BIGINT) AS vid FROM range(512)), "
+            "C AS (SELECT src, dst, cnt FROM Ew "
+            "UNION ALL SELECT vid, vid, 0.0 FROM V), "
+            "pr(it, vid, r) AS ("
+            "SELECT 0, vid, 1.0 / 512 FROM V "
+            "UNION ALL "
+            "SELECT p.it + 1, c.dst, (1.0 - 0.85) / 512 + "
+            "sum(c.cnt * COALESCE(p.r / (deg.d / 0.85), 0.0)) "
+            "FROM pr p JOIN C c ON c.src = p.vid "
+            "LEFT JOIN deg ON deg.vid = p.vid "
+            "WHERE p.it < 5 GROUP BY p.it, c.dst) "
+            "SELECT vid, ROUND(r, 8) AS rank FROM pr WHERE it = 5"),
+        "bfs_parents": (
+            "WITH RECURSIVE E AS (SELECT l_orderkey % 512 AS src, "
+            "l_partkey % 512 AS dst FROM lineitem GROUP BY 1, 2), "
+            "bfs(vid, lvl) AS ("
+            "SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+            "UNION "
+            "SELECT e.dst, b.lvl + 1 FROM bfs b JOIN E e ON e.src = b.vid "
+            "WHERE b.lvl < 30), "
+            "L AS (SELECT vid, min(lvl) AS lvl FROM bfs GROUP BY vid) "
+            "SELECT l.vid, CASE WHEN l.vid = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE (SELECT min(e.src) FROM E e JOIN L l2 ON l2.vid = e.src "
+            "WHERE e.dst = l.vid AND l2.lvl = l.lvl - 1) END AS parent "
+            "FROM L l"),
     } | {"bfs_levels": (
         "WITH RECURSIVE E AS (SELECT l_orderkey % 512 AS src, "
         "l_partkey % 512 AS dst FROM lineitem GROUP BY 1, 2), "

@@ -70,9 +70,12 @@ class UnaryOp:
         return f"unary.{self.name}"
 
     @staticmethod
-    def register_new(name, fn):
-        """User extension hook (reference ``unary.py:331``)."""
-        op = UnaryOp(name, fn)
+    def register_new(name, fn, *, parameterized=False):
+        """User extension hook (reference ``unary.py:331``);
+        ``parameterized=True`` registers an op FACTORY (reference
+        ``base.py:646``) — ``fn(*params)`` must return the value fn."""
+        op = (ParameterizedOp(name, fn, lambda n, f: UnaryOp(n, f))
+              if parameterized else UnaryOp(name, fn))
         unary._register(op)
         return op
 
@@ -96,8 +99,10 @@ class BinaryOp:
         return f"binary.{self.name}"
 
     @staticmethod
-    def register_new(name, fn, commutes_to=None):
-        op = BinaryOp(name, fn, commutes_to)
+    def register_new(name, fn, commutes_to=None, *, parameterized=False):
+        op = (ParameterizedOp(name, fn,
+                              lambda n, f: BinaryOp(n, f, None))
+              if parameterized else BinaryOp(name, fn, commutes_to))
         binary._register(op)
         return op
 
@@ -147,15 +152,125 @@ class IndexUnaryOp:
         return f"indexunary.{self.name}"
 
     @staticmethod
-    def register_new(name, fn, bool_valued=True):
-        op = IndexUnaryOp(name, fn, bool_valued)
+    def register_new(name, fn, bool_valued=True, *, parameterized=False):
+        op = (ParameterizedOp(name, fn,
+                              lambda n, f: IndexUnaryOp(n, f, bool_valued))
+              if parameterized else IndexUnaryOp(name, fn, bool_valued))
         indexunary._register(op)
         return op
+
+
+class PositionalUnaryOp(UnaryOp):
+    """Positional unary (reference ``unary.py`` ``positioni/positionj``
+    (+1 variants)): result is the entry's row/col index, not a value
+    function. ``_apply`` special-cases on ``.positional``."""
+
+    def __init__(self, name, which, offset):
+        def _no_fn(x):
+            raise TypeError(f"unary.{name} is positional — usable only in "
+                            "apply, not as a value function")
+
+        super().__init__(name, _no_fn)
+        self.positional = which  # 'i' | 'j'
+        self.offset = offset
+
+    def index_values(self, rows, cols):
+        base = rows if self.positional == "i" else cols
+        out = np.asarray(base, dtype=np.int64)
+        return out + self.offset if self.offset else out
+
+
+class IndexBinaryOp:
+    """Vectorized ``z = f(x, ix, jx, y, iy, jy, theta)`` (reference
+    ``core/operator/indexbinary.py:456`` ``register_new``; theta binding
+    ``:63-70``). Calling ``iop(theta)`` binds theta and returns a
+    :class:`BoundIndexBinaryOp` — a BinaryOp usable in ``ewise_mult`` /
+    ``ewise_add`` and as a Semiring multiplier (``Semiring.register_new``
+    accepts it), exactly the reference's ``GxB_BinaryOp_new_IndexOp``
+    surface."""
+
+    def __init__(self, name, fn):
+        self.name = name
+        self.fn = fn
+
+    def __call__(self, theta=0):
+        return BoundIndexBinaryOp(self, theta)
+
+    def __repr__(self):
+        return f"indexbinary.{self.name}"
+
+    @staticmethod
+    def register_new(name, fn, *, parameterized=False):
+        if parameterized:
+            op = ParameterizedOp(
+                name, fn, lambda n, f: IndexBinaryOp(n, f))
+            indexbinary._register(op)
+            return op
+        op = IndexBinaryOp(name, fn)
+        indexbinary._register(op)
+        return op
+
+
+class BoundIndexBinaryOp(BinaryOp):
+    """``iop(theta)`` — monomorphic BinaryOp wrapping an IndexBinaryOp
+    with theta baked in (reference ``indexbinary.py:63-70``
+    ``_BoundIndexBinaryOp``). Value-only call raises; kernels dispatch on
+    ``.index_binary`` and call :meth:`index_fn` with the index columns."""
+
+    def __init__(self, parent: IndexBinaryOp, theta):
+        def _no_fn(x, y):
+            raise TypeError(
+                f"binary from indexbinary.{parent.name} needs index "
+                "columns — usable inside ewise/mxm/mxv/vxm kernels only")
+
+        super().__init__(f"{parent.name}[theta={theta!r}]", _no_fn,
+                         commutes_to=None)
+        self.index_binary = parent
+        self.theta = theta
+
+    def index_fn(self, x, ix, jx, y, iy, jy):
+        return self.index_binary.fn(x, ix, jx, y, iy, jy, self.theta)
+
+
+class ParameterizedOp:
+    """Op factory (reference ``core/operator/base.py:646``
+    ``ParameterizedUdf``, lru-cached ``:660``): ``register_new(name,
+    factory, parameterized=True)`` stores the factory; calling it with
+    parameters builds (and caches) a concrete anonymous op:
+
+        >>> bshift = unary.register_new(
+        ...     "shift", lambda n: (lambda x: x << n), parameterized=True)
+        >>> bshift(3)          # a concrete UnaryOp
+    """
+
+    def __init__(self, name, factory, build):
+        self.name = name
+        self.factory = factory
+        self._build = build
+        self._cache: dict = {}
+
+    def __call__(self, *args, **kwargs):
+        try:
+            key = (args, tuple(sorted(kwargs.items())))
+            hash(key)
+        except TypeError:
+            key = None
+        if key is not None and key in self._cache:
+            return self._cache[key]
+        fn = self.factory(*args, **kwargs)
+        op = self._build(f"{self.name}{args!r}", fn)
+        if key is not None:
+            self._cache[key] = op
+        return op
+
+    def __repr__(self):
+        return f"parameterized.{self.name}"
 
 
 unary = _Namespace()
 binary = _Namespace()
 indexunary = _Namespace()
+indexbinary = _Namespace()
 
 
 def _safe_minv(x):

@@ -48,7 +48,8 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 
 
 def _hash_str_u64(s: str) -> int:
-    """FNV-1a 64 over utf-8 bytes — deterministic across processes."""
+    """FNV-1a 64 over utf-8 bytes — deterministic across processes.
+    (Reference scalar form; the hot paths use ``_fnv1a_str_vec``.)"""
     h = 0xCBF29CE484222325
     for b in s.encode("utf-8"):
         h ^= b
@@ -56,17 +57,122 @@ def _hash_str_u64(s: str) -> int:
     return h
 
 
-def word_shingles(text: str, n: int = 3) -> np.ndarray:
-    """Distinct uint64 hashes of word n-gram shingles of ``text``."""
-    words = text.split()
-    if len(words) < n:
-        grams = [" ".join(words)] if words else []
-    else:
-        grams = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
-    if not grams:
+def _fnv1a_str_vec(arr) -> np.ndarray:
+    """FNV-1a 64 of every string in a pyarrow array — byte-identical to
+    ``_hash_str_u64``, no per-string Python: dictionary-encode, hash each
+    DISTINCT string with one numpy pass per byte position (strings repeat
+    heavily in token streams), gather back through the indices."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if len(arr) == 0:
         return np.array([], dtype=np.uint64)
-    return np.unique(np.fromiter((_hash_str_u64(g) for g in grams),
-                                 dtype=np.uint64, count=len(grams)))
+    enc = arr.dictionary_encode()
+    dic = enc.dictionary
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    off = np.frombuffer(dic.buffers()[1], dtype=np.int32)[
+        dic.offset:dic.offset + len(dic) + 1].astype(np.int64)
+    data = np.frombuffer(dic.buffers()[2], dtype=np.uint8)
+    lens = off[1:] - off[:-1]
+    h = np.full(len(dic), 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    starts = off[:-1]
+    with np.errstate(over="ignore"):
+        for p in range(int(lens.max()) if len(lens) else 0):
+            act = lens > p
+            b = data[starts[act] + p].astype(np.uint64)
+            h[act] = (h[act] ^ b) * prime
+    return h[idx]
+
+
+def _tokenize_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace tokenization + per-token FNV-1a hash for a batch of
+    texts, entirely in Arrow/numpy kernels (``str.split()`` semantics).
+
+    Returns ``(word_hashes: uint64[T], doc_offsets: int64[n+1])`` —
+    ``word_hashes[doc_offsets[d]:doc_offsets[d+1]]`` are doc d's token
+    hashes in order.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    toks = pc.utf8_split_whitespace(texts)
+    flat = pc.list_flatten(toks)
+    counts = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    # Arrow keeps empty edge tokens ('' for leading/trailing whitespace);
+    # str.split() drops them
+    keep = pc.greater(pc.binary_length(flat), 0)
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    did = np.repeat(np.arange(n, dtype=np.int64), counts)[keep_np]
+    wh = _fnv1a_str_vec(flat.filter(keep))
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(did, minlength=n), out=offsets[1:])
+    return wh, offsets
+
+
+def _shingle_hashes(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Word n-gram shingle hashes per doc, vectorized.
+
+    A shingle hash is the order-sensitive splitmix64 chain of its word
+    hashes: ``chain(w_i..w_{i+n-1}) = splitmix64(h(w_i) ^ chain(...))`` —
+    computed for ALL grams in the batch with n shifted numpy passes (no
+    per-gram Python, no gram-string materialization). Docs with
+    ``0 < words < n`` contribute one shingle over all their words
+    (matching the joined-gram fallback); empty docs contribute none.
+
+    Returns ``(shingles: uint64[G], doc_offsets: int64[n+1])`` — NOT
+    deduplicated (min-hash is duplicate-insensitive; set consumers dedup
+    per doc themselves).
+    """
+    wh, offs = _tokenize_hashes(texts)
+    ndocs = len(offs) - 1
+    counts = offs[1:] - offs[:-1]
+    # chain[k-1][i] = hash of the k-gram starting at i (k = 1..n);
+    # chains may run across doc boundaries — those positions are never
+    # selected below.
+    chains = [_splitmix64(wh)]
+    for _ in range(1, n):
+        prev = chains[-1]
+        chains.append(_splitmix64(wh[:len(prev) - 1] ^ prev[1:])
+                      if len(prev) > 1
+                      else np.array([], dtype=np.uint64))
+    out_counts = np.where(counts >= n, counts - (n - 1),
+                          (counts > 0).astype(np.int64))
+    total = int(out_counts.sum())
+    out = np.empty(total, dtype=np.uint64)
+    out_offs = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(out_counts, out=out_offs[1:])
+    # full n-grams: starts offs[d] .. offs[d] + counts[d] - n
+    full = counts >= n
+    if full.any():
+        g = counts[full] - (n - 1)
+        pos = (np.repeat(offs[:-1][full], g) +
+               _ranges(g))
+        dst = (np.repeat(out_offs[:-1][full], g) + _ranges(g))
+        out[dst] = chains[n - 1][pos]
+    # short docs (0 < wc < n): one gram over all wc words
+    for k in range(1, n):
+        sel = counts == k
+        if sel.any():
+            out[out_offs[:-1][sel]] = chains[k - 1][offs[:-1][sel]]
+    return out, out_offs
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated (the repeat/cumsum trick)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.array([], dtype=np.int64)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
+def word_shingles(text: str, n: int = 3) -> np.ndarray:
+    """Distinct uint64 shingle hashes of one text (single-doc wrapper
+    around the vectorized batch kernel; used by tests/oracles)."""
+    sh, _ = _shingle_hashes(pa.array([text], type=pa.string()), n)
+    return np.unique(sh)
 
 
 # ---------------------------------------------------------------------------
@@ -121,17 +227,16 @@ class MinHasher:
                                  np.uint64(0x9E3779B97F4A7C15))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        sets = [word_shingles(t, self.n) for t in texts]
-        lens = np.fromiter((len(s) for s in sets), dtype=np.int64,
-                           count=len(sets))
-        sig = np.full((len(texts), self.k), np.iinfo(np.uint64).max,
+        n_docs = batch.num_rows
+        flat, offs = _shingle_hashes(batch[self.text_col], self.n)
+        lens = offs[1:] - offs[:-1]
+        sig = np.full((n_docs, self.k), np.iinfo(np.uint64).max,
                       dtype=np.uint64)
         nonempty = np.flatnonzero(lens > 0)
         if len(nonempty):
-            flat = np.concatenate([sets[i] for i in nonempty])
-            starts = np.zeros(len(nonempty), dtype=np.int64)
-            np.cumsum(lens[nonempty][:-1], out=starts[1:])
+            # nonempty docs' segments are contiguous in flat, so their
+            # start offsets are valid reduceat boundaries
+            starts = offs[:-1][nonempty]
             for i in range(self.k):
                 h = _splitmix64(flat ^ self.salts[i])
                 sig[nonempty, i] = np.minimum.reduceat(h, starts)
@@ -262,12 +367,14 @@ def minhash_lsh_pairs(docs_ds, num_perm=64, bands=16, shingle_n=3,
 def verify_jaccard(pairs_ds, docs_ds, threshold=0.5, text_col="text",
                    id_col="doc_id", shingle_n=3):
     """Exact Jaccard on candidate pairs: candidate ids are collected
-    (small by LSH construction), the matching docs' shingle sets gathered
-    with one broadcast semi-join pass and ``ray.put`` once; the pair
-    stream then scores zero-copy against the broadcast map — no join
-    shuffles. Touches only candidates — never the O(N²) space. If the
-    candidate set ever outgrows a node, replace the broadcast with two
-    hash joins on ia/ib (same semantics)."""
+    (small by LSH construction), the matching docs' deduped shingle sets
+    gathered with one broadcast semi-join pass into FLAT numpy arrays
+    (ids / offsets / concatenated shingles) and ``ray.put`` once; each
+    pair batch then scores in one vectorized lexsort-intersection pass —
+    no join shuffles, no per-pair loop, no Python dict. Touches only
+    candidates — never the O(N²) space. If the candidate set ever
+    outgrows a node, replace the broadcast with two hash joins on ia/ib
+    (same semantics)."""
     import ray
 
     pairs_ds = pairs_ds.materialize()
@@ -286,27 +393,66 @@ def verify_jaccard(pairs_ds, docs_ds, threshold=0.5, text_col="text",
     cand_ref = ray.put(cand)
     cand_docs = semi_join_filter(
         docs_ds.select_columns([id_col, text_col]), (id_col,), cand_ref)
-    shingle_map = {}
+
+    # Candidate shingle SETS as three flat numpy arrays (doc ids sorted,
+    # per-doc offsets, concatenated deduped shingles) — broadcast ONCE.
+    # Each stage below is vectorized over a whole batch; there is no
+    # per-doc dict and no per-pair Python loop.
+    part_ids, part_sh = [], []
     for b in cand_docs.iter_batches(batch_format="pyarrow",
                                     batch_size=1 << 16):
         ids = b[id_col].to_numpy(zero_copy_only=False)
-        for i, t in zip(ids, b[text_col].to_pylist()):
-            shingle_map[int(i)] = word_shingles(t, shingle_n)
-    map_ref = ray.put(shingle_map)
+        sh, offs = _shingle_hashes(b[text_col], shingle_n)
+        did = np.repeat(np.arange(len(ids), dtype=np.int64),
+                        offs[1:] - offs[:-1])
+        order = np.lexsort((sh, did))
+        did, sh = did[order], sh[order]
+        first = np.ones(len(sh), dtype=bool)
+        first[1:] = (did[1:] != did[:-1]) | (sh[1:] != sh[:-1])
+        part_ids.append(ids[did[first]])
+        part_sh.append(sh[first])
+    # a doc lives wholly in one batch → concatenate + stable sort by doc
+    flat_doc = np.concatenate(part_ids) if part_ids else np.array(
+        [], dtype=np.int64)
+    flat_sh = np.concatenate(part_sh) if part_sh else np.array(
+        [], dtype=np.uint64)
+    order = np.argsort(flat_doc, kind="stable")
+    flat_doc, flat_sh = flat_doc[order], flat_sh[order]
+    uniq_ids = cand  # every candidate id; docs with no shingles get len 0
+    set_counts = np.zeros(len(uniq_ids), dtype=np.int64)
+    if len(flat_doc):
+        slot_of = np.searchsorted(uniq_ids, flat_doc)
+        np.add.at(set_counts, slot_of, 1)
+    set_offs = np.zeros(len(uniq_ids) + 1, dtype=np.int64)
+    np.cumsum(set_counts, out=set_offs[1:])
+    sets_ref = ray.put((uniq_ids, set_offs, flat_sh))
 
     def score(batch: pa.Table) -> pa.Table:
-        m = ray.get(map_ref)
+        uids, offs, shf = ray.get(sets_ref)
         ia = batch["ia"].to_numpy(zero_copy_only=False)
         ib = batch["ib"].to_numpy(zero_copy_only=False)
-        jac = np.empty(len(ia), dtype=np.float64)
-        for i in range(len(ia)):
-            sa = m[int(ia[i])]
-            sb = m[int(ib[i])]
-            if len(sa) == 0 and len(sb) == 0:
-                jac[i] = 1.0
-                continue
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            jac[i] = inter / (len(sa) + len(sb) - inter)
+        np_pairs = len(ia)
+        sa = np.searchsorted(uids, ia)
+        sb = np.searchsorted(uids, ib)
+        la = offs[sa + 1] - offs[sa]
+        lb = offs[sb + 1] - offs[sb]
+        # (pair, shingle) streams for both sides; sets are deduped, so an
+        # adjacent equal (pair, shingle) after the lexsort is exactly one
+        # cross-side intersection hit
+        pi = np.concatenate([np.repeat(np.arange(np_pairs), la),
+                             np.repeat(np.arange(np_pairs), lb)])
+        sh_pos = np.concatenate([
+            np.repeat(offs[sa], la) + _ranges(la),
+            np.repeat(offs[sb], lb) + _ranges(lb)])
+        sh = shf[sh_pos]
+        order = np.lexsort((sh, pi))
+        pi, sh = pi[order], sh[order]
+        hit = np.zeros(len(pi), dtype=bool)
+        if len(pi) > 1:
+            hit[:-1] = (pi[:-1] == pi[1:]) & (sh[:-1] == sh[1:])
+        inter = np.bincount(pi[hit], minlength=np_pairs).astype(np.float64)
+        denom = la + lb - inter
+        jac = np.where(denom > 0, inter / np.maximum(denom, 1), 1.0)
         t = pa.table({"ia": ia, "ib": ib, "jaccard": jac})
         return t.filter(pc.greater_equal(t["jaccard"],
                                          pa.scalar(threshold)))
@@ -328,18 +474,13 @@ class SimHasher:
         self.bit_masks = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        word_lists = [t.split() for t in texts]
-        lens = np.fromiter((len(w) for w in word_lists), dtype=np.int64,
-                           count=len(word_lists))
-        out = np.zeros(len(texts), dtype=np.uint64)
+        n_docs = batch.num_rows
+        H, offs = _tokenize_hashes(batch[self.text_col])
+        lens = offs[1:] - offs[:-1]
+        out = np.zeros(n_docs, dtype=np.uint64)
         nonempty = np.flatnonzero(lens > 0)
         if len(nonempty):
-            flat_words = [w for i in nonempty for w in word_lists[i]]
-            H = np.fromiter((_hash_str_u64(w) for w in flat_words),
-                            dtype=np.uint64, count=len(flat_words))
-            starts = np.zeros(len(nonempty), dtype=np.int64)
-            np.cumsum(lens[nonempty][:-1], out=starts[1:])
+            starts = offs[:-1][nonempty]
             ne_lens = lens[nonempty]
             acc = np.zeros(len(nonempty), dtype=np.uint64)
             # per bit: one reduceat over ALL words (no per-doc loop)
@@ -447,15 +588,27 @@ def word_jaccard_pairs(docs_ds, threshold=0.8, text_col="text",
     """
 
     def tokens(batch: pa.Table) -> pa.Table:
+        """(id, DISTINCT word) rows — Arrow split + dictionary-encode +
+        one np.unique over packed (doc, word-id) pairs; no Python loop."""
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        texts = batch[text_col].to_pylist()
-        out_id, out_w = [], []
-        for i, t in zip(ids, texts):
-            for w in set(t.split()):
-                out_id.append(i)
-                out_w.append(w)
-        return pa.table({id_col: np.array(out_id, dtype=np.int64),
-                         "word": pa.array(out_w, type=pa.string())})
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.utf8_split_whitespace(texts)
+        flat = pc.list_flatten(toks)
+        counts = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = pc.greater(pc.binary_length(flat), 0)
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        did = np.repeat(np.arange(len(ids), dtype=np.int64),
+                        counts)[keep_np]
+        enc = flat.filter(keep).dictionary_encode()
+        widx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = len(enc.dictionary)
+        packed = np.unique(did * max(vocab, 1) + widx)
+        u_did, u_widx = packed // max(vocab, 1), packed % max(vocab, 1)
+        return pa.table({id_col: ids[u_did],
+                         "word": enc.dictionary.take(pa.array(u_widx))})
 
     tok = docs_ds.select_columns([id_col, text_col]).map_batches(
         tokens, batch_format="pyarrow")

@@ -37,18 +37,14 @@ def windowed_aggregate(events_ds, keys=("event_type",), ts_col="ts",
     """Tumbling-window aggregate: one shuffle keyed by (keys..., window).
     Emits count / min / max of ``value_col`` per group (order-independent,
     so exactly reproducible under any partitioning)."""
+    from ..stages.reduce import grouped_agg
+
     ds = add_tumbling_window(events_ds, ts_col=ts_col, every=every)
     keys = list(keys) + ["window"]
-
-    def agg(group: pa.Table) -> pa.Table:
-        v = group[value_col].to_numpy(zero_copy_only=False)
-        cols = {k: group[k].slice(0, 1) for k in keys}
-        cols["n"] = np.array([len(v)], dtype=np.int64)
-        cols["vmin"] = np.array([v.min()]) if len(v) else np.array([np.nan])
-        cols["vmax"] = np.array([v.max()]) if len(v) else np.array([np.nan])
-        return pa.table(cols)
-
-    return ds.groupby(keys).map_groups(agg, batch_format="pyarrow")
+    return grouped_agg(ds.select_columns(keys + [value_col]), keys,
+                       [(None, "count", "n"),
+                        (value_col, "min", "vmin"),
+                        (value_col, "max", "vmax")])
 
 
 def hopping_window_count(events_ds, keys=("event_type",), ts_col="ts",
@@ -73,16 +69,12 @@ def hopping_window_count(events_ds, keys=("event_type",), ts_col="ts",
         cols["window_us"] = ws
         return pa.table(cols)
 
+    from ..stages.reduce import grouped_agg
+
     ds = events_ds.select_columns(keys + [ts_col]).map_batches(
         expand, batch_format="pyarrow")
-
-    def agg(group: pa.Table) -> pa.Table:
-        cols = {k: group[k].slice(0, 1) for k in keys + ["window_us"]}
-        cols["n"] = pa.array([group.num_rows], pa.int64())
-        return pa.table(cols)
-
-    return ds.groupby(keys + ["window_us"]).map_groups(
-        agg, batch_format="pyarrow")
+    return grouped_agg(ds, keys + ["window_us"],
+                       [(None, "count", "n")])
 
 
 def asof_join(left_ds, right_ds, key="user_id", ts_col="ts",

@@ -177,6 +177,97 @@ def global_monoid_reduce(ds, val_col, monoid):
     return monoid.reduce_np(allp)
 
 
+#: (partial arrow agg, merge arrow agg) per supported kind. ``count`` is
+#: count-rows; partial counts merge by summation.
+_AGG_KINDS = {
+    "count": ("count_all", "sum"),
+    "sum": ("sum", "sum"),
+    "min": ("min", "min"),
+    "max": ("max", "max"),
+}
+
+
+def grouped_agg(ds, key_cols, specs, driver_merge_threshold=4_000_000):
+    """Vectorized grouped count/sum/min/max over arbitrary-typed keys.
+
+    ``specs``: list of ``(in_col, kind, out_col)`` with ``kind`` in
+    ``count | sum | min | max`` (``in_col`` ignored for ``count``).
+
+    Two-level Arrow hash aggregation — NO per-group Python:
+
+    1. per-batch ``pa.Table.group_by(...).aggregate(...)`` combiner
+       (Arrow's C++ hash aggregate) shrinks the stream to one row per
+       (key, batch);
+    2. the partials — bounded by #distinct-keys × #blocks, not input
+       rows — merge in one more Arrow hash aggregate on the driver when
+       small, else through Ray's distributed ``groupby().aggregate()``.
+
+    Replaces ``groupby().map_groups`` finishers (measured ~10 s at 80k
+    groups: one Python call per group) for order-independent aggregates.
+    Returns a Dataset with columns ``key_cols + [out_col, ...]``.
+    """
+    import ray.data
+
+    key_cols = list(key_cols)
+    partial_aggs = []   # [(agg_tuple, partial_name, merge_kind, out_col)]
+    for in_col, kind, out_col in specs:
+        p_kind, m_kind = _AGG_KINDS[kind]
+        if kind == "count":
+            partial_aggs.append((([], "count_all"), "count_all",
+                                 m_kind, out_col))
+        else:
+            partial_aggs.append(((in_col, p_kind), f"{in_col}_{p_kind}",
+                                 m_kind, out_col))
+
+    arrow_aggs = [a for a, _, _, _ in partial_aggs]
+
+    def combine(batch: pa.Table) -> pa.Table:
+        return batch.group_by(key_cols).aggregate(arrow_aggs)
+
+    partials = ds.map_batches(combine, batch_format="pyarrow")
+
+    def merge_table(t: pa.Table) -> pa.Table:
+        merged = t.group_by(key_cols).aggregate(
+            [(p, m) for _, p, m, _ in partial_aggs])
+        cols = {k: merged[k] for k in key_cols}
+        for _, p, m, out_col in partial_aggs:
+            col = merged[f"{p}_{m}"]
+            if m == "sum" and p == "count_all":
+                col = col.cast(pa.int64())
+            cols[out_col] = col
+        return pa.table(cols)
+
+    mat = partials.materialize()
+    if mat.count() <= driver_merge_threshold:
+        batches = [b for b in mat.iter_batches(batch_format="pyarrow",
+                                               batch_size=1 << 20)
+                   if b.num_rows]
+        if not batches:
+            return mat
+        return ray.data.from_arrow(
+            merge_table(pa.concat_tables(batches,
+                                         promote_options="permissive")))
+    # large-cardinality path: distributed shuffle over the partials, then
+    # a per-block Arrow merge (each key lands wholly in one block)
+    key = key_cols[0] if len(key_cols) == 1 else key_cols
+    ray_aggs = []
+    for _, p, m, out_col in partial_aggs:
+        ray_aggs.append({"sum": Sum, "min": Min, "max": Max}[m](
+            p, alias_name=out_col))
+    out = mat.groupby(key).aggregate(*ray_aggs)
+    count_outs = [out_col for _, p, m, out_col in partial_aggs
+                  if p == "count_all"]
+    if count_outs:
+        def cast_counts(batch: pa.Table) -> pa.Table:
+            for c in count_outs:
+                batch = batch.set_column(
+                    batch.column_names.index(c), c,
+                    batch[c].cast(pa.int64()))
+            return batch
+        out = out.map_batches(cast_counts, batch_format="pyarrow")
+    return out
+
+
 def groupby_aggregator(ds, key_cols, val_col, aggregator, out_col="val",
                        idx_col=None):
     """Grouped reduction with a composite Aggregator (mean/std/argmin/...).
