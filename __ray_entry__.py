@@ -32,10 +32,9 @@ _E_CTE = (
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data
+    from python_graphblas_ray.sources.parquet import read_parquet_clean
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
-                                 columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _edge_dataset(sf_dir: str):
@@ -471,6 +470,16 @@ def _q_ann_topk(sf_dir):
                     k=10)
 
 
+def _q_ann_ivf(sf_dir):
+    """ANN through the IVF index (build → multi-probe batched search) —
+    the at-scale path; recall vs brute force is pytest-asserted ≥ 0.9
+    (approximate → rows-only here)."""
+    from python_graphblas_ray.pipelines.similarity import ann_topk_ivf
+
+    return ann_topk_ivf(_read(sf_dir, "embeddings"),
+                        query_ids=list(range(10)), k=10, nprobe=4)
+
+
 def _q_doc_embed_ann(sf_dir):
     """Text → feature-hashing embedding → ANN top-5 (the full text
     similarity chain; hashing not SQL-reproducible → rows-only)."""
@@ -684,6 +693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_sigs": _q_simhash_sigs,
         "doc_embed_ann": _q_doc_embed_ann,
         "events_hll_distinct": _q_events_hll,
+        "ann_ivf": _q_ann_ivf,
     }
 
 

@@ -48,6 +48,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     DataContext.get_current().enable_progress_bars = False
 
     from python_graphblas_ray.pipelines.algorithms import build_engine
+    from python_graphblas_ray.sources.parquet import read_parquet_clean
     from python_graphblas_ray.pipelines.dedup import minhash_lsh_pairs
     from python_graphblas_ray.pipelines.ingest import extract_edges
     from python_graphblas_ray.pipelines.similarity import ann_topk
@@ -97,21 +98,21 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timings["triangle_count"] = time.time() - t0
     extra["triangles"] = tri
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
     t0 = time.time()
     pairs = minhash_lsh_pairs(docs, threshold=0.5)
     n_pairs = pairs.count()
     timings["minhash_dedup"] = time.time() - t0
     extra["neardup_pairs"] = n_pairs
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet")
     t0 = time.time()
     ann = ann_topk(emb, query_ids=list(range(32)), k=10)
     ann.count()
     timings["embedding_ann"] = time.time() - t0
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet")
     t0 = time.time()
     windowed_aggregate(ev, keys=("event_type",), every="day").count()
     timings["events_window"] = time.time() - t0

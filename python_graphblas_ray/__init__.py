@@ -16,14 +16,18 @@ from .core import (
     GBScalar,
     GBVector,
 )
+from .functions import dtypes
 from .functions.aggregators import agg
 from .functions.monoids import Monoid, Semiring, get_semiring, monoid, semiring
 from .functions.ops import (
     BinaryOp,
+    IndexBinaryOp,
     IndexUnaryOp,
+    ParameterizedOp,
     UnaryOp,
     binary,
     binary_from_string,
+    indexbinary,
     indexunary,
     unary,
 )
@@ -34,8 +38,10 @@ Scalar = GBScalar
 
 __all__ = [
     "GBMatrix", "GBVector", "GBScalar", "Matrix", "Vector", "Scalar",
-    "unary", "binary", "indexunary", "monoid", "semiring", "agg",
-    "UnaryOp", "BinaryOp", "IndexUnaryOp", "Monoid", "Semiring",
+    "unary", "binary", "indexunary", "indexbinary", "monoid", "semiring",
+    "agg", "dtypes",
+    "UnaryOp", "BinaryOp", "IndexUnaryOp", "IndexBinaryOp",
+    "ParameterizedOp", "Monoid", "Semiring",
     "get_semiring", "binary_from_string",
     "DuplicateIndexError", "DimensionMismatch",
 ]

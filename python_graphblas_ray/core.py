@@ -37,6 +37,7 @@ from .functions.monoids import Monoid, Semiring, monoid as _monoid_ns
 from .functions.ops import (
     BinaryOp,
     IndexUnaryOp,
+    PositionalUnaryOp,
     UnaryOp,
     binary,
     binary_from_string,
@@ -76,7 +77,24 @@ def _empty_ds(val_dtype="float64", vector=False):
 
 
 def _np(col, batch):
-    return batch[col].to_numpy(zero_copy_only=False)
+    arr = batch[col]
+    typ = arr.type if not isinstance(arr, pa.ChunkedArray) else arr.type
+    if pa.types.is_struct(typ) or pa.types.is_fixed_size_list(typ):
+        from .functions.dtypes import arrow_to_np_values
+
+        return arrow_to_np_values(arr)  # UDT → numpy structured array
+    return arr.to_numpy(zero_copy_only=False)
+
+
+def _pa_val(values) -> pa.Array:
+    """Numpy value column → Arrow array; structured dtypes (UDTs) become
+    struct arrays (``functions/dtypes.py``)."""
+    values = np.asarray(values)
+    if values.dtype.names is not None or values.ndim > 1:
+        from .functions.dtypes import np_to_arrow_values
+
+        return np_to_arrow_values(values)
+    return pa.array(values)
 
 
 def _to_table(ds) -> pa.Table:
@@ -184,8 +202,8 @@ def _accum_outer(old_ds, new_ds, keys, accum):
                        left_suffix="_l", right_suffix="_r")
 
     def combine(batch: pa.Table) -> pa.Table:
-        lv = batch["val_l"].to_numpy(zero_copy_only=False)
-        rv = batch["val_r"].to_numpy(zero_copy_only=False)
+        lv = _np("val_l", batch)   # struct-aware (UDT ewise_mult)
+        rv = _np("val_r", batch)
         l_null = np.asarray(batch["val_l"].is_null())
         r_null = np.asarray(batch["val_r"].is_null())
         both = ~l_null & ~r_null
@@ -194,7 +212,7 @@ def _accum_outer(old_ds, new_ds, keys, accum):
             out = out.copy()
             out[both] = accum.fn(lv[both], rv[both])
         cols = {c: batch[c] for c in keys}
-        cols["val"] = out
+        cols["val"] = _pa_val(out)
         return pa.table(cols)
 
     return joined.map_batches(combine, batch_format="pyarrow")
@@ -264,7 +282,9 @@ class GBVector(_Base):
     def __init__(self, ds, size, dtype="float64"):
         self.ds = ds
         self.size = int(size)
-        self.dtype = np.dtype(dtype)
+        from .functions.dtypes import DType
+        self.dtype = (dtype.np_dtype if isinstance(dtype, DType)
+                      else np.dtype(dtype))
 
     def _wrap(self, ds):
         return GBVector(ds, self.size, self.dtype)
@@ -278,7 +298,9 @@ class GBVector(_Base):
         else:
             values = np.asarray(values)
         if dtype is not None:
-            values = values.astype(dtype)
+            from .functions.dtypes import DType
+            values = values.astype(dtype.np_dtype
+                                   if isinstance(dtype, DType) else dtype)
         if size is None:
             size = int(indices.max()) + 1 if len(indices) else 0
         if len(indices) and len(np.unique(indices)) != len(indices):
@@ -291,7 +313,7 @@ class GBVector(_Base):
             return cls(_empty_ds(values.dtype if hasattr(values, "dtype")
                                  else "float64", vector=True), size,
                        values.dtype if hasattr(values, "dtype") else "float64")
-        t = pa.table({"vid": indices, "val": values})
+        t = pa.table({"vid": pa.array(indices), "val": _pa_val(values)})
         return cls(ray.data.from_arrow(t), size, values.dtype)
 
     @classmethod
@@ -339,7 +361,7 @@ class GBVector(_Base):
     def to_coo(self, sort=True):
         t = self.to_table()
         idx = t["vid"].to_numpy(zero_copy_only=False)
-        vals = t["val"].to_numpy(zero_copy_only=False)
+        vals = _np("val", t)
         if sort:
             o = np.argsort(idx, kind="stable")
             idx, vals = idx[o], vals[o]
@@ -659,50 +681,90 @@ def _ewise(a, b, op, how, left_default=None, right_default=None):
         if (a.nrows, a.ncols) != (b.nrows, b.ncols):
             raise DimensionMismatch("shape mismatch")
 
-    joined = hash_join(a.ds, b.ds, on=keys, how=how,
+    # UDT values: Acero joins reject struct payload columns — pack the
+    # struct to fixed-size binary through the join, unpack per batch
+    udt_dtype = a.dtype if a.dtype.names is not None else None
+    a_ds, b_ds = a.ds, b.ds
+    if udt_dtype is not None:
+        from .functions.dtypes import pack_values, unpack_values
+
+        def pack(batch: pa.Table) -> pa.Table:
+            cols = {c: batch[c] for c in keys}
+            cols["val"] = pack_values(_np("val", batch))
+            return pa.table(cols)
+
+        a_ds = a_ds.map_batches(pack, batch_format="pyarrow")
+        b_ds = b_ds.map_batches(pack, batch_format="pyarrow")
+
+    joined = hash_join(a_ds, b_ds, on=keys, how=how,
                        left_suffix="_l", right_suffix="_r")
     pos_op = op if getattr(op, "positional", None) else None
+    ibo = op if getattr(op, "index_binary", None) else None
 
     def combine(batch: pa.Table) -> pa.Table:
-        lv = batch["val_l"].to_numpy(zero_copy_only=False)
-        rv = batch["val_r"].to_numpy(zero_copy_only=False)
+        if udt_dtype is not None:
+            lv = unpack_values(batch["val_l"], udt_dtype)
+            rv = unpack_values(batch["val_r"], udt_dtype)
+        else:
+            lv = _np("val_l", batch)
+            rv = _np("val_r", batch)
         l_null = np.asarray(batch["val_l"].is_null())
         r_null = np.asarray(batch["val_r"].is_null())
 
-        def op_vals(sel=None):
-            """op over aligned entries (positional: both operands share
-            (i, j) — the join keys)."""
-            if pos_op is None:
-                return (op.fn(lv, rv) if sel is None
-                        else op.fn(lv[sel], rv[sel]))
+        def indices(sel=None):
             i = _np(keys[0], batch)
             j = (_np(keys[1], batch) if len(keys) > 1
                  else np.zeros(len(i), dtype=np.int64))
+            return (i, j) if sel is None else (i[sel], j[sel])
+
+        def op_vals(sel=None, lvals=None, rvals=None):
+            """op over aligned entries (positional/index-binary: both
+            operands share (i, j) — the join keys)."""
+            lx = lv if lvals is None else lvals
+            rx = rv if rvals is None else rvals
             if sel is not None:
-                i, j = i[sel], j[sel]
-            return pos_op.index_values(i, j, i, j)
+                lx, rx = lx[sel], rx[sel]
+            if pos_op is not None:
+                i, j = indices(sel)
+                return pos_op.index_values(i, j, i, j)
+            if ibo is not None:
+                i, j = indices(sel)
+                return ibo.index_fn(lx, i, j, rx, i, j)
+            return op.fn(lx, rx)
 
         if how == "inner":
             out = op_vals()
         elif left_default is not None or right_default is not None:
             # ewise_union (reference matrix.py:2043): fill missing side
-            if pos_op is None:
+            if pos_op is not None:
+                out = op_vals()
+            elif udt_dtype is not None:
+                lf = lv.copy()
+                lf[l_null] = left_default
+                rf = rv.copy()
+                rf[r_null] = right_default
+                out = op_vals(lvals=lf, rvals=rf)
+            else:
                 lf = np.where(l_null, left_default, lv)
                 rf = np.where(r_null, right_default, rv)
-                out = op.fn(lf, rf)
-            else:
-                out = op_vals()
+                out = op_vals(lvals=lf, rvals=rf)
         else:
             # ewise_add: op where both, pass-through where one
             both = ~l_null & ~r_null
-            out = np.where(l_null, rv, lv)
+            if udt_dtype is not None:
+                out = lv.copy()
+                out[l_null] = rv[l_null]
+            else:
+                out = np.where(l_null, rv, lv)
             if both.any():
                 out = np.asarray(out)
                 res = op_vals(both)
-                out = out.astype(np.result_type(out.dtype, np.asarray(res).dtype))
+                if udt_dtype is None:
+                    out = out.astype(np.result_type(
+                        out.dtype, np.asarray(res).dtype))
                 out[both] = res
         cols = {c: batch[c] for c in keys}
-        cols["val"] = out
+        cols["val"] = _pa_val(out)
         return pa.table(cols)
 
     out_ds = joined.map_batches(combine, batch_format="pyarrow")
@@ -727,14 +789,19 @@ def _apply(obj, op, right=None, left=None, thunk=None):
 
     def kern(batch: pa.Table) -> pa.Table:
         vals = _np("val", batch)
-        if isinstance(op, IndexUnaryOp):
+        if isinstance(op, (IndexUnaryOp, PositionalUnaryOp)):
             if is_vec:
                 rows = _np("vid", batch)
                 cols_ = np.zeros(len(rows), dtype=np.int64)
             else:
                 rows = _np("src", batch)
                 cols_ = _np("dst", batch)
-            out = op.fn(vals, rows, cols_, thunk if thunk is not None else 0)
+            if isinstance(op, PositionalUnaryOp):
+                # unary.positioni/j (reference positional unary family)
+                out = op.index_values(rows, cols_)
+            else:
+                out = op.fn(vals, rows, cols_,
+                            thunk if thunk is not None else 0)
         elif isinstance(op, BinaryOp):
             if right is not None:
                 out = op.fn(vals, right)
@@ -744,7 +811,7 @@ def _apply(obj, op, right=None, left=None, thunk=None):
         else:
             out = op.fn(vals)
         cols = {c: batch[c] for c in obj._key_cols}
-        cols["val"] = np.asarray(out)
+        cols["val"] = _pa_val(out)
         return pa.table(cols)
 
     return obj._wrap(obj.ds.map_batches(kern, batch_format="pyarrow"))
@@ -798,6 +865,8 @@ def _spmv(mat_ds, vec, sr: Semiring, lookup_col, group_col, out_size,
     pair = sr.binaryop.name == "pair"
     pos_op = sr.binaryop if getattr(sr.binaryop, "positional",
                                     None) else None
+    ibo = sr.binaryop if getattr(sr.binaryop, "index_binary",
+                                 None) else None
 
     def kern(batch: pa.Table) -> pa.Table:
         look = _np(lookup_col, batch)
@@ -811,13 +880,19 @@ def _spmv(mat_ds, vec, sr: Semiring, lookup_col, group_col, out_size,
         pos_c = np.minimum(pos, len(vids) - 1)
         hit = vids[pos_c] == look
         grp = grp[hit]
-        if pos_op is not None:
+        if pos_op is not None or ibo is not None:
             lk = look[hit]
             zero = np.zeros(len(lk), dtype=np.int64)
             if mode == "mxv":  # A[i,k] ⊗ u[k]: first=(i,k), second=(k,0)
-                prod = pos_op.index_values(grp, lk, lk, zero)
+                prod = (pos_op.index_values(grp, lk, lk, zero)
+                        if pos_op is not None
+                        else ibo.index_fn(av[hit], grp, lk,
+                                          vvals[pos_c[hit]], lk, zero))
             else:              # u[k] ⊗ A[k,j]: first=(k,0), second=(k,j)
-                prod = pos_op.index_values(lk, zero, lk, grp)
+                prod = (pos_op.index_values(lk, zero, lk, grp)
+                        if pos_op is not None
+                        else ibo.index_fn(vvals[pos_c[hit]], lk, zero,
+                                          av[hit], lk, grp))
         elif second:
             prod = vvals[pos_c[hit]]
         elif first:
@@ -886,7 +961,9 @@ class GBMatrix(_Base):
         self.ds = ds
         self.nrows = int(nrows)
         self.ncols = int(ncols)
-        self.dtype = np.dtype(dtype)
+        from .functions.dtypes import DType
+        self.dtype = (dtype.np_dtype if isinstance(dtype, DType)
+                      else np.dtype(dtype))
 
     def _wrap(self, ds):
         return GBMatrix(ds, self.nrows, self.ncols, self.dtype)
@@ -910,7 +987,9 @@ class GBMatrix(_Base):
         else:
             values = np.asarray(values)
         if dtype is not None:
-            values = values.astype(dtype)
+            from .functions.dtypes import DType
+            values = values.astype(dtype.np_dtype
+                                   if isinstance(dtype, DType) else dtype)
         if nrows is None:
             nrows = int(rows.max()) + 1 if len(rows) else 0
         if ncols is None:
@@ -930,7 +1009,8 @@ class GBMatrix(_Base):
         if len(rows) == 0:
             return cls(_empty_ds(values.dtype if hasattr(values, "dtype")
                                  else "float64"), nrows, ncols)
-        t = pa.table({"src": rows, "dst": cols, "val": values})
+        t = pa.table({"src": pa.array(rows), "dst": pa.array(cols),
+                      "val": _pa_val(values)})
         return cls(ray.data.from_arrow(t), nrows, ncols, values.dtype)
 
     @classmethod
@@ -983,12 +1063,24 @@ class GBMatrix(_Base):
 
     @classmethod
     def from_scalar(cls, value, nrows, ncols):
-        """Dense iso matrix (reference ``matrix.py:1337``). O(nrows*ncols)
-        rows here — callers keep it small; iso-ness is preserved upstream by
-        using scalars directly where possible."""
-        rows = np.repeat(np.arange(nrows, dtype=np.int64), ncols)
-        cols = np.tile(np.arange(ncols, dtype=np.int64), nrows)
-        return cls.from_coo(rows, cols, value, nrows=nrows, ncols=ncols)
+        """Dense iso matrix (reference ``matrix.py:1337`` ``is_iso``). The
+        reference stores one value + shape (O(1)); here the rows are
+        GENERATED lazily from a range dataset — O(1) driver memory, blocks
+        produced in parallel only when a downstream kernel consumes them
+        (never a driver-side n×m materialization)."""
+        total = int(nrows) * int(ncols)
+        val_dtype = np.asarray(value).dtype
+        if total == 0:
+            return cls(_empty_ds(val_dtype), nrows, ncols, val_dtype)
+        ds = ray.data.range(total)
+
+        def expand(batch: pa.Table) -> pa.Table:
+            i = batch["id"].to_numpy(zero_copy_only=False)
+            return pa.table({"src": i // ncols, "dst": i % ncols,
+                             "val": np.full(len(i), value)})
+
+        return cls(ds.map_batches(expand, batch_format="pyarrow"),
+                   nrows, ncols, val_dtype)
 
     @classmethod
     def from_dense(cls, values, missing_value=None):
@@ -1057,7 +1149,7 @@ class GBMatrix(_Base):
         t = self.to_table()
         rows = t["src"].to_numpy(zero_copy_only=False)
         cols = t["dst"].to_numpy(zero_copy_only=False)
-        vals = t["val"].to_numpy(zero_copy_only=False)
+        vals = _np("val", t)
         if sort:  # row-major (reference matrix.py:525 sort=True)
             o = np.lexsort((cols, rows))
             rows, cols, vals = rows[o], cols[o], vals[o]
@@ -1184,16 +1276,20 @@ class GBMatrix(_Base):
         name = op.binaryop.name
         pos_op = op.binaryop if getattr(op.binaryop, "positional",
                                         None) else None
+        ibo = op.binaryop if getattr(op.binaryop, "index_binary",
+                                     None) else None
 
         def multiply(batch: pa.Table) -> pa.Table:
             av = _np("val_l", batch)
             bv = _np("val_r", batch)
-            if pos_op is not None:
+            if pos_op is not None or ibo is not None:
                 # A[i,k] ⊗ B[k,j]: first = A (i, k), second = B (k, j)
                 i = _np("src", batch)
                 k = _np("dst_l", batch)
                 j = _np("dst_r", batch)
-                val = pos_op.index_values(i, k, k, j)
+                val = (pos_op.index_values(i, k, k, j)
+                       if pos_op is not None
+                       else ibo.index_fn(av, i, k, bv, k, j))
             elif name == "pair":
                 val = np.ones(len(av), dtype=np.int64)
             elif name == "first":
@@ -1642,7 +1738,15 @@ class GBMatrix(_Base):
 
 class _MaskView:
     """Structural/value mask view (reference ``core/mask.py:9``); ``~`` for
-    complement."""
+    complement; ``&`` / ``|`` / ``new`` compose masks (reference
+    ``core/mask.py:36,:85,:111``).
+
+    Composition is computed SPARSELY over applied-position sets:
+    ``A & B`` = semi-join, ``A & ~B`` = anti-join, ``~A & ~B`` =
+    ``~(A | B)`` (stays lazy-complemented), ``~A | B`` = ``~(A & ~B)``,
+    ``~A | ~B`` = ``~(A & B)`` — so a complement never materializes the
+    dense position set (the reference materializes it; at 10^12 vertices
+    that is not an option)."""
 
     def __init__(self, parent, structure=True, complement=False):
         self.parent = parent
@@ -1654,6 +1758,89 @@ class _MaskView:
 
     def keyset(self):
         return self.parent._mask_keyset(structure=self.structure)
+
+    # ---- composition (reference core/mask.py:36 __and__, :85 __or__) ----
+    def _positions(self):
+        """Dataset of (keys..., val=True) where this non-complemented view
+        applies (truthy entries for value masks, all entries for
+        structural)."""
+        p = self.parent
+        ds = p.ds
+        keys = p._key_cols
+
+        structure = self.structure
+
+        def to_bool(batch: pa.Table) -> pa.Table:
+            if not structure:
+                batch = batch.filter(pa.array(np.asarray(
+                    _np("val", batch), dtype=bool)))
+            cols = {c: batch[c] for c in keys}
+            cols["val"] = pa.array(np.ones(batch.num_rows, dtype=bool))
+            return pa.table(cols)
+
+        return ds.map_batches(to_bool, batch_format="pyarrow")
+
+    def _bool_container(self, ds):
+        p = self.parent
+        if isinstance(p, GBVector):
+            return GBVector(ds, p.size, "bool")
+        return GBMatrix(ds, p.nrows, p.ncols, "bool")
+
+    def _check_shape(self, other):
+        a, b = self.parent, other.parent
+
+        def shp(x):
+            return (x.size,) if isinstance(x, GBVector) else x.shape
+
+        if shp(a) != shp(b):
+            raise DimensionMismatch("mask shapes differ")
+
+    def __and__(self, other):
+        if not isinstance(other, _MaskView):
+            return NotImplemented
+        self._check_shape(other)
+        if self.complement and other.complement:
+            # ~A & ~B = ~(A | B)
+            return ~((~self) | (~other))
+        if self.complement:
+            return other.__and__(self)
+        if other.complement:  # A & ~B: anti semi-join
+            pos = semi_join_filter(self._positions(), self.parent._key_cols,
+                                   (~other).keyset(), anti=True)
+        else:                 # A & B: semi-join
+            pos = semi_join_filter(self._positions(), self.parent._key_cols,
+                                   other.keyset(), anti=False)
+        return _MaskView(self._bool_container(pos), structure=True)
+
+    __rand__ = __and__
+
+    def __or__(self, other):
+        if not isinstance(other, _MaskView):
+            return NotImplemented
+        self._check_shape(other)
+        if self.complement and other.complement:
+            # ~A | ~B = ~(A & B)
+            return ~((~self) & (~other))
+        if self.complement:   # ~A | B = ~(A & ~B)
+            return ~((~self) & (~other))
+        if other.complement:
+            return other.__or__(self)
+        both = self._positions().union(other._positions())
+        deduped = groupby_monoid(both, list(self.parent._key_cols), "val",
+                                 _monoid_ns["lor"])
+        return _MaskView(self._bool_container(deduped), structure=True)
+
+    __ror__ = __or__
+
+    def new(self, complement=False):
+        """Materialize the mask as a bool container (reference
+        ``mask.py:36``). Complemented masks stay lazy — materializing the
+        complement is dense; keep using ``~mask`` in ops instead."""
+        if self.complement or complement:
+            raise NotImplementedError(
+                "materializing a complemented mask is dense at engine "
+                "scale; pass the lazy ~mask to the op instead")
+        return self._bool_container(self._positions())
 
 
 # Vector also gets S/V mask views

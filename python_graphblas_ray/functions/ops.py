@@ -438,6 +438,75 @@ for _name, (_fn, _bool) in _INDEXUNARY_BUILTINS.items():
     indexunary._register(IndexUnaryOp(_name, _fn, _bool))
 
 
+# ---------------------------------------------------------------------------
+# inventory extensions (reference parity)
+# ---------------------------------------------------------------------------
+
+def _bshift(x, y):
+    """SuiteSparse GxB_BSHIFT: y > 0 shifts left, y < 0 shifts right
+    (reference ``binary.py`` parse regexes :425-457)."""
+    x = np.asarray(x)
+    y = np.broadcast_to(np.asarray(y), x.shape).astype(np.int64)
+    left = np.left_shift(x, np.maximum(y, 0))
+    right = np.right_shift(x, np.maximum(-y, 0))
+    return np.where(y >= 0, left, right)
+
+
+for _name, _fn, _comm in [
+    # bit-field binaries (reference binary.py regexes :425-457)
+    ("bget", lambda x, y: (np.asarray(x) >> np.asarray(y).astype(
+        np.asarray(x).dtype)) & np.asarray(x).dtype.type(1), None),
+    ("bset", lambda x, y: np.asarray(x) | (np.asarray(x).dtype.type(1)
+                                           << np.asarray(y).astype(
+                                               np.asarray(x).dtype)), None),
+    ("bclr", lambda x, y: np.asarray(x) & ~(np.asarray(x).dtype.type(1)
+                                            << np.asarray(y).astype(
+                                                np.asarray(x).dtype)), None),
+    ("bshift", _bshift, None),
+]:
+    binary._register(BinaryOp(_name, _fn, _comm))
+
+# frexp mantissa/exponent halves (reference unary.py fp inventory)
+unary._register(UnaryOp("frexpx", lambda x: np.frexp(x)[0]))
+unary._register(UnaryOp("frexpe", lambda x: np.frexp(x)[1].astype(np.int64)))
+
+# positional unaries (reference unary positioni/positionj (+1))
+for _which in ("i", "j"):
+    unary._register(PositionalUnaryOp(f"position{_which}", _which, 0))
+    unary._register(PositionalUnaryOp(f"position{_which}1", _which, 1))
+
+# ``op.numpy`` namespaces (reference graphblas/unary/numpy.py:18-120 and
+# graphblas/binary/numpy.py) — numpy-named lookups ``unary["numpy.cbrt"]``
+_NUMPY_UNARY = [
+    "negative", "abs", "absolute", "cbrt", "fabs", "rint", "sign", "exp",
+    "exp2", "log", "log2", "log10", "expm1", "log1p", "positive", "sqrt",
+    "square", "reciprocal", "sin", "cos", "tan", "arcsin", "arccos",
+    "arctan", "sinh", "cosh", "tanh", "arcsinh", "arccosh", "arctanh",
+    "deg2rad", "rad2deg", "degrees", "radians", "bitwise_not", "invert",
+    "logical_not", "isfinite", "isinf", "isnan", "signbit", "floor",
+    "ceil", "trunc", "spacing",
+]
+_NUMPY_BINARY = [
+    "add", "subtract", "multiply", "divide", "logaddexp", "logaddexp2",
+    "true_divide", "floor_divide", "power", "float_power", "remainder",
+    "mod", "fmod", "gcd", "lcm", "arctan2", "hypot", "bitwise_and",
+    "bitwise_or", "bitwise_xor", "left_shift", "right_shift", "greater",
+    "greater_equal", "less", "less_equal", "not_equal", "equal",
+    "logical_and", "logical_or", "logical_xor", "maximum", "minimum",
+    "fmax", "fmin", "copysign", "nextafter", "ldexp", "around",
+]
+unary.numpy = _Namespace()
+binary.numpy = _Namespace()
+for _name in _NUMPY_UNARY:
+    _op = UnaryOp(f"numpy.{_name}", getattr(np, _name))
+    unary._ops[_op.name] = _op                 # unary["numpy.cbrt"]
+    unary.numpy._register(UnaryOp(_name, _op.fn))   # unary.numpy.cbrt
+for _name in _NUMPY_BINARY:
+    _op = BinaryOp(f"numpy.{_name}", getattr(np, _name))
+    binary._ops[_op.name] = _op
+    binary.numpy._register(BinaryOp(_name, _op.fn))
+
+
 _STRING_TO_BINARY = {
     "+": "plus", "-": "minus", "*": "times", "/": "truediv", "//": "floordiv",
     "%": "remainder", "**": "pow", "&": "land", "|": "lor", "^": "lxor",

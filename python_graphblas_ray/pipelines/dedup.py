@@ -662,33 +662,45 @@ def word_jaccard_pairs(docs_ds, threshold=0.8, text_col="text",
 # ---------------------------------------------------------------------------
 
 def embedding_neardup_pairs(emb_ds, threshold=0.4, id_col="vec_id",
-                            emb_col="embedding"):
+                            emb_col="embedding", method="auto",
+                            brute_limit=100_000, num_centroids=None,
+                            nassign=2):
     """Pairs (ia < ib) with cosine ≥ threshold.
 
-    Small-N formulation: the normalized matrix is broadcast ONCE
-    (``ray.put``) and every batch does one numpy matmul against it —
-    zero-copy reads, vectorized compute. Scale path: IVF — k-means
-    centroids broadcast, per-batch assignment, groupby(centroid) and
-    within-cluster matmul (see ``similarity.ivf_build``/``ivf_search``).
+    ``method``:
+    - ``"brute"`` — the normalized matrix is broadcast ONCE (``ray.put``)
+      and every batch does one numpy matmul against it. Exact; O(N·d)
+      broadcast + O(N²) compute — the small-N oracle formulation.
+    - ``"ivf"`` — the scale path: k-means centroids (`similarity.
+      ivf_build`), each vector multi-assigned to its ``nassign`` nearest
+      buckets, ONE groupby(bucket) shuffle, within-bucket matmul. Near
+      pairs co-bucket with high probability (both members sit near the
+      same centroids); compute is Σ bucket² ≈ N²·nassign²/buckets.
+    - ``"auto"`` (default) — brute below ``brute_limit`` rows, IVF above:
+      the honest routing for a 100 TB corpus without losing small-N
+      exactness.
     """
+    if method == "auto":
+        method = "brute" if emb_ds.count() <= brute_limit else "ivf"
+    if method == "ivf":
+        return _embedding_neardup_ivf(emb_ds, threshold, id_col, emb_col,
+                                      num_centroids, nassign)
     import ray
+
+    from .similarity import _matrix, _normalize
 
     mats, ids = [], []
     for b in emb_ds.select_columns([id_col, emb_col]).iter_batches(
             batch_format="pyarrow", batch_size=1 << 16):
         ids.append(b[id_col].to_numpy(zero_copy_only=False))
-        mats.append(np.stack(
-            [np.asarray(x, dtype=np.float64) for x in b[emb_col].to_pylist()]))
+        mats.append(_matrix(b[emb_col]))
     all_ids = np.concatenate(ids)
-    m = np.concatenate(mats)
-    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    m = _normalize(np.concatenate(mats))
     ref = ray.put((all_ids, m))
 
     def kern(batch: pa.Table) -> pa.Table:
         bids = batch[id_col].to_numpy(zero_copy_only=False)
-        bm = np.stack([np.asarray(x, dtype=np.float64)
-                       for x in batch[emb_col].to_pylist()])
-        bm = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-30)
+        bm = _normalize(_matrix(batch[emb_col]))
         oids, om = ray.get(ref)
         sims = bm @ om.T
         ii, jj = np.nonzero(sims >= threshold)
@@ -697,3 +709,49 @@ def embedding_neardup_pairs(emb_ds, threshold=0.4, id_col="vec_id",
         return pa.table({"ia": ia[keep], "ib": ib[keep]})
 
     return emb_ds.map_batches(kern, batch_format="pyarrow", batch_size=4096)
+
+
+def _embedding_neardup_ivf(emb_ds, threshold, id_col, emb_col,
+                           num_centroids, nassign):
+    """IVF-bucketed near-dup: multi-assign → groupby(bucket) →
+    within-bucket matmul → distinct pairs (a pair can co-occur in up to
+    ``nassign`` buckets)."""
+    import ray
+
+    from .similarity import _matrix, _normalize, ivf_build
+
+    if num_centroids is None:
+        num_centroids = max(4, int(np.sqrt(max(emb_ds.count(), 1))))
+    cents, _ = ivf_build(emb_ds, num_centroids=num_centroids,
+                         id_col=id_col, emb_col=emb_col)
+    c_ref = ray.put(cents)
+
+    def multi_assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        m = _normalize(_matrix(batch[emb_col]))
+        sims = m @ c.T
+        take = min(nassign, sims.shape[1])
+        top = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+        n = len(m)
+        idx = np.repeat(np.arange(n), take)
+        return pa.table({
+            "bucket": top.ravel().astype(np.int64),
+            id_col: batch[id_col].take(pa.array(idx)),
+            emb_col: batch[emb_col].take(pa.array(idx)),
+        })
+
+    assigned = emb_ds.select_columns([id_col, emb_col]).map_batches(
+        multi_assign, batch_format="pyarrow")
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_matrix(g[emb_col]))
+        sims = m @ m.T
+        ii, jj = np.nonzero(sims >= threshold)
+        ia, ib = ids[ii], ids[jj]
+        keep = ia < ib
+        return pa.table({"ia": ia[keep], "ib": ib[keep]})
+
+    pairs = assigned.groupby("bucket").map_groups(bucket_pairs,
+                                                  batch_format="pyarrow")
+    return _dedup_pairs(pairs)

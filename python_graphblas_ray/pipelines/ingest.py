@@ -62,14 +62,23 @@ _PAGE_PATH_RE = re.compile(r"/page/(\d+)$")
 
 def vid_from_synthetic_url(urls) -> np.ndarray:
     """Synthetic pages encode the page id in the url path — gives dense
-    [0, n) vids so vertex vectors are plain arrays."""
-    return np.array([int(_PAGE_PATH_RE.search(u).group(1)) for u in urls],
-                    dtype=np.int64)
+    [0, n) vids so vertex vectors are plain arrays. Vectorized: one Arrow
+    regex kernel + int cast over the whole url array (urls is one row per
+    LINK — the hottest column in ingest)."""
+    arr = urls if isinstance(urls, pa.Array) else pa.array(
+        urls, type=pa.string())
+    m = pa.compute.extract_regex(arr, r"/page/(?P<id>\d+)$")
+    return pa.compute.struct_field(m, "id").cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
 
 
 class LinkExtractor:
-    """Actor-pool stage: compiled regexes + vid scheme held per actor
-    (stateful setup ONCE in __init__, per-batch work in __call__)."""
+    """Link-extraction batch callable. Deliberately NOT an actor pool:
+    its only state is two module-level compiled regexes, and measured at
+    sf0.1/32 cpus the plain task path (one slot per core) ingests 2.3×
+    faster than an autoscaling actor pool capped below the core count
+    (4.1 s vs 9.3 s). Actor pools are for genuinely heavy per-actor state
+    (see ``dedup.MinHasher``)."""
 
     def __init__(self, synthetic_ids=True):
         self.synthetic = synthetic_ids
@@ -98,10 +107,10 @@ class LinkExtractor:
         })
 
 
-def extract_edges(pages_ds, synthetic_ids=True, concurrency=4,
-                  batch_size=2048):
-    """pages Dataset → edge Dataset (src, dst, val). Column-pruned read is
-    the caller's job (``read_parquet(columns=['url','html'])``)."""
+def extract_edges(pages_ds, synthetic_ids=True, batch_size=2048):
+    """pages Dataset → edge Dataset (src, dst, val) as a stateless task
+    stage (see ``LinkExtractor`` for why not an actor pool). Column-pruned
+    read is the caller's job (``read_parquet(columns=['url','html'])``)."""
     return pages_ds.map_batches(
         LinkExtractor(synthetic_ids),
         batch_format="pyarrow",

@@ -24,6 +24,28 @@ def _stack(col_list) -> np.ndarray:
     return np.stack([np.asarray(x, dtype=np.float64) for x in col_list])
 
 
+def _matrix(col) -> np.ndarray:
+    """Arrow ``list<float>`` column → (n, d) float64 matrix WITHOUT
+    per-row Python: flatten the child values buffer and reshape (all
+    embedding rows share one width)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        w = col.type.list_size
+        return col.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64, copy=False).reshape(-1, w)
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    lens = offs[1:] - offs[:-1]
+    if len(lens) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    w = int(lens[0])
+    if not (lens == w).all():  # ragged — fall back to the slow path
+        return _stack(col.to_pylist())
+    flat = col.values.to_numpy(zero_copy_only=False).astype(
+        np.float64, copy=False)
+    return flat[offs[0]:offs[-1]].reshape(-1, w)
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
 
@@ -35,25 +57,26 @@ def ann_topk(emb_ds, query_ids, k=10, id_col="vec_id", emb_col="embedding",
     Returns a Dataset ``(query_id, neighbor_id, rank)`` with rank 1..k by
     descending cosine (ties broken by neighbor id asc — deterministic).
     """
-    query_ids = np.asarray(query_ids, dtype=np.int64)
-    qset = set(query_ids.tolist())
+    query_ids = np.unique(np.asarray(query_ids, dtype=np.int64))
 
     # gather the query vectors (small side) — one streaming pass
-    qvecs = {}
+    got_ids, got_m = [], []
     for b in emb_ds.select_columns([id_col, emb_col]).iter_batches(
             batch_format="pyarrow", batch_size=1 << 16):
         ids = b[id_col].to_numpy(zero_copy_only=False)
-        hits = [i for i, v in enumerate(ids) if int(v) in qset]
-        for i in hits:
-            qvecs[int(ids[i])] = np.asarray(b[emb_col][i].as_py(),
-                                            dtype=np.float64)
-    qids = np.array(sorted(qvecs), dtype=np.int64)
-    qm = _normalize(_stack([qvecs[int(q)] for q in qids]))
+        hit = np.isin(ids, query_ids)
+        if hit.any():
+            got_ids.append(ids[hit])
+            got_m.append(_matrix(b[emb_col].filter(pa.array(hit))))
+    qids = np.concatenate(got_ids)
+    order = np.argsort(qids)
+    qids = qids[order]
+    qm = _normalize(np.concatenate(got_m)[order])
     ref = ray.put((qids, qm))
 
     def candidates(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        m = _normalize(_stack(batch[emb_col].to_pylist()))
+        m = _normalize(_matrix(batch[emb_col]))
         qi, q = ray.get(ref)
         sims = q @ m.T                      # (nq, batch)
         nq, nb = sims.shape
@@ -100,7 +123,7 @@ def ivf_build(emb_ds, num_centroids=16, iters=5, id_col="vec_id",
     column (the one shuffle happens only if the caller groups by it)."""
     first = next(iter(emb_ds.select_columns([emb_col]).iter_batches(
         batch_format="pyarrow", batch_size=max(num_centroids * 8, 256))))
-    m0 = _normalize(_stack(first[emb_col].to_pylist()))
+    m0 = _normalize(_matrix(first[emb_col]))
     rng = np.random.default_rng(seed)
     cents = m0[rng.choice(len(m0), size=min(num_centroids, len(m0)),
                           replace=False)]
@@ -110,7 +133,7 @@ def ivf_build(emb_ds, num_centroids=16, iters=5, id_col="vec_id",
 
         def partials(batch: pa.Table) -> pa.Table:
             c = ray.get(ref)
-            m = _normalize(_stack(batch[emb_col].to_pylist()))
+            m = _normalize(_matrix(batch[emb_col]))
             a = np.argmax(m @ c.T, axis=1)
             kc, d = c.shape
             sums = np.zeros((kc, d))
@@ -137,7 +160,7 @@ def ivf_build(emb_ds, num_centroids=16, iters=5, id_col="vec_id",
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(ref)
-        m = _normalize(_stack(batch[emb_col].to_pylist()))
+        m = _normalize(_matrix(batch[emb_col]))
         a = np.argmax(m @ c.T, axis=1).astype(np.int64)
         return batch.append_column("bucket", pa.array(a))
 
@@ -161,7 +184,7 @@ def ivf_search(centroids, assigned_ds, query_vec, k=10, nprobe=4,
         if sub.num_rows == 0:
             return pa.table({"nid": np.array([], dtype=np.int64),
                              "sim": np.array([], dtype=np.float64)})
-        m = _normalize(_stack(sub[emb_col].to_pylist()))
+        m = _normalize(_matrix(sub[emb_col]))
         sims = m @ q
         take = min(k, len(sims))
         top = np.argpartition(-sims, take - 1)[:take]
@@ -178,3 +201,94 @@ def ivf_search(centroids, assigned_ds, query_vec, k=10, nprobe=4,
     sim = np.concatenate(sim) if sim else np.array([], dtype=np.float64)
     order = np.lexsort((nid, -sim))[:k]
     return nid[order], sim[order]
+
+def ivf_search_batch(centroids, assigned_ds, query_ids, query_matrix, k=10,
+                     nprobe=4, id_col="vec_id", emb_col="embedding",
+                     exclude_self=True):
+    """Batched IVF search over a query SET (the scale form of ann_topk):
+    broadcast (query ids, normalized query matrix, per-query probe-bucket
+    bitmap) once; each corpus batch computes ONE masked matmul — a query
+    only scores rows whose bucket is in its probe set — and emits per-batch
+    top-k candidates; a per-query merge finishes. Corpus streams; work is
+    ~``nprobe/num_centroids`` of brute force.
+
+    Returns a Dataset ``(query_id, neighbor_id, rank)`` like ``ann_topk``.
+    """
+    query_ids = np.asarray(query_ids, dtype=np.int64)
+    qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    nc = len(centroids)
+    # (nq, nc) probe bitmap
+    sims_c = qm @ centroids.T
+    take_c = min(nprobe, nc)
+    probe_cols = np.argpartition(-sims_c, take_c - 1,
+                                 axis=1)[:, :take_c]
+    probe = np.zeros((len(query_ids), nc), dtype=bool)
+    probe[np.repeat(np.arange(len(query_ids)), take_c),
+          probe_cols.ravel()] = True
+    ref = ray.put((query_ids, qm, probe))
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        qi, q, pr = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        bkt = batch["bucket"].to_numpy(zero_copy_only=False)
+        m = _normalize(_matrix(batch[emb_col]))
+        sims = q @ m.T                        # (nq, nb)
+        sims[~pr[:, bkt]] = -np.inf           # probe-bucket mask
+        nq, nb = sims.shape
+        take = min(k + (1 if exclude_self else 0), nb)
+        part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+        rowq = np.repeat(np.arange(nq), take)
+        cols = part.ravel()
+        s = sims[rowq, cols]
+        keep = np.isfinite(s)
+        return pa.table({
+            "query_id": np.repeat(qi, take)[keep],
+            "neighbor_id": ids[cols][keep],
+            "sim": s[keep],
+        })
+
+    cand = assigned_ds.map_batches(candidates, batch_format="pyarrow",
+                                   batch_size=8192)
+
+    def merge(group: pa.Table) -> pa.Table:
+        q = group["query_id"][0].as_py()
+        nid = group["neighbor_id"].to_numpy(zero_copy_only=False)
+        sim = group["sim"].to_numpy(zero_copy_only=False)
+        if exclude_self:
+            kp = nid != q
+            nid, sim = nid[kp], sim[kp]
+        order = np.lexsort((nid, -sim))[:k]
+        return pa.table({
+            "query_id": np.full(len(order), q, dtype=np.int64),
+            "neighbor_id": nid[order],
+            "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+        })
+
+    return cand.groupby("query_id").map_groups(merge,
+                                               batch_format="pyarrow")
+
+
+def ann_topk_ivf(emb_ds, query_ids, k=10, nprobe=4, num_centroids=None,
+                 id_col="vec_id", emb_col="embedding"):
+    """ann_topk through the IVF index (build → assign → batched probe
+    search). The at-scale default: brute force stays the small-N oracle."""
+    query_ids = np.unique(np.asarray(query_ids, dtype=np.int64))
+    if num_centroids is None:
+        n = emb_ds.count()
+        num_centroids = max(4, int(np.sqrt(max(n, 1))))
+    cents, assigned = ivf_build(emb_ds, num_centroids=num_centroids,
+                                id_col=id_col, emb_col=emb_col)
+    assigned = assigned.materialize()
+    got_ids, got_m = [], []
+    for b in assigned.select_columns([id_col, emb_col]).iter_batches(
+            batch_format="pyarrow", batch_size=1 << 16):
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        hit = np.isin(ids, query_ids)
+        if hit.any():
+            got_ids.append(ids[hit])
+            got_m.append(_matrix(b[emb_col].filter(pa.array(hit))))
+    qids = np.concatenate(got_ids)
+    order = np.argsort(qids)
+    return ivf_search_batch(cents, assigned, qids[order],
+                            np.concatenate(got_m)[order], k=k,
+                            nprobe=nprobe, id_col=id_col, emb_col=emb_col)

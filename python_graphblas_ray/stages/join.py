@@ -9,10 +9,14 @@ never shuffle the big side to meet a small side.
 Empty-side handling: Ray 2.49's hash-shuffle join silently drops 0-row
 blocks, so a side that is entirely empty reaches Acero as a zero-column
 table and the join fails ("No match ... FieldRef"). Structural emptiness is
-*normal* in GraphBLAS (empty masks, cleared containers), so ``hash_join``
-materializes both sides (the join is an all-to-all barrier anyway), prunes
-empty blocks, and when a side has no rows at all synthesizes the join
-result directly with the correct suffixed schema.
+*normal* in GraphBLAS (empty masks, cleared containers). Two modes:
+
+- default (``streaming=False``): materialize both sides, prune empty
+  blocks, synthesize the result directly when a side is empty — measured
+  fastest single-node (counts collapse tiny joins to 1 partition);
+- ``streaming=True``: union a null-key sentinel row per side (null keys
+  match nothing) so the join can never see an all-empty side, keeping the
+  pipeline barrier-free — the multi-node scale mode.
 """
 
 from __future__ import annotations
@@ -134,12 +138,94 @@ def _empty_side_result(present_ds, present_side, left_schema, right_schema,
     return present_ds.map_batches(expand, batch_format="pyarrow")
 
 
+_SENT_L = "__sent_l__"
+_SENT_R = "__sent_r__"
+
+
+def _lazy_schema(ds):
+    """Arrow schema of a (possibly lazy) Dataset — a cheap first-block
+    peek, NOT a materialization."""
+    try:
+        s = ds.schema(fetch_if_missing=True)
+        if s is not None and s.names:
+            return pa.schema([(n, t) for n, t in zip(s.names, s.types)])
+    except Exception:
+        pass
+    return None
+
+
+def _with_sentinel(ds, schema, marker):
+    """Union one all-null-key sentinel row (marker=True) onto ``ds`` and
+    tag real rows marker=False. Null keys match nothing in the hash join
+    (SQL semantics), so the sentinel only guarantees the side is never
+    entirely empty — the case Ray 2.49's hash-shuffle join crashes on —
+    without a materialization barrier."""
+    cols = {f.name: pa.nulls(1, f.type) for f in schema}
+    cols[marker] = pa.array([True])
+    sent = ray.data.from_arrow(pa.table(cols))
+
+    def mark(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            marker, pa.array(np.zeros(b.num_rows, dtype=bool)))
+
+    return ds.map_batches(mark, batch_format="pyarrow").union(sent)
+
+
+def _hash_join_streaming(left, right, lschema, rschema, on, right_on, how,
+                         left_suffix, right_suffix, num_partitions):
+    import pyarrow.compute as pc
+
+    ls = _with_sentinel(left, lschema, _SENT_L)
+    rs = _with_sentinel(right, rschema, _SENT_R)
+    out = ls.join(
+        rs,
+        join_type=how,
+        num_partitions=num_partitions or DEFAULT_JOIN_PARTITIONS,
+        on=on,
+        right_on=right_on,
+        left_suffix=left_suffix,
+        right_suffix=right_suffix,
+    )
+
+    def strip(b: pa.Table) -> pa.Table:
+        present = [m for m in (_SENT_L, _SENT_R) if m in b.column_names]
+        keep = None
+        for m in present:
+            flag = pc.invert(pc.coalesce(b[m], pa.scalar(False)))
+            keep = flag if keep is None else pc.and_(keep, flag)
+        if keep is not None:
+            b = b.filter(keep)
+        return b.drop_columns(present)
+
+    return out.map_batches(strip, batch_format="pyarrow")
+
+
 def hash_join(left, right, on, right_on=None, how="inner",
-              left_suffix=None, right_suffix=None, num_partitions=None):
-    """Hash-partitioned join of two Datasets on key column(s)."""
+              left_suffix=None, right_suffix=None, num_partitions=None,
+              streaming=False):
+    """Hash-partitioned join of two Datasets on key column(s).
+
+    ``streaming=True``: no materialization barrier — each side gets a
+    null-key sentinel row so an entirely-empty side can't crash the
+    hash-shuffle (see ``_with_sentinel``); blocks pipeline straight into
+    the join's shuffle. This is the multi-node scale mode: at cluster
+    scale the barrier costs pipelining and buffers both sides.
+
+    ``streaming=False`` (default): materialize-and-prune. MEASURED faster
+    on this single node (1.5 s vs 2.3-4.2 s per small join — the sentinel
+    union + schema peek add fixed stages, and the count lets the
+    partition heuristic collapse tiny joins to one partition). Also used
+    automatically when a side's schema is unknowable."""
     on = (on,) if isinstance(on, str) else tuple(on)
     right_on = on if right_on is None else (
         (right_on,) if isinstance(right_on, str) else tuple(right_on))
+    if streaming:
+        lschema = _lazy_schema(left)
+        rschema = _lazy_schema(right)
+        if lschema is not None and rschema is not None:
+            return _hash_join_streaming(left, right, lschema, rschema, on,
+                                        right_on, how, left_suffix,
+                                        right_suffix, num_partitions)
     left_c, left_schema, left_n = _materialize_clean(left)
     right_c, right_schema, right_n = _materialize_clean(right)
     if left_n == 0 or right_n == 0:

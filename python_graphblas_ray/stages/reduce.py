@@ -161,13 +161,28 @@ def global_monoid_reduce(ds, val_col, monoid):
     ``matrix.py:2712`` ``allow_empty`` semantics handled by caller).
     """
 
-    def fold(batch: pa.Table) -> pa.Table:
-        vals = batch[val_col].to_numpy(zero_copy_only=False)
-        if len(vals) == 0:
-            return pa.table({"p": pa.array([], type=pa.float64())})
-        return pa.table({"p": [monoid.reduce_np(vals)]})
+    def _vals(arr):
+        if pa.types.is_struct(arr.type) or pa.types.is_fixed_size_list(
+                arr.type):  # UDT values
+            from ..functions.dtypes import arrow_to_np_values
 
-    parts = [b["p"].to_numpy(zero_copy_only=False)
+            return arrow_to_np_values(arr)
+        return arr.to_numpy(zero_copy_only=False)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        vals = _vals(batch[val_col])
+        typ = batch.schema.field(val_col).type
+        if len(vals) == 0:
+            return pa.table({"p": pa.array([], type=typ)})
+        r = monoid.reduce_np(vals)
+        if vals.dtype.names is not None:  # structured scalar → struct row
+            from ..functions.dtypes import np_to_arrow_values
+
+            return pa.table(
+                {"p": np_to_arrow_values(np.array([r], dtype=vals.dtype))})
+        return pa.table({"p": [r]})
+
+    parts = [_vals(b["p"])
              for b in ds.map_batches(fold, batch_format="pyarrow")
              .iter_batches(batch_format="pyarrow")]
     parts = [p for p in parts if len(p)]

@@ -443,11 +443,26 @@ class SuperstepEngine:
                                0, P - 1).astype(np.int64)
                 return batch.append_column("part", pa.array(part))
 
-            tagged = edges_ds.map_batches(tag, batch_format="pyarrow")
-            counts_tbl = tagged.groupby("part").count().to_pandas()
+            # materialize the tagged table ONCE (counts + sort both read
+            # it; lazy lineage would recompute the tagging per consumer),
+            # and take the per-partition counts as streamed per-batch
+            # bincount partials — a tiny driver merge instead of a second
+            # all-to-all groupby shuffle.
+            tagged = edges_ds.map_batches(
+                tag, batch_format="pyarrow").materialize()
+
+            def part_counts(batch: pa.Table) -> pa.Table:
+                c = np.bincount(batch["part"].to_numpy(
+                    zero_copy_only=False), minlength=P)
+                return pa.table({"c": c})
+
             counts = np.zeros(P, dtype=np.int64)
-            counts[counts_tbl["part"].to_numpy()] = \
-                counts_tbl["count()"].to_numpy()
+            for b in tagged.map_batches(
+                    part_counts, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"):
+                # iter_batches may coalesce several P-row partials
+                arr = b["c"].to_numpy(zero_copy_only=False)
+                counts += arr.reshape(-1, P).sum(axis=0)
             cum = np.cumsum(counts)[:-1].tolist()
             sorted_ds = tagged.sort("part").materialize()
             splits = sorted_ds.split_at_indices(cum)

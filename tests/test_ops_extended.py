@@ -1,0 +1,259 @@
+"""Round-2 operator-surface extensions (SURVEY §2.4/2.5): IndexBinaryOp
+(reference ``core/operator/indexbinary.py:456``), parameterized UDFs
+(``core/operator/base.py:646``), UDT record dtypes
+(``core/dtypes.py:165``), mask composition (``core/mask.py:36,:85,:111``),
+positional unaries, bit-field binaries, and the ``op.numpy`` namespaces."""
+
+import numpy as np
+import pytest
+
+from python_graphblas_ray.core import GBMatrix, GBVector
+from python_graphblas_ray.functions import dtypes as gdt
+from python_graphblas_ray.functions.monoids import (
+    Monoid,
+    Semiring,
+    monoid,
+    semiring,
+)
+from python_graphblas_ray.functions.ops import (
+    BinaryOp,
+    IndexBinaryOp,
+    UnaryOp,
+    binary,
+    indexbinary,
+    unary,
+)
+
+
+def _mat():
+    # 3x3: (0,1)=2, (1,0)=5, (1,2)=3, (2,2)=7
+    return GBMatrix.from_coo([0, 1, 1, 2], [1, 0, 2, 2],
+                             [2.0, 5.0, 3.0, 7.0], nrows=3, ncols=3)
+
+
+# ---------------------------------------------------------------------------
+# IndexBinaryOp
+# ---------------------------------------------------------------------------
+
+def test_indexbinary_ewise_mult():
+    # z = |ix - jx| + theta on aligned entries (reference register_new
+    # example: indexbinary.py:456 docstring)
+    IndexBinaryOp.register_new(
+        "index_dist", lambda x, ix, jx, y, iy, jy, t: np.abs(ix - jx) + t)
+    op = indexbinary["index_dist"](10)
+    A = _mat()
+    r, c, v = A.ewise_mult(A, op).to_coo()
+    # |i-j| per entry + 10
+    expect = {(0, 1): 11, (1, 0): 11, (1, 2): 11, (2, 2): 10}
+    assert {(i, j): int(x) for i, j, x in zip(r, c, v)} == expect
+
+
+def test_indexbinary_value_call_raises():
+    iop = IndexBinaryOp.register_new(
+        "ib_tmp", lambda x, ix, jx, y, iy, jy, t: x)
+    with pytest.raises(TypeError):
+        iop(1).fn(1, 2)
+
+
+def test_indexbinary_semiring_mxm():
+    # multiplier z = jx (the k index) + theta; with min monoid this is
+    # min_secondi-with-offset — cross-check against the positional op
+    IndexBinaryOp.register_new(
+        "kidx", lambda x, ix, jx, y, iy, jy, t: jx + t)
+    sr = Semiring("min_kidx", monoid["min"], indexbinary["kidx"](0))
+    A = _mat()
+    got = dict(zip(zip(*A.mxm(A, sr).to_coo()[:2]),
+                   A.mxm(A, sr).to_coo()[2]))
+    want_m = A.mxm(A, semiring.min_secondi)
+    want = dict(zip(zip(*want_m.to_coo()[:2]), want_m.to_coo()[2]))
+    assert {k: int(v) for k, v in got.items()} == {
+        k: int(v) for k, v in want.items()}
+
+
+def test_indexbinary_mxv():
+    IndexBinaryOp.register_new(
+        "rowplus", lambda x, ix, jx, y, iy, jy, t: ix + t)
+    sr = Semiring("max_rowplus", monoid["max"], indexbinary["rowplus"](1))
+    A = _mat()
+    v = GBVector.from_dense(np.ones(3))
+    idx, vals = A.mxv(v, sr).to_coo()
+    # z[i] = max over k of (i + 1)
+    assert dict(zip(idx, vals.astype(int))) == {0: 1, 1: 2, 2: 3}
+
+
+# ---------------------------------------------------------------------------
+# Parameterized UDFs
+# ---------------------------------------------------------------------------
+
+def test_parameterized_unary():
+    shift = UnaryOp.register_new(
+        "param_shift", lambda n: (lambda x: x + n), parameterized=True)
+    op3 = shift(3)
+    assert shift(3) is op3  # lru-cached (reference base.py:660)
+    A = _mat()
+    _, _, v = A.apply(op3).to_coo()
+    assert sorted(v) == [5.0, 6.0, 8.0, 10.0]
+
+
+def test_parameterized_binary_in_ewise():
+    blend = BinaryOp.register_new(
+        "param_blend", lambda a: (lambda x, y: a * x + (1 - a) * y),
+        parameterized=True)
+    A = _mat()
+    _, _, v = A.ewise_mult(A, blend(0.25)).to_coo()
+    np.testing.assert_allclose(sorted(v), [2.0, 3.0, 5.0, 7.0])
+
+
+def test_parameterized_indexbinary():
+    fac = IndexBinaryOp.register_new(
+        "param_ib", lambda scale: (
+            lambda x, ix, jx, y, iy, jy, t: scale * (ix + jx) + t),
+        parameterized=True)
+    op = fac(100)(1)  # scale=100, theta=1
+    A = _mat()
+    r, c, v = A.ewise_mult(A, op).to_coo()
+    assert {(i, j): int(x) for i, j, x in zip(r, c, v)} == {
+        (0, 1): 101, (1, 0): 101, (1, 2): 301, (2, 2): 401}
+
+
+# ---------------------------------------------------------------------------
+# UDT record dtypes
+# ---------------------------------------------------------------------------
+
+def test_udt_roundtrip_and_apply():
+    Point = gdt.register_new("Point", [("x", "<f8"), ("y", "<f8")])
+    assert gdt.dtypes.Point is Point and Point.is_udt
+    vals = np.array([(1.0, 2.0), (3.0, 4.0), (5.0, 6.0)],
+                    dtype=Point.np_dtype)
+    A = GBMatrix.from_coo([0, 1, 2], [1, 2, 0], vals, nrows=3, ncols=3)
+    assert A.dtype == Point.np_dtype
+    r, c, v = A.to_coo()
+    assert v.dtype == Point.np_dtype
+    np.testing.assert_allclose(np.sort(v["x"]), [1.0, 3.0, 5.0])
+    # apply with a UDT-aware unary: swap fields
+    def swap(p):
+        out = np.empty(len(p), dtype=p.dtype)
+        out["x"], out["y"] = p["y"], p["x"]
+        return out
+    UnaryOp.register_new("pt_swap", swap)
+    _, _, v2 = A.apply("pt_swap").to_coo()
+    np.testing.assert_allclose(np.sort(v2["x"]), [2.0, 4.0, 6.0])
+
+
+def test_udt_ewise_and_reduce():
+    Pair = gdt.register_anonymous([("a", "<i8"), ("b", "<f8")])
+    vals = np.array([(1, 2.0), (3, 4.0)], dtype=Pair.np_dtype)
+    V = GBVector.from_coo([0, 2], vals, size=3)
+
+    def padd(p, q):
+        out = np.empty(np.broadcast_shapes(p.shape, q.shape),
+                       dtype=p.dtype)
+        out["a"] = p["a"] + q["a"]
+        out["b"] = p["b"] + q["b"]
+        return out
+
+    BinaryOp.register_new("pt_add", padd)
+    idx, v = V.ewise_mult(V, "pt_add").to_coo()
+    assert list(v["a"]) == [2, 6]
+    # reduction with a user monoid over the UDT
+    ident = np.zeros((), dtype=Pair.np_dtype)[()]
+    Monoid.register_new("pt_plus", binary["pt_add"], identity=ident)
+    s = V.reduce(monoid["pt_plus"]).value
+    assert s["a"] == 4 and s["b"] == 6.0
+
+
+def test_udt_subarray_field():
+    Vec3 = gdt.register_anonymous([("w", "<f8", (3,))])
+    vals = np.zeros(2, dtype=Vec3.np_dtype)
+    vals["w"] = [[1, 2, 3], [4, 5, 6]]
+    V = GBVector.from_coo([0, 1], vals, size=2)
+    _, v = V.to_coo()
+    np.testing.assert_allclose(v["w"].sum(), 21.0)
+
+
+def test_lookup_dtype():
+    assert gdt.lookup_dtype("FP64").np_dtype == np.float64
+    assert gdt.lookup_dtype(np.int32).name == "INT32"
+
+
+# ---------------------------------------------------------------------------
+# mask composition
+# ---------------------------------------------------------------------------
+
+def test_mask_and_or():
+    A = _mat()                      # entries (0,1) (1,0) (1,2) (2,2)
+    B = GBMatrix.from_coo([0, 1, 2], [1, 2, 0], [1.0, 0.0, 1.0],
+                          nrows=3, ncols=3)  # (1,2) is falsy
+    both = (A.S & B.S).new()
+    r, c, _ = both.to_coo()
+    assert set(zip(r, c)) == {(0, 1), (1, 2)}
+    vboth = (A.S & B.V).new()       # value mask drops (1,2)
+    r, c, _ = vboth.to_coo()
+    assert set(zip(r, c)) == {(0, 1)}
+    either = (A.S | B.S).new()
+    r, c, _ = either.to_coo()
+    assert set(zip(r, c)) == {(0, 1), (1, 0), (1, 2), (2, 2), (2, 0)}
+    minus = (A.S & ~B.S).new()      # A minus B
+    r, c, _ = minus.to_coo()
+    assert set(zip(r, c)) == {(1, 0), (2, 2)}
+
+
+def test_mask_composed_in_op():
+    A = _mat()
+    B = GBMatrix.from_coo([0, 1], [1, 0], [1.0, 1.0], nrows=3, ncols=3)
+    sel = A.select((A.S & B.S))
+    r, c, v = sel.to_coo()
+    assert set(zip(r, c)) == {(0, 1), (1, 0)}
+
+
+def test_mask_complement_compose_lazy():
+    A = _mat()
+    B = GBMatrix.from_coo([0], [1], [1.0], nrows=3, ncols=3)
+    m = ~A.S | ~B.S                 # = ~(A & B): complement stays lazy
+    assert m.complement
+    with pytest.raises(NotImplementedError):
+        m.new()
+    sel = A.select(m)  # keeps A entries NOT in (A & B) = all but (0,1)
+    r, c, _ = sel.to_coo()
+    assert set(zip(r, c)) == {(1, 0), (1, 2), (2, 2)}
+
+
+# ---------------------------------------------------------------------------
+# inventory extensions
+# ---------------------------------------------------------------------------
+
+def test_positional_unaries():
+    A = _mat()
+    _, _, v = A.apply(unary["positioni"]).to_coo()
+    assert sorted(v) == [0, 1, 1, 2]
+    _, _, v = A.apply(unary["positionj1"]).to_coo()
+    assert sorted(v) == [1, 2, 3, 3]
+
+
+def test_bitfield_binaries():
+    x = np.array([0b1010, 0b0110], dtype=np.int64)
+    y = np.array([1, 2], dtype=np.int64)
+    assert list(binary["bget"].fn(x, y)) == [1, 1]
+    assert list(binary["bset"].fn(x, y)) == [0b1010, 0b0110]
+    assert list(binary["bclr"].fn(x, y)) == [0b1000, 0b0010]
+    assert list(binary["bshift"].fn(x, np.array([2, -1]))) == [0b101000,
+                                                               0b0011]
+
+
+def test_frexp_halves():
+    x = np.array([8.0, 0.75])
+    m = unary["frexpx"].fn(x)
+    e = unary["frexpe"].fn(x)
+    np.testing.assert_allclose(np.ldexp(m, e), x)
+
+
+def test_numpy_namespaces():
+    assert "numpy.cbrt" in unary
+    np.testing.assert_allclose(unary["numpy.cbrt"].fn(np.array([8.0])),
+                               [2.0])
+    np.testing.assert_allclose(unary.numpy.spacing.fn(np.array([1.0])),
+                               np.spacing(1.0))
+    np.testing.assert_allclose(
+        binary["numpy.logaddexp"].fn(np.array([0.0]), np.array([0.0])),
+        [np.log(2.0)])
+    assert "numpy.nextafter" in binary
