@@ -396,11 +396,10 @@ def verify_jaccard(pairs_ds, docs_ds, threshold=0.5, text_col="text",
 
     # Candidate shingle SETS as three flat numpy arrays (doc ids sorted,
     # per-doc offsets, concatenated deduped shingles) — broadcast ONCE.
-    # Each stage below is vectorized over a whole batch; there is no
-    # per-doc dict and no per-pair Python loop.
-    part_ids, part_sh = [], []
-    for b in cand_docs.iter_batches(batch_format="pyarrow",
-                                    batch_size=1 << 16):
+    # The per-doc hashing + dedup runs DISTRIBUTED (map_batches); the
+    # driver only concatenates the (doc, shingle) partials. No per-doc
+    # dict, no per-pair Python loop anywhere.
+    def shingle_rows(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False)
         sh, offs = _shingle_hashes(b[text_col], shingle_n)
         did = np.repeat(np.arange(len(ids), dtype=np.int64),
@@ -409,8 +408,16 @@ def verify_jaccard(pairs_ds, docs_ds, threshold=0.5, text_col="text",
         did, sh = did[order], sh[order]
         first = np.ones(len(sh), dtype=bool)
         first[1:] = (did[1:] != did[:-1]) | (sh[1:] != sh[:-1])
-        part_ids.append(ids[did[first]])
-        part_sh.append(sh[first])
+        return pa.table({"doc": ids[did[first]],
+                         "sh": sh[first].view(np.int64)})
+
+    part_ids, part_sh = [], []
+    for b in cand_docs.map_batches(
+            shingle_rows, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20):
+        part_ids.append(b["doc"].to_numpy(zero_copy_only=False))
+        part_sh.append(b["sh"].to_numpy(zero_copy_only=False).view(
+            np.uint64))
     # a doc lives wholly in one batch → concatenate + stable sort by doc
     flat_doc = np.concatenate(part_ids) if part_ids else np.array(
         [], dtype=np.int64)
@@ -457,7 +464,14 @@ def verify_jaccard(pairs_ds, docs_ds, threshold=0.5, text_col="text",
         return t.filter(pc.greater_equal(t["jaccard"],
                                          pa.scalar(threshold)))
 
-    return pairs_ds.map_batches(score, batch_format="pyarrow")
+    # pairs often arrive as ONE driver-merged block (groupby_monoid's
+    # driver-merge path) — split so scoring parallelizes; cap the batch
+    # so the expanded (pair × shingle) working set stays cache-friendly
+    n_pairs_total = pairs_ds.count()
+    if n_pairs_total > 65536:
+        pairs_ds = pairs_ds.repartition(max(16, n_pairs_total // 65536))
+    return pairs_ds.map_batches(score, batch_format="pyarrow",
+                                batch_size=16384)
 
 
 # ---------------------------------------------------------------------------
@@ -560,15 +574,13 @@ def simhash_pairs(docs_ds, max_hamming=3, text_col="text", id_col="doc_id",
 
     cand = j.map_batches(verify, batch_format="pyarrow")
     # distinct (a pair can agree on several bands); hamming is a pure
-    # function of the pair so keeping the min is exact
-    out = cand.groupby(["ia", "ib"]).min("hamming")
+    # function of the pair so keeping the min is exact. Two-level Arrow
+    # hash aggregate — Ray's native sort-shuffle groupby costs seconds
+    # even on tiny pair sets.
+    from ..stages.reduce import grouped_agg
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(
-            ["hamming" if c == "min(hamming)" else c
-             for c in batch.column_names])
-
-    return out.map_batches(rename, batch_format="pyarrow")
+    return grouped_agg(cand, ["ia", "ib"],
+                       [("hamming", "min", "hamming")])
 
 
 # ---------------------------------------------------------------------------
