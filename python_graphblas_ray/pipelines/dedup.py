@@ -305,17 +305,24 @@ def _hot_bucket_keys(band_ds, max_bucket):
     groupby-count pre-pass."""
     import ray
 
-    keys = np.array([], dtype=np.int64)
-    counts = np.array([], dtype=np.int64)
-    for b in band_ds.select_columns(["bkey"]).iter_batches(
-            batch_format="pyarrow", batch_size=1 << 20):
+    def batch_counts(b: pa.Table) -> pa.Table:
         k, c = np.unique(b["bkey"].to_numpy(zero_copy_only=False),
                          return_counts=True)
-        both = np.concatenate([keys, k])
-        keys, inv = np.unique(both, return_inverse=True)
-        merged = np.zeros(len(keys), dtype=np.int64)
-        np.add.at(merged, inv, np.concatenate([counts, c]))
-        counts = merged
+        return pa.table({"bkey": k, "c": c})
+
+    # distributed per-batch (key, count) partials; ONE driver merge at
+    # the end (was an O(batches × keys log keys) incremental np.unique)
+    part_k, part_c = [], []
+    for b in band_ds.select_columns(["bkey"]).map_batches(
+            batch_counts, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20):
+        part_k.append(b["bkey"].to_numpy(zero_copy_only=False))
+        part_c.append(b["c"].to_numpy(zero_copy_only=False))
+    if not part_k:
+        return ray.put(np.array([], dtype=np.int64))
+    keys, inv = np.unique(np.concatenate(part_k), return_inverse=True)
+    counts = np.zeros(len(keys), dtype=np.int64)
+    np.add.at(counts, inv, np.concatenate(part_c))
     return ray.put(np.sort(keys[counts > max_bucket]))
 
 

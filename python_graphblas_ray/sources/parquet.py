@@ -16,6 +16,16 @@ def read_parquet_clean(path, columns=None, **kwargs):
     """
     import ray.data
 
+    if "schema" not in kwargs:
+        try:  # strip at the scanner too — blocks inside the read task
+            import pyarrow.parquet as pq
+
+            schema = pq.read_schema(path).remove_metadata()
+            if columns:
+                schema = pa.schema([schema.field(c) for c in columns])
+            kwargs["schema"] = schema
+        except Exception:
+            pass  # directories/multi-file paths: the strip stage covers it
     ds = ray.data.read_parquet(path, columns=columns, **kwargs)
 
     def strip(t: pa.Table) -> pa.Table:
