@@ -16,7 +16,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from ..stages.join import semi_join_filter
+from ..stages.join import semi_join_filter, semi_join_shuffle
 from ..stages.text import embed_text, quality_score
 from .dedup import exact_dedup, minhash_lsh_pairs
 
@@ -30,15 +30,34 @@ def _collect_ids(ds, col) -> np.ndarray:
             else np.array([], dtype=np.int64))
 
 
+def _id_semi_join(ds, id_col, ids_ds, ids_col, anti=False,
+                  broadcast_limit=50_000_000):
+    """Filter ``ds`` by an id set: broadcast (``ray.put`` once, probed per
+    batch) while the set fits the driver comfortably, hash-shuffle semi
+    join beyond — the exact-dedup keep-set is ~one id per distinct doc,
+    which outgrows any single node at corpus scale."""
+    if ids_ds.count() <= broadcast_limit:
+        ids = _collect_ids(ids_ds, ids_col)
+        return semi_join_filter(ds, (id_col,), ray.put(ids), anti=anti)
+    keys = ids_ds.select_columns([ids_col])
+    if ids_col != id_col:
+        keys = keys.map_batches(
+            lambda b: b.rename_columns([id_col]), batch_format="pyarrow")
+    return semi_join_shuffle(ds, (id_col,), keys, anti=anti)
+
+
 def prepare_corpus(docs_ds, id_col="doc_id", text_col="text",
                    min_words=20, min_quality=0.2, neardup_threshold=0.7,
-                   embed_dim=64):
+                   embed_dim=64, broadcast_limit=50_000_000):
     """Returns ``(clean_ds, stats)``: the surviving documents with an
     ``embedding`` column, and per-stage survivor counts.
 
     Near-dup policy: for every verified pair (ia < ib) the larger id is
     dropped (keep-first) — greedy but deterministic; transitive clusters
     collapse to their smallest id across LSH rounds.
+
+    Id-set filters broadcast below ``broadcast_limit`` ids and switch to
+    the hash-shuffle semi join above it (see ``_id_semi_join``).
     """
     stats = {"input": docs_ds.count()}
 
@@ -57,19 +76,19 @@ def prepare_corpus(docs_ds, id_col="doc_id", text_col="text",
     gated = scored.map_batches(gate, batch_format="pyarrow").materialize()
     stats["after_quality"] = gated.count()
 
-    # 2. exact dedup → keep-set semi join
-    kept = exact_dedup(gated, key_col=text_col, id_col=id_col)
-    keep_ids = _collect_ids(kept, "keep_id")
-    gated = semi_join_filter(gated, (id_col,), ray.put(keep_ids))
+    # 2. exact dedup → keep-set semi join (broadcast or shuffle by size)
+    kept = exact_dedup(gated, key_col=text_col, id_col=id_col).materialize()
+    gated = _id_semi_join(gated, id_col, kept, "keep_id",
+                          broadcast_limit=broadcast_limit)
     gated = gated.materialize()
     stats["after_exact_dedup"] = gated.count()
 
     # 3. near-dup removal: drop the larger id of every verified pair
     pairs = minhash_lsh_pairs(gated, threshold=neardup_threshold,
                               text_col=text_col, id_col=id_col)
-    drop_ids = _collect_ids(pairs, "ib")
-    clean = semi_join_filter(gated, (id_col,), ray.put(drop_ids),
-                             anti=True).materialize()
+    pairs = pairs.materialize()
+    clean = _id_semi_join(gated, id_col, pairs, "ib", anti=True,
+                          broadcast_limit=broadcast_limit).materialize()
     stats["after_neardup"] = clean.count()
 
     # 4. embeddings for downstream ANN / clustering

@@ -19,8 +19,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# `python scripts/run_job.py` puts scripts/ (not the repo root) on
+# sys.path; `ray job submit --working-dir .` ships the root — handle both
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def main(argv=None):

@@ -290,6 +290,15 @@ def test_prepare_corpus_end_to_end():
     assert "embedding" in t.column_names
     assert stats["after_neardup"] == len(ids)
 
+    # the shuffle id-filter scale path (broadcast_limit=0 forces it)
+    # must be row-identical to the broadcast path
+    clean2, stats2 = prepare_corpus(ds, min_words=20, min_quality=0.0,
+                                    neardup_threshold=0.6,
+                                    broadcast_limit=0)
+    ids2 = set(_table(clean2)["doc_id"].to_numpy(
+        zero_copy_only=False).tolist())
+    assert ids2 == ids and stats2 == stats
+
 
 def test_asof_join_oracle():
     from python_graphblas_ray.pipelines.windows import asof_join
