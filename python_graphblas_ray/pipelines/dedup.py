@@ -595,7 +595,7 @@ def simhash_pairs(docs_ds, max_hamming=3, text_col="text", id_col="doc_id",
 # ---------------------------------------------------------------------------
 
 def word_jaccard_pairs(docs_ds, threshold=0.8, text_col="text",
-                       id_col="doc_id"):
+                       id_col="doc_id", max_word_df=None):
     """Exact distinct-word Jaccard ≥ threshold for ALL pairs, via a
     distributed inverted index: (id, word) rows → self-join on word →
     per-pair co-occurrence counts → join per-doc set sizes → filter.
@@ -604,6 +604,17 @@ def word_jaccard_pairs(docs_ds, threshold=0.8, text_col="text",
     oracle-checked verify operator. At corpus scale the same final stage
     runs on LSH candidates instead of the full token join (hot words make
     the full join quadratic — ``minhash_lsh_pairs`` is the scale path).
+
+    ``max_word_df`` (opt-in) is the hot-word guard for running this form
+    directly at scale: words appearing in more than ``max_word_df``
+    documents are dropped from the inverted index BEFORE the self-join
+    (a word in k docs contributes k² join rows — stop words make the
+    exact join quadratic in corpus size). Per-doc set sizes are then
+    computed over the SAME capped vocabulary, so the reported score is
+    the exact Jaccard of the df-capped word sets (df-capped Jaccard, the
+    standard stop-word-pruned formulation) — not an approximation with
+    inconsistent numerator/denominator. Default ``None`` keeps the exact
+    all-words semantics used by the SQL oracle.
     """
 
     def tokens(batch: pa.Table) -> pa.Table:
@@ -631,6 +642,42 @@ def word_jaccard_pairs(docs_ds, threshold=0.8, text_col="text",
 
     tok = docs_ds.select_columns([id_col, text_col]).map_batches(
         tokens, batch_format="pyarrow")
+
+    if max_word_df is not None:
+        # Hot-word guard: stream per-batch (word-hash, doc-count)
+        # partials to the driver (same pattern as _hot_bucket_keys — the
+        # merged set is bounded by vocabulary cardinality, tiny next to
+        # the corpus), broadcast the hot set, anti-filter the index.
+        # Sizes below are computed from the FILTERED index, keeping the
+        # Jaccard internally consistent over the capped vocabulary.
+        import ray as _ray
+
+        def whash(b: pa.Table) -> pa.Table:
+            k, c = np.unique(_fnv1a_str_vec(b["word"]), return_counts=True)
+            return pa.table({"wh": k, "c": c})
+
+        part_k, part_c = [], []
+        for b in tok.select_columns(["word"]).map_batches(
+                whash, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=1 << 20):
+            part_k.append(b["wh"].to_numpy(zero_copy_only=False))
+            part_c.append(b["c"].to_numpy(zero_copy_only=False))
+        if part_k:
+            keys, inv = np.unique(np.concatenate(part_k),
+                                  return_inverse=True)
+            counts = np.zeros(len(keys), dtype=np.int64)
+            np.add.at(counts, inv, np.concatenate(part_c))
+            hot = np.sort(keys[counts > max_word_df])
+            if len(hot):
+                hot_ref = _ray.put(hot)
+
+                def drop_hot(batch: pa.Table) -> pa.Table:
+                    hs = _ray.get(hot_ref)
+                    wh = _fnv1a_str_vec(batch["word"])
+                    pos = np.minimum(np.searchsorted(hs, wh), len(hs) - 1)
+                    return batch.filter(pa.array(hs[pos] != wh))
+
+                tok = tok.map_batches(drop_hot, batch_format="pyarrow")
 
     def _rename(ds, mapping):
         def r(batch: pa.Table) -> pa.Table:

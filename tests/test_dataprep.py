@@ -136,6 +136,36 @@ def test_word_jaccard_pairs_matches_oracle(corpus):
     assert len(expect) >= 5  # planted exact dups qualify
 
 
+def test_word_jaccard_hot_word_guard(corpus):
+    """max_word_df drops hot words from the inverted index and scores the
+    exact Jaccard of the df-capped word sets (numerator AND denominator
+    over the same capped vocabulary)."""
+    ids, texts, ds = corpus
+    cap = 10
+    out = _table(word_jaccard_pairs(ds, threshold=0.9,
+                                    max_word_df=cap)).to_pandas()
+    got = {(int(r.ia), int(r.ib)): r.jaccard for r in out.itertuples()}
+    # oracle: compute df, drop words with df > cap, then exact Jaccard
+    sets = [set(t.split()) for t in texts]
+    df = {}
+    for s in sets:
+        for w in s:
+            df[w] = df.get(w, 0) + 1
+    capped = [{w for w in s if df[w] <= cap} for s in sets]
+    expect = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(capped[i] & capped[j])
+            union = len(capped[i] | capped[j])
+            if union and inter / union >= 0.9:
+                expect[(i, j)] = inter / union
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-12
+    # the guard must actually have dropped something in this corpus
+    assert any(v > cap for v in df.values())
+
+
 # ---------------------------------------------------------------------------
 # embeddings
 # ---------------------------------------------------------------------------
