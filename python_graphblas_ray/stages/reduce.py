@@ -284,7 +284,7 @@ def grouped_agg(ds, key_cols, specs, driver_merge_threshold=4_000_000):
 
 
 def groupby_aggregator(ds, key_cols, val_col, aggregator, out_col="val",
-                       idx_col=None):
+                       idx_col=None, driver_merge_threshold=4_000_000):
     """Grouped reduction with a composite Aggregator (mean/std/argmin/...).
 
     Two-level: per-batch ``partial`` rows (combiner) → shuffle → per-group
@@ -319,6 +319,43 @@ def groupby_aggregator(ds, key_cols, val_col, aggregator, out_col="val",
 
     partials = ds.map_batches(make_partials, batch_format="pyarrow")
 
+    # Driver-merge finisher (same policy as ``grouped_agg``): the partial
+    # stream is bounded by #groups × #blocks, so when it fits, lexsort it
+    # once on the driver and run ``final`` per group in-process — no Ray
+    # per-group task dispatch (the measured ~10 s / 80k-group map_groups
+    # trap). The distributed map_groups path remains for cardinalities
+    # beyond the driver threshold.
+    import ray.data
+
+    mat = partials.materialize()
+    if 0 < mat.count() <= driver_merge_threshold:
+        t = pa.concat_tables(
+            [b for b in mat.iter_batches(batch_format="pyarrow",
+                                         batch_size=1 << 20) if b.num_rows],
+            promote_options="permissive")
+        keys = [t[c].to_numpy(zero_copy_only=False) for c in key_cols]
+        pvals = {c[4:]: t[c].to_numpy(zero_copy_only=False)
+                 for c in t.column_names if c.startswith("__p_")}
+        n = t.num_rows
+        if len(keys) == 1:
+            order = np.argsort(keys[0], kind="stable")
+        else:
+            order = np.lexsort(tuple(reversed(keys)))
+        sk = [k[order] for k in keys]
+        sp = {nm: v[order] for nm, v in pvals.items()}
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for k in sk:
+            change[1:] |= k[1:] != k[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        vals = [aggregator.final({nm: v[s:e] for nm, v in sp.items()})
+                for s, e in zip(starts, ends)]
+        cols = {c: k[starts] for c, k in zip(key_cols, sk)}
+        cols[out_col] = (np.asarray(vals, dtype=aggregator.dtype)
+                         if aggregator.dtype is not None else np.asarray(vals))
+        return ray.data.from_arrow(pa.table(cols))
+
     import pandas as pd
 
     def finalize_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -328,4 +365,4 @@ def groupby_aggregator(ds, key_cols, val_col, aggregator, out_col="val",
         return pd.DataFrame(out)
 
     key = key_cols[0] if len(key_cols) == 1 else key_cols
-    return partials.groupby(key).map_groups(finalize_group, batch_format="pandas")
+    return mat.groupby(key).map_groups(finalize_group, batch_format="pandas")
