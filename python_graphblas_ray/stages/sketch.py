@@ -29,19 +29,17 @@ def _hash64(arr: np.ndarray) -> np.ndarray:
 
 
 def _hash_any(col: pa.Array) -> np.ndarray:
-    """64-bit hashes for an Arrow column (ints fast path; strings via
-    FNV-1a python loop — acceptable; values are usually ids)."""
+    """64-bit hashes for an Arrow column (ints fast path; strings via the
+    vectorized per-byte-position FNV-1a from the dedup stage — one numpy
+    pass per byte position over the DISTINCT strings)."""
     t = col.type
     if pa.types.is_integer(t):
         return _hash64(col.to_numpy(zero_copy_only=False))
-    out = np.empty(len(col), dtype=np.uint64)
-    for i, s in enumerate(col.to_pylist()):
-        h = 0xCBF29CE484222325
-        for b in str(s).encode("utf-8"):
-            h ^= b
-            h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        out[i] = h
-    return out
+    from ..pipelines.dedup import _fnv1a_str_vec
+    if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+        col = col.cast(pa.string()) if not isinstance(col, pa.ChunkedArray) \
+            else pa.chunked_array([c.cast(pa.string()) for c in col.chunks])
+    return _fnv1a_str_vec(col)
 
 
 def _registers(hashes: np.ndarray, p: int) -> np.ndarray:
@@ -85,11 +83,50 @@ def _estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
-def hll_distinct(ds, keys, value_col, p=12):
+def _rank_of(hashes: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, leading-zero rank) per hash — the vectorized core
+    of ``_registers`` shared by the grouped batch kernel."""
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    rest = hashes << np.uint64(p)
+    nbits = 64 - p
+    rank = np.full(len(hashes), nbits + 1, dtype=np.int64)
+    nz = rest != 0
+    if nz.any():
+        r = rest[nz]
+        hb = np.zeros(len(r), dtype=np.int64)
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = r >= (np.uint64(1) << np.uint64(shift))
+            hb[mask] += shift
+            r = np.where(mask, r >> np.uint64(shift), r)
+        rank[nz] = np.minimum(63 - hb + 1, nbits + 1)
+    return idx, rank
+
+
+def _estimate_rows(regs2d: np.ndarray) -> np.ndarray:
+    """Bias-corrected HLL estimates for a (groups × m) register matrix —
+    one vectorized pass across all groups (linear-counting correction
+    applied row-wise where it triggers)."""
+    m = regs2d.shape[1]
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m))
+    est = alpha * m * m / np.sum(np.exp2(-regs2d.astype(np.float64)), axis=1)
+    zeros = (regs2d == 0).sum(axis=1)
+    lin = zeros > 0
+    small = (est <= 2.5 * m) & lin
+    with np.errstate(divide="ignore"):
+        est[small] = m * np.log(m / zeros[small])
+    return est
+
+
+def hll_distinct(ds, keys, value_col, p=12,
+                 driver_merge_threshold=4_000_000):
     """Grouped approximate distinct count: one partial-registers
-    ``map_batches`` (rows = one register blob per key per batch), one
-    groupby merging blobs with elementwise max, finalize to the
-    estimate. Returns ``(keys..., approx_distinct:int64)``."""
+    ``map_batches`` (rows = one register blob per key per batch, built by
+    a single ``np.maximum.at`` scatter into a groups×m matrix — no
+    per-group Python), then a merge of the partial blobs: lexsorted
+    driver pass with ``np.maximum.reduceat`` when the partial stream is
+    small (bounded by #keys × #blocks), distributed ``map_groups``
+    beyond that. Returns ``(keys..., approx_distinct:int64)``."""
     keys = list(keys)
     m = 1 << p
 
@@ -98,23 +135,68 @@ def hll_distinct(ds, keys, value_col, p=12):
             return pa.table({**{k: batch[k] for k in keys},
                              "__regs": pa.array([], pa.binary())})
         h = _hash_any(batch[value_col])
-        kcols = [batch[k].to_pylist() for k in keys]
-        combo = list(zip(*kcols)) if keys else [()] * batch.num_rows
-        uniq = {}
-        for i, c in enumerate(combo):
-            uniq.setdefault(c, []).append(i)
-        out_keys = {k: [] for k in keys}
-        blobs = []
-        for c, idxs in uniq.items():
-            for kn, kv in zip(keys, c):
-                out_keys[kn].append(kv)
-            blobs.append(_registers(h[np.array(idxs)], p).tobytes())
-        cols = {k: pa.array(v) for k, v in out_keys.items()}
-        cols["__regs"] = pa.array(blobs, pa.binary())
+        ridx, rank = _rank_of(h, p)
+        # group rows by key combo via Arrow dictionary-encode (struct for
+        # multi-key) — integer codes, no Python tuples
+        if keys:
+            if len(keys) == 1:
+                enc = batch[keys[0]].combine_chunks().dictionary_encode()
+                codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+                    np.int64)
+                uniq_keys = {keys[0]: enc.dictionary}
+            else:
+                sa = pa.StructArray.from_arrays(
+                    [batch[k].combine_chunks() for k in keys], names=keys)
+                enc = sa.dictionary_encode()
+                codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+                    np.int64)
+                uniq_keys = {k: enc.dictionary.field(k) for k in keys}
+            g = int(codes.max()) + 1
+        else:
+            codes = np.zeros(batch.num_rows, dtype=np.int64)
+            uniq_keys = {}
+            g = 1
+        regs2d = np.zeros((g, m), dtype=np.int8)
+        np.maximum.at(regs2d, (codes, ridx), rank.astype(np.int8))
+        cols = {k: v for k, v in uniq_keys.items()}
+        cols["__regs"] = pa.array([row.tobytes() for row in regs2d],
+                                  pa.binary())
         return pa.table(cols)
 
     part = ds.select_columns(keys + [value_col]).map_batches(
         partials, batch_format="pyarrow")
+
+    import ray.data
+
+    mat = part.materialize()
+    if 0 < mat.count() <= driver_merge_threshold:
+        t = pa.concat_tables(
+            [b for b in mat.iter_batches(batch_format="pyarrow",
+                                         batch_size=1 << 20) if b.num_rows],
+            promote_options="permissive")
+        n = t.num_rows
+        regs = np.frombuffer(
+            b"".join(t["__regs"].to_pylist()), dtype=np.int8
+        ).reshape(n, m)
+        karrs = [t[k].to_numpy(zero_copy_only=False) for k in keys]
+        if not karrs:
+            order = np.arange(n)
+            starts = np.array([0])
+        else:
+            order = (np.argsort(karrs[0], kind="stable") if len(karrs) == 1
+                     else np.lexsort(tuple(reversed(karrs))))
+            sk = [k[order] for k in karrs]
+            change = np.zeros(n, dtype=bool)
+            change[0] = True
+            for k in sk:
+                change[1:] |= k[1:] != k[:-1]
+            starts = np.flatnonzero(change)
+        merged = np.maximum.reduceat(regs[order], starts, axis=0)
+        est = np.rint(_estimate_rows(merged)).astype(np.int64)
+        cols = ({k: sk[i][starts] for i, k in enumerate(keys)}
+                if keys else {})
+        cols["approx_distinct"] = est
+        return ray.data.from_arrow(pa.table(cols))
 
     def merge(group: pa.Table) -> pa.Table:
         regs = np.zeros(m, dtype=np.int8)
@@ -125,4 +207,4 @@ def hll_distinct(ds, keys, value_col, p=12):
             [int(round(_estimate(regs)))], pa.int64())
         return pa.table(cols)
 
-    return part.groupby(keys).map_groups(merge, batch_format="pyarrow")
+    return mat.groupby(keys).map_groups(merge, batch_format="pyarrow")
