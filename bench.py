@@ -79,11 +79,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     extra["num_edges"] = eng.num_edges
     extra["pagerank_edges_per_sec"] = (
         eng.num_edges * iters / timings["pagerank"])
-    eng.shutdown()
-
     t0 = time.time()
-    eng_u = build_engine(edges, n_pages, num_partitions=num_cpus,
-                         undirected=True)
+    # derived from the directed engine's pinned partitions (actor-side
+    # reversed-edge exchange, warm-worker hand-off) — no second
+    # quantile/tag/sort pass; releases the directed pool
+    eng_u = eng.symmetrized(release=True)
     timings["graph_build_undirected"] = time.time() - t0
     t0 = time.time()
     f, cc_iters = eng_u.connected_components_inactor()

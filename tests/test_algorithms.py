@@ -328,3 +328,45 @@ def test_bfs_parent(graph, engine):
     want = bfs_parent_numpy(src, dst, N, 0)
     np.testing.assert_array_equal(got, want)
     assert got[0] == 0 and (got >= -1).all()
+
+
+def test_symmetrized_engine_matches_fresh_build(engine, undirected_engine,
+                                                graph):
+    """Engine derived via symmetrized() (actor-side exchange, no dataset
+    re-shuffle) must agree with a fresh undirected build: same total edge
+    count, identical CC labels + superstep count, identical LPA labels,
+    and identical min_second spmv slices."""
+    src, dst, w, ds = graph
+    sym = engine.symmetrized()
+    try:
+        assert sym.num_edges == undirected_engine.num_edges
+        f1, it1 = sym.connected_components_inactor()
+        f2, it2 = undirected_engine.connected_components_inactor()
+        np.testing.assert_array_equal(f1, f2)
+        assert it1 == it2
+        l1, li1 = sym.label_propagation_inactor(itermax=20)
+        l2, li2 = undirected_engine.label_propagation_inactor(itermax=20)
+        np.testing.assert_array_equal(l1, l2)
+        assert li1 == li2
+        x = np.arange(N, dtype=np.float64) % 17
+        np.testing.assert_allclose(sym.spmv("plus_second", x),
+                                   undirected_engine.spmv("plus_second", x))
+    finally:
+        sym.shutdown()
+
+
+def test_symmetrized_engine_weighted(graph):
+    """Weighted derived engine carries edge weights both directions."""
+    src, dst, w, ds = graph
+    eng = build_engine(ds, N, num_partitions=4, weighted=True)
+    ref = build_engine(ds, N, num_partitions=4, weighted=True,
+                       undirected=True)
+    sym = eng.symmetrized()
+    try:
+        x = np.linspace(0.0, 3.0, N)
+        np.testing.assert_allclose(sym.spmv("min_plus", x),
+                                   ref.spmv("min_plus", x))
+    finally:
+        sym.shutdown()
+        eng.shutdown()
+        ref.shutdown()
