@@ -52,21 +52,30 @@ def url_of(page_ids: np.ndarray) -> list[str]:
             for s, p in zip(site, page_ids)]
 
 
-def out_links(page_ids: np.ndarray, n_pages: int) -> tuple[np.ndarray, np.ndarray]:
+def out_links(page_ids: np.ndarray, n_pages: int, return_counts=False):
     """(flat_src_ids, flat_dst_ids): deterministic out-links per page.
 
     Out-degree in [1, 8] by hash; k-th target of page i is
     ``(h(i, k) % n)²-biased`` toward low ids → skewed in-degree (hubs),
-    exercising the engine's skew handling. Self-links dropped."""
+    exercising the engine's skew handling. Self-links dropped.
+    ``return_counts=True`` additionally returns the kept-link count per
+    input page (rows appear grouped in input-page order)."""
     ids = np.asarray(page_ids, dtype=np.int64)
     deg = (1 + (_h(ids, 0) % np.uint64(8))).astype(np.int64)
     src = np.repeat(ids, deg)
-    k = np.concatenate([np.arange(d) for d in deg]) if len(deg) else \
-        np.array([], dtype=np.int64)
+    if len(deg):
+        starts = np.concatenate([[0], np.cumsum(deg)[:-1]])
+        k = np.arange(int(deg.sum()), dtype=np.int64) - np.repeat(starts, deg)
+    else:
+        k = np.array([], dtype=np.int64)
     raw = _h(src.astype(np.uint64) * np.uint64(31) + k.astype(np.uint64), 7)
     u = (raw % np.uint64(1 << 30)).astype(np.float64) / float(1 << 30)
     dst = np.floor((u * u) * n_pages).astype(np.int64)  # quadratic bias → hubs
     keep = src != dst
+    if return_counts:
+        drop_per_page = np.bincount(
+            np.repeat(np.arange(len(ids)), deg)[~keep], minlength=len(ids))
+        return src[keep], dst[keep], deg - drop_per_page
     return src[keep], dst[keep]
 
 
@@ -75,30 +84,52 @@ _WORDS = ("the of web graph page rank link node edge crawl data index "
           "distributed parallel shuffle partition actor block stream").split()
 
 
+_WORDS_ARR = np.array(_WORDS, dtype=object)
+
+
 def text_of(page_ids: np.ndarray, n_pages: int) -> list[str]:
     """Deterministic body text per page (the byte-identical invariant).
     12-40 words chosen by hash; same function is the single source of truth
-    for both generation and the extraction oracle test."""
-    out = []
+    for both generation and the extraction oracle test. Vectorized: ONE
+    hash pass over every (page, word-slot) pair, then per-page joins over
+    slices — byte-identical to the original per-page formulation."""
+    ids = np.asarray(page_ids, dtype=np.int64)
+    if len(ids) == 0:
+        return []
     with np.errstate(over="ignore"):
-        for pid in np.asarray(page_ids, dtype=np.int64):
-            nw = 12 + int(_h(np.uint64(pid), 3) % np.uint64(29))
-            ks = np.arange(nw, dtype=np.uint64)
-            ws = _h(np.uint64(pid) * np.uint64(131) + ks, 11) % np.uint64(len(_WORDS))
-            out.append(" ".join(_WORDS[int(w)] for w in ws))
-    return out
+        nw = (12 + (_h(ids.astype(np.uint64), 3) %
+                    np.uint64(29)).astype(np.int64))
+        total = int(nw.sum())
+        # flat (page, k) slots: k resets per page
+        pid_flat = np.repeat(ids.astype(np.uint64), nw)
+        starts = np.concatenate([[0], np.cumsum(nw)[:-1]])
+        k_flat = (np.arange(total, dtype=np.uint64) -
+                  np.repeat(starts.astype(np.uint64), nw))
+        ws = _h(pid_flat * np.uint64(131) + k_flat, 11) % np.uint64(
+            len(_WORDS))
+    words = _WORDS_ARR[ws.astype(np.int64)]
+    bounds = np.append(starts, total)
+    return [" ".join(words[bounds[i]:bounds[i + 1]])
+            for i in range(len(ids))]
 
 
 def html_of(page_ids: np.ndarray, n_pages: int) -> list[bytes]:
     """Deterministic HTML: title + anchor tags for each out-link + body
-    text. Extraction must invert this exactly."""
+    text. Extraction must invert this exactly. Vectorized: out-links and
+    anchor strings for ALL pages in one pass (self-link drops can make a
+    page anchor-less, exactly as the per-page form did)."""
     ids = np.asarray(page_ids, dtype=np.int64)
+    if len(ids) == 0:
+        return []
     texts = text_of(ids, n_pages)
+    src, dst, counts = out_links(ids, n_pages, return_counts=True)
+    hrefs = np.array([f'<a href="{u}">link</a>' for u in url_of(dst)],
+                     dtype=object)
+    # per-page anchor join over the input-page-ordered link slices
+    cut = np.concatenate([[0], np.cumsum(counts)])
     out = []
-    for pid, body in zip(ids, texts):
-        s, d = out_links(np.array([pid]), n_pages)
-        hrefs = url_of(d)
-        anchors = "".join(f'<a href="{u}">link</a>' for u in hrefs)
+    for i, (pid, body) in enumerate(zip(ids, texts)):
+        anchors = "".join(hrefs[cut[i]:cut[i + 1]])
         html = (f"<html><head><title>page {pid}</title></head>"
                 f"<body><p>{body}</p>{anchors}</body></html>")
         out.append(html.encode("utf-8"))
