@@ -466,6 +466,50 @@ for _name, _fn, _comm in [
 ]:
     binary._register(BinaryOp(_name, _fn, _comm))
 
+def _binom(N, k):
+    """Exact int64 binomial coefficient, 0 on overflow or out-of-bounds
+    (reference ``core/operator/binary.py:337`` ``_binom`` — same sequential
+    multiply/divide recurrence, vectorized with per-lane active masks)."""
+    N = np.asarray(N, dtype=np.int64)
+    k = np.asarray(k, dtype=np.int64)
+    N, k = np.broadcast_arrays(N, k)
+    N, k = N.copy(), k.copy()
+    ok = (k >= 0) & (k <= N)
+    val = np.where(ok, np.int64(1), np.int64(0))
+    m = np.where(ok, np.minimum(k, N - k), 0)
+    max_i64 = np.iinfo(np.int64).max
+    mmax = int(m.max()) if m.size else 0
+    for i in range(mmax):
+        act = np.flatnonzero((m > i) & (val > 0))
+        if not len(act):
+            break
+        Ni = N[act] - i
+        over = val[act] > max_i64 // Ni
+        val[act[over]] = 0
+        live = act[~over]
+        val[live] = (val[live] * (N[live] - i)) // (i + 1)
+    return val
+
+
+binary._register(BinaryOp("binom", _binom))
+
+
+def _isclose_factory(rel_tol=1e-7, abs_tol=0.0):
+    """Reference ``binary.py:327`` ``_isclose`` — a PARAMETERIZED op
+    factory; ``binary.isclose(rel_tol, abs_tol)`` yields a concrete
+    boolean BinaryOp (used by ``isclose`` comparisons)."""
+
+    def inner(x, y):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        return (x == y) | (np.abs(x - y) <= np.maximum(
+            rel_tol * np.maximum(np.abs(x), np.abs(y)), abs_tol))
+
+    return inner
+
+
+BinaryOp.register_new("isclose", _isclose_factory, parameterized=True)
+
 # frexp mantissa/exponent halves (reference unary.py fp inventory)
 unary._register(UnaryOp("frexpx", lambda x: np.frexp(x)[0]))
 unary._register(UnaryOp("frexpe", lambda x: np.frexp(x)[1].astype(np.int64)))

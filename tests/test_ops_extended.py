@@ -257,3 +257,47 @@ def test_numpy_namespaces():
         binary["numpy.logaddexp"].fn(np.array([0.0]), np.array([0.0])),
         [np.log(2.0)])
     assert "numpy.nextafter" in binary
+
+
+def test_binom_matches_reference_recurrence():
+    """binary.binom reproduces the reference's int64 recurrence exactly,
+    including its conservative overflow→0 (core/operator/binary.py:337)."""
+    import numpy as np
+    from python_graphblas_ray.functions.ops import binary
+
+    MAX = np.iinfo(np.int64).max
+
+    def ref_binom(N, k):
+        if k > N or k < 0:
+            return 0
+        val = 1
+        for i in range(min(k, N - k)):
+            if val > MAX // (N - i):
+                return 0
+            val *= N - i
+            val //= i + 1
+        return val
+
+    rng = np.random.default_rng(7)
+    N = rng.integers(-2, 120, 300)
+    K = rng.integers(-2, 120, 300)
+    got = binary["binom"](N, K)
+    assert got.tolist() == [ref_binom(int(n), int(k)) for n, k in zip(N, K)]
+
+
+def test_isclose_parameterized_factory():
+    """binary.isclose is a parameterized factory (binary.py:327): calling
+    it with tolerances yields a boolean op matching math.isclose."""
+    import math
+
+    import numpy as np
+    from python_graphblas_ray.functions.ops import binary
+
+    op = binary["isclose"](1e-7, 0.0)
+    x = np.array([1.0, 1.0 + 1e-9, 2.0, np.inf, -1.0])
+    y = np.array([1.0, 1.0, 2.1, np.inf, 1.0])
+    expect = [math.isclose(a, b, rel_tol=1e-7, abs_tol=0.0)
+              for a, b in zip(x, y)]
+    assert op(x, y).tolist() == expect
+    loose = binary["isclose"](0.1, 0.0)
+    assert loose(np.array([2.0]), np.array([2.1])).tolist() == [True]
