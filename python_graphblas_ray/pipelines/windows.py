@@ -154,35 +154,49 @@ def range_join(left_ds, right_ds, key, left_val, right_lo, right_hi,
     return j.map_batches(filt, batch_format="pyarrow")
 
 
-def sessionize(events_ds, gap_minutes=30, user_col="user_id", ts_col="ts"):
-    """Session windows per user: one shuffle keyed by user, then a
-    per-group vectorized gap scan (sorted ts; new session when the gap
-    exceeds ``gap_minutes``). Emits per-session (user, session_start,
-    session_end, n_events).
+def sessionize(events_ds, gap_minutes=30, user_col="user_id", ts_col="ts",
+               num_partitions=None):
+    """Session windows per user: ONE hash-exchange keyed by user (the
+    ``stages.exchange`` map-side split — no sort/groupby machinery), then
+    a per-partition vectorized gap scan over ALL of the partition's users
+    at once: lexsort by (user, ts), a session starts at a user boundary
+    or a gap > ``gap_minutes``, aggregates via ``reduceat`` over session
+    boundaries. No per-user Python anywhere. Emits per-session
+    (user_id, session_start, session_end, n_events).
 
     Skew note: a pathological single user with billions of events would
-    need range-splitting by day first; normal web users fit one group.
+    need range-splitting by day first; normal web users fit a partition.
     """
     gap_us = int(gap_minutes * 60 * 1_000_000)
+    from ..stages.exchange import hash_exchange_apply
 
-    def sessions(group: pa.Table) -> pa.Table:
-        ts = np.sort(group[ts_col].cast(pa.int64())
-                     .to_numpy(zero_copy_only=False))
-        uid = group[user_col][0].as_py()
+    def sessions_part(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "session_start": pa.array([], pa.timestamp("us")),
+            "session_end": pa.array([], pa.timestamp("us")),
+            "n_events": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        u = t[user_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
         new = np.empty(len(ts), dtype=bool)
         new[0] = True
-        new[1:] = (ts[1:] - ts[:-1]) > gap_us
-        sess_id = np.cumsum(new) - 1
-        nsess = sess_id[-1] + 1
-        starts = ts[new]
-        ends = np.maximum.reduceat(ts, np.flatnonzero(new))
-        counts = np.bincount(sess_id, minlength=nsess)
+        new[1:] = (u[1:] != u[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        starts_idx = np.flatnonzero(new)
+        ends = np.maximum.reduceat(ts, starts_idx)
+        counts = np.diff(np.append(starts_idx, len(ts)))
         return pa.table({
-            "user_id": np.full(nsess, uid, dtype=np.int64),
-            "session_start": pa.array(starts).cast(pa.timestamp("us")),
+            "user_id": u[starts_idx].astype(np.int64),
+            "session_start": pa.array(ts[starts_idx]).cast(
+                pa.timestamp("us")),
             "session_end": pa.array(ends).cast(pa.timestamp("us")),
             "n_events": counts.astype(np.int64),
         })
 
-    return events_ds.groupby(user_col).map_groups(
-        sessions, batch_format="pyarrow")
+    return hash_exchange_apply(
+        events_ds.select_columns([user_col, ts_col]), user_col,
+        sessions_part, num_partitions=num_partitions)

@@ -1,0 +1,68 @@
+"""Hash-exchange co-location without the sort/groupby machinery.
+
+The same map-side split pattern as the superstep engine's "exchange"
+partitioner (``state/superstep.py:_split_block``), generalized: one task
+per input block bins rows by key hash and returns P zero-copy slices;
+one task per partition concatenates its slices and runs a VECTORIZED
+user function over the whole co-located table. Replaces
+``groupby(key).map_groups`` (one Python call per group — the measured
+~10 s / 80k-group trap) for operators whose per-key logic vectorizes
+across keys once rows are co-located (sessionization, sorted merges).
+
+Data moves once all-to-all — identical volume to a groupby shuffle; on a
+multi-node cluster each slice ref pulls directly source→destination.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+@ray.remote
+def _split_by_hash(t: pa.Table, key_col: str, P: int):
+    """Bin one block's rows by key hash (splitmix64 avalanche → even
+    spread for sequential ids); stable part-sort + zero-copy slices."""
+    k = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        z = (k + np.uint64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+    part = (z % np.uint64(P)).astype(np.int64)
+    counts = np.bincount(part, minlength=P)
+    order = np.argsort(part, kind="stable")
+    st = t.take(pa.array(order))
+    cum = np.concatenate([[0], np.cumsum(counts)])
+    return tuple(st.slice(int(cum[p]), int(counts[p])) for p in range(P))
+
+
+@ray.remote
+def _apply_partition(fn, *tables):
+    tabs = [t for t in tables if t.num_rows]
+    if not tabs:
+        # fn must handle the empty table (defines the output schema)
+        return fn(tables[0])
+    return fn(pa.concat_tables(tabs, promote_options="permissive"))
+
+
+def hash_exchange_apply(ds, key_col, fn, num_partitions=None):
+    """Co-locate rows by ``hash(key) % P`` and run ``fn`` once per
+    partition over its full table (every row of a key in one call).
+
+    ``fn: pa.Table -> pa.Table`` must be vectorized across keys and must
+    return the correct (possibly empty) schema for an empty input.
+    Returns a Dataset of the per-partition outputs.
+    """
+    if num_partitions is None:
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    P = int(num_partitions)
+    refs = ds.materialize().to_arrow_refs()
+    if not refs:
+        return ds
+    outs = [_split_by_hash.options(num_returns=P).remote(r, key_col, P)
+            for r in refs]
+    parts = [_apply_partition.remote(fn, *[o[p] for o in outs])
+             for p in range(P)]
+    return ray.data.from_arrow_refs(parts)
