@@ -83,10 +83,15 @@ def asof_join(left_ds, right_ds, key="user_id", ts_col="ts",
     the same key with ``right.ts <= left.ts`` (DuckDB ``ASOF JOIN``
     semantics); left rows with no earlier right row are dropped.
 
-    Ray-Data-first: both sides are tagged and unioned so ONE shuffle
-    keyed by ``key`` co-locates them; each group does a vectorized
-    sorted-merge (``searchsorted``). The reference has no join surface
-    at all (SURVEY §2.7) — this is new engine surface for event streams.
+    Ray-Data-first: both sides are tagged and unioned so ONE
+    hash-exchange keyed by ``key`` co-locates them (``stages.exchange``
+    map-side split — no groupby machinery); each partition then runs a
+    single vectorized merge across ALL its keys at once: lexsort by
+    (key, ts, rights-before-lefts), forward-fill the last-right-row
+    index with ``np.maximum.accumulate``, and invalidate fills that
+    cross a key boundary. No per-key Python. The reference has no join
+    surface at all (SURVEY §2.7) — this is new engine surface for event
+    streams.
     """
 
     def tag(side):
@@ -105,29 +110,62 @@ def asof_join(left_ds, right_ds, key="user_id", ts_col="ts",
     lcols = list(left_schema.names)
     out_right = [c for c in right_value_cols]
 
-    def merge(group: pa.Table) -> pa.Table:
-        side = group["__side"].to_numpy(zero_copy_only=False)
-        ts = group[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        l_idx = np.flatnonzero(side == 0)
-        r_idx = np.flatnonzero(side == 1)
-        empty_cols = {c: group[c].take(pa.array([], pa.int64()))
-                      for c in lcols}
-        for c in out_right:
-            empty_cols[c + suffix] = group[c].take(pa.array([], pa.int64()))
-        if len(l_idx) == 0 or len(r_idx) == 0:
-            return pa.table(empty_cols)
-        r_order = r_idx[np.argsort(ts[r_idx], kind="stable")]
-        pos = np.searchsorted(ts[r_order], ts[l_idx], side="right") - 1
-        hit = pos >= 0
-        l_hit = l_idx[hit]
-        r_hit = r_order[pos[hit]]
-        cols = {c: group[c].take(pa.array(l_hit)) for c in lcols}
-        for c in out_right:
-            cols[c + suffix] = group[c].take(pa.array(r_hit))
+    # unified schema for the exchange: blocks from either side must agree
+    # (the hash-exchange concatenates raw side blocks, so pad each side's
+    # missing columns with typed nulls up front)
+    ltypes = dict(zip(left_schema.names, left_schema.types))
+    rs = right_ds.schema()
+    rtypes = dict(zip(rs.names, rs.types))
+    unified = list(dict.fromkeys(lcols + right_keep))
+    types = {c: ltypes.get(c, rtypes.get(c)) for c in unified}
+
+    def pad(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for c in unified:
+            cols[c] = (batch[c] if c in batch.column_names
+                       else pa.nulls(batch.num_rows, types[c]))
+        cols["__side"] = batch["__side"]
         return pa.table(cols)
 
-    return left_t.union(right_t).groupby(key).map_groups(
-        merge, batch_format="pyarrow")
+    left_t = left_t.map_batches(pad, batch_format="pyarrow")
+    right_t = right_t.map_batches(pad, batch_format="pyarrow")
+
+    def merge_part(t: pa.Table) -> pa.Table:
+        empty_cols = {c: t[c].take(pa.array([], pa.int64()))
+                      for c in lcols}
+        for c in out_right:
+            empty_cols[c + suffix] = t[c].take(pa.array([], pa.int64()))
+        if t.num_rows == 0:
+            return pa.table(empty_cols)
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        keys = t[key].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if not (side == 0).any() or not (side == 1).any():
+            return pa.table(empty_cols)
+        # rights sort BEFORE lefts at equal (key, ts): rts <= lts is
+        # inclusive, and the LAST equal-ts right wins (stable order) —
+        # identical tie semantics to the per-group searchsorted form
+        order = np.lexsort((1 - side, ts, keys))
+        ks, ss = keys[order], side[order]
+        n = len(ks)
+        marker = np.where(ss == 1, np.arange(n), -1)
+        ffill = np.maximum.accumulate(marker)
+        gs = np.empty(n, dtype=bool)
+        gs[0] = True
+        gs[1:] = ks[1:] != ks[:-1]
+        gstart = np.flatnonzero(gs)
+        gpos = np.repeat(gstart, np.diff(np.append(gstart, n)))
+        hit = (ss == 0) & (ffill >= gpos)  # fill from an earlier key → miss
+        l_orig = order[hit]
+        r_orig = order[ffill[hit]]
+        cols = {c: t[c].take(pa.array(l_orig)) for c in lcols}
+        for c in out_right:
+            cols[c + suffix] = t[c].take(pa.array(r_orig))
+        return pa.table(cols)
+
+    from ..stages.exchange import hash_exchange_apply
+
+    return hash_exchange_apply(left_t.union(right_t), key, merge_part)
 
 
 def range_join(left_ds, right_ds, key, left_val, right_lo, right_hi,
