@@ -5,13 +5,15 @@ Reference surface: ``ss.scan`` (``core/ss/matrix.py:3689``, recipe
 ``ss.compactify`` (``:3869``), ``ss.sort`` (``:3983``), ``ss.split/concat``
 (``:280,:362``), ``ss.flatten/reshape`` (``:3706,:3732``).
 
-Ray Data mapping: operations that need a WHOLE row in one place run as
-``groupby(src).map_groups`` — one co-locating shuffle keyed by row, then
-vectorized numpy per group. The scale contract is the same as every other
-row-keyed shuffle in the engine: rows (even hub rows) fit a worker;
-edge-balanced dst-partitioning upstream keeps groups whole. ``split`` /
-``concat`` / ``flatten`` / ``reshape`` are pure ``map_batches`` index
-arithmetic — no shuffle at all.
+Ray Data mapping: operations that need a WHOLE row in one place run over
+ONE hash-exchange keyed by row (``stages.exchange`` map-side split), then
+a single VECTORIZED pass per partition across all of its rows at once —
+lexsort by (row, ...), segment boundaries, rank-in-segment / log-depth
+doubling scans. No per-row Python call anywhere (``groupby.map_groups``
+is one interpreter call per row — untenable at 10⁹ rows). The scale
+contract is the same as every other row-keyed shuffle in the engine:
+rows (even hub rows) fit a worker. ``split`` / ``concat`` / ``flatten``
+/ ``reshape`` are pure ``map_batches`` index arithmetic — no shuffle.
 """
 
 from __future__ import annotations
@@ -27,78 +29,116 @@ _SCAN_UFUNC = {
 }
 
 
+def _segments(keys: np.ndarray):
+    """(starts, seg_pos) for a sorted key array: segment start indices and
+    each element's rank within its segment."""
+    n = len(keys)
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.append(starts, n))
+    seg_pos = np.arange(n) - np.repeat(starts, sizes)
+    return starts, sizes, seg_pos
+
+
+def _empty_like(t: pa.Table, key: str, other: str) -> pa.Table:
+    return pa.table({key: t[key].slice(0, 0), other: t[other].slice(0, 0),
+                     "val": t["val"].slice(0, 0)})
+
+
 def row_scan(A: GBMatrix, op: str = "plus", order: str = "rowwise"
              ) -> GBMatrix:
     """Prefix scan within each row in dst order (``ss.scan`` rowwise), or
-    within each column in src order (``order="columnwise"``) — reference
-    recipe does log-depth mxm against shift matrices; here each group
-    scans locally after one co-location shuffle."""
+    within each column in src order (``order="columnwise"``). Reference
+    recipe (``core/ss/prefix_scan.py``) is a log-depth mxm ladder; here
+    one hash-exchange co-locates each row, then a Hillis–Steele doubling
+    scan runs vectorized across EVERY segment of the partition at once
+    (log(max row length) numpy rounds, any associative ufunc)."""
     ufunc = _SCAN_UFUNC[op]
     key, other = (("src", "dst") if order == "rowwise"
                   else ("dst", "src"))
+    from .exchange import hash_exchange_apply
 
-    def scan(group: pa.Table) -> pa.Table:
-        o = group[other].to_numpy(zero_copy_only=False)
-        val = group["val"].to_numpy(zero_copy_only=False)
-        srt = np.argsort(o, kind="stable")
-        out = ufunc.accumulate(val[srt])
-        return pa.table({key: group[key], other: o[srt], "val": out})
+    def scan_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_like(t, key, other)
+        kv = t[key].to_numpy(zero_copy_only=False)
+        o = t[other].to_numpy(zero_copy_only=False)
+        val = t["val"].to_numpy(zero_copy_only=False)
+        srt = np.lexsort((o, kv))
+        kv, o, out = kv[srt], o[srt], val[srt].copy()
+        _, _, seg_pos = _segments(kv)
+        d = 1
+        max_pos = int(seg_pos.max()) if len(seg_pos) else 0
+        while d <= max_pos:
+            valid = seg_pos >= d
+            idx = np.flatnonzero(valid)
+            out[idx] = ufunc(out[idx], out[idx - d])
+            d *= 2
+        return pa.table({key: kv, other: o, "val": out})
 
-    return A._wrap(A.ds.groupby(key).map_groups(
-        scan, batch_format="pyarrow"))
+    return A._wrap(hash_exchange_apply(A.ds, key, scan_part))
+
+
+def _rank_select(t: pa.Table, how: str, k, compactify: bool) -> pa.Table:
+    """Shared selectk/compactify kernel: lexsort by (row, <order>), rank
+    within segment, keep by rank — all rows of the partition at once."""
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    val = t["val"].to_numpy(zero_copy_only=False)
+    if how in ("first", "last"):
+        srt = np.lexsort((dst, src))
+    elif how == "smallest":
+        srt = np.lexsort((dst, val, src))
+    elif how == "largest":
+        srt = np.lexsort((dst, -val, src))
+    else:
+        raise ValueError(how)
+    s_src, s_dst, s_val = src[srt], dst[srt], val[srt]
+    starts, sizes, seg_pos = _segments(s_src)
+    seg_len = np.repeat(sizes, sizes)
+    if k is None:
+        keep = np.ones(len(s_src), dtype=bool)
+        new_dst = seg_pos
+    elif how == "last":
+        keep = seg_pos >= seg_len - k
+        new_dst = seg_pos - np.maximum(seg_len - k, 0)
+    else:
+        keep = seg_pos < k
+        new_dst = seg_pos
+    return pa.table({"src": s_src[keep],
+                     "dst": (new_dst[keep].astype(np.int64) if compactify
+                             else s_dst[keep]),
+                     "val": s_val[keep]})
 
 
 def row_selectk(A: GBMatrix, how: str, k: int) -> GBMatrix:
     """Keep k entries per row (``ss.selectk``): ``first``/``last`` by
     column position, ``smallest``/``largest`` by value."""
+    from .exchange import hash_exchange_apply
 
-    def pick(group: pa.Table) -> pa.Table:
-        dst = group["dst"].to_numpy(zero_copy_only=False)
-        val = group["val"].to_numpy(zero_copy_only=False)
-        if how == "first":
-            sel = np.argsort(dst, kind="stable")[:k]
-        elif how == "last":
-            sel = np.argsort(dst, kind="stable")[-k:]
-        elif how == "smallest":
-            sel = np.lexsort((dst, val))[:k]
-        elif how == "largest":
-            sel = np.lexsort((dst, -val))[:k]
-        else:
-            raise ValueError(how)
-        return pa.table({"src": group["src"].take(pa.array(sel)),
-                         "dst": dst[sel], "val": val[sel]})
+    def pick_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_like(t, "src", "dst")
+        return _rank_select(t, how, k, compactify=False)
 
-    return A._wrap(A.ds.groupby("src").map_groups(
-        pick, batch_format="pyarrow"))
+    return A._wrap(hash_exchange_apply(A.ds, "src", pick_part))
 
 
 def row_compactify(A: GBMatrix, how: str = "first", k: int | None = None
                    ) -> GBMatrix:
     """``ss.compactify``: per-row selectk + re-index surviving entries to
     columns 0..k-1 (order defined by ``how``)."""
+    from .exchange import hash_exchange_apply
 
-    def pick(group: pa.Table) -> pa.Table:
-        dst = group["dst"].to_numpy(zero_copy_only=False)
-        val = group["val"].to_numpy(zero_copy_only=False)
-        kk = len(dst) if k is None else k
-        if how == "first":
-            sel = np.argsort(dst, kind="stable")[:kk]
-        elif how == "last":
-            sel = np.argsort(dst, kind="stable")[::-1][:kk][::-1]
-        elif how == "smallest":
-            sel = np.lexsort((dst, val))[:kk]
-        elif how == "largest":
-            sel = np.lexsort((dst, -val))[:kk]
-        else:
-            raise ValueError(how)
-        return pa.table({
-            "src": group["src"].take(pa.array(sel)),
-            "dst": np.arange(len(sel), dtype=np.int64),
-            "val": val[sel]})
+    def pick_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_like(t, "src", "dst")
+        return _rank_select(t, how, k, compactify=True)
 
     ncols = A.ncols if k is None else min(k, A.ncols)
-    out = A._wrap(A.ds.groupby("src").map_groups(
-        pick, batch_format="pyarrow"))
+    out = A._wrap(hash_exchange_apply(A.ds, "src", pick_part))
     out.ncols = ncols
     return out
 
@@ -107,18 +147,21 @@ def row_sort(A: GBMatrix, ascending: bool = True) -> GBMatrix:
     """``ss.sort`` per row: values sorted within each row; output column j
     holds the j-th smallest (largest) value of the row (ties keep dst
     order — deterministic)."""
+    from .exchange import hash_exchange_apply
 
-    def srt(group: pa.Table) -> pa.Table:
-        dst = group["dst"].to_numpy(zero_copy_only=False)
-        val = group["val"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((dst, val if ascending else -val))
-        return pa.table({
-            "src": group["src"],
-            "dst": np.arange(len(order), dtype=np.int64),
-            "val": val[order]})
+    def sort_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_like(t, "src", "dst")
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        val = t["val"].to_numpy(zero_copy_only=False)
+        srt = np.lexsort((dst, val if ascending else -val, src))
+        s_src, s_val = src[srt], val[srt]
+        _, _, seg_pos = _segments(s_src)
+        return pa.table({"src": s_src, "dst": seg_pos.astype(np.int64),
+                         "val": s_val})
 
-    return A._wrap(A.ds.groupby("src").map_groups(
-        srt, batch_format="pyarrow"))
+    return A._wrap(hash_exchange_apply(A.ds, "src", sort_part))
 
 
 def split(A: GBMatrix, row_chunks, col_chunks) -> list:
