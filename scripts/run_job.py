@@ -32,7 +32,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--algorithm", default="pagerank",
-                   choices=["pagerank", "cc", "lpa", "tricount"])
+                   choices=["pagerank", "cc", "lpa", "tricount",
+                            "bfs", "bfs_parent", "sssp"])
+    p.add_argument("--source", type=int, default=0,
+                   help="source vertex for bfs/bfs_parent/sssp")
     p.add_argument("--pages", required=True,
                    help="pages Parquet dir (url, warc_ts, html, text, lang)")
     p.add_argument("--n-pages", type=int, required=True)
@@ -55,7 +58,8 @@ def main(argv=None):
                  else "local", include_dashboard=False)
 
     from python_graphblas_ray.pipelines.algorithms import (
-        build_engine, connected_components, label_propagation, pagerank)
+        bfs_level, bfs_parent, build_engine, connected_components,
+        label_propagation, pagerank, sssp)
     from python_graphblas_ray.pipelines.ingest import extract_edges
     from python_graphblas_ray.pipelines.triangles import (
         triangle_count_broadcast)
@@ -79,7 +83,8 @@ def main(argv=None):
     undirected = args.algorithm in ("cc", "lpa")
     eng = build_engine(edges, args.n_pages,
                        num_partitions=args.num_partitions,
-                       undirected=undirected)
+                       undirected=undirected,
+                       weighted=(args.algorithm == "sssp"))
 
     if args.algorithm == "pagerank":
         vec, iters, _ = pagerank(eng, tol=args.tol, checkpoint=ckpt,
@@ -89,6 +94,18 @@ def main(argv=None):
     elif args.algorithm == "cc":
         vec, iters, _ = connected_components(eng, metrics=metrics)
         col = "comp"
+    elif args.algorithm == "bfs":
+        vec, _ = bfs_level(eng, args.source, metrics=metrics)
+        iters = len(metrics.records)
+        col = "level"
+    elif args.algorithm == "bfs_parent":
+        vec, _ = bfs_parent(eng, args.source, metrics=metrics)
+        iters = len(metrics.records)
+        col = "parent"
+    elif args.algorithm == "sssp":
+        vec, _ = sssp(eng, args.source, metrics=metrics)
+        iters = len(metrics.records)
+        col = "dist"
     else:
         vec, iters, _ = label_propagation(eng, metrics=metrics)
         col = "label"

@@ -67,3 +67,38 @@ def test_tricount_job(pages_dir, capsys):
               "--n-pages", "500", "--num-partitions", "2"])
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["triangles"] >= 0
+
+
+def test_bfs_and_sssp_jobs(pages_dir, tmp_path, capsys):
+    """bfs / bfs_parent / sssp entrypoints; unit-weight edges ⇒
+    sssp distances == bfs levels on reached vertices."""
+    out_bfs = str(tmp_path / "bfs")
+    job_main(["--algorithm", "bfs", "--pages", pages_dir,
+              "--n-pages", "500", "--num-partitions", "2",
+              "--source", "3", "--output", out_bfs])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["algorithm"] == "bfs" and rec["supersteps"] >= 1
+    lv = pq.read_table(out_bfs).to_pandas().sort_values("vid")
+    levels = lv["level"].to_numpy()
+    assert levels[3] == 0 and (levels >= -1).all()
+
+    out_par = str(tmp_path / "par")
+    job_main(["--algorithm", "bfs_parent", "--pages", pages_dir,
+              "--n-pages", "500", "--num-partitions", "2",
+              "--source", "3", "--output", out_par])
+    capsys.readouterr()
+    par = pq.read_table(out_par).to_pandas().sort_values("vid")
+    parents = par["parent"].to_numpy()
+    assert parents[3] == 3
+    # reached set must agree with bfs levels
+    assert ((parents >= 0) == (levels >= 0)).all()
+
+    out_sssp = str(tmp_path / "sssp")
+    job_main(["--algorithm", "sssp", "--pages", pages_dir,
+              "--n-pages", "500", "--num-partitions", "2",
+              "--source", "3", "--output", out_sssp])
+    capsys.readouterr()
+    ds = pq.read_table(out_sssp).to_pandas().sort_values("vid")
+    dist = ds["dist"].to_numpy()
+    reach = np.isfinite(dist)
+    np.testing.assert_allclose(dist[reach], levels[reach].astype(float))
