@@ -65,14 +65,22 @@ class DimensionMismatch(ValueError):
     pass
 
 
+def _arrow_val_type(dtype) -> pa.DataType:
+    """Arrow type for a value column of numpy dtype ``dtype`` (complex →
+    marker struct, UDT → struct; see ``functions/dtypes.py``)."""
+    from .functions.dtypes import _arrow_type_for
+
+    return _arrow_type_for(np.dtype(dtype))
+
+
 def _empty_ds(val_dtype="float64", vector=False):
     if vector:
         schema = {"vid": pa.array([], type=pa.int64()),
-                  "val": pa.array([], type=pa.from_numpy_dtype(np.dtype(val_dtype)))}
+                  "val": pa.array([], type=_arrow_val_type(val_dtype))}
     else:
         schema = {"src": pa.array([], type=pa.int64()),
                   "dst": pa.array([], type=pa.int64()),
-                  "val": pa.array([], type=pa.from_numpy_dtype(np.dtype(val_dtype)))}
+                  "val": pa.array([], type=_arrow_val_type(val_dtype))}
     return ray.data.from_arrow(pa.table(schema))
 
 
@@ -90,7 +98,8 @@ def _pa_val(values) -> pa.Array:
     """Numpy value column → Arrow array; structured dtypes (UDTs) become
     struct arrays (``functions/dtypes.py``)."""
     values = np.asarray(values)
-    if values.dtype.names is not None or values.ndim > 1:
+    if (values.dtype.names is not None or values.ndim > 1
+            or values.dtype.kind == "c"):
         from .functions.dtypes import np_to_arrow_values
 
         return np_to_arrow_values(values)
@@ -355,7 +364,7 @@ class GBVector(_Base):
         t = _to_table(self.ds)
         if t is None:
             t = pa.table({"vid": pa.array([], pa.int64()),
-                          "val": pa.array([], pa.from_numpy_dtype(self.dtype))})
+                          "val": pa.array([], _arrow_val_type(self.dtype))})
         return t
 
     def to_coo(self, sort=True):
@@ -681,9 +690,10 @@ def _ewise(a, b, op, how, left_default=None, right_default=None):
         if (a.nrows, a.ncols) != (b.nrows, b.ncols):
             raise DimensionMismatch("shape mismatch")
 
-    # UDT values: Acero joins reject struct payload columns — pack the
-    # struct to fixed-size binary through the join, unpack per batch
-    udt_dtype = a.dtype if a.dtype.names is not None else None
+    # UDT/complex values: Acero joins reject struct payload columns — pack
+    # the struct to fixed-size binary through the join, unpack per batch
+    udt_dtype = (a.dtype if (a.dtype.names is not None
+                             or a.dtype.kind == "c") else None)
     a_ds, b_ds = a.ds, b.ds
     if udt_dtype is not None:
         from .functions.dtypes import pack_values, unpack_values
@@ -875,7 +885,9 @@ def _spmv(mat_ds, vec, sr: Semiring, lookup_col, group_col, out_size,
         vids, vvals = ray.get(ref)
         if len(vids) == 0:
             return pa.table({"vid": np.array([], dtype=np.int64),
-                             "val": np.array([], dtype="float64")})
+                             "val": _pa_val(np.array(
+                                 [], dtype=np.result_type(av.dtype,
+                                                          vvals.dtype)))})
         pos = np.searchsorted(vids, look)
         pos_c = np.minimum(pos, len(vids) - 1)
         hit = vids[pos_c] == look
@@ -902,7 +914,7 @@ def _spmv(mat_ds, vec, sr: Semiring, lookup_col, group_col, out_size,
         else:
             prod = mult(av[hit], vvals[pos_c[hit]])
         (k,), pv = np_group_reduce((grp,), prod, sr.monoid)
-        return pa.table({"vid": k, "val": pv})
+        return pa.table({"vid": pa.array(k), "val": _pa_val(pv)})
 
     partials = mat_ds.map_batches(kern, batch_format="pyarrow")
     out = groupby_monoid(partials, ["vid"], "val", sr.monoid,
@@ -927,7 +939,20 @@ def _isequal(a, b, exact=True, rel_tol=1e-7, abs_tol=0.0):
         if (a.nrows, a.ncols) != (b.nrows, b.ncols):
             return False
     keys = a._key_cols
-    joined = hash_join(a.ds, b.ds, on=keys, how="full_outer",
+    pack_dt = (a.dtype if (a.dtype.names is not None
+                           or a.dtype.kind == "c") else None)
+    a_ds, b_ds = a.ds, b.ds
+    if pack_dt is not None:  # struct values can't ride an Acero join
+        from .functions.dtypes import pack_values, unpack_values
+
+        def pack(batch: pa.Table) -> pa.Table:
+            cols = {c: batch[c] for c in keys}
+            cols["val"] = pack_values(_np("val", batch))
+            return pa.table(cols)
+
+        a_ds = a_ds.map_batches(pack, batch_format="pyarrow")
+        b_ds = b_ds.map_batches(pack, batch_format="pyarrow")
+    joined = hash_join(a_ds, b_ds, on=keys, how="full_outer",
                        left_suffix="_l", right_suffix="_r")
 
     def check(batch: pa.Table) -> pa.Table:
@@ -935,8 +960,14 @@ def _isequal(a, b, exact=True, rel_tol=1e-7, abs_tol=0.0):
         r_null = np.asarray(batch["val_r"].is_null())
         if (l_null | r_null).any():
             return pa.table({"ok": [False]})
-        lv = batch["val_l"].to_numpy(zero_copy_only=False)
-        rv = batch["val_r"].to_numpy(zero_copy_only=False)
+        if pack_dt is not None:
+            from .functions.dtypes import unpack_values
+
+            lv = unpack_values(batch["val_l"], pack_dt)
+            rv = unpack_values(batch["val_r"], pack_dt)
+        else:
+            lv = _np("val_l", batch)
+            rv = _np("val_r", batch)
         if exact:
             ok = bool(np.all(lv == rv))
         else:
@@ -1142,7 +1173,7 @@ class GBMatrix(_Base):
         if t is None:
             t = pa.table({"src": pa.array([], pa.int64()),
                           "dst": pa.array([], pa.int64()),
-                          "val": pa.array([], pa.from_numpy_dtype(self.dtype))})
+                          "val": pa.array([], _arrow_val_type(self.dtype))})
         return t
 
     def to_coo(self, sort=True):
@@ -1210,7 +1241,7 @@ class GBMatrix(_Base):
 
         def cast(batch: pa.Table) -> pa.Table:
             return pa.table({"src": batch["src"], "dst": batch["dst"],
-                             "val": _np("val", batch).astype(dtype)})
+                             "val": _pa_val(_np("val", batch).astype(dtype))})
 
         return GBMatrix(self.ds.map_batches(cast, batch_format="pyarrow"),
                         self.nrows, self.ncols, dtype)
@@ -1268,9 +1299,33 @@ class GBMatrix(_Base):
         if self.ncols != other.nrows:
             raise DimensionMismatch(f"{self.ncols} != {other.nrows}")
 
+        # UDT/complex values can't ride an Acero join as struct columns —
+        # pack to fixed-size binary through the shuffle (functions/dtypes)
+        pack_l = (self.dtype if (self.dtype.names is not None
+                                 or self.dtype.kind == "c") else None)
+        pack_r = (other.dtype if (other.dtype.names is not None
+                                  or other.dtype.kind == "c") else None)
+        left_ds, right_ds = self.ds, other.ds
+        if pack_l is not None or pack_r is not None:
+            from .functions.dtypes import pack_values, unpack_values
+
+            def _packer(keys):
+                def pack(batch: pa.Table) -> pa.Table:
+                    cols = {c: batch[c] for c in keys}
+                    cols["val"] = pack_values(_np("val", batch))
+                    return pa.table(cols)
+                return pack
+
+            if pack_l is not None:
+                left_ds = left_ds.map_batches(_packer(("src", "dst")),
+                                              batch_format="pyarrow")
+            if pack_r is not None:
+                right_ds = right_ds.map_batches(_packer(("src", "dst")),
+                                                batch_format="pyarrow")
+
         # natural suffix join A.dst == B.src: output columns are
         # src (=i), dst_l (=k), val_l (=a), dst_r (=j), val_r (=b)
-        joined = hash_join(self.ds, other.ds, on=("dst",), right_on=("src",),
+        joined = hash_join(left_ds, right_ds, on=("dst",), right_on=("src",),
                            how="inner", left_suffix="_l", right_suffix="_r")
         mult = op.binaryop.fn
         name = op.binaryop.name
@@ -1280,8 +1335,12 @@ class GBMatrix(_Base):
                                      None) else None
 
         def multiply(batch: pa.Table) -> pa.Table:
-            av = _np("val_l", batch)
-            bv = _np("val_r", batch)
+            if pack_l is not None or pack_r is not None:
+                from .functions.dtypes import unpack_values
+            av = (unpack_values(batch["val_l"], pack_l)
+                  if pack_l is not None else _np("val_l", batch))
+            bv = (unpack_values(batch["val_r"], pack_r)
+                  if pack_r is not None else _np("val_r", batch))
             if pos_op is not None or ibo is not None:
                 # A[i,k] ⊗ B[k,j]: first = A (i, k), second = B (k, j)
                 i = _np("src", batch)
@@ -1299,7 +1358,7 @@ class GBMatrix(_Base):
             else:
                 val = mult(av, bv)
             return pa.table({"src": batch["src"], "dst": batch["dst_r"],
-                             "val": val})
+                             "val": _pa_val(val)})
 
         prod = joined.map_batches(multiply, batch_format="pyarrow")
         if mask is not None:
@@ -1697,12 +1756,11 @@ class GBMatrix(_Base):
             t = pa.table({
                 "src": pa.array([], pa.int64()),
                 "dst": pa.array([], pa.int64()),
-                "val": pa.array([], pa.from_numpy_dtype(
-                    np.dtype(self.dtype))),
+                "val": pa.array([], _arrow_val_type(self.dtype)),
             })
         return (t["src"].to_numpy(zero_copy_only=False),
                 t["dst"].to_numpy(zero_copy_only=False),
-                t["val"].to_numpy(zero_copy_only=False))
+                _np("val", t))
 
     def iteritems(self, batch_size=1 << 16):
         """Stream ((row, col), value) without materializing (reference

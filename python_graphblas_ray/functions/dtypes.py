@@ -46,8 +46,17 @@ class DType:
         return hash(self.np_dtype)
 
 
+#: Arrow field names marking a struct column as a complex value column
+#: (FC32/FC64). Deliberately non-identifier-ish so user UDT field names
+#: can never collide.
+_COMPLEX_FIELDS = ("_c_re", "_c_im")
+
+
 def _arrow_type_for(np_dtype: np.dtype) -> pa.DataType:
     if np_dtype.names is None:
+        if np_dtype.kind == "c":  # FC32/FC64 → struct<_c_re, _c_im>
+            half = pa.float32() if np_dtype.itemsize == 8 else pa.float64()
+            return pa.struct([(f, half) for f in _COMPLEX_FIELDS])
         if np_dtype.subdtype is not None:
             base, shape = np_dtype.subdtype
             n = int(np.prod(shape))
@@ -72,6 +81,7 @@ _BUILTINS = {
     "INT32": np.int32, "INT64": np.int64, "UINT8": np.uint8,
     "UINT16": np.uint16, "UINT32": np.uint32, "UINT64": np.uint64,
     "FP32": np.float32, "FP64": np.float64,
+    "FC32": np.complex64, "FC64": np.complex128,
 }
 for _name, _np in _BUILTINS.items():
     dtypes[_name] = DType(_name, _np)
@@ -114,6 +124,11 @@ def np_to_arrow_values(values: np.ndarray) -> pa.Array:
     lists)."""
     values = np.asarray(values)
     if values.dtype.names is None:
+        if values.dtype.kind == "c":  # complex → struct<_c_re, _c_im>
+            return pa.StructArray.from_arrays(
+                [pa.array(np.ascontiguousarray(values.real)),
+                 pa.array(np.ascontiguousarray(values.imag))],
+                names=list(_COMPLEX_FIELDS))
         if values.ndim == 2:  # subarray field flattened by indexing
             n, w = values.shape
             return pa.FixedSizeListArray.from_arrays(
@@ -161,6 +176,13 @@ def arrow_to_np_values(arr) -> np.ndarray:
             return flat.reshape(-1, w)
         return arr.to_numpy(zero_copy_only=False)
     fields = [arr.type.field(i).name for i in range(arr.type.num_fields)]
+    if tuple(fields) == _COMPLEX_FIELDS:  # complex marker struct → numpy
+        re = arr.field(0).to_numpy(zero_copy_only=False)
+        im = arr.field(1).to_numpy(zero_copy_only=False)
+        out = np.empty(len(arr), dtype=(np.complex64 if re.dtype ==
+                                        np.float32 else np.complex128))
+        out.real, out.imag = re, im
+        return out
     children = {f: arrow_to_np_values(arr.field(f)) for f in fields}
     np_dtype = np.dtype([
         (f, (children[f].dtype, children[f].shape[1:])

@@ -493,6 +493,12 @@ def _binom(N, k):
 
 binary._register(BinaryOp("binom", _binom))
 
+# cmplx(re, im) → FC64 (reference binary.py FP→FC row): pairs two real
+# operands into one complex value column
+binary._register(BinaryOp(
+    "cmplx", lambda x, y: np.asarray(x, dtype=np.float64)
+    + 1j * np.asarray(y, dtype=np.float64)))
+
 
 def _isclose_factory(rel_tol=1e-7, abs_tol=0.0):
     """Reference ``binary.py:327`` ``_isclose`` — a PARAMETERIZED op
@@ -513,6 +519,17 @@ BinaryOp.register_new("isclose", _isclose_factory, parameterized=True)
 # frexp mantissa/exponent halves (reference unary.py fp inventory)
 unary._register(UnaryOp("frexpx", lambda x: np.frexp(x)[0]))
 unary._register(UnaryOp("frexpe", lambda x: np.frexp(x)[1].astype(np.int64)))
+
+# complex inventory (reference unary.py FC rows: conj/creal/cimag/carg;
+# binary.py cmplx). FC32/FC64 value columns are struct<_c_re,_c_im> Arrow
+# columns (``functions/dtypes.py``) and numpy complex inside kernels, so
+# these are plain vectorized ufuncs. creal/cimag/carg return FP dtypes.
+unary._register(UnaryOp("conj", np.conj))
+unary._register(UnaryOp("creal", lambda x: np.ascontiguousarray(
+    np.real(np.asarray(x)))))
+unary._register(UnaryOp("cimag", lambda x: np.ascontiguousarray(
+    np.imag(np.asarray(x)))))
+unary._register(UnaryOp("carg", lambda x: np.angle(np.asarray(x))))
 
 # positional unaries (reference unary positioni/positionj (+1))
 for _which in ("i", "j"):

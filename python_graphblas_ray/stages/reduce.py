@@ -30,6 +30,25 @@ _MONOID_UFUNC = {
 }
 
 
+def _col_np(arr):
+    """Arrow value column → numpy; struct (UDT/complex) via dtypes."""
+    if pa.types.is_struct(arr.type) or pa.types.is_fixed_size_list(arr.type):
+        from ..functions.dtypes import arrow_to_np_values
+
+        return arrow_to_np_values(arr)
+    return arr.to_numpy(zero_copy_only=False)
+
+
+def _col_pa(vals):
+    """Numpy value column → Arrow; struct (UDT/complex) via dtypes."""
+    vals = np.asarray(vals)
+    if vals.dtype.names is not None or vals.dtype.kind == "c" or vals.ndim > 1:
+        from ..functions.dtypes import np_to_arrow_values
+
+        return np_to_arrow_values(vals)
+    return pa.array(vals)
+
+
 def np_group_reduce(keys, vals, monoid):
     """Sort-based per-batch group reduction (the combiner).
 
@@ -72,10 +91,10 @@ def make_batch_combiner(key_cols, val_col, monoid, out_val_col=None):
 
     def combine(batch: pa.Table) -> pa.Table:
         keys = tuple(batch[c].to_numpy(zero_copy_only=False) for c in key_cols)
-        vals = batch[val_col].to_numpy(zero_copy_only=False)
+        vals = _col_np(batch[val_col])
         k_out, v_out = np_group_reduce(keys, vals, monoid)
-        cols = {c: k for c, k in zip(key_cols, k_out)}
-        cols[out_val_col] = v_out
+        cols = {c: pa.array(k) for c, k in zip(key_cols, k_out)}
+        cols[out_val_col] = _col_pa(v_out)
         return pa.table(cols)
 
     return combine
@@ -136,10 +155,10 @@ def groupby_monoid(ds, key_cols, val_col, monoid, out_col=None,
             t = pa.concat_tables(batches, promote_options="permissive")
             keys = tuple(t[c].to_numpy(zero_copy_only=False)
                          for c in key_cols)
-            vals = t[val_col].to_numpy(zero_copy_only=False)
+            vals = _col_np(t[val_col])
             k_out, v_out = np_group_reduce(keys, vals, monoid)
-            cols = {c: k for c, k in zip(key_cols, k_out)}
-            cols[out_col] = v_out
+            cols = {c: pa.array(k) for c, k in zip(key_cols, k_out)}
+            cols[out_col] = _col_pa(v_out)
             return ray.data.from_arrow(pa.table(cols))
         ds = mat
     key = key_cols[0] if len(key_cols) == 1 else key_cols
@@ -175,11 +194,9 @@ def global_monoid_reduce(ds, val_col, monoid):
         if len(vals) == 0:
             return pa.table({"p": pa.array([], type=typ)})
         r = monoid.reduce_np(vals)
-        if vals.dtype.names is not None:  # structured scalar → struct row
-            from ..functions.dtypes import np_to_arrow_values
-
-            return pa.table(
-                {"p": np_to_arrow_values(np.array([r], dtype=vals.dtype))})
+        if vals.dtype.names is not None or vals.dtype.kind == "c":
+            # structured/complex scalar → struct row
+            return pa.table({"p": _col_pa(np.array([r], dtype=vals.dtype))})
         return pa.table({"p": [r]})
 
     parts = [_vals(b["p"])

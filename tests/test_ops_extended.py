@@ -301,3 +301,105 @@ def test_isclose_parameterized_factory():
     assert op(x, y).tolist() == expect
     loose = binary["isclose"](0.1, 0.0)
     assert loose(np.array([2.0]), np.array([2.1])).tolist() == [True]
+
+
+# ---------------------------------------------------------------------------
+# Complex dtypes FC32/FC64 (reference core/dtypes.py:15 FC rows;
+# unary.py conj/creal/cimag/carg; binary.py cmplx)
+# ---------------------------------------------------------------------------
+
+_CR = np.array([0, 0, 1, 2])
+_CC = np.array([1, 2, 2, 0])
+_CV = np.array([1 + 2j, 3 - 1j, 0.5j, 2.0 + 0j], dtype=np.complex128)
+_CORDER = np.lexsort((_CC, _CR))
+
+
+def _cmat():
+    return GBMatrix.from_coo(_CR, _CC, _CV, nrows=3, ncols=3)
+
+
+def test_complex_dtype_registry():
+    assert gdt.dtypes.FC64.np_dtype == np.complex128
+    assert gdt.dtypes.FC32.np_dtype == np.complex64
+    assert gdt.lookup_dtype(np.complex128) is gdt.dtypes.FC64
+    # Arrow representation is the marker struct (never a Python object col)
+    import pyarrow as pa
+
+    t = gdt.dtypes.FC64.arrow_type
+    assert pa.types.is_struct(t) and t.num_fields == 2
+
+
+def test_complex_roundtrip_and_apply():
+    A = _cmat()
+    assert A.dtype == np.complex128
+    _, _, v = A.to_coo()
+    assert v.dtype == np.complex128
+    assert np.array_equal(v, _CV[_CORDER])
+    assert np.allclose(A.apply(unary.conj).to_coo()[2],
+                       np.conj(_CV)[_CORDER])
+    re = A.apply(unary.creal).to_coo()[2]
+    im = A.apply(unary.cimag).to_coo()[2]
+    assert re.dtype == np.float64 and im.dtype == np.float64
+    assert np.allclose(re, _CV.real[_CORDER])
+    assert np.allclose(im, _CV.imag[_CORDER])
+    assert np.allclose(A.apply(unary.carg).to_coo()[2],
+                       np.angle(_CV)[_CORDER])
+
+
+def test_complex_ewise_and_cmplx():
+    A = _cmat()
+    m = A.ewise_mult(A, "times").to_coo()[2]
+    assert np.allclose(m, (_CV * _CV)[_CORDER])
+    # cmplx pairs two FP matrices into one FC64 matrix
+    Ar = GBMatrix.from_coo(_CR, _CC, _CV.real, nrows=3, ncols=3)
+    Ai = GBMatrix.from_coo(_CR, _CC, _CV.imag, nrows=3, ncols=3)
+    Z = Ar.ewise_mult(Ai, binary.cmplx)
+    assert Z.to_coo()[2].dtype == np.complex128
+    assert np.allclose(Z.to_coo()[2], _CV[_CORDER])
+    # ewise_add against the transpose exercises the packed outer join
+    S = A.ewise_add(A.T, "plus")
+    D = np.zeros((3, 3), complex)
+    D[_CR, _CC] = _CV
+    r, c, v = S.to_coo()
+    dense = np.zeros((3, 3), complex)
+    dense[r, c] = v
+    assert np.allclose(dense, D + D.T)
+
+
+def test_complex_mxm_mxv_reduce_vs_dense():
+    A = _cmat()
+    D = np.zeros((3, 3), complex)
+    D[_CR, _CC] = _CV
+    r, c, v = A.mxm(A, semiring.plus_times).to_coo()
+    got = np.zeros((3, 3), complex)
+    got[r, c] = v
+    assert np.allclose(got, D @ D)
+    u = GBVector.from_coo(np.arange(3), np.array([1 + 1j, 2, 3j]), size=3)
+    wi, wv = A.mxv(u, semiring.plus_times).to_coo()
+    expect = D @ np.array([1 + 1j, 2, 3j])
+    dense_w = np.zeros(3, complex)
+    dense_w[wi] = wv
+    assert np.allclose(dense_w[wi], expect[wi])
+    s = A.reduce_scalar(monoid.plus)
+    assert np.isclose(s.value, _CV.sum())
+    ri, rv = A.reduce_rowwise(monoid.plus).to_coo()
+    row_sum = np.add.reduceat(_CV[np.argsort(_CR, kind="stable")],
+                              [0, 2, 3])
+    assert np.allclose(rv, row_sum)
+
+
+def test_complex_isequal_cast_parquet(tmp_path):
+    A = _cmat()
+    assert A.isequal(A.dup())
+    assert A.isclose(A.dup())
+    assert not A.isequal(A.apply(unary.conj))
+    Ar = GBMatrix.from_coo(_CR, _CC, _CV.real, nrows=3, ncols=3)
+    Afc = Ar.dup(dtype=np.complex128)
+    assert Afc.dtype == np.complex128
+    assert np.allclose(Afc.to_coo()[2], _CV.real[_CORDER])
+    # parquet container roundtrip keeps the complex column
+    path = str(tmp_path / "cmat")
+    A.write_parquet(path)
+    B = GBMatrix.read_parquet(path, nrows=3, ncols=3)
+    assert B.to_coo()[2].dtype == np.complex128
+    assert A.isequal(B)
