@@ -383,6 +383,37 @@ def _q_betweenness(sf_dir):
     return pa.table({"vid": np.arange(N_VERT, dtype=np.int64), "bc": bc})
 
 
+def _q_hits(sf_dir):
+    from python_graphblas_ray.pipelines.algorithms import build_engine, hits
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
+    h, a, _, _ = hits(eng, itermax=50, tol=1e-8)
+    eng.shutdown()
+    return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
+                     "hub": h, "authority": a})
+
+
+def _q_link_jaccard(sf_dir):
+    from python_graphblas_ray.pipelines.linkpred import neighborhood_jaccard
+
+    return neighborhood_jaccard(_edge_dataset(sf_dir), N_VERT,
+                                min_common=2)
+
+
+def _q_random_walks(sf_dir):
+    from python_graphblas_ray.pipelines.algorithms import build_engine
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
+    eng_t = eng.transposed(release=True)  # walk along out-edges
+    walks = eng_t.random_walks(np.arange(0, N_VERT, 4), length=8, seed=42)
+    eng_t.shutdown()
+    wid = np.repeat(np.arange(walks.shape[0]), walks.shape[1])
+    step = np.tile(np.arange(walks.shape[1]), walks.shape[0])
+    return pa.table({"walk_id": wid.astype(np.int64),
+                     "step": step.astype(np.int64),
+                     "vertex": walks.reshape(-1)})
+
+
 def _q_pages_pagerank(sf_dir):
     """Flagship front-end: synthetic Common-Crawl-style pages → link
     extraction → PageRank (the BASELINE.json input_hint pipeline; sized by
@@ -694,6 +725,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_embed_ann": _q_doc_embed_ann,
         "events_hll_distinct": _q_events_hll,
         "ann_ivf": _q_ann_ivf,
+        "hits": _q_hits,
+        "link_jaccard": _q_link_jaccard,
+        "random_walks": _q_random_walks,
     }
 
 

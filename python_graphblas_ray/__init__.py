@@ -7,43 +7,48 @@ shuffles, iterative graph algorithms (PageRank / connected components /
 label propagation / triangle count) over pinned CSR partition actors.
 
 See SURVEY.md for the reference→Ray mapping.
+
+The top-level namespace is LAZY (PEP 562): importing a submodule (e.g.
+``python_graphblas_ray.state.superstep`` inside each of a pool's actor
+worker processes) must NOT drag in ``ray.data`` — the eager import chain
+(``__init__`` → ``core`` → ``ray.data``) is what made a 32-actor pool's
+cold start pay a parallel import storm (~10 s on a busy node, measured).
+Attribute access on the package still resolves the full public API.
 """
 
-from .core import (
-    DimensionMismatch,
-    DuplicateIndexError,
-    GBMatrix,
-    GBScalar,
-    GBVector,
-)
-from .functions import dtypes
-from .functions.aggregators import agg
-from .functions.monoids import Monoid, Semiring, get_semiring, monoid, semiring
-from .functions.ops import (
-    BinaryOp,
-    IndexBinaryOp,
-    IndexUnaryOp,
-    ParameterizedOp,
-    UnaryOp,
-    binary,
-    binary_from_string,
-    indexbinary,
-    indexunary,
-    unary,
-)
+_CORE = ("DimensionMismatch", "DuplicateIndexError", "GBMatrix",
+         "GBScalar", "GBVector", "Matrix", "Vector", "Scalar")
+_OPS = ("BinaryOp", "IndexBinaryOp", "IndexUnaryOp", "ParameterizedOp",
+        "UnaryOp", "binary", "binary_from_string", "indexbinary",
+        "indexunary", "unary")
+_MONOIDS = ("Monoid", "Semiring", "get_semiring", "monoid", "semiring")
 
-Matrix = GBMatrix
-Vector = GBVector
-Scalar = GBScalar
-
-__all__ = [
-    "GBMatrix", "GBVector", "GBScalar", "Matrix", "Vector", "Scalar",
-    "unary", "binary", "indexunary", "indexbinary", "monoid", "semiring",
-    "agg", "dtypes",
-    "UnaryOp", "BinaryOp", "IndexUnaryOp", "IndexBinaryOp",
-    "ParameterizedOp", "Monoid", "Semiring",
-    "get_semiring", "binary_from_string",
-    "DuplicateIndexError", "DimensionMismatch",
-]
+__all__ = [*_CORE, *_OPS, *_MONOIDS, "agg", "dtypes"]
 
 __version__ = "0.1.0"
+
+_ALIASES = {"Matrix": "GBMatrix", "Vector": "GBVector", "Scalar": "GBScalar"}
+
+
+def __getattr__(name):
+    import importlib
+
+    if name in _CORE:
+        mod = importlib.import_module(".core", __name__)
+        return getattr(mod, _ALIASES.get(name, name))
+    if name in _OPS:
+        return getattr(importlib.import_module(".functions.ops", __name__),
+                       name)
+    if name in _MONOIDS:
+        return getattr(
+            importlib.import_module(".functions.monoids", __name__), name)
+    if name == "agg":
+        return importlib.import_module(".functions.aggregators",
+                                       __name__).agg
+    if name == "dtypes":
+        return importlib.import_module(".functions.dtypes", __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(__all__)

@@ -332,3 +332,72 @@ def label_propagation_numpy(src, dst, n, itermax=100):
             return new
         labels = new
     return labels
+
+
+def hits(engine: SuperstepEngine, engine_t: SuperstepEngine | None = None,
+         itermax=100, tol=1e-8,
+         metrics: SuperstepMetrics | None = None):
+    """HITS hubs & authorities (Kleinberg power iteration, 2-norm
+    normalized): ``a = normalize(A.T @ h)``, ``h = normalize(A @ a)``,
+    stop when ``max|h - h_prev| <= tol`` checked after the update.
+
+    Runs on a PAIR of pinned engines — this engine computes ``A.T @ x``
+    (its spmv aggregates into dst); ``engine_t`` computes ``A @ x`` and
+    is derived actor-side via ``engine.transposed()`` when not supplied
+    (reversed-edge exchange reusing the directed partitioning — no
+    second build). Per iteration: two spmv supersteps, O(n) driver
+    vector math — identical distribution shape to ``pagerank``.
+
+    Returns ``(hubs, authorities, iters, metrics)``.
+    """
+    metrics = metrics or SuperstepMetrics()
+    own_t = engine_t is None
+    if own_t:
+        engine_t = engine.transposed()
+    n = engine.n
+    h = np.full(n, 1.0 / np.sqrt(n))
+    a = np.zeros(n)
+    it = 0
+    try:
+        for it in range(itermax):
+            a = engine.spmv("plus_second", h)
+            norm = np.linalg.norm(a)
+            if norm > 0:
+                a /= norm
+            h_new = engine_t.spmv("plus_second", a)
+            norm = np.linalg.norm(h_new)
+            if norm > 0:
+                h_new /= norm
+            delta = float(np.abs(h_new - h).max())
+            h = h_new
+            metrics.record(it, algorithm="hits", delta=delta,
+                           edges=engine.num_edges)
+            if delta <= tol:
+                break
+    finally:
+        if own_t:
+            engine_t.shutdown()
+    return h, a, it + 1, metrics
+
+
+def hits_numpy(src, dst, n, itermax=100, tol=1e-8):
+    """Single-process oracle replicating ``hits`` exactly (same update
+    order, normalization, and stop check — iteration counts must
+    match)."""
+    h = np.full(n, 1.0 / np.sqrt(n))
+    a = np.zeros(n)
+    it = 0
+    for it in range(itermax):
+        a = np.bincount(dst, weights=h[src], minlength=n)
+        norm = np.linalg.norm(a)
+        if norm > 0:
+            a /= norm
+        h_new = np.bincount(src, weights=a[dst], minlength=n)
+        norm = np.linalg.norm(h_new)
+        if norm > 0:
+            h_new /= norm
+        delta = float(np.abs(h_new - h).max())
+        h = h_new
+        if delta <= tol:
+            break
+    return h, a, it + 1

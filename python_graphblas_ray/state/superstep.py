@@ -50,6 +50,16 @@ _KINDS = {
 }
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 avalanche over a uint64 array (same mix as
+    ``stages/exchange.py``) — deterministic, uniform sampling hashes."""
+    with np.errstate(over="ignore"):
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
 def _argmax_per_dst(ud, ul, counts, size):
     """Per dst: label with max count, ties → smallest label. Inputs sorted
     by (dst, label) asc, so a stable sort on -count keeps label ascending
@@ -135,19 +145,33 @@ class GraphPartitionActor:
         fwd_cols = {"src": self.src, "dst": dst_g}
         if self.w is not None:
             fwd_cols["val"] = self.w
-        out = [pa.table(fwd_cols)]
+        return tuple([pa.table(fwd_cols)] + self._rev_bins(bounds))
+
+    def _rev_bins(self, bounds):
+        """This partition's REVERSED edges binned by target dst range
+        (reversed dst = original src → one searchsorted over the sorted
+        src array)."""
+        dst_g = self.dstl + self.lo
         order = np.argsort(self.src, kind="stable")
         s = self.src[order]
         d = dst_g[order]
         w = self.w[order] if self.w is not None else None
         cut = np.searchsorted(s, bounds)
+        out = []
         for u in range(len(bounds) - 1):
             sl = slice(int(cut[u]), int(cut[u + 1]))
             cols = {"src": d[sl], "dst": s[sl]}
             if w is not None:
                 cols["val"] = w[sl]
             out.append(pa.table(cols))
-        return tuple(out)
+        return out
+
+    def export_reversed(self, bounds):
+        """Reversed-only export (``transposed()`` derivation): the same
+        binned reversed blocks as ``export_symmetrize`` without the
+        forward block — the derived engine's spmv then computes ``A @ x``
+        where this engine computes ``A.T @ x``."""
+        return tuple(self._rev_bins(bounds))
 
     def out_degree_partial(self, n):
         """Partial out-degree over the full vertex space (summed by driver)."""
@@ -391,6 +415,73 @@ class GraphPartitionActor:
         self._lpa_lab = new
         return changed, new
 
+    def _adj_indptr(self):
+        """Dense per-range CSC indptr (lazy, cached): the adjacency
+        segment of local vertex v is ``src[indptr[v]:indptr[v+1]]`` —
+        built once from the dst-sorted arrays the constructor pinned."""
+        if getattr(self, "_indptr", None) is None:
+            size = self.hi - self.lo
+            counts = np.bincount(self.dstl, minlength=size)
+            self._indptr = np.concatenate(
+                [[0], np.cumsum(counts)]).astype(np.int64)
+        return self._indptr
+
+    def sample_step(self, pos_ref, step, seed):
+        """One random-walk step for the walkers currently AT a vertex in
+        this partition's range: walker w at vertex v moves to the
+        ``h(w, step, seed) % degree(v)``-th pinned neighbor (splitmix64
+        avalanche — deterministic given seed, uniform per step). Returns
+        a full-length next-position array, -1 for walkers not owned here
+        or stuck at a zero-degree vertex (the driver merges with max)."""
+        pos = ray.get(pos_ref) if isinstance(pos_ref, ray.ObjectRef) else pos_ref
+        out = np.full(len(pos), -1, dtype=np.int64)
+        idx = np.flatnonzero((pos >= self.lo) & (pos < self.hi))
+        if not len(idx) or not self.nedges:
+            return out
+        indptr = self._adj_indptr()
+        local = pos[idx] - self.lo
+        deg = indptr[local + 1] - indptr[local]
+        ok = deg > 0
+        if not ok.any():
+            return out
+        h = _splitmix64(idx[ok].astype(np.uint64)
+                        ^ (np.uint64(step) << np.uint64(32))
+                        ^ np.uint64(seed))
+        pick = (h % deg[ok].astype(np.uint64)).astype(np.int64)
+        out[idx[ok]] = self.src[indptr[local[ok]] + pick]
+        return out
+
+    def sample_neighbors(self, vids_ref, k, seed):
+        """Up-to-k-per-vertex neighbor sampling (GraphSAGE-style fanout)
+        for the queried vertices owned by this partition. Degree ≤ k →
+        the full adjacency; degree > k → k DISTINCT neighbors via a
+        hashed contiguous window ``(start + 0..k-1) % degree`` over the
+        pinned segment (deterministic given seed). Returns (vid,
+        neighbor) int64 arrays."""
+        vids = (ray.get(vids_ref) if isinstance(vids_ref, ray.ObjectRef)
+                else vids_ref)
+        vids = vids[(vids >= self.lo) & (vids < self.hi)]
+        empty = np.array([], dtype=np.int64)
+        if not len(vids) or not self.nedges:
+            return empty, empty
+        indptr = self._adj_indptr()
+        local = vids - self.lo
+        deg = indptr[local + 1] - indptr[local]
+        take = np.minimum(deg, k)
+        m = int(take.sum())
+        if m == 0:
+            return empty, empty
+        rep_v = np.repeat(vids, take)
+        rep_local = np.repeat(local, take)
+        rep_deg = np.repeat(deg, take)
+        within = (np.arange(m, dtype=np.int64)
+                  - np.repeat(np.concatenate([[0], np.cumsum(take)[:-1]]),
+                              take))
+        start = (_splitmix64(vids.astype(np.uint64) ^ np.uint64(seed))
+                 % np.maximum(deg, 1).astype(np.uint64)).astype(np.int64)
+        off = (np.repeat(start, take) + within) % np.maximum(rep_deg, 1)
+        return rep_v, self.src[indptr[rep_local] + off]
+
     def _mode_counts(self, labels):
         """Sparse per-(local dst, label) in-neighbor counts."""
         dstl = self.dstl
@@ -596,6 +687,22 @@ class SuperstepEngine:
         balance follows the in+out degree distribution rather than a
         fresh quantile pass — acceptable skew for the idempotent-monoid
         algorithms (CC/LPA) run on undirected engines."""
+        return self._derive(include_forward=True, release=release)
+
+    def transposed(self, release=False):
+        """A.T engine derived from this engine's pinned partitions: the
+        same actor-side reversed-edge exchange as ``symmetrized`` but
+        WITHOUT the forward blocks, so the derived engine's ``spmv``
+        computes ``out[i] = ⊕_j A[i,j] ⊗ x[j]`` (``A @ x``) where this
+        engine computes ``A.T @ x``. Needed by algorithms that alternate
+        directions (HITS hubs/authorities) and by out-neighbor sampling
+        (``random_walks`` / ``sample_neighbors`` group by the owning
+        vertex's OUT-adjacency there). Ranges are inherited (original
+        dst quantiles reused for src — same skew tradeoff as
+        ``symmetrized``)."""
+        return self._derive(include_forward=False, release=release)
+
+    def _derive(self, include_forward, release):
         # unique ranges in ascending order (duplicates adjacent by
         # construction); empty duplicates collapse harmlessly
         uniq = []
@@ -605,8 +712,13 @@ class SuperstepEngine:
         bounds = np.array([lo for lo, _ in uniq] + [self.n],
                           dtype=np.int64)
         U = len(uniq)
-        rets = [a.export_symmetrize.options(num_returns=U + 1).remote(
-            bounds) for a in self.actors]
+        nret = U + 1 if include_forward else U
+        rets = []
+        for a in self.actors:
+            ref = (a.export_symmetrize if include_forward
+                   else a.export_reversed).options(
+                       num_returns=nret).remote(bounds)
+            rets.append([ref] if nret == 1 else ref)
         if release:
             # Hand-off mode: once every export object exists (owned by
             # the driver — survives actor death), kill the source actors
@@ -617,15 +729,16 @@ class SuperstepEngine:
             flat = [r for rr in rets for r in rr]
             ray.wait(flat, num_returns=len(flat))
             self.shutdown()
-        fwd_refs = [r[0] for r in rets]
+        off = 1 if include_forward else 0
         members = {}
         for j, rng in enumerate(self.ranges):
             members.setdefault(rng, []).append(j)
-        blocks = [[fwd_refs[j]] for j in range(len(self.ranges))]
+        blocks = [([rets[j][0]] if include_forward else [])
+                  for j in range(len(self.ranges))]
         for u, rng in enumerate(uniq):
             mem = members[rng]
             for k, r in enumerate(rets):
-                blocks[mem[k % len(mem)]].append(r[1 + u])
+                blocks[mem[k % len(mem)]].append(r[off + u])
 
         out = object.__new__(SuperstepEngine)
         out.n = self.n
@@ -741,6 +854,57 @@ class SuperstepEngine:
             if hi > lo:
                 out[lo:hi] = merge(out[lo:hi], s)
         return out
+
+    def random_walks(self, starts, length, seed=0):
+        """Deterministic uniform random walks over the PINNED adjacency
+        (node2vec p=q=1 case): walker w at vertex v steps to neighbor
+        ``h(w, step, seed) % degree(v)``. On THIS engine a step follows
+        IN-edges (the partitions group by dst); run on ``transposed()``
+        to follow out-edges — the usual corpus-generation direction.
+
+        O(#walkers) driver state per step; each step is one broadcast
+        ``ray.put`` + one actor round (same shape as ``spmv``). Walkers
+        reaching a zero-degree vertex stay at -1 thereafter. Returns an
+        ``(len(starts), length+1)`` int64 array of vertex ids (-1 =
+        terminated)."""
+        if self.has_hub_split:
+            raise NotImplementedError(
+                "random_walks needs each vertex's full adjacency in one "
+                "actor; rebuild with hub_split_factor=None")
+        pos = np.asarray(starts, dtype=np.int64).copy()
+        walk = [pos.copy()]
+        for step in range(length):
+            live = pos >= 0
+            if not live.any():
+                walk.extend([pos.copy()] * (length - step))
+                break
+            pos_ref = ray.put(pos)
+            slices = ray.get([a.sample_step.remote(pos_ref, step, seed)
+                              for a in self.actors])
+            nxt = np.full(len(pos), -1, dtype=np.int64)
+            for s in slices:
+                np.maximum(nxt, s, out=nxt)
+            pos = nxt
+            walk.append(pos.copy())
+        return np.stack(walk, axis=1)
+
+    def sample_neighbors(self, vids, k, seed=0):
+        """Up-to-k-per-vertex fanout sample (GraphSAGE-style minibatch
+        neighborhoods) from the pinned adjacency — distinct neighbors,
+        deterministic given seed. On THIS engine samples IN-neighbors;
+        use ``transposed()`` for out-neighbors. Returns (vid, neighbor)
+        int64 arrays (vids with degree 0 absent)."""
+        if self.has_hub_split:
+            raise NotImplementedError(
+                "sample_neighbors needs each vertex's full adjacency in "
+                "one actor; rebuild with hub_split_factor=None")
+        vids = np.asarray(vids, dtype=np.int64)
+        ref = ray.put(vids)
+        parts = ray.get([a.sample_neighbors.remote(ref, int(k), seed)
+                         for a in self.actors])
+        vs = np.concatenate([p[0] for p in parts])
+        ns = np.concatenate([p[1] for p in parts])
+        return vs, ns
 
     def pagerank_inactor(self, damping=0.85, itermax=100, tol=1e-4,
                          metrics=None, force_iters=None):

@@ -1,0 +1,152 @@
+"""HITS, transposed-engine derivation, random-walk / neighbor sampling,
+and neighborhood-Jaccard link prediction — round-2 additions beyond the
+reference's algorithm set (built from its primitives: alternating-
+direction spmv, plus_pair matmul, select.triu)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+import ray.data
+
+from python_graphblas_ray.core import GBMatrix, GBVector
+from python_graphblas_ray.functions.monoids import semiring
+from python_graphblas_ray.pipelines.algorithms import (
+    build_engine,
+    hits,
+    hits_numpy,
+)
+from python_graphblas_ray.pipelines.linkpred import (
+    neighborhood_jaccard,
+    neighborhood_jaccard_numpy,
+)
+
+
+def _random_edges(n=200, m=1200, seed=3):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    # distinct edges
+    packed = np.unique(src * n + dst)
+    return packed // n, packed % n
+
+
+def _edges_ds(src, dst):
+    return ray.data.from_arrow(pa.table({
+        "src": src, "dst": dst,
+        "val": np.ones(len(src), dtype=np.float64)}))
+
+
+def test_transposed_engine_is_forward_matvec():
+    src, dst = _random_edges()
+    eng = build_engine(_edges_ds(src, dst), 200, num_partitions=4)
+    eng_t = eng.transposed()
+    x = np.random.default_rng(0).random(200)
+    # this engine: A.T @ x; transposed: A @ x
+    expect = np.bincount(src, weights=x[dst], minlength=200)
+    got = eng_t.spmv("plus_second", x)
+    assert np.allclose(got, expect)
+    eng_t.shutdown()
+    eng.shutdown()
+
+
+def test_hits_matches_numpy_oracle():
+    src, dst = _random_edges()
+    eng = build_engine(_edges_ds(src, dst), 200, num_partitions=4)
+    h, a, iters, _ = hits(eng, itermax=60, tol=1e-10)
+    h0, a0, iters0 = hits_numpy(src, dst, 200, itermax=60, tol=1e-10)
+    assert iters == iters0
+    assert np.allclose(h, h0, atol=1e-9)
+    assert np.allclose(a, a0, atol=1e-9)
+    eng.shutdown()
+
+
+def test_random_walks_follow_real_edges_deterministically():
+    src, dst = _random_edges()
+    eng = build_engine(_edges_ds(src, dst), 200, num_partitions=4)
+    eng_t = eng.transposed(release=True)  # walks follow OUT-edges
+    starts = np.arange(0, 200, 5)
+    w1 = eng_t.random_walks(starts, length=6, seed=7)
+    w2 = eng_t.random_walks(starts, length=6, seed=7)
+    assert np.array_equal(w1, w2)  # deterministic
+    w3 = eng_t.random_walks(starts, length=6, seed=8)
+    assert not np.array_equal(w1, w3)  # seed changes the walks
+    edge_set = set(zip(src.tolist(), dst.tolist()))
+    out_deg = np.bincount(src, minlength=200)
+    for row in w1:
+        for t in range(len(row) - 1):
+            u, v = int(row[t]), int(row[t + 1])
+            if u < 0:
+                assert v < 0  # terminated walks stay terminated
+            elif v < 0:
+                assert out_deg[u] == 0  # only dead ends terminate
+            else:
+                assert (u, v) in edge_set  # every step is a real edge
+    eng_t.shutdown()
+
+
+def test_sample_neighbors_distinct_and_capped():
+    src, dst = _random_edges()
+    eng = build_engine(_edges_ds(src, dst), 200, num_partitions=4)
+    eng_t = eng.transposed(release=True)
+    vids = np.arange(200)
+    vs, ns = eng_t.sample_neighbors(vids, k=3, seed=1)
+    out_deg = np.bincount(src, minlength=200)
+    adj = {}
+    for s, d in zip(src, dst):
+        adj.setdefault(int(s), set()).add(int(d))
+    per_v = {}
+    for v, nb in zip(vs.tolist(), ns.tolist()):
+        assert nb in adj[v]  # sampled neighbor is real
+        per_v.setdefault(v, []).append(nb)
+    for v, nbs in per_v.items():
+        assert len(nbs) == len(set(nbs))  # distinct
+        assert len(nbs) == min(3, out_deg[v])  # exact fanout
+    # vertices with degree 0 are absent
+    assert set(per_v) == {int(v) for v in vids if out_deg[v] > 0}
+    eng_t.shutdown()
+
+
+def test_neighborhood_jaccard_vs_bruteforce_and_sql():
+    src, dst = _random_edges(n=80, m=600, seed=5)
+    ds = _edges_ds(src, dst)
+    got = neighborhood_jaccard(ds, 80).to_pandas()
+    got = got.sort_values(["u", "v"]).reset_index(drop=True)
+    expect = neighborhood_jaccard_numpy(src, dst, 80)
+    assert len(got) == len(expect)
+    for row in got.itertuples():
+        c, j = expect[(row.u, row.v)]
+        assert row.common == c
+        assert np.isclose(row.jaccard, j)
+    # independent DuckDB formulation of the same scores
+    con = duckdb.connect()
+    con.register("edges", pa.table({"src": src, "dst": dst}))
+    sql = con.execute("""
+        WITH deg AS (SELECT src AS v, count(*) AS d FROM edges GROUP BY 1),
+        c AS (SELECT a.src AS u, b.src AS v, count(*) AS common
+              FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
+              GROUP BY 1, 2)
+        SELECT c.u, c.v, c.common,
+               c.common / (du.d + dv.d - c.common) AS jaccard
+        FROM c JOIN deg du ON du.v = c.u JOIN deg dv ON dv.v = c.v
+        ORDER BY 1, 2""").df()
+    assert len(sql) == len(got)
+    assert np.array_equal(sql["u"].to_numpy(), got["u"].to_numpy())
+    assert np.allclose(sql["jaccard"].to_numpy(), got["jaccard"].to_numpy())
+
+
+def test_neighborhood_jaccard_max_degree_guard():
+    # a hub with degree 40 disappears under a cap of 10
+    src = np.concatenate([np.zeros(40, dtype=np.int64),
+                          np.array([1, 1, 2], dtype=np.int64)])
+    dst = np.concatenate([np.arange(2, 42, dtype=np.int64),
+                          np.array([50, 51, 50], dtype=np.int64)])
+    got = neighborhood_jaccard(_edges_ds(src, dst), 60,
+                               max_degree=10).to_pandas()
+    assert 0 not in set(got["u"]).union(got["v"])  # hub dropped
+    # the surviving pair (1,2) shares neighbor 50: J = 1/(2+1-1)
+    row = got[(got["u"] == 1) & (got["v"] == 2)].iloc[0]
+    assert row["common"] == 1 and np.isclose(row["jaccard"], 0.5)
