@@ -83,7 +83,12 @@ class GraphPartitionActor:
     (per-actor setup), every superstep call reuses them (per-batch work).
     """
 
-    def __init__(self, block_refs, lo, hi, weighted, range_filter=False):
+    def __init__(self, lo, hi, weighted, range_filter, *block_refs):
+        """``block_refs`` ride as star-args so Ray resolves the object
+        refs raylet-side BEFORE the constructor runs — passing a list of
+        nested refs instead makes every actor register ~P borrows with
+        the owner and issue its own gets, measured 2-4× slower pool
+        construction at P=32."""
         self.lo = int(lo)
         self.hi = int(hi)
         srcs, dsts, ws = [], [], []
@@ -660,7 +665,7 @@ class SuperstepEngine:
         for refs, lo, hi in part_jobs:
             self.ranges.append((lo, hi))
             self.actors.append(GraphPartitionActor.remote(
-                refs, lo, hi, weighted, range_filter=range_filter))
+                lo, hi, weighted, range_filter, *refs))
         # duplicate NON-EMPTY ranges ⇒ hub-split active ⇒ _stitch must
         # monoid-merge. (Repeated quantile boundaries on skewed dst
         # distributions produce duplicate EMPTY (lo == hi) ranges without
@@ -747,7 +752,7 @@ class SuperstepEngine:
         out.weighted = self.weighted
         out.ranges = list(self.ranges)
         out.actors = [GraphPartitionActor.remote(
-            blocks[j], lo, hi, self.weighted, range_filter=False)
+            lo, hi, self.weighted, False, *blocks[j])
             for j, (lo, hi) in enumerate(out.ranges)]
         nonempty = [r for r in out.ranges if r[1] > r[0]]
         out.has_hub_split = len(set(nonempty)) < len(nonempty)
