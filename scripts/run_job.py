@@ -33,7 +33,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--algorithm", default="pagerank",
                    choices=["pagerank", "cc", "lpa", "tricount",
-                            "bfs", "bfs_parent", "sssp"])
+                            "bfs", "bfs_parent", "sssp", "hits"])
     p.add_argument("--source", type=int, default=0,
                    help="source vertex for bfs/bfs_parent/sssp")
     p.add_argument("--pages", required=True,
@@ -58,7 +58,7 @@ def main(argv=None):
                  else "local", include_dashboard=False)
 
     from python_graphblas_ray.pipelines.algorithms import (
-        bfs_level, bfs_parent, build_engine, connected_components,
+        bfs_level, bfs_parent, build_engine, connected_components, hits,
         label_propagation, pagerank, sssp)
     from python_graphblas_ray.pipelines.ingest import extract_edges
     from python_graphblas_ray.pipelines.triangles import (
@@ -106,6 +106,9 @@ def main(argv=None):
         vec, _ = sssp(eng, args.source, metrics=metrics)
         iters = len(metrics.records)
         col = "dist"
+    elif args.algorithm == "hits":
+        vec, _, iters, _ = hits(eng, tol=args.tol, metrics=metrics)
+        col = "hub"
     else:
         vec, iters, _ = label_propagation(eng, metrics=metrics)
         col = "label"
