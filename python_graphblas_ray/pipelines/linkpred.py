@@ -62,12 +62,11 @@ def neighborhood_jaccard(edges_ds, n, max_degree=None, min_common=1):
     pat = _distinct_pattern(edges_ds)
     A = GBMatrix.from_dataset(pat, nrows=n, ncols=n)
 
-    # out-degrees of the (possibly capped) pattern — broadcast lookup
-    deg_vec = A.reduce_rowwise("plus")  # pattern entries are 1 → count
+    # out-degrees — broadcast lookup (pattern entries are 1 → count)
+    deg_vec = A.reduce_rowwise("plus")
     ids, deg = deg_vec.to_coo(sort=True)
     if max_degree is not None:
-        keep = deg <= max_degree
-        drop_ids = ids[~keep]
+        drop_ids = ids[deg > max_degree]
         if len(drop_ids):
             drop_ref = ray.put(np.sort(drop_ids))
 
@@ -80,7 +79,10 @@ def neighborhood_jaccard(edges_ds, n, max_degree=None, min_common=1):
 
             A = GBMatrix(A.ds.map_batches(prune, batch_format="pyarrow"),
                          n, n, A.dtype)
-            ids, deg = ids[keep], deg[keep]
+            # re-derive degrees ON THE PRUNED PATTERN: a survivor whose
+            # edges into dropped hubs were removed must use its capped
+            # degree, or its Jaccard denominator mixes two graphs
+            ids, deg = A.reduce_rowwise("plus").to_coo(sort=True)
 
     # C[u,v] = |N(u) ∩ N(v)| for u < v (strict upper triangle)
     C = A.mxm(A.T, _sr.plus_pair).select("triu", 1)

@@ -150,11 +150,10 @@ def asof_join(left_ds, right_ds, key="user_id", ts_col="ts",
         n = len(ks)
         marker = np.where(ss == 1, np.arange(n), -1)
         ffill = np.maximum.accumulate(marker)
-        gs = np.empty(n, dtype=bool)
-        gs[0] = True
-        gs[1:] = ks[1:] != ks[:-1]
-        gstart = np.flatnonzero(gs)
-        gpos = np.repeat(gstart, np.diff(np.append(gstart, n)))
+        from ..stages.reduce import segments
+
+        gstart, gsizes, _ = segments(ks)
+        gpos = np.repeat(gstart, gsizes)
         hit = (ss == 0) & (ffill >= gpos)  # fill from an earlier key → miss
         l_orig = order[hit]
         r_orig = order[ffill[hit]]

@@ -58,9 +58,18 @@ def hash_exchange_apply(ds, key_col, fn, num_partitions=None):
     if num_partitions is None:
         num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
     P = int(num_partitions)
-    refs = ds.materialize().to_arrow_refs()
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
     if not refs:
-        return ds
+        # zero blocks: the OUTPUT schema must still be fn's — build an
+        # empty input table from the dataset schema and run fn once
+        s = mat.schema(fetch_if_missing=True)
+        empty = pa.table({n: pa.array([], type=t)
+                          for n, t in zip(s.names, s.types)})
+        return ray.data.from_arrow(fn(empty))
+    if P == 1:  # degenerate exchange: everything lands in one partition
+        return ray.data.from_arrow_refs(
+            [_apply_partition.remote(fn, *refs)])
     outs = [_split_by_hash.options(num_returns=P).remote(r, key_col, P)
             for r in refs]
     parts = [_apply_partition.remote(fn, *[o[p] for o in outs])

@@ -23,23 +23,8 @@ import pyarrow as pa
 
 from ..core import GBMatrix
 
-_SCAN_UFUNC = {
-    "plus": np.add, "times": np.multiply, "min": np.minimum,
-    "max": np.maximum,
-}
-
-
-def _segments(keys: np.ndarray):
-    """(starts, seg_pos) for a sorted key array: segment start indices and
-    each element's rank within its segment."""
-    n = len(keys)
-    new = np.empty(n, dtype=bool)
-    new[0] = True
-    new[1:] = keys[1:] != keys[:-1]
-    starts = np.flatnonzero(new)
-    sizes = np.diff(np.append(starts, n))
-    seg_pos = np.arange(n) - np.repeat(starts, sizes)
-    return starts, sizes, seg_pos
+from .reduce import _MONOID_UFUNC as _SCAN_UFUNC  # shared monoid→ufunc map
+from .reduce import segments as _segments  # shared boundary kernel
 
 
 def _empty_like(t: pa.Table, key: str, other: str) -> pa.Table:
@@ -92,12 +77,17 @@ def _rank_select(t: pa.Table, how: str, k, compactify: bool) -> pa.Table:
     elif how == "smallest":
         srt = np.lexsort((dst, val, src))
     elif how == "largest":
-        srt = np.lexsort((dst, -val, src))
+        # no value negation (breaks BOOL, wraps unsigned): ascending val
+        # with dst DESC ties, then rank from the segment END — order
+        # becomes (val desc, dst asc)
+        srt = np.lexsort((-dst, val, src))
     else:
         raise ValueError(how)
     s_src, s_dst, s_val = src[srt], dst[srt], val[srt]
     starts, sizes, seg_pos = _segments(s_src)
     seg_len = np.repeat(sizes, sizes)
+    if how == "largest":
+        seg_pos = seg_len - 1 - seg_pos  # rank in (val desc, dst asc)
     if k is None:
         keep = np.ones(len(s_src), dtype=bool)
         new_dst = seg_pos
@@ -155,9 +145,17 @@ def row_sort(A: GBMatrix, ascending: bool = True) -> GBMatrix:
         src = t["src"].to_numpy(zero_copy_only=False)
         dst = t["dst"].to_numpy(zero_copy_only=False)
         val = t["val"].to_numpy(zero_copy_only=False)
-        srt = np.lexsort((dst, val if ascending else -val, src))
-        s_src, s_val = src[srt], val[srt]
-        _, _, seg_pos = _segments(s_src)
+        if ascending:
+            srt = np.lexsort((dst, val, src))
+            s_src, s_val = src[srt], val[srt]
+            _, _, seg_pos = _segments(s_src)
+        else:
+            # descending without negating val (BOOL/unsigned-safe):
+            # ascending sort with dst DESC ties, rank from segment end
+            srt = np.lexsort((-dst, val, src))
+            s_src, s_val = src[srt], val[srt]
+            _, sizes, seg_pos = _segments(s_src)
+            seg_pos = np.repeat(sizes, sizes) - 1 - seg_pos
         return pa.table({"src": s_src, "dst": seg_pos.astype(np.int64),
                          "val": s_val})
 

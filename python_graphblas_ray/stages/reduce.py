@@ -30,6 +30,21 @@ _MONOID_UFUNC = {
 }
 
 
+def segments(keys: np.ndarray):
+    """(starts, sizes, seg_pos) for a sorted key array: segment start
+    indices, segment sizes, and each element's rank within its segment.
+    The shared boundary kernel for every sorted-run operator (per-row
+    ``.ss`` ops, as-of merges, group combiners)."""
+    n = len(keys)
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.append(starts, n))
+    seg_pos = np.arange(n) - np.repeat(starts, sizes)
+    return starts, sizes, seg_pos
+
+
 def _col_np(arr):
     """Arrow value column → numpy; struct (UDT/complex) via dtypes."""
     if pa.types.is_struct(arr.type) or pa.types.is_fixed_size_list(arr.type):

@@ -118,3 +118,34 @@ def test_skewed_keys_still_exact():
     assert got.num_rows == 101
     tots = got["tot"].to_numpy(zero_copy_only=False)
     assert tots[0] == 900.0 and np.all(tots[1:] == 1.0)
+
+
+def test_exchange_single_partition_and_empty_input():
+    """P=1 degenerates to one apply (no num_returns=1 unpacking trap);
+    zero-block input still yields fn's OUTPUT schema."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from python_graphblas_ray.stages.exchange import hash_exchange_apply
+
+    def summarize(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        return pa.table({"k": np.unique(k).astype(np.int64),
+                         "n": np.bincount(k, minlength=0)[
+                             np.unique(k)].astype(np.int64)}
+                        if len(k) else
+                        {"k": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": np.array([3, 1, 3, 2, 1, 3], dtype=np.int64)}))
+    out = hash_exchange_apply(ds, "k", summarize, num_partitions=1)
+    got = {r["k"]: r["n"] for r in out.take_all()}
+    assert got == {1: 2, 2: 1, 3: 3}
+
+    empty = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    # force a zero-block materialization by filtering everything out
+    out = hash_exchange_apply(empty, "k", summarize, num_partitions=4)
+    assert out.schema().names == ["k", "n"]
+    assert out.count() == 0

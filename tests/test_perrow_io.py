@@ -195,3 +195,29 @@ def test_mmread_array_skew_symmetric_triangular(tmp_path):
     A = mmread(p)
     expect = np.array([[0.0, -1, -2], [1, 0, -3], [2, 3, 0]])
     np.testing.assert_allclose(A.to_dense(0.0), expect)
+
+
+def test_selectk_largest_bool_and_unsigned():
+    """'largest' must not negate values (BOOL raises, UINT wraps):
+    rank-from-segment-end keeps (val desc, dst asc) order for any
+    sortable dtype."""
+    import numpy as np
+
+    from python_graphblas_ray.core import GBMatrix
+    from python_graphblas_ray.stages.perrow import row_selectk, row_sort
+
+    # bool values: row 0 = [F@0, T@1, T@2]; largest-1 keeps dst=1 (tie→asc)
+    B = GBMatrix.from_coo([0, 0, 0], [0, 1, 2],
+                          np.array([False, True, True]), nrows=1, ncols=3)
+    r, c, v = row_selectk(B, "largest", 1).to_coo()
+    assert c.tolist() == [1] and v.tolist() == [True]
+    # uint64 with a 0 entry: negation would wrap 0 to the 'largest'
+    U = GBMatrix.from_coo([0, 0, 0], [0, 1, 2],
+                          np.array([0, 7, 3], dtype=np.uint64),
+                          nrows=1, ncols=3)
+    r, c, v = row_selectk(U, "largest", 2).to_coo()
+    assert sorted(v.tolist()) == [3, 7]  # 0 must NOT be selected
+    # row_sort descending on uint64: column j = j-th largest
+    r, c, v = row_sort(U, ascending=False).to_coo()
+    order = np.argsort(c)
+    assert v[order].tolist() == [7, 3, 0]

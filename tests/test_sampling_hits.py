@@ -139,11 +139,13 @@ def test_neighborhood_jaccard_vs_bruteforce_and_sql():
 
 
 def test_neighborhood_jaccard_max_degree_guard():
-    # a hub with degree 40 disappears under a cap of 10
+    # a hub with degree 40 disappears under a cap of 10; vertex 1 ALSO
+    # points into the hub, so its degree must be re-derived on the
+    # pruned graph (3 → 2) — stale degrees would give 1/3, not 1/2
     src = np.concatenate([np.zeros(40, dtype=np.int64),
-                          np.array([1, 1, 2], dtype=np.int64)])
+                          np.array([1, 1, 1, 2], dtype=np.int64)])
     dst = np.concatenate([np.arange(2, 42, dtype=np.int64),
-                          np.array([50, 51, 50], dtype=np.int64)])
+                          np.array([0, 50, 51, 50], dtype=np.int64)])
     got = neighborhood_jaccard(_edges_ds(src, dst), 60,
                                max_degree=10).to_pandas()
     assert 0 not in set(got["u"]).union(got["v"])  # hub dropped
