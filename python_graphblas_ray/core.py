@@ -73,6 +73,21 @@ def _arrow_val_type(dtype) -> pa.DataType:
     return _arrow_type_for(np.dtype(dtype))
 
 
+def _infer_val_dtype(ds) -> np.dtype:
+    """Numpy dtype of a dataset's ``val`` column (float64 when absent or
+    unknowable)."""
+    try:
+        s = ds.schema(fetch_if_missing=True)
+        t = dict(zip(s.names, s.types)).get("val")
+        if t is not None:
+            from .functions.dtypes import np_dtype_for_arrow
+
+            return np_dtype_for_arrow(t)
+    except Exception:
+        pass
+    return np.dtype("float64")
+
+
 def _empty_ds(val_dtype="float64", vector=False):
     if vector:
         schema = {"vid": pa.array([], type=pa.int64()),
@@ -632,11 +647,15 @@ class GBVector(_Base):
         return path
 
     @classmethod
-    def read_parquet(cls, path, size=None, dtype="float64"):
+    def read_parquet(cls, path, size=None, dtype=None):
+        """``dtype=None`` infers from the file's ``val`` column type
+        (complex/UDT struct columns round-trip)."""
         import pyarrow.compute as pc_
         import ray.data
 
         ds = ray.data.read_parquet(path)
+        if dtype is None:
+            dtype = _infer_val_dtype(ds)
         if size is None:
             mx = -1
             for b in ds.select_columns(["vid"]).iter_batches(
@@ -1726,10 +1745,14 @@ class GBMatrix(_Base):
         return path
 
     @classmethod
-    def read_parquet(cls, path, nrows=None, ncols=None, dtype="float64"):
+    def read_parquet(cls, path, nrows=None, ncols=None, dtype=None):
+        """``dtype=None`` infers from the file's ``val`` column type
+        (complex/UDT struct columns round-trip)."""
         import ray.data
 
         ds = ray.data.read_parquet(path)
+        if dtype is None:
+            dtype = _infer_val_dtype(ds)
         if nrows is None or ncols is None:
             import pyarrow.compute as pc_
             mx_r = mx_c = -1

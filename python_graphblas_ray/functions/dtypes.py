@@ -118,6 +118,24 @@ def lookup_dtype(key) -> DType:
     return register_anonymous(np_dtype)
 
 
+def np_dtype_for_arrow(t: pa.DataType) -> np.dtype:
+    """Inverse of ``_arrow_type_for``: value-column Arrow type → numpy
+    dtype (complex marker struct → complex, struct → structured,
+    fixed-size list → subarray). Used to infer a container's dtype from
+    a Parquet schema on read."""
+    if pa.types.is_struct(t):
+        names = [t.field(i).name for i in range(t.num_fields)]
+        if tuple(names) == _COMPLEX_FIELDS:
+            return np.dtype(np.complex64 if t.field(0).type == pa.float32()
+                            else np.complex128)
+        return np.dtype([(f, np_dtype_for_arrow(t.field(i).type))
+                         for i, f in enumerate(names)])
+    if pa.types.is_fixed_size_list(t):
+        base = np_dtype_for_arrow(t.value_type)
+        return np.dtype((base, (t.list_size,)))
+    return np.dtype(t.to_pandas_dtype())
+
+
 def np_to_arrow_values(values: np.ndarray) -> pa.Array:
     """Numpy values → Arrow array; structured dtypes become struct arrays
     (recursively per field; fixed-shape subarrays become fixed-size

@@ -36,9 +36,11 @@ from ..state.superstep import SuperstepEngine
 
 
 def symmetrize(edges_ds):
-    """A ∪ A.T (undirected view) — union of the edge table with its swap;
-    duplicates are harmless for the idempotent monoids (min/lor/mode) the
-    undirected algorithms use."""
+    """A ∪ A.T (undirected view) — union of the edge table with its swap.
+    The union is a MULTISET here (reciprocal pairs / self-loops appear
+    twice); ``build_engine(undirected=True)`` passes ``dedupe=True`` so
+    the pinned actors collapse duplicates — required for LPA's mode
+    counts (min/lor kernels are idempotent and wouldn't care)."""
 
     def swap(batch: pa.Table) -> pa.Table:
         return pa.table({"src": batch["dst"], "dst": batch["src"],
@@ -55,6 +57,7 @@ def build_engine(edges_ds, n, num_partitions=8, weighted=False,
     across split hub partitions — are hub-split-safe."""
     if undirected:
         edges_ds = symmetrize(edges_ds)
+        engine_kwargs.setdefault("dedupe", True)
     return SuperstepEngine(edges_ds, n, num_partitions=num_partitions,
                            weighted=weighted, **engine_kwargs)
 
@@ -309,9 +312,11 @@ def label_propagation(engine: SuperstepEngine, itermax=100,
 
 def label_propagation_numpy(src, dst, n, itermax=100):
     """Single-process oracle for the same deterministic synchronous LPA
-    (symmetrized)."""
+    (symmetrized, SET-union semantics: reciprocal pairs vote once)."""
     s = np.concatenate([src, dst])
     d = np.concatenate([dst, src])
+    packed = np.unique(s * np.int64(n) + d)
+    s, d = packed // n, packed % n
     labels = np.arange(n, dtype=np.int64)
     for _ in range(itermax):
         lab = labels[s]

@@ -95,6 +95,8 @@ def _tokenize_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     n = len(texts)
+    # null text (common in scraped corpora) → zero tokens, not NaN counts
+    texts = pc.fill_null(texts, "")
     toks = pc.utf8_split_whitespace(texts)
     flat = pc.list_flatten(toks)
     counts = pc.list_value_length(toks).to_numpy(
@@ -240,9 +242,14 @@ class MinHasher:
             for i in range(self.k):
                 h = _splitmix64(flat ^ self.salts[i])
                 sig[nonempty, i] = np.minimum.reduceat(h, starts)
-        cols = {self.id_col: batch[self.id_col]}
+        # zero-shingle docs (null/empty text) carry no content signal:
+        # emit NO signature row — otherwise every empty doc shares one
+        # identity signature and they all pair as "near-duplicates"
+        # (and pile into a single hot LSH bucket at corpus scale)
+        keep = pa.array(lens > 0)
+        cols = {self.id_col: batch[self.id_col].filter(keep)}
         for i in range(self.k):
-            cols[f"mh{i}"] = sig[:, i].view(np.int64)
+            cols[f"mh{i}"] = sig[nonempty, i].view(np.int64)
         return pa.table(cols)
 
 
@@ -511,8 +518,12 @@ class SimHasher:
                 acc |= (np.uint64(1) << np.uint64(b)) * (
                     (2 * votes > ne_lens).astype(np.uint64))
             out[nonempty] = acc
-        return pa.table({self.id_col: batch[self.id_col],
-                         "simhash": out.view(np.int64)})
+        # zero-token docs (null/empty text) emit no signature row — same
+        # rationale as MinHasher (no content signal; avoids the empty-doc
+        # hot bucket)
+        keep = pa.array(lens > 0)
+        return pa.table({self.id_col: batch[self.id_col].filter(keep),
+                         "simhash": out[lens > 0].view(np.int64)})
 
 
 def simhash_signatures(docs_ds, text_col="text", id_col="doc_id",
@@ -624,6 +635,7 @@ def word_jaccard_pairs(docs_ds, threshold=0.8, text_col="text",
         texts = batch[text_col]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")  # null text → zero tokens
         toks = pc.utf8_split_whitespace(texts)
         flat = pc.list_flatten(toks)
         counts = pc.list_value_length(toks).to_numpy(
@@ -679,17 +691,22 @@ def word_jaccard_pairs(docs_ds, threshold=0.8, text_col="text",
 
                 tok = tok.map_batches(drop_hot, batch_format="pyarrow")
 
+    # pin the (tokenize [+ hot-word filter]) result ONCE: it feeds the
+    # sizes count and BOTH sides of the self-join — lazy lineage would
+    # re-run the tokenize map up to 4 more times
+    tok = tok.materialize()
+
     def _rename(ds, mapping):
         def r(batch: pa.Table) -> pa.Table:
             return batch.rename_columns(
                 [mapping.get(c, c) for c in batch.column_names])
         return ds.map_batches(r, batch_format="pyarrow")
 
-    # explicit, collision-free column names before each join
-    sizes_a = _rename(tok.groupby(id_col).count(),
-                      {id_col: "ia", "count()": "na"})
-    sizes_b = _rename(tok.groupby(id_col).count(),
-                      {id_col: "ib", "count()": "nb"})
+    # explicit, collision-free column names before each join; ONE
+    # groupby-count shuffle renamed twice
+    sizes = tok.groupby(id_col).count().materialize()
+    sizes_a = _rename(sizes, {id_col: "ia", "count()": "na"})
+    sizes_b = _rename(sizes, {id_col: "ib", "count()": "nb"})
 
     j = hash_join(tok, tok, on=("word",), how="inner",
                   left_suffix="_a", right_suffix="_b")

@@ -68,6 +68,14 @@ def ann_topk(emb_ds, query_ids, k=10, id_col="vec_id", emb_col="embedding",
         if hit.any():
             got_ids.append(ids[hit])
             got_m.append(_matrix(b[emb_col].filter(pa.array(hit))))
+    _empty = pa.table({"query_id": pa.array([], pa.int64()),
+                       "neighbor_id": pa.array([], pa.int64()),
+                       "sim": pa.array([], pa.float64())})
+    if not got_ids:  # none of the query ids exist in the corpus
+        return ray.data.from_arrow(pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64())}))
     qids = np.concatenate(got_ids)
     order = np.argsort(qids)
     qids = qids[order]
@@ -75,6 +83,8 @@ def ann_topk(emb_ds, query_ids, k=10, id_col="vec_id", emb_col="embedding",
     ref = ray.put((qids, qm))
 
     def candidates(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # shuffle stages emit 0-row blocks
+            return _empty
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         m = _normalize(_matrix(batch[emb_col]))
         qi, q = ray.get(ref)
@@ -122,7 +132,10 @@ def ivf_build(emb_ds, num_centroids=16, iters=5, id_col="vec_id",
     ``(centroids, assignments_ds)`` where assignments adds a ``bucket``
     column (the one shuffle happens only if the caller groups by it)."""
     first = next(iter(emb_ds.select_columns([emb_col]).iter_batches(
-        batch_format="pyarrow", batch_size=max(num_centroids * 8, 256))))
+        batch_format="pyarrow", batch_size=max(num_centroids * 8, 256))),
+        None)
+    if first is None or first.num_rows == 0:
+        raise ValueError("ivf_build: empty embedding dataset")
     m0 = _normalize(_matrix(first[emb_col]))
     rng = np.random.default_rng(seed)
     cents = m0[rng.choice(len(m0), size=min(num_centroids, len(m0)),
@@ -228,6 +241,10 @@ def ivf_search_batch(centroids, assigned_ds, query_ids, query_matrix, k=10,
     ref = ray.put((query_ids, qm, probe))
 
     def candidates(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # shuffle stages emit 0-row blocks
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
         qi, q, pr = ray.get(ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         bkt = batch["bucket"].to_numpy(zero_copy_only=False)
@@ -287,6 +304,11 @@ def ann_topk_ivf(emb_ds, query_ids, k=10, nprobe=4, num_centroids=None,
         if hit.any():
             got_ids.append(ids[hit])
             got_m.append(_matrix(b[emb_col].filter(pa.array(hit))))
+    if not got_ids:  # none of the query ids exist in the corpus
+        return ray.data.from_arrow(pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64())}))
     qids = np.concatenate(got_ids)
     order = np.argsort(qids)
     return ivf_search_batch(cents, assigned, qids[order],

@@ -83,12 +83,19 @@ class GraphPartitionActor:
     (per-actor setup), every superstep call reuses them (per-batch work).
     """
 
-    def __init__(self, lo, hi, weighted, range_filter, *block_refs):
+    def __init__(self, lo, hi, weighted, range_filter, *block_refs,
+                 dedupe=False):
         """``block_refs`` ride as star-args so Ray resolves the object
         refs raylet-side BEFORE the constructor runs — passing a list of
         nested refs instead makes every actor register ~P borrows with
         the owner and issue its own gets, measured 2-4× slower pool
-        construction at P=32."""
+        construction at P=32.
+
+        ``dedupe``: collapse duplicate (src, dst) rows (keep the first
+        weight). Undirected derivations need this — a reciprocal pair
+        (u,v)+(v,u) or a self-loop in A ∪ A.T would otherwise appear
+        TWICE and double-count in plus/mode kernels (LPA neighbor
+        votes)."""
         self.lo = int(lo)
         self.hi = int(hi)
         srcs, dsts, ws = [], [], []
@@ -117,6 +124,15 @@ class GraphPartitionActor:
         else:
             src = dst = np.array([], dtype=np.int64)
             w = np.array([], dtype=np.float64) if weighted else None
+        if dedupe and len(src):
+            order = np.lexsort((src, dst))
+            src, dst = src[order], dst[order]
+            w = w[order] if w is not None else None
+            first = np.empty(len(src), dtype=bool)
+            first[0] = True
+            first[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+            src, dst = src[first], dst[first]
+            w = w[first] if w is not None else None
         order = np.argsort(dst, kind="stable")
         self.src = src[order]
         dstl = dst[order] - self.lo
@@ -228,8 +244,9 @@ class GraphPartitionActor:
         idx = np.flatnonzero(sel)
         dstl = self.dstl[idx]
         vals = x[self.src[idx]]
-        if uses_weight:
-            vals = vals + self.w[idx]
+        if uses_weight:  # min_plus adds, plus_times multiplies (as spmv)
+            vals = (vals + self.w[idx] if ufunc is np.minimum
+                    else vals * self.w[idx])
         # sort-based group reduce on the (sparse) active subset
         order = np.argsort(dstl, kind="stable")
         dstl, vals = dstl[order], vals[order]
@@ -543,7 +560,7 @@ class SuperstepEngine:
 
     def __init__(self, edges_ds, n, num_partitions=8, weighted=False,
                  sample_size=1_000_000, partition_mode="exchange",
-                 hub_split_factor=2.0):
+                 hub_split_factor=2.0, dedupe=False):
         """``partition_mode``:
 
         - ``"sort"``: tag + ONE all-to-all sort shuffle + exact
@@ -617,8 +634,10 @@ class SuperstepEngine:
             counts = np.zeros(P, dtype=np.int64)
             for b in tagged.map_batches(
                     part_counts, batch_format="pyarrow").iter_batches(
-                    batch_format="pyarrow"):
-                # iter_batches may coalesce several P-row partials
+                    batch_format="pyarrow", batch_size=P):
+                # batch_size=P keeps each P-row partial whole; a default-
+                # sized batch coalesces partials across boundaries and
+                # reshape(-1, P) breaks whenever P ∤ 256
                 arr = b["c"].to_numpy(zero_copy_only=False)
                 counts += arr.reshape(-1, P).sum(axis=0)
             cum = np.cumsum(counts)[:-1].tolist()
@@ -665,7 +684,7 @@ class SuperstepEngine:
         for refs, lo, hi in part_jobs:
             self.ranges.append((lo, hi))
             self.actors.append(GraphPartitionActor.remote(
-                lo, hi, weighted, range_filter, *refs))
+                lo, hi, weighted, range_filter, *refs, dedupe=dedupe))
         # duplicate NON-EMPTY ranges ⇒ hub-split active ⇒ _stitch must
         # monoid-merge. (Repeated quantile boundaries on skewed dst
         # distributions produce duplicate EMPTY (lo == hi) ranges without
@@ -751,8 +770,14 @@ class SuperstepEngine:
         out.hub_split_factor = self.hub_split_factor
         out.weighted = self.weighted
         out.ranges = list(self.ranges)
+        # A ∪ A.T is a SET union: dedupe per actor so a reciprocal pair
+        # or self-loop doesn't double-count in plus/mode kernels. (With
+        # hub-split duplicate ranges, a reciprocal copy landing in the
+        # OTHER split actor can still survive — the documented skew
+        # tradeoff; the inactor LPA path rejects hub-split engines.)
         out.actors = [GraphPartitionActor.remote(
-            lo, hi, self.weighted, False, *blocks[j])
+            lo, hi, self.weighted, False, *blocks[j],
+            dedupe=include_forward)
             for j, (lo, hi) in enumerate(out.ranges)]
         nonempty = [r for r in out.ranges if r[1] > r[0]]
         out.has_hub_split = len(set(nonempty)) < len(nonempty)
@@ -808,6 +833,11 @@ class SuperstepEngine:
                             merge_ufunc=_KINDS[kind][0])
 
     def mode(self, labels):
+        if self.n > (1 << 31):
+            raise NotImplementedError(
+                "label-count packing uses a 31-bit label field "
+                "(dstl<<31|label); vertex spaces beyond 2^31 need the "
+                "multiplication packing dstl*n+label or a two-key sort")
         l_ref = ray.put(labels)
         out = np.full(self.n, -1, dtype=np.int64)
         if not self.has_hub_split:
@@ -1002,6 +1032,11 @@ class SuperstepEngine:
         to ``pipelines.algorithms.label_propagation``. Engine must be
         undirected; hub-split engines unsupported (labels exchange
         assumes exclusive range ownership)."""
+        if self.n > (1 << 31):
+            raise NotImplementedError(
+                "label-count packing uses a 31-bit label field "
+                "(dstl<<31|label); vertex spaces beyond 2^31 need the "
+                "multiplication packing dstl*n+label or a two-key sort")
         if self.has_hub_split:
             raise NotImplementedError(
                 "label_propagation_inactor assumes exclusive range "

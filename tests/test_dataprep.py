@@ -390,3 +390,44 @@ def test_hll_distinct_within_error():
         e = exact[row.g]
         assert abs(row.approx_distinct - e) <= max(0.05 * e, 10), \
             (row.g, row.approx_distinct, e)
+
+
+def test_dedup_tolerates_null_text():
+    """Scraped corpora carry null text rows: tokenize stages must treat
+    them as zero-token docs, not NaN counts (np.repeat crash)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from python_graphblas_ray.pipelines.dedup import (
+        minhash_lsh_pairs,
+        simhash_signatures,
+        word_jaccard_pairs,
+    )
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["a b c d e", None, "a b c d e", "x y z w v", None, "q"]}))
+    pairs = minhash_lsh_pairs(docs).to_pandas()
+    assert {(r.ia, r.ib) for r in pairs.itertuples()} == {(0, 2)}
+    wj = word_jaccard_pairs(docs, threshold=0.9).to_pandas()
+    assert len(wj) == 1
+    sigs = simhash_signatures(docs).to_pandas()
+    # zero-token docs emit no signature row (no content signal)
+    assert sorted(sigs["doc_id"]) == [0, 2, 3, 5]
+
+
+def test_ann_topk_missing_query_ids_empty_result():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from python_graphblas_ray.pipelines.similarity import ann_topk
+
+    emb = ray.data.from_arrow(pa.table({
+        "vec_id": np.arange(4, dtype=np.int64),
+        "embedding": [list(np.random.default_rng(i).random(8))
+                      for i in range(4)]}))
+    ds = ann_topk(emb, query_ids=[999999])
+    assert ds.count() == 0
+    assert set(ds.schema().names) == {"query_id", "neighbor_id", "rank"}

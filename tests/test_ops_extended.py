@@ -403,3 +403,23 @@ def test_complex_isequal_cast_parquet(tmp_path):
     B = GBMatrix.read_parquet(path, nrows=3, ncols=3)
     assert B.to_coo()[2].dtype == np.complex128
     assert A.isequal(B)
+
+
+def test_read_parquet_infers_complex_and_udt_dtype(tmp_path):
+    """dtype=None read infers the container dtype from the val column
+    (complex marker struct and UDT struct round-trip without the caller
+    restating the dtype)."""
+    A = _cmat()
+    path = str(tmp_path / "c")
+    A.write_parquet(path)
+    B = GBMatrix.read_parquet(path)
+    assert B.dtype == np.complex128 and B.nrows == 3
+    assert A.isequal(B)
+    pt = gdt.register_anonymous([("x", "<f8"), ("y", "<i8")])
+    vals = np.array([(1.5, 2), (0.5, 7)], dtype=pt.np_dtype)
+    M = GBMatrix.from_coo([0, 1], [1, 0], vals, nrows=2, ncols=2)
+    p2 = str(tmp_path / "u")
+    M.write_parquet(p2)
+    R = GBMatrix.read_parquet(p2)
+    assert R.dtype.names == ("x", "y")
+    assert M.isequal(R)

@@ -152,3 +152,29 @@ def test_neighborhood_jaccard_max_degree_guard():
     # the surviving pair (1,2) shares neighbor 50: J = 1/(2+1-1)
     row = got[(got["u"] == 1) & (got["v"] == 2)].iloc[0]
     assert row["common"] == 1 and np.isclose(row["jaccard"], 0.5)
+
+
+def test_symmetrized_is_set_union_not_multiset():
+    """A ∪ A.T must vote each undirected edge ONCE: reciprocal pairs and
+    self-loops collapse (dedupe in the derived actors), so degree-style
+    sums and LPA mode counts aren't doubled."""
+    src = np.array([0, 1, 2, 3, 3], dtype=np.int64)
+    dst = np.array([1, 0, 1, 3, 1], dtype=np.int64)  # 0↔1 reciprocal, 3→3 loop
+    eng = build_engine(_edges_ds(src, dst), 4, num_partitions=2)
+    eng_u = eng.symmetrized(release=True)
+    deg = eng_u.spmv("plus_second", np.ones(4))
+    # undirected simple degrees (self-loop counts once): 0:{1}, 1:{0,2,3},
+    # 2:{1}, 3:{1,3}
+    assert deg.tolist() == [1.0, 3.0, 1.0, 2.0]
+    eng_u.shutdown()
+
+    # the dataset path (build_engine undirected=True) dedupes too, and the
+    # LPA oracle shares the set-union semantics
+    from python_graphblas_ray.pipelines.algorithms import (
+        label_propagation, label_propagation_numpy)
+
+    eng2 = build_engine(_edges_ds(src, dst), 4, num_partitions=2,
+                        undirected=True)
+    labels, _, _ = label_propagation(eng2)
+    eng2.shutdown()
+    assert labels.tolist() == label_propagation_numpy(src, dst, 4).tolist()
