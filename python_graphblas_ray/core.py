@@ -205,6 +205,38 @@ class _Base:
             return self._wrap(masked_new)
         return self._wrap(kept_old.union(masked_new))
 
+    def __call__(self, *args, mask=None, accum=None, replace=False,
+                 complement=False, mask_structure=True):
+        """``C(mask, accum, replace) << expr`` sugar — reference
+        ``core/base.py:200`` (``__call__`` → ``Updater``). Positional
+        arguments are classified by type exactly the way the reference
+        does (``base.py:210-236``): containers / ``_MaskView`` → mask,
+        BinaryOp / string → accum, bool → replace."""
+        from .functions.ops import BinaryOp
+        for a in args:
+            if isinstance(a, bool):
+                replace = a
+            elif isinstance(a, (_MaskView, GBMatrix, GBVector)):
+                if mask is not None:
+                    raise TypeError("got multiple values for mask")
+                mask = a
+            elif isinstance(a, (BinaryOp, str)):
+                if accum is not None:
+                    raise TypeError("got multiple values for accum")
+                accum = a
+            else:
+                raise TypeError(f"unexpected positional argument: {a!r}")
+        return _Updater(self, mask, accum, replace, complement,
+                        mask_structure)
+
+    def __lshift__(self, expr):
+        """``C << expr`` — whole-value in-place replacement (reference
+        ``base.py:262`` ``update``). Containers here are immutable Dataset
+        wrappers, so "in place" = rebind ``self.ds`` (same Python object,
+        same shape; the Dataset itself is never mutated)."""
+        self._rebind(expr)
+        return self
+
     def _mask_keyset(self, structure=True):
         """Broadcast key set for use as a structural (``M.S``) or value
         (``M.V``) mask — reference ``core/mask.py:133,:151``."""
@@ -215,6 +247,30 @@ class _Base:
                     _np("val", batch), dtype=bool)))
             ds = ds.map_batches(truthy, batch_format="pyarrow")
         return broadcast_key_set(ds, self._key_cols)
+
+
+class _Updater:
+    """Pending masked update: ``C(mask, accum, replace) << expr``
+    (reference ``core/expr.py:404`` ``Updater.__lshift__``)."""
+
+    __slots__ = ("parent", "mask", "accum", "replace", "complement",
+                 "mask_structure")
+
+    def __init__(self, parent, mask, accum, replace, complement,
+                 mask_structure):
+        self.parent = parent
+        self.mask = mask
+        self.accum = accum
+        self.replace = replace
+        self.complement = complement
+        self.mask_structure = mask_structure
+
+    def __lshift__(self, expr):
+        res = self.parent.update(
+            expr, mask=self.mask, accum=self.accum, replace=self.replace,
+            complement=self.complement, mask_structure=self.mask_structure)
+        self.parent._rebind(res)
+        return self.parent
 
 
 def _accum_outer(old_ds, new_ds, keys, accum):
@@ -312,6 +368,23 @@ class GBVector(_Base):
 
     def _wrap(self, ds):
         return GBVector(ds, self.size, self.dtype)
+
+    def _rebind(self, res):
+        if not isinstance(res, GBVector):
+            raise TypeError(f"cannot assign {type(res).__name__} to GBVector")
+        if res.size != self.size:
+            raise DimensionMismatch(f"{res.size} != {self.size}")
+        self.ds = res.ds
+        self.dtype = res.dtype
+
+    def __matmul__(self, other):
+        """``v @ A`` → vxm, ``v @ w`` → inner product, both over the
+        default plus_times semiring (reference ``core/infix.py``)."""
+        if isinstance(other, GBMatrix):
+            return self.vxm(other)
+        if isinstance(other, GBVector):
+            return self.inner(other)
+        return NotImplemented
 
     # ---- construction (reference vector.py:682,:740,:789,:849,:2051) ----
     @classmethod
@@ -1017,6 +1090,24 @@ class GBMatrix(_Base):
 
     def _wrap(self, ds):
         return GBMatrix(ds, self.nrows, self.ncols, self.dtype)
+
+    def _rebind(self, res):
+        if not isinstance(res, GBMatrix):
+            raise TypeError(f"cannot assign {type(res).__name__} to GBMatrix")
+        if (res.nrows, res.ncols) != (self.nrows, self.ncols):
+            raise DimensionMismatch(
+                f"{res.shape} != {(self.nrows, self.ncols)}")
+        self.ds = res.ds
+        self.dtype = res.dtype
+
+    def __matmul__(self, other):
+        """``A @ B`` → mxm, ``A @ v`` → mxv, over the default plus_times
+        semiring (reference ``core/infix.py``)."""
+        if isinstance(other, GBMatrix):
+            return self.mxm(other)
+        if isinstance(other, GBVector):
+            return self.mxv(other)
+        return NotImplemented
 
     @property
     def shape(self):
