@@ -414,6 +414,29 @@ def _q_random_walks(sf_dir):
                      "vertex": walks.reshape(-1)})
 
 
+def _q_docs_split(sf_dir):
+    """Deterministic train/val/test split over documents — knuth32 hash
+    method so the mapping is ONE plain-SQL expression (see oracle)."""
+    from python_graphblas_ray.pipelines.sampling import split_column
+
+    ds = split_column(_read(sf_dir, "documents", columns=["doc_id"]),
+                      {"train": 0.8, "val": 0.1, "test": 0.1},
+                      key_col="doc_id", method="knuth32")
+    return ds.select_columns(["doc_id", "split"])
+
+
+def _q_docs_quota(sf_dir):
+    """Per-language quota sample: the 20 docs with the smallest knuth32
+    key hash per lang (ROW_NUMBER-over-hash SQL oracle)."""
+    from python_graphblas_ray.pipelines.sampling import quota_sample
+
+    ds = quota_sample(_read(sf_dir, "documents",
+                            columns=["doc_id", "lang"]),
+                      "lang", 20, key_col="doc_id", method="knuth32",
+                      num_partitions=4)
+    return ds.select_columns(["doc_id", "lang"])
+
+
 def _q_pages_pagerank(sf_dir):
     """Flagship front-end: synthetic Common-Crawl-style pages → link
     extraction → PageRank (the BASELINE.json input_hint pipeline; sized by
@@ -728,6 +751,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": _q_hits,
         "link_jaccard": _q_link_jaccard,
         "random_walks": _q_random_walks,
+        # sampling / packing (SQL oracles present; beyond the 50-window)
+        "docs_split": _q_docs_split,
+        "docs_quota": _q_docs_quota,
     }
 
 
@@ -998,4 +1024,17 @@ def oracle_sql() -> dict[str, str]:
         "UNION "
         "SELECT e.dst, b.lvl + 1 FROM bfs b JOIN E e ON e.src = b.vid "
         "WHERE b.lvl < 30) "
-        "SELECT vid, min(lvl) AS lvl FROM bfs GROUP BY vid")}
+        "SELECT vid, min(lvl) AS lvl FROM bfs GROUP BY vid"),
+        # sampling: knuth32 hash = one plain-SQL expression
+        "docs_split": (
+            "SELECT doc_id, CASE WHEN u < 0.8 THEN 'train' "
+            "WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split "
+            "FROM (SELECT doc_id, "
+            "(((doc_id % 4294967296) * 2654435761) % 4294967296) "
+            "/ 4294967296.0 AS u FROM documents)"),
+        "docs_quota": (
+            "SELECT doc_id, lang FROM ("
+            "SELECT doc_id, lang, row_number() OVER ("
+            "PARTITION BY lang ORDER BY "
+            "(((doc_id % 4294967296) * 2654435761) % 4294967296), "
+            "doc_id) AS rn FROM documents) WHERE rn <= 20")}

@@ -23,13 +23,18 @@ import ray
 @ray.remote
 def _split_by_hash(t: pa.Table, key_col: str, P: int):
     """Bin one block's rows by key hash (splitmix64 avalanche → even
-    spread for sequential ids); stable part-sort + zero-copy slices."""
-    k = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-    with np.errstate(over="ignore"):
-        z = (k + np.uint64(0x9E3779B97F4A7C15))
-        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        z ^= z >> np.uint64(31)
+    spread for sequential ids; strings via the vectorized FNV-1a path);
+    stable part-sort + zero-copy slices."""
+    if pa.types.is_integer(t[key_col].type):
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            z = (k + np.uint64(0x9E3779B97F4A7C15))
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z ^= z >> np.uint64(31)
+    else:
+        from .sketch import _hash_any
+        z = _hash_any(t[key_col])
     part = (z % np.uint64(P)).astype(np.int64)
     counts = np.bincount(part, minlength=P)
     order = np.argsort(part, kind="stable")
