@@ -437,6 +437,20 @@ def _q_docs_quota(sf_dir):
     return ds.select_columns(["doc_id", "lang"])
 
 
+_BM25_QUERIES = {"q0": "hash join", "q1": "fast scan filter",
+                 "q2": "customer order"}
+
+
+def _q_docs_bm25(sf_dir):
+    """Lexical BM25 top-10 per query (streaming postings pruned to the
+    query vocabulary at the map stage — no corpus-wide index shuffle)."""
+    from python_graphblas_ray.pipelines.retrieval import bm25_topk
+
+    return bm25_topk(_read(sf_dir, "documents",
+                           columns=["doc_id", "text"]),
+                     _BM25_QUERIES, k=10)
+
+
 def _q_pages_pagerank(sf_dir):
     """Flagship front-end: synthetic Common-Crawl-style pages → link
     extraction → PageRank (the BASELINE.json input_hint pipeline; sized by
@@ -751,9 +765,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": _q_hits,
         "link_jaccard": _q_link_jaccard,
         "random_walks": _q_random_walks,
-        # sampling / packing (SQL oracles present; beyond the 50-window)
+        # sampling / retrieval (SQL oracles present; beyond the 50-window)
         "docs_split": _q_docs_split,
         "docs_quota": _q_docs_quota,
+        "docs_bm25": _q_docs_bm25,
     }
 
 
@@ -1037,4 +1052,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, row_number() OVER ("
             "PARTITION BY lang ORDER BY "
             "(((doc_id % 4294967296) * 2654435761) % 4294967296), "
-            "doc_id) AS rn FROM documents) WHERE rn <= 20")}
+            "doc_id) AS rn FROM documents) WHERE rn <= 20"),
+        "docs_bm25": (
+            "WITH tok AS (SELECT doc_id, w FROM (SELECT doc_id, "
+            "unnest(string_split_regex(text, '\\s+')) AS w "
+            "FROM documents) WHERE w <> ''), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), "
+            "stats AS (SELECT (SELECT count(*) FROM documents) AS N, "
+            "(SELECT count(*) FROM tok) * 1.0 "
+            "/ (SELECT count(*) FROM documents) AS avgdl), "
+            "tf AS (SELECT doc_id, w, count(*) AS tf FROM tok WHERE w IN "
+            "('customer', 'fast', 'filter', 'hash', 'join', 'order', "
+            "'scan') GROUP BY 1, 2), "
+            "df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1), "
+            "q(qid, w) AS (VALUES ('q0', 'hash'), ('q0', 'join'), "
+            "('q1', 'fast'), ('q1', 'scan'), ('q1', 'filter'), "
+            "('q2', 'customer'), ('q2', 'order')), "
+            "scored AS (SELECT q.qid, tf.doc_id, "
+            "sum(ln(1 + ((SELECT N FROM stats) - df.df + 0.5) "
+            "/ (df.df + 0.5)) * tf.tf * 2.2 "
+            "/ (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl "
+            "/ (SELECT avgdl FROM stats)))) AS s "
+            "FROM q JOIN tf ON tf.w = q.w "
+            "JOIN dl ON dl.doc_id = tf.doc_id "
+            "JOIN df ON df.w = tf.w GROUP BY 1, 2), "
+            "ranked AS (SELECT qid, doc_id, s, row_number() OVER ("
+            "PARTITION BY qid ORDER BY s DESC, doc_id) AS rn FROM scored) "
+            "SELECT qid, doc_id, ROUND(s, 6) AS score FROM ranked "
+            "WHERE rn <= 10")}

@@ -1,0 +1,122 @@
+"""BM25 / TF-IDF retrieval vs an independent DuckDB SQL oracle."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray
+
+from python_graphblas_ray.pipelines.retrieval import (
+    bm25_topk,
+    corpus_stats,
+    tfidf_topk,
+)
+
+SF = "/root/testdata/sf0.01"
+QUERIES = {"q0": "hash join", "q1": "fast scan filter",
+           "q2": "customer order"}
+K1, B = 1.2, 0.75
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id", "text"])
+
+
+def _oracle(docs, queries, k, k1, b):
+    con = duckdb.connect()
+    con.register("documents", docs)
+    vocab = sorted({w for q in queries.values() for w in q.split()})
+    vlist = ", ".join(f"'{w}'" for w in vocab)
+    qrows = ", ".join(f"('{q}', '{w}')"
+                      for q in sorted(queries)
+                      for w in queries[q].split())
+    sql = f"""
+    WITH tok AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+        FROM documents) WHERE w <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT (SELECT count(*) FROM documents) AS N,
+      (SELECT count(*) FROM tok) * 1.0
+        / (SELECT count(*) FROM documents) AS avgdl),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+           WHERE w IN ({vlist}) GROUP BY 1, 2),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+    q(qid, w) AS (VALUES {qrows}),
+    scored AS (
+      SELECT q.qid, tf.doc_id,
+        sum(ln(1 + ((SELECT N FROM stats) - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * ({k1} + 1)
+            / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl
+                               / (SELECT avgdl FROM stats)))) AS s
+      FROM q JOIN tf ON tf.w = q.w
+      JOIN dl ON dl.doc_id = tf.doc_id
+      JOIN df ON df.w = tf.w
+      GROUP BY 1, 2),
+    ranked AS (SELECT qid, doc_id, s,
+      row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id) AS rn
+      FROM scored)
+    SELECT qid, doc_id, ROUND(s, 6) AS score FROM ranked
+    WHERE rn <= {k} ORDER BY qid, score DESC, doc_id
+    """
+    return con.execute(sql).fetchall()
+
+
+def test_corpus_stats(docs):
+    n, avgdl = corpus_stats(ray.data.from_arrow(docs))
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want_n = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    want_tok = con.execute("""
+      SELECT count(*) FROM (SELECT unnest(
+        string_split_regex(text, '\\s+')) AS w FROM documents)
+      WHERE w <> ''""").fetchone()[0]
+    assert n == want_n
+    assert avgdl == pytest.approx(want_tok / want_n)
+
+
+def test_bm25_matches_duckdb(docs):
+    got = bm25_topk(ray.data.from_arrow(docs), QUERIES, k=10,
+                    k1=K1, b=B)
+    want = _oracle(docs, QUERIES, 10, K1, B)
+    rows = list(zip(got["qid"].to_pylist(), got["doc_id"].to_pylist(),
+                    got["score"].to_pylist()))
+    assert len(rows) == len(want) == 30
+    for (gq, gd, gs), (wq, wd, ws) in zip(rows, want):
+        assert (gq, gd) == (wq, wd)
+        assert gs == pytest.approx(float(ws), abs=2e-6)
+
+
+def test_bm25_ordering_and_k(docs):
+    got = bm25_topk(ray.data.from_arrow(docs), {"q": "merge"}, k=5)
+    assert len(got) == 5
+    s = got["score"].to_pylist()
+    assert s == sorted(s, reverse=True)
+    assert all(v > 0 for v in s)
+
+
+def test_tfidf_is_tf_weighted(docs):
+    """In the k1→∞ limit the per-term component is tf·idf exactly."""
+    got = tfidf_topk(ray.data.from_arrow(docs), {"q": "merge"}, k=3)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    n_docs, df, tf_top = con.execute("""
+      WITH tok AS (SELECT doc_id, w FROM (SELECT doc_id,
+          unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
+        WHERE w <> ''),
+      tf AS (SELECT doc_id, count(*) AS tf FROM tok
+             WHERE w = 'merge' GROUP BY 1)
+      SELECT (SELECT count(*) FROM documents),
+             (SELECT count(*) FROM tf),
+             (SELECT max(tf) FROM tf)""").fetchone()
+    idf = float(np.log1p((n_docs - df + 0.5) / (df + 0.5)))
+    assert got["score"].to_pylist()[0] == pytest.approx(tf_top * idf,
+                                                        rel=1e-4)
+
+
+def test_bm25_empty_vocab_raises(docs):
+    with pytest.raises(ValueError):
+        bm25_topk(ray.data.from_arrow(docs), {"q": "  "})
