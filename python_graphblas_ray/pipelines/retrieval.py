@@ -37,7 +37,10 @@ def _query_vocab(queries: dict[str, str]) -> list[str]:
 
 
 def _postings_stage(id_col, text_col, vocab):
-    """map_batches fn: (doc_id, term, tf, dl) rows for query-vocab terms."""
+    """map_batches fn: (doc_id, term, tf, dl) rows for query-vocab terms,
+    plus ONE sentinel stats row per batch (``term`` null, ``tf`` = batch
+    doc count, ``dl`` = batch token total) so N/avgdl come from the SAME
+    tokenization in the SAME single pass over the corpus text."""
     vocab_arr = pa.array(vocab, type=pa.string())
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -65,29 +68,41 @@ def _postings_stage(id_col, text_col, vocab):
         nv = max(len(enc.dictionary), 1)
         packed, tf = np.unique(did * nv + widx, return_counts=True)
         u_did, u_widx = packed // nv, packed % nv
-        return pa.table({
+        post = pa.table({
             id_col: ids[u_did],
             "term": enc.dictionary.take(pa.array(u_widx)),
             "tf": pa.array(tf.astype(np.int64)),
             "dl": pa.array(dl[u_did].astype(np.int64)),
         })
+        if len(ids) == 0:
+            return post
+        stats = pa.table({
+            id_col: batch[id_col].slice(0, 1),
+            "term": pa.array([None], type=pa.string()),
+            "tf": pa.array([len(ids)], type=pa.int64()),
+            "dl": pa.array([int(dl.sum())], type=pa.int64()),
+        })
+        return pa.concat_tables([post, stats])
 
     return fn
 
 
 def corpus_stats(docs_ds, text_col="text"):
     """(N, avgdl): document count and mean whitespace-token count —
-    one vectorized regex-count pass, no token materialization."""
+    the SAME ``utf8_split_whitespace`` + non-empty tokenization the
+    postings stage uses (a regex ``\\S+`` count disagrees on Unicode
+    whitespace), reduced to one partial row per batch."""
 
     def part(batch: pa.Table) -> pa.Table:
         texts = batch[text_col]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         texts = pc.fill_null(texts, "")
-        tl = pc.count_substring_regex(texts, r"\S+").to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        return pa.table({"n": pa.array([len(tl)], type=pa.int64()),
-                         "s": pa.array([int(tl.sum())], type=pa.int64())})
+        flat = pc.list_flatten(pc.utf8_split_whitespace(texts))
+        n_tok = int(pc.sum(pc.greater(pc.binary_length(flat), 0)
+                           .cast(pa.int64())).as_py() or 0)
+        return pa.table({"n": pa.array([len(texts)], type=pa.int64()),
+                         "s": pa.array([n_tok], type=pa.int64())})
 
     parts = docs_ds.select_columns([text_col]).map_batches(
         part, batch_format="pyarrow").take_all()
@@ -108,10 +123,26 @@ def bm25_topk(docs_ds, queries: dict[str, str], k: int = 10,
     vocab = _query_vocab(queries)
     if not vocab:
         raise ValueError("queries contain no terms")
-    N, avgdl = corpus_stats(docs_ds, text_col)
-    post = docs_ds.select_columns([id_col, text_col]).map_batches(
+    raw = docs_ds.select_columns([id_col, text_col]).map_batches(
         _postings_stage(id_col, text_col, vocab),
         batch_format="pyarrow").materialize()
+
+    # split the single pass's output: sentinel stats rows (term null)
+    # vs real postings
+    def stats_part(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_null(batch["term"]))
+
+    def post_part(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch["term"]))
+
+    N, sum_dl = 0, 0
+    for r in raw.map_batches(stats_part, batch_format="pyarrow") \
+               .take_all():
+        N += r["tf"]
+        sum_dl += r["dl"]
+    avgdl = sum_dl / N if N else 0.0
+    post = raw.map_batches(post_part, batch_format="pyarrow") \
+              .materialize()
 
     # document frequency per query term: per-batch partials (bounded by
     # |vocab|) merged on the driver

@@ -47,7 +47,14 @@ def _key_u01(col: pa.ChunkedArray | pa.Array, salt: int,
         # plain-SQL expression documented above
         if not pa.types.is_integer(col.type):
             raise TypeError("knuth32 needs an integer key column")
-        k = np.asarray(col).astype(np.uint64)
+        k = np.asarray(col)
+        if pa.types.is_signed_integer(col.type) and len(k) and \
+                k.min() < 0:
+            # DuckDB's % is sign-preserving, so the documented SQL
+            # expression diverges on negatives — reject rather than
+            # silently disagree with the oracle
+            raise ValueError("knuth32 needs non-negative keys")
+        k = k.astype(np.uint64)
         if salt:
             with np.errstate(over="ignore"):
                 k = k + np.uint64(salt)
@@ -144,9 +151,13 @@ def stratified_sample(ds, strata_col: str, fraction, key_col: str,
             enc = pa.chunked_array([batch[strata_col]]).combine_chunks() \
                     .dictionary_encode()
             cats = enc.dictionary.to_pylist()
+            # null strata take table[None] if given, else the default
             rates = np.asarray([table.get(c, default_fraction)
-                                for c in cats], dtype=np.float64)
-            rate = rates[np.asarray(enc.indices)]
+                                for c in cats]
+                               + [table.get(None, default_fraction)],
+                               dtype=np.float64)
+            idx = pc.fill_null(enc.indices, len(cats))
+            rate = rates[np.asarray(idx).astype(np.int64)]
         return batch.filter(pa.array(u < rate))
 
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -167,8 +178,10 @@ def quota_sample(ds, strata_col: str, k: int, key_col: str,
         if t.num_rows == 0:
             return t
         u = _key_u01(t[key_col], salt, method)
-        codes = np.asarray(
-            t[strata_col].combine_chunks().dictionary_encode().indices)
+        enc = t[strata_col].combine_chunks().dictionary_encode()
+        # nulls form their own stratum (SQL PARTITION BY semantics)
+        codes = np.asarray(pc.fill_null(
+            enc.indices, len(enc.dictionary))).astype(np.int64)
         if pa.types.is_integer(t[key_col].type):
             # deterministic hash-collision tie-break on the key itself
             # (matches a ROW_NUMBER() OVER (ORDER BY hash, key) oracle)

@@ -25,8 +25,12 @@ def _split_by_hash(t: pa.Table, key_col: str, P: int):
     """Bin one block's rows by key hash (splitmix64 avalanche → even
     spread for sequential ids; strings via the vectorized FNV-1a path);
     stable part-sort + zero-copy slices."""
-    if pa.types.is_integer(t[key_col].type):
-        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+    kc = t[key_col]
+    if kc.null_count:  # null keys co-locate deterministically (as 0 / "")
+        import pyarrow.compute as pc
+        kc = pc.fill_null(kc, 0 if pa.types.is_integer(kc.type) else "")
+    if pa.types.is_integer(kc.type):
+        k = kc.to_numpy(zero_copy_only=False).astype(np.uint64)
         with np.errstate(over="ignore"):
             z = (k + np.uint64(0x9E3779B97F4A7C15))
             z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
@@ -34,7 +38,7 @@ def _split_by_hash(t: pa.Table, key_col: str, P: int):
             z ^= z >> np.uint64(31)
     else:
         from .sketch import _hash_any
-        z = _hash_any(t[key_col])
+        z = _hash_any(kc)
     part = (z % np.uint64(P)).astype(np.int64)
     counts = np.bincount(part, minlength=P)
     order = np.argsort(part, kind="stable")

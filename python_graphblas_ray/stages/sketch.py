@@ -31,14 +31,21 @@ def _hash64(arr: np.ndarray) -> np.ndarray:
 def _hash_any(col: pa.Array) -> np.ndarray:
     """64-bit hashes for an Arrow column (ints fast path; strings via the
     vectorized per-byte-position FNV-1a from the dedup stage — one numpy
-    pass per byte position over the DISTINCT strings)."""
+    pass per byte position over the DISTINCT strings). Nulls hash as 0
+    (ints) / "" (strings) — to_numpy would otherwise produce NaN codes
+    that crash the downstream fancy-indexing."""
+    import pyarrow.compute as pc
     t = col.type
     if pa.types.is_integer(t):
+        if col.null_count:
+            col = pc.fill_null(col, 0)
         return _hash64(col.to_numpy(zero_copy_only=False))
     from ..pipelines.dedup import _fnv1a_str_vec
     if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
         col = col.cast(pa.string()) if not isinstance(col, pa.ChunkedArray) \
             else pa.chunked_array([c.cast(pa.string()) for c in col.chunks])
+    if col.null_count:
+        col = pc.fill_null(col, "")
     return _fnv1a_str_vec(col)
 
 

@@ -120,3 +120,14 @@ def test_tfidf_is_tf_weighted(docs):
 def test_bm25_empty_vocab_raises(docs):
     with pytest.raises(ValueError):
         bm25_topk(ray.data.from_arrow(docs), {"q": "  "})
+
+
+def test_stats_consistent_on_unicode_whitespace():
+    """Review regression: N/avgdl must come from the same tokenization
+    as the postings (NBSP splits in utf8_split_whitespace)."""
+    t = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                  "text": pa.array(["a b c", "merge merge"])})
+    n, avgdl = corpus_stats(ray.data.from_arrow(t))
+    assert n == 2 and avgdl == pytest.approx(2.5)
+    got = bm25_topk(ray.data.from_arrow(t), {"q": "merge"}, k=2)
+    assert got["doc_id"].to_pylist() == [1]

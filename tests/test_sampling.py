@@ -189,3 +189,26 @@ def test_pack_sequences_deterministic():
     for r in a:
         sizes[r["pack_id"]] = sizes.get(r["pack_id"], 0) + 1
     assert sorted(sizes.values(), reverse=True)[0] == 3
+
+
+def test_null_strata_handled():
+    """Review regressions: null stratum rows must not crash and must
+    behave like their own SQL partition / take the default rate."""
+    t = pa.table({"doc_id": pa.array(np.arange(40)),
+                  "lang": pa.array(["en", None] * 20)})
+    out = quota_sample(ray.data.from_arrow(t), "lang", 5,
+                       key_col="doc_id", num_partitions=2).take_all()
+    langs = [r["lang"] for r in out]
+    assert langs.count("en") == 5 and langs.count(None) == 5
+
+    kept = stratified_sample(ray.data.from_arrow(t), "lang",
+                             {"en": 1.0, None: 0.0}, key_col="doc_id",
+                             default_fraction=0.5).take_all()
+    assert all(r["lang"] == "en" for r in kept) and len(kept) == 20
+
+
+def test_knuth32_rejects_negative_keys():
+    t = pa.table({"doc_id": pa.array([-1, 2, 3], type=pa.int64())})
+    with pytest.raises(Exception, match="non-negative"):
+        split_column(ray.data.from_arrow(t), FR, key_col="doc_id",
+                     method="knuth32").take_all()
