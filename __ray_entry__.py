@@ -451,6 +451,17 @@ def _q_docs_bm25(sf_dir):
                      _BM25_QUERIES, k=10)
 
 
+def _q_embed_kmeans(sf_dir):
+    """k-means over the embeddings table (deterministic seed); returns
+    per-vector cluster assignments. Iterative — rows-only check."""
+    from python_graphblas_ray.pipelines.clustering import (
+        kmeans_assign, kmeans_fit)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents, _ = kmeans_fit(ds, 8, iters=10, seed=0)
+    return kmeans_assign(ds, cents).select_columns(["vec_id", "cluster"])
+
+
 def _q_pages_pagerank(sf_dir):
     """Flagship front-end: synthetic Common-Crawl-style pages → link
     extraction → PageRank (the BASELINE.json input_hint pipeline; sized by
@@ -769,6 +780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split": _q_docs_split,
         "docs_quota": _q_docs_quota,
         "docs_bm25": _q_docs_bm25,
+        "embed_kmeans": _q_embed_kmeans,
     }
 
 

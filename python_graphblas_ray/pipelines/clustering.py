@@ -1,0 +1,149 @@
+"""Distributed k-means over an embedding column, and cluster-balanced
+("diversity") sampling built on top of it.
+
+No reference analogue; this is the clustering leg of the training-data
+toolkit (semantic bucketing for balanced corpora, curriculum mixes,
+IVF-style partitioning). The IVF ANN index (`similarity.ivf_build`) is
+the spherical special case wired for search; this module exposes the
+general op: L2 or cosine metric, convergence tracking, predict, and a
+per-cluster quota sample.
+
+Scale shape: each Lloyd iteration is ONE streaming ``map_batches`` pass
+emitting per-batch (sum, count, sq-dist) partials per centroid — k·d
+floats per batch, merged on the driver; the corpus is never shuffled and
+never materialized. Assignment is another streaming pass against a
+broadcast (``ray.put``) centroid matrix.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from .similarity import _matrix, _normalize, _stack
+
+
+def _assign_codes(m, cents, metric):
+    """(codes, sqdist) for one batch. L2 uses ||x-c||² = ||x||² - 2x·c +
+    ||c||² (one matmul); cosine normalizes and maximizes the dot."""
+    if metric == "cosine":
+        sim = _normalize(m) @ _normalize(cents).T
+        a = np.argmax(sim, axis=1)
+        d = 2.0 - 2.0 * sim[np.arange(len(m)), a]
+        return a, np.maximum(d, 0.0)
+    xc = m @ cents.T
+    cn = (cents * cents).sum(axis=1)
+    d2 = (m * m).sum(axis=1)[:, None] - 2.0 * xc + cn[None, :]
+    a = np.argmin(d2, axis=1)
+    return a, np.maximum(d2[np.arange(len(m)), a], 0.0)
+
+
+def kmeans_fit(emb_ds, k, iters=10, emb_col="embedding", seed=42,
+               metric="l2", tol=1e-6):
+    """Lloyd k-means → ``(centroids, inertia_history)``.
+
+    Init: seeded sample from the first batch (deterministic). Empty
+    clusters keep their previous centroid. Stops early when the max
+    centroid shift drops below ``tol``. ``inertia_history[i]`` is the
+    total squared distance measured DURING pass ``i`` (i.e. against the
+    centroids entering that pass), so it is non-increasing.
+    """
+    if metric not in ("l2", "cosine"):
+        raise ValueError(f"unknown metric: {metric!r}")
+    first = next(iter(emb_ds.select_columns([emb_col]).iter_batches(
+        batch_format="pyarrow", batch_size=max(int(k) * 8, 256))), None)
+    if first is None or first.num_rows == 0:
+        raise ValueError("kmeans_fit: empty embedding dataset")
+    m0 = _matrix(first[emb_col])
+    if metric == "cosine":
+        m0 = _normalize(m0)
+    rng = np.random.default_rng(seed)
+    cents = m0[rng.choice(len(m0), size=min(int(k), len(m0)),
+                          replace=False)].copy()
+
+    inertia = []
+    for _ in range(int(iters)):
+        ref = ray.put(cents)
+        mt = metric
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = _matrix(batch[emb_col])
+            a, d = _assign_codes(m, c, mt)
+            if mt == "cosine":
+                m = _normalize(m)
+            kc, dim = c.shape
+            sums = np.zeros((kc, dim))
+            np.add.at(sums, a, m)
+            counts = np.bincount(a, minlength=kc).astype(np.int64)
+            dsum = np.zeros(kc)
+            np.add.at(dsum, a, d)
+            return pa.table({
+                "centroid": np.arange(kc, dtype=np.int64),
+                "vsum": [row.tolist() for row in sums],
+                "n": counts,
+                "dsum": dsum,
+            })
+
+        tot = np.zeros_like(cents)
+        cnt = np.zeros(len(cents), dtype=np.int64)
+        dtot = 0.0
+        for b in emb_ds.map_batches(partials, batch_format="pyarrow",
+                                    batch_size=8192).iter_batches(
+                batch_format="pyarrow"):
+            cid = b["centroid"].to_numpy(zero_copy_only=False)
+            tot[cid] += _stack(b["vsum"].to_pylist())
+            cnt[cid] += b["n"].to_numpy(zero_copy_only=False)
+            dtot += float(np.sum(b["dsum"].to_numpy(
+                zero_copy_only=False)))
+        inertia.append(dtot)
+        nz = cnt > 0
+        new = cents.copy()
+        new[nz] = tot[nz] / cnt[nz, None]
+        if metric == "cosine":
+            new[nz] = _normalize(new[nz])
+        shift = float(np.max(np.linalg.norm(new - cents, axis=1))) \
+            if len(cents) else 0.0
+        cents = new
+        if shift < tol:
+            break
+    return cents, inertia
+
+
+def kmeans_assign(emb_ds, centroids, emb_col="embedding", metric="l2",
+                  out_col="cluster", dist_col=None):
+    """Append the nearest-centroid id (and optionally the squared
+    distance) — one streaming pass against broadcast centroids."""
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _matrix(batch[emb_col])
+        a, d = _assign_codes(m, c, metric)
+        out = batch.append_column(out_col, pa.array(a.astype(np.int64)))
+        if dist_col:
+            out = out.append_column(dist_col, pa.array(d))
+        return out
+
+    return emb_ds.map_batches(assign, batch_format="pyarrow",
+                              batch_size=8192)
+
+
+def diversity_sample(emb_ds, k_clusters, per_cluster, id_col="vec_id",
+                     emb_col="embedding", iters=10, seed=42,
+                     metric="l2", salt=0):
+    """Cluster-balanced sample: k-means the corpus, then take exactly
+    ``min(per_cluster, |cluster|)`` rows per cluster (smallest key hash
+    — `sampling.quota_sample`). The standard semantic-diversity
+    downsampling move for training mixes: over-represented regions of
+    embedding space can't dominate the sample."""
+    from .sampling import quota_sample
+
+    cents, _ = kmeans_fit(emb_ds, k_clusters, iters=iters,
+                          emb_col=emb_col, seed=seed, metric=metric)
+    assigned = kmeans_assign(emb_ds, cents, emb_col=emb_col,
+                             metric=metric)
+    return quota_sample(assigned, "cluster", per_cluster,
+                        key_col=id_col, salt=salt)
