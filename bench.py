@@ -35,6 +35,34 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.1
 
 
+def _calibrate() -> dict:
+    """Machine-speed probe (best-of-5): fixed 768² float64 matmul and a
+    fixed 8M-element splitmix64 pass. VM co-tenancy on this sandbox
+    swings wall-times 2-4× between runs (see BASELINE.md drift note);
+    these two numbers let a reader normalize BENCH_r{N}.json prints
+    across windows. BASELINE.md records the values from the pin run."""
+    import numpy as np
+
+    a = np.random.default_rng(0).random((768, 768))
+    mm = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        a @ a
+        mm = min(mm, time.perf_counter() - t0)
+    x = np.arange(8_000_000, dtype=np.uint64)
+    hs = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        with np.errstate(over="ignore"):
+            z = x + np.uint64(0x9E3779B97F4A7C15)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z ^= z >> np.uint64(31)
+        hs = min(hs, time.perf_counter() - t0)
+    return {"calib_matmul768_ms": round(mm * 1e3, 2),
+            "calib_hash8m_ms": round(hs * 1e3, 2)}
+
+
 def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     import numpy as np  # noqa: F401
     import ray
@@ -228,6 +256,7 @@ def main():
             "num_edges": results[hi_c]["num_edges"],
             "supersteps": results[hi_c]["supersteps"],
             "sf": _sf_from_dir(sf_dir), "num_cpus": [lo_c, hi_c],
+            **_calibrate(),
         }))
         return
 
@@ -247,6 +276,7 @@ def main():
         out.update({k: (round(float(v), 3) if isinstance(v, (float,))
                         else int(v))
                     for k, v in res["extra"].items()})
+        out.update(_calibrate())
         print(json.dumps(out))
         ray.shutdown()
 
