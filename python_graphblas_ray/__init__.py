@@ -20,10 +20,11 @@ _CORE = ("DimensionMismatch", "DuplicateIndexError", "GBMatrix",
          "GBScalar", "GBVector", "Matrix", "Vector", "Scalar")
 _OPS = ("BinaryOp", "IndexBinaryOp", "IndexUnaryOp", "ParameterizedOp",
         "UnaryOp", "binary", "binary_from_string", "indexbinary",
-        "indexunary", "unary")
-_MONOIDS = ("Monoid", "Semiring", "get_semiring", "monoid", "semiring")
+        "indexunary", "select", "unary")
+_MONOIDS = ("Monoid", "Semiring", "get_semiring", "monoid", "op",
+            "semiring")
 
-__all__ = [*_CORE, *_OPS, *_MONOIDS, "agg", "dtypes"]
+__all__ = [*_CORE, *_OPS, *_MONOIDS, "agg", "dtypes", "io"]
 
 __version__ = "0.1.0"
 
@@ -47,6 +48,8 @@ def __getattr__(name):
                                        __name__).agg
     if name == "dtypes":
         return importlib.import_module(".functions.dtypes", __name__)
+    if name == "io":
+        return importlib.import_module(".io", __name__)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 

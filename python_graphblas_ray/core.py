@@ -928,8 +928,7 @@ def _select(obj, op, thunk=0):
         mset = parent._mask_keyset(structure=structure)
         return obj._wrap(semi_join_filter(obj.ds, obj._key_cols, mset,
                                           anti=comp))
-    if isinstance(op, str):
-        op = select_from_string(op)
+    op = select_from_string(op)  # str shorthand / select.* / IndexUnaryOp
     is_vec = isinstance(obj, GBVector)
 
     def kern(batch: pa.Table) -> pa.Table:

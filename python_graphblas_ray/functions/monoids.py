@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from . import ops as _ops
 from .ops import BinaryOp, binary
 
 __all__ = ["Monoid", "Semiring", "monoid", "semiring", "get_semiring"]
@@ -179,3 +180,11 @@ for _add in ("min", "max", "any"):
     for _pos in ("firsti", "firstj", "secondi", "secondj"):
         get_semiring(_add, _pos)
         get_semiring(_add, _pos + "1")
+
+
+# unified operator namespace (reference ``graphblas/op/__init__.py``):
+# one lookup across binary/unary/indexunary/monoid/semiring + the
+# ``numpy`` sub-namespaces
+op = _ops._CombinedNamespace(binary, _ops.unary, _ops.indexunary,
+                             monoid, semiring)
+op.numpy = _ops._CombinedNamespace(_ops.unary.numpy, binary.numpy)

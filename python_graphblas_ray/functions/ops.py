@@ -597,7 +597,75 @@ def unary_from_string(s):
 
 def select_from_string(s):
     """``A.select(">=", 1)`` string dispatch (reference ``matrix.py:2564``)."""
+    if isinstance(s, SelectCall):
+        return s.op
     if isinstance(s, IndexUnaryOp):
         return s
     name = _STRING_TO_SELECT.get(s, s)
     return indexunary[name]
+
+
+class SelectCall:
+    """Module-call select style — ``gb.select.tril(A, 0)`` (reference
+    ``graphblas/select/__init__.py``: SelectOp wrappers over the
+    bool-valued IndexUnaryOps). Calling with a container delegates to
+    ``target.select(op, thunk)``; the object is also accepted anywhere
+    ``A.select(...)`` takes an op."""
+
+    __slots__ = ("op", "name")
+
+    def __init__(self, op):
+        self.op = op
+        self.name = op.name
+
+    def __call__(self, target, thunk=0):
+        sel = getattr(target, "select", None)
+        if sel is None:
+            raise TypeError(
+                f"select.{self.name} expects a GBMatrix/GBVector, got "
+                f"{type(target).__name__}")
+        return sel(self.op, thunk)
+
+    def __repr__(self):
+        return f"select.{self.name}"
+
+
+select = _Namespace()
+for _n, _o in list(indexunary._ops.items()):
+    if getattr(_o, "bool_valued", False):
+        select._register(SelectCall(_o))
+
+
+class _CombinedNamespace:
+    """Unified ``gb.op`` lookup across the operator namespaces
+    (reference ``graphblas/op/__init__.py``): ``op.plus`` → binary,
+    ``op.abs`` → unary, ``op.min_plus`` → semiring, ``op.numpy.*`` →
+    the numpy sub-namespaces."""
+
+    def __init__(self, *spaces):
+        self._spaces = spaces
+
+    def __getitem__(self, name):
+        for s in self._spaces:
+            if name in s:
+                return s[name]
+        raise KeyError(name)
+
+    def __contains__(self, name):
+        return any(name in s for s in self._spaces)
+
+    def __getattr__(self, name):
+        for s in self._spaces:
+            if name in s:
+                return s[name]
+        for s in self._spaces:
+            v = getattr(s, name, None)
+            if v is not None:
+                return v
+        raise AttributeError(name)
+
+    def names(self):
+        out = set()
+        for s in self._spaces:
+            out.update(s.names())
+        return sorted(out)

@@ -123,3 +123,25 @@ def test_updater_rejects_double_mask():
         A(A.S, A.S)
     with pytest.raises(TypeError):
         A(binary.plus, binary.min)
+
+
+def test_namespace_surfaces():
+    """gb.select / gb.op / gb.io module surfaces (reference
+    graphblas/select, graphblas/op, graphblas/io __init__ namespaces)."""
+    import python_graphblas_ray as g
+
+    A = _mk_A()
+    got = g.select.tril(A)
+    _assert_mat_eq(got, A.select("tril"))
+    got2 = g.select.valuegt(A, 3)
+    _assert_mat_eq(got2, A.select(">", 3))
+    # select objects accepted by A.select directly
+    _assert_mat_eq(A.select(g.select.triu), A.select("triu"))
+
+    assert g.op.plus is g.binary.plus
+    assert g.op.abs is g.unary.abs
+    assert g.op["min_plus"] is g.semiring.min_plus
+    assert g.op.numpy.cbrt.fn is not None
+    _assert_mat_eq(A.mxm(A, g.op.plus_times), A.mxm(A))
+
+    assert callable(g.io.mmread) and callable(g.io.mmwrite)
