@@ -231,18 +231,30 @@ def main():
         pair = [int(x) for x in os.environ.get(
             "GRAFT_SCALE_CPUS", "2,8").split(",")]
         lo_c, hi_c = pair[0], pair[1]
+        # VM co-tenancy makes a single leg swing up to 10×: ALTERNATE
+        # the two levels GRAFT_SCALE_REPS times (lo,hi,lo,hi,…) and take
+        # the best sustained throughput per level, so one bad minutes-
+        # long window can't poison one leg of the ratio.
+        reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
         results = {}
-        for cpus in (lo_c, hi_c):
-            out = subprocess.run(
-                [sys.executable, __file__, "--scaling-single", str(cpus)],
-                env={**os.environ}, capture_output=True, text=True,
-                timeout=3600)
-            lines = [ln for ln in out.stdout.splitlines()
-                     if ln.startswith("SCALING ")]
-            if not lines:
-                sys.stderr.write(out.stdout[-2000:] + out.stderr[-2000:])
-                raise RuntimeError(f"scaling run at {cpus} cpus failed")
-            results[cpus] = json.loads(lines[-1][len("SCALING "):])
+        for rep in range(reps):
+            for cpus in (lo_c, hi_c):
+                out = subprocess.run(
+                    [sys.executable, __file__, "--scaling-single",
+                     str(cpus)],
+                    env={**os.environ}, capture_output=True, text=True,
+                    timeout=3600)
+                lines = [ln for ln in out.stdout.splitlines()
+                         if ln.startswith("SCALING ")]
+                if not lines:
+                    sys.stderr.write(out.stdout[-2000:]
+                                     + out.stderr[-2000:])
+                    raise RuntimeError(
+                        f"scaling run at {cpus} cpus failed")
+                r = json.loads(lines[-1][len("SCALING "):])
+                if (cpus not in results or r["edges_per_sec"]
+                        > results[cpus]["edges_per_sec"]):
+                    results[cpus] = r
         tp_lo = results[lo_c]["edges_per_sec"]
         tp_hi = results[hi_c]["edges_per_sec"]
         eff = (tp_hi / tp_lo) / (hi_c / lo_c)
