@@ -1091,4 +1091,18 @@ def oracle_sql() -> dict[str, str]:
             "ranked AS (SELECT qid, doc_id, s, row_number() OVER ("
             "PARTITION BY qid ORDER BY s DESC, doc_id) AS rn FROM scored) "
             "SELECT qid, doc_id, ROUND(s, 6) AS score FROM ranked "
-            "WHERE rn <= 10")}
+            "WHERE rn <= 10"),
+        # neighborhood-Jaccard link prediction: E is already the distinct
+        # (src, dst) pattern (its GROUP BY), so common-neighbor counts are
+        # a self-join on dst; jaccard = common/(du+dv-common) is a single
+        # exact-integer-operand division → bit-identical to the Ray path.
+        "link_jaccard": (
+            f"{E}, "
+            "deg AS (SELECT src AS v, count(*) AS d FROM E GROUP BY 1), "
+            "c AS (SELECT a.src AS u, b.src AS v, count(*) AS common "
+            "FROM E a JOIN E b ON a.dst = b.dst AND a.src < b.src "
+            "GROUP BY 1, 2) "
+            "SELECT c.u, c.v, c.common, "
+            "c.common / (du.d + dv.d - c.common) AS jaccard "
+            "FROM c JOIN deg du ON du.v = c.u JOIN deg dv ON dv.v = c.v "
+            "WHERE c.common >= 2")}
