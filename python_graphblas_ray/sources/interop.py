@@ -1,10 +1,11 @@
 """Ecosystem connectors (reference ``graphblas/io/_scipy.py:8,:68``,
 ``io/_networkx.py:5,:35``, ``io/_awkward.py``, ``io/_sparse.py``).
 
-scipy / networkx / awkward / pydata-sparse are NOT installed in this
-container — each bridge import-guards and raises a clear ImportError when
-the library is missing; the pure-numpy CSR/COO entry points below them
-carry the same semantics and always work.
+networkx IS installed in this container (real roundtrip coverage in
+tests/test_interop.py); scipy / awkward / pydata-sparse are not — each
+bridge import-guards and raises a clear ImportError when the library is
+missing; the pure-numpy CSR/COO entry points below them carry the same
+semantics and always work.
 """
 
 from __future__ import annotations
@@ -55,7 +56,7 @@ def from_networkx(G, nodelist=None, weight="weight",
         rows.append(index[u])
         cols.append(index[v])
         vals.append(data.get(weight, default_weight))
-        if not G.is_directed():
+        if not G.is_directed() and u != v:  # don't double self-loops
             rows.append(index[v])
             cols.append(index[u])
             vals.append(data.get(weight, default_weight))
