@@ -462,6 +462,15 @@ def _q_embed_kmeans(sf_dir):
     return kmeans_assign(ds, cents).select_columns(["vec_id", "cluster"])
 
 
+def _q_docs_repetition(sf_dir):
+    """Gopher-style intra-doc repetition metrics (dup-word / top-word /
+    dup-bigram fractions) — the standard repetition quality gate."""
+    from python_graphblas_ray.stages.text import repetition_score
+
+    return repetition_score(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def _q_pages_pagerank(sf_dir):
     """Flagship front-end: synthetic Common-Crawl-style pages → link
     extraction → PageRank (the BASELINE.json input_hint pipeline; sized by
@@ -781,6 +790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quota": _q_docs_quota,
         "docs_bm25": _q_docs_bm25,
         "embed_kmeans": _q_embed_kmeans,
+        "docs_repetition": _q_docs_repetition,
     }
 
 
@@ -1105,4 +1115,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.u, c.v, c.common, "
             "c.common / (du.d + dv.d - c.common) AS jaccard "
             "FROM c JOIN deg du ON du.v = c.u JOIN deg dv ON dv.v = c.v "
-            "WHERE c.common >= 2")}
+            "WHERE c.common >= 2"),
+        # Gopher repetition metrics: same tokenize as docs_bm25; bigrams
+        # via list indexing (chr(31) joiner can't occur inside a token);
+        # every division has exact BIGINT operands → bit-identical doubles.
+        "docs_repetition": (
+            "WITH tok AS (SELECT doc_id, w FROM (SELECT doc_id, "
+            "unnest(string_split_regex(text, '\\s+')) AS w "
+            "FROM documents) WHERE w <> ''), "
+            "cnt AS (SELECT doc_id, w, count(*) AS c FROM tok "
+            "GROUP BY 1, 2), "
+            "agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total, "
+            "count(*) AS uniq, max(c) AS topc FROM cnt GROUP BY 1), "
+            "lst AS (SELECT doc_id, list_filter("
+            "string_split_regex(text, '\\s+'), x -> x <> '') AS ws "
+            "FROM documents), "
+            "bg AS (SELECT doc_id, ws[i] || chr(31) || ws[i+1] AS b "
+            "FROM lst, LATERAL (SELECT unnest("
+            "generate_series(1, len(ws) - 1)) AS i) t "
+            "WHERE len(ws) >= 2), "
+            "bcnt AS (SELECT doc_id, b, count(*) AS c FROM bg "
+            "GROUP BY 1, 2), "
+            "bagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS btotal, "
+            "count(*) AS buniq FROM bcnt GROUP BY 1) "
+            "SELECT d.doc_id, COALESCE(a.total, 0) AS words, "
+            "CASE WHEN a.total > 0 THEN 1 - a.uniq / a.total "
+            "ELSE 0.0 END AS dup_word_frac, "
+            "CASE WHEN a.total > 0 THEN a.topc / a.total "
+            "ELSE 0.0 END AS top_word_frac, "
+            "CASE WHEN b.btotal > 0 THEN 1 - b.buniq / b.btotal "
+            "ELSE 0.0 END AS dup_bigram_frac "
+            "FROM documents d LEFT JOIN agg a USING (doc_id) "
+            "LEFT JOIN bagg b USING (doc_id)")}

@@ -188,6 +188,81 @@ class HashingEmbedder:
         return pa.table(cols)
 
 
+class RepetitionScorer:
+    """Gopher/MassiveText-style intra-document repetition metrics
+    (Rae et al. 2021, table A1 public rules): per doc, the fraction of
+    duplicate words, the top-word fraction, and the fraction of
+    duplicate word bigrams — the standard "remove repetitious documents"
+    quality gate for LLM training corpora.
+
+    Fully vectorized: ONE whitespace tokenize + FNV-1a hash pass per
+    batch (shared with the dedup stages), then segment-sorted run-length
+    counting over (doc, token-hash) — no per-doc Python loop. Bigram
+    hashes reuse the shingle chain (`splitmix64(h_i ^ splitmix64(h))`),
+    so boundary positions between docs are excluded by construction.
+    """
+
+    def __init__(self):
+        from ..pipelines.dedup import (_ranges, _splitmix64,
+                                       _tokenize_hashes)
+        self._tokenize = _tokenize_hashes
+        self._splitmix = _splitmix64
+        self._ranges = _ranges
+
+    @staticmethod
+    def _uniq_top_per_seg(vals, seg, n):
+        """(#distinct values, max multiplicity) per segment, vectorized."""
+        uniq = np.zeros(n, dtype=np.int64)
+        top = np.zeros(n, dtype=np.int64)
+        if len(vals):
+            order = np.lexsort((vals, seg))
+            vs, ss = vals[order], seg[order]
+            new = np.ones(len(vs), dtype=bool)
+            new[1:] = (vs[1:] != vs[:-1]) | (ss[1:] != ss[:-1])
+            run_ids = np.cumsum(new) - 1
+            run_counts = np.bincount(run_ids)
+            run_seg = ss[new]
+            uniq = np.bincount(run_seg, minlength=n)
+            np.maximum.at(top, run_seg, run_counts)
+        return uniq, top
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        wh, offs = self._tokenize(batch["text"])
+        n = batch.num_rows
+        counts = offs[1:] - offs[:-1]
+        seg = np.repeat(np.arange(n, dtype=np.int64), counts)
+        uniq, top = self._uniq_top_per_seg(wh, seg, n)
+        total = counts.astype(np.float64)
+        safe = np.maximum(counts, 1).astype(np.float64)
+        dup_word_frac = np.where(counts > 0, 1.0 - uniq / safe, 0.0)
+        top_word_frac = np.where(counts > 0, top / safe, 0.0)
+        # bigram chain hashes; valid starts are within-doc only
+        bc = np.maximum(counts - 1, 0)
+        chain1 = self._splitmix(wh)
+        chain2 = (self._splitmix(wh[:len(chain1) - 1] ^ chain1[1:])
+                  if len(chain1) > 1 else np.array([], dtype=np.uint64))
+        pos = np.repeat(offs[:-1], bc) + self._ranges(bc)
+        bseg = np.repeat(np.arange(n, dtype=np.int64), bc)
+        buniq, _ = self._uniq_top_per_seg(chain2[pos], bseg, n)
+        bsafe = np.maximum(bc, 1).astype(np.float64)
+        dup_bigram_frac = np.where(bc > 0, 1.0 - buniq / bsafe, 0.0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "words": counts,
+            "dup_word_frac": dup_word_frac,
+            "top_word_frac": top_word_frac,
+            "dup_bigram_frac": dup_bigram_frac,
+        })
+
+
+def repetition_score(docs_ds, concurrency=4):
+    """documents → (doc_id, words, dup_word_frac, top_word_frac,
+    dup_bigram_frac) — the Gopher repetition-rule inputs."""
+    return docs_ds.map_batches(RepetitionScorer, batch_format="pyarrow",
+                               concurrency=(1, concurrency),
+                               batch_size=4096)
+
+
 def embed_text(docs_ds, dim=64, concurrency=4, batch_size=2048):
     """documents → + embedding column (feature-hashing embedder)."""
     return docs_ds.map_batches(

@@ -103,3 +103,45 @@ def test_hashing_embedder_end_to_end():
         emb, query_ids=[0], k=3, id_col="doc_id").iter_batches(
         batch_format="pyarrow"))).to_pandas()
     assert out[out["rank"] == 1].neighbor_id.iloc[0] == 30
+
+
+def test_repetition_score_hand_computed():
+    """Gopher repetition metrics vs hand-computed values, including null,
+    empty, and single-word docs."""
+    from python_graphblas_ray.stages.text import repetition_score
+    texts = [
+        "a b a b c",        # words=5 uniq=3 top=2 bigrams: ab,ba,ab,bc -> 4 uniq 3
+        "x x x x",          # words=4 uniq=1 top=4 bigrams: xx*3 -> uniq 1
+        "one",              # 1 word, 0 bigrams
+        "",                 # empty
+        None,               # null text
+        "p q r",            # all unique
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": pa.array(texts, type=pa.string())}))
+    out = pa.concat_tables(list(repetition_score(ds).iter_batches(
+        batch_format="pyarrow"))).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    np.testing.assert_array_equal(out["words"], [5, 4, 1, 0, 0, 3])
+    np.testing.assert_allclose(
+        out["dup_word_frac"], [1 - 3 / 5, 1 - 1 / 4, 0.0, 0.0, 0.0, 0.0])
+    np.testing.assert_allclose(
+        out["top_word_frac"], [2 / 5, 4 / 4, 1.0, 0.0, 0.0, 1 / 3])
+    np.testing.assert_allclose(
+        out["dup_bigram_frac"], [1 - 3 / 4, 1 - 1 / 3, 0.0, 0.0, 0.0, 0.0])
+
+
+def test_repetition_score_bigrams_do_not_cross_docs():
+    """The same flat token stream split differently must give different
+    bigram stats — boundary grams are excluded by construction."""
+    from python_graphblas_ray.stages.text import repetition_score
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": np.array([0, 1], dtype=np.int64),
+        "text": ["a b", "b a b"]}))
+    out = pa.concat_tables(list(repetition_score(ds).iter_batches(
+        batch_format="pyarrow"))).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    # doc1 bigrams: "b a", "a b" — 2 unique of 2; the cross-boundary
+    # "b b" gram must NOT appear anywhere
+    np.testing.assert_allclose(out["dup_bigram_frac"], [0.0, 0.0])
