@@ -471,6 +471,26 @@ def _q_docs_repetition(sf_dir):
         _read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def _q_docs_decontaminate(sf_dir):
+    """Benchmark decontamination: docs with doc_id % 20 == 0 act as the
+    held-out benchmark; every other doc sharing ANY word 3-gram with the
+    benchmark is dropped. Returns surviving train doc_ids."""
+    from python_graphblas_ray.pipelines.corpus import decontaminate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def is_bench(batch: pa.Table, invert=False) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sel = (ids % 20) == 0
+        return batch.filter(pa.array(~sel if invert else sel))
+
+    bench = docs.map_batches(is_bench, batch_format="pyarrow")
+    train = docs.map_batches(lambda b: is_bench(b, invert=True),
+                             batch_format="pyarrow")
+    clean, _ = decontaminate(train, bench, ngram=3)
+    return clean.select_columns(["doc_id"])
+
+
 def _q_pages_pagerank(sf_dir):
     """Flagship front-end: synthetic Common-Crawl-style pages → link
     extraction → PageRank (the BASELINE.json input_hint pipeline; sized by
@@ -791,6 +811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bm25": _q_docs_bm25,
         "embed_kmeans": _q_embed_kmeans,
         "docs_repetition": _q_docs_repetition,
+        "docs_decontaminate": _q_docs_decontaminate,
     }
 
 
@@ -1146,4 +1167,22 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN b.btotal > 0 THEN 1 - b.buniq / b.btotal "
             "ELSE 0.0 END AS dup_bigram_frac "
             "FROM documents d LEFT JOIN agg a USING (doc_id) "
-            "LEFT JOIN bagg b USING (doc_id)")}
+            "LEFT JOIN bagg b USING (doc_id)"),
+        # decontamination: any shared word 3-gram with the doc_id%20==0
+        # benchmark slice drops a train doc; same tokenize + chr(31)
+        # joiner as docs_repetition (hash-chain vs string grams agree up
+        # to 64-bit collisions)
+        "docs_decontaminate": (
+            "WITH lst AS (SELECT doc_id, list_filter("
+            "string_split_regex(text, '\\s+'), x -> x <> '') AS ws "
+            "FROM documents), "
+            "tri AS (SELECT doc_id, ws[i] || chr(31) || ws[i+1] || "
+            "chr(31) || ws[i+2] AS g "
+            "FROM lst, LATERAL (SELECT unnest("
+            "generate_series(1, len(ws) - 2)) AS i) t "
+            "WHERE len(ws) >= 3), "
+            "bench AS (SELECT DISTINCT g FROM tri WHERE doc_id % 20 = 0), "
+            "bad AS (SELECT DISTINCT doc_id FROM tri "
+            "WHERE doc_id % 20 <> 0 AND g IN (SELECT g FROM bench)) "
+            "SELECT doc_id FROM documents WHERE doc_id % 20 <> 0 "
+            "AND doc_id NOT IN (SELECT doc_id FROM bad)")}

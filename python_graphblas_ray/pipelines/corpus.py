@@ -94,3 +94,82 @@ def prepare_corpus(docs_ds, id_col="doc_id", text_col="text",
     # 4. embeddings for downstream ANN / clustering
     final = embed_text(clean, dim=embed_dim)
     return final, stats
+
+
+def decontaminate(docs_ds, bench_ds, id_col="doc_id", text_col="text",
+                  ngram=3, broadcast_limit=50_000_000):
+    """Benchmark decontamination: drop every training document that
+    shares ANY word ``ngram``-gram with a document in ``bench_ds`` (the
+    GPT-3 appendix-C / Pile-style n-gram overlap rule; 13-grams are the
+    published norm for natural text — pick ``ngram`` to taste).
+
+    Returns ``(clean_ds, stats)`` with per-stage counts.
+
+    Scale shape: benchmark suites are tiny next to training corpora, so
+    the default path collects the benchmark's DISTINCT gram hashes to the
+    driver (bounded by benchmark token count), broadcasts them once
+    (``ray.put``), and each corpus batch computes its gram chain and
+    drops docs with any hit — ONE streaming pass over the corpus, no
+    shuffle. If the benchmark gram set outgrows ``broadcast_limit``, the
+    corpus gram rows hash-shuffle-semi-join against the benchmark grams
+    instead (two exchanges: gram match → contaminated-id anti filter).
+    Docs with fewer than ``ngram`` words can't share a full gram and are
+    always kept.
+    """
+    from .dedup import _shingle_hashes
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        sh, _ = _shingle_hashes(batch[text_col], ngram, full_only=True)
+        return pa.table({"gram": np.unique(sh).view(np.int64)})
+
+    stats = {"input": docs_ds.count(), "bench_docs": bench_ds.count()}
+    bg = bench_ds.map_batches(bench_grams, batch_format="pyarrow")
+    n_grams = bg.count()
+    stats["bench_grams"] = n_grams
+
+    if n_grams <= broadcast_limit:
+        parts = [b["gram"].to_numpy(zero_copy_only=False)
+                 for b in bg.iter_batches(batch_format="pyarrow",
+                                          batch_size=1 << 20)]
+        gram_set = (np.sort(np.unique(np.concatenate(parts))) if parts
+                    else np.array([], dtype=np.int64))
+        gram_ref = ray.put(gram_set)
+
+        def drop_contaminated(batch: pa.Table) -> pa.Table:
+            grams = ray.get(gram_ref)
+            sh, offs = _shingle_hashes(batch[text_col], ngram,
+                                       full_only=True)
+            sh = sh.view(np.int64)
+            if len(grams) and len(sh):
+                pos = np.minimum(np.searchsorted(grams, sh),
+                                 len(grams) - 1)
+                hit = grams[pos] == sh
+            else:
+                hit = np.zeros(len(sh), dtype=bool)
+            # doc kept iff none of its grams hit (bincount over the
+            # doc-segment vector — robust to zero-gram docs)
+            counts = offs[1:] - offs[:-1]
+            seg = np.repeat(np.arange(batch.num_rows), counts)
+            bad = np.bincount(seg[hit], minlength=batch.num_rows)
+            return batch.filter(pa.array(bad == 0))
+
+        clean = docs_ds.map_batches(drop_contaminated,
+                                    batch_format="pyarrow").materialize()
+    else:  # benchmark grams too big to broadcast: shuffle semi-join path
+        def corpus_grams(batch: pa.Table) -> pa.Table:
+            sh, offs = _shingle_hashes(batch[text_col], ngram,
+                                       full_only=True)
+            counts = offs[1:] - offs[:-1]
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            return pa.table({id_col: np.repeat(ids, counts),
+                             "gram": sh.view(np.int64)})
+
+        cg = docs_ds.map_batches(corpus_grams, batch_format="pyarrow")
+        contaminated = semi_join_shuffle(
+            cg, ("gram",), bg).select_columns([id_col])
+        clean = _id_semi_join(docs_ds, id_col, contaminated, id_col,
+                              anti=True,
+                              broadcast_limit=broadcast_limit)
+        clean = clean.materialize()
+    stats["clean"] = clean.count()
+    return clean, stats

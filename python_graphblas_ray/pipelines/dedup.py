@@ -112,7 +112,9 @@ def _tokenize_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     return wh, offsets
 
 
-def _shingle_hashes(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+def _shingle_hashes(texts, n: int = 3,
+                    full_only: bool = False) -> tuple[np.ndarray,
+                                                      np.ndarray]:
     """Word n-gram shingle hashes per doc, vectorized.
 
     A shingle hash is the order-sensitive splitmix64 chain of its word
@@ -121,6 +123,9 @@ def _shingle_hashes(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
     per-gram Python, no gram-string materialization). Docs with
     ``0 < words < n`` contribute one shingle over all their words
     (matching the joined-gram fallback); empty docs contribute none.
+    ``full_only=True`` drops the short-doc fallback — docs with fewer
+    than ``n`` words contribute NO grams (decontamination semantics: a
+    doc too short to hold an n-gram can't share one).
 
     Returns ``(shingles: uint64[G], doc_offsets: int64[n+1])`` — NOT
     deduplicated (min-hash is duplicate-insensitive; set consumers dedup
@@ -139,7 +144,7 @@ def _shingle_hashes(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
                       if len(prev) > 1
                       else np.array([], dtype=np.uint64))
     out_counts = np.where(counts >= n, counts - (n - 1),
-                          (counts > 0).astype(np.int64))
+                          0 if full_only else (counts > 0).astype(np.int64))
     total = int(out_counts.sum())
     out = np.empty(total, dtype=np.uint64)
     out_offs = np.zeros(ndocs + 1, dtype=np.int64)
@@ -153,10 +158,11 @@ def _shingle_hashes(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
         dst = (np.repeat(out_offs[:-1][full], g) + _ranges(g))
         out[dst] = chains[n - 1][pos]
     # short docs (0 < wc < n): one gram over all wc words
-    for k in range(1, n):
-        sel = counts == k
-        if sel.any():
-            out[out_offs[:-1][sel]] = chains[k - 1][offs[:-1][sel]]
+    if not full_only:
+        for k in range(1, n):
+            sel = counts == k
+            if sel.any():
+                out[out_offs[:-1][sel]] = chains[k - 1][offs[:-1][sel]]
     return out, out_offs
 
 

@@ -431,3 +431,39 @@ def test_ann_topk_missing_query_ids_empty_result():
     ds = ann_topk(emb, query_ids=[999999])
     assert ds.count() == 0
     assert set(ds.schema().names) == {"query_id", "neighbor_id", "rank"}
+
+
+def _decon_fixture():
+    import ray.data
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": np.array([100], dtype=np.int64),
+        "text": ["alpha beta gamma delta"]}))
+    train = ray.data.from_arrow(pa.table({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": [
+            "xx alpha beta gamma yy",       # shares 3-gram -> dropped
+            "alpha beta zeta gamma delta",  # no shared 3-gram -> kept
+            "beta gamma",                   # too short for a 3-gram -> kept
+            "",                             # empty -> kept
+            "beta gamma delta omega",       # shares -> dropped
+        ]}))
+    return train, bench
+
+
+def test_decontaminate_broadcast_path():
+    from python_graphblas_ray.pipelines.corpus import decontaminate
+    train, bench = _decon_fixture()
+    clean, stats = decontaminate(train, bench, ngram=3)
+    ids = sorted(pa.concat_tables(list(clean.iter_batches(
+        batch_format="pyarrow")))["doc_id"].to_pylist())
+    assert ids == [1, 2, 3]
+    assert stats["clean"] == 3 and stats["bench_grams"] == 2
+
+
+def test_decontaminate_shuffle_path_matches_broadcast():
+    from python_graphblas_ray.pipelines.corpus import decontaminate
+    train, bench = _decon_fixture()
+    clean, _ = decontaminate(train, bench, ngram=3, broadcast_limit=0)
+    ids = sorted(pa.concat_tables(list(clean.iter_batches(
+        batch_format="pyarrow")))["doc_id"].to_pylist())
+    assert ids == [1, 2, 3]
