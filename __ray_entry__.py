@@ -491,6 +491,17 @@ def _q_docs_decontaminate(sf_dir):
     return clean.select_columns(["doc_id"])
 
 
+def _q_docs_pii(sf_dir):
+    """PII redaction over documents: scrubbed text + per-type match
+    counts. The corpus is synthetic word-soup (zero PII), so the oracle
+    checks the byte-identity of the pass-through path — the planted-PII
+    behavior is pinned by tests/test_text_stages.py."""
+    from python_graphblas_ray.stages.text import redact_pii
+
+    return redact_pii(_read(sf_dir, "documents",
+                            columns=["doc_id", "text"]))
+
+
 def _q_pages_pagerank(sf_dir):
     """Flagship front-end: synthetic Common-Crawl-style pages → link
     extraction → PageRank (the BASELINE.json input_hint pipeline; sized by
@@ -812,6 +823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_kmeans": _q_embed_kmeans,
         "docs_repetition": _q_docs_repetition,
         "docs_decontaminate": _q_docs_decontaminate,
+        "docs_pii": _q_docs_pii,
     }
 
 
@@ -1185,4 +1197,25 @@ def oracle_sql() -> dict[str, str]:
             "bad AS (SELECT DISTINCT doc_id FROM tri "
             "WHERE doc_id % 20 <> 0 AND g IN (SELECT g FROM bench)) "
             "SELECT doc_id FROM documents WHERE doc_id % 20 <> 0 "
-            "AND doc_id NOT IN (SELECT doc_id FROM bad)")}
+            "AND doc_id NOT IN (SELECT doc_id FROM bad)"),
+        # PII redaction: same RE2 patterns, same order (counts taken
+        # BEFORE each replace, on the previous stage's text — matching
+        # the Arrow kernel chain)
+        "docs_pii": (
+            "WITH s0 AS (SELECT doc_id, COALESCE(text, '') AS text "
+            "FROM documents), "
+            "s1 AS (SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) "
+            "AS BIGINT) AS n_email, regexp_replace(text, "
+            "'[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g') AS text FROM s0), "
+            "s2 AS (SELECT doc_id, n_email, CAST(len(regexp_extract_all("
+            "text, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) "
+            "AS n_ip, regexp_replace(text, "
+            "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS text "
+            "FROM s1) "
+            "SELECT doc_id, regexp_replace(text, "
+            "'\\+?\\d[\\d\\-\\s()]{7,}\\d', '<PHONE>', 'g') AS text, "
+            "n_email, n_ip, CAST(len(regexp_extract_all(text, "
+            "'\\+?\\d[\\d\\-\\s()]{7,}\\d')) AS BIGINT) AS n_phone "
+            "FROM s2")}

@@ -255,6 +255,54 @@ class RepetitionScorer:
         })
 
 
+class PIIRedactor:
+    """Regex PII scrubbing (emails → ``<EMAIL>``, IPv4 → ``<IP>``,
+    phone-like digit runs → ``<PHONE>``) — the standard redaction stage
+    of a training-data pipeline. Patterns are RE2-compatible and applied
+    in a fixed order (emails first: they contain dots and digits that
+    the later patterns would chew up), each with a per-doc match count,
+    entirely in Arrow kernels (``replace_substring_regex`` /
+    ``count_substring_regex``) — no Python row loop.
+    """
+
+    # (count column, RE2 pattern, replacement) — applied in order
+    PATTERNS = (
+        ("n_email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+         "<EMAIL>"),
+        ("n_ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+        ("n_phone", r"\+?\d[\d\-\s()]{7,}\d", "<PHONE>"),
+    )
+
+    def __init__(self, text_col="text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        counts = {}
+        for col, pat, repl in self.PATTERNS:
+            counts[col] = pc.count_substring_regex(texts, pat)
+            texts = pc.replace_substring_regex(texts, pat,
+                                               replacement=repl)
+        out = {c: batch[c] for c in batch.column_names}
+        out[self.text_col] = texts
+        out.update(counts)
+        return pa.table(out)
+
+
+def redact_pii(docs_ds, text_col="text", concurrency=4):
+    """documents → text with PII placeholders + per-type match counts
+    (``n_email``, ``n_ip``, ``n_phone``)."""
+    return docs_ds.map_batches(PIIRedactor,
+                               fn_constructor_kwargs=dict(
+                                   text_col=text_col),
+                               batch_format="pyarrow",
+                               concurrency=(1, concurrency),
+                               batch_size=4096)
+
+
 def repetition_score(docs_ds, concurrency=4):
     """documents → (doc_id, words, dup_word_frac, top_word_frac,
     dup_bigram_frac) — the Gopher repetition-rule inputs."""

@@ -145,3 +145,30 @@ def test_repetition_score_bigrams_do_not_cross_docs():
     # doc1 bigrams: "b a", "a b" — 2 unique of 2; the cross-boundary
     # "b b" gram must NOT appear anywhere
     np.testing.assert_allclose(out["dup_bigram_frac"], [0.0, 0.0])
+
+
+def test_pii_redactor_planted():
+    from python_graphblas_ray.stages.text import redact_pii
+    texts = [
+        "contact bob.smith+x@example.co.uk or alice@test.org now",
+        "server at 192.168.1.254 answered",
+        "call +1 (555) 123-4567 today",
+        "clean document with no pii at all",
+        None,
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": pa.array(texts, type=pa.string())}))
+    out = pa.concat_tables(list(redact_pii(ds).iter_batches(
+        batch_format="pyarrow"))).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert out.loc[0, "text"] == "contact <EMAIL> or <EMAIL> now"
+    assert out.loc[0, "n_email"] == 2
+    assert out.loc[1, "text"] == "server at <IP> answered"
+    assert out.loc[1, "n_ip"] == 1
+    assert out.loc[2, "text"] == "call <PHONE> today"
+    assert out.loc[2, "n_phone"] == 1
+    assert out.loc[3, "text"] == texts[3]
+    assert out.loc[4, "text"] == ""  # null-safe
+    np.testing.assert_array_equal(
+        out[["n_email", "n_ip", "n_phone"]].sum(axis=1), [2, 1, 1, 0, 0])
