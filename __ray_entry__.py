@@ -491,6 +491,19 @@ def _q_docs_decontaminate(sf_dir):
     return clean.select_columns(["doc_id"])
 
 
+def _q_louvain(sf_dir):
+    """Louvain community detection (reference notebooks/Louvain.ipynb,
+    synchronized deterministic variant) — iterative modularity
+    optimization; rows-only check (pytest pins notebook parity)."""
+    from python_graphblas_ray.pipelines.louvain import louvain
+    from python_graphblas_ray.pipelines.triangles import simple_undirected
+
+    A = simple_undirected(_edge_dataset(sf_dir), N_VERT)
+    comm, _ = louvain(A.ds, N_VERT, max_levels=5)
+    return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
+                     "community": comm})
+
+
 def _q_docs_pii(sf_dir):
     """PII redaction over documents: scrubbed text + per-type match
     counts. The corpus is synthetic word-soup (zero PII), so the oracle
@@ -824,6 +837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": _q_docs_repetition,
         "docs_decontaminate": _q_docs_decontaminate,
         "docs_pii": _q_docs_pii,
+        "louvain": _q_louvain,
     }
 
 
