@@ -888,6 +888,14 @@ def _apply(obj, op, right=None, left=None, thunk=None):
             op = indexunary[op]
         else:
             op = binary_from_string(op)
+    elif (callable(op) and not hasattr(op, "fn")
+          and not isinstance(op, (IndexUnaryOp, PositionalUnaryOp))):
+        # raw callable (HPEC2022 `A.apply(lambda v: ...)` style): wrap as
+        # an anonymous UnaryOp; the callable receives the numpy VALUE
+        # ARRAY of each batch, so plain arithmetic / field access
+        # (`v * 2`, `v["x"]` on UDT records) vectorizes as-is
+        from .functions.ops import UnaryOp
+        op = UnaryOp(getattr(op, "__name__", "<lambda>"), op)
 
     def kern(batch: pa.Table) -> pa.Table:
         vals = _np("val", batch)

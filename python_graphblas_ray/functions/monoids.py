@@ -58,7 +58,12 @@ class Monoid:
         self._np_reduce = np_reduce
         self.terminal = terminal  # early-exit value (e.g. lor: True)
 
-    def __call__(self, x, y):
+    def __call__(self, x, y=None):
+        if y is None:  # monoid.min(A | B) — infix-pair call
+            if hasattr(x, "with_op"):
+                return x.with_op(self.binaryop)
+            raise TypeError(f"monoid.{self.name} needs two operands or "
+                            "an `A & B` / `A | B` infix pair")
         return self.binaryop(x, y)
 
     def reduce_np(self, arr):

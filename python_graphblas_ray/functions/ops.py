@@ -64,6 +64,8 @@ class UnaryOp:
         self.fn = fn
 
     def __call__(self, x):
+        if hasattr(x, "apply"):  # unary.exp(A) — expression-call style
+            return x.apply(self)
         return self.fn(np.asarray(x))
 
     def __repr__(self):
@@ -92,7 +94,12 @@ class BinaryOp:
         self.fn = fn
         self.commutes_to = commutes_to if commutes_to is not None else name
 
-    def __call__(self, x, y):
+    def __call__(self, x, y=None):
+        if y is None:  # op.first(A & B) — infix-pair call (HPEC2022 style)
+            if hasattr(x, "with_op"):
+                return x.with_op(self)
+            raise TypeError(f"binary.{self.name} needs two operands or "
+                            "an `A & B` / `A | B` infix pair")
         return self.fn(np.asarray(x), np.asarray(y))
 
     def __repr__(self):
@@ -145,8 +152,12 @@ class IndexUnaryOp:
         self.fn = fn
         self.bool_valued = bool_valued
 
-    def __call__(self, val, row, col, thunk=0):
-        return self.fn(np.asarray(val), np.asarray(row), np.asarray(col), thunk)
+    def __call__(self, val, row=None, col=None, thunk=0):
+        if row is None and hasattr(val, "apply"):
+            # indexunary.rowindex(A, thunk) — expression-call style
+            return val.apply(self, thunk=thunk)
+        return self.fn(np.asarray(val), np.asarray(row), np.asarray(col),
+                       thunk)
 
     def __repr__(self):
         return f"indexunary.{self.name}"

@@ -145,3 +145,36 @@ def test_namespace_surfaces():
     _assert_mat_eq(A.mxm(A, g.op.plus_times), A.mxm(A))
 
     assert callable(g.io.mmread) and callable(g.io.mmwrite)
+
+
+def test_hpec_expression_call_styles():
+    """HPEC2022 notebook idioms: op called ON values/expressions —
+    ``unary.exp(A)``-style, ``op.first(A & B)``, ``op.positionj(B)``,
+    ``indexunary.rowindex(A)``, ``monoid.min(A | B)``, and
+    ``A.apply(lambda v: ...)`` raw-callable apply."""
+    import numpy as np
+
+    from python_graphblas_ray.core import GBMatrix
+    from python_graphblas_ray.functions.monoids import monoid, op
+    from python_graphblas_ray.functions.ops import indexunary, unary
+
+    A = GBMatrix.from_coo(np.array([0, 1, 2]), np.array([1, 2, 0]),
+                          np.array([1.0, 2.0, 3.0]), 3, 3)
+    B = GBMatrix.from_coo(np.array([0, 1]), np.array([1, 2]),
+                          np.array([10.0, 20.0]), 3, 3)
+    # raw lambda apply (vectorized over the value array)
+    r, c, v = A.apply(lambda x: x * 2).to_coo()
+    assert sorted(v.tolist()) == [2.0, 4.0, 6.0]
+    # unary called on a matrix
+    _, _, v = unary.ainv(A).to_coo()
+    assert sorted(v.tolist()) == [-3.0, -2.0, -1.0]
+    # binary / monoid called on an infix pair
+    _, _, v = op.first(A & B).to_coo()
+    assert sorted(v.tolist()) == [1.0, 2.0]
+    _, _, v = monoid.min(A | B).to_coo()
+    assert sorted(v.tolist()) == [1.0, 2.0, 3.0]
+    # positional / index unary called on a matrix
+    _, cols, v = op.positionj(B).to_coo()
+    assert sorted(v.tolist()) == sorted(cols.tolist())
+    rows, _, v = indexunary.rowindex(A).to_coo()
+    assert sorted(v.tolist()) == sorted(rows.tolist())
