@@ -626,6 +626,11 @@ class GBVector(_Base):
             return GBScalar(t["val"][0].as_py() if t.num_rows else None)
         return self.extract(sel)
 
+    def __setitem__(self, sel, value):
+        """``v[sel] = scalar | Vector`` — mutating assign sugar (reference
+        ``vector.py`` ``__setitem__``); in-place Dataset rebind."""
+        self._rebind(self.assign(sel, value))
+
     def assign(self, sel, value, accum=None, mask=None, replace=False,
                complement=False, mask_structure=True, subassign=False):
         """v[sel] = value (vector or scalar); reference assign path.
@@ -1665,6 +1670,14 @@ class GBMatrix(_Base):
 
         return GBMatrix(self.ds.map_batches(kern, batch_format="pyarrow"),
                         len(row_idx), len(col_idx), self.dtype)
+
+    def __setitem__(self, key, value):
+        """``C[rows, cols] = scalar | Matrix`` — mutating assign sugar
+        (reference ``matrix.py`` ``__setitem__`` / HPEC2022 notebook
+        ``A[:, :] = v``, ``A[0, 0] = v``): runs :meth:`assign` and
+        rebinds ``self.ds`` in place, like the ``C << expr`` protocol."""
+        rows, cols = key
+        self._rebind(self.assign(rows, cols, value))
 
     def __getitem__(self, key):
         rows, cols = key

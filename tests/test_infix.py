@@ -178,3 +178,22 @@ def test_hpec_expression_call_styles():
     assert sorted(v.tolist()) == sorted(cols.tolist())
     rows, _, v = indexunary.rowindex(A).to_coo()
     assert sorted(v.tolist()) == sorted(rows.tolist())
+
+
+def test_setitem_mutating_assign():
+    """Reference ``__setitem__`` sugar: region / element / full assigns
+    rebind in place (HPEC2022 ``A[:, :] = v`` style)."""
+    import numpy as np
+
+    from python_graphblas_ray.core import GBMatrix, GBVector
+
+    A = GBMatrix.from_coo(np.array([0, 1]), np.array([1, 2]),
+                          np.array([1.0, 2.0]), 3, 3)
+    A[0, 0] = 9.0                    # element upsert
+    assert A.get(0, 0) == 9.0 and A.get(1, 2) == 2.0
+    A[:, :] = 5.0                    # full overwrite (dense region)
+    r, c, v = A.to_coo()
+    assert set(v.tolist()) == {5.0} and len(v) == 9
+    v2 = GBVector.from_dense(np.array([1.0, 2.0, 3.0]))
+    v2[1] = 7.0
+    assert v2[1].value == 7.0 and v2[2].value == 3.0
