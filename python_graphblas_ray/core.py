@@ -360,6 +360,11 @@ class GBVector(_Base):
     _key_cols = ("vid",)
 
     def __init__(self, ds, size, dtype="float64"):
+        if not hasattr(ds, "map_batches"):
+            # reference ctor style: Vector(dtype, size) → EMPTY vector
+            from .functions.dtypes import lookup_dtype
+            dtype = lookup_dtype(ds).np_dtype
+            ds = _empty_ds(dtype, vector=True)
         self.ds = ds
         self.size = int(size)
         from .functions.dtypes import DType
@@ -1092,7 +1097,16 @@ class GBMatrix(_Base):
 
     _key_cols = ("src", "dst")
 
-    def __init__(self, ds, nrows, ncols, dtype="float64"):
+    def __init__(self, ds, nrows, ncols=None, dtype="float64"):
+        if not hasattr(ds, "map_batches"):
+            # reference ctor style: Matrix(dtype, nrows, ncols) → EMPTY
+            # matrix of that dtype (matrix.py:167; incl. dict UDTs —
+            # HPEC2022 `Matrix({"x": int, "y": float}, 5, 5)`)
+            from .functions.dtypes import lookup_dtype
+            dtype = lookup_dtype(ds).np_dtype
+            ds = _empty_ds(dtype)
+        if ncols is None:
+            raise TypeError("GBMatrix requires nrows and ncols")
         self.ds = ds
         self.nrows = int(nrows)
         self.ncols = int(ncols)
@@ -1666,7 +1680,7 @@ class GBMatrix(_Base):
             c2, v2 = c[take_r], v[take_r]
             take_c, new_c = _expand_index_map(c2, csel)
             return pa.table({"src": new_r[take_c], "dst": new_c,
-                             "val": v2[take_c]})
+                             "val": _pa_val(v2[take_c])})
 
         return GBMatrix(self.ds.map_batches(kern, batch_format="pyarrow"),
                         len(row_idx), len(col_idx), self.dtype)
@@ -1772,10 +1786,17 @@ class GBMatrix(_Base):
             new_rows = value.ds.map_batches(remap, batch_format="pyarrow")
         else:
             nr, nc = len(row_idx), len(col_idx)
+            if self.dtype.names is not None:  # UDT scalar (tuple/dict)
+                if isinstance(value, dict):
+                    value = tuple(value[f] for f in self.dtype.names)
+                vals = np.empty(nr * nc, dtype=self.dtype)
+                vals[:] = np.array(tuple(value), dtype=self.dtype)[()]
+            else:
+                vals = np.full(nr * nc, value)
             new_rows = ray.data.from_arrow(pa.table({
                 "src": np.repeat(row_idx, nc),
                 "dst": np.tile(col_idx, nr),
-                "val": np.full(nr * nc, value)}))
+                "val": _pa_val(vals)}))
         kept = self.ds.map_batches(drop_region, batch_format="pyarrow")
         keys = ("src", "dst")
         old_region = self.ds.map_batches(keep_region,

@@ -111,6 +111,9 @@ def lookup_dtype(key) -> DType:
         return key
     if isinstance(key, str) and key in dtypes:
         return dtypes[key]
+    if isinstance(key, dict):  # {"x": int, "y": float} — HPEC2022 style
+        return lookup_dtype(np.dtype([(k, np.dtype(v))
+                                      for k, v in key.items()]))
     np_dtype = np.dtype(key)
     for dt in dtypes.values():
         if dt.np_dtype == np_dtype:

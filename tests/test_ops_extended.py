@@ -423,3 +423,27 @@ def test_read_parquet_infers_complex_and_udt_dtype(tmp_path):
     R = GBMatrix.read_parquet(p2)
     assert R.dtype.names == ("x", "y")
     assert M.isequal(R)
+
+
+def test_hpec_ctor_and_udt_region_assign():
+    """HPEC2022 opening cells: dict-UDT empty constructor, full-region
+    tuple assign, element dict assign, field-extract lambda apply."""
+    import numpy as np
+
+    from python_graphblas_ray.core import GBMatrix, GBVector
+
+    A = GBMatrix({"x": int, "y": float}, nrows=5, ncols=5)
+    assert A.nvals == 0 and A.dtype.names == ("x", "y")
+    A[:, :] = (1, 2)
+    assert A.nvals == 25
+    A[0, 0] = {"x": 10, "y": 20}
+    assert A.get(0, 0) == {"x": 10, "y": 20.0}  # struct → dict scalar
+    B = A.apply(lambda v: v["x"])
+    r, c, v = B.to_coo()
+    assert v[(r == 0) & (c == 0)][0] == 10
+    assert sorted(np.unique(v).tolist()) == [1, 10]
+    # plain empty constructors
+    E = GBMatrix(float, 3, 3)
+    assert E.nvals == 0 and E.dtype == np.float64
+    w = GBVector("int64", 7)
+    assert w.nvals == 0 and w.size == 7
