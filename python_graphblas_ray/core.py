@@ -636,6 +636,16 @@ class GBVector(_Base):
         ``vector.py`` ``__setitem__``); in-place Dataset rebind."""
         self._rebind(self.assign(sel, value))
 
+    def delete_element(self, idx):
+        """``del v[i]`` (reference ``vector.py`` ``__delitem__``)."""
+        def filt(batch: pa.Table) -> pa.Table:
+            return batch.filter(pa.array(_np("vid", batch) != idx))
+        return self._wrap(self.ds.map_batches(filt, batch_format="pyarrow"))
+
+    def __delitem__(self, idx):
+        """``del v[i]`` mutating sugar — in-place Dataset rebind."""
+        self._rebind(self.delete_element(idx))
+
     def assign(self, sel, value, accum=None, mask=None, replace=False,
                complement=False, mask_structure=True, subassign=False):
         """v[sel] = value (vector or scalar); reference assign path.
@@ -1852,6 +1862,11 @@ class GBMatrix(_Base):
             keep = ~((_np("src", batch) == row) & (_np("dst", batch) == col))
             return batch.filter(pa.array(keep))
         return self._wrap(self.ds.map_batches(filt, batch_format="pyarrow"))
+
+    def __delitem__(self, key):
+        """``del A[i, j]`` mutating sugar — in-place Dataset rebind."""
+        row, col = key
+        self._rebind(self.delete_element(row, col))
 
     # ---- comparison ----
     def isequal(self, other, check_dtype=False):

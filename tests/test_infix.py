@@ -197,3 +197,17 @@ def test_setitem_mutating_assign():
     v2 = GBVector.from_dense(np.array([1.0, 2.0, 3.0]))
     v2[1] = 7.0
     assert v2[1].value == 7.0 and v2[2].value == 3.0
+
+
+def test_delitem_mutating_delete():
+    import numpy as np
+
+    from python_graphblas_ray.core import GBMatrix, GBVector
+
+    A = GBMatrix.from_coo(np.array([0, 1]), np.array([1, 2]),
+                          np.array([1.0, 2.0]), 3, 3)
+    del A[0, 1]
+    assert A.nvals == 1 and A.get(1, 2) == 2.0
+    v = GBVector.from_dense(np.array([1.0, 2.0, 3.0]))
+    del v[1]
+    assert v.nvals == 2 and v[1].is_empty and v[2].value == 3.0
