@@ -267,11 +267,14 @@ def _q_k_core(sf_dir):
 
 
 def _q_k_truss(sf_dir):
-    from python_graphblas_ray.pipelines.kcore import k_truss
+    """k-truss (auto route: broadcast wedge kernel at this size; the
+    all-shuffle masked-mxm path beyond the broadcast limit — both return
+    identical support-valued edges, parity-tested)."""
+    from python_graphblas_ray.pipelines.kcore import k_truss_auto
     from python_graphblas_ray.pipelines.triangles import simple_undirected
 
     A = simple_undirected(_edge_dataset(sf_dir), N_VERT)
-    return k_truss(A, 5).ds
+    return k_truss_auto(A, 5).ds
 
 
 def _q_pagerank(sf_dir):

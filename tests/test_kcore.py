@@ -79,3 +79,32 @@ def test_k_truss_k2_is_identity(G):
     A, r, c = G
     sub = k_truss(A, 2)
     assert sub.nvals == A.nvals
+
+
+def test_k_truss_broadcast_matches_mxm_path():
+    """The broadcast wedge-kernel fast path and the masked-mxm path must
+    emit identical support-valued edge sets (the auto route's contract)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from python_graphblas_ray.pipelines.kcore import (k_truss,
+                                                      k_truss_broadcast)
+    from python_graphblas_ray.pipelines.triangles import simple_undirected
+
+    rng = np.random.default_rng(11)
+    n, m = 50, 420
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    A = simple_undirected(ray.data.from_arrow(pa.table({
+        "src": src.astype(np.int64), "dst": dst.astype(np.int64),
+        "val": np.ones(m, dtype=np.float64)})), n)
+    for k in (2, 3, 4, 6):
+        slow = k_truss(A, k)
+        fast = k_truss_broadcast(A, k)
+        rs, cs, vs = slow.to_coo()
+        rf, cf, vf = fast.to_coo()
+        o1, o2 = np.lexsort((cs, rs)), np.lexsort((cf, rf))
+        assert np.array_equal(rs[o1], rf[o2])
+        assert np.array_equal(cs[o1], cf[o2])
+        assert np.array_equal(vs[o1], vf[o2])
