@@ -494,6 +494,16 @@ def _q_docs_decontaminate(sf_dir):
     return clean.select_columns(["doc_id"])
 
 
+def _q_docs_dup_spans(sf_dir):
+    """Exact substring dedup (Lee et al. 2022 ExactSubstr, fixed
+    8-token-window variant): (doc_id, pos) of every window occurring
+    ≥2 times anywhere in the corpus."""
+    from python_graphblas_ray.pipelines.dedup import duplicate_spans
+
+    return duplicate_spans(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), window=8)
+
+
 def _q_louvain(sf_dir):
     """Louvain community detection (reference notebooks/Louvain.ipynb,
     synchronized deterministic variant) — iterative modularity
@@ -840,6 +850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": _q_docs_repetition,
         "docs_decontaminate": _q_docs_decontaminate,
         "docs_pii": _q_docs_pii,
+        "docs_dup_spans": _q_docs_dup_spans,
         "louvain": _q_louvain,
     }
 
@@ -1235,4 +1246,20 @@ def oracle_sql() -> dict[str, str]:
             "'\\+?\\d[\\d\\-\\s()]{7,}\\d', '<PHONE>', 'g') AS text, "
             "n_email, n_ip, CAST(len(regexp_extract_all(text, "
             "'\\+?\\d[\\d\\-\\s()]{7,}\\d')) AS BIGINT) AS n_phone "
-            "FROM s2")}
+            "FROM s2"),
+        # exact substring dedup: 8-token windows via list slicing (chr(31)
+        # joiner); a window string occurring >= 2 times flags every one of
+        # its (doc_id, pos) occurrences — hash-chain vs string windows
+        # agree up to 64-bit collisions
+        "docs_dup_spans": (
+            "WITH lst AS (SELECT doc_id, list_filter("
+            "string_split_regex(text, '\\s+'), x -> x <> '') AS ws "
+            "FROM documents), "
+            "win AS (SELECT doc_id, i - 1 AS pos, array_to_string("
+            "list_slice(ws, i, i + 7), chr(31)) AS g "
+            "FROM lst, LATERAL (SELECT unnest("
+            "generate_series(1, len(ws) - 7)) AS i) t "
+            "WHERE len(ws) >= 8), "
+            "dup AS (SELECT g FROM win GROUP BY g HAVING count(*) >= 2) "
+            "SELECT doc_id, pos FROM win "
+            "WHERE g IN (SELECT g FROM dup)")}

@@ -844,3 +844,53 @@ def _embedding_neardup_ivf(emb_ds, threshold, id_col, emb_col,
     pairs = assigned.groupby("bucket").map_groups(bucket_pairs,
                                                   batch_format="pyarrow")
     return _dedup_pairs(pairs)
+
+
+def duplicate_spans(docs_ds, window=16, text_col="text",
+                    id_col="doc_id", min_count=2):
+    """Exact substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" — the ExactSubstr rule), fixed
+    token-window variant: every ``window``-token span whose content
+    occurs ≥ ``min_count`` times anywhere in the corpus is reported as
+    ``(doc_id, pos)`` (pos = 0-based start token). Callers cut or mask
+    the flagged spans.
+
+    Scale shape: ONE tokenize+rolling-hash map (the shingle chain,
+    ``full_only`` — docs shorter than the window emit nothing), ONE
+    combiner-backed groupby counting window hashes, then a hash-shuffle
+    semi-join of the window stream against the duplicated hash set —
+    no suffix array, no driver-side corpus state. Collisions: spans are
+    keyed by the 64-bit chain hash (reference implementation uses a
+    suffix array and is collision-free; at 64 bits a corpus needs ~2^32
+    windows before a false merge is likely).
+    """
+    from ..functions.monoids import monoid
+    from ..stages.join import semi_join_shuffle
+    from ..stages.reduce import groupby_monoid
+
+    def emit(batch: pa.Table) -> pa.Table:
+        sh, offs = _shingle_hashes(batch[text_col], window,
+                                   full_only=True)
+        counts = offs[1:] - offs[:-1]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: np.repeat(ids, counts),
+            "pos": _ranges(counts),
+            "h": sh.view(np.int64)})
+
+    wins = docs_ds.map_batches(emit, batch_format="pyarrow").materialize()
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table({"h": batch["h"],
+                         "c": np.ones(batch.num_rows, dtype=np.int64)})
+
+    hot = groupby_monoid(wins.map_batches(ones, batch_format="pyarrow"),
+                         ["h"], "c", monoid.plus)
+
+    def only_dup(batch: pa.Table) -> pa.Table:
+        keep = batch["c"].to_numpy(zero_copy_only=False) >= min_count
+        return batch.filter(pa.array(keep)).select(["h"])
+
+    dup_h = hot.map_batches(only_dup, batch_format="pyarrow")
+    out = semi_join_shuffle(wins, ("h",), dup_h)
+    return out.select_columns([id_col, "pos"])

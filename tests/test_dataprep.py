@@ -467,3 +467,25 @@ def test_decontaminate_shuffle_path_matches_broadcast():
     ids = sorted(pa.concat_tables(list(clean.iter_batches(
         batch_format="pyarrow")))["doc_id"].to_pylist())
     assert ids == [1, 2, 3]
+
+
+def test_duplicate_spans_planted():
+    """ExactSubstr fixed-window dedup: a 6-token phrase planted in two
+    docs is flagged at BOTH positions; unique text is untouched."""
+    import ray.data
+
+    from python_graphblas_ray.pipelines.dedup import duplicate_spans
+
+    phrase = "alpha beta gamma delta epsilon zeta"
+    texts = [
+        "intro words here " + phrase + " tail one",      # pos 3..8
+        phrase + " completely different ending words",   # pos 0..5
+        "nothing shared in this document at all okay",
+        "short doc",                                      # < window
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": np.arange(4, dtype=np.int64), "text": texts}))
+    out = pa.concat_tables(list(duplicate_spans(ds, window=6)
+                                .iter_batches(batch_format="pyarrow")))
+    got = sorted(zip(out["doc_id"].to_pylist(), out["pos"].to_pylist()))
+    assert got == [(0, 3), (1, 0)]
