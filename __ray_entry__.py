@@ -504,6 +504,17 @@ def _q_docs_dup_spans(sf_dir):
         _read(sf_dir, "documents", columns=["doc_id", "text"]), window=8)
 
 
+def _q_docs_neardup_clusters(sf_dir):
+    """Near-dup clusters: MinHash pairs → FastSV components on the pair
+    graph (engine reuse); hash-based → rows-only (pytest pins the
+    transitive-collapse semantics)."""
+    from python_graphblas_ray.pipelines.corpus import neardup_clusters
+
+    return neardup_clusters(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=0.6)
+
+
 def _q_louvain(sf_dir):
     """Louvain community detection (reference notebooks/Louvain.ipynb,
     synchronized deterministic variant) — iterative modularity
@@ -852,6 +863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii": _q_docs_pii,
         "docs_dup_spans": _q_docs_dup_spans,
         "louvain": _q_louvain,
+        "docs_neardup_clusters": _q_docs_neardup_clusters,
     }
 
 

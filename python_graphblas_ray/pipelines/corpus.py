@@ -173,3 +173,53 @@ def decontaminate(docs_ds, bench_ds, id_col="doc_id", text_col="text",
         clean = clean.materialize()
     stats["clean"] = clean.count()
     return clean, stats
+
+
+def neardup_clusters(docs_ds, threshold=0.7, id_col="doc_id",
+                     text_col="text", num_partitions=4,
+                     **minhash_kwargs):
+    """Near-duplicate CLUSTERS (the Lee et al. 2022 / SlimPajama
+    clustering step): verified MinHash-LSH pairs form an undirected
+    graph; the engine's own FastSV connected components collapse
+    transitive chains (a~b, b~c ⇒ one cluster even when a~c was never
+    emitted); each doc maps to the smallest doc id of its cluster
+    (singletons map to themselves — keep ``cluster == doc_id`` rows for
+    the dedup-keep policy).
+
+    A composition showcase: the training-data operator reuses the graph
+    engine (pinned-actor supersteps) on the pair graph, which is tiny
+    next to the corpus — no extra corpus pass beyond MinHash itself.
+    Returns a Dataset ``(doc_id, cluster)``.
+    """
+    from .algorithms import build_engine, connected_components
+    from .dedup import minhash_lsh_pairs
+
+    n = int(docs_ds.max(id_col)) + 1
+    pairs = minhash_lsh_pairs(docs_ds, threshold=threshold,
+                              text_col=text_col, id_col=id_col,
+                              **minhash_kwargs).materialize()
+
+    if pairs.count() == 0:
+        f = np.arange(n, dtype=np.int64)
+    else:
+        def as_edges(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "src": batch["ia"], "dst": batch["ib"],
+                "val": np.ones(batch.num_rows, dtype=np.float64)})
+
+        eng = build_engine(pairs.map_batches(as_edges,
+                                             batch_format="pyarrow"),
+                           n, num_partitions=num_partitions,
+                           undirected=True)
+        f, _, _ = connected_components(eng)
+        eng.shutdown()
+
+    f_ref = ray.put(f)
+
+    def label(batch: pa.Table) -> pa.Table:
+        fv = ray.get(f_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({id_col: ids, "cluster": fv[ids]})
+
+    return docs_ds.select_columns([id_col]).map_batches(
+        label, batch_format="pyarrow")

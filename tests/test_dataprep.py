@@ -489,3 +489,29 @@ def test_duplicate_spans_planted():
                                 .iter_batches(batch_format="pyarrow")))
     got = sorted(zip(out["doc_id"].to_pylist(), out["pos"].to_pylist()))
     assert got == [(0, 3), (1, 0)]
+
+
+def test_neardup_clusters_transitive():
+    """Clustering collapses transitive near-dup chains via the engine's
+    own FastSV components: a~b and b~c land in ONE cluster labeled by
+    the smallest id, even if (a, c) was never emitted as a pair."""
+    import ray.data
+
+    from python_graphblas_ray.pipelines.corpus import neardup_clusters
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep dark forest tonight").split()
+    def variant(i):
+        w = list(base)
+        w[i] = f"tok{i}"
+        return " ".join(w)
+    texts = [" ".join(base), variant(2), variant(17),
+             "completely different text " + " ".join(f"w{i}" for i in range(20)),
+             "another unrelated document " + " ".join(f"z{i}" for i in range(20))]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": np.arange(5, dtype=np.int64), "text": texts}))
+    out = pa.concat_tables(list(neardup_clusters(ds, threshold=0.6)
+                                .iter_batches(batch_format="pyarrow")))
+    cl = dict(zip(out["doc_id"].to_pylist(), out["cluster"].to_pylist()))
+    assert cl[0] == cl[1] == cl[2] == 0   # one transitive cluster
+    assert cl[3] == 3 and cl[4] == 4      # singletons keep their id
