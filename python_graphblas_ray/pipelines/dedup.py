@@ -894,3 +894,132 @@ def duplicate_spans(docs_ds, window=16, text_col="text",
     dup_h = hot.map_batches(only_dup, batch_format="pyarrow")
     out = semi_join_shuffle(wins, ("h",), dup_h)
     return out.select_columns([id_col, "pos"])
+
+
+def cut_duplicate_spans(docs_ds, window=16, text_col="text",
+                        id_col="doc_id", min_count=2, keep_first=True):
+    """ExactSubstr's ACTION: remove every duplicated ``window``-token
+    span from the corpus, keeping (by default) the globally-first
+    occurrence of each span (smallest (hash, doc_id, pos) — the paper
+    keeps one copy so no content is lost, Lee et al. 2022 §3.1).
+
+    Composition: :func:`duplicate_spans` flags (doc, pos) starts; flagged
+    starts cover tokens ``[pos, pos+window)``; a vectorized union-of-
+    intervals pass per doc (ONE hash-exchange by doc id co-locates each
+    doc's flags with its text) rebuilds the text with covered tokens
+    dropped. Returns ``(doc_id, text)`` with cleaned text — docs with
+    nothing flagged pass through byte-identical.
+    """
+    from ..functions.monoids import monoid
+    from ..stages.exchange import hash_exchange_apply
+    from ..stages.reduce import groupby_monoid
+    from ..stages.join import semi_join_shuffle
+
+    def emit(batch: pa.Table) -> pa.Table:
+        sh, offs = _shingle_hashes(batch[text_col], window,
+                                   full_only=True)
+        counts = offs[1:] - offs[:-1]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: np.repeat(ids, counts),
+            "pos": _ranges(counts),
+            "h": sh.view(np.int64)})
+
+    wins = docs_ds.map_batches(emit, batch_format="pyarrow").materialize()
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table({"h": batch["h"],
+                         "c": np.ones(batch.num_rows, dtype=np.int64)})
+
+    hot = groupby_monoid(wins.map_batches(ones, batch_format="pyarrow"),
+                         ["h"], "c", monoid.plus)
+
+    def only_dup(batch: pa.Table) -> pa.Table:
+        keep = batch["c"].to_numpy(zero_copy_only=False) >= min_count
+        return batch.filter(pa.array(keep)).select(["h"])
+
+    flagged = semi_join_shuffle(wins, ("h",),
+                                hot.map_batches(only_dup,
+                                                batch_format="pyarrow"))
+    if keep_first:
+        # keep the globally-first occurrence of each span content:
+        # min (doc_id, pos) per hash — one combiner groupby on the
+        # packed (doc << 32 | pos) key, then drop that occurrence
+        def packed(batch: pa.Table) -> pa.Table:
+            d = batch[id_col].to_numpy(zero_copy_only=False)
+            p = batch["pos"].to_numpy(zero_copy_only=False)
+            return pa.table({"h": batch["h"],
+                             "k": (d << np.int64(32)) | p})
+
+        first = groupby_monoid(
+            flagged.map_batches(packed, batch_format="pyarrow"),
+            ["h"], "k", monoid.min)
+        first_keys = first.map_batches(
+            lambda b: b.select(["k"]), batch_format="pyarrow")
+
+        def with_key(batch: pa.Table) -> pa.Table:
+            d = batch[id_col].to_numpy(zero_copy_only=False)
+            p = batch["pos"].to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "k", pa.array((d << np.int64(32)) | p))
+
+        flagged = semi_join_shuffle(
+            flagged.map_batches(with_key, batch_format="pyarrow"),
+            ("k",), first_keys, anti=True)
+
+    # co-locate each doc's flags with its text, cut via interval union
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch[id_col],
+                         "pos": batch["pos"],
+                         "text": pa.nulls(batch.num_rows,
+                                          type=pa.string())})
+
+    def tag_text(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch[id_col],
+                         "pos": np.full(batch.num_rows, -1,
+                                        dtype=np.int64),
+                         "text": batch[text_col]})
+
+    both = docs_ds.select_columns([id_col, text_col]).map_batches(
+        tag_text, batch_format="pyarrow").union(
+        flagged.map_batches(tag_doc, batch_format="pyarrow"))
+
+    def cut(table: pa.Table) -> pa.Table:
+        if table.num_rows == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "text": pa.array([], type=pa.string())})
+        d = table[id_col].to_numpy(zero_copy_only=False)
+        p = table["pos"].to_numpy(zero_copy_only=False)
+        txt = table["text"]
+        is_text = p == -1
+        out_ids, out_texts = [], []
+        # group rows by doc via lexsort; per doc: token-keep mask from
+        # the flagged starts (vectorized within the doc)
+        order = np.lexsort((p, d))
+        ds_, ps_ = d[order], p[order]
+        starts = np.ones(len(ds_), dtype=bool)
+        starts[1:] = ds_[1:] != ds_[:-1]
+        bounds = np.flatnonzero(starts).tolist() + [len(ds_)]
+        txt_np = txt.to_pylist()
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            doc = int(ds_[a])
+            rows = order[a:b]
+            texts = [txt_np[r] for r in rows if txt_np[r] is not None]
+            if not texts:
+                continue  # flags for a doc not in this partition slice
+            words = texts[0].split()
+            flags = ps_[a:b]
+            flags = flags[flags >= 0]
+            if len(flags) and len(words):
+                nw = len(words)
+                cover = np.zeros(nw + 1, dtype=np.int64)
+                np.add.at(cover, np.minimum(flags, nw), 1)
+                np.subtract.at(cover, np.minimum(flags + window, nw), 1)
+                keep = np.cumsum(cover[:-1]) == 0
+                words = [w for w, k in zip(words, keep) if k]
+            out_ids.append(doc)
+            out_texts.append(" ".join(words))
+        return pa.table({id_col: np.array(out_ids, dtype=np.int64),
+                         "text": pa.array(out_texts, type=pa.string())})
+
+    return hash_exchange_apply(both, id_col, cut)

@@ -515,3 +515,34 @@ def test_neardup_clusters_transitive():
     cl = dict(zip(out["doc_id"].to_pylist(), out["cluster"].to_pylist()))
     assert cl[0] == cl[1] == cl[2] == 0   # one transitive cluster
     assert cl[3] == 3 and cl[4] == 4      # singletons keep their id
+
+
+def test_cut_duplicate_spans_keep_first():
+    """ExactSubstr cut action: the globally-first occurrence of a
+    duplicated span survives; later occurrences are excised; clean docs
+    pass through byte-identical."""
+    import ray.data
+
+    from python_graphblas_ray.pipelines.dedup import cut_duplicate_spans
+
+    phrase = "alpha beta gamma delta epsilon zeta"
+    texts = [
+        "intro words here " + phrase + " tail one",     # FIRST occurrence
+        phrase + " completely different ending words",  # later → cut
+        "nothing shared in this document at all okay",
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": np.arange(3, dtype=np.int64), "text": texts}))
+    out = pa.concat_tables(list(cut_duplicate_spans(ds, window=6)
+                                .iter_batches(batch_format="pyarrow")))
+    got = dict(zip(out["doc_id"].to_pylist(), out["text"].to_pylist()))
+    assert got[0] == texts[0]                 # first occurrence kept
+    assert got[1] == "completely different ending words"
+    assert got[2] == texts[2]                 # untouched
+    # keep_first=False cuts BOTH occurrences
+    out2 = pa.concat_tables(list(
+        cut_duplicate_spans(ds, window=6, keep_first=False)
+        .iter_batches(batch_format="pyarrow")))
+    got2 = dict(zip(out2["doc_id"].to_pylist(), out2["text"].to_pylist()))
+    assert got2[0] == "intro words here tail one"
+    assert got2[1] == "completely different ending words"
