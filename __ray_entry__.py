@@ -360,6 +360,24 @@ def _q_sssp(sf_dir):
     return pa.table({"vid": vid, "dist": dist[vid]})
 
 
+def _q_lpa_iter2(sf_dir):
+    """Synchronous LPA, EXACTLY 2 forced iterations (no early stop) —
+    the fixed-iteration oracle form (same trick as pagerank_iter5):
+    deterministic mode (max count, tie → smallest label) is plain SQL
+    when unrolled."""
+    from python_graphblas_ray.pipelines.algorithms import build_engine
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4,
+                       undirected=True)
+    labels = np.arange(N_VERT, dtype=np.int64)
+    for _ in range(2):
+        mode = eng.mode(labels)
+        labels = np.where(mode >= 0, mode, labels)
+    eng.shutdown()
+    return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
+                     "label": labels})
+
+
 def _q_label_propagation(sf_dir):
     from python_graphblas_ray.pipelines.algorithms import (
         build_engine, label_propagation)
@@ -864,6 +882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_spans": _q_docs_dup_spans,
         "louvain": _q_louvain,
         "docs_neardup_clusters": _q_docs_neardup_clusters,
+        "lpa_iter2": _q_lpa_iter2,
     }
 
 
@@ -1274,4 +1293,30 @@ def oracle_sql() -> dict[str, str]:
             "WHERE len(ws) >= 8), "
             "dup AS (SELECT g FROM win GROUP BY g HAVING count(*) >= 2) "
             "SELECT doc_id, pos FROM win "
-            "WHERE g IN (SELECT g FROM dup)")}
+            "WHERE g IN (SELECT g FROM dup)"),
+        # 2 forced synchronous LPA iterations, unrolled: per iteration
+        # each vertex takes the most frequent in-neighbor label over the
+        # SET-union symmetrized graph, ties → smallest label, keeps its
+        # own when it has no neighbors
+        "lpa_iter2": (
+            f"{E}, "
+            "sym AS (SELECT DISTINCT s, d FROM ("
+            "SELECT src AS s, dst AS d FROM E "
+            "UNION ALL SELECT dst, src FROM E)), "
+            "verts AS (SELECT range AS v FROM range(512)), "
+            "lab0 AS (SELECT v, v AS lab FROM verts), "
+            "votes1 AS (SELECT sym.d AS v, l.lab, count(*) AS c "
+            "FROM sym JOIN lab0 l ON l.v = sym.s GROUP BY 1, 2), "
+            "mode1 AS (SELECT v, lab, row_number() OVER ("
+            "PARTITION BY v ORDER BY c DESC, lab) AS rn FROM votes1), "
+            "lab1 AS (SELECT l.v, COALESCE(m.lab, l.lab) AS lab "
+            "FROM lab0 l LEFT JOIN (SELECT v, lab FROM mode1 "
+            "WHERE rn = 1) m ON m.v = l.v), "
+            "votes2 AS (SELECT sym.d AS v, l.lab, count(*) AS c "
+            "FROM sym JOIN lab1 l ON l.v = sym.s GROUP BY 1, 2), "
+            "mode2 AS (SELECT v, lab, row_number() OVER ("
+            "PARTITION BY v ORDER BY c DESC, lab) AS rn FROM votes2), "
+            "lab2 AS (SELECT l.v, COALESCE(m.lab, l.lab) AS lab "
+            "FROM lab1 l LEFT JOIN (SELECT v, lab FROM mode2 "
+            "WHERE rn = 1) m ON m.v = l.v) "
+            "SELECT v AS vid, lab AS label FROM lab2")}
