@@ -360,6 +360,18 @@ def _q_sssp(sf_dir):
     return pa.table({"vid": vid, "dist": dist[vid]})
 
 
+def _q_edge_support(sf_dir):
+    """Per-edge triangle support — the k-truss/triangle inner kernel as
+    a standalone oracle-checked query: ``C<A.S> = A plus_pair A`` over
+    the simple undirected graph (entries exist only where support ≥ 1,
+    the structural sparsity of the masked mxm)."""
+    from python_graphblas_ray.functions.monoids import semiring
+    from python_graphblas_ray.pipelines.triangles import simple_undirected
+
+    A = simple_undirected(_edge_dataset(sf_dir), N_VERT)
+    return A.mxm(A, semiring.plus_pair, mask=A.S).ds
+
+
 def _q_lpa_iter2(sf_dir):
     """Synchronous LPA, EXACTLY 2 forced iterations (no early stop) —
     the fixed-iteration oracle form (same trick as pagerank_iter5):
@@ -883,6 +895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "louvain": _q_louvain,
         "docs_neardup_clusters": _q_docs_neardup_clusters,
         "lpa_iter2": _q_lpa_iter2,
+        "edge_support": _q_edge_support,
     }
 
 
@@ -1319,4 +1332,17 @@ def oracle_sql() -> dict[str, str]:
             "lab2 AS (SELECT l.v, COALESCE(m.lab, l.lab) AS lab "
             "FROM lab1 l LEFT JOIN (SELECT v, lab FROM mode2 "
             "WHERE rn = 1) m ON m.v = l.v) "
-            "SELECT v AS vid, lab AS label FROM lab2")}
+            "SELECT v AS vid, lab AS label FROM lab2"),
+        # per-edge triangle support: common-neighbor count over the
+        # simple undirected graph — only pairs with >= 1 shared neighbor
+        # materialize (the masked plus_pair mxm's structural sparsity)
+        "edge_support": (
+            f"{E}, "
+            "sym AS (SELECT DISTINCT s, d FROM ("
+            "SELECT src AS s, dst AS d FROM E "
+            "UNION ALL SELECT dst, src FROM E) WHERE s <> d) "
+            "SELECT e.s AS src, e.d AS dst, "
+            "CAST(count(*) AS BIGINT) AS val "
+            "FROM sym e JOIN sym a ON a.s = e.s "
+            "JOIN sym b ON b.s = e.d AND b.d = a.d "
+            "GROUP BY 1, 2")}
