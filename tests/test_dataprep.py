@@ -546,3 +546,31 @@ def test_cut_duplicate_spans_keep_first():
     got2 = dict(zip(out2["doc_id"].to_pylist(), out2["text"].to_pylist()))
     assert got2[0] == "intro words here tail one"
     assert got2[1] == "completely different ending words"
+
+
+def test_duplicate_spans_random_vs_bruteforce():
+    """Random small-vocab corpora (natural window collisions) vs a
+    brute-force dict-of-window-tuples oracle."""
+    import ray.data
+
+    from python_graphblas_ray.pipelines.dedup import duplicate_spans
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(6)]
+    W = 4
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(2, 30))))
+             for _ in range(40)]
+    expected = {}
+    for d, t in enumerate(texts):
+        ws = t.split()
+        for p in range(len(ws) - W + 1):
+            expected.setdefault(tuple(ws[p:p + W]), []).append((d, p))
+    want = sorted(occ for occs in expected.values() if len(occs) >= 2
+                  for occ in occs)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts}))
+    out = pa.concat_tables(list(duplicate_spans(ds, window=W)
+                                .iter_batches(batch_format="pyarrow")))
+    got = sorted(zip(out["doc_id"].to_pylist(), out["pos"].to_pylist()))
+    assert got == want
