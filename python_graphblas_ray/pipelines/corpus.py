@@ -189,18 +189,34 @@ def neardup_clusters(docs_ds, threshold=0.7, id_col="doc_id",
     A composition showcase: the training-data operator reuses the graph
     engine (pinned-actor supersteps) on the pair graph, which is tiny
     next to the corpus — no extra corpus pass beyond MinHash itself.
+    Auto-routing: a pair graph under ``local_cc_limit`` edges is
+    collapsed with the same FastSV recipe driver-locally (vectorized
+    numpy ``minimum.at`` hooking) — the distributed engine's sort
+    shuffle + actor spin-up is pure fixed overhead at that size; the
+    pinned-actor engine takes over past the limit, where the pair graph
+    itself is distributed-scale.
     Returns a Dataset ``(doc_id, cluster)``.
     """
-    from .algorithms import build_engine, connected_components
+    from .algorithms import (build_engine, connected_components,
+                             connected_components_numpy)
     from .dedup import minhash_lsh_pairs
 
+    local_cc_limit = minhash_kwargs.pop("local_cc_limit", 2_000_000)
     n = int(docs_ds.max(id_col)) + 1
     pairs = minhash_lsh_pairs(docs_ds, threshold=threshold,
                               text_col=text_col, id_col=id_col,
                               **minhash_kwargs).materialize()
 
-    if pairs.count() == 0:
+    npairs = pairs.count()
+    if npairs == 0:
         f = np.arange(n, dtype=np.int64)
+    elif npairs <= local_cc_limit:
+        t = pa.concat_tables(
+            list(pairs.iter_batches(batch_format="pyarrow")),
+            promote_options="permissive")
+        f = connected_components_numpy(
+            t["ia"].to_numpy(zero_copy_only=False),
+            t["ib"].to_numpy(zero_copy_only=False), n)
     else:
         def as_edges(batch: pa.Table) -> pa.Table:
             return pa.table({

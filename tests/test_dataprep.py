@@ -516,6 +516,15 @@ def test_neardup_clusters_transitive():
     assert cl[0] == cl[1] == cl[2] == 0   # one transitive cluster
     assert cl[3] == 3 and cl[4] == 4      # singletons keep their id
 
+    # path parity: forcing the distributed engine (local_cc_limit=0)
+    # must produce the identical labeling
+    out2 = pa.concat_tables(list(
+        neardup_clusters(ds, threshold=0.6, local_cc_limit=0)
+        .iter_batches(batch_format="pyarrow")))
+    cl2 = dict(zip(out2["doc_id"].to_pylist(),
+                   out2["cluster"].to_pylist()))
+    assert cl2 == cl
+
 
 def test_cut_duplicate_spans_keep_first():
     """ExactSubstr cut action: the globally-first occurrence of a
