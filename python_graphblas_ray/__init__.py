@@ -24,7 +24,7 @@ _OPS = ("BinaryOp", "IndexBinaryOp", "IndexUnaryOp", "ParameterizedOp",
 _MONOIDS = ("Monoid", "Semiring", "get_semiring", "monoid", "op",
             "semiring")
 
-__all__ = [*_CORE, *_OPS, *_MONOIDS, "agg", "dtypes", "io"]
+__all__ = [*_CORE, *_OPS, *_MONOIDS, "agg", "dtypes", "io", "viz"]
 
 __version__ = "0.1.0"
 
@@ -50,6 +50,8 @@ def __getattr__(name):
         return importlib.import_module(".functions.dtypes", __name__)
     if name == "io":
         return importlib.import_module(".io", __name__)
+    if name == "viz":
+        return importlib.import_module(".viz", __name__)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
