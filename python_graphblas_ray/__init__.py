@@ -17,7 +17,8 @@ Attribute access on the package still resolves the full public API.
 """
 
 _CORE = ("DimensionMismatch", "DuplicateIndexError", "GBMatrix",
-         "GBScalar", "GBVector", "Matrix", "Vector", "Scalar")
+         "GBScalar", "GBVector", "IndexOutOfBound", "Matrix",
+         "OutputNotEmpty", "Vector", "Scalar")
 _OPS = ("BinaryOp", "IndexBinaryOp", "IndexUnaryOp", "ParameterizedOp",
         "UnaryOp", "binary", "binary_from_string", "indexbinary",
         "indexunary", "select", "unary")

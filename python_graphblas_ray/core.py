@@ -65,6 +65,16 @@ class DimensionMismatch(ValueError):
     pass
 
 
+class OutputNotEmpty(ValueError):
+    """``build`` into a non-empty object without ``clear=True``
+    (reference ``tests/test_matrix.py:225``, GrB_OUTPUT_NOT_EMPTY)."""
+
+
+class IndexOutOfBound(IndexError):
+    """``build`` index beyond the object's dimensions (reference
+    ``tests/test_matrix.py:231``, GrB_INDEX_OUT_OF_BOUND)."""
+
+
 def _arrow_val_type(dtype) -> pa.DataType:
     """Arrow type for a value column of numpy dtype ``dtype`` (complex →
     marker struct, UDT → struct; see ``functions/dtypes.py``)."""
@@ -358,6 +368,7 @@ class GBVector(_Base):
     Reference ``core/vector.py:141``."""
 
     _key_cols = ("vid",)
+    ndim = 1  # reference vector.py:156
 
     def __init__(self, ds, size, dtype="float64"):
         if not hasattr(ds, "map_batches"):
@@ -499,8 +510,42 @@ class GBVector(_Base):
         return GBVector(self.ds.map_batches(cast, batch_format="pyarrow"),
                         self.size, dtype)
 
+    @property
+    def shape(self):
+        return (self.size,)
+
+    def get(self, index, default=None):
+        """Point lookup (reference ``vector.py:657``)."""
+        s = self[index]
+        return default if s.is_empty else s.value
+
+    def build(self, indices, values=1.0, *, dup_op=None, clear=False,
+              size=None):
+        """Insert values into an existing EMPTY Vector, in place
+        (reference ``vector.py:522``): non-empty without ``clear=True``
+        raises :class:`OutputNotEmpty`; default ``dup_op`` is plus
+        (reference ``vector.py:658``)."""
+        if not clear and self.nvals != 0:
+            raise OutputNotEmpty(
+                "build into non-empty Vector without clear=True")
+        if size is not None:
+            self.size = int(size)
+        indices = np.asarray(indices, dtype=np.int64)
+        if len(indices) and (indices.min() < 0
+                             or indices.max() >= self.size):
+            raise IndexOutOfBound(
+                f"index out of range for size {self.size}")
+        new = GBVector.from_coo(
+            indices, values, size=self.size,
+            dup_op="plus" if dup_op is None else dup_op,
+            dtype=self.dtype)
+        self.ds = new.ds
+
     def clear(self):
-        return GBVector(_empty_ds(self.dtype, vector=True), self.size, self.dtype)
+        """Empty the vector in place (reference mutating ``clear``);
+        also returns the (now empty) vector for chaining."""
+        self.ds = _empty_ds(self.dtype, vector=True)
+        return self
 
     def resize(self, size):
         if size >= self.size:
@@ -1106,6 +1151,7 @@ class GBMatrix(_Base):
     Reference ``core/matrix.py:167``."""
 
     _key_cols = ("src", "dst")
+    ndim = 2  # reference matrix.py:184
 
     def __init__(self, ds, nrows, ncols=None, dtype="float64"):
         if not hasattr(ds, "map_batches"):
@@ -1392,9 +1438,36 @@ class GBMatrix(_Base):
         return GBMatrix(self.ds.map_batches(cast, batch_format="pyarrow"),
                         self.nrows, self.ncols, dtype)
 
+    def build(self, rows, columns, values=1.0, *, dup_op=None,
+              clear=False, nrows=None, ncols=None):
+        """Insert values into an existing EMPTY Matrix, in place
+        (reference ``matrix.py:627``): non-empty without ``clear=True``
+        raises :class:`OutputNotEmpty`; default ``dup_op`` is plus."""
+        if not clear and self.nvals != 0:
+            raise OutputNotEmpty(
+                "build into non-empty Matrix without clear=True")
+        if nrows is not None:
+            self.nrows = int(nrows)
+        if ncols is not None:
+            self.ncols = int(ncols)
+        rows = np.asarray(rows, dtype=np.int64)
+        columns = np.asarray(columns, dtype=np.int64)
+        if len(rows) and (rows.min() < 0 or rows.max() >= self.nrows
+                          or columns.min() < 0
+                          or columns.max() >= self.ncols):
+            raise IndexOutOfBound(
+                f"index out of range for shape {self.shape}")
+        new = GBMatrix.from_coo(
+            rows, columns, values, nrows=self.nrows, ncols=self.ncols,
+            dup_op="plus" if dup_op is None else dup_op,
+            dtype=self.dtype)
+        self.ds = new.ds
+
     def clear(self):
-        return GBMatrix(_empty_ds(self.dtype), self.nrows, self.ncols,
-                        self.dtype)
+        """Empty the matrix in place (reference mutating ``clear``);
+        also returns the (now empty) matrix for chaining."""
+        self.ds = _empty_ds(self.dtype)
+        return self
 
     def resize(self, nrows, ncols):
         if nrows >= self.nrows and ncols >= self.ncols:

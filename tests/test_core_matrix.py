@@ -407,6 +407,49 @@ def test_resize_clear(A):
     assert A.clear().nvals == 0
 
 
+def test_build_matrix(A):
+    """Mirrors reference tests/test_matrix.py:219-239 (test_build)."""
+    from python_graphblas_ray import IndexOutOfBound, OutputNotEmpty
+
+    assert A.nvals == 12
+    A.clear()
+    A.build([0, 6], [0, 1], [1, 2])
+    assert A.nvals == 2
+    with pytest.raises(OutputNotEmpty):
+        A.build([1, 5], [2, 3], [3, 4])
+    assert A.nvals == 2  # nothing modified
+    A.build([1, 2, 5], [1, 2, 3], [2, 3, 4], clear=True)
+    assert A.nvals == 3
+    A.clear()
+    with pytest.raises(IndexOutOfBound):
+        A.build([0, 11], [0, 0], [1, 1])
+    B = GBMatrix.from_coo([], [], [], nrows=2, ncols=2, dtype="int64")
+    B.build([0, 11], [0, 0], [1, 1], nrows=12)
+    want = GBMatrix.from_coo([0, 11], [0, 0], [1, 1], nrows=12, ncols=2,
+                             dtype="int64")
+    assert B.isequal(want)
+    # duplicates collapse with the default plus dup_op (reference :660)
+    C = GBMatrix.from_coo([], [], [], nrows=3, ncols=3, dtype="float64")
+    C.build([1, 1], [2, 2], [5.0, 7.0])
+    assert C.get(1, 2) == 12.0
+    assert C.ndim == 2
+
+
+def test_build_vector(v):
+    from python_graphblas_ray import IndexOutOfBound, OutputNotEmpty
+
+    assert v.ndim == 1 and v.shape == (7,)
+    with pytest.raises(OutputNotEmpty):
+        v.build([0], [9.0])
+    v.build([2, 5], [9.0, 8.0], clear=True)
+    assert v.nvals == 2 and v.get(5) == 8.0
+    assert v.get(0) is None and v.get(0, default=-1) == -1
+    with pytest.raises(IndexOutOfBound):
+        v.build([99], [1.0], clear=True)
+    v.build([8], [4.0], clear=True, size=10)
+    assert v.size == 10 and v.get(8) == 4.0
+
+
 def test_dedup():
     import ray.data
     import pyarrow as pa
