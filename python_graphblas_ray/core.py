@@ -42,6 +42,7 @@ from .functions.ops import (
     binary,
     binary_from_string,
     select_from_string,
+    unary_from_string,
 )
 from .stages.join import (
     broadcast_key_set,
@@ -176,6 +177,116 @@ class GBScalar:
         if self.value is None or other is None:
             return self.value is None and other is None
         return abs(self.value - other) <= abs_tol + rel_tol * abs(other)
+
+    # ---- 0-D operation surface (reference scalar.py:186-1003) ----
+    # Scalars are driver-local plain values; these never touch Ray.
+
+    def isequal(self, other, *, check_dtype=False):
+        """Reference ``scalar.py:186``."""
+        if not isinstance(other, GBScalar):
+            other = GBScalar(other)
+        if self.value is None or other.value is None:
+            return self.value is None and other.value is None
+        return bool(self.value == other.value)
+
+    def clear(self):
+        """Empty in place (reference ``scalar.py:304``); returns self."""
+        self.value = None
+        return self
+
+    def dup(self, dtype=None, *, clear=False):
+        """Reference ``scalar.py:434``."""
+        return GBScalar(None if clear else self.value,
+                        self.dtype if dtype is None else dtype)
+
+    def wait(self, how="materialize"):
+        """No-op — a scalar is always materialized (reference
+        ``scalar.py:485``)."""
+        return self
+
+    def get(self, default=None):
+        """Reference ``scalar.py:513``."""
+        return default if self.value is None else self.value
+
+    @property
+    def is_cscalar(self):
+        return True  # always a plain driver value here
+
+    @property
+    def is_grbscalar(self):
+        return False
+
+    @staticmethod
+    def _coerce(x):
+        return x if isinstance(x, GBScalar) else GBScalar(x)
+
+    @staticmethod
+    def _binop(op):
+        return binary_from_string(op) if isinstance(op, str) else op
+
+    def _apply1(self, fn, *vals):
+        out = np.asarray(fn(*[np.asarray([v]) for v in vals]))[0]
+        return out.item() if hasattr(out, "item") else out
+
+    def ewise_add(self, other, op="plus"):
+        """Union semantics on 0-D (reference ``scalar.py:630``): empty
+        inputs pass the other side through."""
+        other = self._coerce(other)
+        op = self._binop(op)
+        if self.value is None:
+            return GBScalar(other.value, self.dtype)
+        if other.value is None:
+            return GBScalar(self.value, self.dtype)
+        return GBScalar(self._apply1(op.fn, self.value, other.value))
+
+    def ewise_mult(self, other, op="times"):
+        """Intersection semantics on 0-D (reference ``scalar.py:700``):
+        any empty input empties the result."""
+        other = self._coerce(other)
+        op = self._binop(op)
+        if self.value is None or other.value is None:
+            return GBScalar(None, self.dtype)
+        return GBScalar(self._apply1(op.fn, self.value, other.value))
+
+    def ewise_union(self, other, op, left_default, right_default):
+        """Reference ``scalar.py:772``: empty sides take the defaults,
+        both-empty stays empty."""
+        other = self._coerce(other)
+        op = self._binop(op)
+        if self.value is None and other.value is None:
+            return GBScalar(None, self.dtype)
+        lv = left_default if self.value is None else self.value
+        rv = right_default if other.value is None else other.value
+        return GBScalar(self._apply1(op.fn, lv, rv))
+
+    def apply(self, op, right=None, *, left=None):
+        """Reference ``scalar.py:913``: unary, or binary with a bound
+        left/right scalar."""
+        if self.value is None:
+            return GBScalar(None, self.dtype)
+        if right is None and left is None:
+            op = unary_from_string(op) if isinstance(op, str) else op
+            return GBScalar(self._apply1(op.fn, self.value))
+        if right is not None and left is not None:
+            raise TypeError("Cannot provide both `left` and `right`")
+        op = self._binop(op)
+        if left is not None:
+            return GBScalar(self._apply1(
+                op.fn, self._coerce(left).value, self.value))
+        return GBScalar(self._apply1(
+            op.fn, self.value, self._coerce(right).value))
+
+    def select(self, op, thunk=0):
+        """Value predicate on the 0-D entry (reference
+        ``scalar.py:964``); row/col indices are 0."""
+        if self.value is None:
+            return GBScalar(None, self.dtype)
+        op = select_from_string(op)
+        keep = np.asarray(op.fn(np.asarray([self.value]),
+                                np.zeros(1, np.int64),
+                                np.zeros(1, np.int64), thunk),
+                          dtype=bool)[0]
+        return GBScalar(self.value if keep else None, self.dtype)
 
     def __repr__(self):
         return f"GBScalar({self.value!r})"

@@ -407,6 +407,34 @@ def test_resize_clear(A):
     assert A.clear().nvals == 0
 
 
+def test_scalar_ops_surface():
+    """0-D operation surface (reference scalar.py:186-1003): union /
+    intersection empty-handling, apply, select, dup/clear/get/wait."""
+    s = GBScalar(5.0)
+    e = GBScalar(None)
+    assert s.ewise_add(GBScalar(2.0), "plus").value == 7.0
+    assert s.ewise_add(e).value == 5.0          # union passes through
+    assert e.ewise_add(e).is_empty
+    assert s.ewise_mult(GBScalar(2.0), "times").value == 10.0
+    assert s.ewise_mult(e).is_empty             # intersection empties
+    assert s.ewise_union(e, "minus", 0.0, 1.0).value == 4.0
+    assert e.ewise_union(GBScalar(3.0), "minus", 10.0, 0.0).value == 7.0
+    assert e.ewise_union(e, "plus", 1.0, 1.0).is_empty
+    assert s.apply("ainv").value == -5.0
+    assert s.apply("minus", right=1.0).value == 4.0
+    assert s.apply("minus", left=1.0).value == -4.0
+    assert e.apply("ainv").is_empty
+    assert s.select("valuegt", 4).value == 5.0
+    assert s.select("valuegt", 5).is_empty
+    assert s.isequal(5.0) and s.isequal(GBScalar(5.0))
+    assert not s.isequal(e) and e.isequal(GBScalar(None))
+    d = s.dup()
+    s.clear()
+    assert s.is_empty and d.value == 5.0 and d.get(-1) == 5.0
+    assert s.get(-1) == -1 and s.wait() is s
+    assert d.is_cscalar and not d.is_grbscalar
+
+
 def test_build_matrix(A):
     """Mirrors reference tests/test_matrix.py:219-239 (test_build)."""
     from python_graphblas_ray import IndexOutOfBound, OutputNotEmpty
