@@ -25,9 +25,18 @@ _OPS = ("BinaryOp", "IndexBinaryOp", "IndexUnaryOp", "ParameterizedOp",
 _MONOIDS = ("Monoid", "Semiring", "get_semiring", "monoid", "op",
             "semiring")
 
-__all__ = [*_CORE, *_OPS, *_MONOIDS, "agg", "dtypes", "io", "viz"]
+__all__ = [*_CORE, *_OPS, *_MONOIDS, "MAX_SIZE", "Recorder", "agg",
+           "backend", "dtypes", "exceptions", "io", "replace", "viz"]
 
 __version__ = "0.1.0"
+
+#: which execution backend this package is built on (reference exposes
+#: ``gb.backend`` = "suitesparse"); useful for feature-gating user code
+backend = "ray-data"
+
+#: maximum Vector size / Matrix dimension (reference ``GrB_INDEX_MAX+1``
+#: = 2**60); int64 row ids bound ours the same way
+MAX_SIZE = 2**60
 
 _ALIASES = {"Matrix": "GBMatrix", "Vector": "GBVector", "Scalar": "GBScalar"}
 
@@ -53,6 +62,12 @@ def __getattr__(name):
         return importlib.import_module(".io", __name__)
     if name == "viz":
         return importlib.import_module(".viz", __name__)
+    if name == "exceptions":
+        return importlib.import_module(".exceptions", __name__)
+    if name == "Recorder":
+        return importlib.import_module(".recorder", __name__).Recorder
+    if name == "replace":
+        return importlib.import_module(".core", __name__).replace_singleton
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 

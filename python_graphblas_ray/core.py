@@ -57,23 +57,28 @@ from .stages.reduce import (
 )
 
 
-class DuplicateIndexError(ValueError):
-    """Reference ``from_coo`` with ``dup_op=None`` errors on duplicate
-    indices (``matrix.py:850``)."""
+# canonical definitions live in exceptions.py (reference-parity
+# hierarchy); re-exported here for the package's historical import path
+from .exceptions import (  # noqa: F401
+    DimensionMismatch,
+    DuplicateIndexError,
+    IndexOutOfBound,
+    OutputNotEmpty,
+)
 
 
-class DimensionMismatch(ValueError):
-    pass
+class _ReplaceSingleton:
+    """``gb.replace`` sentinel: ``C(mask, replace) << expr`` means
+    ``replace=True`` (reference ``__init__.py:5-19``)."""
+
+    def __repr__(self):
+        return "replace"
+
+    def __bool__(self):
+        return True
 
 
-class OutputNotEmpty(ValueError):
-    """``build`` into a non-empty object without ``clear=True``
-    (reference ``tests/test_matrix.py:225``, GrB_OUTPUT_NOT_EMPTY)."""
-
-
-class IndexOutOfBound(IndexError):
-    """``build`` index beyond the object's dimensions (reference
-    ``tests/test_matrix.py:231``, GrB_INDEX_OUT_OF_BOUND)."""
+replace_singleton = _ReplaceSingleton()
 
 
 def _arrow_val_type(dtype) -> pa.DataType:
@@ -335,8 +340,8 @@ class _Base:
         BinaryOp / string → accum, bool → replace."""
         from .functions.ops import BinaryOp
         for a in args:
-            if isinstance(a, bool):
-                replace = a
+            if isinstance(a, bool) or a is replace_singleton:
+                replace = bool(a) if isinstance(a, bool) else True
             elif isinstance(a, (_MaskView, GBMatrix, GBVector)):
                 if mask is not None:
                     raise TypeError("got multiple values for mask")
