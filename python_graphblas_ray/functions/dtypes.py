@@ -85,6 +85,9 @@ _BUILTINS = {
 }
 for _name, _np in _BUILTINS.items():
     dtypes[_name] = DType(_name, _np)
+    # module-level names too: ``gb.dtypes.FC64`` (reference
+    # ``graphblas/dtypes/__init__.py`` exposes each builtin directly)
+    globals()[_name] = dtypes[_name]
 
 
 def register_anonymous(dtype_spec, name=None) -> DType:
