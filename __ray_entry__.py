@@ -433,6 +433,19 @@ def _q_link_jaccard(sf_dir):
                                 min_common=2)
 
 
+def _q_link_scores(sf_dir):
+    """Neighborhood-overlap score family (common / jaccard / cosine /
+    preferential attachment) — each score is one float op over exact
+    integer counts, so the SQL oracle matches bit-exactly. The
+    Adamic–Adar column is excluded here (float-sum order is
+    engine-dependent); its parity check is the brute-force oracle in
+    tests/test_sampling_hits.py."""
+    from python_graphblas_ray.pipelines.linkpred import link_scores
+
+    return link_scores(_edge_dataset(sf_dir), N_VERT, min_common=2,
+                       adamic_adar=False)
+
+
 def _q_random_walks(sf_dir):
     from python_graphblas_ray.pipelines.algorithms import build_engine
 
@@ -896,6 +909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_neardup_clusters": _q_docs_neardup_clusters,
         "lpa_iter2": _q_lpa_iter2,
         "edge_support": _q_edge_support,
+        "link_scores": _q_link_scores,
     }
 
 
@@ -1219,6 +1233,21 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2) "
             "SELECT c.u, c.v, c.common, "
             "c.common / (du.d + dv.d - c.common) AS jaccard "
+            "FROM c JOIN deg du ON du.v = c.u JOIN deg dv ON dv.v = c.v "
+            "WHERE c.common >= 2"),
+        # full overlap-score family: every output is ONE float op over
+        # exact-integer operands (count, +, *, sqrt, /) → bit-identical
+        # to the Ray path regardless of evaluation order
+        "link_scores": (
+            f"{E}, "
+            "deg AS (SELECT src AS v, count(*) AS d FROM E GROUP BY 1), "
+            "c AS (SELECT a.src AS u, b.src AS v, count(*) AS common "
+            "FROM E a JOIN E b ON a.dst = b.dst AND a.src < b.src "
+            "GROUP BY 1, 2) "
+            "SELECT c.u, c.v, c.common, "
+            "c.common / (du.d + dv.d - c.common) AS jaccard, "
+            "c.common / sqrt(du.d * dv.d) AS cosine, "
+            "du.d * dv.d AS preferential "
             "FROM c JOIN deg du ON du.v = c.u JOIN deg dv ON dv.v = c.v "
             "WHERE c.common >= 2"),
         # Gopher repetition metrics: same tokenize as docs_bm25; bigrams

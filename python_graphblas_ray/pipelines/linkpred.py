@@ -105,6 +105,128 @@ def neighborhood_jaccard(edges_ds, n, max_degree=None, min_common=1):
     return C.ds.map_batches(finish, batch_format="pyarrow")
 
 
+def link_scores(edges_ds, n, max_degree=None, min_common=1,
+                adamic_adar=True):
+    """The full neighborhood-overlap score family for every unordered
+    pair u < v with ≥ ``min_common`` common OUT-neighbors: ``common``,
+    ``jaccard``, ``cosine`` (common/√(d(u)·d(v))), ``preferential``
+    (d(u)·d(v) — evaluated on the common-neighbor support, the standard
+    candidate set), and ``adamic_adar``.
+
+    Adamic–Adar convention here (directed graphs): a shared out-neighbor
+    w is weighted by ``1/ln(indeg(w))`` — w's in-degree is ≥ 2 by
+    construction (both u and v point at it), so the log never hits 0.
+
+    Two matmuls over the SAME partitioning: ``plus_pair`` for counts and
+    ``plus_times`` on the column-scaled pattern ``A @ diag(1/ln indeg)``
+    for the AA sums; degrees ride one broadcast. Same ``max_degree`` hub
+    guard (and the same capped-scores caveat) as
+    :func:`neighborhood_jaccard`.
+    Returns a Dataset ``(u, v, common, jaccard, cosine, preferential,
+    adamic_adar)``.
+
+    ``adamic_adar=False`` skips the second matmul + join: the remaining
+    scores are each ONE float op over exact integers (order-insensitive
+    → bit-exact against a SQL oracle), whereas the AA sum's float
+    accumulation order is engine-dependent.
+    """
+    from ..core import GBVector
+
+    pat = _distinct_pattern(edges_ds)
+    A = GBMatrix.from_dataset(pat, nrows=n, ncols=n)
+    if max_degree is not None:
+        ids0, deg0 = A.reduce_rowwise("plus").to_coo(sort=True)
+        drop_ids = ids0[deg0 > max_degree]
+        if len(drop_ids):
+            drop_ref = ray.put(np.sort(drop_ids))
+
+            def prune(batch: pa.Table) -> pa.Table:
+                d = ray.get(drop_ref)
+                s = batch["src"].to_numpy(zero_copy_only=False)
+                t = batch["dst"].to_numpy(zero_copy_only=False)
+                ok = ~(np.isin(s, d) | np.isin(t, d))
+                return batch.filter(pa.array(ok))
+
+            A = GBMatrix(A.ds.map_batches(prune, batch_format="pyarrow"),
+                         n, n, A.dtype)
+
+    ids, deg = A.reduce_rowwise("plus").to_coo(sort=True)
+    iids, ideg = A.reduce_columnwise("plus").to_coo(sort=True)
+
+    # common counts (structural)
+    C = A.mxm(A.T, _sr.plus_pair).select("triu", 1)
+    if min_common > 1:
+        C = C.select(">=", min_common)
+
+    if adamic_adar:
+        C = C.ds.materialize()  # reused as the join target below
+        # AA sums: column-scale by 1/ln(indeg), plus_times against A.T
+        w = np.zeros(len(iids))
+        pos = ideg > 1
+        w[pos] = 1.0 / np.log(ideg[pos].astype(np.float64))
+        Wv = GBVector.from_coo(iids, w, size=n)
+        AA = A.mxm(Wv.diag(), _sr.plus_times).mxm(A.T, _sr.plus_times) \
+              .select("triu", 1)
+
+        # co-locate the two score matrices: one hash join on (u, v)
+        from ..stages.join import hash_join
+
+        def rename_aa(batch: pa.Table) -> pa.Table:
+            return pa.table({"src": batch["src"], "dst": batch["dst"],
+                             "aa": batch["val"]})
+
+        joined = hash_join(C, AA.ds.map_batches(rename_aa,
+                                                batch_format="pyarrow"),
+                           ("src", "dst"), how="left_outer")
+    else:
+        joined = C.ds
+    deg_ref = ray.put((ids, deg.astype(np.float64)))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        u = batch["src"].to_numpy(zero_copy_only=False)
+        v = batch["dst"].to_numpy(zero_copy_only=False)
+        c = batch["val"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dids, dvals = ray.get(deg_ref)
+        du = dvals[np.searchsorted(dids, u)]
+        dv = dvals[np.searchsorted(dids, v)]
+        cols = {
+            "u": u, "v": v, "common": c.astype(np.int64),
+            "jaccard": c / (du + dv - c),
+            "cosine": c / np.sqrt(du * dv),
+            "preferential": (du * dv).astype(np.int64)}
+        if adamic_adar:
+            aa = batch["aa"].to_numpy(zero_copy_only=False)
+            cols["adamic_adar"] = np.where(
+                np.isnan(aa.astype(np.float64)), 0.0, aa)
+        return pa.table(cols)
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def link_scores_numpy(src, dst, n, min_common=1):
+    """Single-process oracle for :func:`link_scores`."""
+    adj = [set() for _ in range(n)]
+    indeg = np.zeros(n)
+    seen = set()
+    for s, d in zip(src, dst):
+        if (int(s), int(d)) not in seen:
+            seen.add((int(s), int(d)))
+            adj[int(s)].add(int(d))
+            indeg[int(d)] += 1
+    out = {}
+    for u in range(n):
+        for v in range(u + 1, n):
+            inter = adj[u] & adj[v]
+            c = len(inter)
+            if c >= max(min_common, 1):
+                du, dv = len(adj[u]), len(adj[v])
+                aa = sum(1.0 / np.log(indeg[w]) for w in inter
+                         if indeg[w] > 1)
+                out[(u, v)] = (c, c / (du + dv - c),
+                               c / np.sqrt(du * dv), du * dv, aa)
+    return out
+
+
 def neighborhood_jaccard_numpy(src, dst, n, min_common=1):
     """Single-process oracle: brute-force out-neighbor-set Jaccard."""
     pairs = {}

@@ -26,7 +26,7 @@ SAMPLE = ["edges_build", "degree_out", "mxv_plus_times", "mxm_plus_times",
           # have oracle SQL — their only automated parity check is here
           "link_jaccard", "docs_split", "docs_quota", "docs_bm25",
           "docs_repetition", "docs_decontaminate", "docs_pii",
-          "docs_dup_spans", "lpa_iter2", "edge_support"]
+          "docs_dup_spans", "lpa_iter2", "edge_support", "link_scores"]
 
 
 @pytest.fixture(scope="module")

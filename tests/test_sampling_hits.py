@@ -138,6 +138,47 @@ def test_neighborhood_jaccard_vs_bruteforce_and_sql():
     assert np.allclose(sql["jaccard"].to_numpy(), got["jaccard"].to_numpy())
 
 
+def test_link_scores_vs_bruteforce():
+    """Full score family (common/jaccard/cosine/preferential/AA) vs the
+    brute-force oracle, incl. the duplicate-edge collapse."""
+    from python_graphblas_ray.pipelines.linkpred import (link_scores,
+                                                         link_scores_numpy)
+
+    src, dst = _random_edges(n=60, m=500, seed=11)
+    # plant duplicate edges — scores must be multiset-insensitive
+    src = np.concatenate([src, src[:20]])
+    dst = np.concatenate([dst, dst[:20]])
+    got = link_scores(_edges_ds(src, dst), 60).to_pandas()
+    got = got.sort_values(["u", "v"]).reset_index(drop=True)
+    expect = link_scores_numpy(src, dst, 60)
+    assert len(got) == len(expect)
+    for row in got.itertuples():
+        c, j, cos, pref, aa = expect[(row.u, row.v)]
+        assert row.common == c
+        assert np.isclose(row.jaccard, j)
+        assert np.isclose(row.cosine, cos)
+        assert row.preferential == pref
+        assert np.isclose(row.adamic_adar, aa), (row.u, row.v)
+
+
+def test_link_scores_min_common_and_hub_guard():
+    from python_graphblas_ray.pipelines.linkpred import (link_scores,
+                                                         link_scores_numpy)
+
+    src, dst = _random_edges(n=50, m=400, seed=3)
+    got = link_scores(_edges_ds(src, dst), 50, min_common=2).to_pandas()
+    expect = {k: v for k, v in link_scores_numpy(src, dst, 50).items()
+              if v[0] >= 2}
+    assert len(got) == len(expect)
+    assert (got["common"] >= 2).all()
+    # hub guard drops the hub from the score universe
+    src2 = np.concatenate([np.zeros(30, dtype=np.int64), src])
+    dst2 = np.concatenate([np.arange(10, 40, dtype=np.int64), dst])
+    capped = link_scores(_edges_ds(src2, dst2), 50,
+                         max_degree=15).to_pandas()
+    assert 0 not in set(capped["u"]).union(set(capped["v"]))
+
+
 def test_neighborhood_jaccard_max_degree_guard():
     # a hub with degree 40 disappears under a cap of 10; vertex 1 ALSO
     # points into the hub, so its degree must be re-derived on the
