@@ -26,7 +26,8 @@ _MONOIDS = ("Monoid", "Semiring", "get_semiring", "monoid", "op",
             "semiring")
 
 __all__ = [*_CORE, *_OPS, *_MONOIDS, "MAX_SIZE", "Recorder", "agg",
-           "backend", "dtypes", "exceptions", "io", "replace", "viz"]
+           "backend", "config", "dtypes", "exceptions", "io",
+           "replace", "viz"]
 
 __version__ = "0.1.0"
 
@@ -68,6 +69,8 @@ def __getattr__(name):
         return importlib.import_module(".recorder", __name__).Recorder
     if name == "replace":
         return importlib.import_module(".core", __name__).replace_singleton
+    if name == "config":
+        return importlib.import_module("._config", __name__).config
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 

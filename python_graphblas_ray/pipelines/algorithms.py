@@ -49,12 +49,22 @@ def symmetrize(edges_ds):
     return edges_ds.union(edges_ds.map_batches(swap, batch_format="pyarrow"))
 
 
-def build_engine(edges_ds, n, num_partitions=8, weighted=False,
+def build_engine(edges_ds, n, num_partitions=None, weighted=False,
                  undirected=False, **engine_kwargs):
     """``engine_kwargs`` pass through to ``SuperstepEngine`` (e.g.
     ``partition_mode="scan"``, ``hub_split_factor=...``). All algorithm
     kernels — including LPA's mode, which count-merges sparse partials
-    across split hub partitions — are hub-split-safe."""
+    across split hub partitions — are hub-split-safe.
+
+    ``num_partitions=None`` (and an unset ``hub_split_factor``) read
+    the global :mod:`~python_graphblas_ray.config` defaults."""
+    from .._config import config
+
+    if num_partitions is None:
+        num_partitions = config["num_partitions"]
+    if (config["hub_split_factor"] is not None
+            and "hub_split_factor" not in engine_kwargs):
+        engine_kwargs["hub_split_factor"] = config["hub_split_factor"]
     if undirected:
         edges_ds = symmetrize(edges_ds)
         engine_kwargs.setdefault("dedupe", True)

@@ -201,7 +201,9 @@ def neardup_clusters(docs_ds, threshold=0.7, id_col="doc_id",
                              connected_components_numpy)
     from .dedup import minhash_lsh_pairs
 
-    local_cc_limit = minhash_kwargs.pop("local_cc_limit", 2_000_000)
+    from .._config import config as _cfg
+    local_cc_limit = minhash_kwargs.pop("local_cc_limit",
+                                        _cfg["local_cc_limit"])
     n = int(docs_ds.max(id_col)) + 1
     pairs = minhash_lsh_pairs(docs_ds, threshold=threshold,
                               text_col=text_col, id_col=id_col,

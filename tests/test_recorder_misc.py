@@ -74,3 +74,31 @@ def test_exceptions_module():
 def test_backend_and_max_size():
     assert gb.backend == "ray-data"
     assert gb.MAX_SIZE == 2**60
+
+
+def test_config():
+    """gb.config (reference donfig mapping): scoped set, typo guard,
+    and a call site actually honoring it."""
+    assert gb.config["num_partitions"] == 8
+    with gb.config.set(num_partitions=3):
+        assert gb.config["num_partitions"] == 3
+        from python_graphblas_ray.pipelines.algorithms import build_engine
+        import ray.data
+        import pyarrow as pa
+
+        eds = ray.data.from_arrow(pa.table({
+            "src": np.arange(6, dtype=np.int64),
+            "dst": (np.arange(6, dtype=np.int64) + 1) % 6,
+            "val": np.ones(6)}))
+        eng = build_engine(eds, 6)
+        try:
+            assert eng.num_partitions == 3
+        finally:
+            eng.shutdown()
+    assert gb.config["num_partitions"] == 8  # restored on exit
+    with pytest.raises(KeyError, match="unknown config key"):
+        gb.config["num_partitons"]
+    with pytest.raises(KeyError):
+        gb.config["nope"] = 1
+    assert set(gb.config.keys()) >= {"num_partitions", "broadcast_limit",
+                                     "hub_split_factor", "local_cc_limit"}
