@@ -792,6 +792,22 @@ class GBVector(_Base):
             return GBScalar(t["val"][0].as_py() if t.num_rows else None)
         return self.extract(sel)
 
+    def __contains__(self, index):
+        """``15 in v`` — entry present at index (reference
+        ``vector.py:308``)."""
+        if not isinstance(index, (int, np.integer)):
+            raise TypeError(
+                f"Invalid index to Vector contains: {index!r}.  "
+                "An integer is expected.")
+        return not self[int(index)].is_empty
+
+    def __iter__(self):
+        """Iterate over present indices (reference ``vector.py:328``).
+        Materializes the index column — driver convenience, small
+        vectors only."""
+        indices, _ = self.to_coo(sort=True)
+        return iter(indices.tolist())
+
     def __setitem__(self, sel, value):
         """``v[sel] = scalar | Vector`` — mutating assign sugar (reference
         ``vector.py`` ``__setitem__``); in-place Dataset rebind."""
@@ -1883,6 +1899,24 @@ class GBMatrix(_Base):
 
         return GBMatrix(self.ds.map_batches(kern, batch_format="pyarrow"),
                         len(row_idx), len(col_idx), self.dtype)
+
+    def __contains__(self, index):
+        """``(10, 15) in M`` — entry present at (row, col) (reference
+        ``matrix.py:342``)."""
+        if (not isinstance(index, tuple) or len(index) != 2
+                or not all(isinstance(i, (int, np.integer))
+                           for i in index)):
+            raise TypeError(
+                f"Invalid index to Matrix contains: {index!r}.  "
+                "A 2-tuple of ints is expected.")
+        return not self[int(index[0]), int(index[1])].is_empty
+
+    def __iter__(self):
+        """Iterate over present (row, col) indices (reference
+        ``matrix.py:361``). Materializes the key columns — driver
+        convenience, small matrices only."""
+        rows, cols, _ = self.to_coo(sort=True)
+        return zip(rows.tolist(), cols.tolist())
 
     def __setitem__(self, key, value):
         """``C[rows, cols] = scalar | Matrix`` — mutating assign sugar

@@ -407,6 +407,19 @@ def test_resize_clear(A):
     assert A.clear().nvals == 0
 
 
+def test_contains_and_iter(A, v):
+    """Reference matrix.py:342/:361, vector.py:308/:328."""
+    assert (3, 0) in A and (0, 0) not in A
+    with pytest.raises(TypeError, match="2-tuple of ints"):
+        5 in A
+    got = sorted(A)
+    assert got == sorted(zip(A_ROWS, A_COLS))
+    assert 1 in v and 0 not in v
+    with pytest.raises(TypeError, match="integer is expected"):
+        (1, 2) in v
+    assert list(v) == sorted(V_IDX)
+
+
 def test_scalar_ops_surface():
     """0-D operation surface (reference scalar.py:186-1003): union /
     intersection empty-handling, apply, select, dup/clear/get/wait."""
