@@ -117,6 +117,48 @@ class ImageFeatures:
         })
 
 
+class ImageResizer:
+    """Resize decoded pixel tensors to ``out_hw`` — REAL math (not a
+    codec stub): vectorized nearest-neighbor gather on the whole batch
+    tensor at once. Index grids are built once per actor in
+    ``__init__`` for the common fixed-input-size path and rebuilt only
+    when a batch's (h, w) differs."""
+
+    def __init__(self, out_hw=(8, 8), in_hw=None):
+        self.oh, self.ow = out_hw
+        self._grid_for = None
+        self._rows = self._cols = None
+        if in_hw is not None:
+            self._build(*in_hw)
+
+    def _build(self, h, w):
+        # pixel-center nearest neighbor: src = floor((i + 0.5) * in/out)
+        self._rows = np.minimum(
+            ((np.arange(self.oh) + 0.5) * h / self.oh).astype(np.int64),
+            h - 1)
+        self._cols = np.minimum(
+            ((np.arange(self.ow) + 0.5) * w / self.ow).astype(np.int64),
+            w - 1)
+        self._grid_for = (h, w)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = batch["height"][0].as_py()
+        w = batch["width"][0].as_py()
+        if self._grid_for != (h, w):
+            self._build(h, w)
+        pix = np.stack([np.asarray(p, dtype=np.uint8).reshape(h, w, 3)
+                        for p in batch["pixels"].to_pylist()])
+        out = pix[:, self._rows][:, :, self._cols]  # (N, oh, ow, 3)
+        flat = out.reshape(len(pix), -1).tolist()
+        n = len(flat)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "pixels": pa.array(flat, type=pa.list_(pa.uint8())),
+            "height": pa.array([self.oh] * n, pa.int32()),
+            "width": pa.array([self.ow] * n, pa.int32()),
+        })
+
+
 class FrameSampler:
     """Video frame sampling stub: treats the payload as a concatenation of
     fixed-size fake frames and emits every ``stride``-th frame id — real
@@ -155,6 +197,14 @@ def image_features(decoded_ds, concurrency=2, batch_size=64):
     return decoded_ds.map_batches(ImageFeatures, batch_format="pyarrow",
                                   concurrency=(1, concurrency),
                                   batch_size=batch_size)
+
+
+def resize_images(decoded_ds, out_hw=(8, 8), concurrency=2,
+                  batch_size=64):
+    return decoded_ds.map_batches(
+        ImageResizer, fn_constructor_kwargs=dict(out_hw=out_hw),
+        batch_format="pyarrow", concurrency=(1, concurrency),
+        batch_size=batch_size)
 
 
 def sample_frames(media_ds, concurrency=2, batch_size=16, stride=2):

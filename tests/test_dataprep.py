@@ -278,6 +278,36 @@ def test_multimodal_decode_features_frames():
     assert set(frames[frames.media_id == 0].frame_idx) == {0, 2}
 
 
+def test_multimodal_resize():
+    """Nearest-neighbor resize: vectorized gather matches the per-image
+    numpy oracle; upsample and downsample; schema carries through."""
+    from python_graphblas_ray.pipelines.multimodal import (ImageResizer,
+                                                           resize_images)
+
+    rng = np.random.default_rng(7)
+    payloads = [rng.bytes(200) for _ in range(6)]
+    t = media_table(np.arange(6), payloads)
+    dec = decode_images(ray.data.from_arrow(t), batch_size=3)  # 4x4
+    for oh, ow in ((2, 2), (8, 6)):
+        out = _table(resize_images(dec, out_hw=(oh, ow))).to_pandas()
+        out = out.sort_values("media_id").reset_index(drop=True)
+        src = _table(dec).to_pandas().sort_values("media_id") \
+                                     .reset_index(drop=True)
+        assert (out.height == oh).all() and (out.width == ow).all()
+        rows = np.minimum(((np.arange(oh) + 0.5) * 4 / oh).astype(int), 3)
+        cols = np.minimum(((np.arange(ow) + 0.5) * 4 / ow).astype(int), 3)
+        for i in range(6):
+            pix = np.asarray(list(src.pixels[i]),
+                             dtype=np.uint8).reshape(4, 4, 3)
+            want = pix[rows][:, cols].ravel().tolist()
+            assert list(out.pixels[i]) == want, (oh, ow, i)
+    # grid rebuild on input-size change within one actor instance
+    r = ImageResizer(out_hw=(2, 2))
+    b1 = _table(dec).slice(0, 3)
+    out1 = r(b1)
+    assert out1["height"][0].as_py() == 2
+
+
 def test_decode_strict_raises_without_pil():
     from python_graphblas_ray.pipelines.multimodal import (
         STRICT, ImageDecoder, _HAVE_PIL)
