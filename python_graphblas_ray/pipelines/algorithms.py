@@ -157,16 +157,32 @@ def pagerank_numpy(src, dst, n, damping=0.85, itermax=100, tol=1e-4,
 
 
 def connected_components(engine: SuperstepEngine,
-                         metrics: SuperstepMetrics | None = None):
+                         metrics: SuperstepMetrics | None = None,
+                         checkpoint: CheckpointManager | None = None,
+                         checkpoint_every=5):
     """FastSV exact min-label components (engine must be built with
     ``undirected=True``). Returns ``(f, supersteps, metrics)`` where
-    ``f[i]`` = smallest vertex id in i's component."""
+    ``f[i]`` = smallest vertex id in i's component.
+
+    ``checkpoint``: per-partition Parquet snapshots of the (f, gp)
+    state every ``checkpoint_every`` supersteps; a restarted run
+    resumes from the latest snapshot (same protocol as
+    :func:`pagerank`)."""
     n = engine.n
     metrics = metrics or SuperstepMetrics()
     f = np.arange(n, dtype=np.int64)
     gp = f.copy()
     gp_dup = gp.copy()
     it = 0
+    if checkpoint is not None:
+        latest = checkpoint.latest()
+        if latest is not None:
+            ck_it, _ = latest
+            vecs, _ = checkpoint.load(ck_it)
+            f = vecs["f"].astype(np.int64)
+            gp = vecs["gp"].astype(np.int64)
+            gp_dup = vecs["gp_dup"].astype(np.int64)
+            it = ck_it + 1
     while True:
         # Step 1: hooking — mngp = min_second(A @ gp)
         mngp = engine.spmv("min_second", gp.astype(np.float64))
@@ -181,6 +197,12 @@ def connected_components(engine: SuperstepEngine,
         metrics.record(it, algorithm="fastsv", changed=changed,
                        components=int(len(np.unique(gp))))
         gp_dup = gp.copy()
+        if checkpoint is not None and (it + 1) % checkpoint_every == 0:
+            checkpoint.save(
+                it, {"f": f, "gp": gp, "gp_dup": gp_dup},
+                metrics={"changed": changed},
+                lineage=[{"superstep": it,
+                          "partitions": engine.partition_stats}])
         it += 1
         if not changed:
             break
@@ -299,22 +321,41 @@ def sssp(engine: SuperstepEngine, source: int,
 
 
 def label_propagation(engine: SuperstepEngine, itermax=100,
-                      metrics: SuperstepMetrics | None = None):
+                      metrics: SuperstepMetrics | None = None,
+                      checkpoint: CheckpointManager | None = None,
+                      checkpoint_every=5):
     """Synchronous LPA, deterministic: each vertex takes the most frequent
     neighbor label, ties → smallest label; keeps its own when it has no
     neighbors. Stops when labels stop changing. Engine must be undirected.
-    Returns ``(labels, iters, metrics)``."""
+    Returns ``(labels, iters, metrics)``.
+
+    ``checkpoint``: label-vector snapshots + resume, same protocol as
+    :func:`pagerank` / :func:`connected_components`."""
     n = engine.n
     metrics = metrics or SuperstepMetrics()
     labels = np.arange(n, dtype=np.int64)
-    it = 0
-    for it in range(itermax):
+    start = 0
+    if checkpoint is not None:
+        latest = checkpoint.latest()
+        if latest is not None:
+            ck_it, _ = latest
+            vecs, _ = checkpoint.load(ck_it)
+            labels = vecs["labels"].astype(np.int64)
+            start = ck_it + 1
+    it = start
+    for it in range(start, itermax):
         mode = engine.mode(labels)
         new = np.where(mode >= 0, mode, labels)
         changed = bool(np.any(new != labels))
         metrics.record(it, algorithm="lpa",
                        distinct=int(len(np.unique(new))))
         labels = new
+        if checkpoint is not None and (it + 1) % checkpoint_every == 0:
+            checkpoint.save(
+                it, {"labels": labels},
+                metrics={"changed": changed},
+                lineage=[{"superstep": it,
+                          "partitions": engine.partition_stats}])
         if not changed:
             break
     return labels, it + 1, metrics

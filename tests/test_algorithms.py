@@ -192,6 +192,35 @@ def test_pagerank_checkpoint_resume(engine, graph, tmp_path):
     assert iters2 >= latest[0]
 
 
+def test_cc_and_lpa_checkpoint_resume(undirected_engine, graph, tmp_path):
+    """CC and LPA follow pagerank's checkpoint protocol: snapshot every
+    N supersteps, resume from latest, identical final state."""
+    from python_graphblas_ray.pipelines.algorithms import label_propagation
+
+    src, dst, w, ds = graph
+    ck = CheckpointManager(str(tmp_path), "cc_run", num_partitions=3)
+    f_full, iters, _ = connected_components(undirected_engine,
+                                            checkpoint=ck,
+                                            checkpoint_every=1)
+    latest = ck.latest()
+    assert latest is not None and latest[0] < iters
+    f_resumed, iters2, _ = connected_components(undirected_engine,
+                                                checkpoint=ck,
+                                                checkpoint_every=1)
+    np.testing.assert_array_equal(f_full, f_resumed)
+    assert iters2 >= latest[0]
+
+    ck2 = CheckpointManager(str(tmp_path), "lpa_run", num_partitions=3)
+    l_full, li, _ = label_propagation(undirected_engine, checkpoint=ck2,
+                                      checkpoint_every=1)
+    latest2 = ck2.latest()
+    assert latest2 is not None
+    l_resumed, li2, _ = label_propagation(undirected_engine,
+                                          checkpoint=ck2,
+                                          checkpoint_every=1)
+    np.testing.assert_array_equal(l_full, l_resumed)
+
+
 def test_connected_components_exact(undirected_engine, graph):
     src, dst, w, ds = graph
     f, supersteps, _ = connected_components(undirected_engine)
