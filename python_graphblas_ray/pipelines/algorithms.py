@@ -457,3 +457,85 @@ def hits_numpy(src, dst, n, itermax=100, tol=1e-8):
         if delta <= tol:
             break
     return h, a, it + 1
+
+
+def eigenvector_centrality(engine: SuperstepEngine, itermax=100,
+                           tol=1e-8, weighted=False,
+                           metrics: SuperstepMetrics | None = None):
+    """Eigenvector centrality over IN-edges (power iteration on
+    ``A.T``): ``x = normalize_2(A.T @ x)``, stop when
+    ``max|x - x_prev| <= tol``. One spmv superstep + O(n) driver math
+    per iteration — pagerank's distribution shape exactly.
+    Returns ``(x, iters, metrics)``."""
+    metrics = metrics or SuperstepMetrics()
+    n = engine.n
+    sr = "plus_times" if weighted else "plus_second"
+    x = np.full(n, 1.0 / np.sqrt(n))
+    it = 0
+    for it in range(itermax):
+        nxt = engine.spmv(sr, x)
+        norm = np.linalg.norm(nxt)
+        if norm > 0:
+            nxt /= norm
+        delta = float(np.abs(nxt - x).max())
+        x = nxt
+        metrics.record(it, algorithm="eigenvector", delta=delta,
+                       edges=engine.num_edges)
+        if delta <= tol:
+            break
+    return x, it + 1, metrics
+
+
+def eigenvector_centrality_numpy(src, dst, n, itermax=100, tol=1e-8,
+                                 w=None):
+    """Oracle replicating ``eigenvector_centrality`` exactly."""
+    x = np.full(n, 1.0 / np.sqrt(n))
+    it = 0
+    for it in range(itermax):
+        vals = x[src] if w is None else w * x[src]
+        nxt = np.bincount(dst, weights=vals, minlength=n)
+        norm = np.linalg.norm(nxt)
+        if norm > 0:
+            nxt /= norm
+        delta = float(np.abs(nxt - x).max())
+        x = nxt
+        if delta <= tol:
+            break
+    return x, it + 1
+
+
+def katz_centrality(engine: SuperstepEngine, alpha=0.1, beta=1.0,
+                    itermax=100, tol=1e-8, weighted=False,
+                    metrics: SuperstepMetrics | None = None):
+    """Katz centrality over IN-edges: ``x = alpha * (A.T @ x) + beta``
+    to fixpoint (``max|x - x_prev| <= tol``); converges for
+    ``alpha < 1/λ_max``. Returns ``(x, iters, metrics)``."""
+    metrics = metrics or SuperstepMetrics()
+    n = engine.n
+    sr = "plus_times" if weighted else "plus_second"
+    x = np.zeros(n)
+    it = 0
+    for it in range(itermax):
+        nxt = alpha * engine.spmv(sr, x) + beta
+        delta = float(np.abs(nxt - x).max())
+        x = nxt
+        metrics.record(it, algorithm="katz", delta=delta,
+                       edges=engine.num_edges)
+        if delta <= tol:
+            break
+    return x, it + 1, metrics
+
+
+def katz_centrality_numpy(src, dst, n, alpha=0.1, beta=1.0,
+                          itermax=100, tol=1e-8, w=None):
+    """Oracle replicating ``katz_centrality`` exactly."""
+    x = np.zeros(n)
+    it = 0
+    for it in range(itermax):
+        vals = x[src] if w is None else w * x[src]
+        nxt = alpha * np.bincount(dst, weights=vals, minlength=n) + beta
+        delta = float(np.abs(nxt - x).max())
+        x = nxt
+        if delta <= tol:
+            break
+    return x, it + 1

@@ -64,6 +64,29 @@ def test_hits_matches_numpy_oracle():
     eng.shutdown()
 
 
+def test_eigenvector_and_katz_match_numpy_oracle():
+    from python_graphblas_ray.pipelines.algorithms import (
+        eigenvector_centrality, eigenvector_centrality_numpy,
+        katz_centrality, katz_centrality_numpy)
+
+    src, dst = _random_edges()
+    eng = build_engine(_edges_ds(src, dst), 200, num_partitions=4)
+    x, it, _ = eigenvector_centrality(eng, itermax=80, tol=1e-10)
+    x0, it0 = eigenvector_centrality_numpy(src, dst, 200, itermax=80,
+                                           tol=1e-10)
+    assert it == it0
+    assert np.allclose(x, x0, atol=1e-9)
+    k, kit, _ = katz_centrality(eng, alpha=0.05, itermax=80, tol=1e-10)
+    k0, kit0 = katz_centrality_numpy(src, dst, 200, alpha=0.05,
+                                     itermax=80, tol=1e-10)
+    assert kit == kit0
+    assert np.allclose(k, k0, atol=1e-9)
+    # katz with beta only, zero adjacency influence at alpha=0
+    z, _, _ = katz_centrality(eng, alpha=0.0, beta=2.5, itermax=5)
+    assert np.allclose(z, 2.5)
+    eng.shutdown()
+
+
 def test_random_walks_follow_real_edges_deterministically():
     src, dst = _random_edges()
     eng = build_engine(_edges_ds(src, dst), 200, num_partitions=4)
