@@ -110,6 +110,15 @@ def _q_mxm_plus_times(sf_dir):
     return A.mxm(A, semiring.plus_times).ds
 
 
+def _q_power2_minplus(sf_dir):
+    """A.power(2, min_plus) — cheapest 2-hop path costs (reference
+    ``matrix.py:2840`` repeated-squaring recipe)."""
+    from python_graphblas_ray.functions.monoids import semiring
+
+    A = _edge_matrix(sf_dir)
+    return A.power(2, semiring.min_plus).ds
+
+
 def _q_ewise_add(sf_dir):
     A = _edge_matrix(sf_dir)
     return A.ewise_add(A.T, "plus").ds
@@ -166,8 +175,10 @@ def _q_assign_scalar(sf_dir):
 
 
 def _q_kronecker(sf_dir):
-    A = _edge_matrix(sf_dir).extract(slice(0, 6), slice(0, 6))
-    B = _edge_matrix(sf_dir).extract(slice(0, 4), slice(0, 4))
+    # 16x16 / 8x8 windows are non-empty at every test sf (a 4x4 window is
+    # empty at sf0.001, which made the result an all-empty schemaless frame)
+    A = _edge_matrix(sf_dir).extract(slice(0, 16), slice(0, 16))
+    B = _edge_matrix(sf_dir).extract(slice(0, 8), slice(0, 8))
     return A.kronecker(B, "times").ds
 
 
@@ -791,6 +802,62 @@ def _q_lineitem_agg(sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# suite merging: the driver records correctness rows for the FIRST 50
+# queries() entries only (CORRECTNESS_r01.json held exactly 50 of 57).
+# To get every SQL-oracle-backed operator a driver row, same-schema
+# operator families are merged into one UNION-tagged query each (tag
+# column ``q``), freeing window slots for the tail oracle queries. The
+# individual members stay in queries()/oracle_sql() past the window so
+# they remain runnable / pytest-checkable one by one.
+# ---------------------------------------------------------------------------
+
+def _as_table(res) -> pa.Table:
+    if isinstance(res, pa.Table):
+        return res
+    if hasattr(res, "iter_batches"):  # ray.data.Dataset
+        batches = list(res.iter_batches(batch_format="pyarrow"))
+        if not batches:
+            return None
+        return pa.concat_tables(batches, promote_options="permissive")
+    return pa.Table.from_pandas(res, preserve_index=False)
+
+
+def _suite(members):
+    """Callable running each (tag, fn) member and concatenating the
+    results under a leading ``q`` tag column (identical member schemas
+    by construction — verified by the per-member oracle rows)."""
+    def run(sf_dir):
+        parts = []
+        for tag, fn in members:
+            t = _as_table(fn(sf_dir))
+            if t is None:
+                continue  # empty member: oracle side yields 0 rows too
+            parts.append(t.add_column(0, "q", pa.array([tag] * len(t))))
+        return pa.concat_tables(parts, promote_options="permissive")
+    return run
+
+
+def _suite_sql(members):
+    return " UNION ALL ".join(
+        f"SELECT '{tag}' AS q, * FROM ({sql}) AS t{i}"
+        for i, (tag, sql) in enumerate(members))
+
+
+# suite name -> member query names (each member keeps its own entry too)
+SUITES = {
+    "degree_suite": ["degree_out", "degree_in", "degree_mean"],
+    "reduce_scalar_suite": ["reduce_scalar_plus", "reduce_scalar_max"],
+    "spmv_suite": ["mxv_plus_times", "vxm_min_plus", "mxv_masked"],
+    "vec_ops_suite": ["vec_ewise_add", "vec_extract"],
+    "ewise_suite": ["ewise_add_plus", "ewise_mult_times",
+                    "ewise_union_minus"],
+    "select_suite": ["select_tril", "select_valuegt"],
+    "assign_suite": ["assign_scalar", "assign_masked"],
+    "perrow_suite": ["row_scan_plus", "row_selectk_first2", "row_sort"],
+}
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -816,48 +883,68 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """Ordered so every SQL-oracle-backed query (the first 50 — see
-    ``oracle_sql``) sits inside the driver's 50-entry window; the
-    rows-only queries (iterative fixpoints, hash signatures, synthetic
-    pages) follow at the tail."""
-    return {
-        # construction / exports
-        "edges_build": _q_edges_build,
-        # reductions
+    """Ordered so every SQL-oracle-backed operator gets a row inside the
+    driver's 50-entry correctness window: same-schema operator families
+    run as UNION-tagged suites (see ``SUITES``), the remaining oracle
+    queries fill the window, and rows-only queries plus the individual
+    suite members follow at the tail (still runnable one by one)."""
+    members = {
         "degree_out": _q_degree_out,
         "degree_in": _q_degree_in,
+        "degree_mean": _q_degree_mean,
         "reduce_scalar_plus": _q_reduce_scalar_plus,
         "reduce_scalar_max": _q_reduce_scalar_max,
-        "degree_mean": _q_degree_mean,
-        "degree_count": _q_degree_count,
-        # vector ops
+        "mxv_plus_times": _q_mxv_plus_times,
+        "vxm_min_plus": _q_vxm_min_plus,
         "mxv_masked": _q_mxv_masked,
         "vec_ewise_add": _q_vec_ewise_add,
         "vec_extract": _q_vec_extract,
-        # semiring matmuls
-        "mxv_plus_times": _q_mxv_plus_times,
-        "vxm_min_plus": _q_vxm_min_plus,
-        "mxm_plus_times": _q_mxm_plus_times,
-        "mxm_min_secondi": _q_mxm_min_secondi,
-        "kronecker": _q_kronecker,
-        # elementwise
         "ewise_add_plus": _q_ewise_add,
         "ewise_mult_times": _q_ewise_mult,
         "ewise_union_minus": _q_ewise_union,
-        # select / apply / views
         "select_tril": _q_select_tril,
         "select_valuegt": _q_select_valuegt,
+        "assign_scalar": _q_assign_scalar,
+        "assign_masked": _q_assign_masked,
+        "row_scan_plus": _q_row_scan,
+        "row_selectk_first2": _q_row_selectk,
+        "row_sort": _q_row_sort,
+    }
+    window = {
+        # construction / exports
+        "edges_build": _q_edges_build,
+        # reductions (suites: rowwise/colwise/mean + full-matrix scalar)
+        "degree_suite": _suite([(n, members[n])
+                                for n in SUITES["degree_suite"]]),
+        "degree_count": _q_degree_count,
+        "reduce_scalar_suite": _suite([(n, members[n])
+                                       for n in SUITES["reduce_scalar_suite"]]),
+        # semiring matvec / vector ops
+        "spmv_suite": _suite([(n, members[n])
+                              for n in SUITES["spmv_suite"]]),
+        "vec_ops_suite": _suite([(n, members[n])
+                                 for n in SUITES["vec_ops_suite"]]),
+        # semiring matmuls
+        "mxm_plus_times": _q_mxm_plus_times,
+        "mxm_min_secondi": _q_mxm_min_secondi,
+        "kronecker": _q_kronecker,
+        "power2_minplus": _q_power2_minplus,
+        # elementwise / select
+        "ewise_suite": _suite([(n, members[n])
+                               for n in SUITES["ewise_suite"]]),
+        "select_suite": _suite([(n, members[n])
+                                for n in SUITES["select_suite"]]),
+        # apply / views
         "apply_ainv": _q_apply_ainv,
         "apply_rowindex": _q_apply_rowindex,
         "transpose": _q_transpose,
         "diag": _q_diag,
         "extract_submatrix": _q_extract_submatrix,
-        "assign_scalar": _q_assign_scalar,
-        "assign_masked": _q_assign_masked,
+        "assign_suite": _suite([(n, members[n])
+                                for n in SUITES["assign_suite"]]),
         # per-row .ss extras
-        "row_scan_plus": _q_row_scan,
-        "row_selectk_first2": _q_row_selectk,
-        "row_sort": _q_row_sort,
+        "perrow_suite": _suite([(n, members[n])
+                                for n in SUITES["perrow_suite"]]),
         # algorithms (SQL-checkable)
         "triangle_count": _q_triangle_count,
         "k_core": _q_k_core,
@@ -866,6 +953,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_iter5": _q_pagerank_iter5,
         "connected_components": _q_connected_components,
         "sssp": _q_sssp,
+        "lpa_iter2": _q_lpa_iter2,
+        "edge_support": _q_edge_support,
+        "link_scores": _q_link_scores,
+        "link_jaccard": _q_link_jaccard,
         # training-data prep (SQL-checkable)
         "dedup_exact": _q_dedup_exact,
         "word_jaccard_pairs": _q_word_jaccard,
@@ -875,11 +966,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": _q_doc_stats,
         "lang_count": _q_lang_count,
         "quality_filter": _q_quality_filter,
+        "docs_split": _q_docs_split,
+        "docs_quota": _q_docs_quota,
+        "docs_bm25": _q_docs_bm25,
+        "docs_repetition": _q_docs_repetition,
+        "docs_decontaminate": _q_docs_decontaminate,
+        "docs_pii": _q_docs_pii,
+        "docs_dup_spans": _q_docs_dup_spans,
         "events_window": _q_events_window,
         "events_hopping_window": _q_events_hopping,
         "events_asof_join": _q_events_asof,
         "events_sessionize": _q_events_sessionize,
         "lineitem_agg": _q_lineitem_agg,
+    }
+    assert len(window) == 50, len(window)
+    tail = {
         # ---- rows-only tail (no SQL equivalent) ----
         "k_truss": _q_k_truss,
         "pagerank": _q_pagerank,
@@ -894,28 +995,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hll_distinct": _q_events_hll,
         "ann_ivf": _q_ann_ivf,
         "hits": _q_hits,
-        "link_jaccard": _q_link_jaccard,
         "random_walks": _q_random_walks,
-        # sampling / retrieval (SQL oracles present; beyond the 50-window)
-        "docs_split": _q_docs_split,
-        "docs_quota": _q_docs_quota,
-        "docs_bm25": _q_docs_bm25,
         "embed_kmeans": _q_embed_kmeans,
-        "docs_repetition": _q_docs_repetition,
-        "docs_decontaminate": _q_docs_decontaminate,
-        "docs_pii": _q_docs_pii,
-        "docs_dup_spans": _q_docs_dup_spans,
         "louvain": _q_louvain,
         "docs_neardup_clusters": _q_docs_neardup_clusters,
-        "lpa_iter2": _q_lpa_iter2,
-        "edge_support": _q_edge_support,
-        "link_scores": _q_link_scores,
     }
+    return {**window, **tail, **members}
 
 
 def oracle_sql() -> dict[str, str]:
     E = _E_CTE
-    return {
+    base = {
         "edges_build": f"{E} SELECT src, dst, val FROM E",
         "degree_out": (f"{E} SELECT src AS vid, sum(val) AS val "
                        "FROM E GROUP BY 1"),
@@ -960,9 +1050,9 @@ def oracle_sql() -> dict[str, str]:
             "sum(a.val * b.val) AS val "
             "FROM E a JOIN E b ON a.dst = b.src GROUP BY 1, 2"),
         "kronecker": (
-            f"{E}, A AS (SELECT * FROM E WHERE src < 6 AND dst < 6), "
-            "B AS (SELECT * FROM E WHERE src < 4 AND dst < 4) "
-            "SELECT a.src * 4 + b.src AS src, a.dst * 4 + b.dst AS dst, "
+            f"{E}, A AS (SELECT * FROM E WHERE src < 16 AND dst < 16), "
+            "B AS (SELECT * FROM E WHERE src < 8 AND dst < 8) "
+            "SELECT a.src * 8 + b.src AS src, a.dst * 8 + b.dst AS dst, "
             "a.val * b.val AS val FROM A a CROSS JOIN B b"),
         "ewise_add_plus": (
             f"{E} SELECT COALESCE(a.src, b.src) AS src, "
@@ -1135,8 +1225,10 @@ def oracle_sql() -> dict[str, str]:
             "JOIN peel q ON q.vid = e.dst AND q.it = p.it "
             "WHERE p.it < 40 "
             "GROUP BY p.it, p.vid HAVING count(*) >= 162), "
-            "core AS (SELECT vid FROM peel "
-            "WHERE it = (SELECT max(it) FROM peel)) "
+            # it = 40 (not max(it)): when the core empties, the recursion
+            # terminates early and max(it) would pick the last NON-empty
+            # pre-convergence level; the fixed point always survives to 40.
+            "core AS (SELECT vid FROM peel WHERE it = 40) "
             "SELECT s.src, s.dst, CAST(1.0 AS DOUBLE) AS val FROM S s "
             "WHERE s.src IN (SELECT vid FROM core) "
             "AND s.dst IN (SELECT vid FROM core)"),
@@ -1375,3 +1467,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM sym e JOIN sym a ON a.s = e.s "
             "JOIN sym b ON b.s = e.d AND b.d = a.d "
             "GROUP BY 1, 2")}
+    base["power2_minplus"] = (
+        f"{E} SELECT a.src, b.dst, min(a.val + b.val) AS val "
+        "FROM E a JOIN E b ON a.dst = b.src GROUP BY 1, 2")
+    for suite, names in SUITES.items():
+        base[suite] = _suite_sql([(n, base[n]) for n in names])
+    return base
