@@ -357,6 +357,19 @@ def _q_connected_components(sf_dir):
     return pa.table({"vid": np.arange(N_VERT, dtype=np.int64), "comp": f})
 
 
+def _q_scc(sf_dir):
+    """Strongly connected components (FW-BW min-label peeling over the
+    directed engine + its actor-derived transpose); oracle = recursive
+    transitive closure → mutual-reachability min."""
+    from python_graphblas_ray.pipelines.algorithms import build_engine, scc
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
+    comp, _, _ = scc(eng)
+    eng.shutdown()
+    return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
+                     "comp": comp})
+
+
 def _q_sssp(sf_dir):
     """Weighted Bellman-Ford over the dedup'd matrix (weight = edge
     multiplicity) so the hop-bounded recursive-CTE oracle sees the same
@@ -854,6 +867,7 @@ SUITES = {
     "select_suite": ["select_tril", "select_valuegt"],
     "assign_suite": ["assign_scalar", "assign_masked"],
     "perrow_suite": ["row_scan_plus", "row_selectk_first2", "row_sort"],
+    "components_suite": ["connected_components", "scc"],
 }
 
 
@@ -909,6 +923,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "row_scan_plus": _q_row_scan,
         "row_selectk_first2": _q_row_selectk,
         "row_sort": _q_row_sort,
+        "connected_components": _q_connected_components,
+        "scc": _q_scc,
     }
     window = {
         # construction / exports
@@ -951,7 +967,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_levels": _q_bfs_levels,
         "bfs_parents": _q_bfs_parents,
         "pagerank_iter5": _q_pagerank_iter5,
-        "connected_components": _q_connected_components,
+        "components_suite": _suite([(n, members[n])
+                                    for n in SUITES["components_suite"]]),
         "sssp": _q_sssp,
         "lpa_iter2": _q_lpa_iter2,
         "edge_support": _q_edge_support,
@@ -1162,6 +1179,19 @@ def oracle_sql() -> dict[str, str]:
             "ON e.src = r.vid) "
             "SELECT vid, CAST(min(root) AS BIGINT) AS comp FROM reach "
             "GROUP BY vid"),
+        "scc": (
+            # transitive closure on the DIRECTED edges, then comp[v] =
+            # min over {v} ∪ {u mutually reachable with v}
+            "WITH RECURSIVE E AS (SELECT l_orderkey % 512 AS src, "
+            "l_partkey % 512 AS dst FROM lineitem GROUP BY 1, 2), "
+            "V AS (SELECT range::BIGINT AS vid FROM range(512)), "
+            "reach(s, d) AS (SELECT src, dst FROM E UNION "
+            "SELECT r.s, e.dst FROM reach r JOIN E e ON e.src = r.d), "
+            "mutual AS (SELECT a.s AS u, a.d AS v FROM reach a "
+            "JOIN reach b ON b.s = a.d AND b.d = a.s) "
+            "SELECT v.vid, CAST(least(v.vid, COALESCE(min(m.u), v.vid)) "
+            "AS BIGINT) AS comp FROM V v "
+            "LEFT JOIN mutual m ON m.v = v.vid GROUP BY v.vid"),
         "events_window": (
             "SELECT event_type, date_trunc('day', ts) AS window, "
             "CAST(count(*) AS BIGINT) AS n, min(value) AS vmin, "

@@ -539,3 +539,107 @@ def katz_centrality_numpy(src, dst, n, alpha=0.1, beta=1.0,
         if delta <= tol:
             break
     return x, it + 1
+
+
+def _min_reach(engine: SuperstepEngine, active, metrics, tag):
+    """min-label fixpoint restricted to the active subgraph: ``lab[v]`` =
+    smallest ACTIVE vertex id with an all-active directed path to ``v``
+    (including ``v`` itself). Inactive vertices hold +inf so nothing
+    propagates into or through them — one ``min_second`` spmv superstep
+    per iteration, O(n) driver mask, fixpoint in ≤ active-diameter
+    iterations (labels are monotone non-increasing)."""
+    n = engine.n
+    lab = np.where(active, np.arange(n, dtype=np.float64), np.inf)
+    it = 0
+    while True:
+        y = engine.spmv("min_second", lab)
+        y = np.minimum(lab, y)
+        y[~active] = np.inf
+        it += 1
+        if np.array_equal(y, lab):
+            break
+        lab = y
+    metrics.record(it, algorithm=f"scc_{tag}", edges=engine.num_edges)
+    return lab
+
+
+def scc(engine: SuperstepEngine, engine_t: SuperstepEngine | None = None,
+        metrics: SuperstepMetrics | None = None):
+    """Strongly connected components by forward/backward min-label
+    peeling (the coloring / FW-BW family — Orzan 2004, Slota et al.
+    2014 — expressed as GraphBLAS-style min_second iterations; the
+    reference covers components only for the undirected case, so this
+    extends the §2.7 algorithm set).
+
+    Each outer round, over the still-active subgraph:
+
+    - ``F[v]`` = min active id that reaches ``v`` (forward min-label
+      fixpoint on this engine, which aggregates src→dst);
+    - ``B[v]`` = min active id that ``v`` reaches (same fixpoint on the
+      transposed engine);
+    - every vertex with ``F == B`` is assigned component id ``F[v]``
+      and retired. ``F[v] == B[v] == r`` means ``r`` and ``v`` are
+      mutually reachable, and since anything reaching ``v`` also
+      reaches its whole SCC (and vice versa), the entire SCC shares
+      (F, B) and is retired atomically with id = its smallest member.
+
+    At least the SCC of the smallest active id retires every round
+    (its F and B are both itself), so rounds ≤ #SCCs — worst case a
+    directed path; 2-3 rounds on web-shaped graphs where the giant
+    SCC plus tendril peel dominates. Per round: two min-label
+    fixpoints of spmv supersteps + O(n) driver masks (house style:
+    edges stay pinned in the actors, the driver touches only n-vectors).
+
+    ``engine_t`` (the ``A @ x`` direction) is derived actor-side via
+    ``engine.transposed()`` when not supplied — reversed-edge exchange
+    reusing the directed partitioning, no second build.
+
+    Returns ``(comp, rounds, metrics)`` with ``comp[v]`` = smallest
+    vertex id in v's SCC (singletons map to themselves, matching the
+    transitive-closure oracle)."""
+    metrics = metrics or SuperstepMetrics()
+    own_t = engine_t is None
+    if own_t:
+        engine_t = engine.transposed()
+    n = engine.n
+    comp = np.arange(n, dtype=np.int64)  # isolated/singleton default
+    active = np.ones(n, dtype=bool)
+    rounds = 0
+    try:
+        while active.any():
+            F = _min_reach(engine, active, metrics, "fwd")
+            B = _min_reach(engine_t, active, metrics, "bwd")
+            assign = active & (F == B)
+            comp[assign] = F[assign].astype(np.int64)
+            active &= ~assign
+            rounds += 1
+    finally:
+        if own_t:
+            engine_t.shutdown()
+    return comp, rounds, metrics
+
+
+def scc_numpy(src, dst, n):
+    """Single-process oracle replicating ``scc`` exactly (same peeling
+    rounds and min-label fixpoints)."""
+    comp = np.arange(n, dtype=np.int64)
+    active = np.ones(n, dtype=bool)
+
+    def min_reach(s, d):
+        lab = np.where(active, np.arange(n, dtype=np.float64), np.inf)
+        while True:
+            y = np.full(n, np.inf)
+            np.minimum.at(y, d, lab[s])
+            y = np.minimum(lab, y)
+            y[~active] = np.inf
+            if np.array_equal(y, lab):
+                return lab
+            lab = y
+
+    while active.any():
+        F = min_reach(src, dst)
+        B = min_reach(dst, src)
+        assign = active & (F == B)
+        comp[assign] = F[assign].astype(np.int64)
+        active &= ~assign
+    return comp

@@ -399,3 +399,56 @@ def test_symmetrized_engine_weighted(graph):
         sym.shutdown()
         eng.shutdown()
         ref.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# SCC (forward/backward min-label peeling)
+# ---------------------------------------------------------------------------
+
+def _scc_brute(src, dst, n):
+    """Transitive-closure oracle: comp[v] = min{u : u↔v mutually
+    reachable} (boolean matrix powers — fine at test sizes)."""
+    R = np.eye(n, dtype=bool)
+    R[src, dst] = True
+    while True:
+        R2 = R | (R @ R)
+        if np.array_equal(R2, R):
+            break
+        R = R2
+    mutual = R & R.T
+    return np.array([np.flatnonzero(row).min() for row in mutual],
+                    dtype=np.int64)
+
+
+def test_scc_numpy_matches_transitive_closure():
+    from python_graphblas_ray.pipelines.algorithms import scc_numpy
+
+    rng = np.random.default_rng(11)
+    for trial in range(5):
+        n = int(rng.integers(8, 40))
+        m = int(rng.integers(n, 4 * n))
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        got = scc_numpy(src, dst, n)
+        want = _scc_brute(src, dst, n)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_scc_cycle_plus_tail():
+    """3-cycle + tail + isolated vertex: cycle collapses, rest singleton."""
+    from python_graphblas_ray.pipelines.algorithms import scc_numpy
+
+    src = np.array([0, 1, 2, 2, 3])
+    dst = np.array([1, 2, 0, 3, 4])
+    comp = scc_numpy(src, dst, 6)
+    np.testing.assert_array_equal(comp, [0, 0, 0, 3, 4, 5])
+
+
+def test_scc_engine_matches_numpy(graph, engine):
+    from python_graphblas_ray.pipelines.algorithms import scc, scc_numpy
+
+    src, dst, w, ds = graph
+    comp, rounds, metrics = scc(engine)
+    np.testing.assert_array_equal(comp, scc_numpy(src, dst, N))
+    assert rounds >= 1
+    assert any(r["algorithm"] == "scc_fwd" for r in metrics.records)
