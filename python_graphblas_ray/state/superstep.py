@@ -584,11 +584,16 @@ class SuperstepEngine:
         P = self.num_partitions = int(num_partitions)
         self.hub_split_factor = hub_split_factor
         self.weighted = bool(weighted)
+        import time as _time
+        _phases = self.build_phases = {}
+        _t = _time.perf_counter()
 
         # 1. Edge-balanced range boundaries from a dst sample (power-law
         #    skew: quantiles put equal EDGE counts, not equal vertex counts,
         #    in each partition).
         boundaries = self._quantile_boundaries(edges_ds, P, sample_size)
+        _phases["quantiles"] = _time.perf_counter() - _t
+        _t = _time.perf_counter()
 
         if partition_mode == "scan":
             all_refs = edges_ds.materialize().to_arrow_refs()
@@ -677,6 +682,8 @@ class SuperstepEngine:
             else:
                 part_jobs.append((per_part_refs[p], lo, hi))
 
+        _phases["partition"] = _time.perf_counter() - _t
+        _t = _time.perf_counter()
         # 3. Pin each partition in a long-lived actor (CSC-like arrays built
         #    once in __init__, reused every superstep).
         self.actors = []
@@ -693,6 +700,7 @@ class SuperstepEngine:
         self.has_hub_split = len(set(nonempty)) < len(nonempty)
         self.partition_stats = ray.get([a.stats.remote() for a in self.actors])
         self.num_edges = sum(s["edges"] for s in self.partition_stats)
+        _phases["actors"] = _time.perf_counter() - _t
 
     def symmetrized(self, release=False):
         """Undirected (A ∪ A.T) engine derived from THIS engine's pinned
