@@ -370,6 +370,57 @@ def _q_scc(sf_dir):
                      "comp": comp})
 
 
+def _q_mis(sf_dir):
+    """Maximal independent set (deterministic Luby, knuth32 priorities)
+    over the simple undirected graph; oracle = the same round recursion
+    as a recursive CTE (priorities are plain-SQL expressible)."""
+    from python_graphblas_ray.pipelines.algorithms import (
+        build_engine, maximal_independent_set)
+    from python_graphblas_ray.pipelines.triangles import simple_undirected
+
+    A = simple_undirected(_edge_dataset(sf_dir), N_VERT)
+    eng = build_engine(A.ds, N_VERT, num_partitions=4)
+    mis, _, _ = maximal_independent_set(eng)
+    eng.shutdown()
+    return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
+                     "in_mis": mis.astype(np.int64)})
+
+
+def _q_greedy_color(sf_dir):
+    """Distance-1 coloring by iterated MIS (deterministic); rows-only —
+    validity + engine==numpy parity are pytest-checked."""
+    from python_graphblas_ray.pipelines.algorithms import (
+        build_engine, greedy_color)
+    from python_graphblas_ray.pipelines.triangles import simple_undirected
+
+    A = simple_undirected(_edge_dataset(sf_dir), N_VERT)
+    eng = build_engine(A.ds, N_VERT, num_partitions=4)
+    color, _, _ = greedy_color(eng)
+    eng.shutdown()
+    return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
+                     "color": color})
+
+
+def _q_reciprocity(sf_dir):
+    """Link-graph reciprocity (fraction of mutual non-loop edges)."""
+    from python_graphblas_ray.pipelines.linkpred import reciprocity
+
+    n_edges, n_recip, ratio = reciprocity(_edge_matrix(sf_dir))
+    return pa.table({"n_edges": [int(n_edges)],
+                     "n_recip": [int(n_recip)],
+                     "ratio": [round(ratio, 8)]})
+
+
+def _q_docs_lm_score(sf_dir):
+    """CCNet-style n-gram LM quality score: Laplace bigram LM trained on
+    the corpus itself, mean log-prob per doc (8-decimal rounded)."""
+    from python_graphblas_ray.stages.text import ngram_lm_fit, ngram_lm_score
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    model = ngram_lm_fit(docs)
+    return ngram_lm_score(docs, model)
+
+
 def _q_sssp(sf_dir):
     """Weighted Bellman-Ford over the dedup'd matrix (weight = edge
     multiplicity) so the hop-bounded recursive-CTE oracle sees the same
@@ -868,6 +919,8 @@ SUITES = {
     "assign_suite": ["assign_scalar", "assign_masked"],
     "perrow_suite": ["row_scan_plus", "row_selectk_first2", "row_sort"],
     "components_suite": ["connected_components", "scc"],
+    "matmul_suite": ["mxm_plus_times", "mxm_min_secondi",
+                     "power2_minplus", "kronecker"],
 }
 
 
@@ -925,6 +978,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "row_sort": _q_row_sort,
         "connected_components": _q_connected_components,
         "scc": _q_scc,
+        "mxm_plus_times": _q_mxm_plus_times,
+        "mxm_min_secondi": _q_mxm_min_secondi,
+        "power2_minplus": _q_power2_minplus,
+        "kronecker": _q_kronecker,
     }
     window = {
         # construction / exports
@@ -941,10 +998,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vec_ops_suite": _suite([(n, members[n])
                                  for n in SUITES["vec_ops_suite"]]),
         # semiring matmuls
-        "mxm_plus_times": _q_mxm_plus_times,
-        "mxm_min_secondi": _q_mxm_min_secondi,
-        "kronecker": _q_kronecker,
-        "power2_minplus": _q_power2_minplus,
+        "matmul_suite": _suite([(n, members[n])
+                                for n in SUITES["matmul_suite"]]),
+        "reciprocity": _q_reciprocity,
+        "mis": _q_mis,
+        "docs_lm_score": _q_docs_lm_score,
         # elementwise / select
         "ewise_suite": _suite([(n, members[n])
                                for n in SUITES["ewise_suite"]]),
@@ -1016,6 +1074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_kmeans": _q_embed_kmeans,
         "louvain": _q_louvain,
         "docs_neardup_clusters": _q_docs_neardup_clusters,
+        "greedy_color": _q_greedy_color,
     }
     return {**window, **tail, **members}
 
@@ -1192,6 +1251,70 @@ def oracle_sql() -> dict[str, str]:
             "SELECT v.vid, CAST(least(v.vid, COALESCE(min(m.u), v.vid)) "
             "AS BIGINT) AS comp FROM V v "
             "LEFT JOIN mutual m ON m.v = v.vid GROUP BY v.vid"),
+        "mis": (
+            # deterministic Luby rounds as a recursive CTE: act(it) holds
+            # the still-active set; a vertex is selected at round it when
+            # its knuth32 priority beats every active neighbor's, and
+            # drops out when it or a neighbor is selected. The final MIS
+            # is recovered post-hoc (selection depends only on act(it)).
+            "WITH RECURSIVE E AS (SELECT l_orderkey % 512 AS src, "
+            "l_partkey % 512 AS dst FROM lineitem GROUP BY 1, 2), "
+            "U AS (SELECT DISTINCT least(src, dst) AS a, "
+            "greatest(src, dst) AS b FROM E WHERE src <> dst), "
+            "S AS (SELECT a AS src, b AS dst FROM U "
+            "UNION ALL SELECT b, a FROM U), "
+            "V AS (SELECT range::BIGINT AS vid FROM range(512)), "
+            "act(it, vid) AS ("
+            "SELECT 0, vid FROM V "
+            "UNION ALL "
+            "SELECT a.it + 1, a.vid FROM act a "
+            "WHERE a.it < 64 "
+            "AND NOT ((a.vid * 2654435761) % 4294967296 < "
+            "COALESCE((SELECT min((b.vid * 2654435761) % 4294967296) "
+            "FROM S e JOIN act b ON b.vid = e.dst AND b.it = a.it "
+            "WHERE e.src = a.vid), 9223372036854775807)) "
+            "AND NOT EXISTS ("
+            "SELECT 1 FROM S e1 JOIN act u ON u.vid = e1.dst "
+            "AND u.it = a.it WHERE e1.src = a.vid "
+            "AND (u.vid * 2654435761) % 4294967296 < "
+            "COALESCE((SELECT min((w.vid * 2654435761) % 4294967296) "
+            "FROM S e2 JOIN act w ON w.vid = e2.dst AND w.it = u.it "
+            "WHERE e2.src = u.vid), 9223372036854775807))), "
+            "sel AS (SELECT DISTINCT a.vid FROM act a "
+            "WHERE (a.vid * 2654435761) % 4294967296 < "
+            "COALESCE((SELECT min((b.vid * 2654435761) % 4294967296) "
+            "FROM S e JOIN act b ON b.vid = e.dst AND b.it = a.it "
+            "WHERE e.src = a.vid), 9223372036854775807)) "
+            "SELECT v.vid, CAST(v.vid IN (SELECT vid FROM sel) "
+            "AS BIGINT) AS in_mis FROM V v"),
+        "reciprocity": (
+            f"{E}, D AS (SELECT src, dst FROM E WHERE src <> dst) "
+            "SELECT CAST((SELECT count(*) FROM D) AS BIGINT) AS n_edges, "
+            "CAST((SELECT count(*) FROM D a JOIN D b "
+            "ON b.src = a.dst AND b.dst = a.src) AS BIGINT) AS n_recip, "
+            "round((SELECT count(*) FROM D a JOIN D b "
+            "ON b.src = a.dst AND b.dst = a.src) * 1.0 / "
+            "(SELECT count(*) FROM D), 8) AS ratio"),
+        "docs_lm_score": (
+            # same whitespace tokenize as docs_repetition; Laplace bigram
+            # mean log-prob, 8-decimal rounded (matches the Ray side's
+            # hash-keyed counts up to 64-bit collisions)
+            "WITH lst AS (SELECT doc_id, list_filter("
+            "string_split_regex(text, '\\s+'), x -> x <> '') AS ws "
+            "FROM documents), "
+            "tok AS (SELECT unnest(ws) AS w FROM lst), "
+            "uni AS (SELECT w, count(*) AS c FROM tok GROUP BY 1), "
+            "vc AS (SELECT count(*) AS v FROM uni), "
+            "bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM lst, "
+            "LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) "
+            "AS i) t WHERE len(ws) >= 2), "
+            "bcnt AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2), "
+            "lp AS (SELECT b.doc_id, ln((bc.c + 1.0) / (u.c + v.v)) AS l "
+            "FROM bg b JOIN bcnt bc ON bc.w1 = b.w1 AND bc.w2 = b.w2 "
+            "JOIN uni u ON u.w = b.w1 CROSS JOIN vc v) "
+            "SELECT d.doc_id, round(COALESCE(avg(l), 0.0), 8) AS lm_score "
+            "FROM documents d LEFT JOIN lp USING (doc_id) "
+            "GROUP BY d.doc_id"),
         "events_window": (
             "SELECT event_type, date_trunc('day', ts) AS window, "
             "CAST(count(*) AS BIGINT) AS n, min(value) AS vmin, "

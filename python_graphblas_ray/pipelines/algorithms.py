@@ -643,3 +643,130 @@ def scc_numpy(src, dst, n):
         comp[assign] = F[assign].astype(np.int64)
         active &= ~assign
     return comp
+
+
+def _knuth32(v: np.ndarray) -> np.ndarray:
+    """Deterministic 32-bit multiplicative-hash priorities (injective on
+    vid < 2^32 since the multiplier is odd) — expressible in plain SQL as
+    ``(vid * 2654435761) % 4294967296`` so oracles can reproduce them."""
+    return (v.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+
+
+def maximal_independent_set(engine: SuperstepEngine,
+                            metrics: SuperstepMetrics | None = None):
+    """Maximal independent set — Luby's algorithm with STATIC injective
+    priorities (deterministic: equals the sequential greedy MIS in
+    priority order). Engine must be undirected and SIMPLE (no self-loops;
+    a self-looped vertex could neither enter nor leave the active set).
+
+    Per round, over active vertices: ``mn = min_second spmv`` of the
+    priority vector (inactive = +inf) gives each vertex its smallest
+    active-neighbor priority; vertices beating it (or isolated) join the
+    MIS, and one ``max_second`` spmv of the selected indicator excludes
+    their neighbors. Expected O(log n) rounds on random-ish priorities;
+    two spmv supersteps + O(n) driver masks per round.
+
+    Returns ``(in_mis: bool[n], rounds, metrics)``."""
+    metrics = metrics or SuperstepMetrics()
+    n = engine.n
+    prio = _knuth32(np.arange(n, dtype=np.int64)).astype(np.float64)
+    active = np.ones(n, dtype=bool)
+    in_mis = np.zeros(n, dtype=bool)
+    rounds = 0
+    while active.any():
+        p = np.where(active, prio, np.inf)
+        mn = engine.spmv("min_second", p)
+        sel = active & (p < np.where(np.isfinite(mn), mn, np.inf))
+        # isolated actives (no finite neighbor min) select themselves
+        if not sel.any():
+            raise ValueError(
+                "MIS made no progress — graph has self-loops? "
+                "maximal_independent_set requires a simple graph")
+        nb_sel = engine.spmv("max_second", sel.astype(np.float64))
+        in_mis |= sel
+        active &= ~(sel | (np.nan_to_num(nb_sel, neginf=0.0) > 0))
+        rounds += 1
+        metrics.record(rounds, algorithm="mis",
+                       selected=int(sel.sum()),
+                       active=int(active.sum()))
+    return in_mis, rounds, metrics
+
+
+def maximal_independent_set_numpy(src, dst, n):
+    """Single-process oracle replicating ``maximal_independent_set``
+    (symmetrized input, same priorities and round structure)."""
+    s = np.concatenate([src, dst])
+    d = np.concatenate([dst, src])
+    prio = _knuth32(np.arange(n, dtype=np.int64)).astype(np.float64)
+    active = np.ones(n, dtype=bool)
+    in_mis = np.zeros(n, dtype=bool)
+    while active.any():
+        p = np.where(active, prio, np.inf)
+        mn = np.full(n, np.inf)
+        np.minimum.at(mn, d, p[s])
+        sel = active & (p < mn)
+        nb_sel = np.zeros(n, dtype=bool)
+        nb_sel[d[sel[s]]] = True
+        in_mis |= sel
+        active &= ~(sel | nb_sel)
+    return in_mis
+
+
+def greedy_color(engine: SuperstepEngine,
+                 metrics: SuperstepMetrics | None = None, max_colors=4096):
+    """Deterministic distance-1 graph coloring by ITERATED MIS
+    (Jones-Plassmann family): color k = the MIS of the graph induced on
+    still-uncolored vertices, repeated until every vertex is colored.
+    Produces a valid coloring (each color class is independent) with a
+    deterministic color count. Engine must be undirected and simple.
+
+    Returns ``(color: int64[n] (0-based), n_colors, metrics)``."""
+    metrics = metrics or SuperstepMetrics()
+    n = engine.n
+    prio = _knuth32(np.arange(n, dtype=np.int64)).astype(np.float64)
+    color = np.full(n, -1, dtype=np.int64)
+    uncolored = np.ones(n, dtype=bool)
+    k = 0
+    while uncolored.any():
+        if k >= max_colors:
+            raise ValueError("exceeded max_colors — self-loops?")
+        # one MIS pass restricted to uncolored vertices
+        active = uncolored.copy()
+        while active.any():
+            p = np.where(active, prio, np.inf)
+            mn = engine.spmv("min_second", p)
+            sel = active & (p < np.where(np.isfinite(mn), mn, np.inf))
+            if not sel.any():
+                raise ValueError(
+                    "coloring made no progress — self-loops?")
+            nb_sel = engine.spmv("max_second", sel.astype(np.float64))
+            color[sel] = k
+            active &= ~(sel | (np.nan_to_num(nb_sel, neginf=0.0) > 0))
+        uncolored = color < 0
+        metrics.record(k, algorithm="greedy_color",
+                       colored=int((color == k).sum()),
+                       remaining=int(uncolored.sum()))
+        k += 1
+    return color, k, metrics
+
+
+def greedy_color_numpy(src, dst, n, max_colors=4096):
+    """Single-process oracle replicating ``greedy_color`` exactly."""
+    s = np.concatenate([src, dst])
+    d = np.concatenate([dst, src])
+    prio = _knuth32(np.arange(n, dtype=np.int64)).astype(np.float64)
+    color = np.full(n, -1, dtype=np.int64)
+    k = 0
+    while (color < 0).any():
+        active = color < 0
+        while active.any():
+            p = np.where(active, prio, np.inf)
+            mn = np.full(n, np.inf)
+            np.minimum.at(mn, d, p[s])
+            sel = active & (p < mn)
+            nb_sel = np.zeros(n, dtype=bool)
+            nb_sel[d[sel[s]]] = True
+            color[sel] = k
+            active &= ~(sel | nb_sel)
+        k += 1
+    return color, k

@@ -239,3 +239,18 @@ def neighborhood_jaccard_numpy(src, dst, n, min_common=1):
             if c >= min_common and c > 0:
                 pairs[(u, v)] = (c, c / (len(adj[u]) + len(adj[v]) - c))
     return pairs
+
+
+def reciprocity(A):
+    """Directed-graph reciprocity: the fraction of (non-loop) edges whose
+    reverse edge also exists — a standard link-graph shape metric (how
+    mutual is the web's link structure). One ``offdiag`` select + one
+    structural ``ewise_mult`` with the transpose (``pair``), i.e. the
+    same hash-partitioned intersection kernel the other ewise ops use —
+    the edge table is never collected.
+
+    Returns ``(n_edges, n_reciprocal, ratio)`` as plain ints/float."""
+    D = A.select("offdiag")
+    n_edges = D.nvals
+    n_recip = D.ewise_mult(D.T, "pair").nvals
+    return n_edges, n_recip, (n_recip / n_edges if n_edges else 0.0)

@@ -337,3 +337,151 @@ def lang_id(docs_ds, concurrency=4):
 def fingerprint(docs_ds, concurrency=4):
     return docs_ds.map_batches(Fingerprinter, batch_format="pyarrow",
                                concurrency=(1, concurrency), batch_size=2048)
+
+
+# ---------------------------------------------------------------------------
+# n-gram language-model quality scoring (CCNet-style, Wenzek et al. 2020:
+# score each document by a reference n-gram LM and gate on perplexity)
+# ---------------------------------------------------------------------------
+
+def _bigram_chain(wh: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Order-sensitive bigram hashes ``splitmix64(h2 ^ splitmix64(h1))``
+    for every in-document adjacent pair; doc boundaries excluded by
+    construction (pairs are formed inside each offset segment)."""
+    from ..pipelines.dedup import _splitmix64
+
+    if len(wh) == 0:
+        return np.array([], dtype=np.uint64), np.array([], dtype=np.int64)
+    counts = np.diff(offsets)
+    # positions whose successor is in the same doc
+    pos = np.arange(len(wh), dtype=np.int64)
+    last = np.repeat(offsets[1:] - 1, counts)  # per-token: its doc's last
+    keep = pos < last
+    h1 = wh[keep]
+    h2 = wh[pos[keep] + 1]
+    bg = _splitmix64(h2 ^ _splitmix64(h1))
+    did = np.repeat(np.arange(len(counts), dtype=np.int64), counts)[keep]
+    return bg, did
+
+
+class _NgramCountPartial:
+    """Per-batch combiner: (kind, key, cnt) partial counts — kind 0 =
+    unigram token hash, kind 1 = bigram chain hash. Emits one row per
+    distinct key per batch, so the downstream aggregate is bounded by
+    vocab × blocks, never corpus size."""
+
+    def __init__(self, text_col="text"):
+        from ..pipelines.dedup import _tokenize_hashes
+        self._tok = _tokenize_hashes
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        wh, offsets = self._tok(batch[self.text_col])
+        bg, _ = _bigram_chain(wh, offsets)
+        u_keys, u_cnt = np.unique(wh, return_counts=True)
+        b_keys, b_cnt = np.unique(bg, return_counts=True)
+        return pa.table({
+            "kind": np.concatenate([np.zeros(len(u_keys), dtype=np.int8),
+                                    np.ones(len(b_keys), dtype=np.int8)]),
+            "key": np.concatenate([u_keys, b_keys]).astype(np.uint64),
+            "cnt": np.concatenate([u_cnt, b_cnt]).astype(np.int64)})
+
+
+def ngram_lm_fit(docs_ds, text_col="text", min_count=1):
+    """Train a Laplace-smoothed bigram LM over the corpus: EXACT unigram
+    and bigram counts via per-batch combiners + one vocab-bounded grouped
+    sum (`grouped_agg`) — the corpus itself is never shuffled.
+
+    Returns a model dict of SORTED flat arrays (searchsorted-ready,
+    ``ray.put``-broadcastable): ``u_keys/u_cnt`` (unigrams),
+    ``b_keys/b_cnt`` (bigrams), ``vocab`` (#distinct unigrams BEFORE
+    pruning — the smoothing denominator). ``min_count`` prunes rare
+    n-grams from the broadcast model (at 100 TB the full bigram table
+    outgrows a node; pruned entries fall back to the smoothing floor,
+    which only LOWERS their probability — the standard truncated-LM
+    tradeoff)."""
+    from .reduce import grouped_agg
+
+    partials = docs_ds.map_batches(
+        _NgramCountPartial, fn_constructor_kwargs=dict(text_col=text_col),
+        batch_format="pyarrow", concurrency=(1, 8), batch_size=4096)
+    counts = grouped_agg(partials, ["kind", "key"],
+                         [("cnt", "sum", "cnt")])
+    t = pa.concat_tables(
+        counts.iter_batches(batch_format="pyarrow", batch_size=None))
+    kind = t["kind"].to_numpy(zero_copy_only=False)
+    key = t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    cnt = t["cnt"].to_numpy(zero_copy_only=False)
+    model = {}
+    for k, pre in ((0, "u"), (1, "b")):
+        m = kind == k
+        keys, cs = key[m], cnt[m]
+        if k == 0:
+            model["vocab"] = int(len(keys))
+        if min_count > 1:
+            keep = cs >= min_count
+            keys, cs = keys[keep], cs[keep]
+        order = np.argsort(keys)
+        model[f"{pre}_keys"] = keys[order]
+        model[f"{pre}_cnt"] = cs[order]
+    return model
+
+
+class _LMScorer:
+    """Actor-pool scoring stage: model arrays resolved from the object
+    store ONCE per actor; per batch one tokenize + two searchsorted
+    lookups. Score = mean over bigrams of
+    ``ln((c2 + 1) / (c1 + vocab))`` (Laplace), rounded to 8 decimals so
+    a SQL oracle reproduces it; empty/1-token docs score 0."""
+
+    def __init__(self, model_ref, text_col="text"):
+        import ray
+
+        model = ray.get(model_ref) if not isinstance(model_ref, dict) \
+            else model_ref
+        self.m = model
+        from ..pipelines.dedup import _tokenize_hashes
+        self._tok = _tokenize_hashes
+        self.text_col = text_col
+
+    @staticmethod
+    def _lookup(keys_sorted, cnts, q):
+        if len(keys_sorted) == 0:
+            return np.zeros(len(q), dtype=np.int64)
+        idx = np.clip(np.searchsorted(keys_sorted, q), 0,
+                      len(keys_sorted) - 1)
+        return np.where(keys_sorted[idx] == q, cnts[idx], 0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        wh, offsets = self._tok(batch[self.text_col])
+        bg, did = _bigram_chain(wh, offsets)
+        n = len(batch)
+        c2 = self._lookup(self.m["b_keys"], self.m["b_cnt"], bg)
+        # context = the FIRST token of each bigram (same positions kept
+        # by _bigram_chain)
+        counts = np.diff(offsets)
+        pos = np.arange(len(wh), dtype=np.int64)
+        last = np.repeat(offsets[1:] - 1, counts)
+        c1 = self._lookup(self.m["u_keys"], self.m["u_cnt"],
+                          wh[pos < last])
+        lp = np.log((c2 + 1.0) / (c1 + float(self.m["vocab"])))
+        s = np.zeros(n)
+        np.add.at(s, did, lp)
+        nb = np.bincount(did, minlength=n)
+        score = np.where(nb > 0, s / np.maximum(nb, 1), 0.0)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "lm_score": np.round(score, 8)})
+
+
+def ngram_lm_score(docs_ds, model, text_col="text", concurrency=8):
+    """documents → (doc_id, lm_score): mean Laplace bigram log-prob under
+    ``model`` (from :func:`ngram_lm_fit`). The model rides the object
+    store once (``ray.put``); each actor resolves it in ``__init__``."""
+    import ray
+
+    ref = ray.put(model)
+    return docs_ds.map_batches(
+        _LMScorer, fn_constructor_kwargs=dict(model_ref=ref,
+                                              text_col=text_col),
+        batch_format="pyarrow", concurrency=(1, concurrency),
+        batch_size=4096)

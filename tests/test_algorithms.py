@@ -452,3 +452,63 @@ def test_scc_engine_matches_numpy(graph, engine):
     np.testing.assert_array_equal(comp, scc_numpy(src, dst, N))
     assert rounds >= 1
     assert any(r["algorithm"] == "scc_fwd" for r in metrics.records)
+
+
+# ---------------------------------------------------------------------------
+# MIS and greedy coloring (iterated MIS)
+# ---------------------------------------------------------------------------
+
+def _simple_sym(rng, n, m):
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    return src[keep], dst[keep]
+
+
+def test_mis_numpy_is_maximal_and_independent():
+    from python_graphblas_ray.pipelines.algorithms import (
+        maximal_independent_set_numpy)
+
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        n = int(rng.integers(10, 60))
+        src, dst = _simple_sym(rng, n, int(rng.integers(n, 5 * n)))
+        mis = maximal_independent_set_numpy(src, dst, n)
+        s = np.concatenate([src, dst])
+        d = np.concatenate([dst, src])
+        # independent: no edge inside the set
+        assert not np.any(mis[s] & mis[d])
+        # maximal: every non-member has a member neighbor
+        has_mis_nbr = np.zeros(n, dtype=bool)
+        has_mis_nbr[d[mis[s]]] = True
+        assert np.all(mis | has_mis_nbr)
+
+
+def test_color_numpy_is_valid_coloring():
+    from python_graphblas_ray.pipelines.algorithms import greedy_color_numpy
+
+    rng = np.random.default_rng(4)
+    for _ in range(5):
+        n = int(rng.integers(10, 60))
+        src, dst = _simple_sym(rng, n, int(rng.integers(n, 5 * n)))
+        color, k = greedy_color_numpy(src, dst, n)
+        assert (color >= 0).all() and color.max() + 1 == k
+        s = np.concatenate([src, dst])
+        d = np.concatenate([dst, src])
+        assert not np.any(color[s] == color[d])
+
+
+def test_mis_and_color_engine_match_numpy(graph, undirected_engine):
+    from python_graphblas_ray.pipelines.algorithms import (
+        greedy_color, greedy_color_numpy, maximal_independent_set,
+        maximal_independent_set_numpy)
+
+    src, dst, w, ds = graph
+    mis, rounds, _ = maximal_independent_set(undirected_engine)
+    np.testing.assert_array_equal(
+        mis, maximal_independent_set_numpy(src, dst, N))
+    assert rounds >= 1
+    color, k, _ = greedy_color(undirected_engine)
+    want, want_k = greedy_color_numpy(src, dst, N)
+    np.testing.assert_array_equal(color, want)
+    assert k == want_k

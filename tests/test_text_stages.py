@@ -172,3 +172,48 @@ def test_pii_redactor_planted():
     assert out.loc[4, "text"] == ""  # null-safe
     np.testing.assert_array_equal(
         out[["n_email", "n_ip", "n_phone"]].sum(axis=1), [2, 1, 1, 0, 0])
+
+
+def test_ngram_lm_matches_string_reference():
+    """Distributed hash-count LM == string-level Counter reference
+    (Laplace bigram mean log-prob, 8-decimal rounding)."""
+    import math
+    from collections import Counter
+
+    from python_graphblas_ray.stages.text import ngram_lm_fit, ngram_lm_score
+
+    docs = ["the cat sat on the mat", "the dog sat", "cat and dog",
+            "", "single", "the the the", None]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": np.arange(len(docs), dtype=np.int64),
+        "text": pa.array(docs, type=pa.string())}))
+    model = ngram_lm_fit(ds)
+    got = {r["doc_id"]: r["lm_score"]
+           for r in ngram_lm_score(ds, model).take_all()}
+
+    uni, bi = Counter(), Counter()
+    for t in docs:
+        ws = (t or "").split()
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    V = len(uni)
+    assert model["vocab"] == V
+    for i, t in enumerate(docs):
+        ws = (t or "").split()
+        pairs = list(zip(ws, ws[1:]))
+        want = (sum(math.log((bi[p] + 1.0) / (uni[p[0]] + V))
+                    for p in pairs) / len(pairs)) if pairs else 0.0
+        assert abs(got[i] - round(want, 8)) < 1e-7, (i, got[i], want)
+
+
+def test_ngram_lm_min_count_prunes_broadcast_not_vocab():
+    from python_graphblas_ray.stages.text import ngram_lm_fit
+
+    docs = ["a a a b", "a c"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": np.arange(2, dtype=np.int64),
+        "text": pa.array(docs, type=pa.string())}))
+    full = ngram_lm_fit(ds)
+    pruned = ngram_lm_fit(ds, min_count=2)
+    assert pruned["vocab"] == full["vocab"] == 3  # a, b, c
+    assert len(pruned["u_keys"]) < len(full["u_keys"])
