@@ -737,6 +737,14 @@ def _q_embedding_neardup(sf_dir):
                                    threshold=0.4)
 
 
+def _q_semantic_dedup(sf_dir):
+    """SemDeDup: embedding-cosine clusters (threshold shared with
+    ``embedding_neardup``) → keep the smallest id per cluster."""
+    from python_graphblas_ray.pipelines.corpus import semantic_dedup
+
+    return semantic_dedup(_read(sf_dir, "embeddings"), threshold=0.4)
+
+
 def _q_ann_topk(sf_dir):
     from python_graphblas_ray.pipelines.similarity import ann_topk
 
@@ -1075,6 +1083,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "louvain": _q_louvain,
         "docs_neardup_clusters": _q_docs_neardup_clusters,
         "greedy_color": _q_greedy_color,
+        # oracle-backed but beyond the window: parity-checked in
+        # tests/test_entry.py
+        "semantic_dedup": _q_semantic_dedup,
     }
     return {**window, **tail, **members}
 
@@ -1202,6 +1213,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) "
             ">= 0.4"),
+        "semantic_dedup": (
+            # cosine pair graph → connected components (min label) →
+            # keep = cluster representative
+            "WITH RECURSIVE P AS (SELECT a.vec_id AS ia, b.vec_id AS ib "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) "
+            ">= 0.4), "
+            "V AS (SELECT vec_id FROM embeddings), "
+            "E2 AS (SELECT ia AS s, ib AS d FROM P "
+            "UNION SELECT ib, ia FROM P), "
+            "reach(vid, root) AS (SELECT vec_id, vec_id FROM V UNION "
+            "SELECT e.d, r.root FROM reach r JOIN E2 e ON e.s = r.vid) "
+            "SELECT vid AS vec_id, CAST(min(root) AS BIGINT) AS cluster, "
+            "min(root) = vid AS keep FROM reach GROUP BY vid"),
         "ann_topk": (
             "WITH q AS (SELECT vec_id, embedding FROM embeddings "
             "WHERE vec_id < 10), "

@@ -197,41 +197,15 @@ def neardup_clusters(docs_ds, threshold=0.7, id_col="doc_id",
     itself is distributed-scale.
     Returns a Dataset ``(doc_id, cluster)``.
     """
-    from .algorithms import (build_engine, connected_components,
-                             connected_components_numpy)
     from .dedup import minhash_lsh_pairs
 
-    from .._config import config as _cfg
-    local_cc_limit = minhash_kwargs.pop("local_cc_limit",
-                                        _cfg["local_cc_limit"])
+    local_cc_limit = minhash_kwargs.pop("local_cc_limit", None)
     n = int(docs_ds.max(id_col)) + 1
     pairs = minhash_lsh_pairs(docs_ds, threshold=threshold,
                               text_col=text_col, id_col=id_col,
-                              **minhash_kwargs).materialize()
-
-    npairs = pairs.count()
-    if npairs == 0:
-        f = np.arange(n, dtype=np.int64)
-    elif npairs <= local_cc_limit:
-        t = pa.concat_tables(
-            list(pairs.iter_batches(batch_format="pyarrow")),
-            promote_options="permissive")
-        f = connected_components_numpy(
-            t["ia"].to_numpy(zero_copy_only=False),
-            t["ib"].to_numpy(zero_copy_only=False), n)
-    else:
-        def as_edges(batch: pa.Table) -> pa.Table:
-            return pa.table({
-                "src": batch["ia"], "dst": batch["ib"],
-                "val": np.ones(batch.num_rows, dtype=np.float64)})
-
-        eng = build_engine(pairs.map_batches(as_edges,
-                                             batch_format="pyarrow"),
-                           n, num_partitions=num_partitions,
-                           undirected=True)
-        f, _, _ = connected_components(eng)
-        eng.shutdown()
-
+                              **minhash_kwargs)
+    f = collapse_pairs(pairs, n, num_partitions=num_partitions,
+                       local_cc_limit=local_cc_limit)
     f_ref = ray.put(f)
 
     def label(batch: pa.Table) -> pa.Table:
@@ -240,4 +214,77 @@ def neardup_clusters(docs_ds, threshold=0.7, id_col="doc_id",
         return pa.table({id_col: ids, "cluster": fv[ids]})
 
     return docs_ds.select_columns([id_col]).map_batches(
+        label, batch_format="pyarrow")
+
+
+def collapse_pairs(pairs_ds, n, a_col="ia", b_col="ib",
+                   num_partitions=4, local_cc_limit=None):
+    """Pair table → per-id cluster labels (smallest member id) via the
+    engine's FastSV components — the shared finish of every near-dup
+    clustering flavour (MinHash, SimHash, embedding). Auto-routes tiny
+    pair graphs to the driver-local vectorized FastSV (the distributed
+    engine's sort shuffle + actor spin-up is pure fixed overhead there);
+    the pinned-actor engine takes over past ``local_cc_limit``."""
+    from .._config import config as _cfg
+    from .algorithms import (build_engine, connected_components,
+                             connected_components_numpy)
+
+    if local_cc_limit is None:
+        local_cc_limit = _cfg["local_cc_limit"]
+    pairs = pairs_ds.materialize()
+    npairs = pairs.count()
+    if npairs == 0:
+        return np.arange(n, dtype=np.int64)
+    if npairs <= local_cc_limit:
+        t = pa.concat_tables(
+            list(pairs.iter_batches(batch_format="pyarrow")),
+            promote_options="permissive")
+        return connected_components_numpy(
+            t[a_col].to_numpy(zero_copy_only=False),
+            t[b_col].to_numpy(zero_copy_only=False), n)
+
+    def as_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": batch[a_col], "dst": batch[b_col],
+            "val": np.ones(batch.num_rows, dtype=np.float64)})
+
+    eng = build_engine(pairs.map_batches(as_edges, batch_format="pyarrow"),
+                       n, num_partitions=num_partitions, undirected=True)
+    f, _, _ = connected_components(eng)
+    eng.shutdown()
+    return f
+
+
+def semantic_dedup(emb_ds, threshold=0.9, id_col="vec_id",
+                   emb_col="embedding", num_partitions=4,
+                   **neardup_kwargs):
+    """SemDeDup (Abbas et al. 2023): drop documents that are SEMANTIC
+    near-duplicates — same meaning, different surface form — keeping one
+    representative per embedding-cosine cluster.
+
+    Composition of existing scale paths: ``embedding_neardup_pairs``
+    (k-means IVF buckets + within-bucket matmul above the brute limit,
+    exact broadcast matmul below) emits cosine-≥threshold pairs; the
+    pair graph — tiny next to the corpus — collapses to clusters through
+    the engine's FastSV components (:func:`collapse_pairs`); the kept
+    representative is each cluster's smallest id.
+
+    Returns a Dataset ``(id_col, cluster, keep)`` — filter ``keep`` for
+    the deduplicated corpus."""
+    from .dedup import embedding_neardup_pairs
+
+    n = int(emb_ds.max(id_col)) + 1
+    pairs = embedding_neardup_pairs(emb_ds, threshold=threshold,
+                                    id_col=id_col, emb_col=emb_col,
+                                    **neardup_kwargs)
+    f = collapse_pairs(pairs, n, num_partitions=num_partitions)
+    f_ref = ray.put(f)
+
+    def label(batch: pa.Table) -> pa.Table:
+        fv = ray.get(f_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({id_col: ids, "cluster": fv[ids],
+                         "keep": fv[ids] == ids})
+
+    return emb_ds.select_columns([id_col]).map_batches(
         label, batch_format="pyarrow")

@@ -613,3 +613,45 @@ def test_duplicate_spans_random_vs_bruteforce():
                                 .iter_batches(batch_format="pyarrow")))
     got = sorted(zip(out["doc_id"].to_pylist(), out["pos"].to_pylist()))
     assert got == want
+
+
+def test_semantic_dedup_planted_groups():
+    """Three planted semantic groups (same direction ± tiny noise) plus
+    orthogonal singletons: each group collapses to its smallest id."""
+    from python_graphblas_ray.pipelines.corpus import semantic_dedup
+
+    rng = np.random.default_rng(9)
+    d = 16
+    base = rng.normal(size=(3, d))
+    rows = []
+    owner = {}
+    vid = 0
+    for g in range(3):
+        for _ in range(4):  # 4 near-identical members per group
+            v = base[g] + rng.normal(scale=1e-3, size=d)
+            rows.append(v / np.linalg.norm(v))
+            owner[vid] = g
+            vid += 1
+    # orthogonal singletons (standard basis — cosine ~0 to the groups)
+    for k in range(4):
+        v = np.zeros(d)
+        v[k + 10] = 1.0
+        rows.append(v)
+        owner[vid] = 100 + k
+        vid += 1
+    emb = pa.table({
+        "vec_id": np.arange(vid, dtype=np.int64),
+        "embedding": pa.array([list(map(float, r)) for r in rows],
+                              type=pa.list_(pa.float32()))})
+    out = {r["vec_id"]: (r["cluster"], r["keep"])
+           for r in semantic_dedup(ray.data.from_arrow(emb),
+                                   threshold=0.99).take_all()}
+    assert len(out) == vid
+    # group members share a cluster = the group's smallest id; exactly
+    # one keep per cluster
+    for g in range(3):
+        members = [v for v, o in owner.items() if o == g]
+        clusters = {out[v][0] for v in members}
+        assert clusters == {min(members)}
+    keeps = [v for v, (c, k) in out.items() if k]
+    assert sorted(keeps) == sorted({c for c, _ in out.values()})

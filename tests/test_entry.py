@@ -26,7 +26,10 @@ SAMPLE = ["edges_build", "degree_out", "mxv_plus_times", "mxm_plus_times",
           # have oracle SQL — their only automated parity check is here
           "link_jaccard", "docs_split", "docs_quota", "docs_bm25",
           "docs_repetition", "docs_decontaminate", "docs_pii",
-          "docs_dup_spans", "lpa_iter2", "edge_support", "link_scores"]
+          "docs_dup_spans", "lpa_iter2", "edge_support", "link_scores",
+          # round-2 additions (scc/mis/reciprocity/docs_lm_score are in
+          # the driver window; semantic_dedup's only parity check is here)
+          "scc", "mis", "reciprocity", "docs_lm_score", "semantic_dedup"]
 
 
 @pytest.fixture(scope="module")
