@@ -370,6 +370,18 @@ def _q_scc(sf_dir):
                      "comp": comp})
 
 
+def _q_closeness(sf_dir):
+    """Harmonic closeness from the deterministic 4-source sample
+    (Eppstein-Wang-style sampled approximation; exact per-source BFS)."""
+    from python_graphblas_ray.pipelines.algorithms import (
+        build_engine, closeness_centrality)
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
+    val, _ = closeness_centrality(eng, sources=[0, 1, 2, 3])
+    eng.shutdown()
+    return pa.table({"vid": np.arange(N_VERT, dtype=np.int64), "val": val})
+
+
 def _q_mis(sf_dir):
     """Maximal independent set (deterministic Luby, knuth32 priorities)
     over the simple undirected graph; oracle = the same round recursion
@@ -1086,6 +1098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-backed but beyond the window: parity-checked in
         # tests/test_entry.py
         "semantic_dedup": _q_semantic_dedup,
+        "closeness": _q_closeness,
     }
     return {**window, **tail, **members}
 
@@ -1451,6 +1464,20 @@ def oracle_sql() -> dict[str, str]:
         "SELECT e.dst, b.lvl + 1 FROM bfs b JOIN E e ON e.src = b.vid "
         "WHERE b.lvl < 30) "
         "SELECT vid, min(lvl) AS lvl FROM bfs GROUP BY vid"),
+        "closeness": (
+            "WITH RECURSIVE E AS (SELECT l_orderkey % 512 AS src, "
+            "l_partkey % 512 AS dst FROM lineitem GROUP BY 1, 2), "
+            "bfs(s, vid, lvl) AS ("
+            "SELECT s, s, CAST(0 AS BIGINT) FROM "
+            "(SELECT unnest([0, 1, 2, 3]::BIGINT[]) AS s) "
+            "UNION "
+            "SELECT b.s, e.dst, b.lvl + 1 FROM bfs b "
+            "JOIN E e ON e.src = b.vid WHERE b.lvl < 30), "
+            "d AS (SELECT s, vid, min(lvl) AS dd FROM bfs GROUP BY 1, 2) "
+            "SELECT v.vid, round(COALESCE(sum(1.0 / d.dd) "
+            "FILTER (WHERE d.dd > 0), 0.0), 8) AS val "
+            "FROM (SELECT range::BIGINT AS vid FROM range(512)) v "
+            "LEFT JOIN d ON d.vid = v.vid GROUP BY v.vid"),
         # sampling: knuth32 hash = one plain-SQL expression
         "docs_split": (
             "SELECT doc_id, CASE WHEN u < 0.8 THEN 'train' "

@@ -512,3 +512,30 @@ def test_mis_and_color_engine_match_numpy(graph, undirected_engine):
     want, want_k = greedy_color_numpy(src, dst, N)
     np.testing.assert_array_equal(color, want)
     assert k == want_k
+
+
+def test_closeness_engine_matches_numpy(graph, engine):
+    from python_graphblas_ray.pipelines.algorithms import (
+        closeness_centrality, closeness_centrality_numpy)
+
+    src, dst, w, ds = graph
+    srcs = [0, 7, 42, 99]
+    got, _ = closeness_centrality(engine, sources=srcs)
+    np.testing.assert_allclose(
+        got, closeness_centrality_numpy(src, dst, N, sources=srcs))
+    got_c, _ = closeness_centrality(engine, sources=srcs, harmonic=False)
+    np.testing.assert_allclose(
+        got_c, closeness_centrality_numpy(src, dst, N, sources=srcs,
+                                          harmonic=False))
+
+
+def test_closeness_numpy_line_graph():
+    """Directed path 0→1→2→3, source 0: harmonic C = [0, 1, 1/2, 1/3]."""
+    from python_graphblas_ray.pipelines.algorithms import (
+        closeness_centrality_numpy)
+
+    src = np.array([0, 1, 2])
+    dst = np.array([1, 2, 3])
+    np.testing.assert_allclose(
+        closeness_centrality_numpy(src, dst, 4, sources=[0]),
+        [0.0, 1.0, 0.5, round(1 / 3, 8)])

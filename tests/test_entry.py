@@ -29,7 +29,8 @@ SAMPLE = ["edges_build", "degree_out", "mxv_plus_times", "mxm_plus_times",
           "docs_dup_spans", "lpa_iter2", "edge_support", "link_scores",
           # round-2 additions (scc/mis/reciprocity/docs_lm_score are in
           # the driver window; semantic_dedup's only parity check is here)
-          "scc", "mis", "reciprocity", "docs_lm_score", "semantic_dedup"]
+          "scc", "mis", "reciprocity", "docs_lm_score", "semantic_dedup",
+          "closeness"]
 
 
 @pytest.fixture(scope="module")
