@@ -382,6 +382,37 @@ def _q_closeness(sf_dir):
     return pa.table({"vid": np.arange(N_VERT, dtype=np.int64), "val": val})
 
 
+def _q_host_graph(sf_dir):
+    """Vertex contraction (page graph → 'host' graph, labels = vid % 64):
+    one broadcast remap + dedup("plus") exchange; == S.T @ A @ S."""
+    from python_graphblas_ray.pipelines.algorithms import contract_graph
+
+    A = _edge_matrix(sf_dir)
+    labels = np.arange(N_VERT, dtype=np.int64) % 64
+    return contract_graph(A, labels, k=64).ds
+
+
+def _q_diameter(sf_dir):
+    """Double-sweep diameter lower bound (2 BFS sweeps from 0)."""
+    from python_graphblas_ray.pipelines.algorithms import (
+        approx_diameter, build_engine)
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
+    d, _, _ = approx_diameter(eng, start=0, sweeps=2)
+    eng.shutdown()
+    return pa.table({"diameter_lb": [int(d)]})
+
+
+def _q_events_heavy_hitters(sf_dir):
+    """Misra-Gries top-k on event_type: k=64 ≥ the column's cardinality,
+    so the sketch is EXACT here (the compression path is exercised by
+    the dedicated guarantee test)."""
+    from python_graphblas_ray.stages.sketch import heavy_hitters
+
+    return heavy_hitters(_read(sf_dir, "events", columns=["event_type"]),
+                         "event_type", k=64)
+
+
 def _q_mis(sf_dir):
     """Maximal independent set (deterministic Luby, knuth32 priorities)
     over the simple undirected graph; oracle = the same round recursion
@@ -1099,6 +1130,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tests/test_entry.py
         "semantic_dedup": _q_semantic_dedup,
         "closeness": _q_closeness,
+        "host_graph": _q_host_graph,
+        "diameter": _q_diameter,
+        "events_heavy_hitters": _q_events_heavy_hitters,
     }
     return {**window, **tail, **members}
 
@@ -1464,6 +1498,31 @@ def oracle_sql() -> dict[str, str]:
         "SELECT e.dst, b.lvl + 1 FROM bfs b JOIN E e ON e.src = b.vid "
         "WHERE b.lvl < 30) "
         "SELECT vid, min(lvl) AS lvl FROM bfs GROUP BY vid"),
+        "host_graph": (
+            f"{E} SELECT src % 64 AS src, dst % 64 AS dst, "
+            "sum(val) AS val FROM E GROUP BY 1, 2"),
+        "events_heavy_hitters": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS mg_count "
+            "FROM events GROUP BY 1"),
+        "diameter": (
+            # two-sweep lower bound: BFS from 0, re-BFS from the first
+            # (= smallest-vid) farthest vertex, take the larger ecc
+            "WITH RECURSIVE E AS (SELECT l_orderkey % 512 AS src, "
+            "l_partkey % 512 AS dst FROM lineitem GROUP BY 1, 2), "
+            "b0(vid, lvl) AS ("
+            "SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) UNION "
+            "SELECT e.dst, b.lvl + 1 FROM b0 b JOIN E e ON e.src = b.vid "
+            "WHERE b.lvl < 30), "
+            "d0 AS (SELECT vid, min(lvl) AS lvl FROM b0 GROUP BY vid), "
+            "far AS (SELECT min(vid) AS u FROM d0 "
+            "WHERE lvl = (SELECT max(lvl) FROM d0)), "
+            "b1(vid, lvl) AS ("
+            "SELECT u, CAST(0 AS BIGINT) FROM far UNION "
+            "SELECT e.dst, b.lvl + 1 FROM b1 b JOIN E e ON e.src = b.vid "
+            "WHERE b.lvl < 30), "
+            "d1 AS (SELECT vid, min(lvl) AS lvl FROM b1 GROUP BY vid) "
+            "SELECT CAST(greatest((SELECT max(lvl) FROM d0), "
+            "(SELECT max(lvl) FROM d1)) AS BIGINT) AS diameter_lb"),
         "closeness": (
             "WITH RECURSIVE E AS (SELECT l_orderkey % 512 AS src, "
             "l_partkey % 512 AS dst FROM lineitem GROUP BY 1, 2), "

@@ -839,3 +839,63 @@ def closeness_centrality_numpy(src, dst, n, sources=None, harmonic=True):
         return np.round(acc, 8)
     return np.round(np.where(acc > 0, reach / np.maximum(acc, 1e-300),
                              0.0), 8)
+
+
+def contract_graph(A, labels, k=None):
+    """Quotient ("host") graph: ``C[a, b] = Σ A[i, j]`` over
+    ``labels[i] = a, labels[j] = b`` — the Common-Crawl host-level
+    link-graph contraction (page graph → domain graph), and the same
+    operation Louvain applies between levels.
+
+    Semantically ``S.T @ A @ S`` over plus_times for the n×k one-hot
+    assignment matrix S (the GraphBLAS recipe — the parity test checks
+    the two mxm's give the identical result); executed as ONE broadcast
+    endpoint remap (labels ride the object store once) + the standard
+    ``dedup("plus")`` hash exchange — a single shuffle bounded by the
+    contracted edge count, no matmul machinery.
+
+    Returns a k×k GBMatrix."""
+    import pyarrow as pa
+    import ray
+
+    from ..core import GBMatrix
+
+    labels = np.asarray(labels, dtype=np.int64)
+    if k is None:
+        k = int(labels.max()) + 1 if len(labels) else 0
+    map_ref = ray.put(labels)
+
+    def remap(batch: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        w = batch["val"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"src": m[s], "dst": m[d], "val": w})
+
+    return GBMatrix.from_dataset(
+        A.ds.map_batches(remap, batch_format="pyarrow"), k, k
+    ).dedup("plus")
+
+
+def approx_diameter(engine: SuperstepEngine, start=0, sweeps=2,
+                    metrics: SuperstepMetrics | None = None):
+    """Double-sweep diameter lower bound (the standard BFS heuristic,
+    exact on trees): BFS from ``start``, then repeatedly re-BFS from the
+    farthest vertex found. Each sweep is one frontier-masked BFS over
+    the pinned engine. On directed graphs this bounds the directed
+    eccentricity from the visited chain. Returns ``(lower_bound,
+    endpoints, metrics)``."""
+    metrics = metrics or SuperstepMetrics()
+    best = 0
+    u = int(start)
+    endpoints = (u, u)
+    for _ in range(max(1, sweeps)):
+        lev, _ = bfs_level(engine, u, metrics)
+        far = int(np.argmax(lev))
+        ecc = int(lev[far])
+        if ecc > best:
+            best, endpoints = ecc, (u, far)
+        if far == u:
+            break
+        u = far
+    return best, endpoints, metrics

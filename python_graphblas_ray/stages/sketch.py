@@ -215,3 +215,75 @@ def hll_distinct(ds, keys, value_col, p=12,
         return pa.table(cols)
 
     return mat.groupby(keys).map_groups(merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries / SpaceSaving heavy hitters
+# ---------------------------------------------------------------------------
+
+def _mg_compress(keys: np.ndarray, counts: np.ndarray, k: int):
+    """Misra-Gries compression of an exact (keys, counts) partial down to
+    ≤ k entries: subtract the (|keys|-k)-th largest count from everything
+    and drop non-positive rows (the classic batched decrement step —
+    vectorized, equivalent to len(keys)-k decrement rounds)."""
+    if len(keys) <= k:
+        return keys, counts
+    # threshold = the count that must be fully decremented away so that
+    # at most k survive
+    thr = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
+    new = counts - thr
+    keep = new > 0
+    return keys[keep], new[keep]
+
+
+class _MGPartial:
+    """Per-batch combiner: exact batch counts compressed to ≤ k rows.
+    Merging MG summaries (sum counts, compress) keeps the standard
+    guarantee: est(x) ≤ true(x) ≤ est(x) + N/k over the whole stream."""
+
+    def __init__(self, col, k):
+        self.col = col
+        self.k = int(k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        arr = batch[self.col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        enc = arr.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(idx[idx >= 0],
+                          minlength=len(enc.dictionary)).astype(np.int64)
+        keys = enc.dictionary
+        kk, cc = _mg_compress(np.arange(len(keys)), cnt, self.k)
+        return pa.table({self.col: keys.take(pa.array(kk)),
+                         "mg_count": cc})
+
+
+def heavy_hitters(ds, col, k=64, concurrency=4):
+    """Misra-Gries / SpaceSaving top-k heavy hitters over ``col``:
+    per-batch exact counts compressed to ≤ k rows (vectorized batched
+    decrement), partials merged by a (k × blocks)-bounded grouped sum +
+    one final driver compression — the corpus itself is never shuffled.
+
+    Guarantee: every key with true frequency > N/k survives, and each
+    reported count is within N/k below its true count. When ``k`` ≥ the
+    column's distinct-count the result is EXACT (the compression never
+    fires) — which is how the SQL oracle checks it at test scale.
+
+    Returns a pyarrow Table ``(col, mg_count)`` sorted by count desc,
+    at most k rows."""
+    from .reduce import grouped_agg
+
+    partials = ds.map_batches(
+        _MGPartial, fn_constructor_kwargs=dict(col=col, k=k),
+        batch_format="pyarrow", concurrency=(1, concurrency),
+        batch_size=8192)
+    merged = grouped_agg(partials, [col], [("mg_count", "sum", "mg_count")])
+    t = pa.concat_tables(merged.iter_batches(batch_format="pyarrow",
+                                             batch_size=None))
+    cnt = t["mg_count"].to_numpy(zero_copy_only=False)
+    kk, cc = _mg_compress(np.arange(len(t)), cnt, k)
+    order = np.argsort(-cc, kind="stable")
+    out = t.take(pa.array(kk[order]))
+    return out.set_column(out.schema.get_field_index("mg_count"),
+                          "mg_count", pa.array(cc[order]))

@@ -539,3 +539,53 @@ def test_closeness_numpy_line_graph():
     np.testing.assert_allclose(
         closeness_centrality_numpy(src, dst, 4, sources=[0]),
         [0.0, 1.0, 0.5, round(1 / 3, 8)])
+
+
+def test_contract_graph_equals_mxm_recipe(graph):
+    """contract_graph == S.T @ A @ S (plus_times) for the one-hot
+    assignment matrix S — the GraphBLAS quotient-graph recipe."""
+    from python_graphblas_ray.core import GBMatrix
+    from python_graphblas_ray.functions.monoids import semiring
+    from python_graphblas_ray.pipelines.algorithms import contract_graph
+
+    src, dst, w, ds = graph
+    A = GBMatrix.from_dataset(ds, N, N)
+    labels = (np.arange(N, dtype=np.int64) * 7) % 16
+    C = contract_graph(A, labels, k=16)
+    S = GBMatrix.from_coo(np.arange(N, dtype=np.int64), labels,
+                          np.ones(N), nrows=N, ncols=16)
+    C2 = S.T.mxm(A.mxm(S, semiring.plus_times), semiring.plus_times)
+    r1, c1, v1 = C.to_coo()
+    r2, c2, v2 = C2.to_coo()
+    o1 = np.lexsort((c1, r1)); o2 = np.lexsort((c2, r2))
+    np.testing.assert_array_equal(r1[o1], r2[o2])
+    np.testing.assert_array_equal(c1[o1], c2[o2])
+    np.testing.assert_allclose(v1[o1], v2[o2])
+
+
+def test_approx_diameter_path_graph_exact():
+    """Double sweep is exact on a path: 0→1→…→9 has diameter 9."""
+    import pyarrow as pa
+
+    from python_graphblas_ray.pipelines.algorithms import (
+        approx_diameter, build_engine)
+
+    n = 10
+    src = np.arange(n - 1, dtype=np.int64)
+    dst = src + 1
+    ds = ray.data.from_arrow(pa.table({
+        "src": np.concatenate([src, dst]),
+        "dst": np.concatenate([dst, src]),
+        "val": np.ones(2 * (n - 1))}))
+    eng = build_engine(ds, n, num_partitions=2)
+    d, (u, v), _ = approx_diameter(eng, start=3)
+    eng.shutdown()
+    assert d == 9 and {u, v} <= {0, 9, 3}
+
+
+def test_approx_diameter_monotone_in_sweeps(engine):
+    from python_graphblas_ray.pipelines.algorithms import approx_diameter
+
+    d1, _, _ = approx_diameter(engine, sweeps=1)
+    d2, _, _ = approx_diameter(engine, sweeps=2)
+    assert d2 >= d1 >= 0

@@ -655,3 +655,47 @@ def test_semantic_dedup_planted_groups():
         assert clusters == {min(members)}
     keeps = [v for v, (c, k) in out.items() if k]
     assert sorted(keeps) == sorted({c for c, _ in out.values()})
+
+
+def test_heavy_hitters_exact_when_capacity_covers_cardinality():
+    from python_graphblas_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.default_rng(12)
+    vals = rng.choice([f"k{i}" for i in range(20)], size=5000,
+                      p=np.linspace(1, 40, 20) / np.linspace(1, 40, 20).sum())
+    ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(8)
+    out = heavy_hitters(ds, "v", k=64)
+    got = dict(zip(out["v"].to_pylist(), out["mg_count"].to_pylist()))
+    import collections
+    want = collections.Counter(vals.tolist())
+    assert got == dict(want)
+    # sorted desc
+    cnts = out["mg_count"].to_pylist()
+    assert cnts == sorted(cnts, reverse=True)
+
+
+def test_heavy_hitters_mg_guarantee_under_compression():
+    """k << cardinality: every key with freq > N/k survives and counts
+    are within N/k below truth (the Misra-Gries bound)."""
+    from python_graphblas_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.default_rng(13)
+    # one dominant key + a long tail of rare keys
+    vals = np.concatenate([
+        np.repeat("HOT", 3000),
+        np.repeat("WARM", 800),
+        rng.choice([f"t{i}" for i in range(2000)], size=1200)])
+    rng.shuffle(vals)
+    ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(8)
+    k = 16
+    out = heavy_hitters(ds, "v", k=k)
+    assert len(out) <= k
+    got = dict(zip(out["v"].to_pylist(), out["mg_count"].to_pylist()))
+    N = len(vals)
+    import collections
+    true = collections.Counter(vals.tolist())
+    for key, tc in true.items():
+        if tc > N / k:
+            assert key in got, key
+    for key, est in got.items():
+        assert est <= true[key] <= est + N / k + 1e-9, (key, est, true[key])
