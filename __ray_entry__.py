@@ -564,6 +564,24 @@ def _q_link_scores(sf_dir):
                        adamic_adar=False)
 
 
+def _q_node2vec_walks(sf_dir):
+    """Second-order node2vec walks (p=0.5 return-biased, q=2.0
+    exploration-damped) via rejection sampling — deterministic given the
+    seed; rows-only (edge-validity/bias behavior are pytest-checked)."""
+    from python_graphblas_ray.pipelines.algorithms import build_engine
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
+    eng_t = eng.transposed(release=True)  # walk along out-edges
+    walks = eng_t.node2vec_walks(np.arange(0, N_VERT, 8), length=8,
+                                 p=0.5, q=2.0, seed=42)
+    eng_t.shutdown()
+    wid = np.repeat(np.arange(walks.shape[0]), walks.shape[1])
+    step = np.tile(np.arange(walks.shape[1]), walks.shape[0])
+    return pa.table({"walk_id": wid.astype(np.int64),
+                     "step": step.astype(np.int64),
+                     "vertex": walks.reshape(-1)})
+
+
 def _q_random_walks(sf_dir):
     from python_graphblas_ray.pipelines.algorithms import build_engine
 
@@ -1122,6 +1140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _q_ann_ivf,
         "hits": _q_hits,
         "random_walks": _q_random_walks,
+        "node2vec_walks": _q_node2vec_walks,
         "embed_kmeans": _q_embed_kmeans,
         "louvain": _q_louvain,
         "docs_neardup_clusters": _q_docs_neardup_clusters,

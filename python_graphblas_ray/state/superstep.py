@@ -473,6 +473,44 @@ class GraphPartitionActor:
         out[idx[ok]] = self.src[indptr[local[ok]] + pick]
         return out
 
+    def edge_check(self, prev_ref, cand_ref):
+        """Membership test ``cand ∈ N(prev)`` for the queries whose
+        ``prev`` vertex is owned by this partition (node2vec's
+        distance-1 class needs the PREVIOUS vertex's adjacency, which
+        lives at prev's owner — hence a second actor round per trial).
+        Vectorized flatten-equality over the queried segments; cost
+        Σ deg(prev) per call. Returns int8 full-length: 1 = edge exists,
+        0 = not, -1 = not owned here (driver merges with max)."""
+        prev = (ray.get(prev_ref) if isinstance(prev_ref, ray.ObjectRef)
+                else prev_ref)
+        cand = (ray.get(cand_ref) if isinstance(cand_ref, ray.ObjectRef)
+                else cand_ref)
+        out = np.full(len(prev), -1, dtype=np.int8)
+        idx = np.flatnonzero((prev >= self.lo) & (prev < self.hi))
+        if not len(idx) or not self.nedges:
+            if len(idx):
+                out[idx] = 0
+            return out
+        indptr = self._adj_indptr()
+        local = prev[idx] - self.lo
+        deg = indptr[local + 1] - indptr[local]
+        out[idx] = 0
+        ok = deg > 0
+        if not ok.any():
+            return out
+        qidx, L = idx[ok], deg[ok]
+        starts = indptr[local[ok]]
+        total = int(L.sum())
+        within = (np.arange(total, dtype=np.int64)
+                  - np.repeat(np.concatenate([[0], np.cumsum(L)[:-1]]), L))
+        nbrs = self.src[np.repeat(starts, L) + within]
+        qrep = np.repeat(np.arange(len(qidx), dtype=np.int64), L)
+        eq = nbrs == np.repeat(cand[qidx], L)
+        hit = np.zeros(len(qidx), dtype=bool)
+        np.logical_or.at(hit, qrep, eq)
+        out[qidx[hit]] = 1
+        return out
+
     def sample_neighbors(self, vids_ref, k, seed):
         """Up-to-k-per-vertex neighbor sampling (GraphSAGE-style fanout)
         for the queried vertices owned by this partition. Degree ≤ k →
@@ -948,6 +986,108 @@ class SuperstepEngine:
         vs = np.concatenate([p[0] for p in parts])
         ns = np.concatenate([p[1] for p in parts])
         return vs, ns
+
+    def edges_exist(self, prev, cand):
+        """Vectorized adjacency-membership query: ``cand[i] ∈ N(prev[i])``
+        against the pinned partitions (one actor round). Queries whose
+        prev has no adjacency here resolve False."""
+        prev = np.asarray(prev, dtype=np.int64)
+        cand = np.asarray(cand, dtype=np.int64)
+        p_ref, c_ref = ray.put(prev), ray.put(cand)
+        slices = ray.get([a.edge_check.remote(p_ref, c_ref)
+                          for a in self.actors])
+        merged = np.full(len(prev), -1, dtype=np.int8)
+        for s in slices:
+            np.maximum(merged, s, out=merged)
+        return merged == 1
+
+    def node2vec_walks(self, starts, length, p=1.0, q=1.0, seed=0,
+                       max_trials=16):
+        """Second-order node2vec walks (Grover & Leskovec 2016) by
+        KnightKing-style REJECTION SAMPLING (Yang et al. 2019): exact
+        biased transitions without materializing per-(prev, cur) edge
+        weights. Walker at ``cur`` with previous vertex ``prev``
+        proposes a uniform pinned neighbor ``x`` and accepts with
+        probability ``bias(x) / max_bias`` where bias = 1/p if
+        ``x == prev`` (return), 1 if ``x ∈ N(prev)`` (distance 1,
+        checked at prev's owner — the second actor round), else 1/q.
+        Geometric retries, ≤ ``max_trials`` per step; stragglers take
+        their last proposal (bounded bias error, vanishing in
+        max_trials). Deterministic given ``seed``: proposal and
+        acceptance draws are independent splitmix64 streams keyed by
+        (walker, step, trial).
+
+        First step is uniform (no prev). On THIS engine steps follow
+        IN-edges; run on ``transposed()`` for the usual out-edge corpus
+        walks. O(#walkers) driver state; per trial one propose round +
+        one adjacency-check round (cost Σ deg(prev) at prev's owners).
+
+        Returns ``(len(starts), length+1)`` int64 vertex ids, -1 =
+        terminated at a zero-degree vertex."""
+        if self.has_hub_split:
+            raise NotImplementedError(
+                "node2vec_walks needs each vertex's full adjacency in "
+                "one actor; rebuild with hub_split_factor=None")
+        inv_p, inv_q = 1.0 / p, 1.0 / q
+        max_bias = max(1.0, inv_p, inv_q)
+        pos = np.asarray(starts, dtype=np.int64).copy()
+        prev = np.full(len(pos), -1, dtype=np.int64)
+        walk = [pos.copy()]
+        two64 = float(1 << 64)
+        for step in range(length):
+            live = pos >= 0
+            if not live.any():
+                walk.extend([pos.copy()] * (length - step))
+                break
+            nxt = np.full(len(pos), -1, dtype=np.int64)
+            undecided = live.copy()
+            last_prop = np.full(len(pos), -1, dtype=np.int64)
+            for trial in range(max_trials):
+                key = step * 131 + trial
+                pos_q = np.where(undecided, pos, -1)
+                pos_ref = ray.put(pos_q)
+                slices = ray.get([
+                    a.sample_step.remote(pos_ref, key, seed)
+                    for a in self.actors])
+                prop = np.full(len(pos), -1, dtype=np.int64)
+                for s in slices:
+                    np.maximum(prop, s, out=prop)
+                # dead ends terminate immediately
+                dead = undecided & (prop < 0)
+                undecided &= ~dead
+                cand = undecided & (prop >= 0)
+                if not cand.any():
+                    break
+                last_prop[cand] = prop[cand]
+                bias = np.full(len(pos), inv_q)
+                first = cand & (prev < 0)
+                bias[first] = max_bias  # step 0: uniform, always accept
+                ret = cand & (prop == prev)
+                bias[ret] = inv_p
+                chk = cand & ~first & ~ret
+                if chk.any():
+                    is_d1 = self.edges_exist(prev[chk], prop[chk])
+                    w = np.flatnonzero(chk)
+                    bias[w[is_d1]] = 1.0
+                widx = np.flatnonzero(cand).astype(np.uint64)
+                u = _splitmix64(
+                    _splitmix64(widx ^ (np.uint64(key) << np.uint64(32))
+                                ^ np.uint64(seed))
+                    ^ np.uint64(0x9E3779B97F4A7C15)).astype(np.float64) \
+                    / two64
+                acc = u * max_bias < bias[cand]
+                aw = np.flatnonzero(cand)[acc]
+                nxt[aw] = prop[aw]
+                undecided[aw] = False
+                if not undecided.any():
+                    break
+            # stragglers: take the last proposal (documented fallback)
+            strag = undecided & (last_prop >= 0)
+            nxt[strag] = last_prop[strag]
+            prev = pos
+            pos = nxt
+            walk.append(pos.copy())
+        return np.stack(walk, axis=1)
 
     def pagerank_inactor(self, damping=0.85, itermax=100, tol=1e-4,
                          metrics=None, force_iters=None):

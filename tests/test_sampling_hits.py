@@ -242,3 +242,65 @@ def test_symmetrized_is_set_union_not_multiset():
     labels, _, _ = label_propagation(eng2)
     eng2.shutdown()
     assert labels.tolist() == label_propagation_numpy(src, dst, 4).tolist()
+
+
+# ---------------------------------------------------------------------------
+# node2vec second-order walks (rejection sampling)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def walk_engine_graph():
+    src, dst = _random_edges(seed=9)
+    eng = build_engine(_edges_ds(src, dst), 200, num_partitions=4)
+    yield eng, src, dst, 200
+    eng.shutdown()
+
+
+def _edge_set(src, dst):
+    return set(zip(src.tolist(), dst.tolist()))
+
+
+def test_edges_exist_matches_edge_list(walk_engine_graph):
+    eng, src, dst, n = walk_engine_graph
+    rng = np.random.default_rng(5)
+    pv = rng.integers(0, n, 200)
+    cd = rng.integers(0, n, 200)
+    got = eng.edges_exist(pv, cd)
+    # engine aggregates into dst: N(prev) = in-neighbors = {s : (s, prev)}
+    es = _edge_set(dst, src)  # (dst, src) pairs: cand ∈ in-N(prev)
+    want = np.array([(int(a), int(b)) in es for a, b in zip(pv, cd)])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_node2vec_walks_valid_and_deterministic(walk_engine_graph):
+    eng, src, dst, n = walk_engine_graph
+    starts = np.arange(0, n, 7, dtype=np.int64)
+    w1 = eng.node2vec_walks(starts, length=6, p=0.5, q=2.0, seed=11)
+    w2 = eng.node2vec_walks(starts, length=6, p=0.5, q=2.0, seed=11)
+    np.testing.assert_array_equal(w1, w2)
+    es = _edge_set(dst, src)  # steps follow IN-edges on this engine
+    for row in w1:
+        for a, b in zip(row[:-1], row[1:]):
+            if a >= 0 and b >= 0:
+                assert (int(a), int(b)) in es, (a, b)
+    # seed changes the walks
+    w3 = eng.node2vec_walks(starts, length=6, p=0.5, q=2.0, seed=12)
+    assert not np.array_equal(w1, w3)
+
+
+def test_node2vec_p_bias_controls_returns(walk_engine_graph):
+    """Tiny p (return-heavy) must produce more immediate backtracks
+    than huge p (return-averse) over many walkers."""
+    eng, src, dst, n = walk_engine_graph
+    starts = np.arange(n, dtype=np.int64)
+
+    def backtracks(p):
+        w = eng.node2vec_walks(starts, length=8, p=p, q=1.0, seed=3)
+        bt = 0
+        for row in w:
+            for i in range(2, w.shape[1]):
+                if row[i] >= 0 and row[i] == row[i - 2]:
+                    bt += 1
+        return bt
+
+    assert backtracks(0.05) > backtracks(20.0)
