@@ -97,24 +97,34 @@ def prepare_corpus(docs_ds, id_col="doc_id", text_col="text",
 
 
 def decontaminate(docs_ds, bench_ds, id_col="doc_id", text_col="text",
-                  ngram=3, broadcast_limit=50_000_000):
+                  ngram=3, broadcast_limit=50_000_000, method="auto"):
     """Benchmark decontamination: drop every training document that
     shares ANY word ``ngram``-gram with a document in ``bench_ds`` (the
     GPT-3 appendix-C / Pile-style n-gram overlap rule; 13-grams are the
     published norm for natural text — pick ``ngram`` to taste).
 
-    Returns ``(clean_ds, stats)`` with per-stage counts.
+    Returns ``(clean_ds, stats)`` with per-stage counts. All three
+    routes produce the IDENTICAL exact result (route-parity tested):
 
-    Scale shape: benchmark suites are tiny next to training corpora, so
-    the default path collects the benchmark's DISTINCT gram hashes to the
-    driver (bounded by benchmark token count), broadcasts them once
-    (``ray.put``), and each corpus batch computes its gram chain and
-    drops docs with any hit — ONE streaming pass over the corpus, no
-    shuffle. If the benchmark gram set outgrows ``broadcast_limit``, the
-    corpus gram rows hash-shuffle-semi-join against the benchmark grams
-    instead (two exchanges: gram match → contaminated-id anti filter).
-    Docs with fewer than ``ngram`` words can't share a full gram and are
-    always kept.
+    - ``"broadcast"`` — benchmark suites are tiny next to training
+      corpora, so the default collects the benchmark's DISTINCT gram
+      hashes to the driver, broadcasts the sorted array once
+      (``ray.put``), and each corpus batch searchsorted-probes it —
+      ONE streaming corpus pass, no shuffle.
+    - ``"bloom"`` — the gram set compressed to a Bloom bitmap (~16 bits
+      per gram vs 64, ~0.24% false positives, NO false negatives):
+      bloom-negative docs are definitively clean after the same single
+      streaming pass; only the bloom-positive CANDIDATES (true hits +
+      the sub-percent FP tail) pay the exact shuffle semi-join verify.
+      4× more benchmark grams per byte of broadcast, still exact.
+    - ``"shuffle"`` — corpus gram rows hash-shuffle-semi-join against
+      the benchmark grams (two exchanges: gram match →
+      contaminated-id anti filter). No driver-side gram state at all.
+
+    ``auto``: broadcast while the raw grams fit ``broadcast_limit``,
+    bloom while the BITMAP does (≤ 4× limit), else shuffle. Docs with
+    fewer than ``ngram`` words can't share a full gram and are always
+    kept.
     """
     from .dedup import _shingle_hashes
 
@@ -126,8 +136,54 @@ def decontaminate(docs_ds, bench_ds, id_col="doc_id", text_col="text",
     bg = bench_ds.map_batches(bench_grams, batch_format="pyarrow")
     n_grams = bg.count()
     stats["bench_grams"] = n_grams
+    if method == "auto":
+        method = ("broadcast" if n_grams <= broadcast_limit else
+                  "bloom" if n_grams <= 4 * broadcast_limit else
+                  "shuffle")
+    stats["method"] = method
 
-    if n_grams <= broadcast_limit:
+    def corpus_grams(batch: pa.Table) -> pa.Table:
+        sh, offs = _shingle_hashes(batch[text_col], ngram,
+                                   full_only=True)
+        counts = offs[1:] - offs[:-1]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({id_col: np.repeat(ids, counts),
+                         "gram": sh.view(np.int64)})
+
+    if method == "bloom":
+        from ..stages.sketch import bloom_build, bloom_contains
+
+        bits, m_bits, kh = bloom_build(bg, "gram", n_hint=n_grams)
+        bits_ref = ray.put(bits)
+
+        def split_flag(batch: pa.Table) -> pa.Table:
+            b = ray.get(bits_ref)
+            sh, offs = _shingle_hashes(batch[text_col], ngram,
+                                       full_only=True)
+            hit = bloom_contains(b, m_bits, kh, sh)
+            counts = offs[1:] - offs[:-1]
+            seg = np.repeat(np.arange(batch.num_rows), counts)
+            bad = np.bincount(seg[hit], minlength=batch.num_rows)
+            return batch.append_column("_bloom_pos",
+                                       pa.array(bad > 0))
+
+        flagged = docs_ds.map_batches(split_flag,
+                                      batch_format="pyarrow").materialize()
+        clean_sure = flagged.filter(expr="_bloom_pos == False")
+        candidates = flagged.filter(expr="_bloom_pos == True")
+        stats["bloom_candidates"] = candidates.count()
+        cg = candidates.map_batches(corpus_grams, batch_format="pyarrow")
+        contaminated = semi_join_shuffle(
+            cg, ("gram",), bg).select_columns([id_col])
+        verified = _id_semi_join(candidates, id_col, contaminated,
+                                 id_col, anti=True,
+                                 broadcast_limit=broadcast_limit)
+        clean = clean_sure.union(verified).drop_columns(
+            ["_bloom_pos"]).materialize()
+        stats["clean"] = clean.count()
+        return clean, stats
+
+    if method == "broadcast":
         parts = [b["gram"].to_numpy(zero_copy_only=False)
                  for b in bg.iter_batches(batch_format="pyarrow",
                                           batch_size=1 << 20)]
@@ -155,15 +211,7 @@ def decontaminate(docs_ds, bench_ds, id_col="doc_id", text_col="text",
 
         clean = docs_ds.map_batches(drop_contaminated,
                                     batch_format="pyarrow").materialize()
-    else:  # benchmark grams too big to broadcast: shuffle semi-join path
-        def corpus_grams(batch: pa.Table) -> pa.Table:
-            sh, offs = _shingle_hashes(batch[text_col], ngram,
-                                       full_only=True)
-            counts = offs[1:] - offs[:-1]
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            return pa.table({id_col: np.repeat(ids, counts),
-                             "gram": sh.view(np.int64)})
-
+    else:  # benchmark grams too big even for the bloom: full semi-join
         cg = docs_ds.map_batches(corpus_grams, batch_format="pyarrow")
         contaminated = semi_join_shuffle(
             cg, ("gram",), bg).select_columns([id_col])

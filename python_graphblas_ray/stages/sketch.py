@@ -287,3 +287,68 @@ def heavy_hitters(ds, col, k=64, concurrency=4):
     out = t.take(pa.array(kk[order]))
     return out.set_column(out.schema.get_field_index("mg_count"),
                           "mg_count", pa.array(cc[order]))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (broadcast-compressed membership, no false negatives)
+# ---------------------------------------------------------------------------
+
+def _bloom_positions(values: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(len(values), k) bit positions via k independent splitmix64
+    streams (vectorized)."""
+    v = values.astype(np.uint64, copy=False)
+    cols = [(_hash64(v ^ np.uint64(0xA5A5A5A5 * (i + 1))) %
+             np.uint64(m_bits)) for i in range(k)]
+    return np.stack(cols, axis=1)
+
+
+def _set_bits(bits: np.ndarray, pos: np.ndarray) -> None:
+    word = (pos >> np.uint64(6)).astype(np.int64)
+    np.bitwise_or.at(bits, word.ravel(),
+                     np.uint64(1) << (pos.ravel() & np.uint64(63)))
+
+
+def bloom_build(ds, col, m_bits=None, k=4, n_hint=None):
+    """Distributed Bloom filter over a uint64/int64 column: each block
+    emits ONE m/64-word bitmap partial, the driver ORs them (associative
+    — a tree reduce at larger block counts). ``m_bits`` defaults to 16
+    bits per (hinted or counted) distinct value, power-of-two rounded:
+    k=4 → ~0.24% false-positive rate; false NEGATIVES are impossible,
+    which is what makes the filter safe as an exactness-preserving
+    prefilter (positives get verified, negatives are definitively
+    absent). Returns ``(bits: uint64[m/64], m_bits, k)``."""
+    if m_bits is None:
+        n = int(n_hint) if n_hint is not None else int(ds.count())
+        m_bits = 1 << max(10, int(np.ceil(np.log2(max(16 * n, 1)))))
+    nwords = m_bits // 64
+
+    def block_bitmap(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(nwords, dtype=np.uint64)
+        vals = batch[col].to_numpy(zero_copy_only=False)
+        if len(vals):
+            _set_bits(bits, _bloom_positions(vals, m_bits, k))
+        return pa.table({"bits": [bits.view(np.int64)]})
+
+    out = np.zeros(nwords, dtype=np.uint64)
+    for b in ds.map_batches(block_bitmap, batch_format="pyarrow",
+                            batch_size=1 << 18).iter_batches(
+                                batch_format="pyarrow", batch_size=None):
+        col_arr = b["bits"]
+        if isinstance(col_arr, pa.ChunkedArray):
+            col_arr = col_arr.combine_chunks()
+        flat = col_arr.flatten().to_numpy(
+            zero_copy_only=False).view(np.uint64)
+        out |= np.bitwise_or.reduce(flat.reshape(-1, nwords), axis=0)
+    return out, m_bits, k
+
+
+def bloom_contains(bits: np.ndarray, m_bits: int, k: int,
+                   values: np.ndarray) -> np.ndarray:
+    """Vectorized membership probe: True = possibly present (verify),
+    False = DEFINITELY absent."""
+    if len(values) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_positions(values, m_bits, k)
+    word = (pos >> np.uint64(6)).astype(np.int64)
+    got = (bits[word] >> (pos & np.uint64(63))) & np.uint64(1)
+    return got.all(axis=1)

@@ -699,3 +699,44 @@ def test_heavy_hitters_mg_guarantee_under_compression():
             assert key in got, key
     for key, est in got.items():
         assert est <= true[key] <= est + N / k + 1e-9, (key, est, true[key])
+
+
+def test_bloom_no_false_negatives_and_low_fpr():
+    from python_graphblas_ray.stages.sketch import (bloom_build,
+                                                    bloom_contains)
+
+    rng = np.random.default_rng(21)
+    present = rng.integers(0, 1 << 62, 5000).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"g": present})).repartition(4)
+    bits, m, k = bloom_build(ds, "g")
+    assert bloom_contains(bits, m, k, present).all()  # no false negatives
+    absent = rng.integers(0, 1 << 62, 20000).astype(np.int64)
+    absent = absent[~np.isin(absent, present)]
+    fpr = bloom_contains(bits, m, k, absent).mean()
+    assert fpr < 0.02, fpr  # ~0.24% expected at 16 bits/key, k=4
+
+
+def test_decontaminate_bloom_route_matches_broadcast():
+    from python_graphblas_ray.pipelines.corpus import decontaminate
+
+    rng = np.random.default_rng(22)
+    words = [f"w{i}" for i in range(300)]
+    docs = [" ".join(rng.choice(words, size=20)) for _ in range(200)]
+    # plant benchmark phrases into some training docs
+    bench = [" ".join(rng.choice(words, size=15)) for _ in range(10)]
+    for i in range(0, 40, 4):
+        docs[i] = docs[i] + " " + bench[i % 10]
+    dds = ray.data.from_arrow(pa.table({
+        "doc_id": np.arange(len(docs), dtype=np.int64),
+        "text": docs})).repartition(4)
+    bds = ray.data.from_arrow(pa.table({
+        "doc_id": np.arange(len(bench), dtype=np.int64),
+        "text": bench}))
+    keep = {}
+    for method in ("broadcast", "bloom", "shuffle"):
+        clean, stats = decontaminate(dds, bds, ngram=3, method=method)
+        keep[method] = sorted(r["doc_id"] for r in
+                              clean.select_columns(["doc_id"]).take_all())
+        assert stats["method"] == method
+    assert keep["broadcast"] == keep["bloom"] == keep["shuffle"]
+    assert len(keep["broadcast"]) < 200  # something was dropped
