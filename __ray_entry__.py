@@ -746,6 +746,31 @@ def _q_pages_extract_text(sf_dir):
     return extract_text_table(pages_dataset(2000, parallelism=4))
 
 
+def _q_pages_roundtrip(sf_dir):
+    """The byte-identical extracted-text invariant as an ORACLE query:
+    wrap each document's text in the synthetic page html shell, run the
+    REAL ``extract_text`` stage over it, return (url, extracted_text).
+    The SQL side performs the same tag-strip + whitespace-collapse in
+    DuckDB's RE2 — any drift in the extraction path breaks the hash."""
+    from python_graphblas_ray.pipelines.ingest import extract_text_table
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        txts = batch["text"].to_pylist()
+        html = [(f"<html><head><title>doc {i}</title></head>"
+                 f"<body><p>{t or ''}</p></body></html>").encode("utf-8")
+                for i, t in zip(ids, txts)]
+        return pa.table({
+            "url": pa.array([f"doc://{i}" for i in ids],
+                            type=pa.string()),
+            "html": pa.array(html, type=pa.binary())})
+
+    return extract_text_table(docs.map_batches(wrap,
+                                               batch_format="pyarrow"))
+
+
 # ---------------------------------------------------------------------------
 # documents / embeddings / events queries
 # ---------------------------------------------------------------------------
@@ -1152,6 +1177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_graph": _q_host_graph,
         "diameter": _q_diameter,
         "events_heavy_hitters": _q_events_heavy_hitters,
+        "pages_roundtrip": _q_pages_roundtrip,
     }
     return {**window, **tail, **members}
 
@@ -1523,6 +1549,15 @@ def oracle_sql() -> dict[str, str]:
         "events_heavy_hitters": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS mg_count "
             "FROM events GROUP BY 1"),
+        "pages_roundtrip": (
+            # same shell construction + the same tag-strip /
+            # whitespace-collapse / trim the Python extract_text applies
+            "SELECT 'doc://' || doc_id AS url, "
+            "trim(regexp_replace(regexp_replace("
+            "'<html><head><title>doc ' || doc_id || '</title></head>"
+            "<body><p>' || COALESCE(text, '') || '</p></body></html>', "
+            "'<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g')) "
+            "AS extracted_text FROM documents"),
         "diameter": (
             # two-sweep lower bound: BFS from 0, re-BFS from the first
             # (= smallest-vid) farthest vertex, take the larger ecc

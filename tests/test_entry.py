@@ -30,7 +30,8 @@ SAMPLE = ["edges_build", "degree_out", "mxv_plus_times", "mxm_plus_times",
           # round-2 additions (scc/mis/reciprocity/docs_lm_score are in
           # the driver window; semantic_dedup's only parity check is here)
           "scc", "mis", "reciprocity", "docs_lm_score", "semantic_dedup",
-          "closeness", "host_graph", "diameter", "events_heavy_hitters"]
+          "closeness", "host_graph", "diameter", "events_heavy_hitters",
+          "pages_roundtrip"]
 
 
 @pytest.fixture(scope="module")
