@@ -279,6 +279,20 @@ def heavy_hitters(ds, col, k=64, concurrency=4):
         batch_format="pyarrow", concurrency=(1, concurrency),
         batch_size=8192)
     merged = grouped_agg(partials, [col], [("mg_count", "sum", "mg_count")])
+
+    def compress_block(batch: pa.Table) -> pa.Table:
+        # distinct survivors can still number k × #input-blocks; one more
+        # MG pass per merged block bounds what reaches the driver at
+        # k × #merged-blocks (the final driver compress stays exact in
+        # the same N/k-mergeability sense)
+        cnt = batch["mg_count"].to_numpy(zero_copy_only=False)
+        kk, cc = _mg_compress(np.arange(len(batch)), cnt, k)
+        out = batch.take(pa.array(kk))
+        return out.set_column(out.schema.get_field_index("mg_count"),
+                              "mg_count", pa.array(cc))
+
+    merged = merged.map_batches(compress_block, batch_format="pyarrow",
+                                batch_size=1 << 16)
     t = pa.concat_tables(merged.iter_batches(batch_format="pyarrow",
                                              batch_size=None))
     cnt = t["mg_count"].to_numpy(zero_copy_only=False)
