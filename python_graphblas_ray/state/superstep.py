@@ -84,7 +84,7 @@ class GraphPartitionActor:
     """
 
     def __init__(self, lo, hi, weighted, range_filter, *block_refs,
-                 dedupe=False):
+                 dedupe=False, defer=False):
         """``block_refs`` ride as star-args so Ray resolves the object
         refs raylet-side BEFORE the constructor runs — passing a list of
         nested refs instead makes every actor register ~P borrows with
@@ -95,9 +95,23 @@ class GraphPartitionActor:
         weight). Undirected derivations need this — a reciprocal pair
         (u,v)+(v,u) or a self-loop in A ∪ A.T would otherwise appear
         TWICE and double-count in plus/mode kernels (LPA neighbor
-        votes)."""
+        votes).
+
+        ``defer=True`` spawns the actor EMPTY (process boot + imports
+        happen immediately); the blocks arrive later via :meth:`load`.
+        The engine's exchange build uses this to overlap pool spin-up
+        with the map-side split tasks."""
         self.lo = int(lo)
         self.hi = int(hi)
+        self.weighted = bool(weighted)
+        if not defer:
+            self.load(range_filter, *block_refs, dedupe=dedupe)
+
+    def load(self, range_filter, *block_refs, dedupe=False):
+        """Pin the partition's blocks (CSC-like arrays built once;
+        star-arg refs resolve raylet-side exactly as in one-shot
+        construction). Returns the pinned edge count."""
+        weighted = self.weighted
         srcs, dsts, ws = [], [], []
         for r in block_refs:
             t = ray.get(r) if isinstance(r, ray.ObjectRef) else r
@@ -150,6 +164,8 @@ class GraphPartitionActor:
             self.starts = np.array([], dtype=np.int64)
             self.group_dst = np.array([], dtype=np.int64)
         self.nedges = n
+        self._indptr = None  # reset the lazy CSC cache on (re)load
+        return n
 
     def stats(self):
         return {"lo": self.lo, "hi": self.hi, "edges": self.nedges}
@@ -638,6 +654,17 @@ class SuperstepEngine:
             per_part_refs = [all_refs] * P
             range_filter = True
         elif partition_mode == "exchange":
+            # spawn the base pool EMPTY first (defer=True): worker-process
+            # boot + imports overlap the split tasks below instead of
+            # serializing after them (the pool spin-up is the dominant
+            # build phase at small scale — see build_phases)
+            base_actors = [
+                GraphPartitionActor.remote(
+                    int(boundaries[p]),
+                    int(boundaries[p + 1]) if p + 1 < len(boundaries)
+                    else self.n,
+                    weighted, False, defer=True)
+                for p in range(P)]
             block_refs = edges_ds.materialize().to_arrow_refs()
             b_ref = ray.put(boundaries)
             outs = [_split_block.options(num_returns=P + 1).remote(
@@ -695,7 +722,7 @@ class SuperstepEngine:
         #     merges their slices with the superstep's monoid. (Quantile
         #     boundaries bound a range at ONE vertex's in-edges — a true
         #     hub can exceed the target on its own; this re-balances it.)
-        part_jobs = []  # (refs, lo, hi)
+        part_jobs = []  # (pre-spawned actor | None, refs, lo, hi)
         if partition_mode in ("sort", "exchange"):
             target = max(1, int(sum(counts)) // P)
         for p in range(P):
@@ -710,26 +737,44 @@ class SuperstepEngine:
                     sub_splits = splits[p].split_at_indices(
                         [int(x) for x in sub_cum])
                     for ss in sub_splits:
-                        part_jobs.append((ss.to_arrow_refs(), lo, hi))
+                        part_jobs.append((None, ss.to_arrow_refs(), lo, hi))
                 else:
                     # exchange: deal the partition's per-block slice refs
                     # round-robin among k duplicate-range actors (blocks
-                    # are similar-sized, so ref-level dealing balances)
+                    # are similar-sized, so ref-level dealing balances);
+                    # the pre-spawned base actor takes the first deal,
+                    # the k-1 extras spawn deferred now
                     for j in range(k):
-                        part_jobs.append((per_part_refs[p][j::k], lo, hi))
+                        pre = (base_actors[p] if j == 0 else
+                               GraphPartitionActor.remote(
+                                   lo, hi, weighted, False, defer=True))
+                        part_jobs.append((pre, per_part_refs[p][j::k],
+                                          lo, hi))
+            elif partition_mode == "exchange":
+                part_jobs.append((base_actors[p], per_part_refs[p],
+                                  lo, hi))
             else:
-                part_jobs.append((per_part_refs[p], lo, hi))
+                part_jobs.append((None, per_part_refs[p], lo, hi))
 
         _phases["partition"] = _time.perf_counter() - _t
         _t = _time.perf_counter()
-        # 3. Pin each partition in a long-lived actor (CSC-like arrays built
-        #    once in __init__, reused every superstep).
+        # 3. Pin each partition in a long-lived actor (CSC-like arrays
+        #    built once, reused every superstep). Exchange-mode actors
+        #    were pre-spawned deferred; they receive their blocks via
+        #    load() here (star-arg refs resolve raylet-side either way).
         self.actors = []
         self.ranges = []
-        for refs, lo, hi in part_jobs:
+        loads = []
+        for pre, refs, lo, hi in part_jobs:
             self.ranges.append((lo, hi))
-            self.actors.append(GraphPartitionActor.remote(
-                lo, hi, weighted, range_filter, *refs, dedupe=dedupe))
+            if pre is None:
+                self.actors.append(GraphPartitionActor.remote(
+                    lo, hi, weighted, range_filter, *refs, dedupe=dedupe))
+            else:
+                self.actors.append(pre)
+                loads.append(pre.load.remote(False, *refs, dedupe=dedupe))
+        if loads:
+            ray.get(loads)  # surface load errors before stats
         # duplicate NON-EMPTY ranges ⇒ hub-split active ⇒ _stitch must
         # monoid-merge. (Repeated quantile boundaries on skewed dst
         # distributions produce duplicate EMPTY (lo == hi) ranges without
