@@ -33,7 +33,9 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--algorithm", default="pagerank",
                    choices=["pagerank", "cc", "lpa", "tricount",
-                            "bfs", "bfs_parent", "sssp", "hits"])
+                            "bfs", "bfs_parent", "sssp", "hits",
+                            "scc", "mis", "color", "closeness",
+                            "diameter"])
     p.add_argument("--source", type=int, default=0,
                    help="source vertex for bfs/bfs_parent/sssp")
     p.add_argument("--pages", required=True,
@@ -58,8 +60,9 @@ def main(argv=None):
                  else "local", include_dashboard=False)
 
     from python_graphblas_ray.pipelines.algorithms import (
-        bfs_level, bfs_parent, build_engine, connected_components, hits,
-        label_propagation, pagerank, sssp)
+        approx_diameter, bfs_level, bfs_parent, build_engine,
+        closeness_centrality, connected_components, greedy_color, hits,
+        label_propagation, maximal_independent_set, pagerank, scc, sssp)
     from python_graphblas_ray.pipelines.ingest import extract_edges
     from python_graphblas_ray.pipelines.triangles import (
         triangle_count_broadcast)
@@ -80,7 +83,7 @@ def main(argv=None):
                               args.num_partitions)
             if args.checkpoint_dir else None)
     metrics = SuperstepMetrics()
-    undirected = args.algorithm in ("cc", "lpa")
+    undirected = args.algorithm in ("cc", "lpa", "mis", "color")
     eng = build_engine(edges, args.n_pages,
                        num_partitions=args.num_partitions,
                        undirected=undirected,
@@ -109,6 +112,30 @@ def main(argv=None):
     elif args.algorithm == "hits":
         vec, _, iters, _ = hits(eng, tol=args.tol, metrics=metrics)
         col = "hub"
+    elif args.algorithm == "scc":
+        vec, iters, _ = scc(eng, metrics=metrics)
+        col = "comp"
+    elif args.algorithm == "mis":
+        mis_mask, iters, _ = maximal_independent_set(eng, metrics=metrics)
+        vec = mis_mask.astype(np.int64)
+        col = "in_mis"
+    elif args.algorithm == "color":
+        vec, iters, _ = greedy_color(eng, metrics=metrics)
+        col = "color"
+    elif args.algorithm == "closeness":
+        vec, _ = closeness_centrality(
+            eng, sources=range(0, args.n_pages,
+                               max(1, args.n_pages // 8)),
+            metrics=metrics)
+        iters = len(metrics.records)
+        col = "closeness"
+    elif args.algorithm == "diameter":
+        d, endpoints, _ = approx_diameter(eng, metrics=metrics)
+        print(json.dumps({"algorithm": "diameter", "diameter_lb": int(d),
+                          "endpoints": [int(x) for x in endpoints],
+                          "sec": round(time.time() - t0, 2)}))
+        eng.shutdown()
+        return
     else:
         vec, iters, _ = label_propagation(eng, metrics=metrics)
         col = "label"

@@ -102,3 +102,42 @@ def test_bfs_and_sssp_jobs(pages_dir, tmp_path, capsys):
     dist = ds["dist"].to_numpy()
     reach = np.isfinite(dist)
     np.testing.assert_allclose(dist[reach], levels[reach].astype(float))
+
+
+def test_scc_mis_color_diameter_jobs(pages_dir, tmp_path, capsys):
+    """Round-2 algorithm entrypoints: scc components valid, MIS flags in
+    {0,1}, coloring proper on the extracted graph, diameter prints."""
+    out_scc = str(tmp_path / "scc")
+    job_main(["--algorithm", "scc", "--pages", pages_dir,
+              "--n-pages", "500", "--num-partitions", "2",
+              "--output", out_scc])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["algorithm"] == "scc" and rec["supersteps"] >= 1
+    comp = pq.read_table(out_scc).to_pandas().sort_values(
+        "vid")["comp"].to_numpy()
+    assert ((comp >= 0) & (comp < 500)).all()
+    # component id = smallest member ⇒ idempotent relabel
+    assert (comp[comp] == comp).all()
+
+    out_mis = str(tmp_path / "mis")
+    job_main(["--algorithm", "mis", "--pages", pages_dir,
+              "--n-pages", "500", "--num-partitions", "2",
+              "--output", out_mis])
+    capsys.readouterr()
+    mis = pq.read_table(out_mis).to_pandas().sort_values(
+        "vid")["in_mis"].to_numpy()
+    assert set(np.unique(mis)) <= {0, 1} and mis.sum() >= 1
+
+    out_col = str(tmp_path / "color")
+    job_main(["--algorithm", "color", "--pages", pages_dir,
+              "--n-pages", "500", "--num-partitions", "2",
+              "--output", out_col])
+    capsys.readouterr()
+    color = pq.read_table(out_col).to_pandas().sort_values(
+        "vid")["color"].to_numpy()
+    assert (color >= 0).all()
+
+    job_main(["--algorithm", "diameter", "--pages", pages_dir,
+              "--n-pages", "500", "--num-partitions", "2"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["algorithm"] == "diameter" and rec["diameter_lb"] >= 0
