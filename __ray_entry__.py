@@ -454,6 +454,25 @@ def _q_reciprocity(sf_dir):
                      "ratio": [round(ratio, 8)]})
 
 
+def _q_assortativity(sf_dir):
+    """Degree assortativity (Newman): Pearson corr of (out-deg(src),
+    in-deg(dst)) over edges — one streaming moments pass."""
+    from python_graphblas_ray.pipelines.linkpred import assortativity
+
+    r = assortativity(_edge_matrix(sf_dir), N_VERT)
+    return pa.table({"assortativity": [round(float(r), 8)]})
+
+
+def _q_local_clustering(sf_dir):
+    """Per-vertex local clustering coefficient — composition of the
+    masked plus_pair support mxm + two rowwise reductions."""
+    from python_graphblas_ray.pipelines.linkpred import local_clustering
+    from python_graphblas_ray.pipelines.triangles import simple_undirected
+
+    A = simple_undirected(_edge_dataset(sf_dir), N_VERT)
+    return local_clustering(A, N_VERT)
+
+
 def _q_docs_lm_score(sf_dir):
     """CCNet-style n-gram LM quality score: Laplace bigram LM trained on
     the corpus itself, mean log-prob per doc (8-decimal rounded)."""
@@ -1178,6 +1197,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diameter": _q_diameter,
         "events_heavy_hitters": _q_events_heavy_hitters,
         "pages_roundtrip": _q_pages_roundtrip,
+        "assortativity": _q_assortativity,
+        "local_clustering": _q_local_clustering,
     }
     return {**window, **tail, **members}
 
@@ -1549,6 +1570,28 @@ def oracle_sql() -> dict[str, str]:
         "events_heavy_hitters": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS mg_count "
             "FROM events GROUP BY 1"),
+        "assortativity": (
+            f"{E}, dout AS (SELECT src, count(*) AS d FROM E GROUP BY 1), "
+            "din AS (SELECT dst, count(*) AS d FROM E GROUP BY 1) "
+            "SELECT round(corr(o.d * 1.0, i.d * 1.0), 8) "
+            "AS assortativity FROM E e "
+            "JOIN dout o ON o.src = e.src JOIN din i ON i.dst = e.dst"),
+        "local_clustering": (
+            f"{E}, "
+            "sym AS (SELECT DISTINCT s, d FROM ("
+            "SELECT src AS s, dst AS d FROM E "
+            "UNION ALL SELECT dst, src FROM E) WHERE s <> d), "
+            "deg AS (SELECT s, count(*) AS d FROM sym GROUP BY 1), "
+            "sup AS (SELECT e.s, e.d, count(*) AS c "
+            "FROM sym e JOIN sym a ON a.s = e.s "
+            "JOIN sym b ON b.s = e.d AND b.d = a.d GROUP BY 1, 2), "
+            "tri2 AS (SELECT s, sum(c) AS t2 FROM sup GROUP BY 1) "
+            "SELECT v.vid, round(CASE WHEN COALESCE(g.d, 0) >= 2 "
+            "THEN COALESCE(t.t2, 0) * 1.0 / (g.d * (g.d - 1)) "
+            "ELSE 0.0 END, 8) AS coeff "
+            "FROM (SELECT range::BIGINT AS vid FROM range(512)) v "
+            "LEFT JOIN deg g ON g.s = v.vid "
+            "LEFT JOIN tri2 t ON t.s = v.vid"),
         "pages_roundtrip": (
             # same shell construction + the same tag-strip /
             # whitespace-collapse / trim the Python extract_text applies

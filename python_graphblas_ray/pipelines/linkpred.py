@@ -254,3 +254,65 @@ def reciprocity(A):
     n_edges = D.nvals
     n_recip = D.ewise_mult(D.T, "pair").nvals
     return n_edges, n_recip, (n_recip / n_edges if n_edges else 0.0)
+
+
+def assortativity(A, n):
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    (out-degree(src), in-degree(dst)) over the directed edges — do hubs
+    link to hubs? One structural-degree reduction per side (broadcast as
+    O(n) vectors), then a single streaming pass accumulating the five
+    correlation moments per batch — the edge table is never shuffled
+    or collected.
+
+    Returns the coefficient as a float (nan when degenerate)."""
+    import ray
+
+    from ..functions.aggregators import agg
+
+    dout = A.reduce_rowwise(agg.count).to_dense(0.0)
+    din = A.reduce_columnwise(agg.count).to_dense(0.0)
+    ref = ray.put((dout, din))
+
+    def moments(batch):
+        do, di = ray.get(ref)
+        x = do[batch["src"].to_numpy(zero_copy_only=False)]
+        y = di[batch["dst"].to_numpy(zero_copy_only=False)]
+        return pa.table({"n": [float(len(x))], "sx": [x.sum()],
+                         "sy": [y.sum()], "sxx": [(x * x).sum()],
+                         "syy": [(y * y).sum()], "sxy": [(x * y).sum()]})
+
+    tot = {k: 0.0 for k in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+    for b in A.ds.map_batches(moments, batch_format="pyarrow") \
+                 .iter_batches(batch_format="pyarrow", batch_size=None):
+        for k in tot:
+            tot[k] += float(b[k][0].as_py())
+    n_e, sx, sy = tot["n"], tot["sx"], tot["sy"]
+    cov = tot["sxy"] - sx * sy / n_e
+    vx = tot["sxx"] - sx * sx / n_e
+    vy = tot["syy"] - sy * sy / n_e
+    if vx <= 0 or vy <= 0:
+        return float("nan")
+    return cov / np.sqrt(vx * vy)
+
+
+def local_clustering(A_und, n):
+    """Per-vertex local clustering coefficient over the simple undirected
+    graph: ``c(v) = 2·tri(v) / (deg(v)·(deg(v)-1))`` (0 for deg < 2),
+    with ``tri(v) = Σ_u support(v,u) / 2`` — the row sum of the per-edge
+    triangle-support matrix the masked plus_pair mxm already computes
+    (`A.mxm(A, plus_pair, mask=A.S)`). Pure composition of existing
+    kernels; one extra rowwise reduction beyond edge support.
+
+    Returns a pyarrow Table ``(vid, coeff)`` over all n vertices,
+    rounded to 8 decimals (oracle-stable)."""
+    from ..functions.monoids import semiring
+
+    support = A_und.mxm(A_und, semiring.plus_pair, mask=A_und.S)
+    tri2 = support.reduce_rowwise("plus").to_dense(0.0)  # 2·tri(v)
+    from ..functions.aggregators import agg
+
+    deg = A_und.reduce_rowwise(agg.count).to_dense(0.0)
+    denom = deg * (deg - 1.0)
+    coeff = np.where(denom > 0, tri2 / denom, 0.0)
+    return pa.table({"vid": np.arange(n, dtype=np.int64),
+                     "coeff": np.round(coeff, 8)})
