@@ -403,6 +403,20 @@ def _q_diameter(sf_dir):
     return pa.table({"diameter_lb": [int(d)]})
 
 
+def _q_events_quantiles(sf_dir):
+    """KLL quantile sketch over events.value — cap ≥ rowcount at test
+    scale, so the sketch is exact (the compaction path is exercised by
+    the dedicated rank-error test)."""
+    from python_graphblas_ray.stages.sketch import (quantile_query,
+                                                    quantile_sketch)
+
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    vals, wts, total = quantile_sketch(
+        _read(sf_dir, "events", columns=["value"]), "value", cap=16384)
+    est = quantile_query(vals, wts, total, qs)
+    return pa.table({"q": np.asarray(qs), "value": np.round(est, 8)})
+
+
 def _q_events_heavy_hitters(sf_dir):
     """Misra-Gries top-k on event_type: k=64 ≥ the column's cardinality,
     so the sketch is EXACT here (the compression path is exercised by
@@ -1196,6 +1210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_graph": _q_host_graph,
         "diameter": _q_diameter,
         "events_heavy_hitters": _q_events_heavy_hitters,
+        "events_quantiles": _q_events_quantiles,
         "pages_roundtrip": _q_pages_roundtrip,
         "assortativity": _q_assortativity,
         "local_clustering": _q_local_clustering,
@@ -1570,6 +1585,10 @@ def oracle_sql() -> dict[str, str]:
         "events_heavy_hitters": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS mg_count "
             "FROM events GROUP BY 1"),
+        "events_quantiles": " UNION ALL ".join(
+            f"SELECT {q} AS q, round(quantile_disc(value, {q}), 8) "
+            "AS value FROM events"
+            for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)),
         "assortativity": (
             f"{E}, dout AS (SELECT src, count(*) AS d FROM E GROUP BY 1), "
             "din AS (SELECT dst, count(*) AS d FROM E GROUP BY 1) "

@@ -366,3 +366,110 @@ def bloom_contains(bits: np.ndarray, m_bits: int, k: int,
     word = (pos >> np.uint64(6)).astype(np.int64)
     got = (bits[word] >> (pos & np.uint64(63))) & np.uint64(1)
     return got.all(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile sketch (multi-level KLL-style compactor)
+# ---------------------------------------------------------------------------
+
+class _KLL:
+    """Multi-level compactor (Karnin-Lang-Liberty shape): level h holds
+    items of weight 2^h; when a level exceeds ``cap`` it is sorted and
+    every other item promoted one level up (weight doubles; an odd
+    leftover stays behind), so TOTAL WEIGHT IS CONSERVED exactly and a
+    compaction at level h perturbs any rank by at most 2^h — the error
+    grows with log(n/cap), not with the number of merges (the
+    single-level "double everything" shortcut compounds weights and is
+    wrong)."""
+
+    def __init__(self, cap=2048):
+        self.cap = int(cap)
+        self.levels = [np.array([], dtype=np.float64)]
+
+    def add(self, vals: np.ndarray, level: int = 0):
+        while len(self.levels) <= level:
+            self.levels.append(np.array([], dtype=np.float64))
+        self.levels[level] = np.concatenate([self.levels[level], vals])
+        h = level
+        while h < len(self.levels) and len(self.levels[h]) > self.cap:
+            buf = np.sort(self.levels[h], kind="stable")
+            odd = len(buf) % 2
+            promote = buf[odd::2]  # deterministic: keep odd leftover low
+            self.levels[h] = buf[:odd]
+            if h + 1 == len(self.levels):
+                self.levels.append(np.array([], dtype=np.float64))
+            self.levels[h + 1] = np.concatenate(
+                [self.levels[h + 1], promote])
+            h += 1
+
+    def items(self):
+        vals = np.concatenate(self.levels) if self.levels else \
+            np.array([], dtype=np.float64)
+        wts = np.concatenate(
+            [np.full(len(b), float(1 << h))
+             for h, b in enumerate(self.levels)]) if self.levels else \
+            np.array([], dtype=np.float64)
+        order = np.argsort(vals, kind="stable")
+        return vals[order], wts[order]
+
+
+class _QuantilePartial:
+    """Per-batch combiner: the batch's values folded through a local
+    KLL compactor, emitted as (value, weight=2^level) rows — weights are
+    exact powers of two, so the driver can re-insert each row at its
+    level and mergeability is exact."""
+
+    def __init__(self, col, cap):
+        self.col = col
+        self.cap = int(cap)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = batch[self.col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        v = v[~np.isnan(v)]
+        k = _KLL(self.cap)
+        k.add(v)
+        vals, wts = k.items()
+        return pa.table({"v": vals, "w": wts})
+
+
+def quantile_sketch(ds, col, cap=2048, concurrency=4):
+    """Mergeable distributed quantile sketch (multi-level KLL
+    compactors): per-batch compacted (value, weight) samples re-inserted
+    level-by-level into one driver compactor. Total weight is conserved
+    EXACTLY; when ``cap`` ≥ the column's row count no compaction ever
+    fires and the sketch is EXACT (the SQL-oracle regime at test scale);
+    at 100 TB the fixed ``cap`` bounds every buffer at cap × log(n/cap)
+    items while rank error stays O(n · log(n/cap) / cap).
+
+    Returns ``(values: float64[m], weights: float64[m], total: float)``
+    sorted by value."""
+    partials = ds.map_batches(
+        _QuantilePartial, fn_constructor_kwargs=dict(col=col, cap=cap),
+        batch_format="pyarrow", concurrency=(1, concurrency),
+        batch_size=8192)
+    k = _KLL(cap)
+    for b in partials.iter_batches(batch_format="pyarrow",
+                                   batch_size=None):
+        vals = b["v"].to_numpy(zero_copy_only=False)
+        wts = b["w"].to_numpy(zero_copy_only=False)
+        for h in np.unique(np.log2(wts).astype(np.int64)):
+            k.add(vals[wts == float(1 << h)], level=int(h))
+    vals, wts = k.items()
+    return vals, wts, float(wts.sum())
+
+
+def quantile_query(vals: np.ndarray, wts: np.ndarray, total: float,
+                   qs) -> np.ndarray:
+    """Quantile estimates from a sketch: the smallest value whose
+    cumulative weight reaches q·total (discrete/lower quantile — matches
+    DuckDB ``quantile_disc`` in the exact regime)."""
+    if len(vals) == 0:
+        return np.full(len(list(qs)), np.nan)
+    cum = np.cumsum(wts)
+    out = []
+    for q in qs:
+        target = q * total
+        idx = int(np.searchsorted(cum, target, side="left"))
+        out.append(vals[min(idx, len(vals) - 1)])
+    return np.asarray(out)

@@ -740,3 +740,36 @@ def test_decontaminate_bloom_route_matches_broadcast():
         assert stats["method"] == method
     assert keep["broadcast"] == keep["bloom"] == keep["shuffle"]
     assert len(keep["broadcast"]) < 200  # something was dropped
+
+
+def test_quantile_sketch_exact_regime_matches_numpy():
+    from python_graphblas_ray.stages.sketch import (quantile_query,
+                                                    quantile_sketch)
+
+    rng = np.random.default_rng(31)
+    x = rng.normal(size=5000)
+    ds = ray.data.from_arrow(pa.table({"v": x})).repartition(8)
+    vals, wts, total = quantile_sketch(ds, "v", cap=8192)
+    assert total == len(x) and (wts == 1.0).all()  # no compaction fired
+    qs = [0.1, 0.5, 0.9, 0.99]
+    got = quantile_query(vals, wts, total, qs)
+    xs = np.sort(x)
+    want = [xs[min(int(np.ceil(q * len(x))) - 1, len(x) - 1)]
+            for q in qs]
+    np.testing.assert_allclose(got, want)
+
+
+def test_quantile_sketch_rank_error_under_compaction():
+    from python_graphblas_ray.stages.sketch import (quantile_query,
+                                                    quantile_sketch)
+
+    rng = np.random.default_rng(32)
+    x = rng.exponential(size=100_000)
+    ds = ray.data.from_arrow(pa.table({"v": x})).repartition(16)
+    vals, wts, total = quantile_sketch(ds, "v", cap=1024)
+    assert len(vals) <= 1024 and abs(total - len(x)) < 1e-6
+    xs = np.sort(x)
+    for q in (0.25, 0.5, 0.9):
+        est = quantile_query(vals, wts, total, [q])[0]
+        true_rank = np.searchsorted(xs, est) / len(x)
+        assert abs(true_rank - q) < 0.05, (q, true_rank)

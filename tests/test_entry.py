@@ -31,7 +31,8 @@ SAMPLE = ["edges_build", "degree_out", "mxv_plus_times", "mxm_plus_times",
           # the driver window; semantic_dedup's only parity check is here)
           "scc", "mis", "reciprocity", "docs_lm_score", "semantic_dedup",
           "closeness", "host_graph", "diameter", "events_heavy_hitters",
-          "pages_roundtrip", "assortativity", "local_clustering"]
+          "pages_roundtrip", "assortativity", "local_clustering",
+          "events_quantiles"]
 
 
 @pytest.fixture(scope="module")
