@@ -27,7 +27,7 @@ _MONOIDS = ("Monoid", "Semiring", "get_semiring", "monoid", "op",
 
 __all__ = [*_CORE, *_OPS, *_MONOIDS, "MAX_SIZE", "Recorder", "agg",
            "backend", "config", "dtypes", "exceptions", "io",
-           "replace", "viz"]
+           "replace", "ss", "viz"]
 
 __version__ = "0.1.0"
 
@@ -65,6 +65,8 @@ def __getattr__(name):
         return importlib.import_module(".viz", __name__)
     if name == "exceptions":
         return importlib.import_module(".exceptions", __name__)
+    if name == "ss":
+        return importlib.import_module(".ss", __name__)
     if name == "Recorder":
         return importlib.import_module(".recorder", __name__).Recorder
     if name == "replace":
