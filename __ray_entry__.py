@@ -615,6 +615,23 @@ def _q_node2vec_walks(sf_dir):
                      "vertex": walks.reshape(-1)})
 
 
+def _q_docs_cdc_chunks(sf_dir):
+    """Content-defined chunking over documents (gear rolling hash) —
+    rows-only (tiling/shift-resistance/dedup-ratio are pytest-checked);
+    chunk_hash cast to int64 for the driver's Arrow comparison."""
+    from python_graphblas_ray.pipelines.dedup import cdc_chunks
+
+    ch = cdc_chunks(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+    def cast(batch: pa.Table) -> pa.Table:
+        h = batch["chunk_hash"].to_numpy(zero_copy_only=False)
+        return batch.set_column(
+            batch.schema.get_field_index("chunk_hash"), "chunk_hash",
+            pa.array(h.view(np.int64)))
+
+    return ch.map_batches(cast, batch_format="pyarrow")
+
+
 def _q_random_walks(sf_dir):
     from python_graphblas_ray.pipelines.algorithms import build_engine
 
@@ -1199,6 +1216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": _q_hits,
         "random_walks": _q_random_walks,
         "node2vec_walks": _q_node2vec_walks,
+        "docs_cdc_chunks": _q_docs_cdc_chunks,
         "embed_kmeans": _q_embed_kmeans,
         "louvain": _q_louvain,
         "docs_neardup_clusters": _q_docs_neardup_clusters,

@@ -773,3 +773,70 @@ def test_quantile_sketch_rank_error_under_compaction():
         est = quantile_query(vals, wts, total, [q])[0]
         true_rank = np.searchsorted(xs, est) / len(x)
         assert abs(true_rank - q) < 0.05, (q, true_rank)
+
+
+def _cdc_table(texts, **kw):
+    from python_graphblas_ray.pipelines.dedup import cdc_chunks
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": pa.array(texts, type=pa.string())}))
+    out = pa.concat_tables(cdc_chunks(ds, mask_bits=6).iter_batches(
+        batch_format="pyarrow")).to_pandas()
+    return out.sort_values(["doc_id", "chunk_ix"]).reset_index(drop=True)
+
+
+def test_cdc_chunks_tile_and_deterministic():
+    rng = np.random.default_rng(41)
+    texts = ["".join(rng.choice(list("abcdefgh \n"), size=int(s)))
+             for s in rng.integers(0, 2000, 30)]
+    t1, t2 = _cdc_table(texts), _cdc_table(texts)
+    assert t1.equals(t2)
+    # chunks tile each doc exactly
+    for i, txt in enumerate(texts):
+        rows = t1[t1.doc_id == i]
+        if len(txt) == 0:
+            assert len(rows) == 0
+            continue
+        assert rows.start.iloc[0] == 0
+        assert (rows.start + rows.length).iloc[-1] == len(
+            txt.encode("utf-8"))
+        assert (rows.start.to_numpy()[1:] ==
+                (rows.start + rows.length).to_numpy()[:-1]).all()
+
+
+def test_cdc_shift_resistance_and_content_addressing():
+    """Insert bytes near the front: later chunk hashes are unchanged;
+    a shared passage yields identical chunk hashes in different docs
+    at different offsets."""
+    rng = np.random.default_rng(42)
+    body = "".join(rng.choice(list("abcdefgh "), size=4000))
+    t_orig = _cdc_table([body])
+    t_edit = _cdc_table(["XYZ" + body])
+    h1 = t_orig.chunk_hash.tolist()
+    h2 = t_edit.chunk_hash.tolist()
+    # all but the first few chunks survive the edit (suffix alignment)
+    k = 3
+    assert h1[-(len(h1) - k):] == h2[-(len(h1) - k):]
+    # content addressing across docs/offsets
+    passage = body[500:2500]
+    docs = ["PREFIX-" * 10 + passage, passage + " tail", passage]
+    tt = _cdc_table(docs)
+    sets = [set(tt[tt.doc_id == i].chunk_hash) for i in range(3)]
+    common = sets[0] & sets[1] & sets[2]
+    assert len(common) >= 10  # interior chunks of the shared passage
+
+
+def test_cdc_dedup_stats_detects_duplication():
+    from python_graphblas_ray.pipelines.dedup import cdc_dedup_stats
+
+    rng = np.random.default_rng(43)
+    base = "".join(rng.choice(list("abcdefgh "), size=3000))
+    docs = [base] * 10 + ["".join(rng.choice(list("abcdefgh "),
+                                             size=3000))]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": np.arange(len(docs), dtype=np.int64),
+        "text": docs}))
+    st = cdc_dedup_stats(ds, mask_bits=6)
+    assert st["total_bytes"] == sum(len(d) for d in docs)
+    assert st["dedup_ratio"] < 0.25  # 10 identical copies collapse
