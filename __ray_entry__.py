@@ -673,6 +673,17 @@ _BM25_QUERIES = {"q0": "hash join", "q1": "fast scan filter",
                  "q2": "customer order"}
 
 
+def _q_docs_mixture(sf_dir):
+    """Temperature-based mixture sample (w ∝ n^0.5 per source, exact
+    largest-remainder quotas, smallest-hash picks)."""
+    from python_graphblas_ray.pipelines.sampling import mixture_sample
+
+    return mixture_sample(
+        _read(sf_dir, "documents", columns=["doc_id", "source"]),
+        "source", total=200, key_col="doc_id", temperature=0.5,
+        method="knuth32", num_partitions=4)
+
+
 def _q_docs_bm25(sf_dir):
     """Lexical BM25 top-10 per query (streaming postings pruned to the
     query vocabulary at the map stage — no corpus-wide index shuffle)."""
@@ -1217,6 +1228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": _q_random_walks,
         "node2vec_walks": _q_node2vec_walks,
         "docs_cdc_chunks": _q_docs_cdc_chunks,
+        "docs_mixture": _q_docs_mixture,
         "embed_kmeans": _q_embed_kmeans,
         "louvain": _q_louvain,
         "docs_neardup_clusters": _q_docs_neardup_clusters,
@@ -1684,6 +1696,28 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY lang ORDER BY "
             "(((doc_id % 4294967296) * 2654435761) % 4294967296), "
             "doc_id) AS rn FROM documents) WHERE rn <= 20"),
+        "docs_mixture": (
+            # temperature mixing: largest-remainder quotas of
+            # 200·n^0.5/Σn^0.5 (remainder ties by source name), capped
+            # at n, then the same ROW_NUMBER-over-knuth32 pick as
+            # docs_quota
+            "WITH cnt AS (SELECT source, count(*) AS n FROM documents "
+            "GROUP BY 1), "
+            "w AS (SELECT source, n, pow(n, 0.5) AS wr FROM cnt), "
+            "tot AS (SELECT sum(wr) AS s FROM w), "
+            "raw AS (SELECT source, n, 200 * wr / s AS r FROM w, tot), "
+            "base AS (SELECT source, n, CAST(floor(r) AS BIGINT) AS b, "
+            "r - floor(r) AS f FROM raw), "
+            "rem AS (SELECT 200 - sum(b) AS m FROM base), "
+            "quota AS (SELECT source, least(n, b + CASE WHEN "
+            "row_number() OVER (ORDER BY f DESC, source) <= "
+            "(SELECT m FROM rem) THEN 1 ELSE 0 END) AS q FROM base), "
+            "ranked AS (SELECT doc_id, source, row_number() OVER ("
+            "PARTITION BY source ORDER BY "
+            "(((doc_id % 4294967296) * 2654435761) % 4294967296), "
+            "doc_id) AS rn FROM documents) "
+            "SELECT doc_id, source FROM ranked JOIN quota USING (source) "
+            "WHERE rn <= q"),
         "docs_bm25": (
             "WITH tok AS (SELECT doc_id, w FROM (SELECT doc_id, "
             "unnest(string_split_regex(text, '\\s+')) AS w "

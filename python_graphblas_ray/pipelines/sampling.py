@@ -246,3 +246,59 @@ def pack_sequences(ds, length_col: str, budget: int, id_col: str,
         return t.append_column(out_pos_col, pa.array(pack_pos))
 
     return ds.map_batches(pack, batch_format="pyarrow")
+
+
+def mixture_sample(ds, strata_col: str, total: int, key_col: str,
+                   temperature: float = 1.0, salt: int = 0,
+                   num_partitions=None, method: str = "splitmix64"):
+    """Temperature-based corpus mixing (the multilingual / multi-source
+    ``w_i ∝ n_i^τ`` rule — τ < 1 upsamples small sources relative to
+    their share, the standard blending move for LLM training mixes):
+
+    1. one small grouped count per stratum;
+    2. target quotas = largest-remainder rounding of
+       ``total · n_i^τ / Σ n_j^τ`` (deterministic — remainder ties break
+       by stratum name), capped at ``n_i`` (no replacement, so the
+       result can undershoot ``total`` when a stratum runs dry);
+    3. the EXACT deterministic pick: each stratum's ``q_i`` rows with
+       the smallest key hash (same one-exchange segment-rank kernel as
+       :func:`quota_sample`, per-stratum k).
+
+    Returns the sampled Dataset (all input columns)."""
+    from ..stages.exchange import hash_exchange_apply
+    from ..stages.reduce import segments
+
+    rows = ds.groupby(strata_col).count().take_all()
+    counts = {r[strata_col]: int(r["count()"]) for r in rows}
+    names = sorted(counts, key=lambda s: (s is None, s))
+    n = np.array([counts[s] for s in names], dtype=np.float64)
+    w = np.power(n, float(temperature))
+    w /= w.sum()
+    raw = w * float(total)
+    base = np.floor(raw).astype(np.int64)
+    rem = int(total - base.sum())
+    if rem > 0:
+        order = np.lexsort((np.arange(len(names)), -(raw - base)))
+        base[order[:rem]] += 1
+    quota = {s: int(min(b, counts[s])) for s, b in zip(names, base)}
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        u = _key_u01(t[key_col], salt, method)
+        enc = t[strata_col].combine_chunks().dictionary_encode()
+        codes = np.asarray(pc.fill_null(
+            enc.indices, len(enc.dictionary))).astype(np.int64)
+        ks = np.array([quota.get(v, 0)
+                       for v in enc.dictionary.to_pylist()] + [0],
+                      dtype=np.int64)
+        if pa.types.is_integer(t[key_col].type):
+            order = np.lexsort((np.asarray(t[key_col]), u, codes))
+        else:
+            order = np.lexsort((u, codes))
+        _, _, rank = segments(codes[order])
+        take = order[rank < ks[codes[order]]]
+        return t.take(pa.array(np.sort(take)))
+
+    return hash_exchange_apply(ds, strata_col, per_part,
+                               num_partitions=num_partitions)

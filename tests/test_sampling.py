@@ -212,3 +212,47 @@ def test_knuth32_rejects_negative_keys():
     with pytest.raises(Exception, match="non-negative"):
         split_column(ray.data.from_arrow(t), FR, key_col="doc_id",
                      method="knuth32").take_all()
+
+
+def test_mixture_sample_quotas_and_determinism():
+    from python_graphblas_ray.pipelines.sampling import mixture_sample
+
+    rng = np.random.default_rng(51)
+    sources = np.array(["big"] * 800 + ["mid"] * 150 + ["tiny"] * 50)
+    rng.shuffle(sources)
+    t = pa.table({"doc_id": np.arange(1000, dtype=np.int64),
+                  "source": sources})
+    ds = ray.data.from_arrow(t).repartition(4)
+    out1 = sorted(r["doc_id"] for r in mixture_sample(
+        ds, "source", total=200, key_col="doc_id",
+        temperature=0.5, method="knuth32").take_all())
+    out2 = sorted(r["doc_id"] for r in mixture_sample(
+        ds, "source", total=200, key_col="doc_id",
+        temperature=0.5, method="knuth32").take_all())
+    assert out1 == out2 and len(out1) == 200
+    # temperature < 1 upsamples small sources vs their raw share
+    got = mixture_sample(ds, "source", total=200, key_col="doc_id",
+                         temperature=0.5, method="knuth32").take_all()
+    from collections import Counter
+    c = Counter(r["source"] for r in got)
+    n = np.array([800.0, 150.0, 50.0])
+    w = np.sqrt(n); w /= w.sum()
+    raw = w * 200
+    # each quota within 1 of the largest-remainder target
+    for s, r in zip(("big", "mid", "tiny"), raw):
+        assert abs(c[s] - r) <= 1.0, (s, c[s], r)
+    assert c["tiny"] / 200 > 50 / 1000  # upsampled share
+
+
+def test_mixture_sample_caps_at_stratum_size():
+    from python_graphblas_ray.pipelines.sampling import mixture_sample
+
+    t = pa.table({"doc_id": np.arange(30, dtype=np.int64),
+                  "source": ["a"] * 25 + ["b"] * 5})
+    ds = ray.data.from_arrow(t)
+    got = mixture_sample(ds, "source", total=28, key_col="doc_id",
+                         temperature=0.0, method="knuth32").take_all()
+    from collections import Counter
+    c = Counter(r["source"] for r in got)
+    # τ=0 → equal targets (14, 14) but 'b' caps at 5
+    assert c["b"] == 5 and c["a"] == 14
