@@ -417,6 +417,18 @@ def _q_events_quantiles(sf_dir):
     return pa.table({"q": np.asarray(qs), "value": np.round(est, 8)})
 
 
+def _q_events_topk(sf_dir):
+    """Top-5 events by value per event_type (grouped_topk: one exchange
+    + cross-group segment-rank, ROW_NUMBER SQL oracle)."""
+    from python_graphblas_ray.stages.reduce import grouped_topk
+
+    return grouped_topk(
+        _read(sf_dir, "events",
+              columns=["event_id", "event_type", "value"]),
+        "event_type", "value", k=5, descending=True,
+        tie_col="event_id", num_partitions=4)
+
+
 def _q_events_heavy_hitters(sf_dir):
     """Misra-Gries top-k on event_type: k=64 ≥ the column's cardinality,
     so the sketch is EXACT here (the compression path is exercised by
@@ -1241,6 +1253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diameter": _q_diameter,
         "events_heavy_hitters": _q_events_heavy_hitters,
         "events_quantiles": _q_events_quantiles,
+        "events_topk": _q_events_topk,
         "pages_roundtrip": _q_pages_roundtrip,
         "assortativity": _q_assortativity,
         "local_clustering": _q_local_clustering,
@@ -1615,6 +1628,11 @@ def oracle_sql() -> dict[str, str]:
         "events_heavy_hitters": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS mg_count "
             "FROM events GROUP BY 1"),
+        "events_topk": (
+            "SELECT event_id, event_type, value FROM ("
+            "SELECT event_id, event_type, value, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY value DESC, event_id) "
+            "AS rn FROM events) WHERE rn <= 5"),
         "events_quantiles": " UNION ALL ".join(
             f"SELECT {q} AS q, round(quantile_disc(value, {q}), 8) "
             "AS value FROM events"

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data.aggregate import AggregateFn, Count, Max, Min, Sum
 
@@ -398,3 +399,41 @@ def groupby_aggregator(ds, key_cols, val_col, aggregator, out_col="val",
 
     key = key_cols[0] if len(key_cols) == 1 else key_cols
     return mat.groupby(key).map_groups(finalize_group, batch_format="pandas")
+
+
+def grouped_topk(ds, key_col: str, order_col: str, k: int,
+                 descending: bool = True, tie_col: str | None = None,
+                 num_partitions=None):
+    """Top-k rows per group by ``order_col`` — the generic
+    "top users per event type / top docs per domain" operator. ONE hash
+    exchange on the group key, then a cross-group lexsort + segment-rank
+    pass per partition (the same kernel family as ``quota_sample`` /
+    the per-row ``.ss`` selectk): no per-group Python, no global sort.
+
+    ``tie_col`` (e.g. the row id) makes the pick deterministic under
+    order-value ties — matching a
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY order [DESC], tie)``
+    oracle. Returns a Dataset with the input columns."""
+    from .exchange import hash_exchange_apply
+
+    kk = int(k)
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        enc = t[key_col].combine_chunks().dictionary_encode()
+        codes = np.asarray(pc.fill_null(
+            enc.indices, len(enc.dictionary))).astype(np.int64)
+        v = t[order_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        key2 = -v if descending else v
+        if tie_col is not None:
+            order = np.lexsort((np.asarray(t[tie_col]), key2, codes))
+        else:
+            order = np.lexsort((key2, codes))
+        _, _, rank = segments(codes[order])
+        take = order[rank < kk]
+        return t.take(pa.array(np.sort(take)))
+
+    return hash_exchange_apply(ds, key_col, per_part,
+                               num_partitions=num_partitions)
