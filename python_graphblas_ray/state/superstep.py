@@ -167,6 +167,17 @@ class GraphPartitionActor:
         self._indptr = None  # reset the lazy CSC cache on (re)load
         return n
 
+    def add_blocks(self, range_filter, *block_refs, dedupe=False):
+        """Incremental append: merge NEW edge blocks into the pinned
+        partition (current arrays re-enter :meth:`load` as one more
+        block — local concat + re-sort of THIS range only; the rest of
+        the graph is untouched). Returns the new edge count."""
+        cols = {"src": self.src, "dst": self.dstl + self.lo}
+        if self.w is not None:
+            cols["val"] = self.w
+        return self.load(range_filter, pa.table(cols), *block_refs,
+                         dedupe=dedupe)
+
     def stats(self):
         return {"lo": self.lo, "hi": self.hi, "edges": self.nedges}
 
@@ -1031,6 +1042,39 @@ class SuperstepEngine:
         vs = np.concatenate([p[0] for p in parts])
         ns = np.concatenate([p[1] for p in parts])
         return vs, ns
+
+    def add_edges(self, edges_ds, dedupe=False):
+        """Incremental engine update — the streaming-crawl move: new
+        edges are range-split by the EXISTING dst boundaries (the same
+        map-side exchange as the build) and appended to each pinned
+        actor (local concat + re-sort; no global rebuild, no actor
+        respawn). Partition ranges stay fixed, so delta skew accumulates
+        until a full rebuild — check ``partition_stats`` and rebuild
+        when imbalance exceeds taste. Derived engines (``symmetrized`` /
+        ``transposed``) do NOT see the update — re-derive them.
+
+        ``dedupe=True`` drops appended duplicates of existing (src, dst)
+        rows (keep-first — matches the undirected/dedupe build);
+        without it duplicate rows stack exactly like duplicate
+        ``from_coo`` entries. Hub-split engines are not supported (the
+        round-robin ref dealing would need rebalancing)."""
+        if self.has_hub_split:
+            raise NotImplementedError(
+                "add_edges on a hub-split engine — rebuild instead")
+        P = len(self.actors)
+        bounds = np.array([lo for lo, _ in self.ranges], dtype=np.int64)
+        block_refs = edges_ds.materialize().to_arrow_refs()
+        b_ref = ray.put(bounds)
+        outs = [_split_block.options(num_returns=P + 1).remote(
+            r, b_ref, P) for r in block_refs]
+        loads = [a.add_blocks.remote(False, *[o[p] for o in outs],
+                                     dedupe=dedupe)
+                 for p, a in enumerate(self.actors)]
+        ray.get(loads)
+        self.partition_stats = ray.get(
+            [a.stats.remote() for a in self.actors])
+        self.num_edges = sum(s["edges"] for s in self.partition_stats)
+        return self
 
     def edges_exist(self, prev, cand):
         """Vectorized adjacency-membership query: ``cand[i] ∈ N(prev[i])``

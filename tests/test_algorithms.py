@@ -589,3 +589,33 @@ def test_approx_diameter_monotone_in_sweeps(engine):
     d1, _, _ = approx_diameter(engine, sweeps=1)
     d2, _, _ = approx_diameter(engine, sweeps=2)
     assert d2 >= d1 >= 0
+
+
+def test_add_edges_incremental_equals_full_build(graph):
+    """build(A) + add_edges(B) must behave exactly like build(A ∪ B):
+    same edge count, same spmv, same pagerank (values AND supersteps)."""
+    import pyarrow as pa
+
+    from python_graphblas_ray.state.superstep import SuperstepEngine
+
+    src, dst, w, ds = graph
+    half = len(src) // 2
+    dsA = ray.data.from_arrow(pa.table({
+        "src": src[:half], "dst": dst[:half], "val": w[:half]}))
+    dsB = ray.data.from_arrow(pa.table({
+        "src": src[half:], "dst": dst[half:], "val": w[half:]}))
+    inc = SuperstepEngine(dsA, N, num_partitions=4,
+                          hub_split_factor=None)
+    inc.add_edges(dsB)
+    full = SuperstepEngine(ds, N, num_partitions=4,
+                           hub_split_factor=None)
+    assert inc.num_edges == full.num_edges
+    x = np.linspace(0.0, 1.0, N)
+    np.testing.assert_allclose(inc.spmv("plus_second", x),
+                               full.spmv("plus_second", x))
+    r1, it1 = inc.pagerank_inactor(tol=1e-8)
+    r2, it2 = full.pagerank_inactor(tol=1e-8)
+    assert it1 == it2
+    np.testing.assert_allclose(r1, r2)
+    inc.shutdown()
+    full.shutdown()
