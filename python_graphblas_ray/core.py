@@ -2297,3 +2297,52 @@ class _MaskView:
 # Vector also gets S/V mask views
 GBVector.S = property(lambda self: _MaskView(self, structure=True))
 GBVector.V = property(lambda self: _MaskView(self, structure=False))
+
+
+class _MatrixSS:
+    """``A.ss`` — per-matrix extension-method accessor (the reference's
+    SuiteSparse ``Matrix.ss``, ``core/ss/matrix.py``): binds the
+    per-row kernels from ``stages/perrow`` plus the streaming/serialize
+    extras to this matrix. Module-level forms live at ``gb.ss``."""
+
+    def __init__(self, A):
+        self._A = A
+
+    def scan(self, op="plus", order="rowwise"):
+        from .stages.perrow import row_scan
+        return row_scan(self._A, op, order)
+
+    def selectk(self, how, k):
+        from .stages.perrow import row_selectk
+        return row_selectk(self._A, how, k)
+
+    def compactify(self, how="first", k=None):
+        from .stages.perrow import row_compactify
+        return row_compactify(self._A, how, k)
+
+    def sort(self, ascending=True):
+        from .stages.perrow import row_sort
+        return row_sort(self._A, ascending)
+
+    def split(self, row_chunks, col_chunks):
+        from .stages.perrow import split
+        return split(self._A, row_chunks, col_chunks)
+
+    def flatten(self, order="rowwise"):
+        from .stages.perrow import flatten
+        return flatten(self._A, order)
+
+    def reshape(self, nrows, ncols, order="rowwise"):
+        from .stages.perrow import reshape
+        return reshape(self._A, nrows, ncols, order)
+
+    def head(self, n=10, sort=False):
+        return self._A.head(n, sort)
+
+    def serialize(self, path, num_partitions=None):
+        """Reference ``ss.serialize`` analogue: the partitioned Parquet
+        container sink (resume with ``GBMatrix.read_parquet``)."""
+        return self._A.write_parquet(path, num_partitions)
+
+
+GBMatrix.ss = property(_MatrixSS)

@@ -221,3 +221,25 @@ def test_selectk_largest_bool_and_unsigned():
     r, c, v = row_sort(U, ascending=False).to_coo()
     order = np.argsort(c)
     assert v[order].tolist() == [7, 3, 0]
+
+
+def test_matrix_ss_accessor_binds_perrow_kernels(tmp_path):
+    """A.ss.<kernel> == the module-level per-row kernels; serialize
+    round-trips through the Parquet container."""
+    from python_graphblas_ray.core import GBMatrix
+    from python_graphblas_ray.stages.perrow import row_scan
+
+    A = GBMatrix.from_coo([0, 0, 1, 2], [0, 1, 1, 2],
+                          [1.0, 2.0, 3.0, 4.0], nrows=3, ncols=3)
+    got = A.ss.scan("plus").to_coo()
+    want = row_scan(A, "plus").to_coo()
+    for g, w in zip(got, want):
+        o1, o2 = np.lexsort((got[1], got[0])), np.lexsort((want[1],
+                                                           want[0]))
+        np.testing.assert_array_equal(g[o1], w[o2])
+    assert A.ss.selectk("first", 1).nvals == 3
+    assert A.ss.sort().nvals == A.nvals
+    p = str(tmp_path / "mat")
+    A.ss.serialize(p)
+    B = GBMatrix.read_parquet(p)
+    assert B.isequal(A)
