@@ -509,6 +509,31 @@ def _q_docs_lm_score(sf_dir):
     return ngram_lm_score(docs, model)
 
 
+def _q_pagerank_weighted5(sf_dir):
+    """Fixed-5-superstep WEIGHTED PageRank (transition ∝ a synthetic
+    deterministic edge weight ``(src·7 + dst·13) % 10 + 1``): the
+    plus_times spmv + out-strength normalization path, 8-decimal
+    rounded for the recursive-CTE oracle."""
+    from python_graphblas_ray.pipelines.algorithms import (
+        build_engine, pagerank)
+
+    base = _edge_matrix(sf_dir).ds
+
+    def reweight(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": s, "dst": d,
+                         "val": ((s * 7 + d * 13) % 10 + 1).astype(
+                             np.float64)})
+
+    eng = build_engine(base.map_batches(reweight, batch_format="pyarrow"),
+                       N_VERT, num_partitions=4, weighted=True)
+    r, _, _ = pagerank(eng, tol=0.0, itermax=5, weighted=True)
+    eng.shutdown()
+    return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
+                     "rank": np.round(r, 8)})
+
+
 def _q_sssp(sf_dir):
     """Weighted Bellman-Ford over the dedup'd matrix (weight = edge
     multiplicity) so the hop-bounded recursive-CTE oracle sees the same
@@ -1241,6 +1266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node2vec_walks": _q_node2vec_walks,
         "docs_cdc_chunks": _q_docs_cdc_chunks,
         "docs_mixture": _q_docs_mixture,
+        "pagerank_weighted5": _q_pagerank_weighted5,
         "embed_kmeans": _q_embed_kmeans,
         "louvain": _q_louvain,
         "docs_neardup_clusters": _q_docs_neardup_clusters,
@@ -1596,6 +1622,26 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT p.it + 1, c.dst, (1.0 - 0.85) / 512 + "
             "sum(c.cnt * COALESCE(p.r / (deg.d / 0.85), 0.0)) "
+            "FROM pr p JOIN C c ON c.src = p.vid "
+            "LEFT JOIN deg ON deg.vid = p.vid "
+            "WHERE p.it < 5 GROUP BY p.it, c.dst) "
+            "SELECT vid, ROUND(r, 8) AS rank FROM pr WHERE it = 5"),
+        "pagerank_weighted5": (
+            # weighted variant: distinct edges carry the synthetic weight
+            # (src·7+dst·13)%10+1; normalization by weighted out-strength
+            "WITH RECURSIVE D AS (SELECT l_orderkey % 512 AS src, "
+            "l_partkey % 512 AS dst FROM lineitem GROUP BY 1, 2), "
+            "Ew AS (SELECT src, dst, CAST((src * 7 + dst * 13) % 10 + 1 "
+            "AS DOUBLE) AS wt FROM D), "
+            "deg AS (SELECT src AS vid, sum(wt) AS d FROM Ew GROUP BY 1), "
+            "V AS (SELECT CAST(range AS BIGINT) AS vid FROM range(512)), "
+            "C AS (SELECT src, dst, wt FROM Ew "
+            "UNION ALL SELECT vid, vid, 0.0 FROM V), "
+            "pr(it, vid, r) AS ("
+            "SELECT 0, vid, 1.0 / 512 FROM V "
+            "UNION ALL "
+            "SELECT p.it + 1, c.dst, (1.0 - 0.85) / 512 + "
+            "sum(c.wt * COALESCE(p.r / (deg.d / 0.85), 0.0)) "
             "FROM pr p JOIN C c ON c.src = p.vid "
             "LEFT JOIN deg ON deg.vid = p.vid "
             "WHERE p.it < 5 GROUP BY p.it, c.dst) "

@@ -75,7 +75,7 @@ def build_engine(edges_ds, n, num_partitions=None, weighted=False,
 def pagerank(engine: SuperstepEngine, damping=0.85, itermax=100, tol=1e-4,
              checkpoint: CheckpointManager | None = None,
              checkpoint_every=10, metrics: SuperstepMetrics | None = None,
-             personalization=None):
+             personalization=None, weighted=False):
     """LAGraph pagerank_3f (reference notebook, FP64 here).
 
     Returns ``(r, iters, metrics)``; ``iters`` matches the reference's
@@ -87,6 +87,12 @@ def pagerank(engine: SuperstepEngine, damping=0.85, itermax=100, tol=1e-4,
 
     ``personalization``: optional per-vertex teleport distribution
     (sums to 1) — personalized PageRank; ``None`` = uniform 1/n.
+
+    ``weighted=True``: transition probability proportional to edge
+    weight — normalize by the weighted OUT-STRENGTH and push through a
+    ``plus_times`` spmv (engine must be built with ``weighted=True``);
+    with unit weights this is numerically identical to the unweighted
+    recipe.
     """
     n = engine.n
     metrics = metrics or SuperstepMetrics()
@@ -95,7 +101,9 @@ def pagerank(engine: SuperstepEngine, damping=0.85, itermax=100, tol=1e-4,
         teleport = (1.0 - damping) * p
     else:
         teleport = (1.0 - damping) / n
-    d_out = engine.out_degrees().astype(np.float64)
+    spmv_kind = "plus_times" if weighted else "plus_second"
+    d_out = (engine.out_strengths() if weighted
+             else engine.out_degrees()).astype(np.float64)
     has_out = d_out > 0
     d_scaled = np.where(has_out, d_out / damping, 1.0)
 
@@ -118,7 +126,7 @@ def pagerank(engine: SuperstepEngine, damping=0.85, itermax=100, tol=1e-4,
             break
         t = r
         w = np.where(has_out, t / d_scaled, 0.0)
-        r = engine.spmv("plus_second", w) + teleport
+        r = engine.spmv(spmv_kind, w) + teleport
         rdiff = float(np.abs(t - r).sum())
         metrics.record(i, algorithm="pagerank", rdiff=rdiff,
                        edges=engine.num_edges)
@@ -130,11 +138,14 @@ def pagerank(engine: SuperstepEngine, damping=0.85, itermax=100, tol=1e-4,
 
 
 def pagerank_numpy(src, dst, n, damping=0.85, itermax=100, tol=1e-4,
-                   dtype=np.float64, personalization=None):
+                   dtype=np.float64, personalization=None, w=None):
     """Single-process oracle — the same recipe in pure numpy (plays the
     role of running the reference's pagerank_3f; tests assert allclose
-    1e-6 AND identical superstep count)."""
-    d_out = np.bincount(src, minlength=n).astype(dtype)
+    1e-6 AND identical superstep count). ``w``: edge weights for the
+    weighted variant (out-strength normalization + weighted push)."""
+    d_out = (np.bincount(src, weights=w, minlength=n).astype(dtype)
+             if w is not None
+             else np.bincount(src, minlength=n).astype(dtype))
     has_out = d_out > 0
     d_scaled = np.where(has_out, d_out / dtype(damping), 1.0)
     if personalization is not None:
@@ -150,8 +161,10 @@ def pagerank_numpy(src, dst, n, damping=0.85, itermax=100, tol=1e-4,
         if rdiff <= tol:
             break
         t = r
-        w = np.where(has_out, t / d_scaled, 0.0)
-        r = np.bincount(dst, weights=w[src], minlength=n).astype(dtype) + teleport
+        x = np.where(has_out, t / d_scaled, 0.0)
+        push = x[src] if w is None else w * x[src]
+        r = np.bincount(dst, weights=push, minlength=n).astype(dtype) \
+            + teleport
         rdiff = float(np.abs(t - r).sum())
     return r, i
 

@@ -225,6 +225,12 @@ class GraphPartitionActor:
         """Partial out-degree over the full vertex space (summed by driver)."""
         return np.bincount(self.src, minlength=n).astype(np.int64)
 
+    def out_strength_partial(self, n):
+        """Partial weighted out-strength (Σ edge weight per src; weight 1
+        when the engine is unweighted — then it equals the degree)."""
+        w = self.w if self.w is not None else None
+        return np.bincount(self.src, weights=w, minlength=n)
+
     def spmv(self, kind, x_ref):
         """One superstep: out[i] = ⊕_{(j,i) in E, lo<=i<hi} x[j] (⊗ w_ji).
 
@@ -914,6 +920,13 @@ class SuperstepEngine:
 
     def out_degrees(self):
         parts = ray.get([a.out_degree_partial.remote(self.n)
+                         for a in self.actors])
+        return np.sum(parts, axis=0)
+
+    def out_strengths(self):
+        """Weighted out-strength vector (== out_degrees when
+        unweighted)."""
+        parts = ray.get([a.out_strength_partial.remote(self.n)
                          for a in self.actors])
         return np.sum(parts, axis=0)
 

@@ -619,3 +619,30 @@ def test_add_edges_incremental_equals_full_build(graph):
     np.testing.assert_allclose(r1, r2)
     inc.shutdown()
     full.shutdown()
+
+
+def test_weighted_pagerank_matches_numpy_and_reduces_to_unweighted(graph):
+    """weighted=True over the weighted engine == numpy weighted oracle
+    (values + superstep count); with unit weights it reproduces the
+    unweighted recipe exactly."""
+    import pyarrow as pa
+
+    from python_graphblas_ray.pipelines.algorithms import (
+        build_engine, pagerank, pagerank_numpy)
+
+    src, dst, w, ds = graph
+    eng_w = build_engine(ds, N, num_partitions=4, weighted=True)
+    r, it, _ = pagerank(eng_w, tol=1e-8, weighted=True)
+    want, want_it = pagerank_numpy(src, dst, N, tol=1e-8, w=w)
+    assert it == want_it
+    np.testing.assert_allclose(r, want, atol=1e-12)
+    # unit weights ⇒ identical to the unweighted recipe
+    ones = ray.data.from_arrow(pa.table({
+        "src": src, "dst": dst, "val": np.ones(len(src))}))
+    eng_1 = build_engine(ones, N, num_partitions=4, weighted=True)
+    r1, it1, _ = pagerank(eng_1, tol=1e-8, weighted=True)
+    r0, it0 = pagerank_numpy(src, dst, N, tol=1e-8)
+    assert it1 == it0
+    np.testing.assert_allclose(r1, r0, atol=1e-12)
+    eng_w.shutdown()
+    eng_1.shutdown()

@@ -32,7 +32,8 @@ SAMPLE = ["edges_build", "degree_out", "mxv_plus_times", "mxm_plus_times",
           "scc", "mis", "reciprocity", "docs_lm_score", "semantic_dedup",
           "closeness", "host_graph", "diameter", "events_heavy_hitters",
           "pages_roundtrip", "assortativity", "local_clustering",
-          "events_quantiles", "docs_mixture", "events_topk"]
+          "events_quantiles", "docs_mixture", "events_topk",
+          "pagerank_weighted5"]
 
 
 @pytest.fixture(scope="module")
