@@ -669,6 +669,34 @@ def _q_docs_cdc_chunks(sf_dir):
     return ch.map_batches(cast, batch_format="pyarrow")
 
 
+def _q_ppr_local(sf_dir):
+    """ACL local-push personalized PageRank from seeds {0, 7} (work ∝
+    touched edges); rows-only — the under-approximation / residual
+    bounds are pytest-checked against a dense linear-system oracle."""
+    from python_graphblas_ray.pipelines.algorithms import (
+        build_engine, ppr_push)
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
+    p, r, _, _ = ppr_push(eng, [0, 7], alpha=0.15, eps=1e-7)
+    eng.shutdown()
+    return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
+                     "ppr": np.round(p, 10),
+                     "residual": np.round(r, 10)})
+
+
+def _q_core_numbers(sf_dir):
+    """Per-vertex core number (iterated k-core peel over the simple
+    undirected graph); rows-only — dense-oracle pytest coverage lives
+    in test_kcore."""
+    from python_graphblas_ray.pipelines.kcore import core_number
+    from python_graphblas_ray.pipelines.triangles import simple_undirected
+
+    A = simple_undirected(_edge_dataset(sf_dir), N_VERT)
+    core = core_number(A)
+    return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
+                     "core": core})
+
+
 def _q_random_walks(sf_dir):
     from python_graphblas_ray.pipelines.algorithms import build_engine
 
@@ -1267,6 +1295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cdc_chunks": _q_docs_cdc_chunks,
         "docs_mixture": _q_docs_mixture,
         "pagerank_weighted5": _q_pagerank_weighted5,
+        "ppr_local": _q_ppr_local,
+        "core_numbers": _q_core_numbers,
         "embed_kmeans": _q_embed_kmeans,
         "louvain": _q_louvain,
         "docs_neardup_clusters": _q_docs_neardup_clusters,

@@ -646,3 +646,23 @@ def test_weighted_pagerank_matches_numpy_and_reduces_to_unweighted(graph):
     np.testing.assert_allclose(r1, r0, atol=1e-12)
     eng_w.shutdown()
     eng_1.shutdown()
+
+
+def test_ppr_push_under_approximates_exact(graph, engine):
+    """ACL push: p ≤ exact PPR pointwise (monotone under-approximation),
+    ‖exact − p‖₁ ≤ ‖r‖₁, and every terminal residual under threshold."""
+    from python_graphblas_ray.pipelines.algorithms import (
+        ppr_exact_numpy, ppr_push)
+
+    src, dst, w, ds = graph
+    seeds = [3, 77]
+    p, r, rounds, _ = ppr_push(engine, seeds, alpha=0.15, eps=1e-6)
+    exact = ppr_exact_numpy(src, dst, N, seeds, alpha=0.15)
+    d = np.bincount(src, minlength=N).astype(float)
+    assert rounds >= 1
+    assert (r <= 1e-6 * np.maximum(d, 1.0) + 1e-15).all()
+    assert (p <= exact + 1e-9).all()
+    assert np.abs(exact - p).sum() <= r.sum() + 1e-9
+    # tighter eps → closer approximation
+    p2, r2, _, _ = ppr_push(engine, seeds, alpha=0.15, eps=1e-8)
+    assert np.abs(exact - p2).sum() <= np.abs(exact - p).sum() + 1e-12
