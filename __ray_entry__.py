@@ -749,6 +749,15 @@ def _q_docs_mixture(sf_dir):
         method="knuth32", num_partitions=4)
 
 
+def _q_docs_ccnet_buckets(sf_dir):
+    """CCNet perplexity bucketing: LM-score tertiles → tail/middle/head
+    (tail iff score ≤ q1/3, middle iff ≤ q2/3, else head)."""
+    from python_graphblas_ray.stages.text import ccnet_buckets
+
+    return ccnet_buckets(_read(sf_dir, "documents",
+                               columns=["doc_id", "text"]))
+
+
 def _q_docs_bm25(sf_dir):
     """Lexical BM25 top-10 per query (streaming postings pruned to the
     query vocabulary at the map stage — no corpus-wide index shuffle)."""
@@ -1297,6 +1306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_weighted5": _q_pagerank_weighted5,
         "ppr_local": _q_ppr_local,
         "core_numbers": _q_core_numbers,
+        "docs_ccnet_buckets": _q_docs_ccnet_buckets,
         "embed_kmeans": _q_embed_kmeans,
         "louvain": _q_louvain,
         "docs_neardup_clusters": _q_docs_neardup_clusters,
@@ -1993,6 +2003,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM sym e JOIN sym a ON a.s = e.s "
             "JOIN sym b ON b.s = e.d AND b.d = a.d "
             "GROUP BY 1, 2")}
+    base["docs_ccnet_buckets"] = (
+        # tertile cuts over the docs_lm_score result (nested WITH is
+        # valid CTE-body SQL); boundary rule matches the sketch's
+        # searchsorted(left): tail iff score <= q1, middle iff <= q2
+        "WITH scores AS (" + base["docs_lm_score"] + "), "
+        "cuts AS (SELECT quantile_disc(lm_score, 1.0/3) AS q1, "
+        "quantile_disc(lm_score, 2.0/3) AS q2 FROM scores) "
+        "SELECT doc_id, lm_score, CASE WHEN lm_score <= q1 THEN 'tail' "
+        "WHEN lm_score <= q2 THEN 'middle' ELSE 'head' END AS bucket "
+        "FROM scores, cuts")
     base["power2_minplus"] = (
         f"{E} SELECT a.src, b.dst, min(a.val + b.val) AS val "
         "FROM E a JOIN E b ON a.dst = b.src GROUP BY 1, 2")

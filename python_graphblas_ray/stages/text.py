@@ -485,3 +485,37 @@ def ngram_lm_score(docs_ds, model, text_col="text", concurrency=8):
                                               text_col=text_col),
         batch_format="pyarrow", concurrency=(1, concurrency),
         batch_size=4096)
+
+
+def ccnet_buckets(docs_ds, model=None, text_col="text", id_col="doc_id",
+                  cuts=(1.0 / 3, 2.0 / 3), cap=1 << 17):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score each
+    doc under the bigram LM, cut the score distribution at ``cuts``
+    (tertiles by default) and label ``tail`` (worst) / ``middle`` /
+    ``head`` (best — CCNet keeps head+middle for training). The cut
+    values come from the mergeable quantile sketch (exact when ``cap``
+    covers the corpus — the oracle regime; fixed memory beyond), so the
+    whole operator is two streaming passes + one O(1) broadcast.
+
+    Returns a Dataset ``(id_col, lm_score, bucket)``."""
+    import ray
+
+    from ..stages.sketch import quantile_query, quantile_sketch
+
+    if model is None:
+        model = ngram_lm_fit(docs_ds, text_col=text_col)
+    scored = ngram_lm_score(docs_ds, model, text_col=text_col).materialize()
+    vals, wts, total = quantile_sketch(scored, "lm_score", cap=cap)
+    qcuts = quantile_query(vals, wts, total, list(cuts))
+    names = np.array(["tail", "middle", "head"], dtype=object)
+    c_ref = ray.put(qcuts)
+
+    def label(batch: pa.Table) -> pa.Table:
+        cs = ray.get(c_ref)
+        s = batch["lm_score"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(cs, s, side="left")  # s < cut → below it
+        return batch.append_column(
+            "bucket", pa.array(names[np.clip(idx, 0, len(names) - 1)],
+                               type=pa.string()))
+
+    return scored.map_batches(label, batch_format="pyarrow")
