@@ -2346,3 +2346,26 @@ class _MatrixSS:
 
 
 GBMatrix.ss = property(_MatrixSS)
+
+
+class _VectorSS:
+    """``v.ss`` — per-vector extension accessor (reference
+    ``Vector.ss``): the distributed two-pass prefix scan plus the
+    container serialize."""
+
+    def __init__(self, v):
+        self._v = v
+
+    def scan(self, op="plus"):
+        from .stages.perrow import vector_scan
+        return vector_scan(self._v, op)
+
+    def serialize(self, path, num_partitions=None):
+        ds = self._v.ds
+        if num_partitions:
+            ds = ds.repartition(num_partitions)
+        ds.write_parquet(path)
+        return path
+
+
+GBVector.ss = property(_VectorSS)

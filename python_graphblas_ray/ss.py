@@ -17,10 +17,10 @@ Ray-engine equivalents:
 from ._config import config
 from .pipelines.algorithms import build_engine
 from .stages.perrow import (concat, flatten, reshape, row_compactify,
-                            row_scan, row_selectk, row_sort, reshape,
-                            split)
+                            row_scan, row_selectk, row_sort, split,
+                            vector_scan)
 from .state.superstep import SuperstepEngine
 
 __all__ = ["SuperstepEngine", "build_engine", "concat", "config",
            "flatten", "reshape", "row_compactify", "row_scan",
-           "row_selectk", "row_sort", "split"]
+           "row_selectk", "row_sort", "split", "vector_scan"]

@@ -255,3 +255,52 @@ def reshape(A: GBMatrix, nrows: int, ncols: int, order: str = "rowwise"
 
     return GBMatrix(A.ds.map_batches(kern, batch_format="pyarrow"),
                     nrows, ncols, A.dtype)
+
+
+def vector_scan(v, op: str = "plus"):
+    """Global prefix scan over a GBVector's PRESENT entries in index
+    order (reference ``Vector.ss.scan``, ``core/ss/prefix_scan.py`` —
+    there a log-depth mxm ladder; here the classic two-pass distributed
+    scan): ONE range sort by index, a parallel per-block reduce, an
+    O(#blocks) exclusive prefix on the driver, then a parallel per-block
+    local scan + offset. Any associative monoid ufunc.
+
+    Returns a new GBVector of the same size."""
+    import ray
+
+    from ..core import GBVector
+
+    ufunc = _SCAN_UFUNC[op]
+    blocks = v.ds.sort("vid").materialize().to_arrow_refs()
+
+    @ray.remote
+    def block_total(ref):
+        t = ref if isinstance(ref, pa.Table) else ref
+        vals = t["val"].to_numpy(zero_copy_only=False)
+        return ufunc.reduce(vals) if len(vals) else None
+
+    @ray.remote
+    def block_scan(ref, offset):
+        t = ref
+        if t.num_rows == 0:
+            return t
+        vals = t["val"].to_numpy(zero_copy_only=False).copy()
+        out = ufunc.accumulate(vals)
+        if offset is not None:
+            out = ufunc(offset, out)
+        return pa.table({"vid": t["vid"], "val": out})
+
+    totals = ray.get([block_total.remote(r) for r in blocks])
+    # exclusive prefix over block totals (None = empty block)
+    offsets = []
+    run = None
+    for tot in totals:
+        offsets.append(run)
+        if tot is not None:
+            run = tot if run is None else ufunc(run, tot)
+    out_refs = [block_scan.remote(r, off)
+                for r, off in zip(blocks, offsets)]
+    import ray.data
+
+    ds = ray.data.from_arrow_refs(out_refs)
+    return GBVector(ds, v.size, v.dtype)

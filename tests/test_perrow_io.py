@@ -2,7 +2,10 @@
 flatten/reshape) + MatrixMarket round-trip, vs numpy oracles."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
+import ray
+import ray.data
 
 from python_graphblas_ray.core import GBMatrix
 from python_graphblas_ray.sources.matrixmarket import mmread, mmwrite
@@ -243,3 +246,30 @@ def test_matrix_ss_accessor_binds_perrow_kernels(tmp_path):
     A.ss.serialize(p)
     B = GBMatrix.read_parquet(p)
     assert B.isequal(A)
+
+
+def test_vector_scan_plus_and_max():
+    """Distributed two-pass prefix scan == numpy accumulate in index
+    order, across multiple blocks."""
+    from python_graphblas_ray.core import GBVector
+    from python_graphblas_ray.stages.perrow import vector_scan
+
+    rng = np.random.default_rng(6)
+    idx = np.sort(rng.choice(5000, size=1200, replace=False))
+    val = rng.random(1200)
+    v = GBVector(ray.data.from_arrow(pa.table({
+        "vid": idx, "val": val})).repartition(8), 5000)
+    for op, ref in (("plus", np.add), ("max", np.maximum)):
+        gi, gv = vector_scan(v, op).to_coo()
+        o = np.argsort(gi)
+        np.testing.assert_array_equal(gi[o], idx)
+        np.testing.assert_allclose(gv[o], ref.accumulate(val))
+    # times on a well-conditioned range (a 1200-long cumprod of U(0,1)
+    # underflows to denormals where relative error is meaningless)
+    val2 = rng.uniform(0.9, 1.1, size=len(idx))
+    v2 = GBVector(ray.data.from_arrow(pa.table({
+        "vid": idx, "val": val2})).repartition(8), 5000)
+    gi, gv = vector_scan(v2, "times").to_coo()
+    o = np.argsort(gi)
+    np.testing.assert_allclose(gv[o], np.multiply.accumulate(val2),
+                               rtol=1e-9)
