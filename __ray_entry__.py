@@ -499,6 +499,18 @@ def _q_local_clustering(sf_dir):
     return local_clustering(A, N_VERT)
 
 
+def _q_modularity(sf_dir):
+    """Modularity of the deterministic vid%16 labeling over the simple
+    undirected graph (8-decimal rounded for the SQL oracle)."""
+    from python_graphblas_ray.pipelines.louvain import modularity
+    from python_graphblas_ray.pipelines.triangles import simple_undirected
+
+    A = simple_undirected(_edge_dataset(sf_dir), N_VERT)
+    labels = np.arange(N_VERT, dtype=np.int64) % 16
+    q = modularity(A.ds, labels, N_VERT)
+    return pa.table({"modularity": [round(float(q), 8)]})
+
+
 def _q_docs_lm_score(sf_dir):
     """CCNet-style n-gram LM quality score: Laplace bigram LM trained on
     the corpus itself, mean log-prob per doc (8-decimal rounded)."""
@@ -695,6 +707,16 @@ def _q_core_numbers(sf_dir):
     core = core_number(A)
     return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
                      "core": core})
+
+
+def _q_docs_cdc_neardup(sf_dir):
+    """Shared-passage near-dup pairs (≥2 shared content-defined chunks);
+    rows-only — planted-passage and hot-chunk-guard tests cover it."""
+    from python_graphblas_ray.pipelines.dedup import cdc_neardup_pairs
+
+    return cdc_neardup_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        min_shared=2, mask_bits=6)
 
 
 def _q_random_walks(sf_dir):
@@ -1307,6 +1329,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_local": _q_ppr_local,
         "core_numbers": _q_core_numbers,
         "docs_ccnet_buckets": _q_docs_ccnet_buckets,
+        "modularity": _q_modularity,
+        "docs_cdc_neardup": _q_docs_cdc_neardup,
         "embed_kmeans": _q_embed_kmeans,
         "louvain": _q_louvain,
         "docs_neardup_clusters": _q_docs_neardup_clusters,
@@ -1723,6 +1747,22 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {q} AS q, round(quantile_disc(value, {q}), 8) "
             "AS value FROM events"
             for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)),
+        "modularity": (
+            # Q = Σ_in/2m − Σ_c (σ_c/2m)² over the simple symmetric
+            # graph, labels = vid % 16
+            f"{E}, "
+            "U AS (SELECT DISTINCT least(src, dst) AS a, "
+            "greatest(src, dst) AS b FROM E WHERE src <> dst), "
+            "S AS (SELECT a AS src, b AS dst, 1.0 AS w FROM U "
+            "UNION ALL SELECT b, a, 1.0 FROM U), "
+            "m2 AS (SELECT sum(w) AS m FROM S), "
+            "inw AS (SELECT sum(w) AS iw FROM S "
+            "WHERE src % 16 = dst % 16), "
+            "sig AS (SELECT src % 16 AS c, sum(w) AS s FROM S "
+            "GROUP BY 1) "
+            "SELECT round((SELECT COALESCE(iw, 0) FROM inw) / "
+            "(SELECT m FROM m2) - (SELECT sum((s / (SELECT m FROM m2)) "
+            "* (s / (SELECT m FROM m2))) FROM sig), 8) AS modularity"),
         "assortativity": (
             f"{E}, dout AS (SELECT src, count(*) AS d FROM E GROUP BY 1), "
             "din AS (SELECT dst, count(*) AS d FROM E GROUP BY 1) "

@@ -1166,3 +1166,73 @@ def cdc_dedup_stats(docs_ds, id_col="doc_id", text_col="text",
     return {"chunks": tot_chunks, "unique_chunks": uniq_chunks,
             "unique_bytes": uniq_bytes, "total_bytes": tot_bytes,
             "dedup_ratio": (uniq_bytes / tot_bytes) if tot_bytes else 1.0}
+
+
+def cdc_neardup_pairs(docs_ds, min_shared=3, id_col="doc_id",
+                      text_col="text", mask_bits=8, max_chunk_df=256):
+    """Shared-passage near-duplicate pairs: documents sharing at least
+    ``min_shared`` DISTINCT content-defined chunks (gear hash — i.e. a
+    long duplicated passage, not merely similar vocabulary). The chunk-
+    level inverted index is naturally scale-safe where the word-level
+    one is not: chunk hashes are ~2^mask_bits-byte passages, so their
+    document frequency is tiny unless content is actually duplicated —
+    and boilerplate chunks above ``max_chunk_df`` docs are dropped
+    (the hot-key guard, same reasoning as ``max_word_df``).
+
+    One chunk pass + one groupby(df guard) + one self-join on
+    chunk_hash + one pair-count groupby. Returns
+    ``(ia, ib, shared_chunks)``."""
+    from ..functions.monoids import monoid as _m
+    from ..stages.join import hash_join
+    from ..stages.reduce import groupby_monoid as _gbm
+    from ..stages.reduce import grouped_agg
+
+    chunks = cdc_chunks(docs_ds, id_col=id_col, text_col=text_col,
+                        mask_bits=mask_bits)
+
+    def distinct(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h = batch["chunk_hash"].to_numpy(zero_copy_only=False)
+        u = np.unique(np.stack([ids.astype(np.uint64), h], axis=1),
+                      axis=0)
+        return pa.table({id_col: u[:, 0].astype(np.int64),
+                         "chunk_hash": u[:, 1]})
+
+    idx = chunks.map_batches(distinct, batch_format="pyarrow") \
+                .materialize()
+    # hot-chunk guard: df per hash (vocab-bounded grouped count)
+    df = grouped_agg(idx, ["chunk_hash"], [(id_col, "count", "df")])
+    hot = df.filter(expr=f"df > {int(max_chunk_df)}")
+    hot_keys = np.sort(np.concatenate(
+        [b["chunk_hash"].to_numpy(zero_copy_only=False)
+         for b in hot.iter_batches(batch_format="pyarrow",
+                                   batch_size=None)] or
+        [np.array([], dtype=np.uint64)]))
+    if len(hot_keys):
+        import ray as _ray
+
+        ref = _ray.put(hot_keys)
+
+        def drop_hot(batch: pa.Table) -> pa.Table:
+            hs = _ray.get(ref)
+            h = batch["chunk_hash"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(hs, h), len(hs) - 1)
+            return batch.filter(pa.array(hs[pos] != h))
+
+        idx = idx.map_batches(drop_hot, batch_format="pyarrow")
+
+    j = hash_join(idx, idx, on=("chunk_hash",), how="inner",
+                  left_suffix="_a", right_suffix="_b")
+    ca, cb = f"{id_col}_a", f"{id_col}_b"
+
+    def ordered(batch: pa.Table) -> pa.Table:
+        a = batch[ca].to_numpy(zero_copy_only=False)
+        b = batch[cb].to_numpy(zero_copy_only=False)
+        keep = a < b
+        return pa.table({"ia": a[keep], "ib": b[keep],
+                         "shared_chunks": np.ones(int(keep.sum()),
+                                                  dtype=np.int64)})
+
+    co = _gbm(j.map_batches(ordered, batch_format="pyarrow"),
+              ["ia", "ib"], "shared_chunks", _m["plus"])
+    return co.filter(expr=f"shared_chunks >= {int(min_shared)}")

@@ -259,3 +259,17 @@ def louvain_numpy(src, dst, n, max_levels=10, max_inner=20,
             break
         cur = nxt
     return assignment, levels
+
+
+def modularity(edges_ds, labels, n, resolution=1.0):
+    """Public modularity of an arbitrary vertex labeling over a
+    SYMMETRIC weighted edge table (the quality metric behind Louvain,
+    exposed standalone so any partition — LPA, components, a domain
+    mapping — can be scored): ``Q = Σ_in/2m − res·Σ_c (σ_c/2m)²``.
+    One broadcast of the label vector + one streaming pass for the
+    intra-community weight; degrees come from the same pass machinery
+    Louvain uses. Returns a float."""
+    labels = np.asarray(labels, dtype=np.int64)
+    ki, two_m = _degrees_and_total(edges_ds, n)
+    return _modularity(edges_ds, labels, ki, two_m,
+                       resolution=resolution)

@@ -840,3 +840,42 @@ def test_cdc_dedup_stats_detects_duplication():
     st = cdc_dedup_stats(ds, mask_bits=6)
     assert st["total_bytes"] == sum(len(d) for d in docs)
     assert st["dedup_ratio"] < 0.25  # 10 identical copies collapse
+
+
+def test_cdc_neardup_pairs_shared_passage():
+    from python_graphblas_ray.pipelines.dedup import cdc_neardup_pairs
+
+    rng = np.random.default_rng(61)
+    passage = "".join(rng.choice(list("abcdefgh "), size=3000))
+    docs = [
+        "A" * 50 + passage,                 # 0: shares passage with 1
+        passage + " trailing stuff here",   # 1
+        "".join(rng.choice(list("abcdefgh "), size=3000)),  # 2: unrelated
+        "".join(rng.choice(list("abcdefgh "), size=3000)),  # 3: unrelated
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": np.arange(4, dtype=np.int64), "text": docs}))
+    pairs = {(r["ia"], r["ib"]): r["shared_chunks"]
+             for r in cdc_neardup_pairs(ds, min_shared=3,
+                                        mask_bits=6).take_all()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 3
+    assert all(p == (0, 1) for p in pairs)
+
+
+def test_cdc_neardup_hot_chunk_guard():
+    """A boilerplate chunk present in EVERY doc must not create all-pairs
+    when its df exceeds the guard."""
+    from python_graphblas_ray.pipelines.dedup import cdc_neardup_pairs
+
+    rng = np.random.default_rng(62)
+    boiler = "".join(rng.choice(list("abcdefgh "), size=1500))
+    docs = [boiler + "".join(rng.choice(list("abcdefgh "), size=500))
+            for _ in range(20)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": np.arange(20, dtype=np.int64), "text": docs}))
+    guarded = cdc_neardup_pairs(ds, min_shared=2, mask_bits=6,
+                                max_chunk_df=10).take_all()
+    open_pairs = cdc_neardup_pairs(ds, min_shared=2, mask_bits=6,
+                                   max_chunk_df=1000).take_all()
+    assert len(open_pairs) == 20 * 19 // 2   # boilerplate → all pairs
+    assert len(guarded) == 0                 # guard kills the hot chunks

@@ -33,7 +33,7 @@ SAMPLE = ["edges_build", "degree_out", "mxv_plus_times", "mxm_plus_times",
           "closeness", "host_graph", "diameter", "events_heavy_hitters",
           "pages_roundtrip", "assortativity", "local_clustering",
           "events_quantiles", "docs_mixture", "events_topk",
-          "pagerank_weighted5", "docs_ccnet_buckets"]
+          "pagerank_weighted5", "docs_ccnet_buckets", "modularity"]
 
 
 @pytest.fixture(scope="module")
