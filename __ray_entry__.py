@@ -313,6 +313,77 @@ def _q_pagerank_iter5(sf_dir):
                      "rank": np.round(r, 8)})
 
 
+def _q_trustrank_iter5(sf_dir):
+    """TrustRank (seed-personalized PageRank, fixed 5 supersteps): the
+    teleport mass is uniform over trusted seeds 0..15, so the
+    ``pagerank_iter5`` recursive-CTE oracle carries over with only the
+    teleport vector and the initial distribution changed."""
+    from python_graphblas_ray.pipelines.algorithms import (
+        build_engine, trustrank)
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
+    r, _, _ = trustrank(eng, seeds=np.arange(16), tol=0.0, itermax=5)
+    eng.shutdown()
+    return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
+                     "rank": np.round(r, 8)})
+
+
+def _q_hits_iter3(sf_dir):
+    """Fixed-3-iteration HITS normalized ONLY at the end: every
+    intermediate hub/authority value is an exact-integer path count
+    (doubles below 2⁵³), so the recursive-CTE oracle reproduces the
+    scores to the 8-decimal grain with a single final L2 division. The
+    per-iteration-normalized convergent variant stays the rows-only
+    ``hits`` query."""
+    from python_graphblas_ray.pipelines.algorithms import (
+        build_engine, hits_fixed)
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
+    h, a = hits_fixed(eng, iters=3)
+    eng.shutdown()
+    return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
+                     "hub": np.round(h, 8),
+                     "authority": np.round(a, 8)})
+
+
+def _q_dag_layers(sf_dir):
+    """Longest-path topological layers over the DAG-ified edge table
+    (keep src < dst — acyclic by construction): the level schedule a
+    dependency ordering runs in. SQL oracle: recursive path-length
+    enumeration with UNION dedup (states bounded by V × longest path),
+    final max per vertex."""
+    from python_graphblas_ray.pipelines.algorithms import (
+        build_engine, dag_layers)
+
+    def dagify(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(s < d))
+
+    edges = _edge_dataset(sf_dir).map_batches(
+        dagify, batch_format="pyarrow").materialize()
+    eng = build_engine(edges, N_VERT, num_partitions=4)
+    layers, _, _ = dag_layers(eng)
+    eng.shutdown()
+    return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
+                     "layer": layers})
+
+
+def _q_cocitation(sf_dir):
+    """Co-citation counts (in-neighbor overlap, ``A.T @ A`` plus_pair) —
+    the related-page signal dual to ``link_scores``' out-neighbor
+    coupling counts. Cast to double to match the matmul family dtype."""
+    from python_graphblas_ray.pipelines.linkpred import cocitation_counts
+
+    ds = cocitation_counts(_edge_dataset(sf_dir), N_VERT)
+
+    def to_double(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["src"], "dst": batch["dst"],
+                         "val": batch["val"].cast(pa.float64())})
+
+    return ds.map_batches(to_double, batch_format="pyarrow")
+
+
 def _q_bfs_parents(sf_dir):
     """Parent BFS (min_secondi recipe): deterministic smallest-id parent
     among level-(L-1) in-neighbors — SQL-expressible via the bfs-levels
@@ -1163,7 +1234,7 @@ SUITES = {
     "degree_suite": ["degree_out", "degree_in", "degree_mean"],
     "reduce_scalar_suite": ["reduce_scalar_plus", "reduce_scalar_max"],
     "spmv_suite": ["mxv_plus_times", "vxm_min_plus", "mxv_masked"],
-    "vec_ops_suite": ["vec_ewise_add", "vec_extract"],
+    "vec_ops_suite": ["vec_ewise_add", "vec_extract", "diag"],
     "ewise_suite": ["ewise_add_plus", "ewise_mult_times",
                     "ewise_union_minus"],
     "select_suite": ["select_tril", "select_valuegt"],
@@ -1171,8 +1242,55 @@ SUITES = {
     "perrow_suite": ["row_scan_plus", "row_selectk_first2", "row_sort"],
     "components_suite": ["connected_components", "scc"],
     "matmul_suite": ["mxm_plus_times", "mxm_min_secondi",
-                     "power2_minplus", "kronecker"],
+                     "power2_minplus", "kronecker", "cocitation",
+                     "host_graph"],
+    "apply_view_suite": ["apply_ainv", "apply_rowindex", "transpose",
+                         "extract_submatrix"],
+    "rank_suite": ["pagerank_iter5", "pagerank_weighted5",
+                   "trustrank_iter5"],
 }
+
+# suites whose members have heterogeneous value-column names: each
+# member's value column is renamed to ``val`` (cast DOUBLE) on BOTH the
+# Ray and the SQL side before the UNION-tag concat. Format:
+# suite -> [(member, value_col), ...]; key columns (if any) listed too.
+RENAME_SUITES = {
+    # 1-row graph-shape metrics: (q, val)
+    "graph_metric_suite": ([], [("modularity", "modularity"),
+                                ("assortativity", "assortativity"),
+                                ("diameter", "diameter_lb")]),
+    # per-vertex centrality scores: (q, vid, val)
+    "centrality_suite": (["vid"], [("closeness", "val"),
+                                   ("local_clustering", "coeff")]),
+}
+
+
+def _suite_renamed(members, cols):
+    """Like ``_suite`` but renames each member's value column to ``val``
+    (cast to float64) so heterogeneous single-metric members share one
+    schema. ``members``: [(tag, fn, value_col)]; ``cols``: key columns
+    kept as-is (e.g. ["vid"])."""
+    def run(sf_dir):
+        parts = []
+        for tag, fn, vcol in members:
+            t = _as_table(fn(sf_dir))
+            if t is None:
+                continue
+            data = {"q": pa.array([tag] * len(t))}
+            for c in cols:
+                data[c] = t[c]
+            data["val"] = t[vcol].cast(pa.float64())
+            parts.append(pa.table(data))
+        return pa.concat_tables(parts, promote_options="permissive")
+    return run
+
+
+def _suite_sql_renamed(members, cols):
+    key = "".join(f"{c}, " for c in cols)
+    return " UNION ALL ".join(
+        f"SELECT '{tag}' AS q, {key}CAST({vcol} AS DOUBLE) AS val "
+        f"FROM ({sql}) AS t{i}"
+        for i, (tag, sql, vcol) in enumerate(members))
 
 
 # ---------------------------------------------------------------------------
@@ -1233,6 +1351,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mxm_min_secondi": _q_mxm_min_secondi,
         "power2_minplus": _q_power2_minplus,
         "kronecker": _q_kronecker,
+        "cocitation": _q_cocitation,
+        "host_graph": _q_host_graph,
+        "apply_ainv": _q_apply_ainv,
+        "apply_rowindex": _q_apply_rowindex,
+        "transpose": _q_transpose,
+        "extract_submatrix": _q_extract_submatrix,
+        "diag": _q_diag,
+        "pagerank_iter5": _q_pagerank_iter5,
+        "pagerank_weighted5": _q_pagerank_weighted5,
+        "trustrank_iter5": _q_trustrank_iter5,
+        "modularity": _q_modularity,
+        "assortativity": _q_assortativity,
+        "diameter": _q_diameter,
+        "closeness": _q_closeness,
+        "local_clustering": _q_local_clustering,
     }
     window = {
         # construction / exports
@@ -1259,12 +1392,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                for n in SUITES["ewise_suite"]]),
         "select_suite": _suite([(n, members[n])
                                 for n in SUITES["select_suite"]]),
-        # apply / views
-        "apply_ainv": _q_apply_ainv,
-        "apply_rowindex": _q_apply_rowindex,
-        "transpose": _q_transpose,
-        "diag": _q_diag,
-        "extract_submatrix": _q_extract_submatrix,
+        # apply / views (unary+indexunary apply, transpose, extract)
+        "apply_view_suite": _suite([(n, members[n])
+                                    for n in SUITES["apply_view_suite"]]),
         "assign_suite": _suite([(n, members[n])
                                 for n in SUITES["assign_suite"]]),
         # per-row .ss extras
@@ -1275,7 +1405,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_core": _q_k_core,
         "bfs_levels": _q_bfs_levels,
         "bfs_parents": _q_bfs_parents,
-        "pagerank_iter5": _q_pagerank_iter5,
+        # uniform / weighted / seed-personalized fixed-iter PageRank
+        "rank_suite": _suite([(n, members[n])
+                              for n in SUITES["rank_suite"]]),
+        "hits_iter3": _q_hits_iter3,
+        "dag_layers": _q_dag_layers,
+        # 1-row graph-shape metrics + per-vertex centralities
+        "graph_metric_suite": _suite_renamed(
+            [(n, members[n], c) for n, c in
+             RENAME_SUITES["graph_metric_suite"][1]],
+            cols=RENAME_SUITES["graph_metric_suite"][0]),
+        "centrality_suite": _suite_renamed(
+            [(n, members[n], c) for n, c in
+             RENAME_SUITES["centrality_suite"][1]],
+            cols=RENAME_SUITES["centrality_suite"][0]),
         "components_suite": _suite([(n, members[n])
                                     for n in SUITES["components_suite"]]),
         "sssp": _q_sssp,
@@ -1325,11 +1468,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node2vec_walks": _q_node2vec_walks,
         "docs_cdc_chunks": _q_docs_cdc_chunks,
         "docs_mixture": _q_docs_mixture,
-        "pagerank_weighted5": _q_pagerank_weighted5,
         "ppr_local": _q_ppr_local,
         "core_numbers": _q_core_numbers,
         "docs_ccnet_buckets": _q_docs_ccnet_buckets,
-        "modularity": _q_modularity,
         "docs_cdc_neardup": _q_docs_cdc_neardup,
         "embed_kmeans": _q_embed_kmeans,
         "louvain": _q_louvain,
@@ -1338,15 +1479,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-backed but beyond the window: parity-checked in
         # tests/test_entry.py
         "semantic_dedup": _q_semantic_dedup,
-        "closeness": _q_closeness,
-        "host_graph": _q_host_graph,
-        "diameter": _q_diameter,
         "events_heavy_hitters": _q_events_heavy_hitters,
         "events_quantiles": _q_events_quantiles,
         "events_topk": _q_events_topk,
         "pages_roundtrip": _q_pages_roundtrip,
-        "assortativity": _q_assortativity,
-        "local_clustering": _q_local_clustering,
     }
     return {**window, **tail, **members}
 
@@ -1690,6 +1826,82 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN deg ON deg.vid = p.vid "
             "WHERE p.it < 5 GROUP BY p.it, c.dst) "
             "SELECT vid, ROUND(r, 8) AS rank FROM pr WHERE it = 5"),
+        "trustrank_iter5": (
+            # pagerank_iter5 with the teleport vector and the initial
+            # distribution concentrated uniformly on seeds 0..15
+            "WITH RECURSIVE R AS (SELECT l_orderkey % 512 AS src, "
+            "l_partkey % 512 AS dst FROM lineitem), "
+            "Ew AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS cnt "
+            "FROM R GROUP BY 1, 2), "
+            "deg AS (SELECT src AS vid, CAST(count(*) AS DOUBLE) AS d "
+            "FROM R GROUP BY 1), "
+            "V AS (SELECT CAST(range AS BIGINT) AS vid FROM range(512)), "
+            "C AS (SELECT src, dst, cnt FROM Ew "
+            "UNION ALL SELECT vid, vid, 0.0 FROM V), "
+            "pr(it, vid, r) AS ("
+            "SELECT 0, vid, CASE WHEN vid < 16 THEN 1.0 / 16 ELSE 0.0 END "
+            "FROM V "
+            "UNION ALL "
+            "SELECT p.it + 1, c.dst, (1.0 - 0.85) * "
+            "(CASE WHEN c.dst < 16 THEN 1.0 / 16 ELSE 0.0 END) + "
+            "sum(c.cnt * COALESCE(p.r / (deg.d / 0.85), 0.0)) "
+            "FROM pr p JOIN C c ON c.src = p.vid "
+            "LEFT JOIN deg ON deg.vid = p.vid "
+            "WHERE p.it < 5 GROUP BY p.it, c.dst) "
+            "SELECT vid, ROUND(r, 8) AS rank FROM pr WHERE it = 5"),
+        "hits_iter3": (
+            # unnormalized power iterations h' = A @ (A.T @ h) carry
+            # exact-integer path counts; the only float division is the
+            # final L2 normalization (rounded to the driver's 8-decimal
+            # grain)
+            "WITH RECURSIVE R AS (SELECT l_orderkey % 512 AS src, "
+            "l_partkey % 512 AS dst FROM lineitem), "
+            "Ew AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS cnt "
+            "FROM R GROUP BY 1, 2), "
+            "V AS (SELECT CAST(range AS BIGINT) AS vid FROM range(512)), "
+            "st(it, vid, h) AS ("
+            "SELECT 0, vid, CAST(1.0 AS DOUBLE) FROM V "
+            "UNION ALL "
+            "SELECT a.it + 1, e2.src, sum(e2.cnt * a.av) "
+            "FROM (SELECT p.it AS it, e.dst AS vid, "
+            "sum(e.cnt * p.h) AS av "
+            "FROM st p JOIN Ew e ON e.src = p.vid "
+            "WHERE p.it < 3 GROUP BY 1, 2) a "
+            "JOIN Ew e2 ON e2.dst = a.vid GROUP BY 1, 2), "
+            "A3 AS (SELECT e.dst AS vid, sum(e.cnt * p.h) AS av "
+            "FROM st p JOIN Ew e ON e.src = p.vid "
+            "WHERE p.it = 2 GROUP BY 1), "
+            "H3 AS (SELECT vid, h FROM st WHERE it = 3), "
+            "NH AS (SELECT sqrt(sum(h * h)) AS s FROM H3), "
+            "NA AS (SELECT sqrt(sum(av * av)) AS s FROM A3) "
+            "SELECT v.vid, "
+            "ROUND(COALESCE(h.h, 0) / NULLIF(nh.s, 0), 8) AS hub, "
+            "ROUND(COALESCE(a.av, 0) / NULLIF(na.s, 0), 8) AS authority "
+            "FROM V v LEFT JOIN H3 h ON h.vid = v.vid "
+            "LEFT JOIN A3 a ON a.vid = v.vid "
+            "CROSS JOIN NH nh CROSS JOIN NA na"),
+        "dag_layers": (
+            # longest path from any source on the src<dst DAG: recursive
+            # path-length enumeration (UNION dedups states, so the
+            # recursion is bounded by V x longest-path and terminates at
+            # the fixpoint), then max per vertex
+            "WITH RECURSIVE D AS (SELECT DISTINCT l_orderkey % 512 AS "
+            "src, l_partkey % 512 AS dst FROM lineitem "
+            "WHERE l_orderkey % 512 < l_partkey % 512), "
+            "V AS (SELECT CAST(range AS BIGINT) AS vid FROM range(512)), "
+            "lv(vid, l) AS ("
+            "SELECT vid, CAST(0 AS BIGINT) FROM V "
+            "UNION "
+            "SELECT e.dst, p.l + 1 FROM lv p JOIN D e ON e.src = p.vid) "
+            "SELECT vid, max(l) AS layer FROM lv GROUP BY 1"),
+        "cocitation": (
+            # in-neighbor overlap counts over the DISTINCT edge pattern
+            "WITH D AS (SELECT DISTINCT l_orderkey % 512 AS src, "
+            "l_partkey % 512 AS dst FROM lineitem) "
+            "SELECT a.dst AS src, b.dst AS dst, "
+            "CAST(count(*) AS DOUBLE) AS val "
+            "FROM D a JOIN D b ON a.src = b.src AND a.dst < b.dst "
+            "GROUP BY 1, 2"),
         "pagerank_weighted5": (
             # weighted variant: distinct edges carry the synthetic weight
             # (src·7+dst·13)%10+1; normalization by weighted out-strength
@@ -2058,4 +2270,7 @@ def oracle_sql() -> dict[str, str]:
         "FROM E a JOIN E b ON a.dst = b.src GROUP BY 1, 2")
     for suite, names in SUITES.items():
         base[suite] = _suite_sql([(n, base[n]) for n in names])
+    for suite, (cols, specs) in RENAME_SUITES.items():
+        base[suite] = _suite_sql_renamed(
+            [(n, base[n], c) for n, c in specs], cols)
     return base

@@ -472,6 +472,50 @@ def hits_numpy(src, dst, n, itermax=100, tol=1e-8):
     return h, a, it + 1
 
 
+def hits_fixed(engine: SuperstepEngine,
+               engine_t: SuperstepEngine | None = None, iters=3):
+    """Fixed-iteration HITS with normalization ONLY at the end.
+
+    ``h₀ = 1``; k-th iteration: ``a = A.T @ h`` then ``h = A @ a``
+    (plus_second spmv on the engine pair, like :func:`hits`), with NO
+    per-iteration normalization — so every intermediate value is an
+    exact-integer path count (doubles stay exact below 2⁵³; at 512
+    vertices / ~10⁵ edges three iterations peak around 10¹³). The single
+    final L2 normalization is the only float division, which is what
+    makes the operator SQL-reproducible to the driver's 8-decimal grain
+    — the per-iteration-normalized variant (:func:`hits`) stays the
+    convergence-checked rows-only query.
+
+    Returns ``(hubs, authorities)``; both L2-normalized.
+    """
+    own_t = engine_t is None
+    if own_t:
+        engine_t = engine.transposed()
+    n = engine.n
+    h = np.ones(n)
+    a = np.zeros(n)
+    try:
+        for _ in range(iters):
+            a = engine.spmv("plus_second", h)
+            h = engine_t.spmv("plus_second", a)
+    finally:
+        if own_t:
+            engine_t.shutdown()
+    nh, na = np.linalg.norm(h), np.linalg.norm(a)
+    return (h / nh if nh > 0 else h), (a / na if na > 0 else a)
+
+
+def hits_fixed_numpy(src, dst, n, iters=3):
+    """Single-process oracle replicating :func:`hits_fixed` exactly."""
+    h = np.ones(n)
+    a = np.zeros(n)
+    for _ in range(iters):
+        a = np.bincount(dst, weights=h[src], minlength=n)
+        h = np.bincount(src, weights=a[dst], minlength=n)
+    nh, na = np.linalg.norm(h), np.linalg.norm(a)
+    return (h / nh if nh > 0 else h), (a / na if na > 0 else a)
+
+
 def eigenvector_centrality(engine: SuperstepEngine, itermax=100,
                            tol=1e-8, weighted=False,
                            metrics: SuperstepMetrics | None = None):
@@ -975,3 +1019,72 @@ def ppr_exact_numpy(src, dst, n, seeds, alpha=0.15):
     np.add.at(P, (src, dst), 1.0)
     P[d > 0] /= d[d > 0, None]
     return alpha * np.linalg.solve(np.eye(n) - (1 - alpha) * P.T, s)
+
+
+def trustrank(engine: SuperstepEngine, seeds, damping=0.85, itermax=100,
+              tol=1e-4, **kw):
+    """TrustRank (Gyöngyi–Garcia-Molina–Pedersen 2004): PageRank whose
+    teleport mass is concentrated uniformly on a trusted seed set, so
+    trust flows out along links and spam pages far from the seeds score
+    low. Exactly :func:`pagerank` with ``personalization = uniform over
+    seeds`` — same distribution shape (one spmv superstep + O(n) driver
+    math per iteration over the pinned engine)."""
+    p = np.zeros(engine.n)
+    seeds = np.asarray(list(seeds))
+    p[seeds] = 1.0 / len(seeds)
+    return pagerank(engine, damping=damping, itermax=itermax, tol=tol,
+                    personalization=p, **kw)
+
+
+def dag_layers(engine: SuperstepEngine, itermax=None,
+               metrics: SuperstepMetrics | None = None):
+    """Longest-path layering (topological levels) of a DAG:
+    ``layer(v) = 0`` for sources, else ``1 + max over in-edges of
+    layer(u)`` — the level schedule a topological/dependency ordering
+    runs in (level-synchronous Kahn layers, by longest path).
+
+    Fixpoint of the max_second semiring over ``layer + 1``: each
+    superstep is one frontier-masked spmv (only vertices whose layer
+    grew last round push — work scales with touched edges, like
+    :func:`sssp`'s delta relaxation), then an O(n) driver max-merge.
+    Monotone non-decreasing, so the frontier mask is exact.
+
+    Doubles as a CYCLE DETECTOR: on a cyclic graph layers grow without
+    bound, so failing to reach the fixpoint within ``n`` supersteps
+    (the longest possible simple path) raises ``ValueError``.
+
+    Returns ``(layers int64, supersteps, metrics)``.
+    """
+    n = engine.n
+    metrics = metrics or SuperstepMetrics()
+    layer = np.zeros(n)
+    active = np.ones(n, dtype=bool)  # round 0: every vertex proposes
+    itermax = itermax or n + 1
+    it = 0
+    while active.any():
+        if it >= itermax:
+            raise ValueError(
+                f"dag_layers: no fixpoint after {it} supersteps — "
+                "the graph has a cycle (or raise itermax)")
+        y = engine.spmv_masked("max_second", layer + 1.0, active)
+        new = np.maximum(layer, y)
+        active = new > layer
+        metrics.record(it, algorithm="dag_layers",
+                       frontier=int(active.sum()),
+                       max_layer=float(new.max()))
+        layer = new
+        it += 1
+    return layer.astype(np.int64), it, metrics
+
+
+def dag_layers_numpy(src, dst, n):
+    """Single-process oracle: dense Bellman iteration of the same
+    max-plus fixpoint."""
+    layer = np.zeros(n, dtype=np.int64)
+    for _ in range(n + 1):
+        new = layer.copy()
+        np.maximum.at(new, dst, layer[src] + 1)
+        if (new == layer).all():
+            return layer
+        layer = new
+    raise ValueError("cycle")

@@ -241,6 +241,59 @@ def neighborhood_jaccard_numpy(src, dst, n, min_common=1):
     return pairs
 
 
+def cocitation_counts(edges_ds, n, max_degree=None, min_common=1):
+    """Co-citation counts (Small 1973): ``C[u, v] = |{w : w→u and w→v}|``
+    for unordered pairs u < v — the IN-neighbor-overlap dual of
+    :func:`link_scores`'s common counts (which overlap OUT-neighbors,
+    i.e. bibliographic coupling). On a web link graph this is "pages
+    linked from the same pages" — the classic related-page signal.
+
+    One ``plus_pair`` matmul ``A.T @ A`` + strict-``triu`` select: the
+    shared CITING page w is the contraction key, so the shuffle is
+    hash-partitioned by w and pairs never materialize beyond actual
+    co-citations. ``max_degree`` caps the OUT-degree of citing pages
+    (a hub citing k pages yields k² pairs — the same power-law guard as
+    the coupling direction, applied to the transposed role).
+
+    Returns a Dataset ``(src, dst, val)`` with ``src < dst`` and
+    ``val`` = co-citation count (float, matmul dtype).
+    """
+    pat = _distinct_pattern(edges_ds)
+    A = GBMatrix.from_dataset(pat, nrows=n, ncols=n)
+    if max_degree is not None:
+        ids0, deg0 = A.reduce_rowwise("plus").to_coo(sort=True)
+        drop_ids = ids0[deg0 > max_degree]
+        if len(drop_ids):
+            drop_ref = ray.put(np.sort(drop_ids))
+
+            def prune(batch: pa.Table) -> pa.Table:
+                d = ray.get(drop_ref)
+                s = batch["src"].to_numpy(zero_copy_only=False)
+                ok = ~np.isin(s, d)
+                return batch.filter(pa.array(ok))
+
+            A = GBMatrix(A.ds.map_batches(prune, batch_format="pyarrow"),
+                         n, n, A.dtype)
+    C = A.T.mxm(A, _sr.plus_pair).select("triu", 1)
+    if min_common > 1:
+        C = C.select(">=", min_common)
+    return C.ds
+
+
+def cocitation_numpy(src, dst, n, min_common=1):
+    """Single-process oracle: brute-force in-neighbor-set overlap."""
+    cited_by = [set() for _ in range(n)]
+    for s, d in zip(src, dst):
+        cited_by[int(d)].add(int(s))
+    out = {}
+    for u in range(n):
+        for v in range(u + 1, n):
+            c = len(cited_by[u] & cited_by[v])
+            if c >= max(min_common, 1):
+                out[(u, v)] = c
+    return out
+
+
 def reciprocity(A):
     """Directed-graph reciprocity: the fraction of (non-loop) edges whose
     reverse edge also exists — a standard link-graph shape metric (how

@@ -46,6 +46,7 @@ _KINDS = {
     "min_second": (np.minimum, np.inf, True, False),
     "min_plus": (np.minimum, np.inf, True, True),
     "max_second": (np.maximum, -np.inf, True, False),
+    "max_plus": (np.maximum, -np.inf, True, True),
     "lor_second": (np.logical_or, False, True, False),
 }
 
@@ -255,8 +256,9 @@ class GraphPartitionActor:
             vals = np.ones(self.nedges, dtype=dtype)
         else:
             vals = x[self.src].astype(dtype, copy=False)
-            if uses_weight:
-                vals = vals + self.w if ufunc is np.minimum else vals * self.w
+            if uses_weight:  # *_plus kinds add the weight, *_times multiply
+                vals = (vals + self.w if kind.endswith("_plus")
+                        else vals * self.w)
         out[self.group_dst] = ufunc.reduceat(vals, self.starts)
         return out
 
@@ -277,8 +279,8 @@ class GraphPartitionActor:
         idx = np.flatnonzero(sel)
         dstl = self.dstl[idx]
         vals = x[self.src[idx]]
-        if uses_weight:  # min_plus adds, plus_times multiplies (as spmv)
-            vals = (vals + self.w[idx] if ufunc is np.minimum
+        if uses_weight:  # *_plus kinds add, *_times multiply (as spmv)
+            vals = (vals + self.w[idx] if kind.endswith("_plus")
                     else vals * self.w[idx])
         # sort-based group reduce on the (sparse) active subset
         order = np.argsort(dstl, kind="stable")

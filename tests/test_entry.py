@@ -33,7 +33,11 @@ SAMPLE = ["edges_build", "degree_out", "mxv_plus_times", "mxm_plus_times",
           "closeness", "host_graph", "diameter", "events_heavy_hitters",
           "pages_roundtrip", "assortativity", "local_clustering",
           "events_quantiles", "docs_mixture", "events_topk",
-          "pagerank_weighted5", "docs_ccnet_buckets", "modularity"]
+          "pagerank_weighted5", "docs_ccnet_buckets", "modularity",
+          # link-analysis additions: fixed-iter HITS / seeded PageRank,
+          # DAG layering, co-citation, and the rename-merged suites
+          "hits_iter3", "trustrank_iter5", "dag_layers", "cocitation",
+          "graph_metric_suite", "centrality_suite"]
 
 
 @pytest.fixture(scope="module")

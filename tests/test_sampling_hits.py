@@ -64,6 +64,83 @@ def test_hits_matches_numpy_oracle():
     eng.shutdown()
 
 
+def test_hits_fixed_matches_numpy_and_is_integer_exact():
+    from python_graphblas_ray.pipelines.algorithms import (
+        hits_fixed, hits_fixed_numpy)
+
+    src, dst = _random_edges()
+    eng = build_engine(_edges_ds(src, dst), 200, num_partitions=4)
+    h, a = hits_fixed(eng, iters=3)
+    h0, a0 = hits_fixed_numpy(src, dst, 200, iters=3)
+    # pre-normalization values are exact integers, so parity is exact
+    # up to the single final float division
+    assert np.allclose(h, h0, rtol=0, atol=1e-13)
+    assert np.allclose(a, a0, rtol=0, atol=1e-13)
+    assert abs(np.linalg.norm(h) - 1.0) < 1e-12
+    assert abs(np.linalg.norm(a) - 1.0) < 1e-12
+    eng.shutdown()
+
+
+def test_trustrank_is_seed_personalized_pagerank():
+    from python_graphblas_ray.pipelines.algorithms import (
+        pagerank, trustrank)
+
+    src, dst = _random_edges()
+    eng = build_engine(_edges_ds(src, dst), 200, num_partitions=4)
+    seeds = [3, 7, 11]
+    r, _, _ = trustrank(eng, seeds=seeds, tol=0.0, itermax=5)
+    p = np.zeros(200)
+    p[seeds] = 1.0 / 3
+    r0, _, _ = pagerank(eng, tol=0.0, itermax=5, personalization=p)
+    assert np.array_equal(r, r0)
+    # trust mass concentrates near the seeds: each seed must outrank
+    # the median vertex (teleport alone guarantees it)
+    assert all(r[s] > np.median(r) for s in seeds)
+    eng.shutdown()
+
+
+def test_dag_layers_matches_numpy_and_detects_cycles():
+    from python_graphblas_ray.pipelines.algorithms import (
+        dag_layers, dag_layers_numpy)
+
+    src, dst = _random_edges()
+    keep = src < dst  # DAG by construction
+    ds_src, ds_dst = src[keep], dst[keep]
+    eng = build_engine(_edges_ds(ds_src, ds_dst), 200, num_partitions=4)
+    layers, supersteps, _ = dag_layers(eng)
+    expect = dag_layers_numpy(ds_src, ds_dst, 200)
+    assert np.array_equal(layers, expect)
+    # layering is a valid topological order: every edge goes up a level
+    assert (layers[ds_dst] > layers[ds_src]).all()
+    # sources (no in-edges) sit at layer 0
+    assert (layers[np.setdiff1d(np.arange(200), ds_dst)] == 0).all()
+    eng.shutdown()
+
+    cyc = build_engine(_edges_ds(np.array([0, 1, 2], dtype=np.int64),
+                                 np.array([1, 2, 0], dtype=np.int64)),
+                       3, num_partitions=2)
+    with pytest.raises(ValueError, match="cycle"):
+        dag_layers(cyc)
+    cyc.shutdown()
+
+
+def test_cocitation_counts_match_bruteforce():
+    from python_graphblas_ray.pipelines.linkpred import (
+        cocitation_counts, cocitation_numpy)
+
+    src, dst = _random_edges(n=80, m=600, seed=5)
+    got = {(r["src"], r["dst"]): r["val"]
+           for r in cocitation_counts(_edges_ds(src, dst), 80).take_all()}
+    expect = cocitation_numpy(src, dst, 80)
+    assert got.keys() == expect.keys()
+    assert all(got[k] == expect[k] for k in expect)
+    # co-citation is the coupling of the REVERSED graph: check duality
+    from python_graphblas_ray.pipelines.linkpred import link_scores
+    rev = link_scores(_edges_ds(dst, src), 80, adamic_adar=False)
+    rev_common = {(r["u"], r["v"]): r["common"] for r in rev.take_all()}
+    assert rev_common == {k: int(v) for k, v in expect.items()}
+
+
 def test_eigenvector_and_katz_match_numpy_oracle():
     from python_graphblas_ray.pipelines.algorithms import (
         eigenvector_centrality, eigenvector_centrality_numpy,
