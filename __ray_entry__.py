@@ -1248,6 +1248,7 @@ SUITES = {
                          "extract_submatrix"],
     "rank_suite": ["pagerank_iter5", "pagerank_weighted5",
                    "trustrank_iter5"],
+    "langstats_suite": ["lang_count", "quality_filter"],
 }
 
 # suites whose members have heterogeneous value-column names: each
@@ -1255,21 +1256,28 @@ SUITES = {
 # Ray and the SQL side before the UNION-tag concat. Format:
 # suite -> [(member, value_col), ...]; key columns (if any) listed too.
 RENAME_SUITES = {
+    # suite -> (key cols, [(member, value_col)], cast)
     # 1-row graph-shape metrics: (q, val)
     "graph_metric_suite": ([], [("modularity", "modularity"),
                                 ("assortativity", "assortativity"),
-                                ("diameter", "diameter_lb")]),
+                                ("diameter", "diameter_lb")], "double"),
     # per-vertex centrality scores: (q, vid, val)
     "centrality_suite": (["vid"], [("closeness", "val"),
-                                   ("local_clustering", "coeff")]),
+                                   ("local_clustering", "coeff")],
+                         "double"),
+    # per-doc group assignments (split / quota-kept lang / mixture
+    # source): (q, doc_id, val string)
+    "sampling_suite": (["doc_id"], [("docs_split", "split"),
+                                    ("docs_quota", "lang"),
+                                    ("docs_mixture", "source")], None),
 }
 
 
-def _suite_renamed(members, cols):
+def _suite_renamed(members, cols, cast="double"):
     """Like ``_suite`` but renames each member's value column to ``val``
-    (cast to float64) so heterogeneous single-metric members share one
-    schema. ``members``: [(tag, fn, value_col)]; ``cols``: key columns
-    kept as-is (e.g. ["vid"])."""
+    (cast to float64 when ``cast='double'``) so heterogeneous
+    single-metric members share one schema. ``members``: [(tag, fn,
+    value_col)]; ``cols``: key columns kept as-is (e.g. ["vid"])."""
     def run(sf_dir):
         parts = []
         for tag, fn, vcol in members:
@@ -1279,17 +1287,26 @@ def _suite_renamed(members, cols):
             data = {"q": pa.array([tag] * len(t))}
             for c in cols:
                 data[c] = t[c]
-            data["val"] = t[vcol].cast(pa.float64())
+            v = t[vcol]
+            data["val"] = v.cast(pa.float64()) if cast == "double" else v
             parts.append(pa.table(data))
         return pa.concat_tables(parts, promote_options="permissive")
     return run
 
 
-def _suite_sql_renamed(members, cols):
+def _rename_suite(name, members):
+    cols, specs, cast = RENAME_SUITES[name]
+    return _suite_renamed([(n, members[n], c) for n, c in specs],
+                          cols, cast)
+
+
+def _suite_sql_renamed(members, cols, cast="double"):
     key = "".join(f"{c}, " for c in cols)
     return " UNION ALL ".join(
-        f"SELECT '{tag}' AS q, {key}CAST({vcol} AS DOUBLE) AS val "
-        f"FROM ({sql}) AS t{i}"
+        f"SELECT '{tag}' AS q, {key}"
+        + (f"CAST({vcol} AS DOUBLE) AS val" if cast == "double"
+           else f"{vcol} AS val")
+        + f" FROM ({sql}) AS t{i}"
         for i, (tag, sql, vcol) in enumerate(members))
 
 
@@ -1366,6 +1383,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diameter": _q_diameter,
         "closeness": _q_closeness,
         "local_clustering": _q_local_clustering,
+        "lang_count": _q_lang_count,
+        "quality_filter": _q_quality_filter,
+        "docs_split": _q_docs_split,
+        "docs_quota": _q_docs_quota,
+        "docs_mixture": _q_docs_mixture,
     }
     window = {
         # construction / exports
@@ -1411,14 +1433,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_iter3": _q_hits_iter3,
         "dag_layers": _q_dag_layers,
         # 1-row graph-shape metrics + per-vertex centralities
-        "graph_metric_suite": _suite_renamed(
-            [(n, members[n], c) for n, c in
-             RENAME_SUITES["graph_metric_suite"][1]],
-            cols=RENAME_SUITES["graph_metric_suite"][0]),
-        "centrality_suite": _suite_renamed(
-            [(n, members[n], c) for n, c in
-             RENAME_SUITES["centrality_suite"][1]],
-            cols=RENAME_SUITES["centrality_suite"][0]),
+        "graph_metric_suite": _rename_suite("graph_metric_suite", members),
+        "centrality_suite": _rename_suite("centrality_suite", members),
         "components_suite": _suite([(n, members[n])
                                     for n in SUITES["components_suite"]]),
         "sssp": _q_sssp,
@@ -1433,10 +1449,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "token_count": _q_token_count,
         "doc_stats": _q_doc_stats,
-        "lang_count": _q_lang_count,
-        "quality_filter": _q_quality_filter,
-        "docs_split": _q_docs_split,
-        "docs_quota": _q_docs_quota,
+        # language histogram raw vs post-quality-filter
+        "langstats_suite": _suite([(n, members[n])
+                                   for n in SUITES["langstats_suite"]]),
+        # per-doc group assignments: split / quota sample / mixture
+        "sampling_suite": _rename_suite("sampling_suite", members),
+        # the north-star per-row invariant: byte-identical extracted text
+        "pages_roundtrip": _q_pages_roundtrip,
+        "semantic_dedup": _q_semantic_dedup,
         "docs_bm25": _q_docs_bm25,
         "docs_repetition": _q_docs_repetition,
         "docs_decontaminate": _q_docs_decontaminate,
@@ -1467,7 +1487,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": _q_random_walks,
         "node2vec_walks": _q_node2vec_walks,
         "docs_cdc_chunks": _q_docs_cdc_chunks,
-        "docs_mixture": _q_docs_mixture,
         "ppr_local": _q_ppr_local,
         "core_numbers": _q_core_numbers,
         "docs_ccnet_buckets": _q_docs_ccnet_buckets,
@@ -1478,11 +1497,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "greedy_color": _q_greedy_color,
         # oracle-backed but beyond the window: parity-checked in
         # tests/test_entry.py
-        "semantic_dedup": _q_semantic_dedup,
         "events_heavy_hitters": _q_events_heavy_hitters,
         "events_quantiles": _q_events_quantiles,
         "events_topk": _q_events_topk,
-        "pages_roundtrip": _q_pages_roundtrip,
     }
     return {**window, **tail, **members}
 
@@ -2270,7 +2287,7 @@ def oracle_sql() -> dict[str, str]:
         "FROM E a JOIN E b ON a.dst = b.src GROUP BY 1, 2")
     for suite, names in SUITES.items():
         base[suite] = _suite_sql([(n, base[n]) for n in names])
-    for suite, (cols, specs) in RENAME_SUITES.items():
+    for suite, (cols, specs, cast) in RENAME_SUITES.items():
         base[suite] = _suite_sql_renamed(
-            [(n, base[n], c) for n, c in specs], cols)
+            [(n, base[n], c) for n, c in specs], cols, cast)
     return base

@@ -37,7 +37,8 @@ SAMPLE = ["edges_build", "degree_out", "mxv_plus_times", "mxm_plus_times",
           # link-analysis additions: fixed-iter HITS / seeded PageRank,
           # DAG layering, co-citation, and the rename-merged suites
           "hits_iter3", "trustrank_iter5", "dag_layers", "cocitation",
-          "graph_metric_suite", "centrality_suite"]
+          "graph_metric_suite", "centrality_suite",
+          "sampling_suite", "langstats_suite"]
 
 
 @pytest.fixture(scope="module")
