@@ -346,6 +346,41 @@ def _q_hits_iter3(sf_dir):
                      "authority": np.round(a, 8)})
 
 
+def _q_salsa_iter3(sf_dir):
+    """Fixed-3-iteration SALSA (degree-normalized HITS — the stochastic
+    hub/authority walk). Mass conservation keeps values O(n), so the
+    single final L2 normalization lands inside the 8-decimal grain like
+    ``hits_iter3``."""
+    from python_graphblas_ray.pipelines.algorithms import (
+        build_engine, salsa_fixed)
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
+    h, a = salsa_fixed(eng, iters=3)
+    eng.shutdown()
+    return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
+                     "hub": np.round(h, 8),
+                     "authority": np.round(a, 8)})
+
+
+def _q_truss_peel3(sf_dir):
+    """Exactly 3 rounds of the k-truss peel (k=5): support = masked
+    plus_pair mxm, drop support < 3, repeat — a FIXED-ROUND variant of
+    the convergent ``k_truss`` query so a 3×-unrolled SQL oracle can
+    reproduce it (idempotent once converged, so early fixpoints match
+    too). Cast to double to ride the matmul-family suite schema."""
+    from python_graphblas_ray.pipelines.kcore import k_truss
+    from python_graphblas_ray.pipelines.triangles import simple_undirected
+
+    A = simple_undirected(_edge_dataset(sf_dir), N_VERT)
+    T = k_truss(A, 5, max_iter=3)
+
+    def to_double(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["src"], "dst": batch["dst"],
+                         "val": batch["val"].cast(pa.float64())})
+
+    return T.ds.map_batches(to_double, batch_format="pyarrow")
+
+
 def _q_dag_layers(sf_dir):
     """Longest-path topological layers over the DAG-ified edge table
     (keep src < dst — acyclic by construction): the level schedule a
@@ -1243,7 +1278,8 @@ SUITES = {
     "components_suite": ["connected_components", "scc"],
     "matmul_suite": ["mxm_plus_times", "mxm_min_secondi",
                      "power2_minplus", "kronecker", "cocitation",
-                     "host_graph"],
+                     "host_graph", "truss_peel3"],
+    "hits_suite": ["hits_iter3", "salsa_iter3"],
     "apply_view_suite": ["apply_ainv", "apply_rowindex", "transpose",
                          "extract_submatrix"],
     "rank_suite": ["pagerank_iter5", "pagerank_weighted5",
@@ -1388,6 +1424,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split": _q_docs_split,
         "docs_quota": _q_docs_quota,
         "docs_mixture": _q_docs_mixture,
+        "hits_iter3": _q_hits_iter3,
+        "salsa_iter3": _q_salsa_iter3,
+        "truss_peel3": _q_truss_peel3,
     }
     window = {
         # construction / exports
@@ -1430,7 +1469,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # uniform / weighted / seed-personalized fixed-iter PageRank
         "rank_suite": _suite([(n, members[n])
                               for n in SUITES["rank_suite"]]),
-        "hits_iter3": _q_hits_iter3,
+        "hits_suite": _suite([(n, members[n])
+                              for n in SUITES["hits_suite"]]),
         "dag_layers": _q_dag_layers,
         # 1-row graph-shape metrics + per-vertex centralities
         "graph_metric_suite": _rename_suite("graph_metric_suite", members),
@@ -1897,6 +1937,64 @@ def oracle_sql() -> dict[str, str]:
             "FROM V v LEFT JOIN H3 h ON h.vid = v.vid "
             "LEFT JOIN A3 a ON a.vid = v.vid "
             "CROSS JOIN NH nh CROSS JOIN NA na"),
+        "salsa_iter3": (
+            # hits_iter3 with the sums degree-normalized: authority
+            # a(i) = sum h(j)/outdeg(j) over in-edges, hub
+            # h(j) = sum a(i)/indeg(i) over out-edges
+            "WITH RECURSIVE R AS (SELECT l_orderkey % 512 AS src, "
+            "l_partkey % 512 AS dst FROM lineitem), "
+            "Ew AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS cnt "
+            "FROM R GROUP BY 1, 2), "
+            "OD AS (SELECT src AS vid, CAST(count(*) AS DOUBLE) AS d "
+            "FROM R GROUP BY 1), "
+            "ID AS (SELECT dst AS vid, CAST(count(*) AS DOUBLE) AS d "
+            "FROM R GROUP BY 1), "
+            "V AS (SELECT CAST(range AS BIGINT) AS vid FROM range(512)), "
+            "st(it, vid, h) AS ("
+            "SELECT 0, vid, CAST(1.0 AS DOUBLE) FROM V "
+            "UNION ALL "
+            "SELECT a.it + 1, e2.src, sum(e2.cnt * (a.av / id.d)) "
+            "FROM (SELECT p.it AS it, e.dst AS vid, "
+            "sum(e.cnt * (p.h / od.d)) AS av "
+            "FROM st p JOIN Ew e ON e.src = p.vid "
+            "JOIN OD od ON od.vid = p.vid "
+            "WHERE p.it < 3 GROUP BY 1, 2) a "
+            "JOIN Ew e2 ON e2.dst = a.vid "
+            "JOIN ID id ON id.vid = a.vid GROUP BY 1, 2), "
+            "A3 AS (SELECT e.dst AS vid, sum(e.cnt * (p.h / od.d)) AS av "
+            "FROM st p JOIN Ew e ON e.src = p.vid "
+            "JOIN OD od ON od.vid = p.vid "
+            "WHERE p.it = 2 GROUP BY 1), "
+            "H3 AS (SELECT vid, h FROM st WHERE it = 3), "
+            "NH AS (SELECT sqrt(sum(h * h)) AS s FROM H3), "
+            "NA AS (SELECT sqrt(sum(av * av)) AS s FROM A3) "
+            "SELECT v.vid, "
+            "ROUND(COALESCE(h.h, 0) / NULLIF(nh.s, 0), 8) AS hub, "
+            "ROUND(COALESCE(a.av, 0) / NULLIF(na.s, 0), 8) AS authority "
+            "FROM V v LEFT JOIN H3 h ON h.vid = v.vid "
+            "LEFT JOIN A3 a ON a.vid = v.vid "
+            "CROSS JOIN NH nh CROSS JOIN NA na"),
+        "truss_peel3": (
+            # three unrolled support-then-drop rounds over the simple
+            # undirected graph (k=5 -> keep support >= 3); support of a
+            # kept edge (u,v) = common neighbors within the current set
+            f"{E}, "
+            "sym AS (SELECT DISTINCT s, d FROM ("
+            "SELECT src AS s, dst AS d FROM E "
+            "UNION ALL SELECT dst, src FROM E) WHERE s <> d), "
+            "s1 AS (SELECT e.s, e.d, count(*) AS sup FROM sym e "
+            "JOIN sym a ON a.s = e.s "
+            "JOIN sym b ON b.s = e.d AND b.d = a.d GROUP BY 1, 2), "
+            "k1 AS (SELECT s, d FROM s1 WHERE sup >= 3), "
+            "s2 AS (SELECT e.s, e.d, count(*) AS sup FROM k1 e "
+            "JOIN k1 a ON a.s = e.s "
+            "JOIN k1 b ON b.s = e.d AND b.d = a.d GROUP BY 1, 2), "
+            "k2 AS (SELECT s, d FROM s2 WHERE sup >= 3), "
+            "s3 AS (SELECT e.s, e.d, count(*) AS sup FROM k2 e "
+            "JOIN k2 a ON a.s = e.s "
+            "JOIN k2 b ON b.s = e.d AND b.d = a.d GROUP BY 1, 2) "
+            "SELECT s AS src, d AS dst, CAST(sup AS DOUBLE) AS val "
+            "FROM s3 WHERE sup >= 3"),
         "dag_layers": (
             # longest path from any source on the src<dst DAG: recursive
             # path-length enumeration (UNION dedups states, so the

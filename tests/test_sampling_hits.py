@@ -81,6 +81,27 @@ def test_hits_fixed_matches_numpy_and_is_integer_exact():
     eng.shutdown()
 
 
+def test_salsa_fixed_matches_numpy_oracle():
+    from python_graphblas_ray.pipelines.algorithms import (
+        salsa_fixed, salsa_fixed_numpy)
+
+    src, dst = _random_edges()
+    eng = build_engine(_edges_ds(src, dst), 200, num_partitions=4)
+    h, a = salsa_fixed(eng, iters=3)
+    h0, a0 = salsa_fixed_numpy(src, dst, 200, iters=3)
+    assert np.allclose(h, h0, rtol=0, atol=1e-12)
+    assert np.allclose(a, a0, rtol=0, atol=1e-12)
+    assert abs(np.linalg.norm(h) - 1.0) < 1e-12
+    # degree normalization conserves mass: pre-normalization sums stay
+    # O(active vertices), unlike raw HITS path counts — sanity-check by
+    # recomputing one unnormalized authority step
+    d_out = np.bincount(src, minlength=200).astype(float)
+    a1 = np.bincount(dst, weights=np.where(d_out > 0, 1 / d_out, 0)[src],
+                     minlength=200)
+    assert a1.sum() <= (d_out > 0).sum() + 1e-9
+    eng.shutdown()
+
+
 def test_trustrank_is_seed_personalized_pagerank():
     from python_graphblas_ray.pipelines.algorithms import (
         pagerank, trustrank)
