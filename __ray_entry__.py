@@ -381,6 +381,34 @@ def _q_truss_peel3(sf_dir):
     return T.ds.map_batches(to_double, batch_format="pyarrow")
 
 
+def _q_anf(sf_dir):
+    """Exact neighborhood function N(t) (# ordered pairs within distance
+    t, self-pairs at t=0) via the ANF bitset engine rounds, bounded at
+    t ≤ 6 to match the SQL closure bound (both test graphs converge by
+    t=4; the HLL estimator is pytest-checked against this exact mode)."""
+    from python_graphblas_ray.pipelines.algorithms import build_engine
+    from python_graphblas_ray.pipelines.anf import neighborhood_function
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
+    counts, _ = neighborhood_function(eng, tmax=6, mode="exact")
+    eng.shutdown()
+    return pa.table({"t": np.arange(len(counts), dtype=np.int64),
+                     "n_pairs": counts.astype(np.int64)})
+
+
+def _q_effective_diameter(sf_dir):
+    """Discrete 90% effective diameter from the exact neighborhood
+    function — the web-graph distance headline ("how many clicks span
+    90% of reachable page pairs")."""
+    from python_graphblas_ray.pipelines.algorithms import build_engine
+    from python_graphblas_ray.pipelines.anf import effective_diameter
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
+    d = effective_diameter(eng, q=0.9, tmax=6, mode="exact")
+    eng.shutdown()
+    return pa.table({"d90": np.array([d], dtype=np.int64)})
+
+
 def _q_dag_layers(sf_dir):
     """Longest-path topological layers over the DAG-ified edge table
     (keep src < dst — acyclic by construction): the level schedule a
@@ -1296,7 +1324,8 @@ RENAME_SUITES = {
     # 1-row graph-shape metrics: (q, val)
     "graph_metric_suite": ([], [("modularity", "modularity"),
                                 ("assortativity", "assortativity"),
-                                ("diameter", "diameter_lb")], "double"),
+                                ("diameter", "diameter_lb"),
+                                ("effective_diameter", "d90")], "double"),
     # per-vertex centrality scores: (q, vid, val)
     "centrality_suite": (["vid"], [("closeness", "val"),
                                    ("local_clustering", "coeff")],
@@ -1427,6 +1456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_iter3": _q_hits_iter3,
         "salsa_iter3": _q_salsa_iter3,
         "truss_peel3": _q_truss_peel3,
+        "effective_diameter": _q_effective_diameter,
     }
     window = {
         # construction / exports
@@ -1540,6 +1570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_heavy_hitters": _q_events_heavy_hitters,
         "events_quantiles": _q_events_quantiles,
         "events_topk": _q_events_topk,
+        "anf": _q_anf,
     }
     return {**window, **tail, **members}
 
@@ -1995,6 +2026,39 @@ def oracle_sql() -> dict[str, str]:
             "JOIN k2 b ON b.s = e.d AND b.d = a.d GROUP BY 1, 2) "
             "SELECT s AS src, d AS dst, CAST(sup AS DOUBLE) AS val "
             "FROM s3 WHERE sup >= 3"),
+        "anf": (
+            # exact neighborhood function: bounded min-distance closure
+            # (path-length states, UNION dedup; t < 6 matches the ray
+            # side's tmax — both test graphs converge by t=4), then
+            # cumulative pair counts per level
+            "WITH RECURSIVE D AS (SELECT DISTINCT l_orderkey % 512 AS "
+            "src, l_partkey % 512 AS dst FROM lineitem), "
+            "V AS (SELECT CAST(range AS BIGINT) AS vid FROM range(512)), "
+            "reach(u, v, t) AS ("
+            "SELECT vid, vid, 0 FROM V "
+            "UNION "
+            "SELECT r.u, e.dst, r.t + 1 FROM reach r "
+            "JOIN D e ON e.src = r.v WHERE r.t < 6), "
+            "dist AS (SELECT u, v, min(t) AS d FROM reach GROUP BY 1, 2), "
+            "T AS (SELECT DISTINCT d AS t FROM dist) "
+            "SELECT t.t, CAST((SELECT count(*) FROM dist "
+            "WHERE dist.d <= t.t) AS BIGINT) AS n_pairs FROM T t"),
+        "effective_diameter": (
+            # smallest t covering >= 90% of reachable pairs
+            "WITH RECURSIVE D AS (SELECT DISTINCT l_orderkey % 512 AS "
+            "src, l_partkey % 512 AS dst FROM lineitem), "
+            "V AS (SELECT CAST(range AS BIGINT) AS vid FROM range(512)), "
+            "reach(u, v, t) AS ("
+            "SELECT vid, vid, 0 FROM V "
+            "UNION "
+            "SELECT r.u, e.dst, r.t + 1 FROM reach r "
+            "JOIN D e ON e.src = r.v WHERE r.t < 6), "
+            "dist AS (SELECT u, v, min(t) AS d FROM reach GROUP BY 1, 2), "
+            "tot AS (SELECT count(*) AS c FROM dist), "
+            "T AS (SELECT DISTINCT d AS t FROM dist) "
+            "SELECT CAST(min(t.t) AS BIGINT) AS d90 FROM T t, tot "
+            "WHERE (SELECT count(*) FROM dist WHERE dist.d <= t.t) "
+            ">= 0.9 * tot.c"),
         "dag_layers": (
             # longest path from any source on the src<dst DAG: recursive
             # path-length enumeration (UNION dedups states, so the

@@ -599,6 +599,24 @@ class GraphPartitionActor:
         ud, ul, counts = self._mode_counts(labels)
         return _argmax_per_dst(ud, ul, counts, size)
 
+    def register_step(self, regs_ref, op):
+        """ANF/HyperANF register propagation: for each dst in range, the
+        elementwise ⊕ of in-neighbor register ROWS of the dense n×R
+        register matrix — ⊕ = max (HLL registers, uint8) or bitwise OR
+        (exact reachability bitsets, uint64 words). Identity 0 for both.
+        One vectorized reduceat over the pinned CSC block, same shape as
+        ``spmv`` with a matrix-valued x."""
+        regs = (ray.get(regs_ref)
+                if isinstance(regs_ref, ray.ObjectRef) else regs_ref)
+        size = self.hi - self.lo
+        out = np.zeros((size, regs.shape[1]), dtype=regs.dtype)
+        if not self.nedges:
+            return out
+        ufunc = np.maximum if op == "max" else np.bitwise_or
+        out[self.group_dst] = ufunc.reduceat(regs[self.src], self.starts,
+                                             axis=0)
+        return out
+
     def mode_counts_step(self, labels_ref):
         """Hub-split variant: return the SPARSE (dst, label, count)
         partials so same-range splits can be count-merged before the
@@ -948,6 +966,29 @@ class SuperstepEngine:
                           for a in self.actors])
         return self._stitch(slices, _KINDS[kind][1],
                             merge_ufunc=_KINDS[kind][0])
+
+    def register_step(self, regs, op="max"):
+        """One ANF superstep: the dense n×R ⊕-aggregate of in-neighbor
+        register rows (⊕ = ``"max"`` | ``"or"``). Broadcast shape is one
+        ``ray.put`` of the register matrix per superstep, like ``spmv``
+        with a matrix-valued x — O(n·R) bytes, fine while registers fit
+        a node. At 10¹²-vertex scale the registers must ride the fused
+        in-actor path instead (each actor keeping its dst-range's
+        registers and exchanging range slices, exactly like
+        ``pagerank_inactor``'s vertex state); this dense-broadcast form
+        is the correctness reference implementation."""
+        r_ref = ray.put(np.ascontiguousarray(regs))
+        slices = ray.get([a.register_step.remote(r_ref, op)
+                          for a in self.actors])
+        out = np.zeros((self.n, regs.shape[1]), dtype=regs.dtype)
+        merge = np.maximum if op == "max" else np.bitwise_or
+        for (lo, hi), s in zip(self.ranges, slices):
+            if hi > lo:
+                if self.has_hub_split:
+                    out[lo:hi] = merge(out[lo:hi], s)
+                else:
+                    out[lo:hi] = s
+        return out
 
     def mode(self, labels):
         if self.n > (1 << 31):

@@ -1,0 +1,87 @@
+"""ANF / HyperANF neighborhood function and effective diameter — the
+web-graph distance measurement (Palmer 2002; Boldi–Vigna HyperANF).
+Exact bitset mode is the oracle; the HLL mode must track it within the
+sketch's error bound."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from python_graphblas_ray.pipelines.algorithms import build_engine
+from python_graphblas_ray.pipelines.anf import (
+    effective_diameter,
+    neighborhood_function,
+    neighborhood_function_numpy,
+)
+
+
+def _random_edges(n=150, m=500, seed=11):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    keep = src != dst
+    return src[keep], dst[keep]
+
+
+def _engine(src, dst, n, parts=3):
+    ds = ray.data.from_arrow(pa.table({
+        "src": src, "dst": dst,
+        "val": np.ones(len(src), dtype=np.float64)})).materialize()
+    return build_engine(ds, n, num_partitions=parts)
+
+
+def test_exact_anf_matches_bfs_oracle():
+    src, dst = _random_edges()
+    eng = _engine(src, dst, 150)
+    counts, exact = neighborhood_function(eng, mode="exact")
+    assert exact
+    expect = neighborhood_function_numpy(src, dst, 150)
+    assert np.array_equal(counts, expect)
+    # N is strictly increasing up to the fixpoint and starts at n
+    assert counts[0] == 150
+    assert (np.diff(counts) > 0).all()
+    eng.shutdown()
+
+
+def test_hll_anf_tracks_exact_within_sketch_error():
+    src, dst = _random_edges(n=400, m=2500, seed=2)
+    eng = _engine(src, dst, 400)
+    counts, _ = neighborhood_function(eng, mode="exact")
+    est, exact = neighborhood_function(eng, mode="hll", b=8)
+    assert not exact
+    # b=8 -> 256 registers, per-ball rse ~6.5%; summed balls partially
+    # cancel — 15% is a loose end-to-end bound
+    rel = abs(est[-1] - counts[-1]) / counts[-1]
+    assert rel < 0.15
+    # register max-merge keeps estimates monotone in t
+    assert (np.diff(est) >= -1e-9).all()
+    eng.shutdown()
+
+
+def test_effective_diameter_on_path_graph():
+    # directed path 0 -> 1 -> ... -> 9: dist(u, v) = v - u for u <= v,
+    # N(t) = sum over u of min(t, 9-u) + 10 self-pairs
+    n = 10
+    src = np.arange(n - 1, dtype=np.int64)
+    dst = src + 1
+    eng = _engine(src, dst, n, parts=2)
+    counts, _ = neighborhood_function(eng, mode="exact")
+    expect = [sum(min(t, n - 1 - u) for u in range(n)) + n
+              for t in range(n)]
+    assert list(counts) == expect
+    d90 = effective_diameter(eng, q=0.9, mode="exact")
+    total = expect[-1]
+    assert d90 == next(t for t, c in enumerate(expect)
+                       if c >= 0.9 * total)
+    eng.shutdown()
+
+
+def test_effective_diameter_exact_matches_definition():
+    src, dst = _random_edges(seed=4)
+    eng = _engine(src, dst, 150)
+    counts, _ = neighborhood_function(eng, mode="exact")
+    d90 = effective_diameter(eng, q=0.9, mode="exact")
+    assert counts[d90] >= 0.9 * counts[-1]
+    assert d90 == 0 or counts[d90 - 1] < 0.9 * counts[-1]
+    eng.shutdown()
