@@ -381,6 +381,22 @@ def _q_truss_peel3(sf_dir):
     return T.ds.map_batches(to_double, batch_format="pyarrow")
 
 
+def _q_bowtie(sf_dir):
+    """Broder bow-tie decomposition (core / in / out / tube / tendril /
+    disc) — the canonical web-graph structure analysis, as one scc run +
+    four reachability fixpoints over the engine pair. SQL oracle:
+    one transitive closure, mutual-reach component labels, then the
+    same part definitions."""
+    from python_graphblas_ray.pipelines.algorithms import (
+        build_engine, bowtie)
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
+    parts, _ = bowtie(eng)
+    eng.shutdown()
+    return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
+                     "part": pa.array(list(parts), type=pa.string())})
+
+
 def _q_anf(sf_dir):
     """Exact neighborhood function N(t) (# ordered pairs within distance
     t, self-pairs at t=0) via the ANF bitset engine rounds, bounded at
@@ -1571,6 +1587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles": _q_events_quantiles,
         "events_topk": _q_events_topk,
         "anf": _q_anf,
+        "bowtie": _q_bowtie,
     }
     return {**window, **tail, **members}
 
@@ -2026,6 +2043,42 @@ def oracle_sql() -> dict[str, str]:
             "JOIN k2 b ON b.s = e.d AND b.d = a.d GROUP BY 1, 2) "
             "SELECT s AS src, d AS dst, CAST(sup AS DOUBLE) AS val "
             "FROM s3 WHERE sup >= 3"),
+        "bowtie": (
+            # one unbounded transitive closure (UNION dedup terminates at
+            # the reachable-pair fixpoint), mutual-reach min labels, then
+            # the Broder part definitions; CASE order enforces the
+            # core > in > out > tube > tendril precedence
+            "WITH RECURSIVE D AS (SELECT DISTINCT l_orderkey % 512 AS "
+            "src, l_partkey % 512 AS dst FROM lineitem), "
+            "V AS (SELECT CAST(range AS BIGINT) AS vid FROM range(512)), "
+            "reach(u, v) AS ("
+            "SELECT vid, vid FROM V "
+            "UNION "
+            "SELECT r.u, e.dst FROM reach r JOIN D e ON e.src = r.v), "
+            "comp AS (SELECT a.u AS vid, min(a.v) AS c FROM reach a "
+            "JOIN reach b ON b.u = a.v AND b.v = a.u GROUP BY 1), "
+            "rep AS (SELECT c FROM comp GROUP BY c "
+            "ORDER BY count(*) DESC, c ASC LIMIT 1), "
+            "core AS (SELECT vid FROM comp WHERE c = (SELECT c FROM rep)), "
+            "vin AS (SELECT r.u AS vid FROM reach r "
+            "WHERE r.v = (SELECT c FROM rep) "
+            "AND r.u NOT IN (SELECT vid FROM core)), "
+            "vout AS (SELECT r.v AS vid FROM reach r "
+            "WHERE r.u = (SELECT c FROM rep) "
+            "AND r.v NOT IN (SELECT vid FROM core)), "
+            "fromin AS (SELECT DISTINCT r.v AS vid FROM reach r "
+            "JOIN vin i ON i.vid = r.u), "
+            "toout AS (SELECT DISTINCT r.u AS vid FROM reach r "
+            "JOIN vout o ON o.vid = r.v) "
+            "SELECT v.vid, CASE "
+            "WHEN v.vid IN (SELECT vid FROM core) THEN 'core' "
+            "WHEN v.vid IN (SELECT vid FROM vin) THEN 'in' "
+            "WHEN v.vid IN (SELECT vid FROM vout) THEN 'out' "
+            "WHEN v.vid IN (SELECT vid FROM fromin) "
+            "AND v.vid IN (SELECT vid FROM toout) THEN 'tube' "
+            "WHEN v.vid IN (SELECT vid FROM fromin) "
+            "OR v.vid IN (SELECT vid FROM toout) THEN 'tendril' "
+            "ELSE 'disc' END AS part FROM V v"),
         "anf": (
             # exact neighborhood function: bounded min-distance closure
             # (path-length states, UNION dedup; t < 6 matches the ray

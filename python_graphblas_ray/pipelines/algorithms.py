@@ -756,6 +756,109 @@ def scc_numpy(src, dst, n):
     return comp
 
 
+def _reach_mask(engine: SuperstepEngine, seed: np.ndarray) -> np.ndarray:
+    """Boolean reachability fixpoint: all vertices with a directed path
+    FROM the seed set along this engine's aggregation direction
+    (src→dst; run on ``transposed()`` for "reaches the seed"). Seeds are
+    included. One lor_second spmv per level."""
+    r = seed.copy()
+    while True:
+        new = r | engine.spmv("lor_second", r)
+        if (new == r).all():
+            return r
+        r = new
+
+
+BOWTIE_PARTS = ("core", "in", "out", "tube", "tendril", "disc")
+
+
+def bowtie(engine: SuperstepEngine,
+           engine_t: SuperstepEngine | None = None,
+           metrics: SuperstepMetrics | None = None):
+    """Bow-tie decomposition of a directed web graph (Broder et al.
+    2000, "Graph structure in the Web" — THE Common-Crawl-scale
+    structural analysis): partition every vertex into
+
+    - ``core`` — the largest SCC (smallest component id on ties);
+    - ``in``  — reaches the core but is outside it;
+    - ``out`` — reachable from the core but outside it;
+    - ``tube``    — on an IN→OUT path that bypasses the core;
+    - ``tendril`` — hanging off IN (reachable from IN) or leading into
+      OUT (reaches OUT), but neither core-connected nor a tube;
+    - ``disc`` — everything else (disconnected from the bow-tie).
+
+    Composition of already-scale-shaped pieces over the pinned engine
+    pair: one :func:`scc` run + four boolean reachability fixpoints
+    (lor_second supersteps), O(n) driver masks only.
+
+    Returns ``(parts, comp)``: ``parts`` a length-n array of the part
+    names above, ``comp`` the SCC labels.
+    """
+    metrics = metrics or SuperstepMetrics()
+    own_t = engine_t is None
+    if own_t:
+        engine_t = engine.transposed()
+    n = engine.n
+    try:
+        comp, _, _ = scc(engine, engine_t, metrics=metrics)
+        ids, cnt = np.unique(comp, return_counts=True)
+        core_id = int(ids[np.argmax(cnt)])  # ties → smallest id
+        core = comp == core_id
+        fwd = _reach_mask(engine, core)     # reachable from core
+        bwd = _reach_mask(engine_t, core)   # reaching core
+        vin = bwd & ~core
+        vout = fwd & ~core
+        from_in = _reach_mask(engine, vin) if vin.any() else vin
+        to_out = _reach_mask(engine_t, vout) if vout.any() else vout
+        rest = ~(core | vin | vout)
+        tube = rest & from_in & to_out
+        tendril = rest & ~tube & (from_in | to_out)
+        codes = np.full(n, 5, dtype=np.int64)
+        codes[tendril] = 4
+        codes[tube] = 3
+        codes[vout] = 2
+        codes[vin] = 1
+        codes[core] = 0
+        metrics.record(0, algorithm="bowtie",
+                       sizes={p: int((codes == i).sum())
+                              for i, p in enumerate(BOWTIE_PARTS)})
+    finally:
+        if own_t:
+            engine_t.shutdown()
+    return np.array(BOWTIE_PARTS, dtype=object)[codes], comp
+
+
+def bowtie_numpy(src, dst, n):
+    """Dense oracle: transitive closure by repeated boolean squaring,
+    then the same part definitions."""
+    R = np.eye(n, dtype=bool)
+    R[src, dst] = True
+    while True:
+        R2 = (R @ R) | R
+        if (R2 == R).all():
+            break
+        R = R2
+    mutual = R & R.T
+    comp = np.array([int(np.flatnonzero(mutual[v])[0]) for v in range(n)])
+    ids, cnt = np.unique(comp, return_counts=True)
+    core_id = int(ids[np.argmax(cnt)])
+    core = comp == core_id
+    vin = R[:, core_id] & ~core
+    vout = R[core_id, :] & ~core
+    from_in = R[vin].any(axis=0) if vin.any() else np.zeros(n, bool)
+    to_out = R[:, vout].any(axis=1) if vout.any() else np.zeros(n, bool)
+    rest = ~(core | vin | vout)
+    tube = rest & from_in & to_out
+    tendril = rest & ~tube & (from_in | to_out)
+    codes = np.full(n, 5, dtype=np.int64)
+    codes[tendril] = 4
+    codes[tube] = 3
+    codes[vout] = 2
+    codes[vin] = 1
+    codes[core] = 0
+    return np.array(BOWTIE_PARTS, dtype=object)[codes]
+
+
 def _knuth32(v: np.ndarray) -> np.ndarray:
     """Deterministic 32-bit multiplicative-hash priorities (injective on
     vid < 2^32 since the multiplier is odd) — expressible in plain SQL as

@@ -145,6 +145,29 @@ def test_dag_layers_matches_numpy_and_detects_cycles():
     cyc.shutdown()
 
 
+def test_bowtie_decomposition_matches_dense_oracle():
+    from python_graphblas_ray.pipelines.algorithms import (
+        bowtie, bowtie_numpy)
+
+    # hand case exercising all six parts: 0<->1 core, 2->0 in,
+    # 1->3 out, 2->4->3 tube, 2->5 + 6->3 tendrils, 7 disconnected
+    src = np.array([0, 1, 2, 1, 2, 4, 2, 6], dtype=np.int64)
+    dst = np.array([1, 0, 0, 3, 4, 3, 5, 3], dtype=np.int64)
+    eng = build_engine(_edges_ds(src, dst), 8, num_partitions=2)
+    parts, comp = bowtie(eng)
+    assert list(parts) == ["core", "core", "in", "out", "tube",
+                           "tendril", "tendril", "disc"]
+    assert comp[0] == comp[1]  # the core SCC shares a label
+    eng.shutdown()
+
+    for seed in range(3):
+        s, d = _random_edges(n=80, m=200, seed=seed)
+        eng = build_engine(_edges_ds(s, d), 80, num_partitions=3)
+        parts, _ = bowtie(eng)
+        assert (parts == bowtie_numpy(s, d, 80)).all()
+        eng.shutdown()
+
+
 def test_cocitation_counts_match_bruteforce():
     from python_graphblas_ray.pipelines.linkpred import (
         cocitation_counts, cocitation_numpy)
