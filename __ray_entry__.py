@@ -406,7 +406,8 @@ def _q_anf(sf_dir):
     from python_graphblas_ray.pipelines.anf import neighborhood_function
 
     eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
-    counts, _ = neighborhood_function(eng, tmax=6, mode="exact")
+    counts, _ = neighborhood_function(eng, tmax=6, mode="exact",
+                                      inactor=True)
     eng.shutdown()
     return pa.table({"t": np.arange(len(counts), dtype=np.int64),
                      "n_pairs": counts.astype(np.int64)})
@@ -420,7 +421,8 @@ def _q_effective_diameter(sf_dir):
     from python_graphblas_ray.pipelines.anf import effective_diameter
 
     eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
-    d = effective_diameter(eng, q=0.9, tmax=6, mode="exact")
+    d = effective_diameter(eng, q=0.9, tmax=6, mode="exact",
+                           inactor=True)
     eng.shutdown()
     return pa.table({"d90": np.array([d], dtype=np.int64)})
 

@@ -43,23 +43,28 @@ def _hll_alpha(m: int) -> float:
     return _ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
 
 
-def _hll_init(n: int, b: int, seed: int) -> np.ndarray:
+def _hll_init(n: int, b: int, seed: int, lo: int = 0,
+              hi: int | None = None) -> np.ndarray:
     """One HLL sketch per vertex containing only the vertex itself:
     bucket = low b hash bits, register value = 1 + leading-zero rank of
-    the remaining 64-b bits (the standard HLL insert, vectorized)."""
+    the remaining 64-b bits (the standard HLL insert, vectorized).
+    ``lo/hi`` build only that vertex-id range's rows (the in-actor
+    partitioned-state path) — row i is vertex lo+i either way."""
+    hi = n if hi is None else hi
     m = 1 << b
+    k = hi - lo
     with np.errstate(over="ignore"):  # uint64 wraparound is the point
-        h = _splitmix64(np.arange(n, dtype=np.uint64) + np.uint64(seed) *
-                        np.uint64(0x9E3779B97F4A7C15))
+        h = _splitmix64(np.arange(lo, hi, dtype=np.uint64) +
+                        np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15))
     bucket = (h & np.uint64(m - 1)).astype(np.int64)
     w = h >> np.uint64(b)
     # rho = (64-b) - floor(log2(w)) for w>0; 64-b+1 for w == 0
-    bits = np.zeros(n, dtype=np.int64)
+    bits = np.zeros(k, dtype=np.int64)
     nz = w > 0
     bits[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64)
     rho = np.where(nz, (64 - b) - bits, (64 - b) + 1).astype(np.uint8)
-    regs = np.zeros((n, m), dtype=np.uint8)
-    regs[np.arange(n), bucket] = rho
+    regs = np.zeros((k, m), dtype=np.uint8)
+    regs[np.arange(k), bucket] = rho
     return regs
 
 
@@ -76,11 +81,15 @@ def _hll_count(regs: np.ndarray) -> np.ndarray:
     return np.where(small, lin, est)
 
 
-def _bitset_init(n: int) -> np.ndarray:
+def _bitset_init(n: int, lo: int = 0, hi: int | None = None) -> np.ndarray:
+    """Identity reachability bitsets for vertex ids lo..hi (row i =
+    vertex lo+i; the full matrix when lo/hi default)."""
+    hi = n if hi is None else hi
     words = (n + 63) // 64
-    regs = np.zeros((n, words), dtype=np.uint64)
-    idx = np.arange(n)
-    regs[idx, idx // 64] = np.uint64(1) << (idx % 64).astype(np.uint64)
+    regs = np.zeros((hi - lo, words), dtype=np.uint64)
+    idx = np.arange(lo, hi)
+    regs[np.arange(hi - lo), idx // 64] = (np.uint64(1) <<
+                                           (idx % 64).astype(np.uint64))
     return regs
 
 
@@ -90,7 +99,7 @@ def _popcount_total(regs: np.ndarray) -> int:
 
 def neighborhood_function(engine: SuperstepEngine, tmax: int = 64,
                           mode: str = "auto", b: int = 6, seed: int = 7,
-                          exact_limit: int = 1 << 20):
+                          exact_limit: int = 1 << 20, inactor: bool = False):
     """Compute N(0..T) where T is the first level at which every ball
     stops growing (T = the graph's maximum finite distance) or ``tmax``.
 
@@ -98,11 +107,21 @@ def neighborhood_function(engine: SuperstepEngine, tmax: int = 64,
     accumulated at v) — the pair TOTAL is identical to the out-ball sum,
     so N(t) and the effective diameter need no transposed engine.
 
+    ``inactor=True`` routes through ``SuperstepEngine.anf_inactor`` —
+    registers pinned in the partition actors, slice exchange through the
+    object store, O(P) driver per superstep (the 10¹²-vertex path;
+    bit-identical results, parity-tested).
+
     Returns ``(counts, exact)``: counts[t] = N(t) (float for HLL, int
     for exact), len(counts) = T+1.
     """
     n = engine.n
     exact = mode == "exact" or (mode == "auto" and n <= exact_limit)
+    if inactor:
+        counts = engine.anf_inactor(tmax=tmax,
+                                    mode="exact" if exact else "hll",
+                                    b=b, seed=seed)
+        return counts, exact
     if exact:
         regs = _bitset_init(n)
         counts = [_popcount_total(regs)]
@@ -123,11 +142,13 @@ def neighborhood_function(engine: SuperstepEngine, tmax: int = 64,
 
 def effective_diameter(engine: SuperstepEngine, q: float = 0.9,
                        tmax: int = 64, mode: str = "auto", b: int = 6,
-                       seed: int = 7, exact_limit: int = 1 << 20) -> int:
+                       seed: int = 7, exact_limit: int = 1 << 20,
+                       inactor: bool = False) -> int:
     """Smallest t with N(t) ≥ q · N(T) (discrete, no interpolation —
     keeps the exact mode SQL-reproducible)."""
     counts, _ = neighborhood_function(engine, tmax=tmax, mode=mode, b=b,
-                                      seed=seed, exact_limit=exact_limit)
+                                      seed=seed, exact_limit=exact_limit,
+                                      inactor=inactor)
     total = counts[-1]
     return int(np.argmax(counts >= q * total))
 

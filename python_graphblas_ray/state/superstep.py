@@ -617,6 +617,63 @@ class GraphPartitionActor:
                                              axis=0)
         return out
 
+    # ---- in-actor ANF/HyperANF (registers partitioned, O(P) driver) ----
+    def anf_init(self, n, bounds, mode, b, seed):
+        """Install ANF register state for this dst-range slice (exact
+        reachability bitsets or HLL registers for vertices lo..hi) plus
+        the slice-exchange gather plan, and return the initial count
+        partial. Registers never leave the actors except as exchanged
+        slices — the 10¹²-vertex path the dense-broadcast
+        ``register_step`` documents."""
+        from ..pipelines.anf import _bitset_init, _hll_count, _hll_init
+
+        self._pr_n = int(n)
+        self._pr_bounds = np.asarray(bounds, dtype=np.int64)
+        lo, hi = self.lo, self.hi
+        if mode == "exact":
+            self._anf_regs = _bitset_init(n, lo, hi)
+            cnt = float(hi - lo)
+        else:
+            self._anf_regs = _hll_init(n, int(b), int(seed), lo, hi)
+            cnt = float(_hll_count(self._anf_regs).sum())
+        self._anf_mode = mode
+        self._ensure_gather_plan()
+        return cnt
+
+    def anf_regs_slice(self):
+        return self._anf_regs
+
+    @ray.method(num_returns=2)
+    def anf_step(self, reg_refs):
+        """One fused ANF superstep: gather the in-neighbor register rows
+        from the exchanged slices (batched zero-copy gets, precomputed
+        int32 plan — O(E/P · R) work), ⊕-reduce into the pinned
+        registers. Returns ((changed, count_partial), regs_slice): the
+        driver fetches only the scalar pair and forwards the slice refs
+        into the next round."""
+        from ..pipelines.anf import _hll_count
+
+        regs = self._anf_regs
+        merge = np.bitwise_or if self._anf_mode == "exact" else np.maximum
+        new = regs
+        if self.nedges:
+            slices = ray.get([reg_refs[p] for p, _, _ in self._pr_gather])
+            rows = np.empty((self.nedges, regs.shape[1]),
+                            dtype=regs.dtype)
+            for (p, pos, local), sl in zip(self._pr_gather, slices):
+                rows[pos] = sl[local]
+            agg = np.zeros_like(regs)
+            agg[self.group_dst] = merge.reduceat(rows, self.starts,
+                                                 axis=0)
+            new = merge(regs, agg)
+        changed = bool((new != regs).any())
+        self._anf_regs = new
+        if self._anf_mode == "exact":
+            cnt = float(np.unpackbits(new.view(np.uint8)).sum())
+        else:
+            cnt = float(_hll_count(new).sum())
+        return (changed, cnt), new
+
     def mode_counts_step(self, labels_ref):
         """Hub-split variant: return the SPARSE (dst, label, count)
         partials so same-range splits can be count-merged before the
@@ -1286,6 +1343,42 @@ class SuperstepEngine:
                 break
         slices = ray.get([a.pr_result.remote() for a in self.actors])
         return self._stitch_exact(slices), i
+
+    def anf_inactor(self, tmax=64, mode="exact", b=6, seed=7,
+                    metrics=None):
+        """ANF/HyperANF with the register matrix pinned IN the partition
+        actors: per superstep the driver does O(P) work (P actor calls,
+        a P-float sum and a bool-any) and register slices travel
+        actor→actor through the object store — never a dense n×R driver
+        array or broadcast. This is the 10¹²-vertex scale path for
+        :func:`python_graphblas_ray.pipelines.anf.neighborhood_function`
+        (bit-identical results — parity-tested)."""
+        if self.has_hub_split:
+            raise NotImplementedError(
+                "anf_inactor assumes exclusive range ownership; rebuild "
+                "with hub_split_factor=None, or use the dense-broadcast "
+                "pipelines.anf.neighborhood_function")
+        bounds = np.array([lo for lo, _ in self.ranges], dtype=np.int64)
+        parts = ray.get([a.anf_init.remote(self.n, bounds, mode, b, seed)
+                         for a in self.actors])
+        counts = [float(sum(parts))]
+        reg_refs = [a.anf_regs_slice.remote() for a in self.actors]
+        # barrier: forwarding unresolved refs would block every actor
+        # inside its ray.get while holding a task slot (see pr_step)
+        ray.wait(reg_refs, num_returns=len(reg_refs))
+        for t in range(tmax):
+            pairs = [a.anf_step.remote(reg_refs) for a in self.actors]
+            meta_refs = [p[0] for p in pairs]
+            reg_refs = [p[1] for p in pairs]
+            metas = ray.get(meta_refs)  # per-superstep barrier
+            if not any(m[0] for m in metas):
+                break
+            counts.append(float(sum(m[1] for m in metas)))
+            if metrics is not None:
+                metrics.record(t, algorithm="anf_inactor",
+                               pairs=counts[-1], edges=self.num_edges)
+        out = np.asarray(counts)
+        return out.astype(np.int64) if mode == "exact" else out
 
     def connected_components_inactor(self, metrics=None):
         """FastSV with vertex state pinned in the actors: two O(P) rounds

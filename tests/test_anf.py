@@ -77,6 +77,21 @@ def test_effective_diameter_on_path_graph():
     eng.shutdown()
 
 
+def test_inactor_anf_is_bit_identical_to_broadcast():
+    src, dst = _random_edges()
+    eng = _engine(src, dst, 150)
+    for mode, rtol in (("exact", 0), ("hll", 1e-12)):
+        counts, _ = neighborhood_function(eng, mode=mode, b=7)
+        fused, _ = neighborhood_function(eng, mode=mode, b=7,
+                                         inactor=True)
+        assert len(counts) == len(fused)
+        # exact: bit-identical popcounts; HLL: identical registers, the
+        # per-slice partial sums differ from the whole-matrix sum only
+        # by float addition order
+        assert np.allclose(counts, fused, rtol=rtol, atol=0), mode
+    eng.shutdown()
+
+
 def test_effective_diameter_exact_matches_definition():
     src, dst = _random_edges(seed=4)
     eng = _engine(src, dst, 150)
