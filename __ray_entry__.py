@@ -450,6 +450,34 @@ def _q_dag_layers(sf_dir):
                      "layer": layers})
 
 
+def _q_critical_path(sf_dir):
+    """Weighted longest-path distances (critical path) on the src<dst
+    DAG with the deterministic synthetic weight ``(src·7+dst·13)%10+1``
+    — integer weights keep the max_plus fixpoint float-exact, so the
+    recursive path-sum SQL oracle matches bit-for-bit."""
+    from python_graphblas_ray.pipelines.algorithms import (
+        build_engine, critical_path)
+
+    base = _edge_matrix(sf_dir).ds
+
+    def dag_weighted(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        keep = s < d
+        s, d = s[keep], d[keep]
+        return pa.table({"src": s, "dst": d,
+                         "val": ((s * 7 + d * 13) % 10 + 1).astype(
+                             np.float64)})
+
+    eng = build_engine(
+        base.map_batches(dag_weighted, batch_format="pyarrow"),
+        N_VERT, num_partitions=4, weighted=True)
+    dist, _, _ = critical_path(eng)
+    eng.shutdown()
+    return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
+                     "dist": dist})
+
+
 def _q_cocitation(sf_dir):
     """Co-citation counts (in-neighbor overlap, ``A.T @ A`` plus_pair) —
     the related-page signal dual to ``link_scores``' out-neighbor
@@ -1346,7 +1374,8 @@ RENAME_SUITES = {
                                 ("effective_diameter", "d90")], "double"),
     # per-vertex centrality scores: (q, vid, val)
     "centrality_suite": (["vid"], [("closeness", "val"),
-                                   ("local_clustering", "coeff")],
+                                   ("local_clustering", "coeff"),
+                                   ("critical_path", "dist")],
                          "double"),
     # per-doc group assignments (split / quota-kept lang / mixture
     # source): (q, doc_id, val string)
@@ -1475,6 +1504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salsa_iter3": _q_salsa_iter3,
         "truss_peel3": _q_truss_peel3,
         "effective_diameter": _q_effective_diameter,
+        "critical_path": _q_critical_path,
     }
     window = {
         # construction / exports
@@ -2114,6 +2144,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(min(t.t) AS BIGINT) AS d90 FROM T t, tot "
             "WHERE (SELECT count(*) FROM dist WHERE dist.d <= t.t) "
             ">= 0.9 * tot.c"),
+        "critical_path": (
+            # weighted longest-path distances on the src<dst DAG via
+            # path-sum state enumeration (integer weights -> exact
+            # doubles, UNION dedup terminates at the fixpoint)
+            f"WITH RECURSIVE {_E_CTE[5:]}, "
+            "D AS (SELECT src, dst, CAST((src * 7 + dst * 13) % 10 + 1 "
+            "AS DOUBLE) AS w FROM E WHERE src < dst), "
+            "V AS (SELECT CAST(range AS BIGINT) AS vid FROM range(512)), "
+            "lv(vid, dist) AS ("
+            "SELECT vid, CAST(0 AS DOUBLE) FROM V "
+            "UNION "
+            "SELECT e.dst, p.dist + e.w FROM lv p "
+            "JOIN D e ON e.src = p.vid) "
+            "SELECT vid, max(dist) AS dist FROM lv GROUP BY 1"),
         "dag_layers": (
             # longest path from any source on the src<dst DAG: recursive
             # path-length enumeration (UNION dedups states, so the

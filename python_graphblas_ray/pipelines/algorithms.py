@@ -1193,6 +1193,51 @@ def trustrank(engine: SuperstepEngine, seeds, damping=0.85, itermax=100,
                     personalization=p, **kw)
 
 
+def critical_path(engine: SuperstepEngine, itermax=None,
+                  metrics: SuperstepMetrics | None = None):
+    """Weighted longest-path distances on a DAG (the CRITICAL PATH of a
+    scheduling/dependency graph): ``dist(v) = max over in-edges (u,v) of
+    dist(u) + w(u,v)``, 0 at sources. Same frontier-masked fixpoint as
+    :func:`dag_layers` but through the ``max_plus`` semiring spmv, so
+    edge weights ride the pinned blocks (engine must be built with
+    ``weighted=True``). Raises on cycles like :func:`dag_layers`.
+
+    Returns ``(dist float64, supersteps, metrics)``.
+    """
+    n = engine.n
+    metrics = metrics or SuperstepMetrics()
+    dist = np.zeros(n)
+    active = np.ones(n, dtype=bool)
+    itermax = itermax or n + 1
+    it = 0
+    while active.any():
+        if it >= itermax:
+            raise ValueError(
+                f"critical_path: no fixpoint after {it} supersteps — "
+                "the graph has a cycle (or raise itermax)")
+        y = engine.spmv_masked("max_plus", dist, active)
+        new = np.maximum(dist, y)
+        active = new > dist
+        metrics.record(it, algorithm="critical_path",
+                       frontier=int(active.sum()),
+                       max_dist=float(new.max()))
+        dist = new
+        it += 1
+    return dist, it, metrics
+
+
+def critical_path_numpy(src, dst, w, n):
+    """Dense Bellman oracle of the same max-plus fixpoint."""
+    dist = np.zeros(n)
+    for _ in range(n + 1):
+        new = dist.copy()
+        np.maximum.at(new, dst, dist[src] + w)
+        if (new == dist).all():
+            return dist
+        dist = new
+    raise ValueError("cycle")
+
+
 def dag_layers(engine: SuperstepEngine, itermax=None,
                metrics: SuperstepMetrics | None = None):
     """Longest-path layering (topological levels) of a DAG:

@@ -39,7 +39,8 @@ SAMPLE = ["edges_build", "degree_out", "mxv_plus_times", "mxm_plus_times",
           "hits_iter3", "trustrank_iter5", "dag_layers", "cocitation",
           "graph_metric_suite", "centrality_suite",
           "sampling_suite", "langstats_suite", "salsa_iter3",
-          "truss_peel3", "anf", "effective_diameter", "bowtie"]
+          "truss_peel3", "anf", "effective_diameter", "bowtie",
+          "critical_path"]
 
 
 @pytest.fixture(scope="module")

@@ -145,6 +145,35 @@ def test_dag_layers_matches_numpy_and_detects_cycles():
     cyc.shutdown()
 
 
+def test_critical_path_matches_numpy_and_reduces_to_layers():
+    from python_graphblas_ray.pipelines.algorithms import (
+        critical_path, critical_path_numpy, dag_layers)
+
+    src, dst = _random_edges()
+    keep = src < dst
+    s, d = src[keep], dst[keep]
+    rng = np.random.default_rng(9)
+    w = rng.integers(1, 10, len(s)).astype(np.float64)
+    ds = ray.data.from_arrow(pa.table({"src": s, "dst": d, "val": w}))
+    eng = build_engine(ds.materialize(), 200, num_partitions=4,
+                       weighted=True)
+    dist, _, _ = critical_path(eng)
+    assert np.array_equal(dist, critical_path_numpy(s, d, w, 200))
+    # every edge is satisfied: dist(v) >= dist(u) + w(u,v)
+    assert (dist[d] >= dist[s] + w - 1e-12).all()
+    eng.shutdown()
+
+    # unit weights reduce exactly to the layer numbers
+    ones = ray.data.from_arrow(pa.table({
+        "src": s, "dst": d, "val": np.ones(len(s))}))
+    eng1 = build_engine(ones.materialize(), 200, num_partitions=4,
+                        weighted=True)
+    dist1, _, _ = critical_path(eng1)
+    layers, _, _ = dag_layers(eng1)
+    assert np.array_equal(dist1.astype(np.int64), layers)
+    eng1.shutdown()
+
+
 def test_bowtie_decomposition_matches_dense_oracle():
     from python_graphblas_ray.pipelines.algorithms import (
         bowtie, bowtie_numpy)
