@@ -108,6 +108,14 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     extra["pagerank_edges_per_sec"] = (
         eng.num_edges * iters / timings["pagerank"])
     t0 = time.time()
+    # HyperANF effective-diameter pass (in-actor registers, b=6 → 64
+    # bytes/vertex): the web-graph distance measurement over the same
+    # pinned engine
+    anf_counts = eng.anf_inactor(tmax=32, mode="hll", b=6)
+    timings["anf_hll"] = time.time() - t0
+    extra["anf_levels"] = len(anf_counts) - 1
+
+    t0 = time.time()
     # derived from the directed engine's pinned partitions (actor-side
     # reversed-edge exchange, warm-worker hand-off) — no second
     # quantile/tag/sort pass; releases the directed pool
