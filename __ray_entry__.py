@@ -691,6 +691,33 @@ def _q_modularity(sf_dir):
     return pa.table({"modularity": [round(float(q), 8)]})
 
 
+def _q_transitivity(sf_dir):
+    """Global clustering coefficient (3·tri / wedges) over the simple
+    undirected graph — broadcast triangle kernel + one degree reduction."""
+    from python_graphblas_ray.pipelines.linkpred import transitivity
+
+    t = transitivity(_edge_dataset(sf_dir), N_VERT, num_tasks=8)
+    return pa.table({"transitivity": [round(float(t), 8)]})
+
+
+def _q_avg_neighbor_degree(sf_dir):
+    """knn(v): mean out-neighbor out-degree over the distinct pattern —
+    one plus_times spmv against the broadcast degree vector."""
+    from python_graphblas_ray.pipelines.linkpred import avg_neighbor_degree
+
+    return avg_neighbor_degree(_edge_dataset(sf_dir), N_VERT)
+
+
+def _q_rich_club(sf_dir):
+    """Rich-club coefficient at the mean-degree threshold (density of
+    the subgraph induced on above-average-degree vertices)."""
+    from python_graphblas_ray.pipelines.linkpred import rich_club
+
+    k, nk, phi = rich_club(_edge_dataset(sf_dir), N_VERT)
+    return pa.table({"k": [round(float(k), 8)], "n_k": [int(nk)],
+                     "phi": [round(float(phi), 8)]})
+
+
 def _q_docs_lm_score(sf_dir):
     """CCNet-style n-gram LM quality score: Laplace bigram LM trained on
     the corpus itself, mean log-prob per doc (8-decimal rounded)."""
@@ -1371,11 +1398,14 @@ RENAME_SUITES = {
     "graph_metric_suite": ([], [("modularity", "modularity"),
                                 ("assortativity", "assortativity"),
                                 ("diameter", "diameter_lb"),
-                                ("effective_diameter", "d90")], "double"),
+                                ("effective_diameter", "d90"),
+                                ("transitivity", "transitivity"),
+                                ("rich_club", "phi")], "double"),
     # per-vertex centrality scores: (q, vid, val)
     "centrality_suite": (["vid"], [("closeness", "val"),
                                    ("local_clustering", "coeff"),
-                                   ("critical_path", "dist")],
+                                   ("critical_path", "dist"),
+                                   ("avg_neighbor_degree", "val")],
                          "double"),
     # per-doc group assignments (split / quota-kept lang / mixture
     # source): (q, doc_id, val string)
@@ -1505,6 +1535,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "truss_peel3": _q_truss_peel3,
         "effective_diameter": _q_effective_diameter,
         "critical_path": _q_critical_path,
+        "transitivity": _q_transitivity,
+        "rich_club": _q_rich_club,
+        "avg_neighbor_degree": _q_avg_neighbor_degree,
     }
     window = {
         # construction / exports
@@ -2275,6 +2308,39 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT range::BIGINT AS vid FROM range(512)) v "
             "LEFT JOIN deg g ON g.s = v.vid "
             "LEFT JOIN tri2 t ON t.s = v.vid"),
+        "transitivity": (
+            # Σ_{(s,d)∈sym} |N(s)∩N(d)| = 6·triangles; Σ d(d-1) = 2·wedges
+            f"{E}, "
+            "sym AS (SELECT DISTINCT s, d FROM ("
+            "SELECT src AS s, dst AS d FROM E "
+            "UNION ALL SELECT dst, src FROM E) WHERE s <> d), "
+            "deg AS (SELECT s, count(*) AS d FROM sym GROUP BY 1), "
+            "tri6 AS (SELECT count(*) AS c "
+            "FROM sym e JOIN sym a ON a.s = e.s "
+            "JOIN sym b ON b.s = e.d AND b.d = a.d) "
+            "SELECT round((SELECT c FROM tri6) * 1.0 / "
+            "(SELECT sum(d * (d - 1)) FROM deg), 8) AS transitivity"),
+        "avg_neighbor_degree": (
+            f"{E}, P AS (SELECT DISTINCT src, dst FROM E), "
+            "dout AS (SELECT src, count(*) AS d FROM P GROUP BY 1) "
+            "SELECT p.src AS vid, "
+            "round(avg(COALESCE(o.d, 0) * 1.0), 8) AS val "
+            "FROM P p LEFT JOIN dout o ON o.src = p.dst GROUP BY 1"),
+        "rich_club": (
+            f"{E}, "
+            "sym AS (SELECT DISTINCT s, d FROM ("
+            "SELECT src AS s, dst AS d FROM E "
+            "UNION ALL SELECT dst, src FROM E) WHERE s <> d), "
+            "deg AS (SELECT s, count(*) AS d FROM sym GROUP BY 1), "
+            "kv AS (SELECT avg(d * 1.0) AS k FROM deg), "
+            "rich AS (SELECT s FROM deg WHERE d > (SELECT k FROM kv)), "
+            "nk AS (SELECT count(*) AS c FROM rich) "
+            "SELECT round((SELECT k FROM kv), 8) AS k, "
+            "(SELECT c FROM nk) AS n_k, "
+            "round(count(*) * 1.0 / ((SELECT c FROM nk) * "
+            "((SELECT c FROM nk) - 1)), 8) AS phi "
+            "FROM sym e JOIN rich a ON a.s = e.s "
+            "JOIN rich b ON b.s = e.d"),
         "pages_roundtrip": (
             # same shell construction + the same tag-strip /
             # whitespace-collapse / trim the Python extract_text applies

@@ -369,3 +369,93 @@ def local_clustering(A_und, n):
     coeff = np.where(denom > 0, tri2 / denom, 0.0)
     return pa.table({"vid": np.arange(n, dtype=np.int64),
                      "coeff": np.round(coeff, 8)})
+
+
+def transitivity(edges_ds, n, num_tasks=8):
+    """Global clustering coefficient (transitivity) of the simple
+    undirected graph: ``T = 3·triangles / wedges`` with
+    ``wedges = Σ_v d(v)(d(v)-1)/2`` — the one-number closure measurement
+    next to the per-vertex ``local_clustering``. Pure composition: the
+    zero-shuffle broadcast triangle kernel
+    (``triangles.triangle_count_broadcast``; the masked plus_pair mxm is
+    the beyond-broadcast-limit form) plus one degree reduction over the
+    symmetrized pattern.
+
+    Returns a float (nan when the graph has no wedges)."""
+    from ..functions.aggregators import agg
+    from .triangles import simple_undirected, triangle_count_broadcast
+
+    tri = triangle_count_broadcast(edges_ds, num_tasks=num_tasks)
+    A = simple_undirected(edges_ds, n)
+    deg = A.reduce_rowwise(agg.count).to_dense(0.0)
+    wedges2 = float((deg * (deg - 1.0)).sum())  # = 2·wedges
+    return 6.0 * tri / wedges2 if wedges2 > 0 else float("nan")
+
+
+def avg_neighbor_degree(edges_ds, n):
+    """Per-vertex average out-neighbor out-degree — the knn(v)
+    degree-correlation curve of Pastor-Satorras et al. 2001, the
+    standard web-graph hub-mixing measurement next to the scalar
+    ``assortativity``. Over the distinct directed pattern P:
+    ``knn(v) = mean_{u:(v,u)∈P} dout(u)`` with ``dout`` the distinct
+    out-degree (0 for sinks).
+
+    ONE ``plus_times`` spmv of P against the dense degree vector (the
+    same kernel every iterative algorithm uses) + an O(n) driver
+    division — the edge table is never collected.
+
+    Returns a pyarrow Table ``(vid, val)`` for every vertex with at
+    least one out-edge, 8-decimal rounded (oracle-stable)."""
+    from ..core import GBVector
+    from ..functions.aggregators import agg
+
+    P = GBMatrix.from_dataset(_distinct_pattern(edges_ds), n, n)
+    dout = P.reduce_rowwise(agg.count).to_dense(0.0).astype(np.float64)
+    num = P.mxv(GBVector.from_dense(dout), _sr.plus_times).to_dense(0.0)
+    present = dout > 0
+    vids = np.nonzero(present)[0]
+    return pa.table({
+        "vid": vids.astype(np.int64),
+        "val": np.round(num[present] / dout[present], 8),
+    })
+
+
+def rich_club(edges_ds, n, k=None):
+    """Rich-club coefficient φ(k) (Zhou & Mondragón 2004): the edge
+    density of the subgraph induced on "rich" vertices — those whose
+    simple undirected degree exceeds ``k`` — i.e.
+    ``φ(k) = 2·E_k / (n_k (n_k − 1))``. ``k=None`` uses the mean degree
+    over non-isolated vertices (a deterministic, scale-free threshold).
+
+    The degree membership mask is broadcast once (``ray.put``); E_k is
+    ONE streaming membership-count pass over the symmetrized edge table
+    (each undirected edge seen twice — the symmetric table cancels the
+    2× in the numerator). Nothing is collected to the driver beyond the
+    O(n) degree vector.
+
+    Returns ``(k, n_k, phi)``; phi is nan when n_k < 2."""
+    from ..functions.aggregators import agg
+    from .triangles import simple_undirected
+
+    A = simple_undirected(edges_ds, n)
+    deg = A.reduce_rowwise(agg.count).to_dense(0.0)
+    if k is None:
+        nz = deg[deg > 0]
+        k = float(nz.mean()) if len(nz) else 0.0
+    rich = deg > k
+    nk = int(rich.sum())
+    if nk < 2:
+        return float(k), nk, float("nan")
+    ref = ray.put(rich)
+
+    def count(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"c": [int((m[s] & m[d]).sum())]})
+
+    tot = 0
+    for b in A.ds.map_batches(count, batch_format="pyarrow") \
+                 .iter_batches(batch_format="pyarrow", batch_size=None):
+        tot += int(b["c"][0].as_py())
+    return float(k), nk, tot / (nk * (nk - 1.0))

@@ -40,7 +40,8 @@ SAMPLE = ["edges_build", "degree_out", "mxv_plus_times", "mxm_plus_times",
           "graph_metric_suite", "centrality_suite",
           "sampling_suite", "langstats_suite", "salsa_iter3",
           "truss_peel3", "anf", "effective_diameter", "bowtie",
-          "critical_path"]
+          "critical_path", "transitivity", "rich_club",
+          "avg_neighbor_degree"]
 
 
 @pytest.fixture(scope="module")

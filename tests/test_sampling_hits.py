@@ -454,3 +454,85 @@ def test_node2vec_p_bias_controls_returns(walk_engine_graph):
         return bt
 
     assert backtracks(0.05) > backtracks(20.0)
+
+
+# ---------------------------------------------------------------------------
+# graph-shape metrics: transitivity / knn / rich club
+# ---------------------------------------------------------------------------
+
+def _sym_simple(src, dst, n):
+    """Dense symmetric adjacency (no self-loops) as a numpy bool matrix."""
+    A = np.zeros((n, n), dtype=bool)
+    A[src, dst] = True
+    A |= A.T
+    np.fill_diagonal(A, False)
+    return A
+
+
+def test_transitivity_matches_dense_oracle():
+    from python_graphblas_ray.pipelines.linkpred import transitivity
+
+    n = 60
+    src, dst = _random_edges(n=n, m=500, seed=7)
+    A = _sym_simple(src, dst, n)
+    tri3 = np.trace(np.linalg.matrix_power(A.astype(np.int64), 3))  # 6·tri
+    deg = A.sum(1).astype(np.float64)
+    expect = tri3 / (deg * (deg - 1)).sum()
+    got = transitivity(_edges_ds(src, dst), n)
+    assert got == pytest.approx(expect, abs=1e-12)
+
+
+def test_transitivity_triangle_graph_is_one():
+    from python_graphblas_ray.pipelines.linkpred import transitivity
+
+    src = np.array([0, 1, 2], dtype=np.int64)
+    dst = np.array([1, 2, 0], dtype=np.int64)
+    assert transitivity(_edges_ds(src, dst), 3) == pytest.approx(1.0)
+
+
+def test_avg_neighbor_degree_matches_bruteforce():
+    from python_graphblas_ray.pipelines.linkpred import avg_neighbor_degree
+
+    n = 80
+    src, dst = _random_edges(n=n, m=700, seed=11)
+    t = avg_neighbor_degree(_edges_ds(src, dst), n)
+    dout = np.bincount(src, minlength=n).astype(np.float64)
+    got = dict(zip(t["vid"].to_numpy(), t["val"].to_numpy()))
+    for v in range(n):
+        nb = dst[src == v]
+        if len(nb) == 0:
+            assert v not in got
+        else:
+            assert got[v] == pytest.approx(dout[nb].mean(), abs=1e-8)
+
+
+def test_rich_club_matches_bruteforce():
+    from python_graphblas_ray.pipelines.linkpred import rich_club
+
+    n = 60
+    src, dst = _random_edges(n=n, m=600, seed=13)
+    A = _sym_simple(src, dst, n)
+    deg = A.sum(1).astype(np.float64)
+    kbar = deg[deg > 0].mean()
+    rich = deg > kbar
+    nk = int(rich.sum())
+    ek2 = int(A[np.ix_(rich, rich)].sum())  # 2·E_k
+    k, got_nk, phi = rich_club(_edges_ds(src, dst), n)
+    assert k == pytest.approx(kbar, abs=1e-12)
+    assert got_nk == nk
+    assert phi == pytest.approx(ek2 / (nk * (nk - 1)), abs=1e-12)
+
+
+def test_rich_club_explicit_threshold_and_degenerate():
+    from python_graphblas_ray.pipelines.linkpred import rich_club
+
+    # star graph: center degree n-1, leaves degree 1
+    n = 10
+    src = np.zeros(n - 1, dtype=np.int64)
+    dst = np.arange(1, n, dtype=np.int64)
+    k, nk, phi = rich_club(_edges_ds(src, dst), n, k=1)
+    assert nk == 1 and np.isnan(phi)  # only the hub is "rich"
+    k2, nk2, phi2 = rich_club(_edges_ds(src, dst), n, k=0)
+    assert nk2 == n  # every vertex has degree >= 1
+    # star has n-1 undirected edges among the n rich vertices
+    assert phi2 == pytest.approx(2 * (n - 1) / (n * (n - 1)))
