@@ -718,6 +718,33 @@ def _q_rich_club(sf_dir):
                      "phi": [round(float(phi), 8)]})
 
 
+def _q_docs_url_canon(sf_dir):
+    """Crawl-URL canonicalization over deterministically synthesized messy
+    URLs (case / www / default-port / tracking-param / fragment /
+    trailing-slash variants built from document rows — synthetic-input
+    scaffolding only) — runs the REAL ``URLCanonicalizer`` stage; the
+    oracle replays the identical RE2 rule chain in DuckDB."""
+    from python_graphblas_ray.pipelines.ingest import canonicalize_urls
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        src = batch["source"].to_pylist()
+        suffix = np.select(
+            [did % 4 == 0, did % 4 == 1, did % 4 == 2],
+            ["?utm_source=feed&next=1#top", "/",
+             "?a=1&utm_campaign=x&b=2"],
+            default="#sec")
+        urls = [f"HTTP://WWW.Site{d % 5}.COM:80/{s}/p{d}{x}"
+                for d, s, x in zip(did, src, suffix)]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "url": pa.array(urls, type=pa.string())})
+
+    out = canonicalize_urls(docs.map_batches(synth, batch_format="pyarrow"))
+    return out.select_columns(["doc_id", "canon_url"])
+
+
 def _q_docs_lm_score(sf_dir):
     """CCNet-style n-gram LM quality score: Laplace bigram LM trained on
     the corpus itself, mean log-prob per doc (8-decimal rounded)."""
@@ -1411,7 +1438,8 @@ RENAME_SUITES = {
     # source): (q, doc_id, val string)
     "sampling_suite": (["doc_id"], [("docs_split", "split"),
                                     ("docs_quota", "lang"),
-                                    ("docs_mixture", "source")], None),
+                                    ("docs_mixture", "source"),
+                                    ("docs_url_canon", "canon_url")], None),
 }
 
 
@@ -1538,6 +1566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transitivity": _q_transitivity,
         "rich_club": _q_rich_club,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
+        "docs_url_canon": _q_docs_url_canon,
     }
     window = {
         # construction / exports
@@ -2544,6 +2573,36 @@ def oracle_sql() -> dict[str, str]:
             "n_email, n_ip, CAST(len(regexp_extract_all(text, "
             "'\\+?\\d[\\d\\-\\s()]{7,}\\d')) AS BIGINT) AS n_phone "
             "FROM s2"),
+        # the URLCanonicalizer rule chain replayed step-for-step in DuckDB
+        # RE2 over the same deterministic messy-URL synthesis
+        "docs_url_canon": (
+            "WITH base AS (SELECT doc_id, 'HTTP://WWW.Site' || "
+            "(doc_id % 5) || '.COM:80/' || source || '/p' || doc_id || "
+            "CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&next=1#top' "
+            "WHEN 1 THEN '/' WHEN 2 THEN '?a=1&utm_campaign=x&b=2' "
+            "ELSE '#sec' END AS url FROM documents), "
+            "c1 AS (SELECT doc_id, regexp_replace(regexp_replace("
+            "regexp_replace(regexp_replace(regexp_replace(trim(url), "
+            "'#.*$', '', 'g'), "
+            "'(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '', 'g'), "
+            "'&{2,}', '&', 'g'), '\\?&', '?', 'g'), "
+            "'[?&]+$', '', 'g') AS u FROM base), "
+            "c2 AS (SELECT doc_id, "
+            "lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', "
+            "1)) AS scheme, "
+            "lower(regexp_extract(u, "
+            "'^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)) AS host, "
+            "regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*', "
+            "'') AS rest FROM c1), "
+            "c3 AS (SELECT doc_id, scheme || '://' || "
+            "CASE WHEN scheme = 'http' THEN regexp_replace("
+            "regexp_replace(host, '^www\\.', ''), ':80$', '') "
+            "WHEN scheme = 'https' THEN regexp_replace("
+            "regexp_replace(host, '^www\\.', ''), ':443$', '') "
+            "ELSE regexp_replace(host, '^www\\.', '') END || rest AS u "
+            "FROM c2) "
+            "SELECT doc_id, regexp_replace(u, '/$', '') AS canon_url "
+            "FROM c3"),
         # exact substring dedup: 8-token windows via list slicing (chr(31)
         # joiner); a window string occurring >= 2 times flags every one of
         # its (doc_id, pos) occurrences — hash-chain vs string windows

@@ -128,3 +128,83 @@ def extract_text_table(pages_ds):
                          "extracted_text": pa.array(texts, type=pa.string())})
 
     return pages_ds.map_batches(kern, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawl-dedup front-end)
+# ---------------------------------------------------------------------------
+
+class URLCanonicalizer:
+    """Canonicalize crawl URLs so that tracking-parameter / case / port
+    variants of the same page collapse to one vertex BEFORE vid hashing —
+    the standard crawl-frontier normalization (cf. the URL-normalization
+    rules web crawlers apply ahead of dedup). Without it, ``?utm_...``
+    variants multiply both the page dedup keys and the link-graph
+    vertices.
+
+    Fixed, documented rule chain — every rule is one RE2 pass over the
+    whole batch in Arrow kernels (``replace_substring_regex`` /
+    ``extract_regex``), no Python row loop, and each rule has an exact
+    DuckDB ``regexp_replace`` twin (the ``docs_url_canon`` oracle):
+
+    1. trim surrounding whitespace
+    2. strip the fragment (``#...``)
+    3. drop tracking query params (``utm_*``, ``fbclid``, ``gclid``) and
+       repair separators (``&&``→``&``, ``?&``→``?``, trailing ``?``/``&``)
+    4. lowercase scheme and host, strip a leading ``www.``, strip the
+       scheme-default port (``http…:80``, ``https…:443``)
+    5. strip one trailing ``/`` (query-less path-end only)
+
+    Query-parameter ORDER is preserved (sorting params can change
+    semantics on some sites and is not RE2-expressible; documented
+    non-rule). Non-URL strings (no ``scheme://``) pass through rules
+    1-3 and 5 unchanged by rule 4.
+    """
+
+    TRACKING = r"(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*"
+    SPLIT = (r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://"
+             r"(?P<host>[^/?#]*)(?P<rest>.*)$")
+
+    def __init__(self, url_col="url", out_col="canon_url"):
+        self.url_col = url_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u = batch[self.url_col]
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        u = pc.fill_null(u, "")
+        u = pc.utf8_trim_whitespace(u)
+        u = pc.replace_substring_regex(u, r"#.*$", replacement="")
+        u = pc.replace_substring_regex(u, self.TRACKING, replacement="")
+        u = pc.replace_substring_regex(u, r"&{2,}", replacement="&")
+        u = pc.replace_substring_regex(u, r"\?&", replacement="?")
+        u = pc.replace_substring_regex(u, r"[?&]+$", replacement="")
+        parts = pc.extract_regex(u, self.SPLIT)
+        is_url = pc.is_valid(parts)
+        scheme = pc.utf8_lower(pc.struct_field(parts, "scheme"))
+        host = pc.utf8_lower(pc.struct_field(parts, "host"))
+        host = pc.replace_substring_regex(host, r"^www\.", replacement="")
+        host = pc.if_else(
+            pc.equal(scheme, "http"),
+            pc.replace_substring_regex(host, r":80$", replacement=""),
+            pc.if_else(
+                pc.equal(scheme, "https"),
+                pc.replace_substring_regex(host, r":443$", replacement=""),
+                host))
+        rebuilt = pc.binary_join_element_wise(
+            scheme, "://", host, pc.struct_field(parts, "rest"), "")
+        u = pc.if_else(is_url, rebuilt, u)
+        u = pc.replace_substring_regex(u, r"/$", replacement="")
+        out = {c: batch[c] for c in batch.column_names}
+        out[self.out_col] = u
+        return pa.table(out)
+
+
+def canonicalize_urls(ds, url_col="url", out_col="canon_url"):
+    """Dataset stage: add ``out_col`` with the canonical form of
+    ``url_col`` (see ``URLCanonicalizer`` for the rule chain)."""
+    return ds.map_batches(URLCanonicalizer(url_col, out_col),
+                          batch_format="pyarrow")

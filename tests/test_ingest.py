@@ -66,3 +66,48 @@ def test_hash_vid_deterministic():
     np.testing.assert_array_equal(v1, v2)
     assert v1[0] != v1[1]
     assert (v1 >= 0).all()  # int64-positive contract
+
+
+def test_url_canonicalizer_rule_chain():
+    import pyarrow as pa
+
+    from python_graphblas_ray.pipelines.ingest import URLCanonicalizer
+
+    cases = {
+        # case + www + default port + tracking + fragment
+        "  HTTP://WWW.Example.COM:80/A/B?utm_source=x&id=3#frag ":
+            "http://example.com/A/B?id=3",
+        # https default port + trailing slash
+        "https://Site.ORG:443/path/": "https://site.org/path",
+        # mid-query tracking param: separators repaired, order kept
+        "http://a.com/p?a=1&utm_campaign=z&b=2": "http://a.com/p?a=1&b=2",
+        # all params tracking: query gone entirely
+        "http://b.com/q?utm_a=1&utm_b=2&gclid=9": "http://b.com/q",
+        # path case preserved; non-default port preserved
+        "http://C.com:8080/Mixed/Case": "http://c.com:8080/Mixed/Case",
+        # non-http scheme: :80 is NOT that scheme's default — kept
+        "ftp://Host.Net:80/file": "ftp://host.net:80/file",
+        # non-URL strings pass through (trim only)
+        " not a url ": "not a url",
+    }
+    t = pa.table({"url": list(cases)})
+    got = URLCanonicalizer()(t)["canon_url"].to_pylist()
+    assert got == list(cases.values())
+
+
+def test_url_canonicalizer_collapses_variants_to_one_vid():
+    import pyarrow as pa
+
+    from python_graphblas_ray.pipelines.ingest import (URLCanonicalizer,
+                                                       vid_from_url)
+
+    variants = [
+        "http://example.com/page",
+        "HTTP://WWW.EXAMPLE.COM:80/page",
+        "http://example.com/page?utm_source=feed",
+        "http://example.com/page#top",
+        "http://example.com/page/",
+    ]
+    canon = URLCanonicalizer()(pa.table({"url": variants}))
+    vids = vid_from_url(canon["canon_url"].to_pylist())
+    assert len(set(vids.tolist())) == 1
