@@ -263,6 +263,23 @@ def _q_bfs_levels(sf_dir):
     return pa.table({"vid": vid, "lvl": levels[vid]})
 
 
+def _q_landmark_distances(sf_dir):
+    """Landmark distance oracle: exact BFS distances from 4 fixed pivots,
+    ALL in one bitset-register fixpoint (64 sources for the superstep
+    price of one) — the web-scale shortest-path-serving construction."""
+    from python_graphblas_ray.pipelines.algorithms import build_engine
+    from python_graphblas_ray.pipelines.landmarks import (
+        distances_table, landmark_distances)
+
+    lms = [0, 7, 42, 101]
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
+    try:
+        dist = landmark_distances(eng, lms)
+    finally:
+        eng.shutdown()
+    return distances_table(dist, lms)
+
+
 # ---------------------------------------------------------------------------
 # iterative algorithms (rows-only checks)
 # ---------------------------------------------------------------------------
@@ -1682,6 +1699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk": _q_events_topk,
         "anf": _q_anf,
         "bowtie": _q_bowtie,
+        "landmark_distances": _q_landmark_distances,
     }
     return {**window, **tail, **members}
 
@@ -2284,6 +2302,19 @@ def oracle_sql() -> dict[str, str]:
         "SELECT e.dst, b.lvl + 1 FROM bfs b JOIN E e ON e.src = b.vid "
         "WHERE b.lvl < 30) "
         "SELECT vid, min(lvl) AS lvl FROM bfs GROUP BY vid"),
+        # multi-source form of the bfs_levels closure, one (lm, vid)
+        # state per landmark
+        "landmark_distances": (
+            "WITH RECURSIVE E AS (SELECT l_orderkey % 512 AS src, "
+            "l_partkey % 512 AS dst FROM lineitem GROUP BY 1, 2), "
+            "bfs(lm, vid, lvl) AS ("
+            "SELECT lm, lm AS vid, CAST(0 AS BIGINT) AS lvl FROM ("
+            "VALUES (CAST(0 AS BIGINT)), (CAST(7 AS BIGINT)), "
+            "(CAST(42 AS BIGINT)), (CAST(101 AS BIGINT))) t(lm) "
+            "UNION "
+            "SELECT b.lm, e.dst, b.lvl + 1 FROM bfs b "
+            "JOIN E e ON e.src = b.vid WHERE b.lvl < 40) "
+            "SELECT lm, vid, min(lvl) AS dist FROM bfs GROUP BY 1, 2"),
         "host_graph": (
             f"{E} SELECT src % 64 AS src, dst % 64 AS dst, "
             "sum(val) AS val FROM E GROUP BY 1, 2"),
