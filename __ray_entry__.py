@@ -735,6 +735,15 @@ def _q_rich_club(sf_dir):
                      "phi": [round(float(phi), 8)]})
 
 
+def _q_powerlaw_alpha(sf_dir):
+    """Discrete power-law exponent MLE (xmin=1) of the in-degree
+    distribution over the distinct pattern."""
+    from python_graphblas_ray.pipelines.linkpred import powerlaw_alpha
+
+    a, _ = powerlaw_alpha(_edge_dataset(sf_dir), N_VERT, degree="in")
+    return pa.table({"alpha": [round(float(a), 8)]})
+
+
 def _q_docs_url_canon(sf_dir):
     """Crawl-URL canonicalization over deterministically synthesized messy
     URLs (case / www / default-port / tracking-param / fragment /
@@ -1444,7 +1453,8 @@ RENAME_SUITES = {
                                 ("diameter", "diameter_lb"),
                                 ("effective_diameter", "d90"),
                                 ("transitivity", "transitivity"),
-                                ("rich_club", "phi")], "double"),
+                                ("rich_club", "phi"),
+                                ("powerlaw_alpha", "alpha")], "double"),
     # per-vertex centrality scores: (q, vid, val)
     "centrality_suite": (["vid"], [("closeness", "val"),
                                    ("local_clustering", "coeff"),
@@ -1584,6 +1594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rich_club": _q_rich_club,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
         "docs_url_canon": _q_docs_url_canon,
+        "powerlaw_alpha": _q_powerlaw_alpha,
     }
     window = {
         # construction / exports
@@ -2386,6 +2397,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p.src AS vid, "
             "round(avg(COALESCE(o.d, 0) * 1.0), 8) AS val "
             "FROM P p LEFT JOIN dout o ON o.src = p.dst GROUP BY 1"),
+        "powerlaw_alpha": (
+            # CSN 2009 eq. 3.7 discrete MLE at xmin=1 over in-degrees
+            f"{E}, P AS (SELECT DISTINCT src, dst FROM E), "
+            "din AS (SELECT dst, count(*) AS d FROM P GROUP BY 1) "
+            "SELECT round(1.0 + count(*) / sum(ln(d / 0.5)), 8) "
+            "AS alpha FROM din"),
         "rich_club": (
             f"{E}, "
             "sym AS (SELECT DISTINCT s, d FROM ("

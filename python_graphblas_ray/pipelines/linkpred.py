@@ -459,3 +459,24 @@ def rich_club(edges_ds, n, k=None):
                  .iter_batches(batch_format="pyarrow", batch_size=None):
         tot += int(b["c"][0].as_py())
     return float(k), nk, tot / (nk * (nk - 1.0))
+
+
+def powerlaw_alpha(edges_ds, n, degree="in"):
+    """Discrete power-law exponent MLE for the degree distribution
+    (Clauset-Shalizi-Newman 2009 eq. 3.7 at xmin=1):
+    ``α = 1 + N / Σ_d ln(d / 0.5)`` over the ≥1 degrees of the distinct
+    directed pattern — the standard "how heavy-tailed is the web graph"
+    measurement (in-degree is the classic power-law case). One grouped
+    degree reduction, then O(#present-vertices) driver math.
+
+    Returns ``(alpha, n_used)``; alpha is nan when no vertex qualifies."""
+    from ..functions.aggregators import agg
+
+    P = GBMatrix.from_dataset(_distinct_pattern(edges_ds), n, n)
+    red = (P.reduce_columnwise(agg.count) if degree == "in"
+           else P.reduce_rowwise(agg.count))
+    deg = red.to_dense(0.0)
+    d = deg[deg > 0].astype(np.float64)
+    if not len(d):
+        return float("nan"), 0
+    return 1.0 + len(d) / float(np.log(d / 0.5).sum()), int(len(d))

@@ -41,7 +41,8 @@ SAMPLE = ["edges_build", "degree_out", "mxv_plus_times", "mxm_plus_times",
           "sampling_suite", "langstats_suite", "salsa_iter3",
           "truss_peel3", "anf", "effective_diameter", "bowtie",
           "critical_path", "transitivity", "rich_club",
-          "avg_neighbor_degree", "docs_url_canon", "landmark_distances"]
+          "avg_neighbor_degree", "docs_url_canon", "landmark_distances",
+          "powerlaw_alpha"]
 
 
 @pytest.fixture(scope="module")

@@ -536,3 +536,49 @@ def test_rich_club_explicit_threshold_and_degenerate():
     assert nk2 == n  # every vertex has degree >= 1
     # star has n-1 undirected edges among the n rich vertices
     assert phi2 == pytest.approx(2 * (n - 1) / (n * (n - 1)))
+
+
+def test_powerlaw_alpha_matches_direct_formula():
+    from python_graphblas_ray.pipelines.linkpred import powerlaw_alpha
+
+    n = 100
+    src, dst = _random_edges(n=n, m=900, seed=17)
+    a_in, n_in = powerlaw_alpha(_edges_ds(src, dst), n, degree="in")
+    din = np.bincount(dst, minlength=n).astype(np.float64)
+    d = din[din > 0]
+    assert n_in == len(d)
+    assert a_in == pytest.approx(1.0 + len(d) / np.log(d / 0.5).sum(),
+                                 abs=1e-12)
+    a_out, _ = powerlaw_alpha(_edges_ds(src, dst), n, degree="out")
+    dout = np.bincount(src, minlength=n).astype(np.float64)
+    do = dout[dout > 0]
+    assert a_out == pytest.approx(1.0 + len(do) / np.log(do / 0.5).sum(),
+                                  abs=1e-12)
+
+
+def test_powerlaw_alpha_orders_heavier_tails_lower():
+    """The xmin=1 CSN approximation is biased low on discrete data (the
+    documented behavior), but it must ORDER tail heaviness correctly:
+    a steeper planted exponent yields a larger estimate."""
+    from python_graphblas_ray.pipelines.linkpred import powerlaw_alpha
+
+    def planted(alpha, seed):
+        rng = np.random.default_rng(seed)
+        n = 3000
+        support = np.arange(1, 1001, dtype=np.float64)
+        p = support ** -alpha
+        p /= p.sum()
+        deg = rng.choice(support.astype(np.int64), size=n, p=p)
+        dst = np.repeat(np.arange(n, dtype=np.int64), deg)
+        # distinct (src, dst): spread synthetic sources per dst
+        src = n + np.concatenate(
+            [np.arange(k) for k in deg]).astype(np.int64)
+        a, used = powerlaw_alpha(_edges_ds(src, dst),
+                                 int(src.max()) + 1, degree="in")
+        assert used == n
+        return a
+
+    a_heavy = planted(2.0, seed=23)
+    a_light = planted(3.5, seed=23)
+    assert a_heavy < a_light
+    assert 1.0 < a_heavy < a_light < 4.0
