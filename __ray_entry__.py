@@ -744,6 +744,17 @@ def _q_powerlaw_alpha(sf_dir):
     return pa.table({"alpha": [round(float(a), 8)]})
 
 
+def _q_attack_robustness(sf_dir):
+    """Giant-component fraction after removing the 25 highest-degree
+    hubs — targeted-attack tolerance of the link graph."""
+    from python_graphblas_ray.pipelines.linkpred import attack_robustness
+
+    k, n_kept, frac = attack_robustness(_edge_dataset(sf_dir), N_VERT,
+                                        k_remove=25)
+    return pa.table({"k_removed": [int(k)], "n_kept": [int(n_kept)],
+                     "giant_frac": [round(float(frac), 8)]})
+
+
 def _q_docs_url_canon(sf_dir):
     """Crawl-URL canonicalization over deterministically synthesized messy
     URLs (case / www / default-port / tracking-param / fragment /
@@ -1454,7 +1465,9 @@ RENAME_SUITES = {
                                 ("effective_diameter", "d90"),
                                 ("transitivity", "transitivity"),
                                 ("rich_club", "phi"),
-                                ("powerlaw_alpha", "alpha")], "double"),
+                                ("powerlaw_alpha", "alpha"),
+                                ("attack_robustness", "giant_frac")],
+                           "double"),
     # per-vertex centrality scores: (q, vid, val)
     "centrality_suite": (["vid"], [("closeness", "val"),
                                    ("local_clustering", "coeff"),
@@ -1595,6 +1608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avg_neighbor_degree": _q_avg_neighbor_degree,
         "docs_url_canon": _q_docs_url_canon,
         "powerlaw_alpha": _q_powerlaw_alpha,
+        "attack_robustness": _q_attack_robustness,
     }
     window = {
         # construction / exports
@@ -2397,6 +2411,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p.src AS vid, "
             "round(avg(COALESCE(o.d, 0) * 1.0), 8) AS val "
             "FROM P p LEFT JOIN dout o ON o.src = p.dst GROUP BY 1"),
+        "attack_robustness": (
+            # top-25 hub removal (deg DESC, vid tie-break) + min-label
+            # reach closure on the induced symmetric graph
+            "WITH RECURSIVE E AS (SELECT l_orderkey % 512 AS src, "
+            "l_partkey % 512 AS dst FROM lineitem GROUP BY 1, 2), "
+            "sym AS (SELECT DISTINCT s, d FROM ("
+            "SELECT src AS s, dst AS d FROM E "
+            "UNION ALL SELECT dst, src FROM E) WHERE s <> d), "
+            "deg AS (SELECT s, count(*) AS d FROM sym GROUP BY 1), "
+            "removed AS (SELECT s FROM (SELECT s, row_number() OVER ("
+            "ORDER BY d DESC, s) AS rn FROM deg) WHERE rn <= 25), "
+            "keptv AS (SELECT range::BIGINT AS vid FROM range(512) "
+            "WHERE range NOT IN (SELECT s FROM removed)), "
+            "ind AS (SELECT s, d FROM sym "
+            "WHERE s NOT IN (SELECT s FROM removed) "
+            "AND d NOT IN (SELECT s FROM removed)), "
+            "reach(vid, root) AS (SELECT vid, vid FROM keptv UNION "
+            "SELECT e.d, r.root FROM reach r JOIN ind e "
+            "ON e.s = r.vid), "
+            "comp AS (SELECT vid, min(root) AS root FROM reach "
+            "GROUP BY 1), "
+            "sizes AS (SELECT root, count(*) AS c FROM comp GROUP BY 1) "
+            "SELECT CAST(25 AS BIGINT) AS k_removed, "
+            "(SELECT count(*) FROM keptv) AS n_kept, "
+            "round(max(c) * 1.0 / (SELECT count(*) FROM keptv), 8) "
+            "AS giant_frac FROM sizes"),
         "powerlaw_alpha": (
             # CSN 2009 eq. 3.7 discrete MLE at xmin=1 over in-degrees
             f"{E}, P AS (SELECT DISTINCT src, dst FROM E), "

@@ -480,3 +480,48 @@ def powerlaw_alpha(edges_ds, n, degree="in"):
     if not len(d):
         return float("nan"), 0
     return 1.0 + len(d) / float(np.log(d / 0.5).sum()), int(len(d))
+
+
+def attack_robustness(edges_ds, n, k_remove, num_partitions=4):
+    """Targeted-attack robustness (Albert-Jeong-Barabási 2000: "Error
+    and attack tolerance of complex networks"): remove the ``k_remove``
+    highest-degree hubs (ties by smallest vid — SQL-reproducible) from
+    the simple undirected graph and measure the surviving giant
+    component, the standard resilience probe of power-law webs.
+
+    Composition of existing scale pieces: one degree reduction → O(n)
+    driver hub pick → broadcast keep-mask edge filter (one streaming
+    map_batches, never collected) → pinned-engine FastSV connected
+    components on the induced graph → O(n) size count.
+
+    Returns ``(k_removed, n_kept, giant_frac)`` where ``giant_frac`` =
+    largest surviving component size / kept vertices (isolated kept
+    vertices count as size-1 components)."""
+    from ..functions.aggregators import agg
+    from .algorithms import build_engine, connected_components
+    from .triangles import simple_undirected
+
+    A = simple_undirected(edges_ds, n)
+    deg = A.reduce_rowwise(agg.count).to_dense(0.0)
+    present = np.nonzero(deg > 0)[0]
+    order = present[np.lexsort((present, -deg[present]))]
+    removed = order[:k_remove]
+    keep = np.ones(n, dtype=bool)
+    keep[removed] = False
+    ref = ray.put(keep)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(m[s] & m[d]))
+
+    induced = A.ds.map_batches(filt, batch_format="pyarrow")
+    eng = build_engine(induced, n, num_partitions=num_partitions)
+    try:
+        f, _, _ = connected_components(eng)
+    finally:
+        eng.shutdown()
+    _, counts = np.unique(f[keep], return_counts=True)
+    n_kept = int(keep.sum())
+    return len(removed), n_kept, float(counts.max()) / n_kept

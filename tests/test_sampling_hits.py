@@ -582,3 +582,52 @@ def test_powerlaw_alpha_orders_heavier_tails_lower():
     a_light = planted(3.5, seed=23)
     assert a_heavy < a_light
     assert 1.0 < a_heavy < a_light < 4.0
+
+
+def test_attack_robustness_matches_bruteforce():
+    from python_graphblas_ray.pipelines.linkpred import attack_robustness
+
+    n = 70
+    src, dst = _random_edges(n=n, m=260, seed=29)
+    A = _sym_simple(src, dst, n)
+    deg = A.sum(1)
+    present = np.nonzero(deg > 0)[0]
+    order = present[np.lexsort((present, -deg[present]))]
+    removed = set(order[:6].tolist())
+    keep = np.array([v not in removed for v in range(n)])
+    # brute-force components on the induced graph
+    Ai = A.copy()
+    Ai[~keep, :] = False
+    Ai[:, ~keep] = False
+    comp = -np.ones(n, dtype=np.int64)
+    for v in np.nonzero(keep)[0]:
+        if comp[v] >= 0:
+            continue
+        stack, comp[v] = [v], v
+        while stack:
+            u = stack.pop()
+            for w in np.nonzero(Ai[u])[0]:
+                if comp[w] < 0:
+                    comp[w] = v
+                    stack.append(w)
+    _, counts = np.unique(comp[keep], return_counts=True)
+    expect = counts.max() / keep.sum()
+    k, n_kept, frac = attack_robustness(_edges_ds(src, dst), n,
+                                        k_remove=6, num_partitions=3)
+    assert k == 6
+    assert n_kept == int(keep.sum())
+    assert frac == pytest.approx(expect, abs=1e-12)
+
+
+def test_attack_robustness_star_collapses():
+    """Removing the hub of a star graph shatters it: giant fraction
+    drops from ~1 to 1/(n-1)."""
+    from python_graphblas_ray.pipelines.linkpred import attack_robustness
+
+    n = 12
+    src = np.zeros(n - 1, dtype=np.int64)
+    dst = np.arange(1, n, dtype=np.int64)
+    k, n_kept, frac = attack_robustness(_edges_ds(src, dst), n,
+                                        k_remove=1, num_partitions=2)
+    assert (k, n_kept) == (1, n - 1)
+    assert frac == pytest.approx(1.0 / (n - 1))
