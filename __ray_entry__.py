@@ -1375,6 +1375,16 @@ def _q_events_sessionize(sf_dir):
     return sessionize(_read(sf_dir, "events"), gap_minutes=30)
 
 
+def _q_events_funnel(sf_dir):
+    """Ordered view→click→purchase funnel per user (first-touch greedy
+    matching) — one hash-exchange + vectorized merge-scan pass."""
+    from python_graphblas_ray.pipelines.windows import funnel
+
+    return funnel(_read(sf_dir, "events",
+                        columns=["user_id", "ts", "event_type"]),
+                  ["view", "click", "purchase"])
+
+
 def _q_lineitem_agg(sf_dir):
     """Plain wide aggregate (general groupby surface) — per-batch Arrow
     combiner, partial rows ≤ #groups × #blocks, tiny driver merge."""
@@ -1725,6 +1735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anf": _q_anf,
         "bowtie": _q_bowtie,
         "landmark_distances": _q_landmark_distances,
+        "events_funnel": _q_events_funnel,
     }
     return {**window, **tail, **members}
 
@@ -2346,6 +2357,23 @@ def oracle_sql() -> dict[str, str]:
         "events_heavy_hitters": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS mg_count "
             "FROM events GROUP BY 1"),
+        # first-touch funnel: each step takes the earliest event strictly
+        # after the previous step's match
+        "events_funnel": (
+            "WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+            "JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1 "
+            "WHERE e.event_type = 'click' GROUP BY 1), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+            "JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2 "
+            "WHERE e.event_type = 'purchase' GROUP BY 1) "
+            "SELECT s1.user_id, CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3 "
+            "WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) "
+            "AS step_reached, s1.t1 AS ts_first, "
+            "COALESCE(s3.t3, s2.t2, s1.t1) AS ts_last "
+            "FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id "
+            "LEFT JOIN s3 ON s3.user_id = s1.user_id"),
         "events_topk": (
             "SELECT event_id, event_type, value FROM ("
             "SELECT event_id, event_type, value, row_number() OVER ("

@@ -237,3 +237,106 @@ def sessionize(events_ds, gap_minutes=30, user_col="user_id", ts_col="ts",
     return hash_exchange_apply(
         events_ds.select_columns([user_col, ts_col]), user_col,
         sessions_part, num_partitions=num_partitions)
+
+
+def funnel(events_ds, steps, user_col="user_id", ts_col="ts",
+           type_col="event_type", horizon_minutes=None,
+           num_partitions=None):
+    """Ordered funnel analysis — the production event-analytics op: for
+    each user, how deep into the step sequence ``steps`` (e.g. view →
+    click → purchase) they progressed, matching at every step the
+    EARLIEST event strictly later than the previous step's match
+    (first-touch/greedy semantics — if any increasing assignment exists,
+    greedy-earliest finds one), optionally within ``horizon_minutes`` of
+    the first step.
+
+    Engine shape: ONE hash-exchange keyed by user (same
+    ``stages.exchange`` split sessionize uses), then a per-partition
+    fully vectorized pass over ALL the partition's users at once: filter
+    to the step types, lexsort by (user, ts), and resolve each step with
+    one merge-scan — queries interleaved into the step-k events by
+    (user, ts, marker) order and matched through a reversed
+    ``minimum.accumulate`` (next-event-index suffix scan). No per-user
+    Python; the per-user skew note on ``sessionize`` applies.
+
+    Emits one row per funnel-entering user:
+    ``(user_id, step_reached 1..len(steps), ts_first, ts_last)``."""
+    from ..stages.exchange import hash_exchange_apply
+
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    horizon_us = (None if horizon_minutes is None
+                  else int(horizon_minutes * 60 * 1_000_000))
+
+    def funnel_part(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "step_reached": pa.array([], pa.int64()),
+            "ts_first": pa.array([], pa.timestamp("us")),
+            "ts_last": pa.array([], pa.timestamp("us")),
+        })
+        if t.num_rows == 0:
+            return empty
+        u = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        typ = t[type_col].to_numpy(zero_copy_only=False)
+        code = np.full(len(u), -1, dtype=np.int64)
+        for k, s in enumerate(steps):
+            code[typ == s] = k
+        keep = code >= 0
+        u, ts, code = u[keep], ts[keep], code[keep]
+        if not len(u):
+            return empty
+        order = np.lexsort((ts, u))
+        u, ts, code = u[order], ts[order], code[order]
+        # step 1: first event of steps[0] per user (arrays are
+        # (user, ts)-sorted, so unique's first index IS the earliest)
+        m0 = code == 0
+        uu, first = np.unique(u[m0], return_index=True)
+        cur_u, cur_ts = uu, ts[m0][first]
+        ts_first = cur_ts.copy()
+        depth = np.ones(len(cur_u), dtype=np.int64)
+        active = np.arange(len(cur_u))
+        for k in range(1, len(steps)):
+            mk = code == k
+            eu, ets = u[mk], ts[mk]
+            qi = active
+            if not len(eu) or not len(qi):
+                break
+            qu, qts = cur_u[qi], cur_ts[qi]
+            # merge events (marker 0) and queries (marker 1): at equal
+            # (user, ts) the event sorts first, so the next event in
+            # sorted order after a query has ts STRICTLY greater
+            cu = np.concatenate([eu, qu])
+            cts = np.concatenate([ets, qts])
+            cm = np.concatenate([np.zeros(len(eu), dtype=np.int8),
+                                 np.ones(len(qi), dtype=np.int8)])
+            so = np.lexsort((cm, cts, cu))
+            n_all = len(cu)
+            pos_event = np.where(cm[so] == 0,
+                                 np.arange(n_all), n_all)
+            nxt = np.minimum.accumulate(pos_event[::-1])[::-1]
+            inv = np.empty(n_all, dtype=np.int64)
+            inv[so] = np.arange(n_all)
+            q_sorted_pos = inv[len(eu) + np.arange(len(qi))]
+            nq = nxt[q_sorted_pos]
+            ok = nq < n_all
+            ev_slot = np.where(ok, so[np.minimum(nq, n_all - 1)], 0)
+            hit = ok & (eu[np.minimum(ev_slot, len(eu) - 1)] == qu)
+            if horizon_us is not None:
+                hit &= (ets[np.minimum(ev_slot, len(eu) - 1)]
+                        - ts_first[qi]) <= horizon_us
+            adv = qi[hit]
+            cur_ts[adv] = ets[ev_slot[hit]]
+            depth[adv] = k + 1
+            active = adv
+        return pa.table({
+            "user_id": cur_u.astype(np.int64),
+            "step_reached": depth,
+            "ts_first": pa.array(ts_first).cast(pa.timestamp("us")),
+            "ts_last": pa.array(cur_ts).cast(pa.timestamp("us")),
+        })
+
+    return hash_exchange_apply(
+        events_ds.select_columns([user_col, ts_col, type_col]),
+        user_col, funnel_part, num_partitions=num_partitions)

@@ -879,3 +879,75 @@ def test_cdc_neardup_hot_chunk_guard():
                                    max_chunk_df=1000).take_all()
     assert len(open_pairs) == 20 * 19 // 2   # boilerplate → all pairs
     assert len(guarded) == 0                 # guard kills the hot chunks
+
+
+def test_funnel_hand_case_and_brute_force():
+    from python_graphblas_ray.pipelines.windows import funnel
+
+    def mk(users, tss, types):
+        return pa.table({
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(tss, pa.int64()).cast(pa.timestamp("us")),
+            "event_type": pa.array(types, pa.string()),
+        })
+
+    # user 1: full funnel; user 2: click before view (doesn't count) →
+    # stops at view; user 3: view only; user 4: never enters
+    t = mk([1, 1, 1, 2, 2, 3, 4],
+           [10, 20, 30, 5, 8, 50, 60],
+           ["view", "click", "buy", "click", "view", "view", "other"])
+    out = _table(funnel(ray.data.from_arrow(t),
+                        ["view", "click", "buy"])).to_pandas()
+    got = dict(zip(out.user_id, out.step_reached))
+    assert got == {1: 3, 2: 1, 3: 1}
+    r1 = out[out.user_id == 1].iloc[0]
+    assert r1.ts_first.value // 1000 == 10 and r1.ts_last.value // 1000 == 30
+
+    # equal timestamps do NOT satisfy "strictly after"
+    t2 = mk([7, 7], [100, 100], ["view", "click"])
+    out2 = _table(funnel(ray.data.from_arrow(t2),
+                         ["view", "click"])).to_pandas()
+    assert dict(zip(out2.user_id, out2.step_reached)) == {7: 1}
+
+    # randomized brute-force parity
+    rng = np.random.default_rng(31)
+    n = 3000
+    users = rng.integers(0, 80, n)
+    tss = rng.integers(0, 10_000, n)
+    types = rng.choice(["view", "click", "buy", "other"], n)
+    steps = ["view", "click", "buy"]
+    out3 = _table(funnel(
+        ray.data.from_arrow(mk(users, tss, types)), steps,
+        num_partitions=5)).to_pandas()
+    got3 = dict(zip(out3.user_id, out3.step_reached))
+    expect = {}
+    for uu in np.unique(users):
+        evs = sorted((t_, ty) for t_, ty in
+                     zip(tss[users == uu], types[users == uu]))
+        cur, depth = None, 0
+        for want in steps:
+            nxts = [t_ for t_, ty in evs
+                    if ty == want and (cur is None or t_ > cur)]
+            if not nxts:
+                break
+            cur = min(nxts)
+            depth += 1
+        if depth:
+            expect[uu] = depth
+    assert got3 == expect
+
+
+def test_funnel_horizon_cuts_slow_conversions():
+    from python_graphblas_ray.pipelines.windows import funnel
+
+    t = pa.table({
+        "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([0, 120_000_000, 0, 30_000_000],
+                       pa.int64()).cast(pa.timestamp("us")),
+        "event_type": pa.array(["view", "click"] * 2, pa.string()),
+    })
+    # horizon 1 minute: user 1 converts at 2min (too slow), user 2 at 30s
+    out = _table(funnel(ray.data.from_arrow(t), ["view", "click"],
+                        horizon_minutes=1)).to_pandas()
+    got = dict(zip(out.user_id, out.step_reached))
+    assert got == {1: 1, 2: 2}
