@@ -1385,6 +1385,14 @@ def _q_events_funnel(sf_dir):
                   ["view", "click", "purchase"])
 
 
+def _q_events_retention(sf_dir):
+    """Cohort retention matrix: users cohorted by first active day,
+    distinct-active counts per (cohort_day, day_offset)."""
+    from python_graphblas_ray.pipelines.windows import retention
+
+    return retention(_read(sf_dir, "events", columns=["user_id", "ts"]))
+
+
 def _q_lineitem_agg(sf_dir):
     """Plain wide aggregate (general groupby surface) — per-batch Arrow
     combiner, partial rows ≤ #groups × #blocks, tiny driver merge."""
@@ -1736,6 +1744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bowtie": _q_bowtie,
         "landmark_distances": _q_landmark_distances,
         "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
     }
     return {**window, **tail, **members}
 
@@ -2374,6 +2383,15 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(s3.t3, s2.t2, s1.t1) AS ts_last "
             "FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id "
             "LEFT JOIN s3 ON s3.user_id = s1.user_id"),
+        "events_retention": (
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "date_trunc('day', ts) AS day FROM events), "
+            "c AS (SELECT user_id, min(day) AS cohort FROM d "
+            "GROUP BY 1) "
+            "SELECT c.cohort AS cohort_day, "
+            "CAST(date_diff('day', c.cohort, d.day) AS BIGINT) "
+            "AS day_offset, CAST(count(*) AS BIGINT) AS n_users "
+            "FROM d JOIN c ON c.user_id = d.user_id GROUP BY 1, 2"),
         "events_topk": (
             "SELECT event_id, event_type, value FROM ("
             "SELECT event_id, event_type, value, row_number() OVER ("

@@ -340,3 +340,64 @@ def funnel(events_ds, steps, user_col="user_id", ts_col="ts",
     return hash_exchange_apply(
         events_ds.select_columns([user_col, ts_col, type_col]),
         user_col, funnel_part, num_partitions=num_partitions)
+
+
+def retention(events_ds, user_col="user_id", ts_col="ts",
+              num_partitions=None):
+    """Cohort retention — the second standard event-analytics op next to
+    :func:`funnel`: cohort each user by their FIRST active day, then
+    count distinct users active again k days later, per (cohort_day,
+    day_offset) cell.
+
+    Engine shape: ONE hash-exchange keyed by user (every user's history
+    lands whole in one partition), a per-partition vectorized pass —
+    lexsort (user, day), distinct (user, day) mask, cohort = first day
+    per user via the sorted segment starts, offsets by subtraction —
+    emitting per-partition PARTIAL cell counts (distinct users count
+    once globally because a user lives in exactly one partition), then
+    one two-level Arrow hash aggregate (``stages.reduce.grouped_agg``)
+    sums the partials: output is #cohorts × #offsets rows, never the
+    event stream.
+
+    Emits ``(cohort_day timestamp, day_offset int64, n_users int64)``."""
+    from ..stages.exchange import hash_exchange_apply
+    from ..stages.reduce import grouped_agg
+
+    us_per_day = 86_400_000_000
+
+    def cells_part(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "cohort_day": pa.array([], pa.timestamp("us")),
+            "day_offset": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        u = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // us_per_day)
+        order = np.lexsort((day, u))
+        u, day = u[order], day[order]
+        first = np.empty(len(u), dtype=bool)
+        first[0] = True
+        first[1:] = (u[1:] != u[:-1]) | (day[1:] != day[:-1])
+        u, day = u[first], day[first]          # distinct (user, day)
+        seg = np.empty(len(u), dtype=bool)
+        seg[0] = True
+        seg[1:] = u[1:] != u[:-1]
+        cohort = day[np.flatnonzero(seg)][np.cumsum(seg) - 1]
+        offset = day - cohort
+        key = cohort * (offset.max() + 1) + offset
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table({
+            "cohort_day": pa.array((uniq // (offset.max() + 1))
+                                   * us_per_day).cast(pa.timestamp("us")),
+            "day_offset": (uniq % (offset.max() + 1)).astype(np.int64),
+            "n": counts.astype(np.int64),
+        })
+
+    partials = hash_exchange_apply(
+        events_ds.select_columns([user_col, ts_col]), user_col,
+        cells_part, num_partitions=num_partitions)
+    return grouped_agg(partials, ["cohort_day", "day_offset"],
+                       [("n", "sum", "n_users")])

@@ -951,3 +951,44 @@ def test_funnel_horizon_cuts_slow_conversions():
                         horizon_minutes=1)).to_pandas()
     got = dict(zip(out.user_id, out.step_reached))
     assert got == {1: 1, 2: 2}
+
+
+def test_retention_matches_bruteforce():
+    from python_graphblas_ray.pipelines.windows import retention
+
+    rng = np.random.default_rng(37)
+    n = 2500
+    users = rng.integers(0, 60, n)
+    day_us = 86_400_000_000
+    tss = (rng.integers(0, 20, n) * day_us
+           + rng.integers(0, day_us, n))  # random day + intra-day time
+    t = pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(tss, pa.int64()).cast(pa.timestamp("us")),
+    })
+    out = _table(retention(ray.data.from_arrow(t),
+                           num_partitions=4)).to_pandas()
+    got = {(r.cohort_day.value // 1000 // day_us * 1000, r.day_offset):
+           r.n_users for r in out.itertuples()}
+    # brute force
+    days = tss // day_us
+    expect = {}
+    first = {}
+    for u in np.unique(users):
+        first[u] = days[users == u].min()
+    import collections
+    cells = collections.Counter()
+    seen = set()
+    for u, d in zip(users, days):
+        if (u, d) in seen:
+            continue
+        seen.add((u, d))
+        cells[(first[u], d - first[u])] += 1
+    expect = {(int(c) * 1000, int(o)): v for (c, o), v in cells.items()}
+    got_norm = {(int(k[0] // 1000), k[1]): v for k, v in got.items()}
+    exp_norm = {(int(k[0] // 1000), k[1]): v for k, v in expect.items()}
+    assert got_norm == exp_norm
+    # every cohort has an offset-0 cell counting its full size
+    coh_sizes = collections.Counter(first.values())
+    for c, size in coh_sizes.items():
+        assert exp_norm[(int(c), 0)] == size

@@ -42,7 +42,8 @@ SAMPLE = ["edges_build", "degree_out", "mxv_plus_times", "mxm_plus_times",
           "truss_peel3", "anf", "effective_diameter", "bowtie",
           "critical_path", "transitivity", "rich_club",
           "avg_neighbor_degree", "docs_url_canon", "landmark_distances",
-          "powerlaw_alpha", "attack_robustness", "events_funnel"]
+          "powerlaw_alpha", "attack_robustness", "events_funnel",
+          "events_retention"]
 
 
 @pytest.fixture(scope="module")
