@@ -315,6 +315,32 @@ def _q_pagerank(sf_dir):
     return pa.table({"vid": np.arange(N_VERT, dtype=np.int64), "rank": r})
 
 
+def _q_pagerank_dangling5(sf_dir):
+    """Classic-semantics PageRank (dangling mass redistributed over the
+    teleport distribution each superstep — networkx/Google-matrix form,
+    vs the LAGraph-3f drop default): 5 fixed supersteps over the graph
+    with sources ≥ 480 removed, so vertices 480..511 are genuinely
+    dangling. Redistribution ≡ giving every dangling vertex uniform
+    out-edges — exactly how the SQL oracle reproduces it."""
+    from python_graphblas_ray.pipelines.algorithms import (
+        build_engine, pagerank)
+
+    def drop_hi(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(s < 480))
+
+    edges = _edge_dataset(sf_dir).map_batches(drop_hi,
+                                              batch_format="pyarrow")
+    eng = build_engine(edges, N_VERT, num_partitions=4)
+    try:
+        r, _, _ = pagerank(eng, tol=0.0, itermax=5,
+                           dangling="redistribute")
+    finally:
+        eng.shutdown()
+    return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
+                     "rank": np.round(r, 8)})
+
+
 def _q_pagerank_iter5(sf_dir):
     """Fixed-5-superstep PageRank over the raw (multigraph) edge rows,
     rounded to 8 decimals so the DuckDB recursive-CTE oracle reproduces it
@@ -1466,7 +1492,7 @@ SUITES = {
     "apply_view_suite": ["apply_ainv", "apply_rowindex", "transpose",
                          "extract_submatrix"],
     "rank_suite": ["pagerank_iter5", "pagerank_weighted5",
-                   "trustrank_iter5"],
+                   "trustrank_iter5", "pagerank_dangling5"],
     "langstats_suite": ["lang_count", "quality_filter"],
 }
 
@@ -1606,6 +1632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_iter5": _q_pagerank_iter5,
         "pagerank_weighted5": _q_pagerank_weighted5,
         "trustrank_iter5": _q_trustrank_iter5,
+        "pagerank_dangling5": _q_pagerank_dangling5,
         "modularity": _q_modularity,
         "assortativity": _q_assortativity,
         "diameter": _q_diameter,
@@ -2078,6 +2105,33 @@ def oracle_sql() -> dict[str, str]:
             "FROM R GROUP BY 1), "
             "V AS (SELECT CAST(range AS BIGINT) AS vid FROM range(512)), "
             "C AS (SELECT src, dst, cnt FROM Ew "
+            "UNION ALL SELECT vid, vid, 0.0 FROM V), "
+            "pr(it, vid, r) AS ("
+            "SELECT 0, vid, 1.0 / 512 FROM V "
+            "UNION ALL "
+            "SELECT p.it + 1, c.dst, (1.0 - 0.85) / 512 + "
+            "sum(c.cnt * COALESCE(p.r / (deg.d / 0.85), 0.0)) "
+            "FROM pr p JOIN C c ON c.src = p.vid "
+            "LEFT JOIN deg ON deg.vid = p.vid "
+            "WHERE p.it < 5 GROUP BY p.it, c.dst) "
+            "SELECT vid, ROUND(r, 8) AS rank FROM pr WHERE it = 5"),
+        "pagerank_dangling5": (
+            # classic dangling redistribution == uniform synthetic
+            # out-edges from every dangling vertex, then the identical
+            # pagerank_iter5 recursion over the augmented edge set
+            "WITH RECURSIVE R AS (SELECT l_orderkey % 512 AS src, "
+            "l_partkey % 512 AS dst FROM lineitem "
+            "WHERE l_orderkey % 512 < 480), "
+            "Ew AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS cnt "
+            "FROM R GROUP BY 1, 2), "
+            "V AS (SELECT CAST(range AS BIGINT) AS vid FROM range(512)), "
+            "dang AS (SELECT vid FROM V WHERE vid NOT IN "
+            "(SELECT DISTINCT src FROM R)), "
+            "E2 AS (SELECT src, dst, cnt FROM Ew UNION ALL "
+            "SELECT d.vid, v.vid, 1.0 FROM dang d CROSS JOIN V v), "
+            "deg AS (SELECT src AS vid, CAST(sum(cnt) AS DOUBLE) AS d "
+            "FROM E2 GROUP BY 1), "
+            "C AS (SELECT src, dst, cnt FROM E2 "
             "UNION ALL SELECT vid, vid, 0.0 FROM V), "
             "pr(it, vid, r) AS ("
             "SELECT 0, vid, 1.0 / 512 FROM V "

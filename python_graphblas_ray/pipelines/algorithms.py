@@ -75,7 +75,7 @@ def build_engine(edges_ds, n, num_partitions=None, weighted=False,
 def pagerank(engine: SuperstepEngine, damping=0.85, itermax=100, tol=1e-4,
              checkpoint: CheckpointManager | None = None,
              checkpoint_every=10, metrics: SuperstepMetrics | None = None,
-             personalization=None, weighted=False):
+             personalization=None, weighted=False, dangling=None):
     """LAGraph pagerank_3f (reference notebook, FP64 here).
 
     Returns ``(r, iters, metrics)``; ``iters`` matches the reference's
@@ -93,9 +93,20 @@ def pagerank(engine: SuperstepEngine, damping=0.85, itermax=100, tol=1e-4,
     ``plus_times`` spmv (engine must be built with ``weighted=True``);
     with unit weights this is numerically identical to the unweighted
     recipe.
+
+    ``dangling="redistribute"``: classic (networkx/Google-matrix)
+    semantics — each iteration the damped rank mass sitting on
+    out-degree-0 vertices is spread over the teleport distribution
+    (``r += damping·Σ t[dangling] · p``), equivalent to giving every
+    dangling vertex uniform out-edges; rank then sums to 1 each
+    iteration. Default ``None`` keeps the LAGraph-3f drop semantics
+    (mass on dangling vertices leaks). One extra O(n) driver term, no
+    engine change.
     """
     n = engine.n
     metrics = metrics or SuperstepMetrics()
+    if dangling not in (None, "redistribute"):
+        raise ValueError(f"unknown dangling mode: {dangling!r}")
     if personalization is not None:
         p = np.asarray(personalization, dtype=np.float64)
         teleport = (1.0 - damping) * p
@@ -106,6 +117,10 @@ def pagerank(engine: SuperstepEngine, damping=0.85, itermax=100, tol=1e-4,
              else engine.out_degrees()).astype(np.float64)
     has_out = d_out > 0
     d_scaled = np.where(has_out, d_out / damping, 1.0)
+    p_vec = None
+    if dangling == "redistribute":
+        p_vec = (p if personalization is not None
+                 else np.full(n, 1.0 / n))
 
     start_iter = 0
     r = (p.copy() if personalization is not None
@@ -127,6 +142,8 @@ def pagerank(engine: SuperstepEngine, damping=0.85, itermax=100, tol=1e-4,
         t = r
         w = np.where(has_out, t / d_scaled, 0.0)
         r = engine.spmv(spmv_kind, w) + teleport
+        if p_vec is not None:
+            r = r + damping * float(t[~has_out].sum()) * p_vec
         rdiff = float(np.abs(t - r).sum())
         metrics.record(i, algorithm="pagerank", rdiff=rdiff,
                        edges=engine.num_edges)
@@ -138,11 +155,13 @@ def pagerank(engine: SuperstepEngine, damping=0.85, itermax=100, tol=1e-4,
 
 
 def pagerank_numpy(src, dst, n, damping=0.85, itermax=100, tol=1e-4,
-                   dtype=np.float64, personalization=None, w=None):
+                   dtype=np.float64, personalization=None, w=None,
+                   dangling=None):
     """Single-process oracle — the same recipe in pure numpy (plays the
     role of running the reference's pagerank_3f; tests assert allclose
     1e-6 AND identical superstep count). ``w``: edge weights for the
-    weighted variant (out-strength normalization + weighted push)."""
+    weighted variant (out-strength normalization + weighted push);
+    ``dangling="redistribute"`` mirrors the classic-semantics mode."""
     d_out = (np.bincount(src, weights=w, minlength=n).astype(dtype)
              if w is not None
              else np.bincount(src, minlength=n).astype(dtype))
@@ -155,6 +174,11 @@ def pagerank_numpy(src, dst, n, damping=0.85, itermax=100, tol=1e-4,
     else:
         teleport = (1.0 - damping) / n
         r = np.full(n, 1.0 / n, dtype=dtype)
+    p_vec = None
+    if dangling == "redistribute":
+        p_vec = (np.asarray(personalization, dtype=dtype)
+                 if personalization is not None
+                 else np.full(n, 1.0 / n, dtype=dtype))
     rdiff = 1.0
     i = 0
     for i in range(itermax):
@@ -165,6 +189,8 @@ def pagerank_numpy(src, dst, n, damping=0.85, itermax=100, tol=1e-4,
         push = x[src] if w is None else w * x[src]
         r = np.bincount(dst, weights=push, minlength=n).astype(dtype) \
             + teleport
+        if p_vec is not None:
+            r = r + dtype(damping) * t[~has_out].sum() * p_vec
         rdiff = float(np.abs(t - r).sum())
     return r, i
 

@@ -631,3 +631,42 @@ def test_attack_robustness_star_collapses():
                                         k_remove=1, num_partitions=2)
     assert (k, n_kept) == (1, n - 1)
     assert frac == pytest.approx(1.0 / (n - 1))
+
+
+def test_pagerank_dangling_redistribute():
+    from python_graphblas_ray.pipelines.algorithms import (
+        pagerank, pagerank_numpy)
+
+    n = 150
+    src, dst = _random_edges(n=n, m=800, seed=41)
+    keep = src < 120  # vertices 120..149 become dangling
+    src, dst = src[keep], dst[keep]
+    eng = build_engine(_edges_ds(src, dst), n, num_partitions=3)
+    r, iters, _ = pagerank(eng, tol=1e-10, itermax=100,
+                           dangling="redistribute")
+    r0, iters0 = pagerank_numpy(src, dst, n, tol=1e-10, itermax=100,
+                                dangling="redistribute")
+    assert iters == iters0
+    assert np.allclose(r, r0, atol=1e-12)
+    # classic semantics conserve probability mass
+    assert r.sum() == pytest.approx(1.0, abs=1e-9)
+    # drop semantics on the same graph leak mass
+    r_drop, _, _ = pagerank(eng, tol=1e-10, itermax=100)
+    assert r_drop.sum() < 1.0 - 1e-3
+    eng.shutdown()
+
+    # no dangling vertices -> redistribute is a no-op
+    s2, d2 = _random_edges(n=60, m=600, seed=43)
+    # ensure every vertex has an out-edge
+    missing = np.setdiff1d(np.arange(60), s2)
+    s2 = np.concatenate([s2, missing])
+    d2 = np.concatenate([d2, (missing + 1) % 60])
+    eng2 = build_engine(_edges_ds(s2, d2), 60, num_partitions=2)
+    ra, ia, _ = pagerank(eng2, tol=1e-8, dangling="redistribute")
+    rb, ib, _ = pagerank(eng2, tol=1e-8)
+    assert ia == ib
+    np.testing.assert_array_equal(ra, rb)
+    eng2.shutdown()
+
+    with pytest.raises(ValueError):
+        pagerank(eng2, dangling="bogus")
