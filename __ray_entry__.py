@@ -263,6 +263,22 @@ def _q_bfs_levels(sf_dir):
     return pa.table({"vid": vid, "lvl": levels[vid]})
 
 
+def _q_harmonic_centrality(sf_dir):
+    """HyperBall harmonic centrality, exact-bitset mode (all 512
+    sources in one register fixpoint)."""
+    from python_graphblas_ray.pipelines.algorithms import build_engine
+    from python_graphblas_ray.pipelines.anf import hyperball_harmonic
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
+    try:
+        scores, exact = hyperball_harmonic(eng, mode="exact")
+        assert exact
+    finally:
+        eng.shutdown()
+    return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
+                     "val": scores})
+
+
 def _q_landmark_distances(sf_dir):
     """Landmark distance oracle: exact BFS distances from 4 fixed pivots,
     ALL in one bitset-register fixpoint (64 sources for the superstep
@@ -1516,7 +1532,8 @@ RENAME_SUITES = {
     "centrality_suite": (["vid"], [("closeness", "val"),
                                    ("local_clustering", "coeff"),
                                    ("critical_path", "dist"),
-                                   ("avg_neighbor_degree", "val")],
+                                   ("avg_neighbor_degree", "val"),
+                                   ("harmonic_centrality", "val")],
                          "double"),
     # per-doc group assignments (split / quota-kept lang / mixture
     # source): (q, doc_id, val string)
@@ -1654,6 +1671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_url_canon": _q_docs_url_canon,
         "powerlaw_alpha": _q_powerlaw_alpha,
         "attack_robustness": _q_attack_robustness,
+        "harmonic_centrality": _q_harmonic_centrality,
     }
     window = {
         # construction / exports
@@ -2537,6 +2555,21 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(*) FROM keptv) AS n_kept, "
             "round(max(c) * 1.0 / (SELECT count(*) FROM keptv), 8) "
             "AS giant_frac FROM sizes"),
+        "harmonic_centrality": (
+            # all-sources harmonic centrality from the bounded
+            # min-distance closure (t < 8 exceeds both test graphs'
+            # max finite distance; they converge by t=4)
+            "WITH RECURSIVE D AS (SELECT DISTINCT l_orderkey % 512 AS "
+            "src, l_partkey % 512 AS dst FROM lineitem), "
+            "V AS (SELECT CAST(range AS BIGINT) AS vid FROM range(512)), "
+            "reach(u, v, t) AS (SELECT vid, vid, 0 FROM V "
+            "UNION "
+            "SELECT r.u, e.dst, r.t + 1 FROM reach r "
+            "JOIN D e ON e.src = r.v WHERE r.t < 8), "
+            "dist AS (SELECT u, v, min(t) AS d FROM reach GROUP BY 1, 2) "
+            "SELECT V.vid, round(COALESCE(s.h, 0.0), 8) AS val FROM V "
+            "LEFT JOIN (SELECT v, sum(1.0 / d) AS h FROM dist "
+            "WHERE d > 0 GROUP BY 1) s ON s.v = V.vid"),
         "powerlaw_alpha": (
             # CSN 2009 eq. 3.7 discrete MLE at xmin=1 over in-degrees
             f"{E}, P AS (SELECT DISTINCT src, dst FROM E), "

@@ -100,3 +100,48 @@ def test_effective_diameter_exact_matches_definition():
     assert counts[d90] >= 0.9 * counts[-1]
     assert d90 == 0 or counts[d90 - 1] < 0.9 * counts[-1]
     eng.shutdown()
+
+
+def test_hyperball_exact_equals_all_sources_closeness():
+    from python_graphblas_ray.pipelines.algorithms import (
+        closeness_centrality_numpy)
+    from python_graphblas_ray.pipelines.anf import hyperball_harmonic
+
+    src, dst = _random_edges(n=120, m=420, seed=13)
+    eng = _engine(src, dst, 120)
+    scores, exact = hyperball_harmonic(eng, mode="exact")
+    assert exact
+    expect = closeness_centrality_numpy(src, dst, 120, harmonic=True)
+    np.testing.assert_allclose(scores, expect, rtol=0, atol=1e-8)
+    eng.shutdown()
+
+
+def test_hyperball_hll_tracks_exact_within_sketch_error():
+    from python_graphblas_ray.pipelines.anf import hyperball_harmonic
+
+    src, dst = _random_edges(n=400, m=2600, seed=17)
+    eng = _engine(src, dst, 400)
+    ex, flag_e = hyperball_harmonic(eng, mode="exact")
+    ap, flag_a = hyperball_harmonic(eng, mode="hll", b=7)
+    assert flag_e and not flag_a
+    # aggregate relative error of the total centrality mass: HLL with
+    # 2^7 registers has ~9% per-counter stderr; totals average out
+    assert abs(ap.sum() - ex.sum()) / ex.sum() < 0.15
+    # per-vertex values correlate strongly with the exact ranking
+    good = ex > 0
+    r = np.corrcoef(ex[good], ap[good])[0, 1]
+    assert r > 0.9
+    eng.shutdown()
+
+
+def test_hyperball_path_graph_hand_values():
+    from python_graphblas_ray.pipelines.anf import hyperball_harmonic
+
+    # directed path 0→1→2→3: C(v) = Σ_{u<v} 1/(v-u)
+    src = np.array([0, 1, 2], dtype=np.int64)
+    dst = np.array([1, 2, 3], dtype=np.int64)
+    eng = _engine(src, dst, 4, parts=2)
+    scores, _ = hyperball_harmonic(eng, mode="exact")
+    expect = [0.0, 1.0, 1.0 + 0.5, 1.0 + 0.5 + 1 / 3]
+    np.testing.assert_allclose(scores, np.round(expect, 8))
+    eng.shutdown()

@@ -43,7 +43,8 @@ SAMPLE = ["edges_build", "degree_out", "mxv_plus_times", "mxm_plus_times",
           "critical_path", "transitivity", "rich_club",
           "avg_neighbor_degree", "docs_url_canon", "landmark_distances",
           "powerlaw_alpha", "attack_robustness", "events_funnel",
-          "events_retention", "pagerank_dangling5"]
+          "events_retention", "pagerank_dangling5",
+          "harmonic_centrality"]
 
 
 @pytest.fixture(scope="module")
