@@ -824,6 +824,15 @@ def _q_docs_url_canon(sf_dir):
     return out.select_columns(["doc_id", "canon_url"])
 
 
+def _q_docs_textrank(sf_dir):
+    """TextRank keywords: weighted PageRank over the consecutive-word
+    co-occurrence graph — the webtext→link-graph composition."""
+    from python_graphblas_ray.pipelines.textrank import textrank_keywords
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    return textrank_keywords(docs, iters=5)
+
+
 def _q_docs_lm_score(sf_dir):
     """CCNet-style n-gram LM quality score: Laplace bigram LM trained on
     the corpus itself, mean log-prob per doc (8-decimal rounded)."""
@@ -1790,6 +1799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "landmark_distances": _q_landmark_distances,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
+        "docs_textrank": _q_docs_textrank,
     }
     return {**window, **tail, **members}
 
@@ -2455,6 +2465,33 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(s3.t3, s2.t2, s1.t1) AS ts_last "
             "FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id "
             "LEFT JOIN s3 ON s3.user_id = s1.user_id"),
+        # TextRank: the docs_lm_score tokenize/bigram machinery feeding
+        # the pagerank_weighted5 recursion over the symmetrized
+        # co-occurrence graph (symmetric => no dangling, plain recursion)
+        "docs_textrank": (
+            "WITH RECURSIVE lst AS (SELECT doc_id, list_filter("
+            "string_split_regex(text, '\\s+'), x -> x <> '') AS ws "
+            "FROM documents), "
+            "bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM lst, "
+            "LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) "
+            "AS i) t WHERE len(ws) >= 2), "
+            "und AS (SELECT w1 AS a, w2 AS b FROM bg WHERE w1 <> w2 "
+            "UNION ALL SELECT w2, w1 FROM bg WHERE w1 <> w2), "
+            "Ew AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS wt "
+            "FROM und GROUP BY 1, 2), "
+            "W AS (SELECT DISTINCT a AS w FROM und), "
+            "deg AS (SELECT a, sum(wt) AS d FROM Ew GROUP BY 1), "
+            "pr(it, w, r) AS ("
+            "SELECT 0, w, 1.0 / (SELECT count(*) FROM W) FROM W "
+            "UNION ALL "
+            "SELECT p.it + 1, e.b, "
+            "(1.0 - 0.85) / (SELECT count(*) FROM W) + "
+            "sum(e.wt * p.r / (deg.d / 0.85)) "
+            "FROM pr p JOIN Ew e ON e.a = p.w "
+            "JOIN deg ON deg.a = p.w "
+            "WHERE p.it < 5 GROUP BY p.it, e.b) "
+            "SELECT w AS word, ROUND(r, 8) AS rank FROM pr "
+            "WHERE it = 5"),
         "events_retention": (
             "WITH d AS (SELECT DISTINCT user_id, "
             "date_trunc('day', ts) AS day FROM events), "

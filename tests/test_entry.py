@@ -44,7 +44,7 @@ SAMPLE = ["edges_build", "degree_out", "mxv_plus_times", "mxm_plus_times",
           "avg_neighbor_degree", "docs_url_canon", "landmark_distances",
           "powerlaw_alpha", "attack_robustness", "events_funnel",
           "events_retention", "pagerank_dangling5",
-          "harmonic_centrality"]
+          "harmonic_centrality", "docs_textrank"]
 
 
 @pytest.fixture(scope="module")

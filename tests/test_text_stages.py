@@ -217,3 +217,44 @@ def test_ngram_lm_min_count_prunes_broadcast_not_vocab():
     pruned = ngram_lm_fit(ds, min_count=2)
     assert pruned["vocab"] == full["vocab"] == 3  # a, b, c
     assert len(pruned["u_keys"]) < len(full["u_keys"])
+
+
+def test_textrank_matches_numpy_pagerank_and_ranks_hubs():
+    import ray.data
+
+    from python_graphblas_ray.pipelines.algorithms import pagerank_numpy
+    from python_graphblas_ray.pipelines.textrank import (
+        cooccurrence_pairs, textrank_keywords)
+
+    docs = ray.data.from_arrow(pa.table({
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "the dog barks at the quick fox",
+                 "  lazy  dog   sleeps ", "", None],
+    }))
+    out = textrank_keywords(docs, iters=5).to_pandas()
+    # numpy oracle over the same co-occurrence multigraph
+    pairs = pa.concat_tables(list(cooccurrence_pairs(docs).iter_batches(
+        batch_format="pyarrow"))).to_pandas()
+    vocab = np.unique(pairs.a)
+    src = np.searchsorted(vocab, pairs.a)
+    dst = np.searchsorted(vocab, pairs.b)
+    r0, _ = pagerank_numpy(src, dst, len(vocab), tol=0.0, itermax=5,
+                           w=np.ones(len(src)))
+    expect = dict(zip(vocab, np.round(r0, 8)))
+    got = dict(zip(out.word, out["rank"]))  # .rank is a DataFrame method
+    assert got == expect
+    # the most connected word dominates; mass is conserved (symmetric)
+    assert out.sort_values("rank").iloc[-1].word == "the"
+    assert abs(out["rank"].sum() - 1.0) < 1e-6
+
+
+def test_textrank_empty_corpus():
+    import ray.data
+
+    from python_graphblas_ray.pipelines.textrank import textrank_keywords
+
+    docs = ray.data.from_arrow(pa.table({"text": pa.array(
+        ["", "   ", None], pa.string())}))
+    out = textrank_keywords(docs)
+    assert len(out) == 0
+    assert out.column_names == ["word", "rank"]
