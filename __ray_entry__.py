@@ -797,6 +797,17 @@ def _q_attack_robustness(sf_dir):
                      "giant_frac": [round(float(frac), 8)]})
 
 
+def _q_random_robustness(sf_dir):
+    """Random-failure (error-tolerance) counterpart of
+    attack_robustness: 25 knuth32-hash-picked vertices removed."""
+    from python_graphblas_ray.pipelines.linkpred import attack_robustness
+
+    k, n_kept, frac = attack_robustness(_edge_dataset(sf_dir), N_VERT,
+                                        k_remove=25, strategy="random")
+    return pa.table({"k_removed": [int(k)], "n_kept": [int(n_kept)],
+                     "giant_frac": [round(float(frac), 8)]})
+
+
 def _q_docs_url_canon(sf_dir):
     """Crawl-URL canonicalization over deterministically synthesized messy
     URLs (case / www / default-port / tracking-param / fragment /
@@ -831,6 +842,14 @@ def _q_docs_textrank(sf_dir):
 
     docs = _read(sf_dir, "documents", columns=["text"])
     return textrank_keywords(docs, iters=5)
+
+
+def _q_docs_collocations(sf_dir):
+    """PMI collocations (min_count=5) over consecutive word pairs."""
+    from python_graphblas_ray.pipelines.textrank import collocations
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    return collocations(docs, min_count=5)
 
 
 def _q_docs_lm_score(sf_dir):
@@ -1535,7 +1554,8 @@ RENAME_SUITES = {
                                 ("transitivity", "transitivity"),
                                 ("rich_club", "phi"),
                                 ("powerlaw_alpha", "alpha"),
-                                ("attack_robustness", "giant_frac")],
+                                ("attack_robustness", "giant_frac"),
+                                ("random_robustness", "giant_frac")],
                            "double"),
     # per-vertex centrality scores: (q, vid, val)
     "centrality_suite": (["vid"], [("closeness", "val"),
@@ -1680,6 +1700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_url_canon": _q_docs_url_canon,
         "powerlaw_alpha": _q_powerlaw_alpha,
         "attack_robustness": _q_attack_robustness,
+        "random_robustness": _q_random_robustness,
         "harmonic_centrality": _q_harmonic_centrality,
     }
     window = {
@@ -1800,6 +1821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
         "docs_textrank": _q_docs_textrank,
+        "docs_collocations": _q_docs_collocations,
     }
     return {**window, **tail, **members}
 
@@ -2465,6 +2487,27 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(s3.t3, s2.t2, s1.t1) AS ts_last "
             "FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id "
             "LEFT JOIN s3 ON s3.user_id = s1.user_id"),
+        # PMI over the same tokenize/bigram machinery; identical
+        # double-op order keeps round-8 hash-exact
+        "docs_collocations": (
+            "WITH lst AS (SELECT doc_id, list_filter("
+            "string_split_regex(text, '\\s+'), x -> x <> '') AS ws "
+            "FROM documents), "
+            "tok AS (SELECT unnest(ws) AS w FROM lst), "
+            "uni AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM tok "
+            "GROUP BY 1), "
+            "tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok), "
+            "bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM lst, "
+            "LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) "
+            "AS i) t WHERE len(ws) >= 2), "
+            "nb AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM bg), "
+            "bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c "
+            "FROM bg GROUP BY 1, 2) "
+            "SELECT b.w1, b.w2, b.c, round(ln(b.c * "
+            "(SELECT t FROM tt) * (SELECT t FROM tt) / "
+            "((SELECT n FROM nb) * u1.c * u2.c)), 8) AS pmi "
+            "FROM bc b JOIN uni u1 ON u1.w = b.w1 "
+            "JOIN uni u2 ON u2.w = b.w2 WHERE b.c >= 5"),
         # TextRank: the docs_lm_score tokenize/bigram machinery feeding
         # the pagerank_weighted5 recursion over the symmetrized
         # co-occurrence graph (symmetric => no dangling, plain recursion)
@@ -2607,6 +2650,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT V.vid, round(COALESCE(s.h, 0.0), 8) AS val FROM V "
             "LEFT JOIN (SELECT v, sum(1.0 / d) AS h FROM dist "
             "WHERE d > 0 GROUP BY 1) s ON s.v = V.vid"),
+        "random_robustness": (
+            # attack_robustness with the removal set picked by smallest
+            # knuth32 vid hash instead of highest degree
+            "WITH RECURSIVE E AS (SELECT l_orderkey % 512 AS src, "
+            "l_partkey % 512 AS dst FROM lineitem GROUP BY 1, 2), "
+            "sym AS (SELECT DISTINCT s, d FROM ("
+            "SELECT src AS s, dst AS d FROM E "
+            "UNION ALL SELECT dst, src FROM E) WHERE s <> d), "
+            "deg AS (SELECT s, count(*) AS d FROM sym GROUP BY 1), "
+            "removed AS (SELECT s FROM (SELECT s, row_number() OVER ("
+            "ORDER BY ((s % 4294967296) * 2654435761) % 4294967296, s) "
+            "AS rn FROM deg) WHERE rn <= 25), "
+            "keptv AS (SELECT range::BIGINT AS vid FROM range(512) "
+            "WHERE range NOT IN (SELECT s FROM removed)), "
+            "ind AS (SELECT s, d FROM sym "
+            "WHERE s NOT IN (SELECT s FROM removed) "
+            "AND d NOT IN (SELECT s FROM removed)), "
+            "reach(vid, root) AS (SELECT vid, vid FROM keptv UNION "
+            "SELECT e.d, r.root FROM reach r JOIN ind e "
+            "ON e.s = r.vid), "
+            "comp AS (SELECT vid, min(root) AS root FROM reach "
+            "GROUP BY 1), "
+            "sizes AS (SELECT root, count(*) AS c FROM comp GROUP BY 1) "
+            "SELECT CAST(25 AS BIGINT) AS k_removed, "
+            "(SELECT count(*) FROM keptv) AS n_kept, "
+            "round(max(c) * 1.0 / (SELECT count(*) FROM keptv), 8) "
+            "AS giant_frac FROM sizes"),
         "powerlaw_alpha": (
             # CSN 2009 eq. 3.7 discrete MLE at xmin=1 over in-degrees
             f"{E}, P AS (SELECT DISTINCT src, dst FROM E), "

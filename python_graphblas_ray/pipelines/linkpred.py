@@ -482,12 +482,20 @@ def powerlaw_alpha(edges_ds, n, degree="in"):
     return 1.0 + len(d) / float(np.log(d / 0.5).sum()), int(len(d))
 
 
-def attack_robustness(edges_ds, n, k_remove, num_partitions=4):
+def attack_robustness(edges_ds, n, k_remove, num_partitions=4,
+                      strategy="degree"):
     """Targeted-attack robustness (Albert-Jeong-Barabási 2000: "Error
     and attack tolerance of complex networks"): remove the ``k_remove``
     highest-degree hubs (ties by smallest vid — SQL-reproducible) from
     the simple undirected graph and measure the surviving giant
     component, the standard resilience probe of power-law webs.
+
+    ``strategy="random"`` is the paper's ERROR-tolerance counterpart:
+    remove ``k_remove`` pseudo-random present vertices instead — picked
+    by smallest knuth32 hash of the vid (deterministic and plain-SQL
+    reproducible, the same hash ``sampling.hash_split`` uses). Power-law
+    graphs shatter under attack but barely notice random failure; the
+    pair of numbers is the web-graph resilience fingerprint.
 
     Composition of existing scale pieces: one degree reduction → O(n)
     driver hub pick → broadcast keep-mask edge filter (one streaming
@@ -504,7 +512,14 @@ def attack_robustness(edges_ds, n, k_remove, num_partitions=4):
     A = simple_undirected(edges_ds, n)
     deg = A.reduce_rowwise(agg.count).to_dense(0.0)
     present = np.nonzero(deg > 0)[0]
-    order = present[np.lexsort((present, -deg[present]))]
+    if strategy == "degree":
+        order = present[np.lexsort((present, -deg[present]))]
+    elif strategy == "random":
+        h = ((present.astype(np.uint64) % np.uint64(1 << 32))
+             * np.uint64(2654435761)) % np.uint64(1 << 32)
+        order = present[np.lexsort((present, h))]
+    else:
+        raise ValueError(f"unknown strategy: {strategy!r}")
     removed = order[:k_remove]
     keep = np.ones(n, dtype=bool)
     keep[removed] = False

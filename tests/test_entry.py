@@ -44,7 +44,8 @@ SAMPLE = ["edges_build", "degree_out", "mxv_plus_times", "mxm_plus_times",
           "avg_neighbor_degree", "docs_url_canon", "landmark_distances",
           "powerlaw_alpha", "attack_robustness", "events_funnel",
           "events_retention", "pagerank_dangling5",
-          "harmonic_centrality", "docs_textrank"]
+          "harmonic_centrality", "docs_textrank", "docs_collocations",
+          "random_robustness"]
 
 
 @pytest.fixture(scope="module")

@@ -258,3 +258,74 @@ def test_textrank_empty_corpus():
     out = textrank_keywords(docs)
     assert len(out) == 0
     assert out.column_names == ["word", "rank"]
+
+
+def test_collocations_matches_direct_pmi():
+    import collections
+    import math
+
+    import ray.data
+
+    from python_graphblas_ray.pipelines.textrank import collocations
+
+    texts = ["new york city is in new york state",
+             "new york has a big city",
+             "york new",  # reversed: directed bigrams differ
+             "a b a b a b a b a b"]
+    docs = ray.data.from_arrow(pa.table({"text": texts}))
+    out = pa.concat_tables(list(
+        collocations(docs, min_count=2).iter_batches(
+            batch_format="pyarrow"))).to_pandas()
+    # direct computation
+    toks = [t.split() for t in texts]
+    uni = collections.Counter(w for ws in toks for w in ws)
+    bg = collections.Counter(
+        (ws[i], ws[i + 1]) for ws in toks for i in range(len(ws) - 1))
+    T = sum(uni.values())
+    N = sum(bg.values())
+    expect = {
+        (a, b): round(math.log(c * T * T / (N * uni[a] * uni[b])), 8)
+        for (a, b), c in bg.items() if c >= 2}
+    got = {(r.w1, r.w2): r.pmi for r in out.itertuples()}
+    assert got == expect
+    assert {(r.w1, r.w2): r.c for r in out.itertuples()} == \
+        {k: v for k, v in bg.items() if v >= 2}
+    # "new york" is a strong collocation; PMI positive
+    assert got[("new", "york")] > 0
+
+
+def test_attack_vs_random_robustness_on_star():
+    """The AJB fingerprint: a hub-dominated graph shatters under attack
+    but survives random failure."""
+    import ray.data
+
+    from python_graphblas_ray.pipelines.linkpred import attack_robustness
+
+    n = 40
+    src = np.zeros(n - 1, dtype=np.int64)
+    dst = np.arange(1, n, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "src": src, "dst": dst, "val": np.ones(n - 1)}))
+    _, _, f_attack = attack_robustness(ds, n, k_remove=1,
+                                       strategy="degree",
+                                       num_partitions=2)
+    _, _, f_random = attack_robustness(ds, n, k_remove=1,
+                                       strategy="random",
+                                       num_partitions=2)
+    assert f_attack == 1.0 / (n - 1)  # hub removed: fully shattered
+    # knuth32 pick removes some leaf (hash of 0 is 0? no: 0*c=0 — vid 0
+    # hashes to 0 and would be picked; the star hub IS vid 0, so use the
+    # reversed star to make the random pick a leaf)
+    if f_random == f_attack:
+        # vid 0 (the hub) got the smallest hash — flip the construction
+        ds2 = ray.data.from_arrow(pa.table({
+            "src": np.full(n - 1, n - 1, dtype=np.int64),
+            "dst": np.arange(n - 1, dtype=np.int64),
+            "val": np.ones(n - 1)}))
+        _, _, f_random = attack_robustness(ds2, n, k_remove=1,
+                                           strategy="random",
+                                           num_partitions=2)
+        _, _, f_attack = attack_robustness(ds2, n, k_remove=1,
+                                           strategy="degree",
+                                           num_partitions=2)
+    assert f_random > f_attack
