@@ -862,6 +862,92 @@ def _q_docs_lm_score(sf_dir):
     return ngram_lm_score(docs, model)
 
 
+# RE2-safe GPT-2-style pre-tokenizer (contractions, letter runs, digit
+# runs, punctuation runs, whitespace — the lookahead-free core of the
+# GPT-2 regex); shared byte-for-byte with the DuckDB oracle (both RE2).
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def _q_docs_bpe_tokens(sf_dir):
+    """BPE-style pre-tokenizer token count per document: one RE2
+    ``count_substring_regex`` pass per Arrow batch (the LLM-training
+    token-budget estimator; whitespace ``token_count`` is the cruder
+    sibling). Null text counts 0 on both sides."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"].combine_chunks(),
+                                     _BPE_PAT)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bpe_tokens": pc.fill_null(n.cast(pa.int64()), 0),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_edge_sample(sf_dir):
+    """20% deterministic edge sample: keep (src, dst) pairs whose knuth32
+    hash of the packed key ``src*512 + dst`` lands in residue 0 mod 5 —
+    graph sparsification ahead of expensive all-pairs work. The filter is
+    vectorized inside ``map_batches`` BEFORE any shuffle (the 100-TB
+    path: sampled edges never leave the reading node), and the
+    multiplicative hash is replayed exactly by the SQL oracle."""
+    ds = _edge_matrix(sf_dir).ds
+
+    def samp(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        h = ((s * N_VERT + d) * 2654435761) % 4294967296
+        return batch.filter(pa.array(h % 5 == 0))
+
+    return ds.map_batches(samp, batch_format="pyarrow")
+
+
+def _q_degree_histogram(sf_dir):
+    """Out-degree histogram over the distinct-pair pattern: one count
+    reduction (vertex-bounded), then an O(degrees) driver fold —
+    the power-law shape probe feeding ``powerlaw_alpha``."""
+    from python_graphblas_ray.functions.aggregators import agg
+
+    out = _as_table(_edge_matrix(sf_dir).reduce_rowwise(agg["count"]).ds)
+    deg = out["val"].to_numpy(zero_copy_only=False).astype(np.int64)
+    degs, n = np.unique(deg, return_counts=True)
+    return pa.table({"deg": degs.astype(np.int64),
+                     "n_vertices": n.astype(np.int64)})
+
+
+def _q_component_sizes(sf_dir):
+    """Component-size histogram (size → number of components) off the
+    FastSV labels — the fragmentation fingerprint read alongside
+    ``attack_robustness``; O(n) driver fold over the 512-vertex labels."""
+    t = _as_table(_q_connected_components(sf_dir))
+    comp = t["comp"].to_numpy(zero_copy_only=False)
+    _, sizes = np.unique(comp, return_counts=True)
+    szs, n = np.unique(sizes, return_counts=True)
+    return pa.table({"size": szs.astype(np.int64),
+                     "n_components": n.astype(np.int64)})
+
+
+def _q_katz_iter5(sf_dir):
+    """Fixed-5-iteration Katz centrality ``x ← 1 + α·AᵀX`` (α = 1/128,
+    exactly representable) over the raw multigraph edges via the pinned
+    engine's plus_second spmv; 8-decimal rounded so the recursive-CTE
+    oracle reproduces it exactly (reference: Katz 1953; the damped
+    path-count dual of ``pagerank_iter5``)."""
+    from python_graphblas_ray.pipelines.algorithms import build_engine
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
+    x = np.ones(N_VERT, dtype=np.float64)
+    for _ in range(5):
+        x = 1.0 + 0.0078125 * eng.spmv("plus_second", x)
+    eng.shutdown()
+    return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
+                     "val": np.round(x, 8)})
+
+
 def _q_pagerank_weighted5(sf_dir):
     """Fixed-5-superstep WEIGHTED PageRank (transition ∝ a synthetic
     deterministic edge weight ``(src·7 + dst·13) % 10 + 1``): the
@@ -1531,7 +1617,7 @@ SUITES = {
     "components_suite": ["connected_components", "scc"],
     "matmul_suite": ["mxm_plus_times", "mxm_min_secondi",
                      "power2_minplus", "kronecker", "cocitation",
-                     "host_graph", "truss_peel3"],
+                     "host_graph", "truss_peel3", "edge_sample"],
     "hits_suite": ["hits_iter3", "salsa_iter3"],
     "apply_view_suite": ["apply_ainv", "apply_rowindex", "transpose",
                          "extract_submatrix"],
@@ -1562,7 +1648,9 @@ RENAME_SUITES = {
                                    ("local_clustering", "coeff"),
                                    ("critical_path", "dist"),
                                    ("avg_neighbor_degree", "val"),
-                                   ("harmonic_centrality", "val")],
+                                   ("harmonic_centrality", "val"),
+                                   ("mis", "in_mis"),
+                                   ("katz_iter5", "val")],
                          "double"),
     # per-doc group assignments (split / quota-kept lang / mixture
     # source): (q, doc_id, val string)
@@ -1571,6 +1659,118 @@ RENAME_SUITES = {
                                     ("docs_mixture", "source"),
                                     ("docs_url_canon", "canon_url")], None),
 }
+
+
+# Suites whose members have heterogeneous KEY columns: every key column
+# is cast to a string (typed casts below, chosen so the Arrow and DuckDB
+# renderings are byte-identical) and '|'-joined into one ``k`` column on
+# BOTH sides, so any oracle-backed query with one value column can ride
+# a single driver-window slot. keyspec kinds:
+#   's'  string (passes through)
+#   'i'  integer -> decimal string (Arrow cast == DuckDB CAST AS VARCHAR)
+#   't'  timestamp[us] -> epoch-microseconds string (epoch_us in DuckDB)
+#   'f2' double -> fixed 2-decimal string (%.2f == printf('%.2f', x))
+# Format: suite -> (val kind 'double'|'str', [(member, keyspecs, val_col)]).
+PACKED_SUITES = {
+    "packed_metric_suite": ("double", [
+        ("reciprocity", [("n_edges", "i"), ("n_recip", "i")], "ratio"),
+        ("docs_lm_score", [("doc_id", "i")], "lm_score"),
+        ("anf", [("t", "i")], "n_pairs"),
+        ("landmark_distances", [("lm", "i"), ("vid", "i")], "dist"),
+        ("events_heavy_hitters", [("event_type", "s")], "mg_count"),
+        ("events_topk", [("event_id", "i"), ("event_type", "s")], "value"),
+        ("events_quantiles", [("q", "f2")], "value"),
+        ("events_funnel", [("user_id", "i"), ("ts_first", "t"),
+                           ("ts_last", "t")], "step_reached"),
+        ("events_retention", [("cohort_day", "t"), ("day_offset", "i")],
+         "n_users"),
+        ("docs_textrank", [("word", "s")], "rank"),
+        ("docs_collocations", [("w1", "s"), ("w2", "s"), ("c", "i")],
+         "pmi"),
+        ("docs_bpe_tokens", [("doc_id", "i")], "n_bpe_tokens"),
+        ("degree_histogram", [("deg", "i")], "n_vertices"),
+        ("component_sizes", [("size", "i")], "n_components"),
+    ]),
+    "packed_label_suite": ("str", [
+        ("bowtie", [("vid", "i")], "part"),
+        ("docs_ccnet_buckets", [("doc_id", "i")], "bucket"),
+    ]),
+}
+
+
+def _packed_key_arrow(t, keyspecs):
+    """Render the member table's key columns as one '|'-joined string
+    array, matching the DuckDB rendering in ``_suite_sql_packed``."""
+    import pyarrow.compute as pc
+
+    parts = []
+    for col, kind in keyspecs:
+        a = t[col]
+        if kind == "s":
+            parts.append(a.cast(pa.string()))
+        elif kind == "i":
+            parts.append(a.cast(pa.int64()).cast(pa.string()))
+        elif kind == "t":
+            parts.append(a.cast(pa.int64()).cast(pa.string()))
+        elif kind == "f2":
+            vals = a.to_numpy(zero_copy_only=False)
+            parts.append(pa.array([f"{v:.2f}" for v in vals]))
+        else:  # pragma: no cover
+            raise ValueError(kind)
+    if len(parts) == 1:
+        return parts[0].combine_chunks() if isinstance(
+            parts[0], pa.ChunkedArray) else parts[0]
+    flat = [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+            for p in parts]
+    return pc.binary_join_element_wise(*flat, "|")
+
+
+def _suite_packed(specs, valkind, fnmap):
+    """Callable running each packed member and emitting (q, k, val)."""
+    def run(sf_dir):
+        parts = []
+        for tag, keyspecs, vcol in specs:
+            t = _as_table(fnmap[tag](sf_dir))
+            if t is None or len(t) == 0:
+                continue
+            v = t[vcol]
+            if valkind == "double":
+                v = v.cast(pa.float64())
+            else:
+                v = v.cast(pa.string())
+            parts.append(pa.table({
+                "q": pa.array([tag] * len(t)),
+                "k": _packed_key_arrow(t, keyspecs),
+                "val": v,
+            }))
+        if not parts:
+            return pa.table({"q": pa.array([], pa.string()),
+                             "k": pa.array([], pa.string()),
+                             "val": pa.array(
+                                 [], pa.float64() if valkind == "double"
+                                 else pa.string())})
+        return pa.concat_tables(parts)
+    return run
+
+
+def _suite_sql_packed(specs, valkind, sqlmap):
+    def key_expr(col, kind):
+        if kind in ("s", "i"):
+            return f"CAST({col} AS VARCHAR)"
+        if kind == "t":
+            return f"CAST(epoch_us({col}) AS VARCHAR)"
+        if kind == "f2":
+            return f"printf('%.2f', {col})"
+        raise ValueError(kind)
+
+    parts = []
+    for i, (tag, keyspecs, vcol) in enumerate(specs):
+        k = " || '|' || ".join(key_expr(c, kd) for c, kd in keyspecs)
+        v = (f"CAST({vcol} AS DOUBLE)" if valkind == "double"
+             else f"CAST({vcol} AS VARCHAR)")
+        parts.append(f"SELECT '{tag}' AS q, {k} AS k, {v} AS val "
+                     f"FROM ({sqlmap[tag]}) AS t{i}")
+    return " UNION ALL ".join(parts)
 
 
 def _suite_renamed(members, cols, cast="double"):
@@ -1702,6 +1902,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attack_robustness": _q_attack_robustness,
         "random_robustness": _q_random_robustness,
         "harmonic_centrality": _q_harmonic_centrality,
+        "mis": _q_mis,
+        # packed-suite members (heterogeneous keys -> one string col)
+        "reciprocity": _q_reciprocity,
+        "docs_lm_score": _q_docs_lm_score,
+        "anf": _q_anf,
+        "landmark_distances": _q_landmark_distances,
+        "events_heavy_hitters": _q_events_heavy_hitters,
+        "events_topk": _q_events_topk,
+        "events_quantiles": _q_events_quantiles,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
+        "docs_textrank": _q_docs_textrank,
+        "docs_collocations": _q_docs_collocations,
+        "bowtie": _q_bowtie,
+        "docs_ccnet_buckets": _q_docs_ccnet_buckets,
+        "docs_bpe_tokens": _q_docs_bpe_tokens,
+        "degree_histogram": _q_degree_histogram,
+        "component_sizes": _q_component_sizes,
+        "edge_sample": _q_edge_sample,
+        "katz_iter5": _q_katz_iter5,
     }
     window = {
         # construction / exports
@@ -1720,9 +1940,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semiring matmuls
         "matmul_suite": _suite([(n, members[n])
                                 for n in SUITES["matmul_suite"]]),
-        "reciprocity": _q_reciprocity,
-        "mis": _q_mis,
-        "docs_lm_score": _q_docs_lm_score,
+        # heterogeneous-key members packed to (q, k, val) — see
+        # PACKED_SUITES; each member also stays standalone in the tail
+        "packed_metric_suite": _suite_packed(
+            PACKED_SUITES["packed_metric_suite"][1], "double", members),
+        "packed_label_suite": _suite_packed(
+            PACKED_SUITES["packed_label_suite"][1], "str", members),
         # elementwise / select
         "ewise_suite": _suite([(n, members[n])
                                for n in SUITES["ewise_suite"]]),
@@ -1783,7 +2006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": _q_events_sessionize,
         "lineitem_agg": _q_lineitem_agg,
     }
-    assert len(window) == 50, len(window)
+    assert len(window) <= 50, len(window)  # 49: one spare slot
     tail = {
         # ---- rows-only tail (no SQL equivalent) ----
         "k_truss": _q_k_truss,
@@ -2999,9 +3222,46 @@ def oracle_sql() -> dict[str, str]:
     base["power2_minplus"] = (
         f"{E} SELECT a.src, b.dst, min(a.val + b.val) AS val "
         "FROM E a JOIN E b ON a.dst = b.src GROUP BY 1, 2")
+    # '' doubles the quote inside the SQL string literal; both engines
+    # run the identical RE2 pattern.
+    _bpe_sql = _BPE_PAT.replace("'", "''")
+    base["docs_bpe_tokens"] = (
+        f"SELECT doc_id, COALESCE(CAST(length(regexp_extract_all(text, "
+        f"'{_bpe_sql}')) AS BIGINT), 0) AS n_bpe_tokens FROM documents")
+    base["edge_sample"] = (
+        f"{E} SELECT src, dst, val FROM E "
+        "WHERE ((src * 512 + dst) * 2654435761) % 4294967296 % 5 = 0")
+    base["degree_histogram"] = (
+        f"{E}, d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg "
+        "FROM E GROUP BY 1) "
+        "SELECT deg, CAST(count(*) AS BIGINT) AS n_vertices "
+        "FROM d GROUP BY 1")
+    base["component_sizes"] = (
+        "WITH cc AS (" + base["connected_components"] + "), "
+        "s AS (SELECT comp, CAST(count(*) AS BIGINT) AS size "
+        "FROM cc GROUP BY 1) "
+        "SELECT size, CAST(count(*) AS BIGINT) AS n_components "
+        "FROM s GROUP BY 1")
+    base["katz_iter5"] = (
+        "WITH RECURSIVE R AS (SELECT l_orderkey % 512 AS src, "
+        "l_partkey % 512 AS dst FROM lineitem), "
+        "Ew AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS cnt "
+        "FROM R GROUP BY 1, 2), "
+        "V AS (SELECT CAST(range AS BIGINT) AS vid FROM range(512)), "
+        "C AS (SELECT src, dst, cnt FROM Ew "
+        "UNION ALL SELECT vid, vid, 0.0 FROM V), "
+        "kz(it, vid, x) AS ("
+        "SELECT 0, vid, CAST(1.0 AS DOUBLE) FROM V "
+        "UNION ALL "
+        "SELECT k.it + 1, c.dst, 1.0 + 0.0078125 * sum(c.cnt * k.x) "
+        "FROM kz k JOIN C c ON c.src = k.vid "
+        "WHERE k.it < 5 GROUP BY k.it, c.dst) "
+        "SELECT vid, ROUND(x, 8) AS val FROM kz WHERE it = 5")
     for suite, names in SUITES.items():
         base[suite] = _suite_sql([(n, base[n]) for n in names])
     for suite, (cols, specs, cast) in RENAME_SUITES.items():
         base[suite] = _suite_sql_renamed(
             [(n, base[n], c) for n, c in specs], cols, cast)
+    for suite, (valkind, specs) in PACKED_SUITES.items():
+        base[suite] = _suite_sql_packed(specs, valkind, base)
     return base

@@ -45,7 +45,12 @@ SAMPLE = ["edges_build", "degree_out", "mxv_plus_times", "mxm_plus_times",
           "powerlaw_alpha", "attack_robustness", "events_funnel",
           "events_retention", "pagerank_dangling5",
           "harmonic_centrality", "docs_textrank", "docs_collocations",
-          "random_robustness"]
+          "random_robustness",
+          # packed suites: heterogeneous-key members -> (q, k, val)
+          "packed_metric_suite", "packed_label_suite",
+          # zero-window-cost suite riders
+          "docs_bpe_tokens", "edge_sample", "degree_histogram",
+          "component_sizes", "katz_iter5"]
 
 
 @pytest.fixture(scope="module")
