@@ -948,6 +948,39 @@ def _q_katz_iter5(sf_dir):
                      "val": np.round(x, 8)})
 
 
+def _q_quadrilaterals(sf_dir):
+    """4-cycle (C4) subgraph count of the simple undirected graph: one
+    plus_pair mxm + strict-triu select, then ½·Σ binom(C(u,v), 2) folded
+    per batch — the butterfly/bipartite-community fingerprint next to
+    ``triangle_count``."""
+    from python_graphblas_ray.pipelines.linkpred import quadrilateral_count
+
+    q = quadrilateral_count(_edge_dataset(sf_dir), N_VERT)
+    return pa.table({"quadrilaterals": pa.array([q], pa.int64())})
+
+
+def _q_embed_kmeans_iter2(sf_dir):
+    """Fixed-2-update Lloyd k-means over the embeddings table with a
+    deterministic init (centroids = vectors 0..7) and 6-decimal centroid
+    rounding after each update, so the unrolled SQL oracle — whose sums
+    run in a different order — reproduces the assignments exactly. The
+    converging seeded variant stays the rows-only ``embed_kmeans``."""
+    from python_graphblas_ray.pipelines.clustering import (
+        kmeans_assign, kmeans_fit)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    k = 8
+    head = pa.concat_tables(
+        ds.filter(expr=f"vec_id < {k}").iter_batches(  # tiny: k rows
+            batch_format="pyarrow"), promote_options="permissive")
+    order = np.argsort(head["vec_id"].to_numpy(zero_copy_only=False))
+    init = np.stack([np.asarray(head["embedding"][int(i)].as_py(),
+                                dtype=np.float64) for i in order])
+    cents, _ = kmeans_fit(ds, k, iters=2, init_centroids=init,
+                          round_to=6, tol=0.0)
+    return kmeans_assign(ds, cents).select_columns(["vec_id", "cluster"])
+
+
 def _q_pagerank_weighted5(sf_dir):
     """Fixed-5-superstep WEIGHTED PageRank (transition ∝ a synthetic
     deterministic edge weight ``(src·7 + dst·13) % 10 + 1``): the
@@ -1641,7 +1674,8 @@ RENAME_SUITES = {
                                 ("rich_club", "phi"),
                                 ("powerlaw_alpha", "alpha"),
                                 ("attack_robustness", "giant_frac"),
-                                ("random_robustness", "giant_frac")],
+                                ("random_robustness", "giant_frac"),
+                                ("quadrilaterals", "quadrilaterals")],
                            "double"),
     # per-vertex centrality scores: (q, vid, val)
     "centrality_suite": (["vid"], [("closeness", "val"),
@@ -1690,6 +1724,7 @@ PACKED_SUITES = {
         ("docs_bpe_tokens", [("doc_id", "i")], "n_bpe_tokens"),
         ("degree_histogram", [("deg", "i")], "n_vertices"),
         ("component_sizes", [("size", "i")], "n_components"),
+        ("embed_kmeans_iter2", [("vec_id", "i")], "cluster"),
     ]),
     "packed_label_suite": ("str", [
         ("bowtie", [("vid", "i")], "part"),
@@ -1922,6 +1957,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "component_sizes": _q_component_sizes,
         "edge_sample": _q_edge_sample,
         "katz_iter5": _q_katz_iter5,
+        "quadrilaterals": _q_quadrilaterals,
+        "embed_kmeans_iter2": _q_embed_kmeans_iter2,
     }
     window = {
         # construction / exports
@@ -3242,6 +3279,52 @@ def oracle_sql() -> dict[str, str]:
         "FROM cc GROUP BY 1) "
         "SELECT size, CAST(count(*) AS BIGINT) AS n_components "
         "FROM s GROUP BY 1")
+    base["quadrilaterals"] = (
+        f"{E}, und AS (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM E WHERE src <> dst), "
+        "sym AS (SELECT a AS s, b AS d FROM und "
+        "UNION ALL SELECT b, a FROM und), "
+        "cn AS (SELECT x.s AS u, y.s AS v, "
+        "CAST(count(*) AS DOUBLE) AS c "
+        "FROM sym x JOIN sym y ON x.d = y.d AND x.s < y.s "
+        "GROUP BY 1, 2) "
+        "SELECT CAST(COALESCE(sum(c * (c - 1) / 2), 0) / 2 AS BIGINT) "
+        "AS quadrilaterals FROM cn")
+    # fixed-2-update k-means, unrolled: per-dimension explode, squared-L2
+    # assignment with (distance, centroid-id) tie-break, ROUND(avg, 6)
+    # centroid updates with empty-cluster keep (COALESCE onto the
+    # previous — rounded — coordinates), final assignment = output.
+    base["embed_kmeans_iter2"] = (
+        "WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) "
+        "AS x, generate_subscripts(embedding, 1) AS i FROM embeddings), "
+        "c0 AS (SELECT vec_id AS cid, i, x FROM e WHERE vec_id < 8), "
+        "d1 AS (SELECT e.vec_id, c.cid, "
+        "sum((e.x - c.x) * (e.x - c.x)) AS d "
+        "FROM e JOIN c0 c ON c.i = e.i GROUP BY 1, 2), "
+        "a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn "
+        "FROM d1) WHERE rn = 1), "
+        "u1 AS (SELECT a.cid, e.i, ROUND(avg(e.x), 6) AS x "
+        "FROM e JOIN a1 a ON a.vec_id = e.vec_id GROUP BY 1, 2), "
+        "c1 AS (SELECT c0.cid, c0.i, "
+        "COALESCE(u1.x, ROUND(c0.x, 6)) AS x FROM c0 "
+        "LEFT JOIN u1 ON u1.cid = c0.cid AND u1.i = c0.i), "
+        "d2 AS (SELECT e.vec_id, c.cid, "
+        "sum((e.x - c.x) * (e.x - c.x)) AS d "
+        "FROM e JOIN c1 c ON c.i = e.i GROUP BY 1, 2), "
+        "a2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn "
+        "FROM d2) WHERE rn = 1), "
+        "u2 AS (SELECT a.cid, e.i, ROUND(avg(e.x), 6) AS x "
+        "FROM e JOIN a2 a ON a.vec_id = e.vec_id GROUP BY 1, 2), "
+        "c2 AS (SELECT c1.cid, c1.i, COALESCE(u2.x, c1.x) AS x FROM c1 "
+        "LEFT JOIN u2 ON u2.cid = c1.cid AND u2.i = c1.i), "
+        "d3 AS (SELECT e.vec_id, c.cid, "
+        "sum((e.x - c.x) * (e.x - c.x)) AS d "
+        "FROM e JOIN c2 c ON c.i = e.i GROUP BY 1, 2) "
+        "SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM ("
+        "SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY d, cid) AS rn FROM d3) WHERE rn = 1")
     base["katz_iter5"] = (
         "WITH RECURSIVE R AS (SELECT l_orderkey % 512 AS src, "
         "l_partkey % 512 AS dst FROM lineitem), "

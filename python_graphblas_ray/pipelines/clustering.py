@@ -41,27 +41,37 @@ def _assign_codes(m, cents, metric):
 
 
 def kmeans_fit(emb_ds, k, iters=10, emb_col="embedding", seed=42,
-               metric="l2", tol=1e-6):
+               metric="l2", tol=1e-6, init_centroids=None, round_to=None):
     """Lloyd k-means → ``(centroids, inertia_history)``.
 
-    Init: seeded sample from the first batch (deterministic). Empty
-    clusters keep their previous centroid. Stops early when the max
-    centroid shift drops below ``tol``. ``inertia_history[i]`` is the
-    total squared distance measured DURING pass ``i`` (i.e. against the
-    centroids entering that pass), so it is non-increasing.
+    Init: seeded sample from the first batch (deterministic), or the
+    explicit ``init_centroids`` array when given. Empty clusters keep
+    their previous centroid. Stops early when the max centroid shift
+    drops below ``tol``. ``inertia_history[i]`` is the total squared
+    distance measured DURING pass ``i`` (i.e. against the centroids
+    entering that pass), so it is non-increasing.
+
+    ``round_to``: round every centroid coordinate to this many decimals
+    after each update — pins the fixed-iteration variant to a grain an
+    external oracle (summing in a different order) reproduces exactly.
     """
     if metric not in ("l2", "cosine"):
         raise ValueError(f"unknown metric: {metric!r}")
-    first = next(iter(emb_ds.select_columns([emb_col]).iter_batches(
-        batch_format="pyarrow", batch_size=max(int(k) * 8, 256))), None)
-    if first is None or first.num_rows == 0:
-        raise ValueError("kmeans_fit: empty embedding dataset")
-    m0 = _matrix(first[emb_col])
-    if metric == "cosine":
-        m0 = _normalize(m0)
-    rng = np.random.default_rng(seed)
-    cents = m0[rng.choice(len(m0), size=min(int(k), len(m0)),
-                          replace=False)].copy()
+    if init_centroids is not None:
+        cents = np.asarray(init_centroids, dtype=np.float64).copy()
+        if metric == "cosine":
+            cents = _normalize(cents)
+    else:
+        first = next(iter(emb_ds.select_columns([emb_col]).iter_batches(
+            batch_format="pyarrow", batch_size=max(int(k) * 8, 256))), None)
+        if first is None or first.num_rows == 0:
+            raise ValueError("kmeans_fit: empty embedding dataset")
+        m0 = _matrix(first[emb_col])
+        if metric == "cosine":
+            m0 = _normalize(m0)
+        rng = np.random.default_rng(seed)
+        cents = m0[rng.choice(len(m0), size=min(int(k), len(m0)),
+                              replace=False)].copy()
 
     inertia = []
     for _ in range(int(iters)):
@@ -104,6 +114,8 @@ def kmeans_fit(emb_ds, k, iters=10, emb_col="embedding", seed=42,
         new[nz] = tot[nz] / cnt[nz, None]
         if metric == "cosine":
             new[nz] = _normalize(new[nz])
+        if round_to is not None:
+            new = np.round(new, round_to)
         shift = float(np.max(np.linalg.norm(new - cents, axis=1))) \
             if len(cents) else 0.0
         cents = new

@@ -92,3 +92,23 @@ def test_diversity_sample_quota():
     # balanced blobs → every cluster filled its quota
     assert sorted(counts.values()) == [25, 25, 25]
     assert len({r["vec_id"] for r in out}) == len(out)
+
+
+def test_kmeans_explicit_init_and_rounding():
+    """init_centroids pins the starting centroids (no seeded sample);
+    round_to quantizes every post-update coordinate, including those of
+    empty clusters that keep their previous centroid."""
+    rng = np.random.default_rng(3)
+    pts = np.concatenate([rng.normal(0.0, 0.1, (30, 4)),
+                          rng.normal(5.0, 0.1, (30, 4))])
+    ds = ray.data.from_arrow(_tbl(pts))
+    init = np.array([[0.123456789] * 4, [5.0] * 4, [99.0] * 4])
+    cents, _ = kmeans_fit(ds, 3, iters=2, init_centroids=init,
+                          round_to=6, tol=0.0)
+    # clusters 0/1 moved to the blob means; 2 stayed empty and kept its
+    # (rounded) init coordinates
+    assert np.allclose(cents[0], pts[:30].mean(axis=0), atol=1e-5)
+    assert np.allclose(cents[1], pts[30:].mean(axis=0), atol=1e-5)
+    assert np.allclose(cents[2], 99.0)
+    # every coordinate sits exactly on the 1e-6 grid
+    assert np.allclose(cents, np.round(cents, 6), rtol=0, atol=0)

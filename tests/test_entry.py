@@ -50,7 +50,8 @@ SAMPLE = ["edges_build", "degree_out", "mxv_plus_times", "mxm_plus_times",
           "packed_metric_suite", "packed_label_suite",
           # zero-window-cost suite riders
           "docs_bpe_tokens", "edge_sample", "degree_histogram",
-          "component_sizes", "katz_iter5"]
+          "component_sizes", "katz_iter5", "quadrilaterals",
+          "embed_kmeans_iter2"]
 
 
 @pytest.fixture(scope="module")

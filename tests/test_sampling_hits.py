@@ -670,3 +670,50 @@ def test_pagerank_dangling_redistribute():
 
     with pytest.raises(ValueError):
         pagerank(eng2, dangling="bogus")
+
+
+def test_quadrilateral_count_vs_bruteforce():
+    """Q matches an O(n^4) dense enumeration of C4 subgraphs on a random
+    simple graph, plus hand cases: a 4-cycle (1), K4 (3), a triangle (0)."""
+    from itertools import combinations
+
+    from python_graphblas_ray.pipelines.linkpred import quadrilateral_count
+
+    def brute(adj, n):
+        q = 0
+        for quad in combinations(range(n), 4):
+            # count distinct 4-cycles on these 4 vertices: each of the 3
+            # pairings of the quad into two diagonal pairs gives a cycle
+            # iff the 4 "side" edges exist
+            a, b, c, d = quad
+            for (p, r), (s, t) in (((a, c), (b, d)), ((a, b), (c, d)),
+                                   ((a, d), (b, c))):
+                # cycle p-s-r-t with diagonals (p,r),(s,t)
+                if adj[p, s] and adj[s, r] and adj[r, t] and adj[t, p]:
+                    q += 1
+        return q
+
+    rng = np.random.default_rng(7)
+    n = 14
+    adj = np.zeros((n, n), dtype=bool)
+    for u, v in combinations(range(n), 2):
+        if rng.random() < 0.3:
+            adj[u, v] = adj[v, u] = True
+    src, dst = np.nonzero(adj)  # symmetric, both directions
+    got = quadrilateral_count(_edges_ds(src.astype(np.int64),
+                                        dst.astype(np.int64)), n)
+    assert got == brute(adj, n)
+
+    # 4-cycle 0-1-2-3-0: exactly one C4
+    src = np.array([0, 1, 2, 3], dtype=np.int64)
+    dst = np.array([1, 2, 3, 0], dtype=np.int64)
+    assert quadrilateral_count(_edges_ds(src, dst), 4) == 1
+    # K4: 3 distinct 4-cycles
+    s, d = zip(*[(u, v) for u in range(4) for v in range(4) if u != v])
+    assert quadrilateral_count(
+        _edges_ds(np.array(s, dtype=np.int64),
+                  np.array(d, dtype=np.int64)), 4) == 3
+    # triangle: none
+    src = np.array([0, 1, 2], dtype=np.int64)
+    dst = np.array([1, 2, 0], dtype=np.int64)
+    assert quadrilateral_count(_edges_ds(src, dst), 3) == 0
