@@ -981,6 +981,34 @@ def _q_embed_kmeans_iter2(sf_dir):
     return kmeans_assign(ds, cents).select_columns(["vec_id", "cluster"])
 
 
+def _q_eccentricity(sf_dir):
+    """Per-vertex in-eccentricity (max finite incoming distance) read
+    off the exact-bitset ANF register fixpoint — all 512 sources in one
+    run; the per-vertex signal behind radius/diameter bounds."""
+    from python_graphblas_ray.pipelines.algorithms import build_engine
+    from python_graphblas_ray.pipelines.anf import hyperball_eccentricity
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
+    try:
+        ecc, exact = hyperball_eccentricity(eng, mode="exact")
+        assert exact
+    finally:
+        eng.shutdown()
+    return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
+                     "val": ecc})
+
+
+def _q_docs_line_dedup(sf_dir):
+    """CCNet-style cross-document line dedup: lines appearing in ≥ 3
+    distinct docs are boilerplate — dropped everywhere, docs rebuilt
+    from the survivors (order kept). Synthetic docs share templated
+    lines, so the hot set is non-trivial at both test scales."""
+    from python_graphblas_ray.pipelines.dedup import dedup_lines
+
+    return dedup_lines(_read(sf_dir, "documents",
+                             columns=["doc_id", "text"]), min_df=3)
+
+
 def _q_pagerank_weighted5(sf_dir):
     """Fixed-5-superstep WEIGHTED PageRank (transition ∝ a synthetic
     deterministic edge weight ``(src·7 + dst·13) % 10 + 1``): the
@@ -1684,7 +1712,8 @@ RENAME_SUITES = {
                                    ("avg_neighbor_degree", "val"),
                                    ("harmonic_centrality", "val"),
                                    ("mis", "in_mis"),
-                                   ("katz_iter5", "val")],
+                                   ("katz_iter5", "val"),
+                                   ("eccentricity", "val")],
                          "double"),
     # per-doc group assignments (split / quota-kept lang / mixture
     # source): (q, doc_id, val string)
@@ -1729,6 +1758,7 @@ PACKED_SUITES = {
     "packed_label_suite": ("str", [
         ("bowtie", [("vid", "i")], "part"),
         ("docs_ccnet_buckets", [("doc_id", "i")], "bucket"),
+        ("docs_line_dedup", [("doc_id", "i")], "clean_text"),
     ]),
 }
 
@@ -1959,6 +1989,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "katz_iter5": _q_katz_iter5,
         "quadrilaterals": _q_quadrilaterals,
         "embed_kmeans_iter2": _q_embed_kmeans_iter2,
+        "eccentricity": _q_eccentricity,
+        "docs_line_dedup": _q_docs_line_dedup,
     }
     window = {
         # construction / exports
@@ -3279,6 +3311,34 @@ def oracle_sql() -> dict[str, str]:
         "FROM cc GROUP BY 1) "
         "SELECT size, CAST(count(*) AS BIGINT) AS n_components "
         "FROM s GROUP BY 1")
+    base["eccentricity"] = (
+        # bounded min-distance closure (t < 8 exceeds both test graphs'
+        # max finite distance), then max incoming distance per vertex
+        "WITH RECURSIVE D AS (SELECT DISTINCT l_orderkey % 512 AS src, "
+        "l_partkey % 512 AS dst FROM lineitem), "
+        "V AS (SELECT CAST(range AS BIGINT) AS vid FROM range(512)), "
+        "reach(u, v, t) AS (SELECT vid, vid, 0 FROM V "
+        "UNION "
+        "SELECT r.u, e.dst, r.t + 1 FROM reach r "
+        "JOIN D e ON e.src = r.v WHERE r.t < 8), "
+        "dist AS (SELECT u, v, min(t) AS d FROM reach GROUP BY 1, 2) "
+        "SELECT V.vid, CAST(COALESCE(s.e, 0) AS BIGINT) AS val FROM V "
+        "LEFT JOIN (SELECT v, max(d) AS e FROM dist GROUP BY 1) s "
+        "ON s.v = V.vid")
+    base["docs_line_dedup"] = (
+        "WITH t AS (SELECT doc_id, COALESCE(text, '') AS text "
+        "FROM documents), "
+        "lines AS (SELECT doc_id, "
+        "unnest(string_split(text, chr(10))) AS line, "
+        "generate_subscripts(string_split(text, chr(10)), 1) AS i "
+        "FROM t), "
+        "df AS (SELECT line, count(DISTINCT doc_id) AS df FROM lines "
+        "GROUP BY 1), "
+        "keep AS (SELECT l.doc_id, l.i, l.line FROM lines l "
+        "JOIN df ON df.line = l.line WHERE df.df < 3) "
+        "SELECT t.doc_id, COALESCE(string_agg(k.line, chr(10) "
+        "ORDER BY k.i), '') AS clean_text FROM t "
+        "LEFT JOIN keep k ON k.doc_id = t.doc_id GROUP BY 1")
     base["quadrilaterals"] = (
         f"{E}, und AS (SELECT DISTINCT least(src, dst) AS a, "
         "greatest(src, dst) AS b FROM E WHERE src <> dst), "

@@ -225,3 +225,32 @@ def hyperball_harmonic(engine: SuperstepEngine, tmax: int = 64,
         scores += (c - count) / t
         count = c
     return (np.round(scores, 8) if exact else scores), exact
+
+
+def hyperball_eccentricity(engine: SuperstepEngine, tmax: int = 64,
+                           mode: str = "auto", b: int = 6, seed: int = 7,
+                           exact_limit: int = 1 << 20):
+    """In-eccentricity of EVERY vertex off the same register fixpoint:
+    ``ecc_in(v) = max_{u: u→v reachable} d(u→v)`` = the last round where
+    ``B_in(v, t)`` grew (Boldi-Vigna HyperBall §5 reads radius/diameter
+    bounds off exactly this per-vertex signal). Exact in bitset mode
+    (registers grow monotonically, so "changed this round" ⇔ a new
+    vertex entered the ball at distance t); in HLL mode a register
+    change is the sketch's growth signal (per-vertex estimates, still
+    monotone). A vertex nothing reaches has eccentricity 0.
+
+    Returns ``(ecc int64[n], exact flag)``."""
+    n = engine.n
+    exact = mode == "exact" or (mode == "auto" and n <= exact_limit)
+    regs = _bitset_init(n) if exact else _hll_init(n, b, seed)
+    op = "or" if exact else "max"
+    merge = np.bitwise_or if exact else np.maximum
+    ecc = np.zeros(n, dtype=np.int64)
+    for t in range(1, tmax + 1):
+        nxt = merge(regs, engine.register_step(regs, op))
+        grew = (nxt != regs).any(axis=1)
+        if not grew.any():
+            break
+        ecc[grew] = t
+        regs = nxt
+    return ecc, exact

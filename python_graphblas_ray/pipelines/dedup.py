@@ -1236,3 +1236,93 @@ def cdc_neardup_pairs(docs_ds, min_shared=3, id_col="doc_id",
     co = _gbm(j.map_batches(ordered, batch_format="pyarrow"),
               ["ia", "ib"], "shared_chunks", _m["plus"])
     return co.filter(expr=f"shared_chunks >= {int(min_shared)}")
+
+
+def dedup_lines(docs_ds, min_df=2, text_col="text", id_col="doc_id",
+                hot_limit=2_000_000):
+    """CCNet-style cross-document LINE deduplication (Wenzek et al.
+    2020 §3.1: drop duplicated paragraphs/lines before LM filtering) —
+    the boilerplate killer for crawled webtext (nav bars, cookie
+    banners, footers repeat across a site's pages; prose doesn't).
+
+    A line is boilerplate when its exact text appears in ≥ ``min_df``
+    DISTINCT documents; every occurrence is dropped and each doc is
+    rebuilt from its surviving lines (order preserved). Two streaming
+    passes, both fully vectorized:
+
+    1. per batch: split on ``\\n`` (one Arrow kernel), distinct
+       (doc, line) via an Arrow group_by — globally distinct already,
+       because a document never spans batches — then per-batch partial
+       counts; ONE ``groupby_monoid`` exchange sums them into line → df.
+       Only lines with df ≥ ``min_df`` (the hot set — small by
+       construction: boilerplate is what repeats) are collected and
+       broadcast via ``ray.put``.
+    2. per batch: flatten the line lists, mask hot lines with one
+       ``is_in``, rebuild offsets from the keep-mask cumsum, and
+       ``binary_join`` the surviving lines back with ``\\n`` — no
+       per-row Python.
+
+    ``hot_limit`` guards the driver collect: exceeding it means
+    ``min_df`` is catching prose, not boilerplate — raise it or
+    pre-shard; the error is explicit rather than an OOM.
+
+    Returns a Dataset ``(id_col, clean_text)``.
+    """
+    import ray
+
+    from ..functions.monoids import monoid
+    from ..stages.reduce import groupby_monoid
+
+    def split_lines(batch: pa.Table):
+        txt = pc.fill_null(batch[text_col].combine_chunks(),
+                           "").cast(pa.large_string())
+        return batch[id_col].combine_chunks(), pc.split_pattern(txt, "\n")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids, lines = split_lines(batch)
+        flat = lines.flatten()
+        offs = lines.offsets.to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(lines)),
+                           np.diff(offs).astype(np.int64))
+        t = pa.table({"d": pa.array(doc_of),
+                      "line": flat}).group_by(["d", "line"]).aggregate([])
+        cnt = t.group_by("line").aggregate([("d", "count")])
+        return pa.table({"line": cnt["line"],
+                         "n": cnt["d_count"].cast(pa.int64())})
+
+    df = groupby_monoid(
+        docs_ds.map_batches(partials, batch_format="pyarrow"),
+        ["line"], "n", monoid.plus)
+    hot_batches = list(df.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n"], min_df)),
+        batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    hot_tbl = (pa.concat_tables(hot_batches, promote_options="permissive")
+               if hot_batches else
+               pa.table({"line": pa.array([], pa.large_string()),
+                         "n": pa.array([], pa.int64())}))
+    if len(hot_tbl) > hot_limit:
+        raise ValueError(
+            f"dedup_lines: {len(hot_tbl)} lines exceed min_df={min_df} "
+            f"(> hot_limit={hot_limit}); boilerplate vocabulary should "
+            "be small — raise min_df or hot_limit")
+    hot_ref = ray.put(hot_tbl["line"].combine_chunks()
+                      .cast(pa.large_string()))
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        ids, lines = split_lines(batch)
+        flat = lines.flatten()
+        keep = np.ones(len(flat), dtype=bool) if len(hot) == 0 else \
+            ~pc.is_in(flat, value_set=hot).to_numpy(zero_copy_only=False)
+        offs = lines.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        kept = flat.filter(pa.array(keep))
+        new_offs = np.concatenate(
+            [[0], np.cumsum(keep)])[offs].astype(np.int64)
+        out_lists = pa.LargeListArray.from_arrays(
+            pa.array(new_offs, pa.int64()), kept)
+        clean = pc.binary_join(out_lists,
+                               pa.scalar("\n", pa.large_string()))
+        return pa.table({id_col: ids, "clean_text": clean})
+
+    return docs_ds.map_batches(rebuild, batch_format="pyarrow")

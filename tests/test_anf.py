@@ -145,3 +145,44 @@ def test_hyperball_path_graph_hand_values():
     expect = [0.0, 1.0, 1.0 + 0.5, 1.0 + 0.5 + 1 / 3]
     np.testing.assert_allclose(scores, np.round(expect, 8))
     eng.shutdown()
+
+
+def test_eccentricity_path_graph_and_bfs_parity():
+    """Path 0→1→2→3→4: ecc_in(v) = v (longest incoming chain); then a
+    random graph checked against the dense BFS distance matrix."""
+    from python_graphblas_ray.pipelines.anf import hyperball_eccentricity
+
+    src = np.array([0, 1, 2, 3], dtype=np.int64)
+    dst = np.array([1, 2, 3, 4], dtype=np.int64)
+    eng = _engine(src, dst, 5)
+    try:
+        ecc, exact = hyperball_eccentricity(eng, mode="exact")
+    finally:
+        eng.shutdown()
+    assert exact
+    assert ecc.tolist() == [0, 1, 2, 3, 4]
+
+    rng = np.random.default_rng(11)
+    n = 40
+    src = rng.integers(0, n, 160).astype(np.int64)
+    dst = rng.integers(0, n, 160).astype(np.int64)
+    eng = _engine(src, dst, n)
+    try:
+        ecc, exact = hyperball_eccentricity(eng, mode="exact")
+    finally:
+        eng.shutdown()
+    assert exact
+    # dense BFS oracle: dist[u, v] = length of shortest u→v path
+    INF = n + 1
+    dist = np.full((n, n), INF, dtype=np.int64)
+    dist[np.arange(n), np.arange(n)] = 0
+    for _ in range(n):
+        cand = dist[:, src] + 1
+        new = dist.copy()
+        np.minimum.at(new.T, dst, cand.T)
+        if (new == dist).all():
+            break
+        dist = new
+    finite = dist <= n
+    want = np.where(finite, dist, 0).max(axis=0)
+    assert ecc.tolist() == want.tolist()

@@ -992,3 +992,37 @@ def test_retention_matches_bruteforce():
     coh_sizes = collections.Counter(first.values())
     for c, size in coh_sizes.items():
         assert exp_norm[(int(c), 0)] == size
+
+
+def test_dedup_lines_boilerplate_removal():
+    """Lines in >= min_df distinct docs vanish everywhere; unique prose
+    and line order survive; null/empty/all-boilerplate docs come back
+    as empty strings; duplicate lines WITHIN one doc don't count."""
+    import pyarrow as pa
+    import ray
+
+    from python_graphblas_ray.pipelines.dedup import dedup_lines
+
+    docs = pa.table({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["NAV\nalpha prose\nFOOTER",
+                 "NAV\nbeta prose\nFOOTER",
+                 "solo\nsolo\nsolo",          # within-doc dups: df = 1
+                 None,
+                 "NAV\nFOOTER"],              # all boilerplate
+    })
+    out = {r["doc_id"]: r["clean_text"]
+           for r in dedup_lines(ray.data.from_arrow(docs),
+                                min_df=2).take_all()}
+    assert out[0] == "alpha prose"
+    assert out[1] == "beta prose"
+    assert out[2] == "solo\nsolo\nsolo"
+    assert out[3] == ""
+    assert out[4] == ""
+
+    # min_df above every df: nothing is dropped
+    keep_all = {r["doc_id"]: r["clean_text"]
+                for r in dedup_lines(ray.data.from_arrow(docs),
+                                     min_df=99).take_all()}
+    assert keep_all[0] == "NAV\nalpha prose\nFOOTER"
+    assert keep_all[2] == "solo\nsolo\nsolo"
