@@ -1009,6 +1009,28 @@ def _q_docs_line_dedup(sf_dir):
                              columns=["doc_id", "text"]), min_df=3)
 
 
+def _q_matching_round2(sf_dir):
+    """First TWO rounds of the deterministic Luby-style maximal
+    matching (static knuth32 edge priorities, local-minimum selection)
+    — bounded so the unrolled SQL twin replays it exactly; the full
+    fixpoint stays the rows-only ``maximal_matching`` query."""
+    from python_graphblas_ray.pipelines.matching import maximal_matching
+
+    u, v, r = maximal_matching(_edge_dataset(sf_dir), N_VERT,
+                               max_rounds=2)
+    return pa.table({"src": u, "dst": v,
+                     "val": r.astype(np.float64)})
+
+
+def _q_maximal_matching(sf_dir):
+    """Full maximal matching fixpoint (rows-only; matching + maximality
+    invariants are pytest-enforced)."""
+    from python_graphblas_ray.pipelines.matching import maximal_matching
+
+    u, v, r = maximal_matching(_edge_dataset(sf_dir), N_VERT)
+    return pa.table({"u": u, "v": v, "round": r})
+
+
 def _q_pagerank_weighted5(sf_dir):
     """Fixed-5-superstep WEIGHTED PageRank (transition ∝ a synthetic
     deterministic edge weight ``(src·7 + dst·13) % 10 + 1``): the
@@ -1678,7 +1700,8 @@ SUITES = {
     "components_suite": ["connected_components", "scc"],
     "matmul_suite": ["mxm_plus_times", "mxm_min_secondi",
                      "power2_minplus", "kronecker", "cocitation",
-                     "host_graph", "truss_peel3", "edge_sample"],
+                     "host_graph", "truss_peel3", "edge_sample",
+                     "matching_round2"],
     "hits_suite": ["hits_iter3", "salsa_iter3"],
     "apply_view_suite": ["apply_ainv", "apply_rowindex", "transpose",
                          "extract_submatrix"],
@@ -1991,6 +2014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_kmeans_iter2": _q_embed_kmeans_iter2,
         "eccentricity": _q_eccentricity,
         "docs_line_dedup": _q_docs_line_dedup,
+        "matching_round2": _q_matching_round2,
     }
     window = {
         # construction / exports
@@ -2098,6 +2122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "core_numbers": _q_core_numbers,
         "docs_ccnet_buckets": _q_docs_ccnet_buckets,
         "docs_cdc_neardup": _q_docs_cdc_neardup,
+        "maximal_matching": _q_maximal_matching,
         "embed_kmeans": _q_embed_kmeans,
         "louvain": _q_louvain,
         "docs_neardup_clusters": _q_docs_neardup_clusters,
@@ -3311,6 +3336,32 @@ def oracle_sql() -> dict[str, str]:
         "FROM cc GROUP BY 1) "
         "SELECT size, CAST(count(*) AS BIGINT) AS n_components "
         "FROM s GROUP BY 1")
+    base["matching_round2"] = (
+        # two unrolled Luby rounds: per-vertex min of the knuth32 edge
+        # priorities, edges that are local minima at BOTH endpoints
+        # match, their endpoints' edges die before round 2
+        f"{E}, und AS (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM E WHERE src <> dst), "
+        "e0 AS (SELECT a AS u, b AS v, "
+        "((a * 512 + b) * 2654435761) % 4294967296 AS p FROM und), "
+        "vm1 AS (SELECT vid, min(p) AS mp FROM ("
+        "SELECT u AS vid, p FROM e0 UNION ALL SELECT v, p FROM e0) "
+        "GROUP BY 1), "
+        "m1 AS (SELECT e.u, e.v FROM e0 e "
+        "JOIN vm1 x ON x.vid = e.u AND x.mp = e.p "
+        "JOIN vm1 y ON y.vid = e.v AND y.mp = e.p), "
+        "mv1 AS (SELECT u AS vid FROM m1 UNION SELECT v FROM m1), "
+        "e1 AS (SELECT * FROM e0 WHERE u NOT IN (SELECT vid FROM mv1) "
+        "AND v NOT IN (SELECT vid FROM mv1)), "
+        "vm2 AS (SELECT vid, min(p) AS mp FROM ("
+        "SELECT u AS vid, p FROM e1 UNION ALL SELECT v, p FROM e1) "
+        "GROUP BY 1), "
+        "m2 AS (SELECT e.u, e.v FROM e1 e "
+        "JOIN vm2 x ON x.vid = e.u AND x.mp = e.p "
+        "JOIN vm2 y ON y.vid = e.v AND y.mp = e.p) "
+        "SELECT u AS src, v AS dst, CAST(1 AS DOUBLE) AS val FROM m1 "
+        "UNION ALL "
+        "SELECT u, v, CAST(2 AS DOUBLE) FROM m2")
     base["eccentricity"] = (
         # bounded min-distance closure (t < 8 exceeds both test graphs'
         # max finite distance), then max incoming distance per vertex

@@ -51,7 +51,8 @@ SAMPLE = ["edges_build", "degree_out", "mxv_plus_times", "mxm_plus_times",
           # zero-window-cost suite riders
           "docs_bpe_tokens", "edge_sample", "degree_histogram",
           "component_sizes", "katz_iter5", "quadrilaterals",
-          "embed_kmeans_iter2", "eccentricity", "docs_line_dedup"]
+          "embed_kmeans_iter2", "eccentricity", "docs_line_dedup",
+          "matching_round2"]
 
 
 @pytest.fixture(scope="module")

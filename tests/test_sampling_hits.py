@@ -717,3 +717,44 @@ def test_quadrilateral_count_vs_bruteforce():
     src = np.array([0, 1, 2], dtype=np.int64)
     dst = np.array([1, 2, 0], dtype=np.int64)
     assert quadrilateral_count(_edges_ds(src, dst), 3) == 0
+
+
+def test_maximal_matching_invariants_and_numpy_parity():
+    """The distributed rounds equal the numpy oracle exactly, the result
+    is a matching (no shared endpoints) and maximal (every graph edge
+    touches a matched vertex); path + star hand cases."""
+    from python_graphblas_ray.pipelines.matching import (
+        maximal_matching, maximal_matching_numpy)
+
+    rng = np.random.default_rng(23)
+    n = 60
+    src = rng.integers(0, n, 220).astype(np.int64)
+    dst = rng.integers(0, n, 220).astype(np.int64)
+    u, v, r = maximal_matching(_edges_ds(src, dst), n)
+    nu, nv, nr = maximal_matching_numpy(src, dst, n)
+    key = np.lexsort((v, u))
+    nkey = np.lexsort((nv, nu))
+    assert (u[key] == nu[nkey]).all()
+    assert (v[key] == nv[nkey]).all()
+    assert (r[key] == nr[nkey]).all()
+    # matching: each vertex at most once
+    ends = np.concatenate([u, v])
+    assert len(np.unique(ends)) == len(ends)
+    # maximal: every simple edge touches a matched vertex
+    matched = np.zeros(n, dtype=bool)
+    matched[ends] = True
+    keep = src != dst
+    assert (matched[src[keep]] | matched[dst[keep]]).all()
+
+    # path 0-1-2-3: knuth32-priority local minima; result is a perfect
+    # matching of the path (2 disjoint edges)
+    ps = np.array([0, 1, 2], dtype=np.int64)
+    pd = np.array([1, 2, 3], dtype=np.int64)
+    u, v, r = maximal_matching(_edges_ds(ps, pd), 4)
+    assert len(u) == 2
+    assert len(np.unique(np.concatenate([u, v]))) == 4
+    # star: exactly one edge can match
+    ss = np.zeros(5, dtype=np.int64)
+    sd = np.arange(1, 6, dtype=np.int64)
+    u, v, r = maximal_matching(_edges_ds(ss, sd), 6)
+    assert len(u) == 1 and (r == 1).all()
