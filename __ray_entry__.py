@@ -1009,6 +1009,25 @@ def _q_docs_line_dedup(sf_dir):
                              columns=["doc_id", "text"]), min_df=3)
 
 
+def _q_docs_ttr(sf_dir):
+    """Type-token ratio (lexical diversity) per document — distinct ÷
+    total whitespace tokens, the Gopher-style quality signal."""
+    from python_graphblas_ray.stages.text import type_token_ratio
+
+    return type_token_ratio(_read(sf_dir, "documents",
+                                  columns=["doc_id", "text"]))
+
+
+def _q_events_window_distinct(sf_dir):
+    """Distinct active users per tumbling day — the COUNT(DISTINCT)
+    window aggregate (one user-keyed exchange, partials sum exactly)."""
+    from python_graphblas_ray.pipelines.windows import (
+        windowed_distinct_users)
+
+    return windowed_distinct_users(_read(sf_dir, "events",
+                                         columns=["user_id", "ts"]))
+
+
 def _q_matching_round2(sf_dir):
     """First TWO rounds of the deterministic Luby-style maximal
     matching (static knuth32 edge priorities, local-minimum selection)
@@ -1777,6 +1796,8 @@ PACKED_SUITES = {
         ("degree_histogram", [("deg", "i")], "n_vertices"),
         ("component_sizes", [("size", "i")], "n_components"),
         ("embed_kmeans_iter2", [("vec_id", "i")], "cluster"),
+        ("docs_ttr", [("doc_id", "i")], "ttr"),
+        ("events_window_distinct", [("window", "t")], "n_users"),
     ]),
     "packed_label_suite": ("str", [
         ("bowtie", [("vid", "i")], "part"),
@@ -1843,6 +1864,7 @@ def _suite_packed(specs, valkind, fnmap):
 
 def _suite_sql_packed(specs, valkind, sqlmap):
     def key_expr(col, kind):
+        col = f'"{col}"'  # quote: member aliases may be reserved words
         if kind in ("s", "i"):
             return f"CAST({col} AS VARCHAR)"
         if kind == "t":
@@ -2015,6 +2037,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eccentricity": _q_eccentricity,
         "docs_line_dedup": _q_docs_line_dedup,
         "matching_round2": _q_matching_round2,
+        "docs_ttr": _q_docs_ttr,
+        "events_window_distinct": _q_events_window_distinct,
     }
     window = {
         # construction / exports
@@ -3336,6 +3360,18 @@ def oracle_sql() -> dict[str, str]:
         "FROM cc GROUP BY 1) "
         "SELECT size, CAST(count(*) AS BIGINT) AS n_components "
         "FROM s GROUP BY 1")
+    base["docs_ttr"] = (
+        r"WITH tok AS (SELECT doc_id, unnest(string_split_regex("
+        r"COALESCE(text, ''), '\s+')) AS w FROM documents), "
+        "nz AS (SELECT doc_id, w FROM tok WHERE w <> ''), "
+        "agg AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS n, "
+        "CAST(count(DISTINCT w) AS DOUBLE) AS d FROM nz GROUP BY 1) "
+        "SELECT d0.doc_id, COALESCE(ROUND(a.d / a.n, 8), 0.0) AS ttr "
+        "FROM documents d0 LEFT JOIN agg a ON a.doc_id = d0.doc_id")
+    base["events_window_distinct"] = (
+        "SELECT date_trunc('day', ts) AS window, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+        "FROM events GROUP BY 1")
     base["matching_round2"] = (
         # two unrolled Luby rounds: per-vertex min of the knuth32 edge
         # priorities, edges that are local minima at BOTH endpoints

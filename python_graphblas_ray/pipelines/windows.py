@@ -401,3 +401,44 @@ def retention(events_ds, user_col="user_id", ts_col="ts",
         cells_part, num_partitions=num_partitions)
     return grouped_agg(partials, ["cohort_day", "day_offset"],
                        [("n", "sum", "n_users")])
+
+
+def windowed_distinct_users(events_ds, user_col="user_id", ts_col="ts",
+                            num_partitions=None):
+    """Distinct active users per tumbling day window — the
+    COUNT(DISTINCT) aggregate the plain ``windowed_aggregate`` cannot do
+    with mergeable partials. Same shape as :func:`retention`: ONE hash
+    exchange keyed by user (each user's rows land whole in one
+    partition, so per-partition distinct (user, day) pairs are globally
+    distinct and their per-day counts SUM exactly), one vectorized
+    distinct-mask pass per partition, one small grouped sum. Output is
+    one row per day, never the event stream.
+
+    Emits ``(window timestamp, n_users int64)``."""
+    from ..stages.exchange import hash_exchange_apply
+    from ..stages.reduce import grouped_agg
+
+    us_per_day = 86_400_000_000
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "window": pa.array([], pa.timestamp("us")),
+                "n": pa.array([], pa.int64()),
+            })
+        u = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // us_per_day)
+        key = np.unique(u * (day.max() + 1) + day)  # distinct (user, day)
+        days, counts = np.unique(key % (day.max() + 1),
+                                 return_counts=True)
+        return pa.table({
+            "window": pa.array(days * us_per_day).cast(
+                pa.timestamp("us")),
+            "n": counts.astype(np.int64),
+        })
+
+    partials = hash_exchange_apply(
+        events_ds.select_columns([user_col, ts_col]), user_col,
+        part, num_partitions=num_partitions)
+    return grouped_agg(partials, ["window"], [("n", "sum", "n_users")])

@@ -519,3 +519,43 @@ def ccnet_buckets(docs_ds, model=None, text_col="text", id_col="doc_id",
                                type=pa.string()))
 
     return scored.map_batches(label, batch_format="pyarrow")
+
+
+def type_token_ratio(docs_ds, text_col="text", id_col="doc_id"):
+    """Lexical diversity (type-token ratio): distinct whitespace tokens
+    ÷ total tokens per document — the Gopher-style repetition/quality
+    signal next to ``repetition_score`` (templated or keyword-stuffed
+    pages score low, prose high). One Arrow RE2 ``split_pattern_regex``
+    pass per batch (byte-matched by DuckDB ``string_split_regex``), then
+    a fully vectorized per-batch distinct count: lexsort (doc, token) +
+    first-occurrence mask + bincount — no per-row Python. Docs with no
+    tokens (null/whitespace-only text) get 0.0.
+
+    Emits ``(id_col, ttr float64)`` rounded to 8 decimals."""
+    import pyarrow.compute as pc
+
+    def ttr(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern_regex(pc.fill_null(texts, ""), r"\s+")
+        words = lists.flatten().to_numpy(zero_copy_only=False)
+        counts = np.diff(lists.offsets.to_numpy(zero_copy_only=False))
+        doc = np.repeat(np.arange(len(counts)), counts)
+        keep = words != ""
+        words, doc = words[keep], doc[keep]
+        n = np.bincount(doc, minlength=len(ids)).astype(np.float64)
+        order = np.lexsort((words, doc))
+        dw, dd = words[order], doc[order]
+        first = np.empty(len(dw), dtype=bool)
+        if len(dw):
+            first[0] = True
+            first[1:] = (dd[1:] != dd[:-1]) | (dw[1:] != dw[:-1])
+        d = np.bincount(dd[first], minlength=len(ids)).astype(np.float64)
+        out = np.zeros(len(ids), dtype=np.float64)
+        nz = n > 0
+        out[nz] = np.round(d[nz] / n[nz], 8)
+        return pa.table({id_col: ids, "ttr": out})
+
+    return docs_ds.map_batches(ttr, batch_format="pyarrow")

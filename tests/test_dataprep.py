@@ -1026,3 +1026,50 @@ def test_dedup_lines_boilerplate_removal():
                                      min_df=99).take_all()}
     assert keep_all[0] == "NAV\nalpha prose\nFOOTER"
     assert keep_all[2] == "solo\nsolo\nsolo"
+
+
+def test_type_token_ratio_hand_cases():
+    import pyarrow as pa
+    import ray
+
+    from python_graphblas_ray.stages.text import type_token_ratio
+
+    docs = pa.table({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["a b c d",          # all distinct -> 1.0
+                 "a a a a",          # one type -> 0.25
+                 "x y x y",          # 2/4
+                 None,               # no tokens -> 0.0
+                 "   "],             # whitespace-only -> 0.0
+    })
+    out = {r["doc_id"]: r["ttr"]
+           for r in type_token_ratio(ray.data.from_arrow(docs)).take_all()}
+    assert out[0] == 1.0
+    assert out[1] == 0.25
+    assert out[2] == 0.5
+    assert out[3] == 0.0
+    assert out[4] == 0.0
+
+
+def test_windowed_distinct_users_vs_bruteforce():
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from python_graphblas_ray.pipelines.windows import (
+        windowed_distinct_users)
+
+    rng = np.random.default_rng(5)
+    n_ev = 3000
+    us_day = 86_400_000_000
+    users = rng.integers(0, 80, n_ev).astype(np.int64)
+    ts = (rng.integers(0, 10, n_ev) * us_day
+          + rng.integers(0, us_day, n_ev)).astype("datetime64[us]")
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": users, "ts": pa.array(ts)}))
+    got = {np.datetime64(r["window"], "us").astype(np.int64): r["n_users"]
+           for r in windowed_distinct_users(ds).take_all()}
+    days = ts.astype("datetime64[D]").astype(np.int64)
+    want = {int(d) * us_day: len(np.unique(users[days == d]))
+            for d in np.unique(days)}
+    assert got == want
