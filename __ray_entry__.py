@@ -1009,6 +1009,33 @@ def _q_docs_line_dedup(sf_dir):
                              columns=["doc_id", "text"]), min_df=3)
 
 
+def _q_random_walk2(sf_dir):
+    """TWO deterministic random-walk steps from every vertex over the
+    DEDUPED in-adjacency (the dedupe build lexsorts (src, dst), so each
+    vertex's pinned neighbor list is src-ascending — the SQL-replicable
+    layout): walker w at v steps to neighbor ``splitmix64(w + step·2³²)
+    mod deg(v)`` (seed 0 keeps the hash input pure addition). The DuckDB
+    twin replays splitmix64 exactly with HUGEINT mod-2⁶⁴ arithmetic —
+    see ``_SM64_STAGES`` — making the seeded-RNG walk family
+    hash-verifiable, not just rows-checked. Walkers at in-degree-0
+    vertices park at -1."""
+    from python_graphblas_ray.pipelines.algorithms import build_engine
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4,
+                       dedupe=True)
+    try:
+        walks = eng.random_walks(np.arange(N_VERT, dtype=np.int64), 2,
+                                 seed=0)
+    finally:
+        eng.shutdown()
+    n, L = walks.shape
+    return pa.table({
+        "w": np.repeat(np.arange(n, dtype=np.int64), L),
+        "step": np.tile(np.arange(L, dtype=np.int64), n),
+        "vid": walks.reshape(-1),
+    })
+
+
 def _q_docs_ttr(sf_dir):
     """Type-token ratio (lexical diversity) per document — distinct ÷
     total whitespace tokens, the Gopher-style quality signal."""
@@ -1798,6 +1825,7 @@ PACKED_SUITES = {
         ("embed_kmeans_iter2", [("vec_id", "i")], "cluster"),
         ("docs_ttr", [("doc_id", "i")], "ttr"),
         ("events_window_distinct", [("window", "t")], "n_users"),
+        ("random_walk2", [("w", "i"), ("step", "i")], "vid"),
     ]),
     "packed_label_suite": ("str", [
         ("bowtie", [("vid", "i")], "part"),
@@ -2039,6 +2067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matching_round2": _q_matching_round2,
         "docs_ttr": _q_docs_ttr,
         "events_window_distinct": _q_events_window_distinct,
+        "random_walk2": _q_random_walk2,
     }
     window = {
         # construction / exports
@@ -3360,6 +3389,65 @@ def oracle_sql() -> dict[str, str]:
         "FROM cc GROUP BY 1) "
         "SELECT size, CAST(count(*) AS BIGINT) AS n_components "
         "FROM s GROUP BY 1")
+    # splitmix64 in SQL: uint64 values live as non-negative HUGEINTs;
+    # xor round-trips through the BIGINT bit pattern, multiplication
+    # decomposes 32/32 so the 128-bit intermediate never overflows,
+    # right-shifts are integer division by a LITERAL power of two
+    # (HUGEINT ** returns DOUBLE — off-by-one hazard). Verified equal to
+    # numpy's splitmix64 on edge cases incl. 2^64-1.
+    M64 = "18446744073709551616"
+
+    def _u64(e):
+        return f"((({e}) % {M64} + {M64}) % {M64})"
+
+    def _tos(e):
+        return (f"CAST(CASE WHEN ({e}) >= 9223372036854775808 "
+                f"THEN ({e}) - {M64} ELSE ({e}) END AS BIGINT)")
+
+    def _bx(a, b):
+        return _u64(f"CAST(xor({_tos(a)}, {_tos(b)}) AS HUGEINT)")
+
+    def _mulmod(a, c):
+        hi = _u64(f"{_u64(f'(({a}) // 4294967296) * {c}')} * 4294967296")
+        lo = _u64(f"(({a}) % 4294967296) * {c}")
+        return _u64(f"{hi} + {lo}")
+
+    def _sm64_stages(tag, cur, add_const):
+        """CTE stages computing h = splitmix64(w + add_const) for every
+        row of ``cur`` (cols w, pos) — one intermediate per stage so no
+        expression blow-up."""
+        return (
+            f"{tag}a AS (SELECT w, pos, "
+            f"{_u64(f'CAST(w AS HUGEINT) + {add_const} + 11400714819323198485')} AS z FROM {cur}), "
+            f"{tag}b AS (SELECT w, pos, {_bx('z', 'z // 1073741824')} AS y FROM {tag}a), "
+            f"{tag}c AS (SELECT w, pos, {_mulmod('y', '13787848793156543929')} AS z FROM {tag}b), "
+            f"{tag}d AS (SELECT w, pos, {_bx('z', 'z // 134217728')} AS y FROM {tag}c), "
+            f"{tag}e AS (SELECT w, pos, {_mulmod('y', '10723151780598845931')} AS z FROM {tag}d), "
+            f"{tag}f AS (SELECT w, pos, {_bx('z', 'z // 2147483648')} AS h FROM {tag}e)")
+
+    def _walk_step(out, cur_h):
+        return (
+            f"{out} AS (SELECT s.w, CAST(CASE WHEN s.pos < 0 THEN -1 "
+            "WHEN d.dg IS NULL THEN -1 ELSE n.nb END AS BIGINT) AS pos "
+            f"FROM {cur_h} s LEFT JOIN deg d ON d.v = s.pos "
+            f"LEFT JOIN nbr n ON n.v = s.pos AND n.rk = (s.h % d.dg))")
+
+    base["random_walk2"] = (
+        "WITH D AS (SELECT DISTINCT l_orderkey % 512 AS src, "
+        "l_partkey % 512 AS dst FROM lineitem), "
+        "V AS (SELECT CAST(range AS BIGINT) AS vid FROM range(512)), "
+        "deg AS (SELECT dst AS v, CAST(count(*) AS HUGEINT) AS dg "
+        "FROM D GROUP BY 1), "
+        "nbr AS (SELECT dst AS v, src AS nb, CAST(row_number() OVER ("
+        "PARTITION BY dst ORDER BY src) - 1 AS HUGEINT) AS rk FROM D), "
+        "w0 AS (SELECT vid AS w, vid AS pos FROM V), "
+        + _sm64_stages("s0", "w0", "0") + ", "
+        + _walk_step("w1", "s0f") + ", "
+        + _sm64_stages("s1", "w1", "4294967296") + ", "
+        + _walk_step("w2", "s1f") + " "
+        "SELECT w, CAST(0 AS BIGINT) AS step, pos AS vid FROM w0 "
+        "UNION ALL SELECT w, 1, pos FROM w1 "
+        "UNION ALL SELECT w, 2, pos FROM w2")
     base["docs_ttr"] = (
         r"WITH tok AS (SELECT doc_id, unnest(string_split_regex("
         r"COALESCE(text, ''), '\s+')) AS w FROM documents), "

@@ -52,7 +52,8 @@ SAMPLE = ["edges_build", "degree_out", "mxv_plus_times", "mxm_plus_times",
           "docs_bpe_tokens", "edge_sample", "degree_histogram",
           "component_sizes", "katz_iter5", "quadrilaterals",
           "embed_kmeans_iter2", "eccentricity", "docs_line_dedup",
-          "matching_round2", "docs_ttr", "events_window_distinct"]
+          "matching_round2", "docs_ttr", "events_window_distinct",
+          "random_walk2"]
 
 
 @pytest.fixture(scope="module")
