@@ -1826,6 +1826,7 @@ PACKED_SUITES = {
         ("docs_ttr", [("doc_id", "i")], "ttr"),
         ("events_window_distinct", [("window", "t")], "n_users"),
         ("random_walk2", [("w", "i"), ("step", "i")], "vid"),
+        ("events_hll_distinct", [("event_type", "s")], "approx_distinct"),
     ]),
     "packed_label_suite": ("str", [
         ("bowtie", [("vid", "i")], "part"),
@@ -2068,6 +2069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ttr": _q_docs_ttr,
         "events_window_distinct": _q_events_window_distinct,
         "random_walk2": _q_random_walk2,
+        "events_hll_distinct": _q_events_hll,
     }
     window = {
         # construction / exports
@@ -3412,18 +3414,23 @@ def oracle_sql() -> dict[str, str]:
         lo = _u64(f"(({a}) % 4294967296) * {c}")
         return _u64(f"{hi} + {lo}")
 
-    def _sm64_stages(tag, cur, add_const):
-        """CTE stages computing h = splitmix64(w + add_const) for every
-        row of ``cur`` (cols w, pos) — one intermediate per stage so no
-        expression blow-up."""
+    def _sm64_stages_cols(tag, cur, carry, x_expr):
+        """CTE stages computing h = splitmix64(x_expr) for every row of
+        ``cur``, carrying the ``carry`` columns through — one
+        intermediate per stage so no expression blow-up."""
+        c = "".join(f"{col}, " for col in carry)
         return (
-            f"{tag}a AS (SELECT w, pos, "
-            f"{_u64(f'CAST(w AS HUGEINT) + {add_const} + 11400714819323198485')} AS z FROM {cur}), "
-            f"{tag}b AS (SELECT w, pos, {_bx('z', 'z // 1073741824')} AS y FROM {tag}a), "
-            f"{tag}c AS (SELECT w, pos, {_mulmod('y', '13787848793156543929')} AS z FROM {tag}b), "
-            f"{tag}d AS (SELECT w, pos, {_bx('z', 'z // 134217728')} AS y FROM {tag}c), "
-            f"{tag}e AS (SELECT w, pos, {_mulmod('y', '10723151780598845931')} AS z FROM {tag}d), "
-            f"{tag}f AS (SELECT w, pos, {_bx('z', 'z // 2147483648')} AS h FROM {tag}e)")
+            f"{tag}a AS (SELECT {c}"
+            f"{_u64(f'{x_expr} + 11400714819323198485')} AS z FROM {cur}), "
+            f"{tag}b AS (SELECT {c}{_bx('z', 'z // 1073741824')} AS y FROM {tag}a), "
+            f"{tag}c AS (SELECT {c}{_mulmod('y', '13787848793156543929')} AS z FROM {tag}b), "
+            f"{tag}d AS (SELECT {c}{_bx('z', 'z // 134217728')} AS y FROM {tag}c), "
+            f"{tag}e AS (SELECT {c}{_mulmod('y', '10723151780598845931')} AS z FROM {tag}d), "
+            f"{tag}f AS (SELECT {c}{_bx('z', 'z // 2147483648')} AS h FROM {tag}e)")
+
+    def _sm64_stages(tag, cur, add_const):
+        return _sm64_stages_cols(tag, cur, ["w", "pos"],
+                                 f"CAST(w AS HUGEINT) + {add_const}")
 
     def _walk_step(out, cur_h):
         return (
@@ -3448,6 +3455,33 @@ def oracle_sql() -> dict[str, str]:
         "SELECT w, CAST(0 AS BIGINT) AS step, pos AS vid FROM w0 "
         "UNION ALL SELECT w, 1, pos FROM w1 "
         "UNION ALL SELECT w, 2, pos FROM w2")
+    # HLL (p=12) replayed exactly: same splitmix64, top-12-bit bucket,
+    # leading-zero rank via bin() length, bias-corrected estimate with
+    # the linear-counting small-range correction. Zero registers
+    # contribute 2^0 = 1 each to the harmonic sum ((4096 - n_present)).
+    _hll_alpha = repr(0.7213 / (1 + 1.079 / 4096))
+    base["events_hll_distinct"] = (
+        "WITH u AS (SELECT DISTINCT event_type, user_id FROM events), "
+        "u0 AS (SELECT event_type, CAST(user_id AS HUGEINT) AS x "
+        "FROM u), "
+        + _sm64_stages_cols("hh", "u0", ["event_type"], "x") + ", "
+        "rr AS (SELECT event_type, "
+        "CAST(CAST(h AS HUGEINT) // 4503599627370496 AS BIGINT) AS idx, "
+        + _u64("CAST(h AS HUGEINT) * 4096") + " AS rest FROM hhf), "
+        "rk AS (SELECT event_type, idx, CASE WHEN rest = 0 THEN 53 "
+        "ELSE LEAST(64 - (CASE WHEN rest >= 9223372036854775808 THEN 63 "
+        "ELSE length(bin(CAST(rest AS BIGINT))) - 1 END), 53) END "
+        "AS rank FROM rr), "
+        "reg AS (SELECT event_type, idx, max(rank) AS r FROM rk "
+        "GROUP BY 1, 2), "
+        "stats AS (SELECT event_type, sum(pow(2.0, -r)) AS s, "
+        "count(*) AS np FROM reg GROUP BY 1), "
+        f"est AS (SELECT event_type, CAST({_hll_alpha} AS DOUBLE) "
+        "* 4096 * 4096 / (s + (4096 - np)) AS e, "
+        "4096 - np AS zeros FROM stats) "
+        "SELECT event_type, CAST(round(CASE WHEN zeros > 0 "
+        "AND e <= 10240.0 THEN 4096 * ln(4096.0 / zeros) ELSE e END) "
+        "AS BIGINT) AS approx_distinct FROM est")
     base["docs_ttr"] = (
         r"WITH tok AS (SELECT doc_id, unnest(string_split_regex("
         r"COALESCE(text, ''), '\s+')) AS w FROM documents), "
