@@ -1036,6 +1036,23 @@ def _q_random_walk2(sf_dir):
     })
 
 
+def _q_sample_neighbors3(sf_dir):
+    """GraphSAGE-style fanout sampling: up to 3 DISTINCT in-neighbors
+    per vertex from the deduped pinned adjacency — a hashed contiguous
+    window ``(splitmix64(vid) % deg + 0..2) % deg`` over the
+    src-ascending neighbor segment, replayed exactly by the SQL twin."""
+    from python_graphblas_ray.pipelines.algorithms import build_engine
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4,
+                       dedupe=True)
+    try:
+        v, nb = eng.sample_neighbors(np.arange(N_VERT, dtype=np.int64),
+                                     3, seed=0)
+    finally:
+        eng.shutdown()
+    return pa.table({"vid": v, "neighbor": nb})
+
+
 def _q_docs_ttr(sf_dir):
     """Type-token ratio (lexical diversity) per document — distinct ÷
     total whitespace tokens, the Gopher-style quality signal."""
@@ -1827,6 +1844,7 @@ PACKED_SUITES = {
         ("events_window_distinct", [("window", "t")], "n_users"),
         ("random_walk2", [("w", "i"), ("step", "i")], "vid"),
         ("events_hll_distinct", [("event_type", "s")], "approx_distinct"),
+        ("sample_neighbors3", [("vid", "i")], "neighbor"),
     ]),
     "packed_label_suite": ("str", [
         ("bowtie", [("vid", "i")], "part"),
@@ -2070,6 +2088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_distinct": _q_events_window_distinct,
         "random_walk2": _q_random_walk2,
         "events_hll_distinct": _q_events_hll,
+        "sample_neighbors3": _q_sample_neighbors3,
     }
     window = {
         # construction / exports
@@ -3455,6 +3474,25 @@ def oracle_sql() -> dict[str, str]:
         "SELECT w, CAST(0 AS BIGINT) AS step, pos AS vid FROM w0 "
         "UNION ALL SELECT w, 1, pos FROM w1 "
         "UNION ALL SELECT w, 2, pos FROM w2")
+    base["sample_neighbors3"] = (
+        # fanout sample: window start = splitmix64(vid) % deg, then k=3
+        # consecutive ranks (mod deg) over the src-ascending neighbors
+        "WITH D AS (SELECT DISTINCT l_orderkey % 512 AS src, "
+        "l_partkey % 512 AS dst FROM lineitem), "
+        "deg AS (SELECT dst AS v, CAST(count(*) AS HUGEINT) AS dg "
+        "FROM D GROUP BY 1), "
+        "nbr AS (SELECT dst AS v, src AS nb, CAST(row_number() OVER ("
+        "PARTITION BY dst ORDER BY src) - 1 AS HUGEINT) AS rk FROM D), "
+        "q AS (SELECT v AS w, v AS pos, CAST(v AS HUGEINT) AS x "
+        "FROM deg), "
+        + _sm64_stages_cols("sn", "q", ["w", "pos"], "x") + ", "
+        "st AS (SELECT s.w AS v, (s.h % d.dg) AS st, "
+        "LEAST(d.dg, 3) AS take, d.dg FROM snf s "
+        "JOIN deg d ON d.v = s.w), "
+        "sel AS (SELECT v, (st + j) % dg AS rk FROM st, "
+        "unnest(generate_series(0, CAST(take AS BIGINT) - 1)) AS t(j)) "
+        "SELECT sel.v AS vid, n.nb AS neighbor FROM sel "
+        "JOIN nbr n ON n.v = sel.v AND n.rk = sel.rk")
     # HLL (p=12) replayed exactly: same splitmix64, top-12-bit bucket,
     # leading-zero rank via bin() length, bias-corrected estimate with
     # the linear-counting small-range correction. Zero registers
