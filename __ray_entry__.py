@@ -694,6 +694,31 @@ def _q_mis(sf_dir):
                      "in_mis": mis.astype(np.int64)})
 
 
+def _q_color_first2(sf_dir):
+    """First TWO color classes of the iterated-MIS greedy coloring
+    (Jones-Plassmann family): color 0 = the MIS, color 1 = the MIS of
+    the graph induced on the uncolored rest — both replayed by the SQL
+    oracle's doubled Luby-round recursion; everything later stays the
+    rows-only ``greedy_color``. Output: (vid, col) with col ∈
+    {0, 1, -1 (not yet colored)}."""
+    from python_graphblas_ray.pipelines.algorithms import (
+        build_engine, maximal_independent_set)
+    from python_graphblas_ray.pipelines.triangles import simple_undirected
+
+    A = simple_undirected(_edge_dataset(sf_dir), N_VERT)
+    eng = build_engine(A.ds, N_VERT, num_partitions=4)
+    try:
+        col = np.full(N_VERT, -1, dtype=np.int64)
+        c0, _, _ = maximal_independent_set(eng)
+        col[c0] = 0
+        c1, _, _ = maximal_independent_set(eng, active_init=col < 0)
+        col[c1] = 1
+    finally:
+        eng.shutdown()
+    return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
+                     "col": col})
+
+
 def _q_greedy_color(sf_dir):
     """Distance-1 coloring by iterated MIS (deterministic); rows-only —
     validity + engine==numpy parity are pytest-checked."""
@@ -1839,12 +1864,18 @@ PACKED_SUITES = {
         ("docs_bpe_tokens", [("doc_id", "i")], "n_bpe_tokens"),
         ("degree_histogram", [("deg", "i")], "n_vertices"),
         ("component_sizes", [("size", "i")], "n_components"),
-        ("embed_kmeans_iter2", [("vec_id", "i")], "cluster"),
         ("docs_ttr", [("doc_id", "i")], "ttr"),
         ("events_window_distinct", [("window", "t")], "n_users"),
+    ]),
+    # the splitmix64/knuth32 hash-replay family (seeded sampling and
+    # bounded stochastic rounds) — its own slot so a member failure
+    # can't take down the metric suite's row
+    "packed_sample_suite": ("double", [
         ("random_walk2", [("w", "i"), ("step", "i")], "vid"),
         ("events_hll_distinct", [("event_type", "s")], "approx_distinct"),
         ("sample_neighbors3", [("vid", "i")], "neighbor"),
+        ("embed_kmeans_iter2", [("vec_id", "i")], "cluster"),
+        ("color_first2", [("vid", "i")], "col"),
     ]),
     "packed_label_suite": ("str", [
         ("bowtie", [("vid", "i")], "part"),
@@ -2089,6 +2120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walk2": _q_random_walk2,
         "events_hll_distinct": _q_events_hll,
         "sample_neighbors3": _q_sample_neighbors3,
+        "color_first2": _q_color_first2,
     }
     window = {
         # construction / exports
@@ -2113,6 +2145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             PACKED_SUITES["packed_metric_suite"][1], "double", members),
         "packed_label_suite": _suite_packed(
             PACKED_SUITES["packed_label_suite"][1], "str", members),
+        "packed_sample_suite": _suite_packed(
+            PACKED_SUITES["packed_sample_suite"][1], "double", members),
         # elementwise / select
         "ewise_suite": _suite([(n, members[n])
                                for n in SUITES["ewise_suite"]]),
@@ -3474,6 +3508,49 @@ def oracle_sql() -> dict[str, str]:
         "SELECT w, CAST(0 AS BIGINT) AS step, pos AS vid FROM w0 "
         "UNION ALL SELECT w, 1, pos FROM w1 "
         "UNION ALL SELECT w, 2, pos FROM w2")
+    # one Luby-MIS fixpoint (act rounds + post-hoc selection) seeded
+    # from an arbitrary vertex-set CTE — doubled below for the first
+    # two greedy-coloring classes (same template as the "mis" oracle)
+    def _mis_block(sfx, seed_cte):
+        K = "9223372036854775807"
+
+        def pr(v):
+            return f"(({v} * 2654435761) % 4294967296)"
+
+        return (
+            f"act{sfx}(it, vid) AS ("
+            f"SELECT 0, vid FROM {seed_cte} "
+            "UNION ALL "
+            f"SELECT a.it + 1, a.vid FROM act{sfx} a WHERE a.it < 64 "
+            f"AND NOT ({pr('a.vid')} < COALESCE((SELECT min({pr('b.vid')}) "
+            f"FROM S e JOIN act{sfx} b ON b.vid = e.dst AND b.it = a.it "
+            f"WHERE e.src = a.vid), {K})) "
+            "AND NOT EXISTS ("
+            f"SELECT 1 FROM S e1 JOIN act{sfx} u ON u.vid = e1.dst "
+            f"AND u.it = a.it WHERE e1.src = a.vid AND {pr('u.vid')} < "
+            f"COALESCE((SELECT min({pr('w.vid')}) FROM S e2 "
+            f"JOIN act{sfx} w ON w.vid = e2.dst AND w.it = u.it "
+            f"WHERE e2.src = u.vid), {K}))), "
+            f"sel{sfx} AS (SELECT DISTINCT a.vid FROM act{sfx} a "
+            f"WHERE {pr('a.vid')} < COALESCE((SELECT min({pr('b.vid')}) "
+            f"FROM S e JOIN act{sfx} b ON b.vid = e.dst AND b.it = a.it "
+            f"WHERE e.src = a.vid), {K}))")
+
+    base["color_first2"] = (
+        "WITH RECURSIVE E AS (SELECT l_orderkey % 512 AS src, "
+        "l_partkey % 512 AS dst FROM lineitem GROUP BY 1, 2), "
+        "U AS (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM E WHERE src <> dst), "
+        "S AS (SELECT a AS src, b AS dst FROM U "
+        "UNION ALL SELECT b, a FROM U), "
+        "V AS (SELECT range::BIGINT AS vid FROM range(512)), "
+        + _mis_block("1", "V") + ", "
+        "V1 AS (SELECT vid FROM V WHERE vid NOT IN "
+        "(SELECT vid FROM sel1)), "
+        + _mis_block("2", "V1") + " "
+        "SELECT v.vid, CAST(CASE WHEN v.vid IN (SELECT vid FROM sel1) "
+        "THEN 0 WHEN v.vid IN (SELECT vid FROM sel2) THEN 1 "
+        "ELSE -1 END AS BIGINT) AS col FROM V v")
     base["sample_neighbors3"] = (
         # fanout sample: window start = splitmix64(vid) % deg, then k=3
         # consecutive ranks (mod deg) over the src-ascending neighbors

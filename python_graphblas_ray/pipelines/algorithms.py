@@ -893,7 +893,8 @@ def _knuth32(v: np.ndarray) -> np.ndarray:
 
 
 def maximal_independent_set(engine: SuperstepEngine,
-                            metrics: SuperstepMetrics | None = None):
+                            metrics: SuperstepMetrics | None = None,
+                            active_init=None):
     """Maximal independent set — Luby's algorithm with STATIC injective
     priorities (deterministic: equals the sequential greedy MIS in
     priority order). Engine must be undirected and SIMPLE (no self-loops;
@@ -906,11 +907,17 @@ def maximal_independent_set(engine: SuperstepEngine,
     their neighbors. Expected O(log n) rounds on random-ish priorities;
     two spmv supersteps + O(n) driver masks per round.
 
+    ``active_init``: optional bool[n] restricting the MIS to the graph
+    induced on these vertices (inactive vertices carry +inf priority so
+    they never win nor block — exactly the induced-subgraph semantics
+    the iterated-MIS coloring needs per color class).
+
     Returns ``(in_mis: bool[n], rounds, metrics)``."""
     metrics = metrics or SuperstepMetrics()
     n = engine.n
     prio = _knuth32(np.arange(n, dtype=np.int64)).astype(np.float64)
-    active = np.ones(n, dtype=bool)
+    active = (np.ones(n, dtype=bool) if active_init is None
+              else np.asarray(active_init, dtype=bool).copy())
     in_mis = np.zeros(n, dtype=bool)
     rounds = 0
     while active.any():
@@ -963,25 +970,17 @@ def greedy_color(engine: SuperstepEngine,
     Returns ``(color: int64[n] (0-based), n_colors, metrics)``."""
     metrics = metrics or SuperstepMetrics()
     n = engine.n
-    prio = _knuth32(np.arange(n, dtype=np.int64)).astype(np.float64)
     color = np.full(n, -1, dtype=np.int64)
     uncolored = np.ones(n, dtype=bool)
     k = 0
     while uncolored.any():
         if k >= max_colors:
             raise ValueError("exceeded max_colors — self-loops?")
-        # one MIS pass restricted to uncolored vertices
-        active = uncolored.copy()
-        while active.any():
-            p = np.where(active, prio, np.inf)
-            mn = engine.spmv("min_second", p)
-            sel = active & (p < np.where(np.isfinite(mn), mn, np.inf))
-            if not sel.any():
-                raise ValueError(
-                    "coloring made no progress — self-loops?")
-            nb_sel = engine.spmv("max_second", sel.astype(np.float64))
-            color[sel] = k
-            active &= ~(sel | (np.nan_to_num(nb_sel, neginf=0.0) > 0))
+        # one MIS pass restricted to uncolored vertices (shared kernel —
+        # the bounded color_first2 oracle replays exactly these passes)
+        sel, _, _ = maximal_independent_set(engine,
+                                            active_init=uncolored)
+        color[sel] = k
         uncolored = color < 0
         metrics.record(k, algorithm="greedy_color",
                        colored=int((color == k).sum()),

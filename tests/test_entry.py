@@ -53,7 +53,8 @@ SAMPLE = ["edges_build", "degree_out", "mxv_plus_times", "mxm_plus_times",
           "component_sizes", "katz_iter5", "quadrilaterals",
           "embed_kmeans_iter2", "eccentricity", "docs_line_dedup",
           "matching_round2", "docs_ttr", "events_window_distinct",
-          "random_walk2", "events_hll_distinct", "sample_neighbors3"]
+          "random_walk2", "events_hll_distinct", "sample_neighbors3",
+          "color_first2", "packed_sample_suite"]
 
 
 @pytest.fixture(scope="module")
