@@ -1078,6 +1078,19 @@ def _q_sample_neighbors3(sf_dir):
     return pa.table({"vid": v, "neighbor": nb})
 
 
+def _q_minhash_sig4(sf_dir):
+    """4-permutation MinHash signatures over vocabulary ranks — the
+    SQL-replayable MinHash variant (perm i hashes a token as
+    splitmix64(rank + i·2³²)); the per-actor-salted LSH pipeline stays
+    the rows-only scale default."""
+    from python_graphblas_ray.pipelines.dedup import (
+        minhash_vocab_signatures)
+
+    return minhash_vocab_signatures(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        num_hashes=4)
+
+
 def _q_docs_ttr(sf_dir):
     """Type-token ratio (lexical diversity) per document — distinct ÷
     total whitespace tokens, the Gopher-style quality signal."""
@@ -1876,6 +1889,7 @@ PACKED_SUITES = {
         ("sample_neighbors3", [("vid", "i")], "neighbor"),
         ("embed_kmeans_iter2", [("vec_id", "i")], "cluster"),
         ("color_first2", [("vid", "i")], "col"),
+        ("minhash_sig4", [("doc_id", "i"), ("sig", "i")], "h"),
     ]),
     "packed_label_suite": ("str", [
         ("bowtie", [("vid", "i")], "part"),
@@ -2121,6 +2135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hll_distinct": _q_events_hll,
         "sample_neighbors3": _q_sample_neighbors3,
         "color_first2": _q_color_first2,
+        "minhash_sig4": _q_minhash_sig4,
     }
     window = {
         # construction / exports
@@ -3508,6 +3523,29 @@ def oracle_sql() -> dict[str, str]:
         "SELECT w, CAST(0 AS BIGINT) AS step, pos AS vid FROM w0 "
         "UNION ALL SELECT w, 1, pos FROM w1 "
         "UNION ALL SELECT w, 2, pos FROM w2")
+    base["minhash_sig4"] = (
+        # MinHash over vocabulary ranks: dense rank of the sorted
+        # distinct tokens is the permutation seed (UTF-8 byte order ==
+        # numpy's searchsorted order), hashed per permutation with the
+        # same splitmix64 stages; signatures stay exact-integer as the
+        # signed-int64 bit pattern of the uint64 minimum.
+        r"WITH tok AS (SELECT doc_id, unnest(string_split_regex("
+        r"COALESCE(text, ''), '\s+')) AS w FROM documents), "
+        "nz AS (SELECT doc_id, w FROM tok WHERE w <> ''), "
+        "voc AS (SELECT w, CAST(row_number() OVER (ORDER BY w) - 1 "
+        "AS HUGEINT) AS vid FROM (SELECT DISTINCT w FROM nz)), "
+        "tv AS (SELECT n.doc_id, v.vid FROM nz n JOIN voc v "
+        "ON v.w = n.w), "
+        "th AS (SELECT doc_id, hx, "
+        "vid + CAST(hx AS HUGEINT) * 4294967296 AS x FROM tv, "
+        "unnest(generate_series(0, 3)) AS t(hx)), "
+        + _sm64_stages_cols("mh", "th", ["doc_id", "hx"], "x") + ", "
+        "mins AS (SELECT doc_id, hx, min(h) AS m FROM mhf "
+        "GROUP BY 1, 2) "
+        "SELECT doc_id, CAST(hx AS BIGINT) AS h, "
+        "CAST(CASE WHEN m >= 9223372036854775808 "
+        "THEN m - 18446744073709551616 ELSE m END AS BIGINT) AS sig "
+        "FROM mins")
     # one Luby-MIS fixpoint (act rounds + post-hoc selection) seeded
     # from an arbitrary vertex-set CTE — doubled below for the first
     # two greedy-coloring classes (same template as the "mis" oracle)

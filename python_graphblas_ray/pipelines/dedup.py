@@ -1326,3 +1326,85 @@ def dedup_lines(docs_ds, min_df=2, text_col="text", id_col="doc_id",
         return pa.table({id_col: ids, "clean_text": clean})
 
     return docs_ds.map_batches(rebuild, batch_format="pyarrow")
+
+
+def minhash_vocab_signatures(docs_ds, num_hashes=4, text_col="text",
+                             id_col="doc_id"):
+    """MinHash signatures over VOCABULARY RANKS — the SQL-replayable
+    member of the MinHash family (the LSH pipeline's per-actor-salted
+    variant stays the scale default). Permutation i hashes token t as
+    ``splitmix64(rank(t) + i·2³²)`` where rank = the token's position in
+    the sorted distinct-token vocabulary of the corpus (a deterministic,
+    engine-independent permutation seed); a doc's signature component i
+    is the minimum over its tokens.
+
+    Two passes: one distinct-token exchange builds the sorted vocabulary
+    (driver state, broadcast once — the same word→vid map pattern
+    textrank uses; documented caveat: vocabulary must fit the driver),
+    then a single vectorized batch pass — searchsorted token→rank, a
+    (tokens × H) splitmix matrix, per-doc mins via ``np.minimum.at``.
+
+    Emits ``(id_col, h int64, sig int64)`` — ``sig`` is the uint64 hash
+    reinterpreted as a signed int64 bit pattern (exact in SQL; a DOUBLE
+    cast would lose bits). Docs with no tokens emit no rows.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.monoids import monoid
+    from ..stages.reduce import groupby_monoid
+    from ..state.superstep import _splitmix64
+
+    def tokens_of(batch: pa.Table):
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern_regex(pc.fill_null(texts, ""), r"\s+")
+        words = lists.flatten().to_numpy(zero_copy_only=False)
+        counts = np.diff(lists.offsets.to_numpy(zero_copy_only=False))
+        doc = np.repeat(np.arange(len(counts)), counts)
+        keep = words != ""
+        return words[keep], doc[keep]
+
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        words, _ = tokens_of(batch)
+        return pa.table({"w": np.unique(words),
+                         "one": np.ones(len(np.unique(words)),
+                                        dtype=np.int64)})
+
+    vocab_parts = [
+        b["w"].to_numpy(zero_copy_only=False)
+        for b in groupby_monoid(
+            docs_ds.map_batches(vocab_partial, batch_format="pyarrow"),
+            ["w"], "one", monoid.any).iter_batches(batch_format="pyarrow")
+        if b.num_rows]
+    vocab = (np.unique(np.concatenate(vocab_parts)) if vocab_parts
+             else np.array([], dtype=object))
+    vocab_ref = ray.put(vocab)
+    H = int(num_hashes)
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        voc = ray.get(vocab_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        words, doc = tokens_of(batch)
+        if not len(words):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "h": pa.array([], pa.int64()),
+                             "sig": pa.array([], pa.int64())})
+        vid = np.searchsorted(voc, words).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            hm = _splitmix64(vid[:, None]
+                             + (np.arange(H, dtype=np.uint64)
+                                << np.uint64(32))[None, :])
+        mins = np.full((len(ids), H), np.iinfo(np.uint64).max,
+                       dtype=np.uint64)
+        np.minimum.at(mins, doc, hm)
+        present = np.bincount(doc, minlength=len(ids)) > 0
+        rows = np.flatnonzero(present)
+        return pa.table({
+            id_col: np.repeat(ids[rows], H),
+            "h": np.tile(np.arange(H, dtype=np.int64), len(rows)),
+            "sig": mins[rows].reshape(-1).view(np.int64),
+        })
+
+    return docs_ds.map_batches(sigs, batch_format="pyarrow")
