@@ -1091,6 +1091,17 @@ def _q_minhash_sig4(sf_dir):
         num_hashes=4)
 
 
+def _q_simhash_sig(sf_dir):
+    """64-bit SimHash over vocabulary ranks (majority bit votes of
+    splitmix64(rank) across token occurrences) — the SQL-replayable
+    SimHash variant; FNV-salted ``SimHasher`` stays the scale default."""
+    from python_graphblas_ray.pipelines.dedup import (
+        simhash_vocab_signatures)
+
+    return simhash_vocab_signatures(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def _q_docs_ttr(sf_dir):
     """Type-token ratio (lexical diversity) per document — distinct ÷
     total whitespace tokens, the Gopher-style quality signal."""
@@ -1890,6 +1901,7 @@ PACKED_SUITES = {
         ("embed_kmeans_iter2", [("vec_id", "i")], "cluster"),
         ("color_first2", [("vid", "i")], "col"),
         ("minhash_sig4", [("doc_id", "i"), ("sig", "i")], "h"),
+        ("simhash_sig", [("doc_id", "i"), ("sig", "i")], "n_tokens"),
     ]),
     "packed_label_suite": ("str", [
         ("bowtie", [("vid", "i")], "part"),
@@ -2136,6 +2148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_neighbors3": _q_sample_neighbors3,
         "color_first2": _q_color_first2,
         "minhash_sig4": _q_minhash_sig4,
+        "simhash_sig": _q_simhash_sig,
     }
     window = {
         # construction / exports
@@ -3546,6 +3559,35 @@ def oracle_sql() -> dict[str, str]:
         "CAST(CASE WHEN m >= 9223372036854775808 "
         "THEN m - 18446744073709551616 ELSE m END AS BIGINT) AS sig "
         "FROM mins")
+    base["simhash_sig"] = (
+        # SimHash over vocabulary ranks: bit b of splitmix64(rank) votes
+        # per token OCCURRENCE; signature bit set on strict majority.
+        # Powers of two come from a tiny recursive doubling CTE (** on
+        # HUGEINT returns DOUBLE); the HUGEINT bit sum converts to the
+        # signed int64 pattern at the end, like minhash_sig4.
+        r"WITH RECURSIVE tok AS (SELECT doc_id, unnest("
+        r"string_split_regex(COALESCE(text, ''), '\s+')) AS w "
+        "FROM documents), "
+        "nz AS (SELECT doc_id, w FROM tok WHERE w <> ''), "
+        "voc AS (SELECT w, CAST(row_number() OVER (ORDER BY w) - 1 "
+        "AS HUGEINT) AS vid FROM (SELECT DISTINCT w FROM nz)), "
+        "tv AS (SELECT n.doc_id, v.vid AS x FROM nz n JOIN voc v "
+        "ON v.w = n.w), "
+        + _sm64_stages_cols("sh", "tv", ["doc_id"], "x") + ", "
+        "pw(b, v) AS (SELECT 0, CAST(1 AS HUGEINT) "
+        "UNION ALL SELECT b + 1, v * 2 FROM pw WHERE b < 63), "
+        "nn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shf "
+        "GROUP BY 1), "
+        "bits AS (SELECT s.doc_id, p.b, p.v, "
+        "sum(CAST((CAST(s.h AS HUGEINT) // p.v) % 2 AS BIGINT)) AS cnt "
+        "FROM shf s CROSS JOIN pw p GROUP BY 1, 2, 3), "
+        "sg AS (SELECT bits.doc_id, sum(CASE WHEN 2 * bits.cnt > nn.n "
+        "THEN bits.v ELSE CAST(0 AS HUGEINT) END) AS s "
+        "FROM bits JOIN nn ON nn.doc_id = bits.doc_id GROUP BY 1) "
+        "SELECT sg.doc_id, CAST(CASE WHEN sg.s >= 9223372036854775808 "
+        "THEN sg.s - 18446744073709551616 ELSE sg.s END AS BIGINT) "
+        "AS sig, nn.n AS n_tokens FROM sg "
+        "JOIN nn ON nn.doc_id = sg.doc_id")
     # one Luby-MIS fixpoint (act rounds + post-hoc selection) seeded
     # from an arbitrary vertex-set CTE — doubled below for the first
     # two greedy-coloring classes (same template as the "mis" oracle)

@@ -1408,3 +1408,76 @@ def minhash_vocab_signatures(docs_ds, num_hashes=4, text_col="text",
         })
 
     return docs_ds.map_batches(sigs, batch_format="pyarrow")
+
+
+def simhash_vocab_signatures(docs_ds, text_col="text", id_col="doc_id"):
+    """64-bit SimHash over VOCABULARY RANKS — the SQL-replayable member
+    of the SimHash family (``SimHasher``'s FNV token hashing stays the
+    scale default). Token t votes with the bits of
+    ``splitmix64(rank(t))``; signature bit b is set when the MAJORITY of
+    the doc's token occurrences (duplicates count) have bit b set —
+    identical to ``SimHasher``'s vote rule. Same two-pass shape as
+    :func:`minhash_vocab_signatures` (shared vocabulary exchange +
+    broadcast), one vectorized bit-unpack pass per batch.
+
+    Emits ``(id_col, sig int64, n_tokens int64)`` — the uint64
+    signature as a signed bit pattern; zero-token docs emit no row.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.monoids import monoid
+    from ..stages.reduce import groupby_monoid
+    from ..state.superstep import _splitmix64
+
+    def tokens_of(batch: pa.Table):
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern_regex(pc.fill_null(texts, ""), r"\s+")
+        words = lists.flatten().to_numpy(zero_copy_only=False)
+        counts = np.diff(lists.offsets.to_numpy(zero_copy_only=False))
+        doc = np.repeat(np.arange(len(counts)), counts)
+        keep = words != ""
+        return words[keep], doc[keep]
+
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        words, _ = tokens_of(batch)
+        uniq = np.unique(words)
+        return pa.table({"w": uniq,
+                         "one": np.ones(len(uniq), dtype=np.int64)})
+
+    vocab_parts = [
+        b["w"].to_numpy(zero_copy_only=False)
+        for b in groupby_monoid(
+            docs_ds.map_batches(vocab_partial, batch_format="pyarrow"),
+            ["w"], "one", monoid.any).iter_batches(batch_format="pyarrow")
+        if b.num_rows]
+    vocab = (np.unique(np.concatenate(vocab_parts)) if vocab_parts
+             else np.array([], dtype=object))
+    vocab_ref = ray.put(vocab)
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        voc = ray.get(vocab_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        words, doc = tokens_of(batch)
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "sig": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64())})
+        if not len(words):
+            return empty
+        h = _splitmix64(np.searchsorted(voc, words).astype(np.uint64))
+        n_tok = np.bincount(doc, minlength=len(ids)).astype(np.int64)
+        rows = np.flatnonzero(n_tok > 0)
+        acc = np.zeros(len(ids), dtype=np.uint64)
+        for b in range(64):
+            ones = ((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            votes = np.bincount(doc, weights=ones,
+                                minlength=len(ids)).astype(np.int64)
+            acc |= (np.uint64(1) << np.uint64(b)) * (
+                (2 * votes > n_tok).astype(np.uint64))
+        return pa.table({id_col: ids[rows],
+                         "sig": acc[rows].view(np.int64),
+                         "n_tokens": n_tok[rows]})
+
+    return docs_ds.map_batches(sigs, batch_format="pyarrow")

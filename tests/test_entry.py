@@ -54,7 +54,8 @@ SAMPLE = ["edges_build", "degree_out", "mxv_plus_times", "mxm_plus_times",
           "embed_kmeans_iter2", "eccentricity", "docs_line_dedup",
           "matching_round2", "docs_ttr", "events_window_distinct",
           "random_walk2", "events_hll_distinct", "sample_neighbors3",
-          "color_first2", "packed_sample_suite", "minhash_sig4"]
+          "color_first2", "packed_sample_suite", "minhash_sig4",
+          "simhash_sig"]
 
 
 @pytest.fixture(scope="module")
