@@ -1091,6 +1091,41 @@ def _q_minhash_sig4(sf_dir):
         num_hashes=4)
 
 
+def _q_ann_ivf_fixed(sf_dir):
+    """IVF-ANN with FIXED centroids (vectors 0..7, normalized) and
+    nprobe=2 — the cell-exact twin of the kmeans-built ``ann_ivf``
+    scale path: bucket = argmax cosine vs centroids (tie → lower id),
+    each query probes its 2 nearest buckets, cosine top-10 within.
+    Exercises the real ``ivf_search_batch`` masked-matmul kernel."""
+    from python_graphblas_ray.pipelines.similarity import (
+        _matrix, _normalize, ivf_search_batch)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    head = pa.concat_tables(
+        ds.filter(expr="vec_id < 8").iter_batches(batch_format="pyarrow"),
+        promote_options="permissive")
+    order = np.argsort(head["vec_id"].to_numpy(zero_copy_only=False))
+    cents = _normalize(_matrix(head["embedding"]))[order]
+    import ray as _ray
+    cref = _ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = _ray.get(cref)
+        m = _normalize(_matrix(batch["embedding"]))
+        return batch.append_column(
+            "bucket", pa.array(np.argmax(m @ c.T, axis=1).astype(
+                np.int64)))
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    qt = pa.concat_tables(
+        ds.filter(expr="vec_id < 10").iter_batches(
+            batch_format="pyarrow"), promote_options="permissive")
+    qorder = np.argsort(qt["vec_id"].to_numpy(zero_copy_only=False))
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)[qorder]
+    qmat = _matrix(qt["embedding"])[qorder]
+    return ivf_search_batch(cents, assigned, qids, qmat, k=10, nprobe=2)
+
+
 def _q_simhash_sig(sf_dir):
     """64-bit SimHash over vocabulary ranks (majority bit votes of
     splitmix64(rank) across token occurrences) — the SQL-replayable
@@ -1902,6 +1937,8 @@ PACKED_SUITES = {
         ("color_first2", [("vid", "i")], "col"),
         ("minhash_sig4", [("doc_id", "i"), ("sig", "i")], "h"),
         ("simhash_sig", [("doc_id", "i"), ("sig", "i")], "n_tokens"),
+        ("ann_ivf_fixed", [("query_id", "i"), ("neighbor_id", "i")],
+         "rank"),
     ]),
     "packed_label_suite": ("str", [
         ("bowtie", [("vid", "i")], "part"),
@@ -2149,6 +2186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "color_first2": _q_color_first2,
         "minhash_sig4": _q_minhash_sig4,
         "simhash_sig": _q_simhash_sig,
+        "ann_ivf_fixed": _q_ann_ivf_fixed,
     }
     window = {
         # construction / exports
@@ -3559,6 +3597,30 @@ def oracle_sql() -> dict[str, str]:
         "CAST(CASE WHEN m >= 9223372036854775808 "
         "THEN m - 18446744073709551616 ELSE m END AS BIGINT) AS sig "
         "FROM mins")
+    base["ann_ivf_fixed"] = (
+        "WITH c AS (SELECT vec_id AS cid, embedding FROM embeddings "
+        "WHERE vec_id < 8), "
+        "asg AS (SELECT vec_id, bucket FROM ("
+        "SELECT e.vec_id, c.cid AS bucket, row_number() OVER ("
+        "PARTITION BY e.vec_id ORDER BY list_cosine_similarity("
+        "e.embedding, c.embedding) DESC, c.cid) AS rn "
+        "FROM embeddings e CROSS JOIN c) WHERE rn = 1), "
+        "q AS (SELECT vec_id, embedding FROM embeddings "
+        "WHERE vec_id < 10), "
+        "probe AS (SELECT qid, cid FROM (SELECT q.vec_id AS qid, "
+        "c.cid, row_number() OVER (PARTITION BY q.vec_id "
+        "ORDER BY list_cosine_similarity(q.embedding, c.embedding) "
+        "DESC, c.cid) AS rn FROM q CROSS JOIN c) WHERE rn <= 2), "
+        "cand AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+        "list_cosine_similarity(q.embedding, e.embedding) AS sim "
+        "FROM q JOIN probe p ON p.qid = q.vec_id "
+        "JOIN asg a2 ON a2.bucket = p.cid "
+        "JOIN embeddings e ON e.vec_id = a2.vec_id "
+        "WHERE e.vec_id <> q.vec_id) "
+        "SELECT query_id, neighbor_id, rank FROM ("
+        "SELECT query_id, neighbor_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank "
+        "FROM cand) WHERE rank <= 10")
     base["simhash_sig"] = (
         # SimHash over vocabulary ranks: bit b of splitmix64(rank) votes
         # per token OCCURRENCE; signature bit set on strict majority.

@@ -233,8 +233,9 @@ def ivf_search_batch(centroids, assigned_ds, query_ids, query_matrix, k=10,
     # (nq, nc) probe bitmap
     sims_c = qm @ centroids.T
     take_c = min(nprobe, nc)
-    probe_cols = np.argpartition(-sims_c, take_c - 1,
-                                 axis=1)[:, :take_c]
+    # stable sort: probe ties break toward the lower centroid id
+    # (deterministic — and SQL-replayable for the fixed-centroid oracle)
+    probe_cols = np.argsort(-sims_c, axis=1, kind="stable")[:, :take_c]
     probe = np.zeros((len(query_ids), nc), dtype=bool)
     probe[np.repeat(np.arange(len(query_ids)), take_c),
           probe_cols.ravel()] = True
