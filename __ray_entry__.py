@@ -1217,6 +1217,55 @@ def _q_sssp(sf_dir):
     return pa.table({"vid": vid, "dist": dist[vid]})
 
 
+def _q_sssp_parents(sf_dir):
+    """Shortest-path tree parents: parent(v) = smallest u among in-edges
+    with dist(u) + w(u,v) == dist(v) (integer weights keep the equality
+    exact in doubles) — the path-reconstruction companion to ``sssp``,
+    one broadcast-dist batch pass + a min reduction, no new exchange.
+    Source 0 is excluded (it has no parent)."""
+    import ray as _ray
+
+    from python_graphblas_ray.functions.monoids import monoid
+    from python_graphblas_ray.pipelines.algorithms import (
+        build_engine, sssp)
+    from python_graphblas_ray.stages.reduce import groupby_monoid
+
+    A = _edge_matrix(sf_dir).ds
+    eng = build_engine(A, N_VERT, num_partitions=4, weighted=True)
+    try:
+        dist, _ = sssp(eng, source=0)
+    finally:
+        eng.shutdown()
+    dref = _ray.put(dist)
+
+    def cand(batch: pa.Table) -> pa.Table:
+        d = _ray.get(dref)
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        t = batch["dst"].to_numpy(zero_copy_only=False)
+        w = batch["val"].to_numpy(zero_copy_only=False)
+        ok = np.isfinite(d[s]) & (d[s] + w == d[t]) & (t != 0)
+        return pa.table({"vid": t[ok], "parent": s[ok]})
+
+    return groupby_monoid(A.map_batches(cand, batch_format="pyarrow"),
+                          ["vid"], "parent", monoid.min)
+
+
+def _q_ball2_size(sf_dir):
+    """Exact 2-hop in-ball size |B_in(v, 2)| per vertex (self included)
+    — the friend-of-friend audience metric, two bitset register
+    supersteps."""
+    from python_graphblas_ray.pipelines.algorithms import build_engine
+    from python_graphblas_ray.pipelines.anf import ball_sizes
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
+    try:
+        sizes = ball_sizes(eng, t=2)
+    finally:
+        eng.shutdown()
+    return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
+                     "val": sizes.astype(np.int64)})
+
+
 def _q_edge_support(sf_dir):
     """Per-edge triangle support — the k-truss/triangle inner kernel as
     a standalone oracle-checked query: ``C<A.S> = A plus_pair A`` over
@@ -1883,7 +1932,8 @@ RENAME_SUITES = {
                                    ("harmonic_centrality", "val"),
                                    ("mis", "in_mis"),
                                    ("katz_iter5", "val"),
-                                   ("eccentricity", "val")],
+                                   ("eccentricity", "val"),
+                                   ("ball2_size", "val")],
                          "double"),
     # per-doc group assignments (split / quota-kept lang / mixture
     # source): (q, doc_id, val string)
@@ -1925,6 +1975,7 @@ PACKED_SUITES = {
         ("component_sizes", [("size", "i")], "n_components"),
         ("docs_ttr", [("doc_id", "i")], "ttr"),
         ("events_window_distinct", [("window", "t")], "n_users"),
+        ("sssp_parents", [("vid", "i")], "parent"),
     ]),
     # the splitmix64/knuth32 hash-replay family (seeded sampling and
     # bounded stochastic rounds) — its own slot so a member failure
@@ -2187,6 +2238,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_sig4": _q_minhash_sig4,
         "simhash_sig": _q_simhash_sig,
         "ann_ivf_fixed": _q_ann_ivf_fixed,
+        "sssp_parents": _q_sssp_parents,
+        "ball2_size": _q_ball2_size,
     }
     window = {
         # construction / exports
@@ -3597,6 +3650,24 @@ def oracle_sql() -> dict[str, str]:
         "CAST(CASE WHEN m >= 9223372036854775808 "
         "THEN m - 18446744073709551616 ELSE m END AS BIGINT) AS sig "
         "FROM mins")
+    base["sssp_parents"] = (
+        "WITH dist AS (" + base["sssp"] + ") "
+        "SELECT e.dst AS vid, CAST(min(e.src) AS BIGINT) AS parent "
+        "FROM (SELECT l_orderkey % 512 AS src, l_partkey % 512 AS dst, "
+        "CAST(count(*) AS DOUBLE) AS val FROM lineitem GROUP BY 1, 2) e "
+        "JOIN dist du ON du.vid = e.src "
+        "JOIN dist dv ON dv.vid = e.dst "
+        "WHERE du.dist + e.val = dv.dist AND e.dst <> 0 GROUP BY 1")
+    base["ball2_size"] = (
+        "WITH RECURSIVE D AS (SELECT DISTINCT l_orderkey % 512 AS src, "
+        "l_partkey % 512 AS dst FROM lineitem), "
+        "V AS (SELECT CAST(range AS BIGINT) AS vid FROM range(512)), "
+        "reach(u, v, t) AS (SELECT vid, vid, 0 FROM V "
+        "UNION "
+        "SELECT r.u, e.dst, r.t + 1 FROM reach r "
+        "JOIN D e ON e.src = r.v WHERE r.t < 2) "
+        "SELECT v AS vid, CAST(count(DISTINCT u) AS BIGINT) AS val "
+        "FROM reach GROUP BY 1")
     base["ann_ivf_fixed"] = (
         "WITH c AS (SELECT vec_id AS cid, embedding FROM embeddings "
         "WHERE vec_id < 8), "

@@ -254,3 +254,15 @@ def hyperball_eccentricity(engine: SuperstepEngine, tmax: int = 64,
         ecc[grew] = t
         regs = nxt
     return ecc, exact
+
+
+def ball_sizes(engine: SuperstepEngine, t: int = 2):
+    """Exact ``|B_in(v, t)|`` for every vertex (self included) — the
+    t-hop neighborhood-size readout of the same bitset register
+    fixpoint (t=2 is the classic friend-of-friend / 2-hop audience
+    metric of a link graph). Runs exactly ``t`` register supersteps."""
+    n = engine.n
+    regs = _bitset_init(n)
+    for _ in range(int(t)):
+        regs = np.bitwise_or(regs, engine.register_step(regs, "or"))
+    return _popcount_rows(regs)

@@ -35,7 +35,8 @@ def main(argv=None):
                    choices=["pagerank", "cc", "lpa", "tricount",
                             "bfs", "bfs_parent", "sssp", "hits",
                             "scc", "mis", "color", "closeness",
-                            "diameter"])
+                            "diameter", "eccentricity", "katz",
+                            "matching"])
     p.add_argument("--source", type=int, default=0,
                    help="source vertex for bfs/bfs_parent/sssp")
     p.add_argument("--pages", required=True,
@@ -129,6 +130,28 @@ def main(argv=None):
             metrics=metrics)
         iters = len(metrics.records)
         col = "closeness"
+    elif args.algorithm == "eccentricity":
+        from python_graphblas_ray.pipelines.anf import (
+            hyperball_eccentricity)
+        vec, _ = hyperball_eccentricity(eng)
+        iters = int(vec.max()) if len(vec) else 0
+        col = "eccentricity"
+    elif args.algorithm == "katz":
+        vec = np.ones(args.n_pages, dtype=np.float64)
+        for _ in range(20):
+            vec = 1.0 + 0.0078125 * eng.spmv("plus_second", vec)
+        iters = 20
+        col = "katz"
+    elif args.algorithm == "matching":
+        from python_graphblas_ray.pipelines.matching import (
+            maximal_matching)
+        mu, mv, mr = maximal_matching(edges, args.n_pages)
+        print(json.dumps({"algorithm": "matching",
+                          "matched_pairs": int(len(mu)),
+                          "rounds": int(mr.max()) if len(mr) else 0,
+                          "sec": round(time.time() - t0, 2)}))
+        eng.shutdown()
+        return
     elif args.algorithm == "diameter":
         d, endpoints, _ = approx_diameter(eng, metrics=metrics)
         print(json.dumps({"algorithm": "diameter", "diameter_lb": int(d),
