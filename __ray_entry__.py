@@ -1217,6 +1217,27 @@ def _q_sssp(sf_dir):
     return pa.table({"vid": vid, "dist": dist[vid]})
 
 
+def _q_edge_percolation(sf_dir):
+    """Bond-percolation probe (the edge-failure twin of the
+    attack/random vertex-robustness pair): keep the deterministic 20%
+    knuth32 edge sample (same rule as ``edge_sample``), then the
+    giant-component fraction of the surviving undirected graph —
+    power-law webs stay largely connected under random edge loss."""
+    from python_graphblas_ray.pipelines.algorithms import (
+        build_engine, connected_components)
+
+    sampled = _q_edge_sample(sf_dir)
+    eng = build_engine(sampled, N_VERT, num_partitions=4,
+                       undirected=True)
+    try:
+        f, _, _ = connected_components(eng)
+    finally:
+        eng.shutdown()
+    _, counts = np.unique(f, return_counts=True)
+    return pa.table({"giant_frac":
+                     [round(float(counts.max()) / N_VERT, 8)]})
+
+
 def _q_sssp_parents(sf_dir):
     """Shortest-path tree parents: parent(v) = smallest u among in-edges
     with dist(u) + w(u,v) == dist(v) (integer weights keep the equality
@@ -1922,7 +1943,8 @@ RENAME_SUITES = {
                                 ("powerlaw_alpha", "alpha"),
                                 ("attack_robustness", "giant_frac"),
                                 ("random_robustness", "giant_frac"),
-                                ("quadrilaterals", "quadrilaterals")],
+                                ("quadrilaterals", "quadrilaterals"),
+                                ("edge_percolation", "giant_frac")],
                            "double"),
     # per-vertex centrality scores: (q, vid, val)
     "centrality_suite": (["vid"], [("closeness", "val"),
@@ -2240,6 +2262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_fixed": _q_ann_ivf_fixed,
         "sssp_parents": _q_sssp_parents,
         "ball2_size": _q_ball2_size,
+        "edge_percolation": _q_edge_percolation,
     }
     window = {
         # construction / exports
@@ -3650,6 +3673,23 @@ def oracle_sql() -> dict[str, str]:
         "CAST(CASE WHEN m >= 9223372036854775808 "
         "THEN m - 18446744073709551616 ELSE m END AS BIGINT) AS sig "
         "FROM mins")
+    base["edge_percolation"] = (
+        # sampled edges (same knuth32 rule as edge_sample) → symmetric
+        # min-label reach closure → giant-component fraction over ALL
+        # 512 vertices (isolated ones are their own components)
+        "WITH RECURSIVE E AS (SELECT l_orderkey % 512 AS src, "
+        "l_partkey % 512 AS dst FROM lineitem GROUP BY 1, 2), "
+        "samp AS (SELECT src, dst FROM E WHERE "
+        "((src * 512 + dst) * 2654435761) % 4294967296 % 5 = 0), "
+        "V AS (SELECT CAST(range AS BIGINT) AS vid FROM range(512)), "
+        "S AS (SELECT src, dst FROM samp "
+        "UNION SELECT dst, src FROM samp), "
+        "reach(vid, root) AS (SELECT vid, vid FROM V UNION "
+        "SELECT e.dst, r.root FROM reach r JOIN S e ON e.src = r.vid), "
+        "comp AS (SELECT vid, min(root) AS c FROM reach GROUP BY 1), "
+        "sz AS (SELECT c, count(*) AS n FROM comp GROUP BY 1) "
+        "SELECT ROUND(CAST(max(n) AS DOUBLE) / 512, 8) AS giant_frac "
+        "FROM sz")
     base["sssp_parents"] = (
         "WITH dist AS (" + base["sssp"] + ") "
         "SELECT e.dst AS vid, CAST(min(e.src) AS BIGINT) AS parent "
