@@ -1217,6 +1217,67 @@ def _q_sssp(sf_dir):
     return pa.table({"vid": vid, "dist": dist[vid]})
 
 
+def _q_revenue_by_nation(sf_dir):
+    """TPC-H-style star join: orders revenue per customer nation per
+    region. The dimension side (customer⋈nation⋈region, a few hundred
+    rows) is broadcast ONCE via ``ray.put`` as an o_custkey→label map —
+    the canonical small-side broadcast join, no shuffle of the fact
+    table; one vectorized per-batch partial sum + a tiny grouped
+    finish. Exercises the otherwise-untouched dimension tables."""
+    import ray as _ray
+
+    from python_graphblas_ray.functions.monoids import monoid
+    from python_graphblas_ray.stages.reduce import groupby_monoid
+
+    cust = _as_table(_read(sf_dir, "customer",
+                           columns=["c_custkey", "c_nationkey"]))
+    nat = _as_table(_read(sf_dir, "nation",
+                          columns=["n_nationkey", "n_name",
+                                   "n_regionkey"]))
+    reg = _as_table(_read(sf_dir, "region",
+                          columns=["r_regionkey", "r_name"]))
+    nk = nat["n_nationkey"].to_numpy(zero_copy_only=False)
+    nname = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+    nreg = nat["n_regionkey"].to_numpy(zero_copy_only=False)
+    rk = reg["r_regionkey"].to_numpy(zero_copy_only=False)
+    rname = np.asarray(reg["r_name"].to_pylist(), dtype=object)
+    r_of_n = rname[np.searchsorted(rk, nreg)]
+    # customer key -> (nation name, region name); custkeys are dense-ish
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    cn = cust["c_nationkey"].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(nk, cn)
+    # per-customer combined "nation|region" label, sorted by custkey —
+    # the broadcast probe is one vectorized searchsorted per batch
+    order = np.argsort(ck)
+    ck_sorted = ck[order]
+    clabel = np.array([f"{n}|{r}" for n, r in
+                       zip(nname[pos][order], r_of_n[pos][order])],
+                      dtype=object)
+    ref = _ray.put((ck_sorted, clabel))
+
+    def part(batch: pa.Table) -> pa.Table:
+        cks_arr, labels_arr = _ray.get(ref)
+        cks = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        key = pa.array(labels_arr[np.searchsorted(cks_arr, cks)],
+                       pa.string())
+        t = pa.table({"k": key, "rev": price})
+        # per-batch combine: one row per (nation, region) per batch
+        g = t.group_by("k").aggregate([("rev", "sum")])
+        return pa.table({"k": g["k"], "rev": g["rev_sum"]})
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    out = _as_table(groupby_monoid(
+        orders.map_batches(part, batch_format="pyarrow"),
+        ["k"], "rev", monoid.plus))
+    ks = out["k"].to_pylist()
+    nats = [k.split("|")[0] for k in ks]
+    regs = [k.split("|")[1] for k in ks]
+    rev = out["rev"].to_numpy(zero_copy_only=False)
+    return pa.table({"n_name": pa.array(nats), "r_name": pa.array(regs),
+                     "revenue": np.round(rev, 4)})
+
+
 def _q_edge_percolation(sf_dir):
     """Bond-percolation probe (the edge-failure twin of the
     attack/random vertex-robustness pair): keep the deterministic 20%
@@ -1998,6 +2059,8 @@ PACKED_SUITES = {
         ("docs_ttr", [("doc_id", "i")], "ttr"),
         ("events_window_distinct", [("window", "t")], "n_users"),
         ("sssp_parents", [("vid", "i")], "parent"),
+        ("revenue_by_nation", [("n_name", "s"), ("r_name", "s")],
+         "revenue"),
     ]),
     # the splitmix64/knuth32 hash-replay family (seeded sampling and
     # bounded stochastic rounds) — its own slot so a member failure
@@ -2263,6 +2326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_parents": _q_sssp_parents,
         "ball2_size": _q_ball2_size,
         "edge_percolation": _q_edge_percolation,
+        "revenue_by_nation": _q_revenue_by_nation,
     }
     window = {
         # construction / exports
@@ -3673,6 +3737,13 @@ def oracle_sql() -> dict[str, str]:
         "CAST(CASE WHEN m >= 9223372036854775808 "
         "THEN m - 18446744073709551616 ELSE m END AS BIGINT) AS sig "
         "FROM mins")
+    base["revenue_by_nation"] = (
+        "SELECT n.n_name, r.r_name, "
+        "ROUND(sum(o.o_totalprice), 4) AS revenue "
+        "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
+        "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+        "JOIN region r ON r.r_regionkey = n.n_regionkey "
+        "GROUP BY 1, 2")
     base["edge_percolation"] = (
         # sampled edges (same knuth32 rule as edge_sample) → symmetric
         # min-label reach closure → giant-component fraction over ALL
