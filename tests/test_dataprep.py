@@ -1073,3 +1073,42 @@ def test_windowed_distinct_users_vs_bruteforce():
     want = {int(d) * us_day: len(np.unique(users[days == d]))
             for d in np.unique(days)}
     assert got == want
+
+
+def test_vocab_signatures_duplicate_and_similarity_behavior():
+    """Vocabulary-rank MinHash/SimHash: identical docs get identical
+    signatures; a near-duplicate (one word changed in a long doc) keeps
+    a small SimHash hamming distance and shares most MinHash
+    components, while an unrelated doc does neither."""
+    import pyarrow as pa
+    import ray
+
+    from python_graphblas_ray.pipelines.dedup import (
+        minhash_vocab_signatures, simhash_vocab_signatures)
+
+    words = [f"tok{i}" for i in range(120)]
+    base = " ".join(words)
+    near = " ".join(words[:-1] + ["CHANGED"])
+    other = " ".join(f"zz{i}" for i in range(120))
+    docs = pa.table({"doc_id": [0, 1, 2, 3],
+                     "text": [base, base, near, other]})
+    ds = ray.data.from_arrow(docs)
+
+    mh = {}
+    for r in minhash_vocab_signatures(ds, num_hashes=8).take_all():
+        mh.setdefault(r["doc_id"], {})[r["h"]] = r["sig"]
+    assert mh[0] == mh[1]                      # exact dup: identical
+    shared_near = sum(mh[0][h] == mh[2][h] for h in range(8))
+    shared_other = sum(mh[0][h] == mh[3][h] for h in range(8))
+    assert shared_near >= 6                    # J ≈ 119/121
+    assert shared_other == 0                   # disjoint vocab
+
+    sh = {r["doc_id"]: r["sig"]
+          for r in simhash_vocab_signatures(ds).take_all()}
+    assert sh[0] == sh[1]
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(sh[0], sh[2]) <= 12             # near-dup: few bit flips
+    assert ham(sh[0], sh[3]) > ham(sh[0], sh[2])
