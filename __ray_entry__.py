@@ -1281,6 +1281,67 @@ def _q_revenue_by_nation(sf_dir):
                      "revenue": np.round(rev, 4)})
 
 
+def _q_revenue_by_brand_nation(sf_dir):
+    """TPC-H Q9-style two-dimension star join over the FACT table:
+    discounted lineitem revenue per (part brand, supplier nation). Both
+    dimension maps (part→brand, supplier→nation name) broadcast once as
+    key-sorted arrays; each lineitem batch pays two vectorized
+    searchsorted probes and one Arrow group_by partial — the fact table
+    never shuffles."""
+    import ray as _ray
+
+    from python_graphblas_ray.functions.monoids import monoid
+    from python_graphblas_ray.stages.reduce import groupby_monoid
+
+    part = _as_table(_read(sf_dir, "part",
+                           columns=["p_partkey", "p_brand"]))
+    supp = _as_table(_read(sf_dir, "supplier",
+                           columns=["s_suppkey", "s_nationkey"]))
+    nat = _as_table(_read(sf_dir, "nation",
+                          columns=["n_nationkey", "n_name"]))
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False)
+    pb = np.asarray(part["p_brand"].to_pylist(), dtype=object)
+    po = np.argsort(pk)
+    pk, pb = pk[po], pb[po]
+    nk = nat["n_nationkey"].to_numpy(zero_copy_only=False)
+    nn = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False)
+    sn = nn[np.searchsorted(nk, supp["s_nationkey"].to_numpy(
+        zero_copy_only=False))]
+    so = np.argsort(sk)
+    sk, sn = sk[so], sn[so]
+    ref = _ray.put((pk, pb, sk, sn))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pks, pbs, sks, sns = _ray.get(ref)
+        lp = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        ls = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        rev = (batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * (1.0 - batch["l_discount"].to_numpy(
+                   zero_copy_only=False)))
+        brand = pbs[np.searchsorted(pks, lp)]
+        natn = sns[np.searchsorted(sks, ls)]
+        t = pa.table({
+            "k": pa.array(np.char.add(np.char.add(
+                brand.astype(str), "|"), natn.astype(str))),
+            "rev": rev})
+        g = t.group_by("k").aggregate([("rev", "sum")])
+        return pa.table({"k": g["k"], "rev": g["rev_sum"]})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+    out = _as_table(groupby_monoid(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["k"], "rev", monoid.plus))
+    ks = out["k"].to_pylist()
+    return pa.table({
+        "p_brand": pa.array([k.split("|")[0] for k in ks]),
+        "n_name": pa.array([k.split("|")[1] for k in ks]),
+        "revenue": np.round(out["rev"].to_numpy(zero_copy_only=False),
+                            4)})
+
+
 def _q_edge_percolation(sf_dir):
     """Bond-percolation probe (the edge-failure twin of the
     attack/random vertex-robustness pair): keep the deterministic 20%
@@ -2064,6 +2125,8 @@ PACKED_SUITES = {
         ("sssp_parents", [("vid", "i")], "parent"),
         ("revenue_by_nation", [("n_name", "s"), ("r_name", "s")],
          "revenue"),
+        ("revenue_by_brand_nation", [("p_brand", "s"), ("n_name", "s")],
+         "revenue"),
     ]),
     # the splitmix64/knuth32 hash-replay family (seeded sampling and
     # bounded stochastic rounds) — its own slot so a member failure
@@ -2330,6 +2393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ball2_size": _q_ball2_size,
         "edge_percolation": _q_edge_percolation,
         "revenue_by_nation": _q_revenue_by_nation,
+        "revenue_by_brand_nation": _q_revenue_by_brand_nation,
     }
     window = {
         # construction / exports
@@ -3746,6 +3810,14 @@ def oracle_sql() -> dict[str, str]:
         "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
         "JOIN nation n ON n.n_nationkey = c.c_nationkey "
         "JOIN region r ON r.r_regionkey = n.n_regionkey "
+        "GROUP BY 1, 2")
+    base["revenue_by_brand_nation"] = (
+        "SELECT p.p_brand, n.n_name, "
+        "ROUND(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) "
+        "AS revenue "
+        "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+        "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+        "JOIN nation n ON n.n_nationkey = s.s_nationkey "
         "GROUP BY 1, 2")
     base["edge_percolation"] = (
         # sampled edges (same knuth32 rule as edge_sample) → symmetric
