@@ -1342,6 +1342,25 @@ def _q_revenue_by_brand_nation(sf_dir):
                             4)})
 
 
+def _q_global_efficiency(sf_dir):
+    """Global efficiency (Latora-Marchiori 2001): mean of 1/d(u,v) over
+    all ordered vertex pairs (0 for unreachable) — Σ harmonic
+    centrality / (n·(n−1)), read off the same exact-bitset HyperBall
+    fixpoint; the one-number connectivity-quality metric next to
+    ``effective_diameter``."""
+    from python_graphblas_ray.pipelines.algorithms import build_engine
+    from python_graphblas_ray.pipelines.anf import hyperball_harmonic
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
+    try:
+        scores, exact = hyperball_harmonic(eng, mode="exact")
+        assert exact
+    finally:
+        eng.shutdown()
+    eff = float(scores.sum()) / (N_VERT * (N_VERT - 1))
+    return pa.table({"efficiency": [round(eff, 8)]})
+
+
 def _q_edge_percolation(sf_dir):
     """Bond-percolation probe (the edge-failure twin of the
     attack/random vertex-robustness pair): keep the deterministic 20%
@@ -2069,7 +2088,8 @@ RENAME_SUITES = {
                                 ("attack_robustness", "giant_frac"),
                                 ("random_robustness", "giant_frac"),
                                 ("quadrilaterals", "quadrilaterals"),
-                                ("edge_percolation", "giant_frac")],
+                                ("edge_percolation", "giant_frac"),
+                                ("global_efficiency", "efficiency")],
                            "double"),
     # per-vertex centrality scores: (q, vid, val)
     "centrality_suite": (["vid"], [("closeness", "val"),
@@ -2394,6 +2414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_percolation": _q_edge_percolation,
         "revenue_by_nation": _q_revenue_by_nation,
         "revenue_by_brand_nation": _q_revenue_by_brand_nation,
+        "global_efficiency": _q_global_efficiency,
     }
     window = {
         # construction / exports
@@ -3811,6 +3832,9 @@ def oracle_sql() -> dict[str, str]:
         "JOIN nation n ON n.n_nationkey = c.c_nationkey "
         "JOIN region r ON r.r_regionkey = n.n_regionkey "
         "GROUP BY 1, 2")
+    base["global_efficiency"] = (
+        "WITH h AS (" + base["harmonic_centrality"] + ") "
+        "SELECT ROUND(sum(val) / (512 * 511.0), 8) AS efficiency FROM h")
     base["revenue_by_brand_nation"] = (
         "SELECT p.p_brand, n.n_name, "
         "ROUND(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) "
