@@ -1342,6 +1342,40 @@ def _q_revenue_by_brand_nation(sf_dir):
                             4)})
 
 
+def _q_percolation_curve(sf_dir):
+    """Bond-percolation CURVE: giant-component fraction at 20/40/60/80%
+    deterministic edge survival (knuth32 residues < m of 5) — the
+    phase-transition fingerprint of the web graph (a power-law giant
+    component emerges far below 50% survival). Four broadcast-filter +
+    pinned-engine FastSV runs, O(1) driver readout each."""
+    from python_graphblas_ray.pipelines.algorithms import (
+        build_engine, connected_components)
+
+    base_ds = _edge_matrix(sf_dir).ds.materialize()
+    rows_m, rows_f = [], []
+    for m_keep in (1, 2, 3, 4):
+        def samp(batch: pa.Table, mk=m_keep) -> pa.Table:
+            s = batch["src"].to_numpy(zero_copy_only=False)
+            d = batch["dst"].to_numpy(zero_copy_only=False)
+            h = ((s * N_VERT + d) * 2654435761) % 4294967296
+            return batch.filter(pa.array(h % 5 < mk))
+
+        eng = build_engine(base_ds.map_batches(samp,
+                                               batch_format="pyarrow"),
+                           N_VERT, num_partitions=4, undirected=True)
+        try:
+            f, _, _ = connected_components(eng)
+        finally:
+            eng.shutdown()
+        _, counts = np.unique(f, return_counts=True)
+        rows_m.append(m_keep * 20)
+        # NO rounding: n/512 is exact in doubles (2^9 denominator), and
+        # round-8 hits banker's-vs-half-away ties at x.xx5 (509/512)
+        rows_f.append(float(counts.max()) / N_VERT)
+    return pa.table({"keep_pct": np.asarray(rows_m, dtype=np.int64),
+                     "giant_frac": np.asarray(rows_f)})
+
+
 def _q_global_efficiency(sf_dir):
     """Global efficiency (Latora-Marchiori 2001): mean of 1/d(u,v) over
     all ordered vertex pairs (0 for unreachable) — Σ harmonic
@@ -1378,8 +1412,8 @@ def _q_edge_percolation(sf_dir):
     finally:
         eng.shutdown()
     _, counts = np.unique(f, return_counts=True)
-    return pa.table({"giant_frac":
-                     [round(float(counts.max()) / N_VERT, 8)]})
+    # exact n/512 — see percolation_curve on why rounding is a hazard
+    return pa.table({"giant_frac": [float(counts.max()) / N_VERT]})
 
 
 def _q_sssp_parents(sf_dir):
@@ -2143,6 +2177,7 @@ PACKED_SUITES = {
         ("docs_ttr", [("doc_id", "i")], "ttr"),
         ("events_window_distinct", [("window", "t")], "n_users"),
         ("sssp_parents", [("vid", "i")], "parent"),
+        ("percolation_curve", [("keep_pct", "i")], "giant_frac"),
         ("revenue_by_nation", [("n_name", "s"), ("r_name", "s")],
          "revenue"),
         ("revenue_by_brand_nation", [("p_brand", "s"), ("n_name", "s")],
@@ -2415,6 +2450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "revenue_by_brand_nation": _q_revenue_by_brand_nation,
         "global_efficiency": _q_global_efficiency,
+        "percolation_curve": _q_percolation_curve,
     }
     window = {
         # construction / exports
@@ -3832,6 +3868,26 @@ def oracle_sql() -> dict[str, str]:
         "JOIN nation n ON n.n_nationkey = c.c_nationkey "
         "JOIN region r ON r.r_regionkey = n.n_regionkey "
         "GROUP BY 1, 2")
+    def _perc_leg(mk):
+        return (
+            f"SELECT {mk * 20} AS keep_pct, giant_frac FROM ("
+            "WITH RECURSIVE E AS (SELECT l_orderkey % 512 AS src, "
+            "l_partkey % 512 AS dst FROM lineitem GROUP BY 1, 2), "
+            "samp AS (SELECT src, dst FROM E WHERE "
+            f"((src * 512 + dst) * 2654435761) % 4294967296 % 5 < {mk}), "
+            "V AS (SELECT CAST(range AS BIGINT) AS vid FROM range(512)), "
+            "S AS (SELECT src, dst FROM samp "
+            "UNION SELECT dst, src FROM samp), "
+            "reach(vid, root) AS (SELECT vid, vid FROM V UNION "
+            "SELECT e.dst, r.root FROM reach r "
+            "JOIN S e ON e.src = r.vid), "
+            "comp AS (SELECT vid, min(root) AS c FROM reach GROUP BY 1), "
+            "sz AS (SELECT c, count(*) AS n FROM comp GROUP BY 1) "
+            "SELECT CAST(max(n) AS DOUBLE) / 512 "
+            "AS giant_frac FROM sz) AS t")
+
+    base["percolation_curve"] = " UNION ALL ".join(
+        _perc_leg(mk) for mk in (1, 2, 3, 4))
     base["global_efficiency"] = (
         "WITH h AS (" + base["harmonic_centrality"] + ") "
         "SELECT ROUND(sum(val) / (512 * 511.0), 8) AS efficiency FROM h")
@@ -3858,7 +3914,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT e.dst, r.root FROM reach r JOIN S e ON e.src = r.vid), "
         "comp AS (SELECT vid, min(root) AS c FROM reach GROUP BY 1), "
         "sz AS (SELECT c, count(*) AS n FROM comp GROUP BY 1) "
-        "SELECT ROUND(CAST(max(n) AS DOUBLE) / 512, 8) AS giant_frac "
+        "SELECT CAST(max(n) AS DOUBLE) / 512 AS giant_frac "
         "FROM sz")
     base["sssp_parents"] = (
         "WITH dist AS (" + base["sssp"] + ") "

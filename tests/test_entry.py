@@ -57,7 +57,8 @@ SAMPLE = ["edges_build", "degree_out", "mxv_plus_times", "mxm_plus_times",
           "color_first2", "packed_sample_suite", "minhash_sig4",
           "simhash_sig", "ann_ivf_fixed", "sssp_parents", "ball2_size",
           "edge_percolation", "revenue_by_nation",
-          "revenue_by_brand_nation", "global_efficiency"]
+          "revenue_by_brand_nation", "global_efficiency",
+          "percolation_curve"]
 
 
 @pytest.fixture(scope="module")
