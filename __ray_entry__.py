@@ -1521,6 +1521,31 @@ def _q_betweenness(sf_dir):
     return pa.table({"vid": np.arange(N_VERT, dtype=np.int64), "bc": bc})
 
 
+def _q_betweenness_s0(sf_dir):
+    """Single-source Brandes dependency (source 0) over the raw
+    multigraph edges — the SQL-checkable member of the betweenness
+    family (path counts multiply through parallel edges exactly like
+    the plus_second spmv): the oracle unrolls σ forward and δ backward
+    level by level. Values rounded to 8 (σ stays exact-integer; δ's
+    division order differs below the grain). The multi-source sampled
+    estimator stays the rows-only ``betweenness``."""
+    from python_graphblas_ray.pipelines.centrality import (
+        betweenness, reverse_edges)
+    from python_graphblas_ray.state.superstep import SuperstepEngine
+
+    edges = _edge_dataset(sf_dir).materialize()
+    fwd = SuperstepEngine(edges, N_VERT, num_partitions=4)
+    rev = SuperstepEngine(reverse_edges(edges), N_VERT,
+                          num_partitions=4)
+    try:
+        bc = betweenness(fwd, rev, sources=[0])
+    finally:
+        fwd.shutdown()
+        rev.shutdown()
+    return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
+                     "val": np.round(bc, 8)})
+
+
 def _q_hits(sf_dir):
     from python_graphblas_ray.pipelines.algorithms import build_engine, hits
 
@@ -2134,7 +2159,8 @@ RENAME_SUITES = {
                                    ("mis", "in_mis"),
                                    ("katz_iter5", "val"),
                                    ("eccentricity", "val"),
-                                   ("ball2_size", "val")],
+                                   ("ball2_size", "val"),
+                                   ("betweenness_s0", "val")],
                          "double"),
     # per-doc group assignments (split / quota-kept lang / mixture
     # source): (q, doc_id, val string)
@@ -2451,6 +2477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_brand_nation": _q_revenue_by_brand_nation,
         "global_efficiency": _q_global_efficiency,
         "percolation_curve": _q_percolation_curve,
+        "betweenness_s0": _q_betweenness_s0,
     }
     window = {
         # construction / exports
@@ -3868,6 +3895,57 @@ def oracle_sql() -> dict[str, str]:
         "JOIN nation n ON n.n_nationkey = c.c_nationkey "
         "JOIN region r ON r.r_regionkey = n.n_regionkey "
         "GROUP BY 1, 2")
+    # single-source Brandes, unrolled by BFS level (L=8 exceeds both
+    # test graphs' eccentricity from vertex 0): σ forward — σ(v at
+    # level k) = Σ cnt(u,v)·σ(u) over level-(k−1) in-edges, exact
+    # integers — then δ backward — δ(u at k−1) = σ(u)·Σ cnt(u,w)·
+    # (1+δ(w))/σ(w) over level-k out-edges. bc = δ (source 0 excluded).
+    _BC_L = 8
+    _bc_parts = [
+        "WITH RECURSIVE Ew AS (SELECT l_orderkey % 512 AS src, "
+        "l_partkey % 512 AS dst, CAST(count(*) AS DOUBLE) AS cnt "
+        "FROM lineitem GROUP BY 1, 2), "
+        "V AS (SELECT CAST(range AS BIGINT) AS vid FROM range(512)), "
+        "reach(vid, t) AS (SELECT CAST(0 AS BIGINT), 0 UNION "
+        f"SELECT e.dst, r.t + 1 FROM reach r JOIN Ew e "
+        f"ON e.src = r.vid WHERE r.t < {_BC_L}), "
+        "lv AS MATERIALIZED (SELECT vid, min(t) AS d "
+        "FROM reach GROUP BY 1), "
+        "sg0 AS (SELECT CAST(0 AS BIGINT) AS vid, "
+        "CAST(1.0 AS DOUBLE) AS sig)"]
+    for k in range(1, _BC_L + 1):
+        _bc_parts.append(
+            f"sg{k} AS MATERIALIZED (SELECT e.dst AS vid, "
+            f"sum(s.sig * e.cnt) AS sig FROM sg{k - 1} s "
+            f"JOIN Ew e ON e.src = s.vid "
+            f"JOIN lv d ON d.vid = e.dst AND d.d = {k} GROUP BY 1)")
+    _bc_parts.append(
+        "sigma AS MATERIALIZED (" + " UNION ALL ".join(
+            f"SELECT vid, sig FROM sg{k}" for k in range(_BC_L + 1))
+        + ")")
+    _bc_parts.append(
+        f"dl{_BC_L} AS MATERIALIZED (SELECT vid, CAST(0.0 AS DOUBLE) AS dl "
+        f"FROM lv WHERE d = {_BC_L})")
+    for k in range(_BC_L, 0, -1):
+        _bc_parts.append(
+            f"dl{k - 1} AS MATERIALIZED (SELECT u.vid, su.sig * "
+            f"sum(e.cnt * (1.0 + COALESCE(w.dl, 0.0)) / sw.sig) AS dl "
+            f"FROM lv u JOIN Ew e ON e.src = u.vid "
+            f"JOIN lv lw ON lw.vid = e.dst AND lw.d = {k} "
+            f"JOIN sigma su ON su.vid = u.vid "
+            f"JOIN sigma sw ON sw.vid = e.dst "
+            f"LEFT JOIN dl{k} w ON w.vid = e.dst "
+            f"WHERE u.d = {k - 1} GROUP BY u.vid, su.sig)")
+    _bc_parts.append(
+        "delta AS (" + " UNION ALL ".join(
+            f"SELECT vid, dl FROM dl{k}" for k in range(_BC_L + 1))
+        + ")")
+    base["betweenness_s0"] = (
+        ", ".join(_bc_parts)
+        + " SELECT V.vid, ROUND(CASE WHEN V.vid = 0 THEN 0.0 "
+        "ELSE COALESCE(d.dl, 0.0) END, 8) AS val FROM V "
+        "LEFT JOIN delta d ON d.vid = V.vid")
+
     def _perc_leg(mk):
         return (
             f"SELECT {mk * 20} AS keep_pct, giant_frac FROM ("
