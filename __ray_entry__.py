@@ -1521,6 +1521,21 @@ def _q_betweenness(sf_dir):
     return pa.table({"vid": np.arange(N_VERT, dtype=np.int64), "bc": bc})
 
 
+def _q_docs_cdc_bounds(sf_dir):
+    """Content-defined chunk BOUNDARIES (gear rolling hash, mask_bits=8)
+    — the SQL-checkable member of the CDC family: the oracle rebuilds
+    the 256-entry gear table (splitmix64(byte ^ 0xC0FFEE)), the 64-byte
+    shifted-sum window via 64 LAG terms, and the boundary rule exactly;
+    synthetic docs are pure ASCII so characters == bytes. Chunk content
+    hashes (cumulative-polynomial, needing a mod-2⁶⁴ prefix scan) stay
+    with the rows-only ``docs_cdc_chunks``."""
+    from python_graphblas_ray.pipelines.dedup import cdc_chunks
+
+    return cdc_chunks(_read(sf_dir, "documents",
+                            columns=["doc_id", "text"])).select_columns(
+        ["doc_id", "chunk_ix", "start", "length"])
+
+
 def _q_betweenness_s0(sf_dir):
     """Single-source Brandes dependency (source 0) over the raw
     multigraph edges — the SQL-checkable member of the betweenness
@@ -2204,6 +2219,8 @@ PACKED_SUITES = {
         ("events_window_distinct", [("window", "t")], "n_users"),
         ("sssp_parents", [("vid", "i")], "parent"),
         ("percolation_curve", [("keep_pct", "i")], "giant_frac"),
+        ("docs_cdc_bounds", [("doc_id", "i"), ("chunk_ix", "i"),
+                             ("start", "i")], "length"),
         ("revenue_by_nation", [("n_name", "s"), ("r_name", "s")],
          "revenue"),
         ("revenue_by_brand_nation", [("p_brand", "s"), ("n_name", "s")],
@@ -2478,6 +2495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_efficiency": _q_global_efficiency,
         "percolation_curve": _q_percolation_curve,
         "betweenness_s0": _q_betweenness_s0,
+        "docs_cdc_bounds": _q_docs_cdc_bounds,
     }
     window = {
         # construction / exports
@@ -3895,6 +3913,36 @@ def oracle_sql() -> dict[str, str]:
         "JOIN nation n ON n.n_nationkey = c.c_nationkey "
         "JOIN region r ON r.r_regionkey = n.n_regionkey "
         "GROUP BY 1, 2")
+    # CDC boundaries: gear table = splitmix64(byte ^ 0xC0FFEE); the
+    # 64-byte window W[i] = Σ_{j<64} gear(b[i-j])·2^j mod 2^64 as 64
+    # LAG terms (each u64-wrapped so the HUGEINT sum stays < 2^70);
+    # boundary where the low 8 bits vanish and the window fits the doc.
+    _w_terms = " + ".join(
+        _u64(f"COALESCE(lag(g, {j}) OVER win, 0) * {1 << j}")
+        for j in range(64))
+    base["docs_cdc_bounds"] = (
+        "WITH chars AS MATERIALIZED (SELECT doc_id, "
+        "unicode(unnest(string_split(text, ''))) AS bv, "
+        "generate_subscripts(string_split(text, ''), 1) - 1 AS i "
+        "FROM documents WHERE text IS NOT NULL AND text <> ''), "
+        "bvals AS (SELECT CAST(range AS HUGEINT) AS b FROM range(256)), "
+        "b0 AS (SELECT b, " + _bx("b", "12648430") + " AS x FROM bvals), "
+        + _sm64_stages_cols("gr", "b0", ["b"], "x") + ", "
+        "g AS MATERIALIZED (SELECT c.doc_id, c.i, ge.h AS g "
+        "FROM chars c JOIN grf ge ON ge.b = c.bv), "
+        f"w AS MATERIALIZED (SELECT doc_id, i, {_u64(_w_terms)} AS wv "
+        "FROM g WINDOW win AS (PARTITION BY doc_id ORDER BY i)), "
+        "cand AS (SELECT doc_id, i FROM w WHERE wv % 256 = 0 "
+        "AND i >= 63), "
+        "cuts AS (SELECT doc_id, i + 1 AS cut FROM cand "
+        "UNION SELECT doc_id, length(text) FROM documents "
+        "WHERE text IS NOT NULL AND text <> '') "
+        "SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY cut) - 1 AS BIGINT) AS chunk_ix, "
+        "CAST(COALESCE(lag(cut) OVER (PARTITION BY doc_id "
+        "ORDER BY cut), 0) AS BIGINT) AS start, "
+        "CAST(cut - COALESCE(lag(cut) OVER (PARTITION BY doc_id "
+        "ORDER BY cut), 0) AS BIGINT) AS length FROM cuts")
     # single-source Brandes, unrolled by BFS level (L=8 exceeds both
     # test graphs' eccentricity from vertex 0): σ forward — σ(v at
     # level k) = Σ cnt(u,v)·σ(u) over level-(k−1) in-edges, exact

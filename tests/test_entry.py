@@ -58,7 +58,7 @@ SAMPLE = ["edges_build", "degree_out", "mxv_plus_times", "mxm_plus_times",
           "simhash_sig", "ann_ivf_fixed", "sssp_parents", "ball2_size",
           "edge_percolation", "revenue_by_nation",
           "revenue_by_brand_nation", "global_efficiency",
-          "percolation_curve", "betweenness_s0"]
+          "percolation_curve", "betweenness_s0", "docs_cdc_bounds"]
 
 
 @pytest.fixture(scope="module")
