@@ -1081,6 +1081,31 @@ def _q_sample_neighbors3(sf_dir):
     return pa.table({"vid": v, "neighbor": nb})
 
 
+def _q_wl_refine2(sf_dir):
+    """Two rounds of 1-WL color refinement (commutative sum-hash
+    combiner) over the DEDUPED in-adjacency — per-vertex structural
+    fingerprints: label0 = in-degree, label_{k+1} =
+    (splitmix64(label_k + 2³²) + Σ_in splitmix64(label_k(u))) mod 2⁶⁴.
+    One ``register_step("add")`` superstep per round (wrapping uint64
+    reduceat in the pinned actors). Fingerprints ride the packed key as
+    signed-int64 bit patterns (a double value would drop bits); the
+    numeric value is the in-degree."""
+    from python_graphblas_ray.pipelines.algorithms import (build_engine,
+                                                           wl_refinement)
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4,
+                       dedupe=True)
+    try:
+        deg, lab = wl_refinement(eng, N_VERT, rounds=2)
+    finally:
+        eng.shutdown()
+    return pa.table({
+        "vid": np.arange(N_VERT, dtype=np.int64),
+        "sig": lab.view(np.int64),
+        "deg": deg.astype(np.float64),
+    })
+
+
 def _q_minhash_sig4(sf_dir):
     """4-permutation MinHash signatures over vocabulary ranks — the
     SQL-replayable MinHash variant (perm i hashes a token as
@@ -2239,6 +2264,7 @@ PACKED_SUITES = {
         ("simhash_sig", [("doc_id", "i"), ("sig", "i")], "n_tokens"),
         ("ann_ivf_fixed", [("query_id", "i"), ("neighbor_id", "i")],
          "rank"),
+        ("wl_refine2", [("vid", "i"), ("sig", "i")], "deg"),
     ]),
     "packed_label_suite": ("str", [
         ("bowtie", [("vid", "i")], "part"),
@@ -2483,6 +2509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walk2": _q_random_walk2,
         "events_hll_distinct": _q_events_hll,
         "sample_neighbors3": _q_sample_neighbors3,
+        "wl_refine2": _q_wl_refine2,
         "color_first2": _q_color_first2,
         "minhash_sig4": _q_minhash_sig4,
         "simhash_sig": _q_simhash_sig,
@@ -3883,6 +3910,40 @@ def oracle_sql() -> dict[str, str]:
         "SELECT w, CAST(0 AS BIGINT) AS step, pos AS vid FROM w0 "
         "UNION ALL SELECT w, 1, pos FROM w1 "
         "UNION ALL SELECT w, 2, pos FROM w2")
+
+    def _wl_round(r):
+        # One WL round: neighbor-hash sum (wrapping mod 2^64) + offset
+        # self hash. Label CTEs are MATERIALIZED — each is referenced by
+        # THREE downstream chains, and DuckDB's default inlining would
+        # re-evaluate the whole upstream recursion per reference.
+        return (
+            _sm64_stages_cols(f"wn{r}", f"l{r}", ["vid"], "lab") + ", "
+            f"ws{r} AS MATERIALIZED (SELECT e.dst AS vid, "
+            f"{_u64('SUM(h.h)')} AS s FROM D e JOIN wn{r}f h "
+            "ON h.vid = e.src GROUP BY e.dst), "
+            + _sm64_stages_cols(f"wm{r}", f"l{r}", ["vid"],
+                                "lab + 4294967296") + ", "
+            f"l{r + 1} AS MATERIALIZED (SELECT m.vid, "
+            f"{_u64('m.h + COALESCE(s.s, 0)')} AS lab FROM wm{r}f m "
+            f"LEFT JOIN ws{r} s ON s.vid = m.vid)")
+
+    base["wl_refine2"] = (
+        # 1-WL sum-hash refinement, 2 rounds: label0 = in-degree over
+        # the DEDUPED edges; label_{k+1} = (sm64(label_k + 2^32) +
+        # SUM_in sm64(label_k(u))) mod 2^64 — the signature rides the
+        # packed key as its signed-int64 bit pattern.
+        "WITH D AS MATERIALIZED (SELECT DISTINCT l_orderkey % 512 AS src, "
+        "l_partkey % 512 AS dst FROM lineitem), "
+        "V AS (SELECT CAST(range AS BIGINT) AS vid FROM range(512)), "
+        "l0 AS MATERIALIZED (SELECT v.vid, "
+        "CAST(COALESCE(d.dg, 0) AS HUGEINT) AS lab FROM V v LEFT JOIN "
+        "(SELECT dst, CAST(count(*) AS HUGEINT) AS dg FROM D "
+        "GROUP BY 1) d ON d.dst = v.vid), "
+        + _wl_round(0) + ", "
+        + _wl_round(1) + " "
+        f"SELECT l2.vid, {_tos('l2.lab')} AS sig, "
+        "CAST(l0.lab AS DOUBLE) AS deg FROM l2 "
+        "JOIN l0 ON l0.vid = l2.vid")
     base["minhash_sig4"] = (
         # MinHash over vocabulary ranks: dense rank of the sorted
         # distinct tokens is the permutation seed (UTF-8 byte order ==

@@ -612,9 +612,13 @@ class GraphPartitionActor:
         out = np.zeros((size, regs.shape[1]), dtype=regs.dtype)
         if not self.nedges:
             return out
-        ufunc = np.maximum if op == "max" else np.bitwise_or
-        out[self.group_dst] = ufunc.reduceat(regs[self.src], self.starts,
-                                             axis=0)
+        # "add" on uint64 registers wraps mod 2^64 (the WL sum-hash
+        # combiner relies on exactly this two's-complement wrap)
+        ufunc = {"max": np.maximum, "or": np.bitwise_or,
+                 "add": np.add}[op]
+        with np.errstate(over="ignore"):
+            out[self.group_dst] = ufunc.reduceat(
+                regs[self.src], self.starts, axis=0)
         return out
 
     # ---- in-actor ANF/HyperANF (registers partitioned, O(P) driver) ----
@@ -1026,7 +1030,9 @@ class SuperstepEngine:
 
     def register_step(self, regs, op="max"):
         """One ANF superstep: the dense n×R ⊕-aggregate of in-neighbor
-        register rows (⊕ = ``"max"`` | ``"or"``). Broadcast shape is one
+        register rows (⊕ = ``"max"`` | ``"or"`` | ``"add"``, the last a
+        mod-2⁶⁴ wrapping sum for WL sum-hash refinement). Broadcast
+        shape is one
         ``ray.put`` of the register matrix per superstep, like ``spmv``
         with a matrix-valued x — O(n·R) bytes, fine while registers fit
         a node. At 10¹²-vertex scale the registers must ride the fused
@@ -1038,13 +1044,15 @@ class SuperstepEngine:
         slices = ray.get([a.register_step.remote(r_ref, op)
                           for a in self.actors])
         out = np.zeros((self.n, regs.shape[1]), dtype=regs.dtype)
-        merge = np.maximum if op == "max" else np.bitwise_or
-        for (lo, hi), s in zip(self.ranges, slices):
-            if hi > lo:
-                if self.has_hub_split:
-                    out[lo:hi] = merge(out[lo:hi], s)
-                else:
-                    out[lo:hi] = s
+        merge = {"max": np.maximum, "or": np.bitwise_or,
+                 "add": np.add}[op]
+        with np.errstate(over="ignore"):
+            for (lo, hi), s in zip(self.ranges, slices):
+                if hi > lo:
+                    if self.has_hub_split:
+                        out[lo:hi] = merge(out[lo:hi], s)
+                    else:
+                        out[lo:hi] = s
         return out
 
     def mode(self, labels):

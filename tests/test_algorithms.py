@@ -666,3 +666,38 @@ def test_ppr_push_under_approximates_exact(graph, engine):
     # tighter eps → closer approximation
     p2, r2, _, _ = ppr_push(engine, seeds, alpha=0.15, eps=1e-8)
     assert np.abs(exact - p2).sum() <= np.abs(exact - p).sum() + 1e-12
+
+
+def test_wl_refinement_engine_matches_numpy(graph, engine):
+    """1-WL sum-hash fingerprints: the register_step("add") superstep
+    path (wrapping uint64 sums, hub-split merge) equals the single-
+    process recipe exactly, for both the degree seed and the labels."""
+    from python_graphblas_ray.pipelines.algorithms import (
+        wl_refinement, wl_refinement_numpy)
+
+    src, dst, w, ds = graph
+    deg, lab = wl_refinement(engine, N, rounds=2)
+    deg_np, lab_np = wl_refinement_numpy(src, dst, N, rounds=2)
+    assert deg.dtype == np.uint64 and lab.dtype == np.uint64
+    np.testing.assert_array_equal(deg, deg_np)
+    np.testing.assert_array_equal(lab, lab_np)
+
+
+def test_wl_refinement_separates_and_unifies():
+    """Structural semantics: on a directed 4-cycle every vertex is
+    1-WL-equivalent (one shared fingerprint); appending a pendant edge
+    breaks the symmetry — and vertices at distinct distances from the
+    pendant separate while the WL-equivalent pair keeps colliding."""
+    from python_graphblas_ray.pipelines.algorithms import (
+        wl_refinement_numpy)
+
+    cyc = np.array([0, 1, 2, 3]), np.array([1, 2, 3, 0])
+    _, lab = wl_refinement_numpy(cyc[0], cyc[1], 4, rounds=2)
+    assert len(set(lab.tolist())) == 1
+    # 4 -> 0 pendant in-edge: vertex 0 now has in-degree 2
+    src = np.array([0, 1, 2, 3, 4])
+    dst = np.array([1, 2, 3, 0, 0])
+    _, lab2 = wl_refinement_numpy(src, dst, 5, rounds=2)
+    assert lab2[0] != lab2[1]          # deg-2 target vs downstream
+    assert lab2[1] != lab2[2]          # distance-1 vs distance-2 from 0
+    assert lab2[4] != lab2[3]          # source-only pendant differs
