@@ -1106,6 +1106,35 @@ def _q_wl_refine2(sf_dir):
     })
 
 
+def _q_embed_gram(sf_dir):
+    """Distributed second-moment matrix G = EᵀE/n of the embedding
+    table — one streaming pass of d×d per-batch partials (32 KB each at
+    d=64), driver-merged; round-8 keeps the partial-vs-SQL summation-
+    order noise (~1e-14 relative) far below the grain."""
+    from python_graphblas_ray.pipelines.similarity import gram_matrix
+
+    g, _ = gram_matrix(_read(sf_dir, "embeddings", columns=["embedding"]))
+    d = g.shape[0]
+    ii, jj = np.meshgrid(np.arange(d, dtype=np.int64),
+                         np.arange(d, dtype=np.int64), indexing="ij")
+    return pa.table({"i": ii.reshape(-1), "j": jj.reshape(-1),
+                     "v": np.round(g.reshape(-1), 8)})
+
+
+def _q_embed_pc1(sf_dir):
+    """Top-principal-axis power iteration (2 fixed unnormalized steps,
+    all-ones start) on the mean-scaled Gram matrix: the distributed
+    part is the gram pass; the O(d²) iteration is driver work replayed
+    verbatim by the SQL twin's two matvec CTEs."""
+    from python_graphblas_ray.pipelines.similarity import (gram_matrix,
+                                                           pc1_power)
+
+    g, _ = gram_matrix(_read(sf_dir, "embeddings", columns=["embedding"]))
+    y = pc1_power(g, iters=2)
+    return pa.table({"i": np.arange(g.shape[0], dtype=np.int64),
+                     "v": np.round(y, 8)})
+
+
 def _q_minhash_sig4(sf_dir):
     """4-permutation MinHash signatures over vocabulary ranks — the
     SQL-replayable MinHash variant (perm i hashes a token as
@@ -2250,6 +2279,8 @@ PACKED_SUITES = {
          "revenue"),
         ("revenue_by_brand_nation", [("p_brand", "s"), ("n_name", "s")],
          "revenue"),
+        ("embed_gram", [("i", "i"), ("j", "i")], "v"),
+        ("embed_pc1", [("i", "i")], "v"),
     ]),
     # the splitmix64/knuth32 hash-replay family (seeded sampling and
     # bounded stochastic rounds) — its own slot so a member failure
@@ -2510,6 +2541,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hll_distinct": _q_events_hll,
         "sample_neighbors3": _q_sample_neighbors3,
         "wl_refine2": _q_wl_refine2,
+        "embed_gram": _q_embed_gram,
+        "embed_pc1": _q_embed_pc1,
         "color_first2": _q_color_first2,
         "minhash_sig4": _q_minhash_sig4,
         "simhash_sig": _q_simhash_sig,
@@ -3944,6 +3977,29 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT l2.vid, {_tos('l2.lab')} AS sig, "
         "CAST(l0.lab AS DOUBLE) AS deg FROM l2 "
         "JOIN l0 ON l0.vid = l2.vid")
+
+    # mean-scaled second-moment matrix of the embedding table; elements
+    # CAST to DOUBLE before multiplying so per-term products are exact
+    # (float32 storage), leaving only summation-order noise under the
+    # round-8 grain. 1-based list indexing -> 0-based (i, j) output.
+    _emb_gram_cte = (
+        "WITH x AS MATERIALIZED (SELECT vec_id, CAST(t.i AS BIGINT) AS i, "
+        "CAST(embedding[t.i] AS DOUBLE) AS v FROM embeddings, "
+        "range(1, 65) t(i)), "
+        "g AS MATERIALIZED (SELECT a.i AS i, b.i AS j, "
+        "SUM(a.v * b.v) / (SELECT count(*) FROM embeddings) AS v "
+        "FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2)")
+    base["embed_gram"] = (
+        _emb_gram_cte
+        + " SELECT i - 1 AS i, j - 1 AS j, ROUND(v, 8) AS v FROM g")
+    base["embed_pc1"] = (
+        # two unnormalized power-iteration matvecs from the all-ones
+        # start, replaying pc1_power(g, iters=2) on the UNROUNDED gram
+        _emb_gram_cte + ", "
+        "y1 AS (SELECT i, SUM(v) AS y FROM g GROUP BY 1), "
+        "y2 AS (SELECT g.i, SUM(g.v * y1.y) AS y FROM g "
+        "JOIN y1 ON y1.i = g.j GROUP BY 1) "
+        "SELECT i - 1 AS i, ROUND(y, 8) AS v FROM y2")
     base["minhash_sig4"] = (
         # MinHash over vocabulary ranks: dense rank of the sorted
         # distinct tokens is the permutation seed (UTF-8 byte order ==

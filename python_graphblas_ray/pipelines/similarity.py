@@ -315,3 +315,54 @@ def ann_topk_ivf(emb_ds, query_ids, k=10, nprobe=4, num_centroids=None,
     return ivf_search_batch(cents, assigned, qids[order],
                             np.concatenate(got_m)[order], k=k,
                             nprobe=nprobe, id_col=id_col, emb_col=emb_col)
+
+
+def gram_matrix(emb_ds, emb_col="embedding", mean=True):
+    """Distributed second-moment (uncentered Gram) matrix of the
+    embedding column: ``G = Eᵀ E / n`` (``mean=False`` skips the ``/n``)
+    → ``(G, n)`` with ``G`` a (d, d) float64 numpy array.
+
+    Scale shape: ONE streaming ``map_batches`` pass, each batch emitting
+    a single d×d float64 partial (d² floats — 32 KB at d=64) as one
+    output row; the corpus never shuffles and never materializes. The
+    driver sums the O(num_blocks) tiny partials — at fleet scale these
+    tree-reduce, but the partial itself is already block-size-free.
+    Summation order across partials is NOT the single-process order, so
+    downstream exact-match contracts must round below the ~1e-14
+    relative partial-order noise (the suite queries round to 8
+    decimals on O(0.01–1) values)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch[emb_col])
+        g = (m.T @ m) if m.size else np.zeros((0, 0))
+        return pa.table({
+            "g": pa.array([g.reshape(-1)], type=pa.list_(pa.float64())),
+            "d": pa.array([g.shape[0]], type=pa.int64()),
+            "n": pa.array([len(m)], type=pa.int64()),
+        })
+
+    parts = emb_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    d = max((int(p["d"]) for p in parts), default=0)
+    g = np.zeros((d, d), dtype=np.float64)
+    n = 0
+    for p in parts:
+        if int(p["d"]) == d and d:
+            g += np.asarray(p["g"], dtype=np.float64).reshape(d, d)
+        n += int(p["n"])
+    if mean and n:
+        g /= n
+    return g, n
+
+
+def pc1_power(g: np.ndarray, iters: int = 2) -> np.ndarray:
+    """Fixed-iteration UNNORMALIZED power iteration on a (d, d) Gram
+    matrix from the all-ones start: ``y ← G @ y`` repeated ``iters``
+    times. With ``G`` mean-scaled the entries stay O(1), so the result
+    is exact-contract-friendly (no norm step whose sqrt would amplify
+    summation-order noise); direction converges to the top principal
+    axis as ``iters`` grows. Pure O(d²) driver work — the distributed
+    part is building ``G`` (:func:`gram_matrix`)."""
+    y = np.ones(g.shape[0], dtype=np.float64)
+    for _ in range(iters):
+        y = g @ y
+    return y

@@ -85,3 +85,35 @@ def test_embedding_neardup_auto_routes_small_to_brute(emb_ds):
                                        method="brute")).to_pandas()
     assert (set(zip(a.ia.tolist(), a.ib.tolist())) ==
             set(zip(b.ia.tolist(), b.ib.tolist())))
+
+
+def test_gram_matrix_matches_numpy_and_is_psd():
+    """Distributed per-batch gram partials == full-matrix numpy matmul
+    (allclose under partial-order noise), symmetric, PSD."""
+    from python_graphblas_ray.pipelines.similarity import (gram_matrix,
+                                                           pc1_power)
+
+    rng = np.random.default_rng(7)
+    m = rng.normal(size=(300, 16))
+    axis = rng.normal(size=16)
+    axis /= np.linalg.norm(axis)
+    # plant a dominant principal axis so the eigengap is wide and the
+    # power iteration's convergence is actually testable
+    m = (m + 4.0 * rng.normal(size=(300, 1)) * axis).astype(np.float32)
+    ds = ray.data.from_arrow(pa.table({
+        "embedding": pa.array(list(m), type=pa.list_(pa.float32())),
+    })).repartition(5)
+    g, n = gram_matrix(ds)
+    assert n == 300 and g.shape == (16, 16)
+    ref = m.astype(np.float64).T @ m.astype(np.float64) / 300
+    np.testing.assert_allclose(g, ref, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(g, g.T, rtol=0, atol=0)
+    assert np.linalg.eigvalsh(g).min() >= -1e-12
+    # power iteration converges to the top principal axis
+    y = pc1_power(g, iters=50)
+    y = y / np.linalg.norm(y)
+    top = np.linalg.eigh(g)[1][:, -1]
+    assert abs(abs(y @ top) - 1.0) < 1e-9
+    # the fixed 2-step contract variant replays the recipe exactly
+    ones = np.ones(16)
+    np.testing.assert_array_equal(pc1_power(g, iters=2), g @ (g @ ones))
