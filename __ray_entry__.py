@@ -1121,6 +1121,19 @@ def _q_embed_gram(sf_dir):
                      "v": np.round(g.reshape(-1), 8)})
 
 
+def _q_events_transitions(sf_dir):
+    """Markov transition counts over per-user event sequences: one
+    user-keyed hash exchange + per-partition vectorized adjacent-pair
+    bincount; (ts, event_id) ordering makes ties deterministic."""
+    from python_graphblas_ray.pipelines.windows import event_transitions
+
+    out = event_transitions(_read(sf_dir, "events", columns=[
+        "event_id", "ts", "user_id", "event_type"]))
+    t = _as_table(out)
+    return t.set_column(t.schema.get_field_index("n"), "n",
+                        t["n"].cast(pa.float64()))
+
+
 def _q_embed_pc1(sf_dir):
     """Top-principal-axis power iteration (2 fixed unnormalized steps,
     all-ones start) on the mean-scaled Gram matrix: the distributed
@@ -2281,6 +2294,8 @@ PACKED_SUITES = {
          "revenue"),
         ("embed_gram", [("i", "i"), ("j", "i")], "v"),
         ("embed_pc1", [("i", "i")], "v"),
+        ("events_transitions", [("src_type", "s"), ("dst_type", "s")],
+         "n"),
     ]),
     # the splitmix64/knuth32 hash-replay family (seeded sampling and
     # bounded stochastic rounds) — its own slot so a member failure
@@ -2543,6 +2558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wl_refine2": _q_wl_refine2,
         "embed_gram": _q_embed_gram,
         "embed_pc1": _q_embed_pc1,
+        "events_transitions": _q_events_transitions,
         "color_first2": _q_color_first2,
         "minhash_sig4": _q_minhash_sig4,
         "simhash_sig": _q_simhash_sig,
@@ -4000,6 +4016,15 @@ def oracle_sql() -> dict[str, str]:
         "y2 AS (SELECT g.i, SUM(g.v * y1.y) AS y FROM g "
         "JOIN y1 ON y1.i = g.j GROUP BY 1) "
         "SELECT i - 1 AS i, ROUND(y, 8) AS v FROM y2")
+
+    base["events_transitions"] = (
+        # consecutive same-user event pairs ordered by (ts, event_id)
+        "WITH s AS (SELECT user_id, event_type AS a, "
+        "LEAD(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS b FROM events) "
+        "SELECT a AS src_type, b AS dst_type, "
+        "CAST(count(*) AS DOUBLE) AS n FROM s "
+        "WHERE b IS NOT NULL GROUP BY 1, 2")
     base["minhash_sig4"] = (
         # MinHash over vocabulary ranks: dense rank of the sorted
         # distinct tokens is the permutation seed (UTF-8 byte order ==

@@ -442,3 +442,63 @@ def windowed_distinct_users(events_ds, user_col="user_id", ts_col="ts",
         events_ds.select_columns([user_col, ts_col]), user_col,
         part, num_partitions=num_partitions)
     return grouped_agg(partials, ["window"], [("n", "sum", "n_users")])
+
+
+def event_transitions(events_ds, user_col="user_id", ts_col="ts",
+                      type_col="event_type", id_col="event_id",
+                      num_partitions=None):
+    """First-order Markov transition counts over per-user event
+    sequences — the sequence-mining op behind journey analysis and
+    next-event models: count of (src_type → dst_type) over consecutive
+    events of the same user, ordered by (ts, event_id) (the unique
+    event id breaks same-microsecond ties deterministically).
+
+    Scale shape (same as :func:`sessionize`): ONE hash-exchange keyed
+    by user, then a per-partition vectorized pass over ALL the
+    partition's users at once — dictionary-encode the type column,
+    lexsort by (user, ts, event_id), adjacent same-user pairs are the
+    transitions, one ``bincount`` on packed (src, dst) codes. Each
+    partition emits at most |types|² partial rows; ``grouped_agg``
+    merges them with Arrow hash aggregates (no per-group Python).
+    """
+    from ..stages.exchange import hash_exchange_apply
+    from ..stages.reduce import grouped_agg
+
+    empty = pa.table({
+        "src_type": pa.array([], pa.string()),
+        "dst_type": pa.array([], pa.string()),
+        "n": pa.array([], pa.int64()),
+    })
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return empty
+        et = t[type_col]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        u = t[user_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        uo, co = u[order], codes[order]
+        same = uo[1:] == uo[:-1]
+        if not same.any():
+            return empty
+        a, b = co[:-1][same], co[1:][same]
+        k = len(vocab)
+        cnt = np.bincount(a * k + b, minlength=k * k)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "src_type": pa.array(vocab[nz // k], pa.string()),
+            "dst_type": pa.array(vocab[nz % k], pa.string()),
+            "n": cnt[nz].astype(np.int64),
+        })
+
+    partials = hash_exchange_apply(
+        events_ds.select_columns([user_col, ts_col, type_col, id_col]),
+        user_col, part, num_partitions=num_partitions)
+    return grouped_agg(partials, ["src_type", "dst_type"],
+                       [("n", "sum", "n")])

@@ -254,6 +254,47 @@ def test_sessionize():
     assert len(out[out.user_id == 2]) == 1
 
 
+def test_event_transitions():
+    """Hand case incl. a same-microsecond tie broken by event_id, a
+    single-event user (no pairs), and a cross-user boundary (no pair),
+    plus randomized parity vs a pandas shift() brute force."""
+    from python_graphblas_ray.pipelines.windows import event_transitions
+
+    t = pa.table({
+        "event_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array([10, 10, 20, 5, 30, 7], pa.int64()).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "c", "a", "b"]),
+    })
+    # user 1 order (ts, id): (10,0)a (10,1)b (20,2)a → a→b, b→a
+    # user 2: (5,3)c (30,4)a → c→a ; user 3: single event, no pair
+    out = _table(event_transitions(ray.data.from_arrow(t))).to_pandas()
+    got = {(r.src_type, r.dst_type): r.n for r in out.itertuples()}
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("c", "a"): 1}
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    t2 = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 500, n), pa.int64()).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 60, n), pa.int64()),
+        "event_type": pa.array(
+            np.array(list("pqrst"))[rng.integers(0, 5, n)]),
+    })
+    out2 = _table(event_transitions(
+        ray.data.from_arrow(t2).repartition(7))).to_pandas()
+    df = t2.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    nxt = df.event_type.shift(-1)
+    same = df.user_id.to_numpy()[1:] == df.user_id.to_numpy()[:-1]
+    pairs = df.iloc[:-1][same]
+    ref = (pairs.assign(dst=nxt.iloc[:-1][same])
+           .groupby(["event_type", "dst"]).size())
+    got2 = {(r.src_type, r.dst_type): int(r.n) for r in out2.itertuples()}
+    assert got2 == {k: int(v) for k, v in ref.items()}
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
