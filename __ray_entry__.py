@@ -1121,6 +1121,22 @@ def _q_embed_gram(sf_dir):
                      "v": np.round(g.reshape(-1), 8)})
 
 
+def _q_embed_rp8(sf_dir):
+    """JL ±1 sign projection to k=8: sign(j,i) = bit 0 of
+    splitmix64(j·64+i), y = E @ Sᵀ — one streaming matmul pass; the
+    SQL twin replays the sign matrix from the shared splitmix64 CTE
+    generator. Round-8 covers the 64-term summation-order noise."""
+    from python_graphblas_ray.pipelines.similarity import (
+        random_projection)
+
+    out = random_projection(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]), k=8)
+    t = _as_table(out)
+    return t.set_column(t.schema.get_field_index("v"), "v",
+                        pa.array(np.round(
+                            t["v"].to_numpy(zero_copy_only=False), 8)))
+
+
 def _q_events_transitions(sf_dir):
     """Markov transition counts over per-user event sequences: one
     user-keyed hash exchange + per-partition vectorized adjacent-pair
@@ -2311,6 +2327,7 @@ PACKED_SUITES = {
         ("ann_ivf_fixed", [("query_id", "i"), ("neighbor_id", "i")],
          "rank"),
         ("wl_refine2", [("vid", "i"), ("sig", "i")], "deg"),
+        ("embed_rp8", [("vec_id", "i"), ("j", "i")], "v"),
     ]),
     "packed_label_suite": ("str", [
         ("bowtie", [("vid", "i")], "part"),
@@ -2558,6 +2575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wl_refine2": _q_wl_refine2,
         "embed_gram": _q_embed_gram,
         "embed_pc1": _q_embed_pc1,
+        "embed_rp8": _q_embed_rp8,
         "events_transitions": _q_events_transitions,
         "color_first2": _q_color_first2,
         "minhash_sig4": _q_minhash_sig4,
@@ -4016,6 +4034,23 @@ def oracle_sql() -> dict[str, str]:
         "y2 AS (SELECT g.i, SUM(g.v * y1.y) AS y FROM g "
         "JOIN y1 ON y1.i = g.j GROUP BY 1) "
         "SELECT i - 1 AS i, ROUND(y, 8) AS v FROM y2")
+
+    base["embed_rp8"] = (
+        # JL sign projection: sign(j,i) = bit 0 of splitmix64(j*64+i),
+        # y(vec,j) = sum_i x_i * sign — signs replayed via the shared
+        # splitmix64 stages, elements CAST to DOUBLE (exact float32
+        # widening), round-8 over the 64-term sums
+        "WITH ix AS (SELECT CAST(range AS HUGEINT) AS x, "
+        "CAST(range // 64 AS BIGINT) AS j, "
+        "CAST(range % 64 AS BIGINT) AS i FROM range(512)), "
+        + _sm64_stages_cols("rp", "ix", ["j", "i"], "x") + ", "
+        "sg AS (SELECT j, i, CASE WHEN h % 2 = 1 THEN CAST(1 AS DOUBLE) "
+        "ELSE CAST(-1 AS DOUBLE) END AS s FROM rpf), "
+        "xe AS (SELECT vec_id, CAST(t.i - 1 AS BIGINT) AS i, "
+        "CAST(embedding[t.i] AS DOUBLE) AS v FROM embeddings, "
+        "range(1, 65) t(i)) "
+        "SELECT xe.vec_id, sg.j, ROUND(SUM(xe.v * sg.s), 8) AS v "
+        "FROM xe JOIN sg ON sg.i = xe.i GROUP BY 1, 2")
 
     base["events_transitions"] = (
         # consecutive same-user event pairs ordered by (ts, event_id)

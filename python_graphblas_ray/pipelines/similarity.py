@@ -366,3 +366,38 @@ def pc1_power(g: np.ndarray, iters: int = 2) -> np.ndarray:
     for _ in range(iters):
         y = g @ y
     return y
+
+
+def random_projection(emb_ds, k=8, id_col="vec_id", emb_col="embedding"):
+    """Johnson-Lindenstrauss ±1 sign projection (Achlioptas 2003,
+    database-friendly random projections): ``y = E @ Sᵀ`` where
+    ``S[j, i] = +1`` if bit 0 of ``splitmix64(j·d + i)`` else ``-1`` —
+    fully deterministic, so an external oracle can replay the sign
+    matrix bit-for-bit. Distances are preserved in expectation up to
+    the usual JL ``√k`` scale (left unapplied to keep the contract a
+    pure signed sum).
+
+    Scale shape: the (k, d) sign matrix is O(k·d) driver bytes built
+    once per batch-fn closure; each corpus batch pays ONE (n, d)×(d, k)
+    matmul and emits n·k rows — streaming, no shuffle, no
+    materialization. Returns a Dataset (id_col, j, v)."""
+    from ..state.superstep import _splitmix64
+
+    def project(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch[emb_col])
+        d = m.shape[1] if m.size else 0
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if not d:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.float64())})
+        h = _splitmix64(np.arange(k * d, dtype=np.uint64))
+        signs = np.where(h & np.uint64(1), 1.0, -1.0).reshape(k, d)
+        y = m @ signs.T
+        return pa.table({
+            id_col: np.repeat(ids, k),
+            "j": np.tile(np.arange(k, dtype=np.int64), len(ids)),
+            "v": y.reshape(-1),
+        })
+
+    return emb_ds.map_batches(project, batch_format="pyarrow")

@@ -117,3 +117,31 @@ def test_gram_matrix_matches_numpy_and_is_psd():
     # the fixed 2-step contract variant replays the recipe exactly
     ones = np.ones(16)
     np.testing.assert_array_equal(pc1_power(g, iters=2), g @ (g @ ones))
+
+
+def test_random_projection_recipe_and_jl_property():
+    from python_graphblas_ray.pipelines.similarity import random_projection
+    from python_graphblas_ray.state.superstep import _splitmix64
+
+    rng = np.random.default_rng(11)
+    m = rng.normal(size=(200, 64)).astype(np.float32)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(200), pa.int64()),
+        "embedding": pa.array(list(m), type=pa.list_(pa.float32())),
+    })).repartition(4)
+    out = _table(random_projection(ds, k=16)).to_pandas()
+    out = out.sort_values(["vec_id", "j"]).reset_index(drop=True)
+    y = out.v.to_numpy().reshape(200, 16)
+    # exact recipe parity vs a directly-built sign matrix
+    h = _splitmix64(np.arange(16 * 64, dtype=np.uint64))
+    signs = np.where(h & np.uint64(1), 1.0, -1.0).reshape(16, 64)
+    np.testing.assert_allclose(
+        y, m.astype(np.float64) @ signs.T, rtol=0, atol=1e-12)
+    # JL: scaled squared distances concentrate around the originals
+    d_orig = ((m[None, :50] - m[:50, None]) ** 2).sum(-1)
+    # E[||y_a - y_b||^2] = k * ||a - b||^2 for +/-1 sign rows
+    d_proj = ((y[None, :50] - y[:50, None]) ** 2).sum(-1) / 16.0
+    iu = np.triu_indices(50, 1)
+    ratio = d_proj[iu] / d_orig[iu]
+    assert 0.25 < np.median(ratio) < 4.0
+    assert np.corrcoef(d_orig[iu], d_proj[iu])[0, 1] > 0.3
