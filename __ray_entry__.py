@@ -1121,6 +1121,27 @@ def _q_embed_gram(sf_dir):
                      "v": np.round(g.reshape(-1), 8)})
 
 
+def _q_host_rank3(sf_dir):
+    """Two-level web authority (the Common-Crawl host-ranking flow):
+    contract the page graph to its 64 'hosts' (labels = vid % 64, edge
+    weight = inter-host link count via the dedup('plus') exchange),
+    then fixed-3-superstep WEIGHTED PageRank on the small quotient —
+    contraction pays one bounded shuffle, the rank runs on k vertices.
+    """
+    from python_graphblas_ray.pipelines.algorithms import (
+        build_engine, contract_graph, pagerank)
+
+    C = contract_graph(_edge_matrix(sf_dir),
+                       np.arange(N_VERT, dtype=np.int64) % 64, k=64)
+    eng = build_engine(C.ds, 64, num_partitions=2, weighted=True)
+    try:
+        r, _, _ = pagerank(eng, tol=0.0, itermax=3, weighted=True)
+    finally:
+        eng.shutdown()
+    return pa.table({"host": np.arange(64, dtype=np.int64),
+                     "rank": np.round(r, 8)})
+
+
 def _q_embed_rp8(sf_dir):
     """JL ±1 sign projection to k=8: sign(j,i) = bit 0 of
     splitmix64(j·64+i), y = E @ Sᵀ — one streaming matmul pass; the
@@ -2312,6 +2333,7 @@ PACKED_SUITES = {
         ("embed_pc1", [("i", "i")], "v"),
         ("events_transitions", [("src_type", "s"), ("dst_type", "s")],
          "n"),
+        ("host_rank3", [("host", "i")], "rank"),
     ]),
     # the splitmix64/knuth32 hash-replay family (seeded sampling and
     # bounded stochastic rounds) — its own slot so a member failure
@@ -2577,6 +2599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_pc1": _q_embed_pc1,
         "embed_rp8": _q_embed_rp8,
         "events_transitions": _q_events_transitions,
+        "host_rank3": _q_host_rank3,
         "color_first2": _q_color_first2,
         "minhash_sig4": _q_minhash_sig4,
         "simhash_sig": _q_simhash_sig,
@@ -4051,6 +4074,27 @@ def oracle_sql() -> dict[str, str]:
         "range(1, 65) t(i)) "
         "SELECT xe.vec_id, sg.j, ROUND(SUM(xe.v * sg.s), 8) AS v "
         "FROM xe JOIN sg ON sg.i = xe.i GROUP BY 1, 2")
+
+    base["host_rank3"] = (
+        # contract to 64 hosts ((x%512)%64 == x%64), weight = inter-host
+        # link count, then the weighted fixed-iteration PageRank
+        # recursion (same recipe as pagerank_weighted5, 3 supersteps)
+        "WITH RECURSIVE H AS (SELECT l_orderkey % 64 AS src, "
+        "l_partkey % 64 AS dst, CAST(count(*) AS DOUBLE) AS wt "
+        "FROM lineitem GROUP BY 1, 2), "
+        "deg AS (SELECT src AS vid, sum(wt) AS d FROM H GROUP BY 1), "
+        "V AS (SELECT CAST(range AS BIGINT) AS vid FROM range(64)), "
+        "C AS (SELECT src, dst, wt FROM H "
+        "UNION ALL SELECT vid, vid, 0.0 FROM V), "
+        "pr(it, vid, r) AS ("
+        "SELECT 0, vid, 1.0 / 64 FROM V "
+        "UNION ALL "
+        "SELECT p.it + 1, c.dst, (1.0 - 0.85) / 64 + "
+        "sum(c.wt * COALESCE(p.r / (deg.d / 0.85), 0.0)) "
+        "FROM pr p JOIN C c ON c.src = p.vid "
+        "LEFT JOIN deg ON deg.vid = p.vid "
+        "WHERE p.it < 3 GROUP BY p.it, c.dst) "
+        "SELECT vid AS host, ROUND(r, 8) AS rank FROM pr WHERE it = 3")
 
     base["events_transitions"] = (
         # consecutive same-user event pairs ordered by (ts, event_id)
