@@ -1121,6 +1121,28 @@ def _q_embed_gram(sf_dir):
                      "v": np.round(g.reshape(-1), 8)})
 
 
+def _q_events_cms_users(sf_dir):
+    """Count-Min frequency estimates for every distinct user over the
+    events stream (depth 4 × width 128 — far fewer buckets than users
+    at sf0.1, so real collisions exercise the min-over-rows ESTIMATE
+    path, not just exact counting). One streaming sketch pass (d×w
+    partial per block, driver-summed) + one grouped_agg pass for the
+    distinct-user readout; buckets replayed by the SQL twin from the
+    shared splitmix64 stages."""
+    from python_graphblas_ray.stages.reduce import grouped_agg
+    from python_graphblas_ray.stages.sketch import (cms_build,
+                                                    cms_estimate)
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    counters = cms_build(ev, "user_id", width=128, depth=4)
+    users = _as_table(grouped_agg(ev, ["user_id"],
+                                  [(None, "count", "n")]))
+    uid = np.sort(users["user_id"].to_numpy(zero_copy_only=False))
+    return pa.table({"user_id": uid,
+                     "est": cms_estimate(counters, uid).astype(
+                         np.float64)})
+
+
 def _q_host_rank3(sf_dir):
     """Two-level web authority (the Common-Crawl host-ranking flow):
     contract the page graph to its 64 'hosts' (labels = vid % 64, edge
@@ -2350,6 +2372,7 @@ PACKED_SUITES = {
          "rank"),
         ("wl_refine2", [("vid", "i"), ("sig", "i")], "deg"),
         ("embed_rp8", [("vec_id", "i"), ("j", "i")], "v"),
+        ("events_cms_users", [("user_id", "i")], "est"),
     ]),
     "packed_label_suite": ("str", [
         ("bowtie", [("vid", "i")], "part"),
@@ -2600,6 +2623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_rp8": _q_embed_rp8,
         "events_transitions": _q_events_transitions,
         "host_rank3": _q_host_rank3,
+        "events_cms_users": _q_events_cms_users,
         "color_first2": _q_color_first2,
         "minhash_sig4": _q_minhash_sig4,
         "simhash_sig": _q_simhash_sig,
@@ -4074,6 +4098,22 @@ def oracle_sql() -> dict[str, str]:
         "range(1, 65) t(i)) "
         "SELECT xe.vec_id, sg.j, ROUND(SUM(xe.v * sg.s), 8) AS v "
         "FROM xe JOIN sg ON sg.i = xe.i GROUP BY 1, 2")
+
+    base["events_cms_users"] = (
+        # Count-Min replay: bucket(u, r) = splitmix64(u + r*2^32) % 128,
+        # row counters = sum of true per-user counts landing in the
+        # bucket, estimate = min over the 4 rows
+        "WITH u AS (SELECT user_id, CAST(count(*) AS HUGEINT) AS c "
+        "FROM events GROUP BY 1), "
+        "ix AS (SELECT user_id, t.r, CAST(user_id AS HUGEINT) + "
+        "CAST(t.r AS HUGEINT) * 4294967296 AS x FROM u, range(4) t(r)), "
+        + _sm64_stages_cols("cm", "ix", ["user_id", "r"], "x") + ", "
+        "bk AS MATERIALIZED (SELECT user_id, r, "
+        "CAST(h % 128 AS BIGINT) AS b FROM cmf), "
+        "ct AS MATERIALIZED (SELECT bk.r, bk.b, SUM(u.c) AS cnt "
+        "FROM bk JOIN u USING (user_id) GROUP BY 1, 2) "
+        "SELECT bk.user_id, CAST(MIN(ct.cnt) AS DOUBLE) AS est "
+        "FROM bk JOIN ct ON ct.r = bk.r AND ct.b = bk.b GROUP BY 1")
 
     base["host_rank3"] = (
         # contract to 64 hosts ((x%512)%64 == x%64), weight = inter-host

@@ -473,3 +473,58 @@ def quantile_query(vals: np.ndarray, wts: np.ndarray, total: float,
         idx = int(np.searchsorted(cum, target, side="left"))
         out.append(vals[min(idx, len(vals) - 1)])
     return np.asarray(out)
+
+
+# ---- Count-Min sketch (Cormode & Muthukrishnan 2005) -----------------
+
+
+def _cms_buckets(values: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """(depth, n) bucket indices: bucket(x, r) = splitmix64(u64(x) +
+    r·2³²) % width — the same per-row 2³² salt offset the MinHash
+    permutations use, so an external oracle replays it from the shared
+    splitmix64 stages."""
+    with np.errstate(over="ignore"):
+        v = values.astype(np.int64).view(np.uint64)
+        salts = (np.arange(depth, dtype=np.uint64) << np.uint64(32))
+        return (_hash64(v[None, :] + salts[:, None])
+                % np.uint64(width)).astype(np.int64)
+
+
+def cms_build(ds, col, width=128, depth=4):
+    """Distributed Count-Min frequency sketch over an integer column:
+    each block emits ONE depth×width int64 counter partial (a single
+    ``bincount`` over packed (row, bucket) codes — no per-row Python);
+    the driver SUMS the O(num_blocks) partials (associative — a tree
+    reduce at larger block counts). O(depth·width) memory regardless of
+    stream length; estimates overcount only (never undercount), with
+    error ≤ 2·N/width at probability 1 − 2⁻ᵈᵉᵖᵗʰ. Returns the
+    ``(depth, width)`` counter matrix."""
+
+    def block_counts(batch: pa.Table) -> pa.Table:
+        cnt = np.zeros(depth * width, dtype=np.int64)
+        vals = batch[col].to_numpy(zero_copy_only=False)
+        if len(vals):
+            b = _cms_buckets(vals, width, depth)
+            rows = np.arange(depth, dtype=np.int64)[:, None] * width
+            cnt = np.bincount((b + rows).reshape(-1),
+                              minlength=depth * width).astype(np.int64)
+        return pa.table({"c": [cnt]})
+
+    out = np.zeros(depth * width, dtype=np.int64)
+    for b in ds.map_batches(block_counts, batch_format="pyarrow",
+                            batch_size=1 << 18).iter_batches(
+                                batch_format="pyarrow", batch_size=None):
+        c = b["c"]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        flat = c.flatten().to_numpy(zero_copy_only=False)
+        out += flat.reshape(-1, depth * width).sum(axis=0)
+    return out.reshape(depth, width)
+
+
+def cms_estimate(counters: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Point-query the sketch: est(x) = min over rows of the row's
+    bucket counter — vectorized over the whole query array."""
+    depth, width = counters.shape
+    b = _cms_buckets(np.asarray(values), width, depth)
+    return counters[np.arange(depth)[:, None], b].min(axis=0)

@@ -1153,3 +1153,26 @@ def test_vocab_signatures_duplicate_and_similarity_behavior():
 
     assert ham(sh[0], sh[2]) <= 12             # near-dup: few bit flips
     assert ham(sh[0], sh[3]) > ham(sh[0], sh[2])
+
+
+def test_count_min_sketch_properties():
+    """CMS invariants: never undercounts; exact when width is ample;
+    the distributed block-partial build equals a single-pass build."""
+    from python_graphblas_ray.stages.sketch import cms_build, cms_estimate
+
+    rng = np.random.default_rng(5)
+    vals = rng.zipf(1.5, 20_000) % 1000  # skewed stream, ids 0..999
+    ids, true = np.unique(vals, return_counts=True)
+    ds = ray.data.from_arrow(pa.table({
+        "x": pa.array(vals, pa.int64())})).repartition(6)
+
+    tight = cms_build(ds, "x", width=64, depth=4)
+    est = cms_estimate(tight, ids)
+    assert (est >= true).all()                      # never undercounts
+    assert (est - true).max() <= 2 * len(vals) / 64  # CM error bound-ish
+
+    wide = cms_build(ds, "x", width=1 << 14, depth=4)
+    np.testing.assert_array_equal(cms_estimate(wide, ids), true)
+
+    single = cms_build(ds.repartition(1), "x", width=64, depth=4)
+    np.testing.assert_array_equal(tight, single)    # partial-order free
