@@ -1121,6 +1121,23 @@ def _q_embed_gram(sf_dir):
                      "v": np.round(g.reshape(-1), 8)})
 
 
+def _q_docs_rrf(sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 per-query
+    top-10 with the corpus-wide n-gram-LM quality ranking — rrf =
+    1/(60+r_lex) + 1/(60+r_quality). Lexical rank re-ranks the top-10
+    on the ROUNDED score (replayable order); quality rank is computed
+    WITHOUT a global sort via the broadcast-candidates beat-count pass."""
+    from python_graphblas_ray.pipelines.retrieval import (bm25_topk,
+                                                          rrf_fuse)
+    from python_graphblas_ray.stages.text import (ngram_lm_fit,
+                                                  ngram_lm_score)
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    topk = bm25_topk(docs, _BM25_QUERIES, k=10)
+    lm = ngram_lm_score(docs, ngram_lm_fit(docs))
+    return rrf_fuse(topk, lm)
+
+
 def _q_events_cms_users(sf_dir):
     """Count-Min frequency estimates for every distinct user over the
     events stream (depth 4 × width 128 — far fewer buckets than users
@@ -2356,6 +2373,7 @@ PACKED_SUITES = {
         ("events_transitions", [("src_type", "s"), ("dst_type", "s")],
          "n"),
         ("host_rank3", [("host", "i")], "rank"),
+        ("docs_rrf", [("qid", "s"), ("doc_id", "i")], "rrf"),
     ]),
     # the splitmix64/knuth32 hash-replay family (seeded sampling and
     # bounded stochastic rounds) — its own slot so a member failure
@@ -2624,6 +2642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": _q_events_transitions,
         "host_rank3": _q_host_rank3,
         "events_cms_users": _q_events_cms_users,
+        "docs_rrf": _q_docs_rrf,
         "color_first2": _q_color_first2,
         "minhash_sig4": _q_minhash_sig4,
         "simhash_sig": _q_simhash_sig,
@@ -4098,6 +4117,61 @@ def oracle_sql() -> dict[str, str]:
         "range(1, 65) t(i)) "
         "SELECT xe.vec_id, sg.j, ROUND(SUM(xe.v * sg.s), 8) AS v "
         "FROM xe JOIN sg ON sg.i = xe.i GROUP BY 1, 2")
+
+    base["docs_rrf"] = (
+        # RRF = 1/(60+r_lex) + 1/(60+r_quality): the bm25 chain selects
+        # each query's top-10 by unrounded score (same selection as
+        # docs_bm25), re-ranked on ROUND(s,6) within the subset; the
+        # lm chain ranks ALL docs by (round-8 score DESC, doc_id)
+        "WITH tok AS MATERIALIZED (SELECT doc_id, w FROM (SELECT doc_id, "
+        "unnest(string_split_regex(text, '\\s+')) AS w "
+        "FROM documents) WHERE w <> ''), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), "
+        "stats AS (SELECT (SELECT count(*) FROM documents) AS N, "
+        "(SELECT count(*) FROM tok) * 1.0 "
+        "/ (SELECT count(*) FROM documents) AS avgdl), "
+        "tf AS (SELECT doc_id, w, count(*) AS tf FROM tok WHERE w IN "
+        "('customer', 'fast', 'filter', 'hash', 'join', 'order', "
+        "'scan') GROUP BY 1, 2), "
+        "df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1), "
+        "q(qid, w) AS (VALUES ('q0', 'hash'), ('q0', 'join'), "
+        "('q1', 'fast'), ('q1', 'scan'), ('q1', 'filter'), "
+        "('q2', 'customer'), ('q2', 'order')), "
+        "scored AS (SELECT q.qid, tf.doc_id, "
+        "sum(ln(1 + ((SELECT N FROM stats) - df.df + 0.5) "
+        "/ (df.df + 0.5)) * tf.tf * 2.2 "
+        "/ (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl "
+        "/ (SELECT avgdl FROM stats)))) AS s "
+        "FROM q JOIN tf ON tf.w = q.w "
+        "JOIN dl ON dl.doc_id = tf.doc_id "
+        "JOIN df ON df.w = tf.w GROUP BY 1, 2), "
+        "sub AS MATERIALIZED (SELECT qid, doc_id, s FROM ("
+        "SELECT qid, doc_id, s, row_number() OVER (PARTITION BY qid "
+        "ORDER BY s DESC, doc_id) AS rn FROM scored) WHERE rn <= 10), "
+        "lexr AS (SELECT qid, doc_id, row_number() OVER ("
+        "PARTITION BY qid ORDER BY ROUND(s, 6) DESC, doc_id) AS r1 "
+        "FROM sub), "
+        "lst AS (SELECT doc_id, list_filter("
+        "string_split_regex(text, '\\s+'), x -> x <> '') AS ws "
+        "FROM documents), "
+        "uni AS (SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w "
+        "FROM lst) GROUP BY 1), "
+        "vc AS (SELECT count(*) AS v FROM uni), "
+        "bg AS MATERIALIZED (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 "
+        "FROM lst, LATERAL (SELECT unnest(generate_series(1, "
+        "len(ws) - 1)) AS i) t WHERE len(ws) >= 2), "
+        "bcnt AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2), "
+        "lp AS (SELECT b.doc_id, ln((bc.c + 1.0) / (u.c + v.v)) AS l "
+        "FROM bg b JOIN bcnt bc ON bc.w1 = b.w1 AND bc.w2 = b.w2 "
+        "JOIN uni u ON u.w = b.w1 CROSS JOIN vc v), "
+        "lmsc AS MATERIALIZED (SELECT d.doc_id, "
+        "round(COALESCE(avg(l), 0.0), 8) AS lm FROM documents d "
+        "LEFT JOIN lp USING (doc_id) GROUP BY d.doc_id), "
+        "qr AS (SELECT doc_id, row_number() OVER ("
+        "ORDER BY lm DESC, doc_id) AS r2 FROM lmsc) "
+        "SELECT x.qid, x.doc_id, ROUND(1.0 / (60 + x.r1) "
+        "+ 1.0 / (60 + qr.r2), 8) AS rrf "
+        "FROM lexr x JOIN qr USING (doc_id)")
 
     base["events_cms_users"] = (
         # Count-Min replay: bucket(u, r) = splitmix64(u + r*2^32) % 128,

@@ -241,3 +241,83 @@ def tfidf_topk(docs_ds, queries: dict[str, str], k: int = 10,
     degenerate to raw tf. Same streaming shape as BM25."""
     return bm25_topk(docs_ds, queries, k=k, k1=1e9, b=0.0,
                      id_col=id_col, text_col=text_col, round_to=round_to)
+
+
+def rrf_fuse(topk_table: pa.Table, quality_ds, k0: int = 60,
+             id_col="doc_id", q_col="qid", score_col="score",
+             quality_col="lm_score", round_to: int = 8) -> pa.Table:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of a per-query
+    lexical top-k with a corpus-wide quality ranking — the hybrid
+    retrieval/curation op (relevance × quality re-ranking):
+    ``rrf = 1/(k0 + r_lex) + 1/(k0 + r_quality)``.
+
+    - ``r_lex``: rank within the query's top-k by (ROUNDED score DESC,
+      id) — ranking on the rounded score keeps the order replayable by
+      an oracle that reproduces the rounded scores exactly.
+    - ``r_quality``: the candidate's rank among ALL corpus docs by
+      (quality DESC, id), computed WITHOUT a global sort: the
+      O(k·|queries|) candidate list broadcasts once (``ray.put``) and
+      ONE streaming pass over the quality dataset counts, per
+      candidate, the docs that beat it (one vectorized batch×candidate
+      comparison per batch; int64 partials sum on the driver) —
+      rank = 1 + beat-count. The corpus never shuffles, never sorts,
+      never materializes.
+    """
+    import ray
+
+    qv = np.asarray(topk_table[q_col].to_pylist(), dtype=object)
+    dv = topk_table[id_col].to_numpy(zero_copy_only=False)
+    sv = topk_table[score_col].to_numpy(zero_copy_only=False)
+
+    # lexical rank within each query by (rounded score desc, id)
+    _, qcodes = np.unique(qv, return_inverse=True)
+    order = np.lexsort((dv, -sv, qcodes))
+    from ..stages.reduce import segments
+    _, _, within = segments(qcodes[order])
+    r_lex = np.empty(len(dv), dtype=np.int64)
+    r_lex[order] = within + 1
+
+    # quality rank of each candidate among ALL docs, by beat-counting
+    cand = np.unique(dv)
+    cand_ref = ray.put(cand)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, ray.get(cand_ref))))
+
+    picked = pa.concat_tables(
+        list(quality_ds.map_batches(pick, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")),
+        promote_options="permissive")
+    pid = picked[id_col].to_numpy(zero_copy_only=False)
+    pqs = picked[quality_col].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(cand, pid)
+    cand_qs = np.empty(len(cand), dtype=np.float64)
+    cand_qs[pos] = pqs
+    pair_ref = ray.put((cand, cand_qs))
+
+    def beats(batch: pa.Table) -> pa.Table:
+        c_ids, c_qs = ray.get(pair_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        qs = batch[quality_col].to_numpy(zero_copy_only=False)
+        gt = ((qs[None, :] > c_qs[:, None]) |
+              ((qs[None, :] == c_qs[:, None]) &
+               (ids[None, :] < c_ids[:, None]))).sum(axis=1)
+        return pa.table({"c": [gt.astype(np.int64)]})
+
+    beat = np.zeros(len(cand), dtype=np.int64)
+    for b in quality_ds.map_batches(beats, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        c = b["c"]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        beat += c.flatten().to_numpy(
+            zero_copy_only=False).reshape(-1, len(cand)).sum(axis=0)
+    r_qual = beat[np.searchsorted(cand, dv)] + 1
+
+    rrf = 1.0 / (k0 + r_lex) + 1.0 / (k0 + r_qual)
+    return pa.table({
+        q_col: pa.array(list(qv), type=pa.string()),
+        id_col: dv,
+        "rrf": np.round(rrf, round_to),
+    })

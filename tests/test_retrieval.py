@@ -131,3 +131,32 @@ def test_stats_consistent_on_unicode_whitespace():
     assert n == 2 and avgdl == pytest.approx(2.5)
     got = bm25_topk(ray.data.from_arrow(t), {"q": "merge"}, k=2)
     assert got["doc_id"].to_pylist() == [1]
+
+
+def test_rrf_fuse_matches_bruteforce():
+    """The broadcast beat-count quality rank equals the global-sort
+    rank, and rrf = 1/(60+r_lex) + 1/(60+r_quality) exactly."""
+    from python_graphblas_ray.pipelines.retrieval import rrf_fuse
+
+    topk = pa.table({
+        "qid": pa.array(["q0", "q0", "q0", "q1", "q1"]),
+        "doc_id": pa.array([7, 3, 11, 3, 20], pa.int64()),
+        "score": pa.array([2.5, 2.5, 1.0, 9.0, 1.5], pa.float64()),
+    })
+    rng = np.random.default_rng(2)
+    ids = np.arange(40, dtype=np.int64)
+    qs = np.round(rng.normal(size=40), 8)
+    qs[3] = qs[7]  # force a quality tie broken by doc_id
+    quality = ray.data.from_arrow(pa.table({
+        "doc_id": ids, "lm_score": qs})).repartition(4)
+
+    out = rrf_fuse(topk, quality).to_pandas()
+    order = np.lexsort((ids, -qs))
+    r_qual = {int(ids[order][i]): i + 1 for i in range(40)}
+    # q0: docs 7 and 3 tie on rounded score → doc 3 ranks 1, 7 ranks 2
+    r_lex = {("q0", 3): 1, ("q0", 7): 2, ("q0", 11): 3,
+             ("q1", 3): 1, ("q1", 20): 2}
+    got = {(r.qid, r.doc_id): r.rrf for r in out.itertuples()}
+    for (q, d), rl in r_lex.items():
+        expect = round(1.0 / (60 + rl) + 1.0 / (60 + r_qual[d]), 8)
+        assert got[(q, d)] == expect, (q, d)
