@@ -2238,7 +2238,11 @@ def _as_table(res) -> pa.Table:
     if hasattr(res, "iter_batches"):  # ray.data.Dataset
         batches = list(res.iter_batches(batch_format="pyarrow"))
         if not batches:
-            return None
+            # empty result (e.g. a fully-peeled k-core at tiny sf) —
+            # keep the schema so empty-vs-empty compares column-exact
+            sch = res.schema(fetch_if_missing=True)
+            return pa.table({n: pa.array([], type=t)
+                             for n, t in zip(sch.names, sch.types)})
         return pa.concat_tables(batches, promote_options="permissive")
     return pa.Table.from_pandas(res, preserve_index=False)
 
