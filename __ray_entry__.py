@@ -66,6 +66,29 @@ def _scalar_table(value, name="val"):
     return pa.table({name: [value]})
 
 
+def _seed_schema(ds, **fields):
+    """Union a 0-row schema'd seed block into ``ds`` so a legitimately
+    all-empty result still reports its schema (Ray drops the schema of
+    0-block datasets, which would make empty-vs-empty oracle compares
+    column-blind). Free for non-empty results — the seed adds no rows."""
+    import ray.data
+
+    seed = pa.table({n: pa.array([], type=t) for n, t in fields.items()})
+    return ds.union(ray.data.from_arrow(seed))
+
+
+def _round_away(x, k):
+    """DuckDB-compatible ROUND: half away from zero. ``np.round`` is
+    banker's (half to even); the two differ ONLY on values landing
+    EXACTLY on the half-grain — reachable by dyadic rationals, e.g.
+    1/512-derived PageRank mass on degenerate graphs (n = 2⁹) or
+    α = 1/128 Katz terms — where banker's would mismatch the oracle.
+    Away from exact ties the two roundings agree, so swapping this in
+    is value-identical on non-degenerate inputs."""
+    p = 10.0 ** k
+    return np.copysign(np.floor(np.abs(np.asarray(x)) * p + 0.5) / p, x)
+
+
 def _vec(v):
     """GBVector → its (vid, val) Dataset."""
     return v.ds
@@ -354,7 +377,7 @@ def _q_pagerank_dangling5(sf_dir):
     finally:
         eng.shutdown()
     return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
-                     "rank": np.round(r, 8)})
+                     "rank": _round_away(r, 8)})
 
 
 def _q_pagerank_iter5(sf_dir):
@@ -369,7 +392,7 @@ def _q_pagerank_iter5(sf_dir):
     r, _, _ = pagerank(eng, tol=0.0, itermax=5)
     eng.shutdown()
     return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
-                     "rank": np.round(r, 8)})
+                     "rank": _round_away(r, 8)})
 
 
 def _q_trustrank_iter5(sf_dir):
@@ -384,7 +407,7 @@ def _q_trustrank_iter5(sf_dir):
     r, _, _ = trustrank(eng, seeds=np.arange(16), tol=0.0, itermax=5)
     eng.shutdown()
     return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
-                     "rank": np.round(r, 8)})
+                     "rank": _round_away(r, 8)})
 
 
 def _q_hits_iter3(sf_dir):
@@ -973,7 +996,7 @@ def _q_katz_iter5(sf_dir):
     # round to 6 (not 8): values reach ~1e5 at sf0.1, where partial-sum
     # ordering noise (~1e-9 relative) would cross a 1e-8 grain
     return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
-                     "val": np.round(x, 6)})
+                     "val": _round_away(x, 6)})
 
 
 def _q_quadrilaterals(sf_dir):
@@ -1178,7 +1201,7 @@ def _q_host_rank3(sf_dir):
     finally:
         eng.shutdown()
     return pa.table({"host": np.arange(64, dtype=np.int64),
-                     "rank": np.round(r, 8)})
+                     "rank": _round_away(r, 8)})
 
 
 def _q_embed_rp8(sf_dir):
@@ -1346,7 +1369,7 @@ def _q_pagerank_weighted5(sf_dir):
     r, _, _ = pagerank(eng, tol=0.0, itermax=5, weighted=True)
     eng.shutdown()
     return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
-                     "rank": np.round(r, 8)})
+                     "rank": _round_away(r, 8)})
 
 
 def _q_sssp(sf_dir):
@@ -1392,6 +1415,10 @@ def _q_revenue_by_nation(sf_dir):
     ck = cust["c_custkey"].to_numpy(zero_copy_only=False)
     cn = cust["c_nationkey"].to_numpy(zero_copy_only=False)
     pos = np.searchsorted(nk, cn)
+    # validated dimension chain: a customer with a dangling nationkey
+    # drops out (the oracle's inner join)
+    okc = (pos < len(nk)) & (nk[np.minimum(pos, len(nk) - 1)] == cn)
+    ck, cn, pos = ck[okc], cn[okc], pos[okc]
     # per-customer combined "nation|region" label, sorted by custkey —
     # the broadcast probe is one vectorized searchsorted per batch
     order = np.argsort(ck)
@@ -1405,9 +1432,14 @@ def _q_revenue_by_nation(sf_dir):
         cks_arr, labels_arr = _ray.get(ref)
         cks = batch["o_custkey"].to_numpy(zero_copy_only=False)
         price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
-        key = pa.array(labels_arr[np.searchsorted(cks_arr, cks)],
-                       pa.string())
-        t = pa.table({"k": key, "rev": price})
+        # validated probe: a dangling o_custkey (no customer row) is
+        # DROPPED, matching the oracle's inner join — an unvalidated
+        # searchsorted would silently attribute it to a neighbor key
+        pos = np.searchsorted(cks_arr, cks)
+        ok = (pos < len(cks_arr)) & (cks_arr[np.minimum(
+            pos, len(cks_arr) - 1)] == cks)
+        key = pa.array(labels_arr[pos[ok]], pa.string())
+        t = pa.table({"k": key, "rev": price[ok]})
         # per-batch combine: one row per (nation, region) per batch
         g = t.group_by("k").aggregate([("rev", "sum")])
         return pa.table({"k": g["k"], "rev": g["rev_sum"]})
@@ -1449,8 +1481,12 @@ def _q_revenue_by_brand_nation(sf_dir):
     nk = nat["n_nationkey"].to_numpy(zero_copy_only=False)
     nn = np.asarray(nat["n_name"].to_pylist(), dtype=object)
     sk = supp["s_suppkey"].to_numpy(zero_copy_only=False)
-    sn = nn[np.searchsorted(nk, supp["s_nationkey"].to_numpy(
-        zero_copy_only=False))]
+    snk = supp["s_nationkey"].to_numpy(zero_copy_only=False)
+    np_ = np.searchsorted(nk, snk)
+    # dangling s_nationkey drops the supplier (oracle inner join)
+    oks = (np_ < len(nk)) & (nk[np.minimum(np_, len(nk) - 1)] == snk)
+    sk, np_ = sk[oks], np_[oks]
+    sn = nn[np_]
     so = np.argsort(sk)
     sk, sn = sk[so], sn[so]
     ref = _ray.put((pk, pb, sk, sn))
@@ -1462,8 +1498,16 @@ def _q_revenue_by_brand_nation(sf_dir):
         rev = (batch["l_extendedprice"].to_numpy(zero_copy_only=False)
                * (1.0 - batch["l_discount"].to_numpy(
                    zero_copy_only=False)))
-        brand = pbs[np.searchsorted(pks, lp)]
-        natn = sns[np.searchsorted(sks, ls)]
+        # validated probes: dangling part/supplier keys DROP the fact
+        # row (the oracle's inner joins), never mislabel it
+        pp = np.searchsorted(pks, lp)
+        sp = np.searchsorted(sks, ls)
+        ok = ((pp < len(pks)) & (pks[np.minimum(pp, len(pks) - 1)] == lp)
+              & (sp < len(sks))
+              & (sks[np.minimum(sp, len(sks) - 1)] == ls))
+        brand = pbs[pp[ok]]
+        natn = sns[sp[ok]]
+        rev = rev[ok]
         t = pa.table({
             "k": pa.array(np.char.add(np.char.add(
                 brand.astype(str), "|"), natn.astype(str))),
@@ -1617,7 +1661,8 @@ def _q_edge_support(sf_dir):
     from python_graphblas_ray.pipelines.triangles import simple_undirected
 
     A = simple_undirected(_edge_dataset(sf_dir), N_VERT)
-    return A.mxm(A, semiring.plus_pair, mask=A.S).ds
+    return _seed_schema(A.mxm(A, semiring.plus_pair, mask=A.S).ds,
+                        src=pa.int64(), dst=pa.int64(), val=pa.int64())
 
 
 def _q_lpa_iter2(sf_dir):
@@ -1717,8 +1762,10 @@ def _q_hits(sf_dir):
 def _q_link_jaccard(sf_dir):
     from python_graphblas_ray.pipelines.linkpred import neighborhood_jaccard
 
-    return neighborhood_jaccard(_edge_dataset(sf_dir), N_VERT,
-                                min_common=2)
+    return _seed_schema(
+        neighborhood_jaccard(_edge_dataset(sf_dir), N_VERT, min_common=2),
+        u=pa.int64(), v=pa.int64(), common=pa.int64(),
+        jaccard=pa.float64())
 
 
 def _q_link_scores(sf_dir):
@@ -1730,8 +1777,12 @@ def _q_link_scores(sf_dir):
     tests/test_sampling_hits.py."""
     from python_graphblas_ray.pipelines.linkpred import link_scores
 
-    return link_scores(_edge_dataset(sf_dir), N_VERT, min_common=2,
-                       adamic_adar=False)
+    return _seed_schema(
+        link_scores(_edge_dataset(sf_dir), N_VERT, min_common=2,
+                    adamic_adar=False),
+        u=pa.int64(), v=pa.int64(), common=pa.int64(),
+        jaccard=pa.float64(), cosine=pa.float64(),
+        preferential=pa.int64())
 
 
 def _q_node2vec_walks(sf_dir):
@@ -2239,8 +2290,13 @@ def _as_table(res) -> pa.Table:
         batches = list(res.iter_batches(batch_format="pyarrow"))
         if not batches:
             # empty result (e.g. a fully-peeled k-core at tiny sf) —
-            # keep the schema so empty-vs-empty compares column-exact
+            # keep the schema so empty-vs-empty compares column-exact.
+            # A materialized 0-BLOCK dataset has no schema at all
+            # (Ray returns None); a column-less empty table is the
+            # best recoverable answer there.
             sch = res.schema(fetch_if_missing=True)
+            if sch is None:
+                return pa.table({})
             return pa.table({n: pa.array([], type=t)
                              for n, t in zip(sch.names, sch.types)})
         return pa.concat_tables(batches, promote_options="permissive")

@@ -25,6 +25,13 @@ def _split_by_hash(t: pa.Table, key_col: str, P: int):
     """Bin one block's rows by key hash (splitmix64 avalanche → even
     spread for sequential ids; strings via the vectorized FNV-1a path);
     stable part-sort + zero-copy slices."""
+    if t.num_rows == 0 or key_col not in t.column_names:
+        # degenerate block: Ray can emit 0-row 0-COLUMN blocks after
+        # select_columns/union over empty filter results (0-row blocks
+        # skip map_batches UDFs, so upstream stages can't normalize
+        # them) — they contribute no rows to any partition
+        e = t.slice(0, 0)
+        return tuple(e for _ in range(P))
     kc = t[key_col]
     if kc.null_count:  # null keys co-locate deterministically (as 0 / "")
         import pyarrow.compute as pc
@@ -51,9 +58,15 @@ def _split_by_hash(t: pa.Table, key_col: str, P: int):
 def _apply_partition(fn, *tables):
     tabs = [t for t in tables if t.num_rows]
     if not tabs:
-        # fn must handle the empty table (defines the output schema)
-        return fn(tables[0])
-    return fn(pa.concat_tables(tabs, promote_options="permissive"))
+        # fn must handle the empty table (defines the output schema);
+        # prefer a block that still carries columns — degenerate 0-col
+        # empties (see _split_by_hash) would KeyError inside fn
+        probe = next((t for t in tables if t.num_columns), None)
+        if probe is None:
+            return tables[0]  # fully schema-less: stay empty
+        return fn(probe)
+    return fn(pa.concat_tables(
+        [t for t in tabs], promote_options="permissive"))
 
 
 def hash_exchange_apply(ds, key_col, fn, num_partitions=None):

@@ -695,6 +695,12 @@ def _split_block(t, bounds, P):
     """Map side of the "exchange" partitioning: bin one block's rows by
     dst range (stable part-sort + zero-copy slices) and return the P
     slices plus the per-partition count vector as separate objects."""
+    if t.num_rows == 0 or "dst" not in t.column_names:
+        # degenerate block: Ray can emit 0-row 0-COLUMN blocks after
+        # select/union over empty filter results — nothing to bin
+        e = t.slice(0, 0)
+        return tuple(e for _ in range(P)) + (
+            np.zeros(P, dtype=np.int64),)
     dst = t["dst"].to_numpy(zero_copy_only=False)
     part = np.clip(np.searchsorted(bounds, dst, side="right") - 1,
                    0, P - 1).astype(np.int64)
