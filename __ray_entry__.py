@@ -1315,6 +1315,87 @@ def _q_docs_ttr(sf_dir):
                                   columns=["doc_id", "text"]))
 
 
+def _q_docs_flesch(sf_dir):
+    """Flesch reading-ease per document — words / sentences / vowel-group
+    syllables each counted by ONE Arrow RE2 kernel, byte-matched by the
+    DuckDB ``regexp_extract_all`` twin."""
+    from python_graphblas_ray.stages.text import readability
+
+    return readability(_read(sf_dir, "documents",
+                             columns=["doc_id", "text"]))
+
+
+# fixed screening list for the blocklist query/oracle pair — the terms
+# themselves are arbitrary; what's verified is the whole-word counting
+_BLOCKLIST_TERMS = ("click", "error", "free", "winner")
+
+
+def _q_docs_blocklist(sf_dir):
+    """Whole-word blocklist hit counts per document (zeros included) —
+    one compiled alternation RE2 pattern, one Arrow kernel per batch."""
+    from python_graphblas_ray.stages.text import blocklist_hits
+
+    return blocklist_hits(_read(sf_dir, "documents",
+                                columns=["doc_id", "text"]),
+                          list(_BLOCKLIST_TERMS))
+
+
+def _q_docs_entropy(sf_dir):
+    """Char-level Shannon entropy per document (nats, round-8) — the
+    gibberish/noise quality axis; one packed-key np.unique per batch."""
+    from python_graphblas_ray.stages.text import char_entropy
+
+    return char_entropy(_read(sf_dir, "documents",
+                              columns=["doc_id", "text"]))
+
+
+def _q_events_decay(sf_dir):
+    """Exponentially time-decayed activity per user (half-life = day,
+    as-of = stream max ts). Integer half-life buckets make every weight
+    a dyadic rational 2^-d, so partial sums are EXACT in float64 and
+    the SQL twin reproduces scores bit-for-bit — no rounding grain."""
+    from python_graphblas_ray.pipelines.windows import decayed_counts
+
+    return decayed_counts(_read(sf_dir, "events",
+                                columns=["user_id", "ts"]))
+
+
+def _q_embed_pq_topk(sf_dir):
+    """Product-quantization ADC top-10 for queries {0,1,2} with FIXED
+    one-hot codebooks (m=8, dsub=8): subspace code = argmax of the
+    subvector element (tie → lower index), so a SQL oracle replays the
+    code assignment with pure comparisons and the ADC distance with the
+    same exact float32→double widened terms. Exercises the real
+    ``pq_adc_topk`` lookup-table kernel."""
+    from python_graphblas_ray.pipelines.similarity import (
+        pq_adc_topk, pq_onehot_codebooks)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # round-6 ranking key: vectors sharing a CODE VECTOR have exactly
+    # equal ADC distance up to summation order — the grain collapses
+    # both sides to the same tie, broken by neighbor_id ascending
+    return pq_adc_topk(ds, pq_onehot_codebooks(64, 8),
+                       query_ids=[0, 1, 2], k=10, round_to=6)
+
+
+def _q_docs_bpe_merges(sf_dir):
+    """First 6 BPE merge rules fitted on the corpus vocabulary (ties →
+    lexicographically smallest pair; greedy left-to-right non-overlap
+    merging == SQL ``replace`` over bracket-delimited symbol strings,
+    which the chained-CTE oracle replays round by round). Emits
+    ``(step, cnt, pair)`` with pair = a ⟂ b joined on chr(31)."""
+    from python_graphblas_ray.pipelines.bpe import bpe_fit
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    merges, counts = bpe_fit(docs, num_merges=6)
+    return pa.table({
+        "step": pa.array(range(1, len(merges) + 1), pa.int64()),
+        "cnt": pa.array(counts, pa.int64()),
+        "pair": pa.array([a + "\x1f" + b for a, b in merges],
+                         pa.string()),
+    })
+
+
 def _q_events_window_distinct(sf_dir):
     """Distinct active users per tumbling day — the COUNT(DISTINCT)
     window aggregate (one user-keyed exchange, partials sum exactly)."""
@@ -2434,6 +2515,12 @@ PACKED_SUITES = {
          "n"),
         ("host_rank3", [("host", "i")], "rank"),
         ("docs_rrf", [("qid", "s"), ("doc_id", "i")], "rrf"),
+        ("docs_flesch", [("doc_id", "i")], "flesch"),
+        ("docs_entropy", [("doc_id", "i")], "entropy"),
+        ("docs_blocklist", [("doc_id", "i")], "n_hits"),
+        ("events_decay", [("user_id", "i")], "score"),
+        ("embed_pq_topk", [("query_id", "i"), ("neighbor_id", "i")],
+         "rank"),
     ]),
     # the splitmix64/knuth32 hash-replay family (seeded sampling and
     # bounded stochastic rounds) — its own slot so a member failure
@@ -2456,6 +2543,7 @@ PACKED_SUITES = {
         ("bowtie", [("vid", "i")], "part"),
         ("docs_ccnet_buckets", [("doc_id", "i")], "bucket"),
         ("docs_line_dedup", [("doc_id", "i")], "clean_text"),
+        ("docs_bpe_merges", [("step", "i"), ("cnt", "i")], "pair"),
     ]),
 }
 
@@ -2716,6 +2804,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolation_curve": _q_percolation_curve,
         "betweenness_s0": _q_betweenness_s0,
         "docs_cdc_bounds": _q_docs_cdc_bounds,
+        "docs_flesch": _q_docs_flesch,
+        "docs_entropy": _q_docs_entropy,
+        "docs_blocklist": _q_docs_blocklist,
+        "events_decay": _q_events_decay,
+        "embed_pq_topk": _q_embed_pq_topk,
+        "docs_bpe_merges": _q_docs_bpe_merges,
     }
     window = {
         # construction / exports
@@ -4724,6 +4818,113 @@ def oracle_sql() -> dict[str, str]:
         "FROM kz k JOIN C c ON c.src = k.vid "
         "WHERE k.it < 5 GROUP BY k.it, c.dst) "
         "SELECT vid, ROUND(x, 6) AS val FROM kz WHERE it = 5")
+    base["docs_flesch"] = (
+        # Flesch reading-ease: the three RE2 counts byte-match Arrow's
+        # count_substring_regex; identical double-op order; round
+        # half-away on both sides (text.py uses _round_half_away)
+        r"SELECT doc_id, CASE WHEN w > 0 THEN "
+        r"round(206.835 - 1.015 * (w / GREATEST(s, 1.0)) "
+        r"- 84.6 * (syl / GREATEST(w, 1.0)), 6) ELSE 0.0 END AS flesch "
+        r"FROM (SELECT doc_id, "
+        r"CAST(len(regexp_extract_all(COALESCE(text, ''), '\S+')) "
+        r"AS DOUBLE) AS w, "
+        r"CAST(len(regexp_extract_all(COALESCE(text, ''), '[.!?]+')) "
+        r"AS DOUBLE) AS s, "
+        r"CAST(len(regexp_extract_all(COALESCE(text, ''), "
+        r"'[aeiouyAEIOUY]+')) AS DOUBLE) AS syl FROM documents) t")
+    base["docs_entropy"] = (
+        # char-level Shannon entropy: character split via char-based
+        # substr (newline/unicode-safe), identical per-term double-op
+        # order -(c/n)*ln(c/n), round-8 over summation-order noise
+        "WITH ch AS (SELECT doc_id, substr(text, i, 1) AS c "
+        "FROM documents, LATERAL (SELECT unnest(generate_series(1, "
+        "length(text))) AS i) g), "
+        "cc AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS cnt "
+        "FROM ch GROUP BY 1, 2), "
+        "n AS (SELECT doc_id, SUM(cnt) AS n FROM cc GROUP BY 1) "
+        "SELECT d.doc_id, COALESCE(round(SUM(-(cc.cnt / n.n) * "
+        "ln(cc.cnt / n.n)), 8), 0.0) AS entropy "
+        "FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id "
+        "LEFT JOIN n ON n.doc_id = d.doc_id GROUP BY 1")
+    base["docs_blocklist"] = (
+        # whole-word alternation, same RE2 pattern the Ray stage compiles
+        r"SELECT doc_id, CAST(len(regexp_extract_all(COALESCE(text, ''),"
+        r" '\b(click|error|free|winner)\b')) AS BIGINT) AS n_hits "
+        r"FROM documents")
+    base["events_decay"] = (
+        # dyadic 2^-d weights (d = whole days before max ts): every
+        # partial sum is exact in float64, so no rounding grain
+        "WITH r AS (SELECT max(epoch_us(ts)) AS m FROM events) "
+        "SELECT user_id, SUM(CASE WHEN d <= 60 THEN "
+        "1.0 / CAST(CAST(1 AS BIGINT) << CAST(LEAST(d, 60) AS BIGINT) "
+        "AS DOUBLE) ELSE 0.0 END) AS score "
+        "FROM (SELECT user_id, ((SELECT m FROM r) - epoch_us(ts)) "
+        "// 86400000000 AS d FROM events) t GROUP BY 1")
+    base["embed_pq_topk"] = (
+        # PQ-ADC with one-hot codebooks: code = argmax of the subvector
+        # element (tie -> lower position); ADC distance = sum over
+        # subspaces of ||q_s - e_code||^2, round-6 key (code-vector
+        # collisions give EXACTLY equal distance up to summation order;
+        # the grain collapses both sides to the nid tie-break)
+        "WITH x AS MATERIALIZED (SELECT vec_id, "
+        "CAST(t.i - 1 AS BIGINT) AS i, "
+        "CAST(embedding[t.i] AS DOUBLE) AS v "
+        "FROM embeddings, range(1, 65) t(i)), "
+        "xs AS MATERIALIZED (SELECT vec_id, i // 8 AS s, i % 8 AS p, v "
+        "FROM x), "
+        "codes AS MATERIALIZED (SELECT vec_id, s, p AS code FROM ("
+        "SELECT vec_id, s, p, row_number() OVER ("
+        "PARTITION BY vec_id, s ORDER BY v DESC, p) AS rn FROM xs) "
+        "WHERE rn = 1), "
+        "q AS (SELECT * FROM xs WHERE vec_id IN (0, 1, 2)), "
+        "lut AS MATERIALIZED (SELECT q.vec_id AS qid, q.s, j.code, "
+        "SUM(POWER(q.v - CASE WHEN q.p = j.code THEN 1.0 ELSE 0.0 END, "
+        "2)) AS dd FROM q CROSS JOIN (SELECT CAST(range AS BIGINT) "
+        "AS code FROM range(8)) j GROUP BY 1, 2, 3), "
+        "dist AS (SELECT l.qid, c.vec_id AS nid, round(SUM(l.dd), 6) "
+        "AS d FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code "
+        "GROUP BY 1, 2) "
+        "SELECT query_id, neighbor_id, rank FROM ("
+        "SELECT qid AS query_id, nid AS neighbor_id, row_number() OVER "
+        "(PARTITION BY qid ORDER BY d, nid) AS rank FROM dist) "
+        "WHERE rank <= 10")
+    # BPE merge fitting, replayed round by round: symbols render as
+    # chr(2)||sym||chr(3) brackets (absent from the corpus), so greedy
+    # left-to-right non-overlapping pair merging IS SQL replace(), and
+    # adjacent-pair extraction is a list zip over the split symbols.
+    # Chained per-round CTEs are MATERIALIZED (DuckDB would otherwise
+    # inline and re-evaluate the prefix exponentially).
+    _bpe = [
+        r"WITH tok AS MATERIALIZED (SELECT unnest(list_filter("
+        r"string_split_regex(COALESCE(text, ''), '\s+'), "
+        r"x -> x <> '')) AS w FROM documents), "
+        r"v0 AS MATERIALIZED (SELECT cnt, regexp_replace(w, '(.)', "
+        r"chr(2) || '\1' || chr(3), 'g') AS s FROM ("
+        r"SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok "
+        r"GROUP BY 1) t)"]
+    for _r in range(1, 7):
+        _bpe.append(
+            f", p{_r} AS MATERIALIZED (SELECT syms[i] AS a, "
+            f"syms[i+1] AS b, SUM(cnt) AS c FROM (SELECT cnt, "
+            f"str_split(substr(s, 2, length(s) - 2), "
+            f"chr(3) || chr(2)) AS syms FROM v{_r - 1}) t, "
+            f"LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) "
+            f"AS i) g GROUP BY 1, 2), "
+            f"b{_r} AS MATERIALIZED (SELECT a, b, c FROM p{_r} "
+            f"ORDER BY c DESC, a, b LIMIT 1), "
+            # COALESCE to a never-matching pattern when the round ran
+            # out of pairs (empty b{r}) — s must pass through unchanged
+            f"v{_r} AS MATERIALIZED (SELECT cnt, replace(s, "
+            f"COALESCE(chr(2) || (SELECT a FROM b{_r}) || chr(3) || "
+            f"chr(2) || (SELECT b FROM b{_r}) || chr(3), chr(1)), "
+            f"COALESCE(chr(2) || (SELECT a FROM b{_r}) || "
+            f"(SELECT b FROM b{_r}) || chr(3), chr(1))) AS s "
+            f"FROM v{_r - 1})")
+    base["docs_bpe_merges"] = "".join(_bpe) + " " + " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS step, (SELECT c FROM b{r}) "
+        f"AS cnt, (SELECT a || chr(31) || b FROM b{r}) AS pair "
+        f"WHERE EXISTS (SELECT 1 FROM b{r})"
+        for r in range(1, 7))
     for suite, names in SUITES.items():
         base[suite] = _suite_sql([(n, base[n]) for n in names])
     for suite, (cols, specs, cast) in RENAME_SUITES.items():

@@ -401,3 +401,216 @@ def random_projection(emb_ds, k=8, id_col="vec_id", emb_col="embedding"):
         })
 
     return emb_ds.map_batches(project, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid 2011) — the compressed-domain
+# ANN scale path: d-dim vectors → m sub-codes of log2(ksub) bits each, so
+# a 100 TB float corpus compresses ~128× and distance evaluation becomes
+# m table lookups per vector (ADC).
+# ---------------------------------------------------------------------------
+
+
+def pq_onehot_codebooks(d, m=8):
+    """Fixed, externally replayable codebooks: subspace ``s`` uses the
+    ``dsub`` unit one-hot vectors (ksub = dsub). argmin L2 then equals
+    argmax of the subvector element (ties → lower code), which a SQL
+    oracle replays with pure comparisons — the fixed-centroid analogue
+    of ``ann_ivf_fixed``. Shape (m, dsub, dsub)."""
+    if d % m:
+        raise ValueError(f"d={d} not divisible by m={m}")
+    dsub = d // m
+    return np.broadcast_to(np.eye(dsub), (m, dsub, dsub)).copy()
+
+
+def _pq_assign(x, codebooks):
+    """(n, d) → (n, m) int64 codes: per subspace, argmin_j of
+    ``||c_j||² − 2·x·c_j`` (the ``||x||²`` term is code-independent).
+    First-minimum ties → lower code; the linear form keeps the argmin
+    exactly monotone in the matched component for one-hot codebooks."""
+    n, d = x.shape
+    m, ksub, dsub = codebooks.shape
+    xs = x.reshape(n, m, dsub)
+    # scores[s] = x_s @ C_s.T  (n, ksub); c2[s, j] = ||C_sj||²
+    scores = np.einsum("nsd,sjd->nsj", xs, codebooks)
+    c2 = np.einsum("sjd,sjd->sj", codebooks, codebooks)
+    return np.argmin(c2[None, :, :] - 2.0 * scores, axis=2)
+
+
+def pq_fit(emb_ds, m=8, ksub=8, iters=5, emb_col="embedding", seed=42):
+    """Per-subspace Lloyd k-means, all ``m`` subspaces in ONE streaming
+    pass per iteration: each batch assigns codes and emits (sum, count)
+    partials per (subspace, code) — m·ksub·dsub floats, tree-reducible —
+    so the corpus never shuffles or materializes. Deterministic seeded
+    init from the first batch (house ``kmeans_fit`` convention). Empty
+    cells keep their previous centroid. Returns (m, ksub, dsub)."""
+    first = next(iter(emb_ds.select_columns([emb_col]).iter_batches(
+        batch_format="pyarrow", batch_size=max(int(ksub) * 8, 256))), None)
+    if first is None or first.num_rows == 0:
+        raise ValueError("pq_fit: empty embedding dataset")
+    m0 = _matrix(first[emb_col])
+    d = m0.shape[1]
+    if d % m:
+        raise ValueError(f"d={d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    pick = rng.choice(len(m0), size=min(int(ksub), len(m0)),
+                      replace=False)
+    cents = np.ascontiguousarray(
+        m0[pick].reshape(len(pick), m, dsub).transpose(1, 0, 2))
+
+    for _ in range(int(iters)):
+        ref = ray.put(cents)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            x = _matrix(batch[emb_col])
+            if x.size == 0:
+                return pa.table({"cell": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64()),
+                                 "vsum": pa.array([], pa.list_(
+                                     pa.float64()))})
+            mm, kk, dd = c.shape
+            codes = _pq_assign(x, c)                       # (n, m)
+            xs = x.reshape(len(x), mm, dd)
+            cell = (np.arange(mm)[None, :] * kk + codes).ravel()
+            u_cell, inv = np.unique(cell, return_inverse=True)
+            cnt = np.bincount(inv)
+            vs = np.zeros((len(u_cell), dd))
+            np.add.at(vs, inv, xs.reshape(-1, dd))
+            return pa.table({
+                "cell": u_cell.astype(np.int64),
+                "cnt": cnt.astype(np.int64),
+                "vsum": pa.array(list(vs), type=pa.list_(pa.float64())),
+            })
+
+        agg_cnt = np.zeros(m * ksub, dtype=np.int64)
+        agg_sum = np.zeros((m * ksub, dsub))
+        for b in emb_ds.map_batches(partials, batch_format="pyarrow",
+                                    batch_size=8192).iter_batches(
+                batch_format="pyarrow", batch_size=None):
+            cell = b["cell"].to_numpy(zero_copy_only=False)
+            np.add.at(agg_cnt, cell,
+                      b["cnt"].to_numpy(zero_copy_only=False))
+            np.add.at(agg_sum, cell, _matrix(b["vsum"]))
+        nz = agg_cnt > 0
+        new = cents.reshape(-1, dsub).copy()
+        new[nz] = agg_sum[nz] / agg_cnt[nz, None]
+        cents = new.reshape(m, ksub, dsub)
+    return cents
+
+
+def pq_encode(emb_ds, codebooks, id_col="vec_id", emb_col="embedding"):
+    """Corpus → PQ codes in long form: Dataset ``(id_col, sub, code)``
+    — one streaming assignment pass, no shuffle. ``codebooks`` is
+    broadcast once via ``ray.put``."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    ref = ray.put(cb)
+    mm = cb.shape[0]
+
+    def encode(batch: pa.Table) -> pa.Table:
+        x = _matrix(batch[emb_col])
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if x.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "sub": pa.array([], pa.int64()),
+                             "code": pa.array([], pa.int64())})
+        codes = _pq_assign(x, ray.get(ref))
+        return pa.table({
+            id_col: np.repeat(ids, mm),
+            "sub": np.tile(np.arange(mm, dtype=np.int64), len(ids)),
+            "code": codes.ravel().astype(np.int64),
+        })
+
+    return emb_ds.map_batches(encode, batch_format="pyarrow",
+                              batch_size=8192)
+
+
+def pq_adc_topk(emb_ds, codebooks, query_ids, k=10, id_col="vec_id",
+                emb_col="embedding", round_to=None):
+    """Asymmetric-distance top-k: each query builds an (m, ksub) lookup
+    table of exact subspace distances ONCE; every corpus batch then
+    pays m gathers + one sum per vector — the compressed-domain search
+    that replaces the full matmul at scale. Ranking is on the raw
+    distance (ties → neighbor id asc): like ``ann_ivf_fixed``, real
+    embedding distance gaps dwarf summation-order noise, so an external
+    oracle recomputing the same distances reproduces the ranking
+    (``round_to`` optionally coarsens the key first). Returns a Dataset
+    ``(query_id, neighbor_id, rank)``, self included.
+    """
+    cb = np.asarray(codebooks, dtype=np.float64)
+    mm, kk, dd = cb.shape
+    query_ids = np.unique(np.asarray(query_ids, dtype=np.int64))
+    got_ids, got_m = [], []
+    for b in emb_ds.select_columns([id_col, emb_col]).iter_batches(
+            batch_format="pyarrow", batch_size=1 << 16):
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        hit = np.isin(ids, query_ids)
+        if hit.any():
+            got_ids.append(ids[hit])
+            got_m.append(_matrix(b[emb_col].filter(pa.array(hit))))
+    if not got_ids:
+        return ray.data.from_arrow(pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64())}))
+    qids = np.concatenate(got_ids)
+    order = np.argsort(qids)
+    qids = qids[order]
+    qm = np.concatenate(got_m)[order]
+    # lut[q, s, j] = ||q_s − c_sj||² — the per-(q, s, j) 8-term sums are
+    # the only float reductions; everything else is gather + m-term sum
+    diff = qm.reshape(len(qm), mm, 1, dd) - cb[None]
+    lut = np.einsum("qsjd,qsjd->qsj", diff, diff)
+    ref = ray.put((qids, lut, cb))
+    _empty = pa.table({"query_id": pa.array([], pa.int64()),
+                       "neighbor_id": pa.array([], pa.int64()),
+                       "dist": pa.array([], pa.float64())})
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty
+        qi, lt, c = ray.get(ref)
+        x = _matrix(batch[emb_col])
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        codes = _pq_assign(x, c)                       # (n, m)
+        # dist[q, n] = Σ_s lut[q, s, codes[n, s]]
+        d = lt[:, np.arange(mm)[None, :], codes].sum(axis=2)
+        if round_to is not None:
+            # half-AWAY (DuckDB ROUND), not banker's np.round — the
+            # key must round identically to a SQL replay on ties
+            p = 10.0 ** round_to
+            d = np.floor(d * p + 0.5) / p  # distances are >= 0
+        nq, nb = d.shape
+        take = min(k, nb)
+        # per-query (dist, id)-lexicographic selection: distinct code
+        # vectors can yield EQUAL (rounded) distances, and the batch
+        # cut must keep the same tie members the global merge would
+        rows, cols = [], []
+        for qi_ix in range(nq):
+            sel = np.lexsort((ids, d[qi_ix]))[:take]
+            rows.append(np.full(take, qi_ix))
+            cols.append(sel)
+        rr, cc = np.concatenate(rows), np.concatenate(cols)
+        return pa.table({
+            "query_id": qi[rr],
+            "neighbor_id": ids[cc],
+            "dist": d[rr, cc],
+        })
+
+    cand = emb_ds.map_batches(candidates, batch_format="pyarrow",
+                              batch_size=8192)
+
+    def merge(group: pa.Table) -> pa.Table:
+        q = group["query_id"][0].as_py()
+        nid = group["neighbor_id"].to_numpy(zero_copy_only=False)
+        dist = group["dist"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, dist))[:k]
+        return pa.table({
+            "query_id": np.full(len(order), q, dtype=np.int64),
+            "neighbor_id": nid[order],
+            "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+        })
+
+    return cand.groupby("query_id").map_groups(merge,
+                                               batch_format="pyarrow")

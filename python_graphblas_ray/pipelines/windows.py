@@ -502,3 +502,51 @@ def event_transitions(events_ds, user_col="user_id", ts_col="ts",
         user_col, part, num_partitions=num_partitions)
     return grouped_agg(partials, ["src_type", "dst_type"],
                        [("n", "sum", "n")])
+
+
+def decayed_counts(events_ds, user_col="user_id", ts_col="ts",
+                   half_life="day", as_of=None, max_exponent=60):
+    """Exponentially time-decayed activity score per key — the standard
+    recency-weighted engagement counter (each event contributes
+    ``2^-age``, age in whole half-lives before ``as_of``).
+
+    Determinism contract: half-life buckets are INTEGER (floor division
+    on epoch-microseconds), so every weight is a dyadic rational
+    ``2^-d`` and partial sums are EXACT in float64 regardless of
+    summation order (values stay within the 53-bit span for any
+    realistic stream) — no rounding grain needed, and a SQL oracle
+    (``1.0 / (1::BIGINT << d)``) reproduces the scores bit-for-bit.
+    Ages past ``max_exponent`` half-lives weigh exactly 0.
+
+    Scale shape: ONE streaming max for ``as_of`` (skipped when given),
+    then ONE ``map_batches`` pass of per-batch (user, partial-sum)
+    combiners into the two-level hash aggregate — the stream never
+    shuffles. Returns a Dataset ``(user_col, score)``."""
+    from ..stages.reduce import grouped_agg
+
+    us_per = {"hour": 3_600_000_000, "day": 86_400_000_000,
+              "week": 604_800_000_000}[half_life]
+    if as_of is None:
+        as_of = events_ds.max(ts_col)
+    ref_us = int(pa.scalar(as_of, type=pa.timestamp("us")).value)
+
+    def part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or ts_col not in batch.column_names:
+            return pa.table({user_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        ts = batch[ts_col].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        u = batch[user_col].to_numpy(zero_copy_only=False)
+        d = (ref_us - ts) // us_per
+        w = np.where((d >= 0) & (d <= max_exponent),
+                     np.ldexp(1.0, -np.clip(d, 0, max_exponent)
+                              .astype(np.int64)), 0.0)
+        uu, inv = np.unique(u, return_inverse=True)
+        s = np.zeros(len(uu))
+        np.add.at(s, inv, w)
+        return pa.table({user_col: uu.astype(np.int64),
+                         "score": s})
+
+    partials = events_ds.select_columns([user_col, ts_col]).map_batches(
+        part, batch_format="pyarrow", batch_size=65536)
+    return grouped_agg(partials, [user_col], [("score", "sum", "score")])

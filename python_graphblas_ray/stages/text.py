@@ -559,3 +559,112 @@ def type_token_ratio(docs_ds, text_col="text", id_col="doc_id"):
         return pa.table({id_col: ids, "ttr": out})
 
     return docs_ds.map_batches(ttr, batch_format="pyarrow")
+
+
+def readability(docs_ds, text_col="text", id_col="doc_id",
+                round_to=6):
+    """Flesch reading-ease per document — the classic readability
+    quality signal (Flesch 1948; a Gopher-style filter axis):
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`` with
+    the standard heuristics: words = ``\\S+`` runs, sentences =
+    ``[.!?]+`` runs (min 1), syllables = ``[aeiouyAEIOUY]+`` vowel
+    groups. All three counts are ONE Arrow RE2 kernel each over the
+    whole batch (``count_substring_regex`` — no Python row loop), and
+    each has a byte-identical DuckDB ``regexp_extract_all`` twin, so
+    the rounded score is cell-exactly oracle-replayable (half-AWAY
+    rounding, matching DuckDB ROUND — banker's ``np.round`` would
+    diverge on exact half-grain ties). Empty docs score 0. Returns
+    ``(id_col, flesch)``."""
+
+    def _round_half_away(x, k):
+        p = 10.0 ** k
+        return np.copysign(np.floor(np.abs(x) * p + 0.5) / p, x)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        w = pc.count_substring_regex(texts, r"\S+").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        s = pc.count_substring_regex(texts, r"[.!?]+").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        syl = pc.count_substring_regex(
+            texts, r"[aeiouyAEIOUY]+").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        score = np.where(
+            w > 0,
+            206.835 - 1.015 * (w / np.maximum(s, 1.0))
+            - 84.6 * (syl / np.maximum(w, 1.0)),
+            0.0)
+        return pa.table({
+            id_col: batch[id_col],
+            "flesch": _round_half_away(score, round_to),
+        })
+
+    return docs_ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow", batch_size=4096)
+
+
+def char_entropy(docs_ds, text_col="text", id_col="doc_id",
+                 round_to=8):
+    """Character-level Shannon entropy per document (nats) — the
+    classic gibberish / encoding-noise quality axis (low-entropy docs
+    are repeated boilerplate, high-entropy docs are binary junk).
+
+    Vectorized: the batch's texts concatenate once into a UTF-32
+    codepoint array; per-(doc, char) counts come from ONE ``np.unique``
+    over packed (doc, codepoint) keys — no per-row Python loop. H =
+    Σ −(c/n)·ln(c/n) with the identical per-term double-op order as
+    the DuckDB twin, round-8 over summation-order noise. Empty docs
+    score 0. Returns ``(id_col, entropy)``."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        lens = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
+        joined = "".join(texts.to_pylist())
+        cp = np.frombuffer(
+            joined.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int64)
+        did = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        out = np.zeros(len(lens))
+        if len(cp):
+            key = did * (1 << 21) + cp  # codepoints < 2^21
+            uk, cnt = np.unique(key, return_counts=True)
+            ud = uk >> 21
+            n = lens[ud].astype(np.float64)
+            p = cnt / n
+            np.add.at(out, ud, -p * np.log(p))
+        return pa.table({id_col: batch[id_col],
+                         "entropy": np.round(out, round_to)})
+
+    return docs_ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow", batch_size=4096)
+
+
+def blocklist_hits(docs_ds, blocklist, text_col="text", id_col="doc_id"):
+    """Safety/blocklist filter counts: per document, the number of
+    whole-word occurrences of any blocklist term — the word-list
+    screening stage of a curation pipeline (flag = ``n_hits > 0``).
+    The list compiles ONCE into a single alternation RE2 pattern
+    (``\\b(t1|t2|…)\\b``) evaluated by one Arrow kernel per batch; a
+    DuckDB ``regexp_extract_all`` twin replays it byte-identically.
+    Returns ``(id_col, n_hits)`` for EVERY document (zeros included —
+    the caller filters), so drop decisions stay auditable."""
+    pat = r"\b(" + "|".join(re.escape(t) for t in sorted(blocklist)) \
+        + r")\b"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        hits = pc.count_substring_regex(texts, pat)
+        return pa.table({id_col: batch[id_col],
+                         "n_hits": hits.cast(pa.int64())})
+
+    return docs_ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow", batch_size=4096)
