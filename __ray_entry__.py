@@ -1378,6 +1378,17 @@ def _q_embed_pq_topk(sf_dir):
                        query_ids=[0, 1, 2], k=10, round_to=6)
 
 
+def _q_docs_winnow(sf_dir):
+    """Winnowing fingerprints (MOSS; gram=3, window=8) over vocabulary
+    ranks — rightmost-min of each 8-gram-hash window, splitmix64
+    replayed in SQL; any shared 10-token run shares a fingerprint."""
+    from python_graphblas_ray.pipelines.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_read(sf_dir, "documents",
+                                     columns=["doc_id", "text"]),
+                               gram=3, window=8)
+
+
 def _q_docs_bpe_merges(sf_dir):
     """First 6 BPE merge rules fitted on the corpus vocabulary (ties →
     lexicographically smallest pair; greedy left-to-right non-overlap
@@ -2538,6 +2549,7 @@ PACKED_SUITES = {
         ("wl_refine2", [("vid", "i"), ("sig", "i")], "deg"),
         ("embed_rp8", [("vec_id", "i"), ("j", "i")], "v"),
         ("events_cms_users", [("user_id", "i")], "est"),
+        ("docs_winnow", [("doc_id", "i"), ("fp", "i")], "pos"),
     ]),
     "packed_label_suite": ("str", [
         ("bowtie", [("vid", "i")], "part"),
@@ -2810,6 +2822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_decay": _q_events_decay,
         "embed_pq_topk": _q_embed_pq_topk,
         "docs_bpe_merges": _q_docs_bpe_merges,
+        "docs_winnow": _q_docs_winnow,
     }
     window = {
         # construction / exports
@@ -4832,6 +4845,43 @@ def oracle_sql() -> dict[str, str]:
         r"AS DOUBLE) AS s, "
         r"CAST(len(regexp_extract_all(COALESCE(text, ''), "
         r"'[aeiouyAEIOUY]+')) AS DOUBLE) AS syl FROM documents) t")
+    base["docs_winnow"] = (
+        # Winnowing (gram=3, window=8): g-gram code = base-|V| packed
+        # vocabulary ranks -> splitmix64 (shared CTE stages); each
+        # window start picks its min hash, ties -> rightmost (ORDER BY
+        # h, pos DESC); short docs winnow one truncated window; the
+        # uint64 hash converts to the signed int64 bit pattern
+        r"WITH lst AS MATERIALIZED (SELECT doc_id, list_filter("
+        r"string_split_regex(COALESCE(text, ''), '\s+'), "
+        r"x -> x <> '') AS ws FROM documents), "
+        "tok AS MATERIALIZED (SELECT doc_id, CAST(g.i AS BIGINT) AS p, "
+        "ws[g.i] AS w FROM lst, LATERAL (SELECT unnest("
+        "generate_series(1, len(ws))) AS i) g), "
+        "voc AS MATERIALIZED (SELECT w, CAST(row_number() OVER "
+        "(ORDER BY w) - 1 AS HUGEINT) AS r FROM ("
+        "SELECT DISTINCT w FROM tok) t), "
+        "vn AS (SELECT CAST(count(*) AS HUGEINT) AS v FROM voc), "
+        "gr AS MATERIALIZED (SELECT t1.doc_id, t1.p AS pos, "
+        "(v1.r * (SELECT v FROM vn) + v2.r) * (SELECT v FROM vn) "
+        "+ v3.r AS x "
+        "FROM tok t1 JOIN tok t2 ON t2.doc_id = t1.doc_id "
+        "AND t2.p = t1.p + 1 "
+        "JOIN tok t3 ON t3.doc_id = t1.doc_id AND t3.p = t1.p + 2 "
+        "JOIN voc v1 ON v1.w = t1.w JOIN voc v2 ON v2.w = t2.w "
+        "JOIN voc v3 ON v3.w = t3.w), "
+        + _sm64_stages_cols("wn", "gr", ["doc_id", "pos"], "x") + ", "
+        "ng AS MATERIALIZED (SELECT doc_id, max(pos) AS n FROM wnf "
+        "GROUP BY 1), "
+        "sel AS (SELECT s.doc_id, q.pos, q.h, row_number() OVER ("
+        "PARTITION BY s.doc_id, s.pos ORDER BY q.h, q.pos DESC) AS rn "
+        "FROM wnf s JOIN ng ON ng.doc_id = s.doc_id "
+        "JOIN wnf q ON q.doc_id = s.doc_id "
+        "AND q.pos BETWEEN s.pos AND s.pos + 7 "
+        "WHERE s.pos <= GREATEST(ng.n - 7, 1)) "
+        "SELECT DISTINCT doc_id, pos, "
+        "CAST(CASE WHEN h >= 9223372036854775808 "
+        "THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS fp "
+        "FROM sel WHERE rn = 1")
     base["docs_entropy"] = (
         # char-level Shannon entropy: character split via char-based
         # substr (newline/unicode-safe), identical per-term double-op

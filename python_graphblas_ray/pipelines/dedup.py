@@ -1481,3 +1481,132 @@ def simhash_vocab_signatures(docs_ds, text_col="text", id_col="doc_id"):
                          "n_tokens": n_tok[rows]})
 
     return docs_ds.map_batches(sigs, batch_format="pyarrow")
+
+
+def winnow_fingerprints(docs_ds, gram=3, window=8, text_col="text",
+                        id_col="doc_id"):
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken 2003
+    — the MOSS local fingerprinting algorithm): every length-``window``
+    run of consecutive ``gram``-token hashes selects its MINIMUM hash,
+    ties broken to the RIGHTMOST occurrence; the distinct selected
+    (position, hash) pairs are the document's fingerprints. Guarantees
+    any shared run of ``window + gram - 1`` tokens yields a shared
+    fingerprint — the locality property plain 0 mod p sampling lacks.
+
+    SQL-replayable construction: token → sorted-vocabulary rank (the
+    ``minhash_vocab_signatures`` pattern — one distinct-token exchange,
+    vocabulary broadcast once), g-gram code = base-|V| packed ranks
+    (guarded: needs |V|^gram < 2^63), hash = splitmix64(code). One
+    vectorized batch pass: sliding-window view over the batch's gram
+    hashes with ``window-1`` MAX-sentinels between docs, rightmost
+    argmin via a reversed-column argmin — no per-doc Python. Docs
+    shorter than ``window`` grams winnow their single truncated window
+    (every non-empty doc gets ≥1 fingerprint); docs with fewer than
+    ``gram`` tokens emit none.
+
+    Emits ``(id_col, pos, fp)`` — pos = 1-based position of the
+    selected g-gram, fp = the uint64 hash as a signed int64 bit
+    pattern. Scale note: the vocabulary broadcast is the same
+    documented driver-state caveat as the signature family; per-batch
+    work is O(grams · window) with window small.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.monoids import monoid
+    from ..stages.reduce import groupby_monoid
+    from ..state.superstep import _splitmix64
+
+    g, w = int(gram), int(window)
+    if g < 1 or w < 1:
+        raise ValueError("gram and window must be >= 1")
+
+    def tokens_of(batch: pa.Table):
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern_regex(pc.fill_null(texts, ""), r"\s+")
+        words = lists.flatten().to_numpy(zero_copy_only=False)
+        counts = np.diff(lists.offsets.to_numpy(zero_copy_only=False))
+        doc = np.repeat(np.arange(len(counts)), counts)
+        keep = words != ""
+        return words[keep], doc[keep]
+
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        words, _ = tokens_of(batch)
+        uw = np.unique(words)
+        return pa.table({"w": uw,
+                         "one": np.ones(len(uw), dtype=np.int64)})
+
+    vocab_parts = [
+        b["w"].to_numpy(zero_copy_only=False)
+        for b in groupby_monoid(
+            docs_ds.map_batches(vocab_partial, batch_format="pyarrow"),
+            ["w"], "one", monoid.any).iter_batches(batch_format="pyarrow")
+        if b.num_rows]
+    vocab = (np.unique(np.concatenate(vocab_parts)) if vocab_parts
+             else np.array([], dtype=object))
+    if len(vocab) ** g >= 1 << 63:
+        raise ValueError(
+            f"|vocab|^gram = {len(vocab)}^{g} exceeds the 63-bit packed"
+            " g-gram code space: lower gram or chunk the vocabulary")
+    vocab_ref = ray.put(vocab)
+    UMAX = np.iinfo(np.uint64).max
+
+    def fps(batch: pa.Table) -> pa.Table:
+        voc = ray.get(vocab_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64()),
+                          "fp": pa.array([], pa.int64())})
+        words, doc = tokens_of(batch)
+        if not len(words):
+            return empty
+        rank = np.searchsorted(voc, words).astype(np.uint64)
+        n_tok = np.bincount(doc, minlength=len(ids))
+        m = np.maximum(n_tok - (g - 1), 0)          # grams per doc
+        if int(m.sum()) == 0:
+            return empty
+        tok_off = np.concatenate([[0], np.cumsum(n_tok)])
+        # g-gram packed codes, per doc: base-|V| over g consecutive ranks
+        gidx = (np.arange(len(words) - (g - 1))
+                if len(words) >= g else np.array([], dtype=np.int64))
+        # keep only gram starts whose whole gram stays inside one doc
+        gdoc = doc[gidx] if len(gidx) else np.array([], dtype=np.int64)
+        keep = gidx + (g - 1) < tok_off[gdoc + 1]
+        gidx, gdoc = gidx[keep], gdoc[keep]
+        code = np.zeros(len(gidx), dtype=np.uint64)
+        V = np.uint64(len(voc))
+        for j in range(g):
+            code = code * V + rank[gidx + j]
+        gh = _splitmix64(code)
+        # padded hash array: window-1 MAX sentinels between docs (and
+        # after the last), so windows never leak across documents
+        docs_present = np.flatnonzero(m > 0)
+        md = m[docs_present]
+        pad_start = np.concatenate(
+            [[0], np.cumsum(md + (w - 1))]).astype(np.int64)
+        padded = np.full(int(pad_start[-1]), UMAX, dtype=np.uint64)
+        gram_off = np.concatenate([[0], np.cumsum(md)]).astype(np.int64)
+        local = np.arange(int(md.sum())) - np.repeat(gram_off[:-1], md)
+        padded[np.repeat(pad_start[:-1], md) + local] = gh
+        win = np.lib.stride_tricks.sliding_window_view(padded, w)
+        # window starts per doc: 0 .. max(m_d - w, 0) inclusive
+        n_starts = np.minimum(md, np.maximum(md - w + 1, 1))
+        sdoc = np.repeat(np.arange(len(md)), n_starts)
+        starts = (np.arange(int(n_starts.sum()))
+                  - np.repeat(np.concatenate(
+                      [[0], np.cumsum(n_starts)])[:-1], n_starts)
+                  + pad_start[sdoc])
+        sub = win[starts]
+        ridx = (w - 1) - np.argmin(sub[:, ::-1], axis=1)
+        chosen = np.unique(starts + ridx)           # padded positions
+        cdoc = np.searchsorted(pad_start, chosen, side="right") - 1
+        pos = chosen - pad_start[cdoc] + 1          # 1-based gram pos
+        return pa.table({
+            id_col: ids[docs_present[cdoc]],
+            "pos": pos.astype(np.int64),
+            "fp": padded[chosen].view(np.int64),
+        })
+
+    return docs_ds.map_batches(fps, batch_format="pyarrow")

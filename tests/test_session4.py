@@ -235,6 +235,77 @@ def test_char_entropy_edges():
     assert got[3] == pytest.approx(_entropy_ref("ab\nba"), abs=1e-8)
 
 
+# ------------------------------------------------------------- winnow --
+
+
+def _winnow_ref(docs, gram, window):
+    """Brute-force winnowing over vocabulary-rank g-gram splitmix64."""
+    from python_graphblas_ray.state.superstep import _splitmix64
+    vocab = sorted({w for d in docs for w in re.split(r"\s+", d) if w})
+    V = len(vocab)
+    rk = {w: i for i, w in enumerate(vocab)}
+    out = []
+    for did, d in enumerate(docs):
+        ws = [w for w in re.split(r"\s+", d) if w]
+        if len(ws) < gram:
+            continue
+        gh = []
+        for i in range(len(ws) - gram + 1):
+            code = 0
+            for j in range(gram):
+                code = code * V + rk[ws[i + j]]
+            gh.append(int(_splitmix64(np.uint64(code))))
+        sel = set()
+        for s in range(max(len(gh) - window + 1, 1)):
+            wv = gh[s:s + window]
+            mn = min(wv)
+            ri = max(i for i, v in enumerate(wv) if v == mn)
+            sel.add((s + ri + 1, wv[ri]))
+        out.extend((did, p, f if f < 2 ** 63 else f - 2 ** 64)
+                   for p, f in sel)
+    return sorted(out)
+
+
+def test_winnow_vs_brute_force():
+    from python_graphblas_ray.pipelines.dedup import winnow_fingerprints
+    docs = ["a b c a b c a b c d e f", "x y",
+            "a a a a a a a a a a", "",
+            "q w e r t y u i o p a s d f g h"]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    got = sorted((r["doc_id"], r["pos"], r["fp"])
+                 for r in winnow_fingerprints(
+                     ray.data.from_arrow(t), gram=3, window=4).take_all())
+    assert got == _winnow_ref(docs, 3, 4)
+
+
+def test_winnow_locality_guarantee(docs_table):
+    # any shared run of window+gram-1 tokens must share a fingerprint:
+    # plant the same 12-token passage into two otherwise-unrelated docs
+    from python_graphblas_ray.pipelines.dedup import winnow_fingerprints
+    passage = "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10 zq11 zq12"
+    texts = docs_table["text"].to_pylist()[:20]
+    texts[3] = texts[3] + " " + passage
+    texts[17] = passage + " " + texts[17]
+    t = pa.table({"doc_id": pa.array(range(20), pa.int64()),
+                  "text": pa.array(texts)})
+    fps = {}
+    for r in winnow_fingerprints(ray.data.from_arrow(t), gram=3,
+                                 window=8).take_all():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[3] & fps[17], "planted passage must share a fingerprint"
+
+
+def test_winnow_short_doc_gets_fingerprint():
+    from python_graphblas_ray.pipelines.dedup import winnow_fingerprints
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["only three words", "ab"])})
+    got = winnow_fingerprints(ray.data.from_arrow(t), gram=3,
+                              window=8).take_all()
+    assert {r["doc_id"] for r in got} == {1}  # doc 2: < gram tokens
+    assert len(got) == 1  # one truncated window -> one fingerprint
+
+
 # ----------------------------------------------------------------- BPE --
 
 
