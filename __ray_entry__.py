@@ -1378,6 +1378,36 @@ def _q_embed_pq_topk(sf_dir):
                        query_ids=[0, 1, 2], k=10, round_to=6)
 
 
+def _q_simrank_iter2(sf_dir):
+    """Fixed-2-iteration SimRank (c = 0.8) on the 128-vertex quotient
+    of the derived graph (SimRank is pair-dense, so it runs on the
+    contracted space — the same scale posture as host_rank3): two
+    ``Aᵀ S A`` plus_times matmul chains + broadcast in-degree scaling,
+    diagonal reset to 1; off-diagonal u < v pairs, round-8."""
+    from python_graphblas_ray.pipelines.linkpred import simrank
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def mod(batch: pa.Table) -> pa.Table:
+        o = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": (o % 128).astype(np.int64),
+            "dst": (p % 128).astype(np.int64),
+            "val": np.ones(len(o), dtype=np.float64),
+        })
+
+    out = simrank(ds.map_batches(mod, batch_format="pyarrow"),
+                  n=128, c=0.8, iters=2)
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return pa.table({"u": batch["u"], "v": batch["v"],
+                         "s": _round_away(batch["s"].to_numpy(
+                             zero_copy_only=False), 8)})
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
 def _q_docs_winnow(sf_dir):
     """Winnowing fingerprints (MOSS; gram=3, window=8) over vocabulary
     ranks — rightmost-min of each 8-gram-hash window, splitmix64
@@ -2532,6 +2562,7 @@ PACKED_SUITES = {
         ("events_decay", [("user_id", "i")], "score"),
         ("embed_pq_topk", [("query_id", "i"), ("neighbor_id", "i")],
          "rank"),
+        ("simrank_iter2", [("u", "i"), ("v", "i")], "s"),
     ]),
     # the splitmix64/knuth32 hash-replay family (seeded sampling and
     # bounded stochastic rounds) — its own slot so a member failure
@@ -2823,6 +2854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_pq_topk": _q_embed_pq_topk,
         "docs_bpe_merges": _q_docs_bpe_merges,
         "docs_winnow": _q_docs_winnow,
+        "simrank_iter2": _q_simrank_iter2,
     }
     window = {
         # construction / exports
@@ -4845,6 +4877,34 @@ def oracle_sql() -> dict[str, str]:
         r"AS DOUBLE) AS s, "
         r"CAST(len(regexp_extract_all(COALESCE(text, ''), "
         r"'[aeiouyAEIOUY]+')) AS DOUBLE) AS syl FROM documents) t")
+    base["simrank_iter2"] = (
+        # two unrolled SimRank iterations on the 128-vertex distinct
+        # quotient: s1 = first-iteration common-in counts scaled by
+        # (0.8·cnt)/(d_u·d_v); s2 replays the Aᵀ S A chain as two
+        # chained grouped sums (t1 = Aᵀ s1f, s2 = t1 A) with the SAME
+        # two-stage summation structure as the mxm pair — round-8
+        # absorbs within-sum order noise; diagonal (=1) joins via s1f
+        "WITH E AS MATERIALIZED (SELECT DISTINCT l_orderkey % 128 "
+        "AS src, l_partkey % 128 AS dst FROM lineitem), "
+        "ind AS MATERIALIZED (SELECT dst AS v, "
+        "CAST(count(*) AS DOUBLE) AS d FROM E GROUP BY 1), "
+        "s1 AS MATERIALIZED (SELECT a.dst AS u, b.dst AS v, "
+        "0.8 * CAST(count(*) AS DOUBLE) / (du.d * dv.d) AS s "
+        "FROM E a JOIN E b ON b.src = a.src AND a.dst <> b.dst "
+        "JOIN ind du ON du.v = a.dst JOIN ind dv ON dv.v = b.dst "
+        "GROUP BY a.dst, b.dst, du.d, dv.d), "
+        "s1f AS MATERIALIZED (SELECT u, v, s FROM s1 UNION ALL "
+        "SELECT CAST(range AS BIGINT), CAST(range AS BIGINT), 1.0 "
+        "FROM range(128)), "
+        "t1 AS MATERIALIZED (SELECT e.dst AS u, s.v AS j, "
+        "SUM(s.s) AS x FROM E e JOIN s1f s ON s.u = e.src "
+        "GROUP BY 1, 2), "
+        "s2 AS (SELECT t.u, e.dst AS v, "
+        "0.8 * SUM(t.x) / (du.d * dv.d) AS s "
+        "FROM t1 t JOIN E e ON e.src = t.j "
+        "JOIN ind du ON du.v = t.u JOIN ind dv ON dv.v = e.dst "
+        "WHERE t.u <> e.dst GROUP BY t.u, e.dst, du.d, dv.d) "
+        "SELECT u, v, ROUND(s, 8) AS s FROM s2 WHERE u < v")
     base["docs_winnow"] = (
         # Winnowing (gram=3, window=8): g-gram code = base-|V| packed
         # vocabulary ranks -> splitmix64 (shared CTE stages); each

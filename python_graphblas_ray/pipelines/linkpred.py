@@ -569,3 +569,76 @@ def quadrilateral_count(edges_ds, n):
             batch_format="pyarrow"):
         tot += float(np.sum(b["s"].to_numpy(zero_copy_only=False)))
     return int(round(tot / 2.0))
+
+
+def simrank(edges_ds, n, c=0.8, iters=2):
+    """SimRank (Jeh-Widom 2002): two objects are similar when their
+    IN-neighbors are similar — ``s(u,v) = c/(|I(u)||I(v)|) ·
+    Σ_{i∈I(u), j∈I(v)} s(i,j)`` with ``s(x,x) = 1``, iterated from
+    S₀ = I over the DISTINCT-edge simple graph.
+
+    Each iteration is the engine's matmul chain — ``U = Aᵀ S A``
+    (two ``plus_times`` mxms, the structural-similarity dual of
+    cocitation's single ``AᵀA``) — followed by one vectorized scale
+    pass ``(c·U(u,v)) / (d_u·d_v)`` against the broadcast in-degree
+    vector, diagonal reset to 1. Sparse throughout: pairs with no
+    common in-neighbor support never materialize.
+
+    Returns a Dataset ``(u, v, s)`` over off-diagonal pairs ``u < v``
+    (S is symmetric). Scale note: SimRank is inherently pair-dense on
+    dense graphs — run it on a contracted/quotient graph (see
+    ``contract_graph``) at web scale, like ``host_rank3`` does for
+    PageRank.
+    """
+    pat = _distinct_pattern(edges_ds)
+
+    def as_float(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["src"], "dst": batch["dst"],
+                         "val": batch["val"].cast(pa.float64())})
+
+    A = GBMatrix.from_dataset(
+        pat.map_batches(as_float, batch_format="pyarrow"),
+        nrows=n, ncols=n)
+    ids, deg = A.reduce_columnwise("plus").to_coo(sort=True)
+    dref = ray.put((ids, deg.astype(np.float64)))
+    ident = ray.data.from_arrow(pa.table({
+        "src": np.arange(n, dtype=np.int64),
+        "dst": np.arange(n, dtype=np.int64),
+        "val": np.ones(n, dtype=np.float64)}))
+
+    S = GBMatrix.from_dataset(ident, nrows=n, ncols=n)
+    off = None
+    for _ in range(int(iters)):
+        U = A.T.mxm(S, _sr.plus_times).mxm(A, _sr.plus_times)
+
+        def scale(batch: pa.Table) -> pa.Table:
+            u = batch["src"].to_numpy(zero_copy_only=False)
+            v = batch["dst"].to_numpy(zero_copy_only=False)
+            x = batch["val"].to_numpy(zero_copy_only=False)
+            keep = u != v  # diagonal resets to 1 each iteration
+            u, v, x = u[keep], v[keep], x[keep]
+            dids, dvals = ray.get(dref)
+            du = dvals[np.searchsorted(dids, u)]
+            dv = dvals[np.searchsorted(dids, v)]
+            # op order matches the SQL twin: (c·x) / (d_u·d_v)
+            return pa.table({"src": u, "dst": v,
+                             "val": c * x / (du * dv)})
+
+        off = U.ds.map_batches(scale, batch_format="pyarrow")
+        S = GBMatrix.from_dataset(off.union(ident), nrows=n, ncols=n)
+
+    def upper(batch: pa.Table) -> pa.Table:
+        u = batch["src"].to_numpy(zero_copy_only=False)
+        v = batch["dst"].to_numpy(zero_copy_only=False)
+        x = batch["val"].to_numpy(zero_copy_only=False)
+        keep = u < v
+        return pa.table({"u": u[keep], "v": v[keep], "s": x[keep]})
+
+    seed = ray.data.from_arrow(pa.table(
+        {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+         "s": pa.array([], pa.float64())}))
+    if off is None:  # iters == 0
+        return seed
+    # union a 0-row schema'd seed: Ray's 0-row blocks skip map_batches
+    # UDFs, so an empty result would otherwise lose its (u, v, s) schema
+    return off.map_batches(upper, batch_format="pyarrow").union(seed)
