@@ -1183,6 +1183,41 @@ def _q_events_cms_users(sf_dir):
                          np.float64)})
 
 
+def _q_events_bloom(sf_dir):
+    """Bloom-filter membership screen (the decontamination-prefilter
+    shape: no false NEGATIVES, so misses are definitively absent and
+    only hits pay verification): build a 4096-bit k=3 filter over the
+    purchase-user set — ONE m/64-word bitmap partial per block,
+    driver-ORed, never shuffled — broadcast it once, and probe the
+    0..4095 candidate-id range distributed. At sf0.1 the 1500-user
+    build set fills ~2/3 of the bits, so real false positives exercise
+    the k-way AND; the SQL twin replays every bit position exactly
+    from the shared splitmix64 stages."""
+    from python_graphblas_ray.stages.sketch import (bloom_build,
+                                                    bloom_contains)
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def purch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.equal(batch["event_type"], "purchase")
+        return pa.table({"user_id": batch.filter(keep)["user_id"]})
+
+    import ray as _ray
+
+    bits, m, k = bloom_build(ev.map_batches(purch, batch_format="pyarrow"),
+                             "user_id", m_bits=4096, k=3)
+    bref = _ray.put(bits)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        import ray as _r
+        v = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = bloom_contains(_r.get(bref), m, k, v)
+        return pa.table({"uid": v, "hit": hit.astype(np.float64)})
+
+    return _ray.data.range(4096).map_batches(probe, batch_format="pyarrow")
+
+
 def _q_host_rank3(sf_dir):
     """Two-level web authority (the Common-Crawl host-ranking flow):
     contract the page graph to its 64 'hosts' (labels = vid % 64, edge
@@ -2563,6 +2598,7 @@ PACKED_SUITES = {
         ("embed_pq_topk", [("query_id", "i"), ("neighbor_id", "i")],
          "rank"),
         ("simrank_iter2", [("u", "i"), ("v", "i")], "s"),
+        ("events_bloom", [("uid", "i")], "hit"),
     ]),
     # the splitmix64/knuth32 hash-replay family (seeded sampling and
     # bounded stochastic rounds) — its own slot so a member failure
@@ -2855,6 +2891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_merges": _q_docs_bpe_merges,
         "docs_winnow": _q_docs_winnow,
         "simrank_iter2": _q_simrank_iter2,
+        "events_bloom": _q_events_bloom,
     }
     window = {
         # construction / exports
@@ -4905,6 +4942,29 @@ def oracle_sql() -> dict[str, str]:
         "JOIN ind du ON du.v = t.u JOIN ind dv ON dv.v = e.dst "
         "WHERE t.u <> e.dst GROUP BY t.u, e.dst, du.d, dv.d) "
         "SELECT u, v, ROUND(s, 8) AS s FROM s2 WHERE u < v")
+    base["events_bloom"] = (
+        # Bloom replay: pos(u, i) = splitmix64(xor(u, 2779096485*(i+1)))
+        # % 4096; built bits = DISTINCT positions over purchase users,
+        # probe hit = all 3 candidate positions set (false positives
+        # replay exactly — the bit set is shared across seeds)
+        "WITH bu AS (SELECT DISTINCT CAST(user_id AS HUGEINT) AS u "
+        "FROM events WHERE event_type = 'purchase'), "
+        "bx AS (SELECT u, "
+        + _bx("u", "(2779096485 * (CAST(t.i AS HUGEINT) + 1))")
+        + " AS x FROM bu, range(3) t(i)), "
+        + _sm64_stages_cols("bl", "bx", ["u"], "x") + ", "
+        "built AS MATERIALIZED (SELECT DISTINCT "
+        "CAST(h % 4096 AS BIGINT) AS pos FROM blf), "
+        "pu AS (SELECT CAST(range AS HUGEINT) AS u FROM range(4096)), "
+        "px AS (SELECT u, "
+        + _bx("u", "(2779096485 * (CAST(t.i AS HUGEINT) + 1))")
+        + " AS x FROM pu, range(3) t(i)), "
+        + _sm64_stages_cols("pb", "px", ["u"], "x") + ", "
+        "pp AS (SELECT u, CAST(h % 4096 AS BIGINT) AS pos FROM pbf) "
+        "SELECT CAST(pp.u AS BIGINT) AS uid, "
+        "CAST(CASE WHEN count(built.pos) = 3 THEN 1 ELSE 0 END "
+        "AS DOUBLE) AS hit "
+        "FROM pp LEFT JOIN built ON built.pos = pp.pos GROUP BY pp.u")
     base["docs_winnow"] = (
         # Winnowing (gram=3, window=8): g-gram code = base-|V| packed
         # vocabulary ranks -> splitmix64 (shared CTE stages); each
