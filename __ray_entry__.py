@@ -1218,6 +1218,24 @@ def _q_events_bloom(sf_dir):
     return _ray.data.range(4096).map_batches(probe, batch_format="pyarrow")
 
 
+def _q_mst_forest(sf_dir):
+    """Borůvka minimum spanning forest over the 512-vertex undirected
+    weighted quotient (w = link multiplicity): every round is one
+    map_batches min-reduction over the never-reshuffled edge stream
+    (per-component candidate min per block), components hook via
+    min-label CC with pointer jumping. The strict (w, a, b) total
+    order makes the forest unique; the SQL twin replays each round's
+    per-component argmin + forest-connectivity relabel exactly, so the
+    (round, edge) pairs compare hash-exact. Returns (r, u, v, w)."""
+    from python_graphblas_ray.pipelines.mst import (mst_boruvka,
+                                                    undirected_weights)
+
+    edges = undirected_weights(_edge_dataset(sf_dir), N_VERT)
+    forest, _ = mst_boruvka(edges, N_VERT)
+    return pa.table({"r": forest["r"], "u": forest["a"],
+                     "v": forest["b"], "w": forest["w"]})
+
+
 def _q_host_rank3(sf_dir):
     """Two-level web authority (the Common-Crawl host-ranking flow):
     contract the page graph to its 64 'hosts' (labels = vid % 64, edge
@@ -2599,6 +2617,7 @@ PACKED_SUITES = {
          "rank"),
         ("simrank_iter2", [("u", "i"), ("v", "i")], "s"),
         ("events_bloom", [("uid", "i")], "hit"),
+        ("mst_forest", [("r", "i"), ("u", "i"), ("v", "i")], "w"),
     ]),
     # the splitmix64/knuth32 hash-replay family (seeded sampling and
     # bounded stochastic rounds) — its own slot so a member failure
@@ -2892,6 +2911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_winnow": _q_docs_winnow,
         "simrank_iter2": _q_simrank_iter2,
         "events_bloom": _q_events_bloom,
+        "mst_forest": _q_mst_forest,
     }
     window = {
         # construction / exports
@@ -4965,6 +4985,47 @@ def oracle_sql() -> dict[str, str]:
         "CAST(CASE WHEN count(built.pos) = 3 THEN 1 ELSE 0 END "
         "AS DOUBLE) AS hit "
         "FROM pp LEFT JOIN built ON built.pos = pp.pos GROUP BY pp.u")
+    # Borůvka replay, one generated block per round (components at
+    # least halve, so ceil(log2(512)) = 9 rounds always terminate):
+    # per-component argmin under the strict (w, a, b) order, then
+    # labels = min-root connectivity of the forest selected so far
+    # (the same reach-CTE shape as the connected_components oracle)
+    _mst_rounds = []
+    for _r in range(1, 10):
+        _p = _r - 1
+        _mst_rounds.append(
+            f"ce{_r} AS MATERIALIZED (SELECT la.lab AS ca, lb.lab AS cb, "
+            f"e.w, e.a, e.b FROM E e JOIN l{_p} la ON la.vid = e.a "
+            f"JOIN l{_p} lb ON lb.vid = e.b WHERE la.lab <> lb.lab), "
+            f"cb{_r} AS (SELECT ca AS c, w, a, b FROM ce{_r} "
+            f"UNION ALL SELECT cb, w, a, b FROM ce{_r}), "
+            f"cm{_r} AS MATERIALIZED (SELECT w, a, b FROM ("
+            f"SELECT c, w, a, b, row_number() OVER (PARTITION BY c "
+            f"ORDER BY w, a, b) AS rn FROM cb{_r}) t WHERE rn = 1), "
+            f"sel{_r} AS MATERIALIZED (SELECT DISTINCT "
+            f"CAST({_r} AS BIGINT) AS r, w, a, b FROM cm{_r}), "
+            f"f{_r} AS MATERIALIZED (SELECT * FROM f{_p} "
+            f"UNION ALL SELECT * FROM sel{_r}), "
+            f"fe{_r} AS (SELECT a AS src, b AS dst FROM f{_r} "
+            f"UNION SELECT b, a FROM f{_r}), "
+            f"reach{_r}(vid, root) AS (SELECT vid, vid FROM V "
+            f"UNION SELECT e.dst, rr.root FROM reach{_r} rr "
+            f"JOIN fe{_r} e ON e.src = rr.vid), "
+            f"l{_r} AS MATERIALIZED (SELECT vid, "
+            f"CAST(min(root) AS BIGINT) AS lab "
+            f"FROM reach{_r} GROUP BY vid)")
+    base["mst_forest"] = (
+        "WITH RECURSIVE E AS MATERIALIZED (SELECT "
+        "LEAST(l_orderkey % 512, l_partkey % 512) AS a, "
+        "GREATEST(l_orderkey % 512, l_partkey % 512) AS b, "
+        "CAST(count(*) AS DOUBLE) AS w FROM lineitem "
+        "WHERE l_orderkey % 512 <> l_partkey % 512 GROUP BY 1, 2), "
+        "V AS (SELECT range::BIGINT AS vid FROM range(512)), "
+        "l0 AS MATERIALIZED (SELECT vid, vid AS lab FROM V), "
+        "f0 AS (SELECT CAST(NULL AS BIGINT) AS r, w, a, b "
+        "FROM E WHERE FALSE), "
+        + ", ".join(_mst_rounds) + " "
+        "SELECT r, a AS u, b AS v, w FROM f9")
     base["docs_winnow"] = (
         # Winnowing (gram=3, window=8): g-gram code = base-|V| packed
         # vocabulary ranks -> splitmix64 (shared CTE stages); each
