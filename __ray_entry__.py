@@ -1236,6 +1236,36 @@ def _q_mst_forest(sf_dir):
                      "v": forest["b"], "w": forest["w"]})
 
 
+def _q_widest4(sf_dir):
+    """Fixed-4-round widest (bottleneck) path widths from vertex 0
+    over the max_min semiring on the undirected capacity graph
+    (capacity = link multiplicity): 4 sparse vxm relaxations + ewise
+    max — only reached vertices materialize. Integer capacities make
+    every width exact (source carries +inf); the SQL twin replays the
+    relaxation as a bounded recursive CTE with MAX(LEAST(...))
+    grouping per round."""
+    from python_graphblas_ray.core import GBMatrix
+    from python_graphblas_ray.pipelines.algorithms import \
+        widest_path_fixed
+    from python_graphblas_ray.pipelines.mst import undirected_weights
+
+    und = undirected_weights(_edge_dataset(sf_dir), N_VERT)
+
+    def both(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        w = batch["w"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": np.concatenate([a, b]),
+                         "dst": np.concatenate([b, a]),
+                         "val": np.concatenate([w, w])})
+
+    A = GBMatrix.from_dataset(und.map_batches(both, batch_format="pyarrow"),
+                              nrows=N_VERT, ncols=N_VERT)
+    ids, vals = widest_path_fixed(A, source=0, iters=4).to_coo(sort=True)
+    return pa.table({"vid": ids.astype(np.int64),
+                     "width": vals.astype(np.float64)})
+
+
 def _q_host_rank3(sf_dir):
     """Two-level web authority (the Common-Crawl host-ranking flow):
     contract the page graph to its 64 'hosts' (labels = vid % 64, edge
@@ -2618,6 +2648,7 @@ PACKED_SUITES = {
         ("simrank_iter2", [("u", "i"), ("v", "i")], "s"),
         ("events_bloom", [("uid", "i")], "hit"),
         ("mst_forest", [("r", "i"), ("u", "i"), ("v", "i")], "w"),
+        ("widest4", [("vid", "i")], "width"),
     ]),
     # the splitmix64/knuth32 hash-replay family (seeded sampling and
     # bounded stochastic rounds) — its own slot so a member failure
@@ -2912,6 +2943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simrank_iter2": _q_simrank_iter2,
         "events_bloom": _q_events_bloom,
         "mst_forest": _q_mst_forest,
+        "widest4": _q_widest4,
     }
     window = {
         # construction / exports
@@ -5026,6 +5058,25 @@ def oracle_sql() -> dict[str, str]:
         "FROM E WHERE FALSE), "
         + ", ".join(_mst_rounds) + " "
         "SELECT r, a AS u, b AS v, w FROM f9")
+    base["widest4"] = (
+        # widest-path relaxation: round it+1 rows = max over (it-hop
+        # walk + 1 edge) of min(prefix width, edge capacity); final
+        # width = max over rounds (monotone). Integer capacities ->
+        # exact doubles; the source keeps +inf
+        "WITH RECURSIVE E AS MATERIALIZED (SELECT "
+        "LEAST(l_orderkey % 512, l_partkey % 512) AS a, "
+        "GREATEST(l_orderkey % 512, l_partkey % 512) AS b, "
+        "CAST(count(*) AS DOUBLE) AS w FROM lineitem "
+        "WHERE l_orderkey % 512 <> l_partkey % 512 GROUP BY 1, 2), "
+        "E2 AS (SELECT a AS src, b AS dst, w FROM E "
+        "UNION ALL SELECT b, a, w FROM E), "
+        "wp(it, vid, wd) AS ("
+        "SELECT 0, CAST(0 AS BIGINT), CAST('inf' AS DOUBLE) "
+        "UNION ALL "
+        "SELECT wp.it + 1, e.dst, MAX(LEAST(wp.wd, e.w)) "
+        "FROM wp JOIN E2 e ON e.src = wp.vid "
+        "WHERE wp.it < 4 GROUP BY wp.it, e.dst) "
+        "SELECT vid, MAX(wd) AS width FROM wp GROUP BY vid")
     base["docs_winnow"] = (
         # Winnowing (gram=3, window=8): g-gram code = base-|V| packed
         # vocabulary ranks -> splitmix64 (shared CTE stages); each

@@ -173,6 +173,9 @@ for _add, _mult in [
     ("min", "times"),
     ("max", "plus"),
     ("max", "times"),
+    ("max", "min"),      # widest / bottleneck path
+    ("min", "max"),      # minimax path
+
     ("plus", "plus"),
     ("plus", "min"),
     ("plus", "max"),

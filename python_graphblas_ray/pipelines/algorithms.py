@@ -1133,6 +1133,26 @@ def closeness_centrality_numpy(src, dst, n, sources=None, harmonic=True):
                              0.0), 8)
 
 
+def widest_path_fixed(A, source=0, iters=4):
+    """Widest (bottleneck) path widths from ``source`` over the
+    ``max_min`` algebraic-path semiring (reference semiring table
+    ``core/operator/semiring.py:190-218`` family): relax
+    ``x ← x ⊕max (x ᵀ· A)`` with ``x₀ = {source: +∞}``; after k rounds
+    ``x(v)`` = max over ≤k-hop walks of the walk's minimum edge
+    capacity (the bottleneck objective is monotone under vertex
+    repetition, so walks ≡ simple paths). Sparse throughout — only
+    REACHED vertices ever materialize; each round is one vxm dataset
+    join plus one ewise max, no dense n-vector anywhere. Returns the
+    reached-entry GBVector."""
+    from ..core import GBVector
+    from ..functions.monoids import semiring as _sr2
+
+    x = GBVector.from_coo([source], [np.inf], size=A.nrows)
+    for _ in range(int(iters)):
+        x = x.ewise_add(x.vxm(A, _sr2.max_min), "max")
+    return x
+
+
 def contract_graph(A, labels, k=None):
     """Quotient ("host") graph: ``C[a, b] = Σ A[i, j]`` over
     ``labels[i] = a, labels[j] = b`` — the Common-Crawl host-level
