@@ -1266,6 +1266,18 @@ def _q_widest4(sf_dir):
                      "width": vals.astype(np.float64)})
 
 
+def _q_embed_mmr(sf_dir):
+    """Maximal-marginal-relevance diversity top-5 (λ=0.7) for query
+    vector 0 over a distributed top-32 cosine prefilter — the
+    relevance-vs-coverage selection move; rank-only compare (the
+    ann_topk convention: cosine order is stable across numpy/DuckDB at
+    these gaps, ties broken by id)."""
+    from python_graphblas_ray.pipelines.similarity import mmr_select
+
+    return mmr_select(_read(sf_dir, "embeddings"), query_id=0, k=5,
+                      lam=0.7, pool=32)
+
+
 def _q_host_rank3(sf_dir):
     """Two-level web authority (the Common-Crawl host-ranking flow):
     contract the page graph to its 64 'hosts' (labels = vid % 64, edge
@@ -2649,6 +2661,7 @@ PACKED_SUITES = {
         ("events_bloom", [("uid", "i")], "hit"),
         ("mst_forest", [("r", "i"), ("u", "i"), ("v", "i")], "w"),
         ("widest4", [("vid", "i")], "width"),
+        ("embed_mmr", [("vec_id", "i")], "rank"),
     ]),
     # the splitmix64/knuth32 hash-replay family (seeded sampling and
     # bounded stochastic rounds) — its own slot so a member failure
@@ -2944,6 +2957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_bloom": _q_events_bloom,
         "mst_forest": _q_mst_forest,
         "widest4": _q_widest4,
+        "embed_mmr": _q_embed_mmr,
     }
     window = {
         # construction / exports
@@ -5077,6 +5091,33 @@ def oracle_sql() -> dict[str, str]:
         "FROM wp JOIN E2 e ON e.src = wp.vid "
         "WHERE wp.it < 4 GROUP BY wp.it, e.dst) "
         "SELECT vid, MAX(wd) AS width FROM wp GROUP BY vid")
+    # MMR greedy replay: one generated block per selection round —
+    # score = 0.7·rel − 0.3·max cosine to the already-selected set,
+    # argmax by (score DESC, vec_id) exactly as the driver greedy
+    _mmr_rounds = []
+    for _r in range(2, 6):
+        _p = _r - 1
+        _mmr_rounds.append(
+            f"m{_r} AS (SELECT c.vec_id, c.embedding, 0.7 * c.rel - "
+            f"0.3 * (SELECT MAX(list_cosine_similarity(c.embedding, "
+            f"s.embedding)) FROM sel{_p} s) AS score FROM cand c "
+            f"WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{_p})), "
+            f"p{_r} AS MATERIALIZED (SELECT vec_id, embedding, "
+            f"CAST({_r} AS BIGINT) AS rank FROM m{_r} "
+            f"ORDER BY score DESC, vec_id LIMIT 1), "
+            f"sel{_r} AS MATERIALIZED (SELECT * FROM sel{_p} "
+            f"UNION ALL SELECT * FROM p{_r})")
+    base["embed_mmr"] = (
+        "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0), "
+        "cand AS MATERIALIZED (SELECT e.vec_id, e.embedding, "
+        "list_cosine_similarity(e.embedding, q.embedding) AS rel "
+        "FROM embeddings e, q WHERE e.vec_id <> 0 "
+        "ORDER BY rel DESC, e.vec_id LIMIT 32), "
+        "sel1 AS MATERIALIZED (SELECT vec_id, embedding, "
+        "CAST(1 AS BIGINT) AS rank FROM cand "
+        "ORDER BY rel DESC, vec_id LIMIT 1), "
+        + ", ".join(_mmr_rounds) + " "
+        "SELECT vec_id, rank FROM sel5")
     base["docs_winnow"] = (
         # Winnowing (gram=3, window=8): g-gram code = base-|V| packed
         # vocabulary ranks -> splitmix64 (shared CTE stages); each

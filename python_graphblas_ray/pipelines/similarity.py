@@ -614,3 +614,80 @@ def pq_adc_topk(emb_ds, codebooks, query_ids, k=10, id_col="vec_id",
 
     return cand.groupby("query_id").map_groups(merge,
                                                batch_format="pyarrow")
+
+
+def mmr_select(emb_ds, query_id, k=5, lam=0.7, pool=32, id_col="vec_id",
+               emb_col="embedding"):
+    """Maximal Marginal Relevance diversity selection (Carbonell &
+    Goldstein 1998) — the training-data / retrieval move that trades
+    pure relevance for coverage: greedily pick
+    ``argmax λ·cos(q, d) − (1−λ)·max_{s∈S} cos(d, s)``.
+
+    Two stages, matching the quadratic cost structure: (1) a
+    distributed exact top-``pool`` cosine prefilter against the
+    broadcast query vector (per-batch top-pool candidates, the
+    ``ann_topk`` shape — the corpus streams, never shuffles);
+    (2) the O(pool²) greedy runs on the driver over the tiny pool,
+    ties broken by (score desc, id asc). Returns a pyarrow table
+    ``(vec_id, rank)`` with rank 1..k in selection order.
+    """
+    # -- query vector (one streaming scan, same as ann_topk)
+    qvec = None
+    for b in emb_ds.select_columns([id_col, emb_col]).iter_batches(
+            batch_format="pyarrow", batch_size=1 << 16):
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        hit = np.flatnonzero(ids == query_id)
+        if len(hit):
+            qvec = _normalize(_matrix(b[emb_col]))[hit[0]]
+            break
+    if qvec is None:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    qref = ray.put(qvec)
+
+    def cands(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "rel": pa.array([], pa.float64()),
+                             "vec": pa.array([], pa.list_(pa.float64()))})
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_matrix(batch[emb_col]))
+        rel = m @ ray.get(qref)
+        keep = ids != query_id
+        ids, rel, m = ids[keep], rel[keep], m[keep]
+        take = min(pool, len(ids))
+        if take < len(ids):
+            # per-batch top-pool by (rel desc, id asc) — lexsort keeps
+            # the boundary deterministic
+            order = np.lexsort((ids, -rel))[:take]
+            ids, rel, m = ids[order], rel[order], m[order]
+        return pa.table({"vec_id": ids, "rel": rel,
+                         "vec": pa.array(list(m), pa.list_(pa.float64()))})
+
+    parts = [t for t in emb_ds.map_batches(
+        cands, batch_format="pyarrow", batch_size=1 << 16).iter_batches(
+            batch_format="pyarrow", batch_size=None) if t.num_rows]
+    if not parts:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    t = pa.concat_tables(parts)
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    rel = t["rel"].to_numpy(zero_copy_only=False)
+    m = _matrix(t["vec"])
+    order = np.lexsort((ids, -rel))[:min(pool, len(ids))]
+    ids, rel, m = ids[order], rel[order], m[order]
+
+    # -- greedy MMR over the pool
+    sel = []
+    chosen = np.zeros(len(ids), dtype=bool)
+    maxsim = np.full(len(ids), -np.inf)
+    for r in range(min(k, len(ids))):
+        score = rel if r == 0 else lam * rel - (1.0 - lam) * maxsim
+        score = np.where(chosen, -np.inf, score)
+        # argmax with (score desc, id asc) tie-break
+        best = np.lexsort((ids, -score))[0]
+        sel.append(int(ids[best]))
+        chosen[best] = True
+        maxsim = np.maximum(maxsim, m @ m[best])
+    return pa.table({"vec_id": np.asarray(sel, dtype=np.int64),
+                     "rank": np.arange(1, len(sel) + 1, dtype=np.int64)})
