@@ -1278,6 +1278,30 @@ def _q_embed_mmr(sf_dir):
                       lam=0.7, pool=32)
 
 
+def _q_events_f2(sf_dir):
+    """AMS tug-of-war second-moment sketch over the event stream's
+    user ids: 5 ±1-sign sums (ONE O(depth) integer partial per block,
+    driver-added — EXACT in any merge order, no rounding grain),
+    median-of-squares F₂ estimate, plus the exact F₂ = Σ f(u)² ground
+    truth (self-join size) for in-query estimator-quality readout.
+    Rows: r 0..4 = squared sign sums, r=5 = median estimate, r=6 =
+    exact F₂."""
+    from python_graphblas_ray.stages.reduce import grouped_agg
+    from python_graphblas_ray.stages.sketch import (ams_f2_build,
+                                                    ams_f2_estimate)
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    s = ams_f2_build(ev, "user_id", depth=5)
+    est = ams_f2_estimate(s)
+    cnts = _as_table(grouped_agg(ev, ["user_id"], [(None, "count", "n")]))
+    n = cnts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    f2 = int(np.sum(n * n))
+    return pa.table({
+        "r": np.arange(7, dtype=np.int64),
+        "v": np.concatenate([(s.astype(np.int64) ** 2).astype(np.float64),
+                             [float(est)], [float(f2)]])})
+
+
 def _q_host_rank3(sf_dir):
     """Two-level web authority (the Common-Crawl host-ranking flow):
     contract the page graph to its 64 'hosts' (labels = vid % 64, edge
@@ -2662,6 +2686,7 @@ PACKED_SUITES = {
         ("mst_forest", [("r", "i"), ("u", "i"), ("v", "i")], "w"),
         ("widest4", [("vid", "i")], "width"),
         ("embed_mmr", [("vec_id", "i")], "rank"),
+        ("events_f2", [("r", "i")], "v"),
     ]),
     # the splitmix64/knuth32 hash-replay family (seeded sampling and
     # bounded stochastic rounds) — its own slot so a member failure
@@ -2958,6 +2983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mst_forest": _q_mst_forest,
         "widest4": _q_widest4,
         "embed_mmr": _q_embed_mmr,
+        "events_f2": _q_events_f2,
     }
     window = {
         # construction / exports
@@ -5118,6 +5144,26 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY rel DESC, vec_id LIMIT 1), "
         + ", ".join(_mmr_rounds) + " "
         "SELECT vec_id, rank FROM sel5")
+    base["events_f2"] = (
+        # AMS replay: sign(u, r) = 2·(splitmix64(u + r·2^32) mod 2) − 1
+        # (the CMS salt convention); integer sign sums are exact in any
+        # order, median-of-5 squares = quantile_disc middle element,
+        # exact F2 = Σ count² ground truth
+        "WITH ix AS (SELECT t.r, CAST(user_id AS HUGEINT) + "
+        "CAST(t.r AS HUGEINT) * 4294967296 AS x "
+        "FROM events, range(5) t(r)), "
+        + _sm64_stages_cols("am", "ix", ["r"], "x") + ", "
+        "sg AS MATERIALIZED (SELECT r, SUM(CAST((h % 2) * 2 - 1 "
+        "AS BIGINT)) AS s FROM amf GROUP BY r), "
+        "sq AS (SELECT CAST(r AS BIGINT) AS r, "
+        "CAST(s * s AS DOUBLE) AS v FROM sg), "
+        "med AS (SELECT CAST(5 AS BIGINT) AS r, "
+        "CAST(quantile_disc(s * s, 0.5) AS DOUBLE) AS v FROM sg), "
+        "ex AS (SELECT CAST(6 AS BIGINT) AS r, "
+        "CAST(SUM(c * c) AS DOUBLE) AS v FROM (SELECT "
+        "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY user_id)) "
+        "SELECT r, v FROM sq UNION ALL SELECT r, v FROM med "
+        "UNION ALL SELECT r, v FROM ex")
     base["docs_winnow"] = (
         # Winnowing (gram=3, window=8): g-gram code = base-|V| packed
         # vocabulary ranks -> splitmix64 (shared CTE stages); each

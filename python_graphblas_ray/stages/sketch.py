@@ -528,3 +528,55 @@ def cms_estimate(counters: np.ndarray, values: np.ndarray) -> np.ndarray:
     depth, width = counters.shape
     b = _cms_buckets(np.asarray(values), width, depth)
     return counters[np.arange(depth)[:, None], b].min(axis=0)
+
+
+# ---- AMS / tug-of-war second-moment (F2) sketch ----------------------
+# (Alon, Matias & Szegedy 1996)
+
+
+def _ams_signs(values: np.ndarray, depth: int) -> np.ndarray:
+    """(depth, n) ±1 signs: sign(x, r) = 2·(splitmix64(u64(x) + r·2³²)
+    mod 2) − 1 — the same per-row 2³² salt offset the CMS buckets use,
+    so an external oracle replays every sign from the shared splitmix64
+    stages."""
+    with np.errstate(over="ignore"):
+        v = values.astype(np.int64).view(np.uint64)
+        salts = (np.arange(depth, dtype=np.uint64) << np.uint64(32))
+        h = _hash64(v[None, :] + salts[:, None])
+        return ((h & np.uint64(1)).astype(np.int64) * 2 - 1)
+
+
+def ams_f2_build(ds, col, depth=5):
+    """Distributed AMS (tug-of-war) sketch of the stream's second
+    frequency moment F₂ = Σ_x f(x)² (= self-join size, the classic
+    join-size / skew estimator): each block emits ONE depth-vector of
+    ±1 sign sums (a single matmul-free reduction — signs summed per
+    row), the driver ADDS the partials (associative, any order —
+    integer arithmetic, so the merged sums are EXACT regardless of
+    block boundaries). O(depth) memory for any stream length. Returns
+    the int64 sign-sum vector ``s`` with E[s_r²] = F₂."""
+
+    def block_sums(batch: pa.Table) -> pa.Table:
+        vals = batch[col].to_numpy(zero_copy_only=False)
+        s = (np.zeros(depth, dtype=np.int64) if not len(vals)
+             else _ams_signs(vals, depth).sum(axis=1))
+        return pa.table({"s": [s]})
+
+    out = np.zeros(depth, dtype=np.int64)
+    for b in ds.map_batches(block_sums, batch_format="pyarrow",
+                            batch_size=1 << 18).iter_batches(
+                                batch_format="pyarrow", batch_size=None):
+        c = b["s"]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        flat = c.flatten().to_numpy(zero_copy_only=False)
+        out += flat.reshape(-1, depth).sum(axis=0)
+    return out
+
+
+def ams_f2_estimate(sums: np.ndarray) -> int:
+    """Median of the per-row squared sign sums (depth odd → the median
+    IS one of the exact integer squares; variance-bounded estimator of
+    F₂ with relative error O(1/√depth) per Alon-Matias-Szegedy)."""
+    sq = np.sort(np.asarray(sums, dtype=np.int64) ** 2)
+    return int(sq[len(sq) // 2])
