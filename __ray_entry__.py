@@ -1302,6 +1302,19 @@ def _q_events_f2(sf_dir):
                              [float(est)], [float(f2)]])})
 
 
+def _q_docs_chunks(sf_dir):
+    """Fixed 64-token / stride-48 context-window chunk boundaries over
+    every document (the training-chunk packing prep): one vectorized
+    Arrow RE2 token-count kernel + repeat/arange expansion — pure
+    integer arithmetic, so the SQL twin (range cross join on
+    j·stride < n) is bit-exact."""
+    from python_graphblas_ray.stages.text import chunk_windows
+
+    return chunk_windows(_read(sf_dir, "documents",
+                               columns=["doc_id", "text"]),
+                         window=64, stride=48)
+
+
 def _q_host_rank3(sf_dir):
     """Two-level web authority (the Common-Crawl host-ranking flow):
     contract the page graph to its 64 'hosts' (labels = vid % 64, edge
@@ -2687,6 +2700,8 @@ PACKED_SUITES = {
         ("widest4", [("vid", "i")], "width"),
         ("embed_mmr", [("vec_id", "i")], "rank"),
         ("events_f2", [("r", "i")], "v"),
+        ("docs_chunks", [("doc_id", "i"), ("chunk", "i"),
+                         ("start", "i")], "len"),
     ]),
     # the splitmix64/knuth32 hash-replay family (seeded sampling and
     # bounded stochastic rounds) — its own slot so a member failure
@@ -2984,6 +2999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "widest4": _q_widest4,
         "embed_mmr": _q_embed_mmr,
         "events_f2": _q_events_f2,
+        "docs_chunks": _q_docs_chunks,
     }
     window = {
         # construction / exports
@@ -5164,6 +5180,14 @@ def oracle_sql() -> dict[str, str]:
         "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY user_id)) "
         "SELECT r, v FROM sq UNION ALL SELECT r, v FROM med "
         "UNION ALL SELECT r, v FROM ex")
+    base["docs_chunks"] = (
+        # chunk j spans tokens [j*48, min(j*48+64, n)) for j*48 < n —
+        # pure integer arithmetic from the RE2 token count
+        r"WITH n AS (SELECT doc_id, CAST(len(regexp_extract_all("
+        r"COALESCE(text, ''), '\S+')) AS BIGINT) AS n FROM documents) "
+        r"SELECT doc_id, r.range AS chunk, r.range * 48 AS start, "
+        r"LEAST(64, n.n - r.range * 48) AS len "
+        r"FROM n JOIN range(65536) r ON r.range * 48 < n.n")
     base["docs_winnow"] = (
         # Winnowing (gram=3, window=8): g-gram code = base-|V| packed
         # vocabulary ranks -> splitmix64 (shared CTE stages); each

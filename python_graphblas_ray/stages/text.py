@@ -668,3 +668,39 @@ def blocklist_hits(docs_ds, blocklist, text_col="text", id_col="doc_id"):
 
     return docs_ds.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pyarrow", batch_size=4096)
+
+
+def chunk_windows(docs_ds, window=64, stride=48, id_col="doc_id",
+                  text_col="text"):
+    """Fixed token-window chunk boundaries with overlap — the
+    context-window packing prep step (split every document into
+    ``window``-token training chunks advancing by ``stride``, so
+    consecutive chunks share ``window − stride`` tokens of context).
+
+    Chunk ``j`` of a doc with ``n`` whitespace tokens covers the token
+    span ``[j·stride, min(j·stride + window, n))`` for every
+    ``j·stride < n`` — ceil(n/stride) chunks per non-empty doc, none
+    for empty docs; the trailing chunk may be short. Emits boundaries
+    ``(doc_id, chunk, start, len)`` rather than sliced text: ONE
+    vectorized Arrow RE2 token-count kernel + np.repeat/arange
+    expansion per batch, no per-doc Python (the actual slice runs in
+    whatever downstream actor consumes the chunk — tokenizer, packer —
+    against the boundary table)."""
+    import pyarrow.compute as pc
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.fill_null(batch[text_col], ""), r"\S+").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        k = -(-n // stride)  # ceil(n / stride); 0 stays 0
+        tot = int(k.sum())
+        doc = np.repeat(ids, k)
+        nn = np.repeat(n, k)
+        seg0 = np.concatenate([[0], np.cumsum(k)[:-1]])
+        j = np.arange(tot, dtype=np.int64) - np.repeat(seg0, k)
+        start = j * stride
+        return pa.table({"doc_id": doc, "chunk": j, "start": start,
+                         "len": np.minimum(window, nn - start)})
+
+    return docs_ds.map_batches(chunks, batch_format="pyarrow")

@@ -329,3 +329,29 @@ def test_attack_vs_random_robustness_on_star():
                                            strategy="degree",
                                            num_partitions=2)
     assert f_random > f_attack
+
+
+def test_chunk_windows_boundaries():
+    import numpy as np
+    import pyarrow as pa
+    import ray as _ray
+    from python_graphblas_ray.stages.text import chunk_windows
+
+    texts = ["", "one", " ".join(f"t{i}" for i in range(100)),
+             " ".join(f"t{i}" for i in range(48)),
+             " ".join(f"t{i}" for i in range(49)), None]
+    ds = _ray.data.from_arrow(pa.table({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": pa.array(texts, pa.string())}))
+    t = pa.concat_tables(chunk_windows(ds, window=64, stride=48)
+                         .iter_batches(batch_format="pyarrow",
+                                       batch_size=None))
+    rows = sorted(zip(t["doc_id"].to_pylist(), t["chunk"].to_pylist(),
+                      t["start"].to_pylist(), t["len"].to_pylist()))
+    # doc 0 empty -> none; doc 1: one chunk len 1; doc 2 (100 tokens):
+    # chunks at 0/48/96 with lens 64/52/4; doc 3 (48): single; doc 4
+    # (49): 0..64 capped 49 and tail start 48 len 1; doc 5 null -> none
+    assert rows == [(1, 0, 0, 1),
+                    (2, 0, 0, 64), (2, 1, 48, 52), (2, 2, 96, 4),
+                    (3, 0, 0, 48),
+                    (4, 0, 0, 49), (4, 1, 48, 1)]
