@@ -962,6 +962,9 @@ def _q_degree_histogram(sf_dir):
     from python_graphblas_ray.functions.aggregators import agg
 
     out = _as_table(_edge_matrix(sf_dir).reduce_rowwise(agg["count"]).ds)
+    if out is None or "val" not in out.column_names:  # empty graph
+        return pa.table({"deg": pa.array([], pa.int64()),
+                         "n_vertices": pa.array([], pa.int64())})
     deg = out["val"].to_numpy(zero_copy_only=False).astype(np.int64)
     degs, n = np.unique(deg, return_counts=True)
     return pa.table({"deg": degs.astype(np.int64),
@@ -1021,9 +1024,12 @@ def _q_embed_kmeans_iter2(sf_dir):
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     k = 8
-    head = pa.concat_tables(
-        ds.filter(expr=f"vec_id < {k}").iter_batches(  # tiny: k rows
-            batch_format="pyarrow"), promote_options="permissive")
+    heads = [b for b in ds.filter(expr=f"vec_id < {k}").iter_batches(
+        batch_format="pyarrow") if b.num_rows]  # tiny: k rows
+    if not heads:  # empty corpus — no centroids, no assignments
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "cluster": pa.array([], pa.int64())})
+    head = pa.concat_tables(heads, promote_options="permissive")
     order = np.argsort(head["vec_id"].to_numpy(zero_copy_only=False))
     init = np.stack([np.asarray(head["embedding"][int(i)].as_py(),
                                 dtype=np.float64) for i in order])
@@ -1347,6 +1353,10 @@ def _q_embed_rp8(sf_dir):
     out = random_projection(
         _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]), k=8)
     t = _as_table(out)
+    if t is None or "v" not in t.column_names:  # empty corpus
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "j": pa.array([], pa.int64()),
+                         "v": pa.array([], pa.float64())})
     return t.set_column(t.schema.get_field_index("v"), "v",
                         pa.array(np.round(
                             t["v"].to_numpy(zero_copy_only=False), 8)))
@@ -1402,9 +1412,13 @@ def _q_ann_ivf_fixed(sf_dir):
         _matrix, _normalize, ivf_search_batch)
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    head = pa.concat_tables(
-        ds.filter(expr="vec_id < 8").iter_batches(batch_format="pyarrow"),
-        promote_options="permissive")
+    heads = [b for b in ds.filter(expr="vec_id < 8").iter_batches(
+        batch_format="pyarrow") if b.num_rows]
+    if not heads:  # empty corpus — no centroids, no neighbors
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    head = pa.concat_tables(heads, promote_options="permissive")
     order = np.argsort(head["vec_id"].to_numpy(zero_copy_only=False))
     cents = _normalize(_matrix(head["embedding"]))[order]
     import ray as _ray
@@ -1702,6 +1716,10 @@ def _q_revenue_by_nation(sf_dir):
     out = _as_table(groupby_monoid(
         orders.map_batches(part, batch_format="pyarrow"),
         ["k"], "rev", monoid.plus))
+    if out is None or "k" not in out.column_names:  # empty fact table
+        return pa.table({"n_name": pa.array([], pa.string()),
+                         "r_name": pa.array([], pa.string()),
+                         "revenue": pa.array([], pa.float64())})
     ks = out["k"].to_pylist()
     nats = [k.split("|")[0] for k in ks]
     regs = [k.split("|")[1] for k in ks]
@@ -1775,6 +1793,10 @@ def _q_revenue_by_brand_nation(sf_dir):
     out = _as_table(groupby_monoid(
         li.map_batches(partial, batch_format="pyarrow"),
         ["k"], "rev", monoid.plus))
+    if out is None or "k" not in out.column_names:  # empty fact table
+        return pa.table({"p_brand": pa.array([], pa.string()),
+                         "n_name": pa.array([], pa.string()),
+                         "revenue": pa.array([], pa.float64())})
     ks = out["k"].to_pylist()
     return pa.table({
         "p_brand": pa.array([k.split("|")[0] for k in ks]),
@@ -2190,6 +2212,9 @@ def _q_embed_kmeans(sf_dir):
         kmeans_assign, kmeans_fit)
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if ds.count() == 0:  # empty corpus — nothing to fit
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "cluster": pa.array([], pa.int64())})
     cents, _ = kmeans_fit(ds, 8, iters=10, seed=0)
     return kmeans_assign(ds, cents).select_columns(["vec_id", "cluster"])
 
@@ -2394,8 +2419,12 @@ def _q_ann_ivf(sf_dir):
     (approximate → rows-only here)."""
     from python_graphblas_ray.pipelines.similarity import ann_topk_ivf
 
-    return ann_topk_ivf(_read(sf_dir, "embeddings"),
-                        query_ids=list(range(10)), k=10, nprobe=4)
+    ds = _read(sf_dir, "embeddings")
+    if ds.count() == 0:  # empty corpus — no index, no neighbors
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    return ann_topk_ivf(ds, query_ids=list(range(10)), k=10, nprobe=4)
 
 
 def _q_doc_embed_ann(sf_dir):
@@ -2568,6 +2597,8 @@ def _suite(members):
             if t is None:
                 continue  # empty member: oracle side yields 0 rows too
             parts.append(t.add_column(0, "q", pa.array([tag] * len(t))))
+        if not parts:  # every member legitimately empty
+            return pa.table({"q": pa.array([], pa.string())})
         return pa.concat_tables(parts, promote_options="permissive")
     return run
 
@@ -2763,8 +2794,10 @@ def _suite_packed(specs, valkind, fnmap):
         parts = []
         for tag, keyspecs, vcol in specs:
             t = _as_table(fnmap[tag](sf_dir))
-            if t is None or len(t) == 0:
-                continue
+            if t is None or len(t) == 0 or any(
+                    c not in t.column_names
+                    for c in [vcol, *(c for c, _ in keyspecs)]):
+                continue  # empty member lost its schema — 0 rows anyway
             v = t[vcol]
             if valkind == "double":
                 v = v.cast(pa.float64())
@@ -2815,14 +2848,17 @@ def _suite_renamed(members, cols, cast="double"):
         parts = []
         for tag, fn, vcol in members:
             t = _as_table(fn(sf_dir))
-            if t is None:
-                continue
+            if t is None or any(c not in t.column_names
+                                for c in [*cols, vcol]):
+                continue  # empty member lost its schema — 0 rows anyway
             data = {"q": pa.array([tag] * len(t))}
             for c in cols:
                 data[c] = t[c]
             v = t[vcol]
             data["val"] = v.cast(pa.float64()) if cast == "double" else v
             parts.append(pa.table(data))
+        if not parts:  # every member legitimately empty
+            return pa.table({"q": pa.array([], pa.string())})
         return pa.concat_tables(parts, promote_options="permissive")
     return run
 

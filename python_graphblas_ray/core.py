@@ -1469,7 +1469,15 @@ class GBMatrix(_Base):
                      default_value=1.0, dtype="float64"):
         """Adopt an existing edge-table Dataset (the 100 TB ingest path —
         no analogue in the reference, which starts at ``from_coo``)."""
-        cols = ds.schema().names
+        schema = ds.schema()
+        if schema is None:
+            # materialized-empty upstream (0-row blocks skip map_batches
+            # UDFs, so the schema is unrecoverable) — an empty matrix
+            return cls.from_coo(np.array([], dtype=np.int64),
+                                np.array([], dtype=np.int64),
+                                np.array([], dtype=np.float64),
+                                nrows=nrows, ncols=ncols, dtype=dtype)
+        cols = schema.names
 
         def norm(batch: pa.Table) -> pa.Table:
             out = {"src": batch[src].to_numpy(zero_copy_only=False).astype(np.int64),

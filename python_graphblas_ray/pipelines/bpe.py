@@ -168,8 +168,11 @@ def bpe_fit(docs_ds, num_merges=8, text_col="text",
     ``driver_vocab_limit``); each round is two vectorized numpy passes
     over the vocabulary's symbol arrays."""
     wc = word_counts(docs_ds, text_col=text_col)
-    t = pa.concat_tables(
-        wc.iter_batches(batch_format="pyarrow", batch_size=None))
+    batches = [b for b in wc.iter_batches(batch_format="pyarrow",
+                                          batch_size=None) if b.num_rows]
+    if not batches:  # legitimately-empty corpus → no merge rules
+        return [], []
+    t = pa.concat_tables(batches)
     if t.num_rows > driver_vocab_limit:
         raise ValueError(
             f"vocabulary {t.num_rows} exceeds driver_vocab_limit "

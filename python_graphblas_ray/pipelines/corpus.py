@@ -248,7 +248,12 @@ def neardup_clusters(docs_ds, threshold=0.7, id_col="doc_id",
     from .dedup import minhash_lsh_pairs
 
     local_cc_limit = minhash_kwargs.pop("local_cc_limit", None)
-    n = int(docs_ds.max(id_col)) + 1
+    mx = docs_ds.max(id_col)
+    if mx is None:  # legitimately-empty corpus
+        return ray.data.from_arrow(pa.table(
+            {id_col: pa.array([], pa.int64()),
+             "cluster": pa.array([], pa.int64())}))
+    n = int(mx) + 1
     pairs = minhash_lsh_pairs(docs_ds, threshold=threshold,
                               text_col=text_col, id_col=id_col,
                               **minhash_kwargs)
@@ -321,7 +326,13 @@ def semantic_dedup(emb_ds, threshold=0.9, id_col="vec_id",
     the deduplicated corpus."""
     from .dedup import embedding_neardup_pairs
 
-    n = int(emb_ds.max(id_col)) + 1
+    mx = emb_ds.max(id_col)
+    if mx is None:  # legitimately-empty corpus
+        return ray.data.from_arrow(pa.table(
+            {id_col: pa.array([], pa.int64()),
+             "cluster": pa.array([], pa.int64()),
+             "keep": pa.array([], pa.bool_())}))
+    n = int(mx) + 1
     pairs = embedding_neardup_pairs(emb_ds, threshold=threshold,
                                     id_col=id_col, emb_col=emb_col,
                                     **neardup_kwargs)

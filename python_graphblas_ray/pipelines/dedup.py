@@ -783,6 +783,10 @@ def embedding_neardup_pairs(emb_ds, threshold=0.4, id_col="vec_id",
             batch_format="pyarrow", batch_size=1 << 16):
         ids.append(b[id_col].to_numpy(zero_copy_only=False))
         mats.append(_matrix(b[emb_col]))
+    if not ids or sum(len(i) for i in ids) == 0:  # empty corpus
+        return ray.data.from_arrow(pa.table(
+            {"ia": pa.array([], pa.int64()),
+             "ib": pa.array([], pa.int64())}))
     all_ids = np.concatenate(ids)
     m = _normalize(np.concatenate(mats))
     ref = ray.put((all_ids, m))

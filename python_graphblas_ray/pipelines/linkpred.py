@@ -340,6 +340,8 @@ def assortativity(A, n):
         for k in tot:
             tot[k] += float(b[k][0].as_py())
     n_e, sx, sy = tot["n"], tot["sx"], tot["sy"]
+    if n_e == 0:  # no edges — correlation undefined (oracle corr: NULL)
+        return float("nan")
     cov = tot["sxy"] - sx * sy / n_e
     vx = tot["sxx"] - sx * sx / n_e
     vy = tot["syy"] - sy * sy / n_e

@@ -265,6 +265,10 @@ def rrf_fuse(topk_table: pa.Table, quality_ds, k0: int = 60,
     """
     import ray
 
+    if topk_table.num_rows == 0:  # empty corpus → no candidates
+        return pa.table({q_col: pa.array([], pa.string()),
+                         id_col: pa.array([], pa.int64()),
+                         "rrf": pa.array([], pa.float64())})
     qv = np.asarray(topk_table[q_col].to_pylist(), dtype=object)
     dv = topk_table[id_col].to_numpy(zero_copy_only=False)
     sv = topk_table[score_col].to_numpy(zero_copy_only=False)

@@ -107,6 +107,11 @@ def asof_join(left_ds, right_ds, key="user_id", ts_col="ts",
         tag(1), batch_format="pyarrow")
 
     left_schema = left_ds.schema()
+    if left_schema is None or right_ds.schema() is None:
+        # a side is a schema-less empty (0-row blocks skip map_batches
+        # UDFs) — the as-of result is empty; propagate instead of crash
+        import ray.data
+        return ray.data.from_arrow(pa.table({}))
     lcols = list(left_schema.names)
     out_right = [c for c in right_value_cols]
 
@@ -528,6 +533,11 @@ def decayed_counts(events_ds, user_col="user_id", ts_col="ts",
               "week": 604_800_000_000}[half_life]
     if as_of is None:
         as_of = events_ds.max(ts_col)
+        if as_of is None:  # legitimately-empty stream → no scores
+            import ray.data
+            return ray.data.from_arrow(pa.table(
+                {user_col: pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}))
     ref_us = int(pa.scalar(as_of, type=pa.timestamp("us")).value)
 
     def part(batch: pa.Table) -> pa.Table:

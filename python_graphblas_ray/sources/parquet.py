@@ -24,6 +24,12 @@ def read_parquet_clean(path, columns=None, **kwargs):
             if columns:
                 schema = pa.schema([schema.field(c) for c in columns])
             kwargs["schema"] = schema
+            if pq.read_metadata(path).num_rows == 0:
+                # statically-empty file: 0-row blocks would skip the
+                # strip UDF and the dataset's schema would be
+                # unrecoverable downstream — return a schema'd empty
+                # directly (no read tasks at all)
+                return ray.data.from_arrow(schema.empty_table())
         except Exception:
             pass  # directories/multi-file paths: the strip stage covers it
     ds = ray.data.read_parquet(path, columns=columns, **kwargs)

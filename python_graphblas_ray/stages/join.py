@@ -231,10 +231,22 @@ def hash_join(left, right, on, right_on=None, how="inner",
     if left_n == 0 or right_n == 0:
         if left_n == 0 and right_n == 0:
             if left_schema is None or right_schema is None:
-                raise ValueError("joining two empty datasets with unknown schema")
+                # both sides legitimately empty and at least one schema
+                # unrecoverable (0-row blocks skip map_batches UDFs):
+                # the join result is empty — propagate the schema-less
+                # empty instead of crashing (downstream stages tolerate
+                # 0-row 0-column blocks)
+                return ray.data.from_arrow(pa.table({}))
             return ray.data.from_arrow(_suffixed_schema(
                 left_schema, right_schema, on, right_on,
                 left_suffix, right_suffix).empty_table())
+        if left_schema is None or right_schema is None:
+            # the empty side's schema is unrecoverable (0-row blocks
+            # skip map_batches UDFs) so the joined schema can't be
+            # built — the result is empty anyway (inner/semi, and our
+            # pipelines never outer-join a schema-less side); return a
+            # schema-less empty rather than crash
+            return ray.data.from_arrow(pa.table({}))
         present_ds, present_side = ((left_c, "left") if left_n
                                     else (right_c, "right"))
         return _empty_side_result(present_ds, present_side, left_schema,

@@ -37,6 +37,9 @@ def segments(keys: np.ndarray):
     The shared boundary kernel for every sorted-run operator (per-row
     ``.ss`` ops, as-of merges, group combiners)."""
     n = len(keys)
+    if n == 0:
+        z = np.array([], dtype=np.int64)
+        return z, z.copy(), z.copy()
     new = np.empty(n, dtype=bool)
     new[0] = True
     new[1:] = keys[1:] != keys[:-1]
@@ -155,6 +158,7 @@ def groupby_monoid(ds, key_cols, val_col, monoid, out_col=None,
     ``key_cols + [out_col]``.
     """
     out_col = out_col or val_col
+    ds_in = ds
     if pre_aggregate:
         ds = ds.map_batches(make_batch_combiner(key_cols, val_col, monoid),
                             batch_format="pyarrow")
@@ -167,6 +171,15 @@ def groupby_monoid(ds, key_cols, val_col, monoid, out_col=None,
                                             batch_size=1 << 20))
             batches = [b for b in batches if b.num_rows]
             if not batches:
+                # legitimately-empty input: rebuild the output schema
+                # from the pre-combiner input (0-row blocks skip
+                # map_batches UDFs, so `mat` itself is schema-less)
+                sch = ds_in.schema()
+                if sch is not None and val_col in sch.names:
+                    types = dict(zip(sch.names, sch.types))
+                    fields = {c: pa.array([], types[c]) for c in key_cols}
+                    fields[out_col] = pa.array([], types[val_col])
+                    return ray.data.from_arrow(pa.table(fields))
                 return mat
             t = pa.concat_tables(batches, promote_options="permissive")
             keys = tuple(t[c].to_numpy(zero_copy_only=False)
@@ -291,7 +304,21 @@ def grouped_agg(ds, key_cols, specs, driver_merge_threshold=4_000_000):
                                                batch_size=1 << 20)
                    if b.num_rows]
         if not batches:
-            return mat
+            # legitimately-empty input: rebuild the output schema (0-row
+            # blocks skip map_batches UDFs, so `mat` is schema-less)
+            sch = ds.schema()
+            types = (dict(zip(sch.names, sch.types))
+                     if sch is not None else {})
+            needed = list(key_cols) + [c for c, k, _ in specs
+                                       if k != "count"]
+            if any(c not in types for c in needed):
+                return mat  # types unknowable — keep the schema-less empty
+            fields = {c: pa.array([], types[c]) for c in key_cols}
+            for in_col, kind, out_name in specs:
+                fields[out_name] = pa.array(
+                    [], pa.int64() if kind == "count"
+                    else types[in_col])
+            return ray.data.from_arrow(pa.table(fields))
         return ray.data.from_arrow(
             merge_table(pa.concat_tables(batches,
                                          promote_options="permissive")))
@@ -361,6 +388,18 @@ def groupby_aggregator(ds, key_cols, val_col, aggregator, out_col="val",
     import ray.data
 
     mat = partials.materialize()
+    if mat.count() == 0:
+        # legitimately-empty input — rebuild the output schema (0-row
+        # blocks skip map_batches UDFs, so `mat` itself is schema-less)
+        sch = ds.schema()
+        types = (dict(zip(sch.names, sch.types)) if sch is not None
+                 else {})
+        fields = {c: pa.array([], types.get(c, pa.int64()))
+                  for c in key_cols}
+        out_t = (pa.from_numpy_dtype(np.dtype(aggregator.dtype))
+                 if aggregator.dtype is not None else pa.float64())
+        fields[out_col] = pa.array([], out_t)
+        return ray.data.from_arrow(pa.table(fields))
     if 0 < mat.count() <= driver_merge_threshold:
         t = pa.concat_tables(
             [b for b in mat.iter_batches(batch_format="pyarrow",

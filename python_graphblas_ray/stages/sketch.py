@@ -293,8 +293,16 @@ def heavy_hitters(ds, col, k=64, concurrency=4):
 
     merged = merged.map_batches(compress_block, batch_format="pyarrow",
                                 batch_size=1 << 16)
-    t = pa.concat_tables(merged.iter_batches(batch_format="pyarrow",
-                                             batch_size=None))
+    batches = [b for b in merged.iter_batches(batch_format="pyarrow",
+                                              batch_size=None)
+               if b.num_rows]
+    if not batches:  # legitimately-empty stream → no heavy hitters
+        sch = ds.schema()
+        ctype = (dict(zip(sch.names, sch.types)).get(col, pa.string())
+                 if sch is not None else pa.string())
+        return pa.table({col: pa.array([], ctype),
+                         "mg_count": pa.array([], pa.int64())})
+    t = pa.concat_tables(batches)
     cnt = t["mg_count"].to_numpy(zero_copy_only=False)
     kk, cc = _mg_compress(np.arange(len(t)), cnt, k)
     order = np.argsort(-cc, kind="stable")

@@ -407,8 +407,15 @@ def ngram_lm_fit(docs_ds, text_col="text", min_count=1):
         batch_format="pyarrow", concurrency=(1, 8), batch_size=4096)
     counts = grouped_agg(partials, ["kind", "key"],
                          [("cnt", "sum", "cnt")])
-    t = pa.concat_tables(
-        counts.iter_batches(batch_format="pyarrow", batch_size=None))
+    batches = [b for b in counts.iter_batches(batch_format="pyarrow",
+                                              batch_size=None)
+               if b.num_rows]
+    if not batches:  # legitimately-empty corpus → empty (floor-only) LM
+        z64 = np.array([], dtype=np.uint64)
+        zi = np.array([], dtype=np.int64)
+        return {"vocab": 0, "u_keys": z64, "u_cnt": zi,
+                "b_keys": z64.copy(), "b_cnt": zi.copy()}
+    t = pa.concat_tables(batches)
     kind = t["kind"].to_numpy(zero_copy_only=False)
     key = t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
     cnt = t["cnt"].to_numpy(zero_copy_only=False)
