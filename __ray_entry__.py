@@ -2610,6 +2610,107 @@ def _suite_sql(members):
 
 
 # suite name -> member query names (each member keeps its own entry too)
+def _q_events_zscore(sf_dir):
+    """Per-user daily-volume anomaly z-scores (bot bursts / tracking
+    breakage): one user-keyed hash exchange, per-partition vectorized
+    moments — integer counts make z bit-exact vs the SQL twin (no
+    rounding grain)."""
+    from python_graphblas_ray.pipelines.windows import daily_zscores
+
+    t = _as_table(daily_zscores(
+        _read(sf_dir, "events", columns=["user_id", "ts"])))
+    if t is None or "z" not in t.column_names:  # empty stream
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "day": pa.array([], pa.timestamp("us")),
+                         "z": pa.array([], pa.float64())})
+    return t.select(["user_id", "day", "z"])
+
+
+def _q_events_cusum(sf_dir):
+    """Per-user CUSUM burst statistic (Page 1954) over daily counts:
+    integer drift + running min make the statistic exact up to one
+    final division — bit-exact vs the SQL window-function twin."""
+    from python_graphblas_ray.pipelines.windows import user_cusum
+
+    t = _as_table(user_cusum(
+        _read(sf_dir, "events", columns=["user_id", "ts"])))
+    if t is None or "cusum" not in t.column_names:  # empty stream
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "cusum": pa.array([], pa.float64())})
+    return t.select(["user_id", "cusum"])
+
+
+def _q_events_priority_sample(sf_dir):
+    """Priority sampling (Duffield-Lund-Thorup 2007) of users weighted
+    by event count, k=20: u = ((splitmix64(user) >> 11) + 1) * 2^-53 is
+    exactly representable, so priorities and max(w, tau) estimates are
+    single exactly-rounded divisions — bit-exact vs the splitmix64 SQL
+    replay."""
+    from python_graphblas_ray.pipelines.sampling import priority_sample
+
+    t = priority_sample(_read(sf_dir, "events", columns=["user_id"]),
+                        "user_id", 20)
+    return t.select(["rank", "user_id", "est"])
+
+
+def _q_degree_rankcorr(sf_dir):
+    """Spearman rank correlation of (in-degree, out-degree) over all
+    512 vertices: doubled average ranks keep every partial sum INTEGER
+    (histogram-derived, no global sort), final coefficient is a fixed
+    IEEE op sequence — bit-exact, no grain. Degenerate (constant-rank)
+    graphs emit no row on either side."""
+    from python_graphblas_ray.pipelines.linkpred import (
+        degree_rank_correlation)
+
+    r = degree_rank_correlation(_edge_matrix(sf_dir).ds, N_VERT)
+    if r != r:  # nan: zero rank variance on a side (SQL: WHERE guard)
+        return pa.table({"n_vertices": pa.array([], pa.int64()),
+                         "spearman": pa.array([], pa.float64())})
+    return pa.table({"n_vertices": pa.array([N_VERT], pa.int64()),
+                     "spearman": pa.array([r], pa.float64())})
+
+
+def _q_degree_gini(sf_dir):
+    """Gini coefficient of the out-degree distribution over all 512
+    vertices (hub concentration): exact from the driver-size degree
+    histogram, integer sums, 4 fixed IEEE ops — bit-exact, no grain."""
+    from python_graphblas_ray.pipelines.linkpred import degree_gini
+
+    g = degree_gini(_edge_matrix(sf_dir).ds, N_VERT, "src")
+    return pa.table({"n_vertices": pa.array([N_VERT], pa.int64()),
+                     "gini": pa.array([g], pa.float64())})
+
+
+def _q_embed_silhouette(sf_dir):
+    """Simplified silhouette (Hruschka et al. 2004) of the fixed
+    2-update k-means clustering (same deterministic vec_id<8 init +
+    round-6 centroid grain as ``embed_kmeans_iter2``): a/b = L2 to
+    own/nearest-other centroid, s = (b-a)/max(a,b), ONE streaming pass
+    against broadcast centroids. Round-8 absorbs the 64-term
+    summation-order noise; the SQL twin extends the kmeans CTE chain."""
+    from python_graphblas_ray.pipelines.clustering import (
+        kmeans_fit, silhouette_simplified)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    heads = [b for b in ds.filter(expr="vec_id < 8").iter_batches(
+        batch_format="pyarrow") if b.num_rows]
+    if not heads:  # empty corpus - no centroids, no scores
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "cluster": pa.array([], pa.int64()),
+                         "sil": pa.array([], pa.float64())})
+    head = pa.concat_tables(heads, promote_options="permissive")
+    order = np.argsort(head["vec_id"].to_numpy(zero_copy_only=False))
+    init = np.stack([np.asarray(head["embedding"][int(i)].as_py(),
+                                dtype=np.float64) for i in order])
+    cents, _ = kmeans_fit(ds, 8, iters=2, init_centroids=init,
+                          round_to=6)
+    t = _as_table(silhouette_simplified(ds, cents))
+    return t.set_column(t.schema.get_field_index("sil"), "sil",
+                        pa.array(np.round(
+                            t["sil"].to_numpy(zero_copy_only=False), 8)))
+
+
+
 SUITES = {
     "degree_suite": ["degree_out", "degree_in", "degree_mean"],
     "reduce_scalar_suite": ["reduce_scalar_plus", "reduce_scalar_max"],
@@ -2733,6 +2834,12 @@ PACKED_SUITES = {
         ("events_f2", [("r", "i")], "v"),
         ("docs_chunks", [("doc_id", "i"), ("chunk", "i"),
                          ("start", "i")], "len"),
+        ("events_zscore", [("user_id", "i"), ("day", "t")], "z"),
+        ("events_cusum", [("user_id", "i")], "cusum"),
+        ("degree_rankcorr", [("n_vertices", "i")], "spearman"),
+        ("degree_gini", [("n_vertices", "i")], "gini"),
+        ("embed_silhouette", [("vec_id", "i"), ("cluster", "i")],
+         "sil"),
     ]),
     # the splitmix64/knuth32 hash-replay family (seeded sampling and
     # bounded stochastic rounds) — its own slot so a member failure
@@ -2751,6 +2858,8 @@ PACKED_SUITES = {
         ("embed_rp8", [("vec_id", "i"), ("j", "i")], "v"),
         ("events_cms_users", [("user_id", "i")], "est"),
         ("docs_winnow", [("doc_id", "i"), ("fp", "i")], "pos"),
+        ("events_priority_sample", [("rank", "i"), ("user_id", "i")],
+         "est"),
     ]),
     "packed_label_suite": ("str", [
         ("bowtie", [("vid", "i")], "part"),
@@ -2972,6 +3081,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_robustness": _q_random_robustness,
         "harmonic_centrality": _q_harmonic_centrality,
         "mis": _q_mis,
+        "events_zscore": _q_events_zscore,
+        "events_cusum": _q_events_cusum,
+        "events_priority_sample": _q_events_priority_sample,
+        "degree_rankcorr": _q_degree_rankcorr,
+        "degree_gini": _q_degree_gini,
+        "embed_silhouette": _q_embed_silhouette,
         # packed-suite members (heterogeneous keys -> one string col)
         "reciprocity": _q_reciprocity,
         "docs_lm_score": _q_docs_lm_score,
@@ -4569,6 +4684,27 @@ def oracle_sql() -> dict[str, str]:
         "SELECT bk.user_id, CAST(MIN(ct.cnt) AS DOUBLE) AS est "
         "FROM bk JOIN ct ON ct.r = bk.r AND ct.b = bk.b GROUP BY 1")
 
+    base["events_priority_sample"] = (
+        # Duffield-Lund-Thorup priority sampling, k=20: u = ((h >> 11)
+        # + 1) * 2^-53 is EXACTLY representable, so q = w/u and
+        # est = max(w, tau) are single exactly-rounded IEEE divisions
+        # — bit-exact vs numpy, no rounding grain
+        "WITH w AS (SELECT user_id, count(*) AS w "
+        "FROM events GROUP BY 1), "
+        "ix AS (SELECT user_id, w, CAST(user_id AS HUGEINT) AS x "
+        "FROM w), "
+        + _sm64_stages_cols("ps", "ix", ["user_id", "w"], "x") + ", "
+        "q AS (SELECT user_id, w, CAST(w AS DOUBLE) / "
+        "((CAST(h // 2048 AS DOUBLE) + 1.0) / 9007199254740992.0) AS q "
+        "FROM psf), "
+        "r AS (SELECT user_id, w, q, "
+        "row_number() OVER (ORDER BY q DESC, user_id) AS rn FROM q), "
+        "tau AS (SELECT COALESCE((SELECT q FROM r WHERE rn = 21), 0.0) "
+        "AS tau) "
+        "SELECT rn AS rank, user_id, "
+        "GREATEST(CAST(w AS DOUBLE), tau.tau) AS est "
+        "FROM r, tau WHERE rn <= 20")
+
     base["host_rank3"] = (
         # contract to 64 hosts ((x%512)%64 == x%64), weight = inter-host
         # link count, then the weighted fixed-iteration PageRank
@@ -5058,6 +5194,132 @@ def oracle_sql() -> dict[str, str]:
         r"AS DOUBLE) AS s, "
         r"CAST(len(regexp_extract_all(COALESCE(text, ''), "
         r"'[aeiouyAEIOUY]+')) AS DOUBLE) AS syl FROM documents) t")
+    base["events_zscore"] = (
+        # per-user daily z-scores: integer daily counts and moments,
+        # then the SAME fixed float-op sequence as the numpy side
+        # (m = sx/nd, var = sxx/nd - m*m, z = (x-m)/sqrt(var)) —
+        # every op exactly rounded identically, bit-exact, no grain
+        "WITH c AS (SELECT user_id, date_trunc('day', ts) AS day, "
+        "count(*) AS x FROM events GROUP BY 1, 2), "
+        "s AS (SELECT user_id, sum(x) AS sx, sum(x*x) AS sxx, "
+        "count(*) AS nd FROM c GROUP BY 1) "
+        "SELECT c.user_id, c.day, "
+        "CASE WHEN CAST(s.sxx AS DOUBLE)/s.nd - "
+        "(CAST(s.sx AS DOUBLE)/s.nd)*(CAST(s.sx AS DOUBLE)/s.nd) > 0 "
+        "THEN (CAST(c.x AS DOUBLE) - CAST(s.sx AS DOUBLE)/s.nd) / "
+        "sqrt(CAST(s.sxx AS DOUBLE)/s.nd - "
+        "(CAST(s.sx AS DOUBLE)/s.nd)*(CAST(s.sx AS DOUBLE)/s.nd)) "
+        "ELSE 0.0 END AS z "
+        "FROM c JOIN s ON s.user_id = c.user_id")
+    base["events_cusum"] = (
+        # CUSUM burst statistic: v_t = nd*x_t - sx - nd keeps the
+        # drift and running min INTEGER (window sums commute exactly);
+        # one final division — bit-exact, no grain
+        "WITH c AS (SELECT user_id, date_trunc('day', ts) AS day, "
+        "CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), "
+        "s AS (SELECT user_id, sum(x) AS sx, count(*) AS nd "
+        "FROM c GROUP BY 1), "
+        "d AS (SELECT c.user_id, c.day, s.nd, "
+        "SUM(s.nd * c.x - s.sx - s.nd) OVER "
+        "(PARTITION BY c.user_id ORDER BY c.day) AS drift "
+        "FROM c JOIN s ON s.user_id = c.user_id), "
+        "r AS (SELECT user_id, nd, drift, MIN(drift) OVER "
+        "(PARTITION BY user_id ORDER BY day) AS runmin FROM d) "
+        "SELECT user_id, CAST(MAX(drift - runmin) AS DOUBLE) / "
+        "any_value(nd) AS cusum FROM r GROUP BY user_id")
+    base["degree_rankcorr"] = (
+        # Spearman over (in-deg, out-deg) of all 512 vertices: doubled
+        # average ranks (2*minrank + cnt - 1) keep every sum INTEGER;
+        # the coefficient is a fixed IEEE sequence — bit-exact;
+        # degenerate (zero rank variance) emits no row (matches the
+        # Ray side's nan -> empty contract)
+        "WITH E AS (SELECT DISTINCT l_orderkey % 512 AS src, "
+        "l_partkey % 512 AS dst FROM lineitem), "
+        "V AS (SELECT CAST(range AS BIGINT) AS vid FROM range(512)), "
+        "d AS (SELECT V.vid, COALESCE(o.c, 0) AS od, "
+        "COALESCE(i.c, 0) AS idg FROM V "
+        "LEFT JOIN (SELECT src, count(*) AS c FROM E GROUP BY 1) o "
+        "ON o.src = V.vid "
+        "LEFT JOIN (SELECT dst, count(*) AS c FROM E GROUP BY 1) i "
+        "ON i.dst = V.vid), "
+        "rk AS (SELECT vid, "
+        "2*rank() OVER (ORDER BY od) + "
+        "count(*) OVER (PARTITION BY od) - 1 AS rx, "
+        "2*rank() OVER (ORDER BY idg) + "
+        "count(*) OVER (PARTITION BY idg) - 1 AS ry FROM d), "
+        "s AS (SELECT count(*) AS n, sum(rx) sx, sum(ry) sy, "
+        "sum(rx*rx) sxx, sum(ry*ry) syy, sum(rx*ry) sxy FROM rk) "
+        "SELECT CAST(n AS BIGINT) AS n_vertices, "
+        "CAST(n*sxy - sx*sy AS DOUBLE) / "
+        "sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * "
+        "CAST(n*syy - sy*sy AS DOUBLE)) AS spearman FROM s "
+        "WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0")
+    base["degree_gini"] = (
+        # Gini of the out-degree distribution over all 512 vertices,
+        # exact from the degree histogram: each degree run contributes
+        # d*(k*C0 + k(k+1)/2) to the sorted weighted sum (tie-order
+        # invariant); integer sums, 4 fixed IEEE ops — bit-exact
+        "WITH E AS (SELECT DISTINCT l_orderkey % 512 AS src, "
+        "l_partkey % 512 AS dst FROM lineitem), "
+        "V AS (SELECT CAST(range AS BIGINT) AS vid FROM range(512)), "
+        "d AS (SELECT V.vid, COALESCE(o.c, 0) AS od FROM V "
+        "LEFT JOIN (SELECT src, count(*) AS c FROM E GROUP BY 1) o "
+        "ON o.src = V.vid), "
+        "h AS (SELECT od, count(*) AS k FROM d GROUP BY 1), "
+        "w AS (SELECT od, k, COALESCE(SUM(k) OVER (ORDER BY od "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c0 "
+        "FROM h), "
+        "s AS (SELECT sum(od * (k*c0 + k*(k+1)//2)) AS S, "
+        "sum(od*k) AS T FROM w) "
+        "SELECT CAST(512 AS BIGINT) AS n_vertices, "
+        "CASE WHEN T = 0 THEN 0.0 ELSE "
+        "(2.0 * CAST(S AS DOUBLE)) / CAST(512*T AS DOUBLE) - "
+        "(CAST(512 AS DOUBLE) + 1.0) / CAST(512 AS DOUBLE) END AS gini "
+        "FROM s")
+    base["embed_silhouette"] = (
+        # simplified silhouette off the embed_kmeans_iter2 CTE chain:
+        # a/b = sqrt of own / nearest-other squared distance to the
+        # round-6 2-update centroids; round-8 absorbs the 64-term
+        # summation-order noise
+        "WITH e AS MATERIALIZED (SELECT vec_id, "
+        "CAST(unnest(embedding) AS DOUBLE) AS x, "
+        "generate_subscripts(embedding, 1) AS i FROM embeddings), "
+        "c0 AS (SELECT vec_id AS cid, i, x FROM e WHERE vec_id < 8), "
+        "d1 AS (SELECT e.vec_id, c.cid, "
+        "sum((e.x - c.x) * (e.x - c.x)) AS d "
+        "FROM e JOIN c0 c ON c.i = e.i GROUP BY 1, 2), "
+        "a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn "
+        "FROM d1) WHERE rn = 1), "
+        "u1 AS (SELECT a.cid, e.i, ROUND(avg(e.x), 6) AS x "
+        "FROM e JOIN a1 a ON a.vec_id = e.vec_id GROUP BY 1, 2), "
+        "c1 AS (SELECT c0.cid, c0.i, "
+        "COALESCE(u1.x, ROUND(c0.x, 6)) AS x FROM c0 "
+        "LEFT JOIN u1 ON u1.cid = c0.cid AND u1.i = c0.i), "
+        "d2 AS (SELECT e.vec_id, c.cid, "
+        "sum((e.x - c.x) * (e.x - c.x)) AS d "
+        "FROM e JOIN c1 c ON c.i = e.i GROUP BY 1, 2), "
+        "a2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn "
+        "FROM d2) WHERE rn = 1), "
+        "u2 AS (SELECT a.cid, e.i, ROUND(avg(e.x), 6) AS x "
+        "FROM e JOIN a2 a ON a.vec_id = e.vec_id GROUP BY 1, 2), "
+        "c2 AS (SELECT c1.cid, c1.i, COALESCE(u2.x, c1.x) AS x FROM c1 "
+        "LEFT JOIN u2 ON u2.cid = c1.cid AND u2.i = c1.i), "
+        "d3 AS MATERIALIZED (SELECT e.vec_id, c.cid, "
+        "sum((e.x - c.x) * (e.x - c.x)) AS d "
+        "FROM e JOIN c2 c ON c.i = e.i GROUP BY 1, 2), "
+        "own AS MATERIALIZED (SELECT vec_id, cid, d FROM ("
+        "SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY d, cid) AS rn FROM d3) WHERE rn = 1), "
+        "oth AS (SELECT d3.vec_id, min(d3.d) AS d FROM d3 "
+        "JOIN own ON own.vec_id = d3.vec_id AND d3.cid <> own.cid "
+        "GROUP BY 1) "
+        "SELECT own.vec_id, CAST(own.cid AS BIGINT) AS cluster, "
+        "ROUND(CASE WHEN GREATEST(sqrt(own.d), sqrt(oth.d)) > 0 "
+        "THEN (sqrt(oth.d) - sqrt(own.d)) / "
+        "GREATEST(sqrt(own.d), sqrt(oth.d)) ELSE 0.0 END, 8) AS sil "
+        "FROM own JOIN oth ON oth.vec_id = own.vec_id")
     base["simrank_iter2"] = (
         # two unrolled SimRank iterations on the 128-vertex distinct
         # quotient: s1 = first-iteration common-in counts scaled by

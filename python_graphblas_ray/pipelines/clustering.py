@@ -159,3 +159,40 @@ def diversity_sample(emb_ds, k_clusters, per_cluster, id_col="vec_id",
                              metric=metric)
     return quota_sample(assigned, "cluster", per_cluster,
                         key_col=id_col, salt=salt)
+
+
+def silhouette_simplified(emb_ds, centroids, id_col="vec_id",
+                          emb_col="embedding", batch_size=8192):
+    """Simplified silhouette (Hruschka et al. 2004) — the standard
+    clustering-quality score at scale: per vector, ``a`` = L2 distance
+    to its OWN centroid, ``b`` = distance to the nearest OTHER
+    centroid, ``s = (b − a) / max(a, b)`` (0 when both are 0). Unlike
+    the classic silhouette's O(n²) pairwise distances, this needs only
+    the k broadcast centroids — ONE streaming pass, the corpus never
+    shuffles.
+
+    Assignment = argmin squared distance with ties to the lowest
+    centroid id (the :func:`kmeans_assign` contract); distances use
+    the explicit ``Σ(x−c)²`` form so a SQL twin's grouped sum matches
+    within a round-8 grain. Returns ``(id, cluster, sil)``."""
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def score(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _matrix(batch[emb_col])
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=-1)
+        own = np.argmin(d2, axis=1)
+        rows = np.arange(len(m))
+        a2 = d2[rows, own]
+        d2[rows, own] = np.inf
+        b2 = d2.min(axis=1)
+        a = np.sqrt(a2)
+        b = np.sqrt(b2)
+        mx = np.maximum(a, b)
+        s = np.where(mx > 0, (b - a) / np.where(mx > 0, mx, 1.0), 0.0)
+        return pa.table({id_col: batch[id_col],
+                         "cluster": own.astype(np.int64),
+                         "sil": s})
+
+    return emb_ds.map_batches(score, batch_format="pyarrow",
+                              batch_size=batch_size)

@@ -644,3 +644,153 @@ def simrank(edges_ds, n, c=0.8, iters=2):
     # union a 0-row schema'd seed: Ray's 0-row blocks skip map_batches
     # UDFs, so an empty result would otherwise lose its (u, v, s) schema
     return off.map_batches(upper, batch_format="pyarrow").union(seed)
+
+
+def _degree_hist(edges_ds, n, endpoint):
+    """Tiny (degree → vertex count) histogram of the simple-graph
+    degree distribution over ALL ``n`` vertices (zero-degree bucket
+    included) — degrees collapse to few distinct values, so the
+    histogram is driver-size at any graph scale.  Returns
+    ``(deg_values asc int64, counts int64)``."""
+    from ..stages.reduce import grouped_agg
+
+    deg = grouped_agg(_distinct_pattern(edges_ds), [endpoint],
+                      [(endpoint, "count", "c")])
+    hist = grouped_agg(deg, ["c"], [("c", "count", "k")])
+    rows = [b for b in hist.iter_batches(batch_format="pyarrow",
+                                         batch_size=None) if b.num_rows]
+    if not rows:
+        return (np.array([0], dtype=np.int64),
+                np.array([n], dtype=np.int64))
+    t = pa.concat_tables(rows, promote_options="permissive")
+    d = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    k = t["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(d)
+    d, k = d[order], k[order]
+    zeros = n - int(k.sum())
+    if zeros > 0:
+        d = np.concatenate([[0], d])
+        k = np.concatenate([[zeros], k])
+    return d, k
+
+
+def _rank2_map(d, k):
+    """Doubled average ranks per degree value: ``rank2(deg) =
+    2·cnt_less + cnt_eq + 1`` — INTEGER, so rank sums are exact."""
+    less = np.concatenate([[0], np.cumsum(k)[:-1]])
+    return 2 * less + k + 1
+
+
+def degree_rank_correlation(edges_ds, n, num_partitions=None):
+    """Spearman rank correlation between in-degree and out-degree over
+    ALL ``n`` vertices of the simple directed graph — "are pages that
+    are linked much also pages that link much?", the rank-statistics
+    sibling of edgewise :func:`assortativity` (Pearson over edges).
+
+    Determinism contract (bit-exact, NO grain): average ranks are
+    carried DOUBLED (``2·cnt_less + cnt_eq + 1``) so every rank, rank
+    product and partial sum is an INTEGER — exact in any merge order —
+    and the final coefficient is a fixed 6-op IEEE sequence a SQL twin
+    reproduces bit-for-bit.  (Int64-exact while ``4n³ < 2⁶²``; beyond
+    that the partials switch to float64 and a grain applies.)
+
+    Scale shape: degree ranks come from the driver-size degree
+    HISTOGRAMS (no global sort, no dense O(n) vector); the per-vertex
+    pass is ONE vertex-keyed hash exchange of the two (vertex, degree)
+    tables (each |V⁺| rows, far smaller than the edge table) emitting
+    O(1) integer moment partials per partition; zero-zero vertices
+    (never linked, never linking) contribute in closed form."""
+    import math
+
+    import ray
+
+    from ..stages.exchange import hash_exchange_apply
+    from ..stages.reduce import grouped_agg
+
+    do, ko = _degree_hist(edges_ds, n, "src")
+    di, ki = _degree_hist(edges_ds, n, "dst")
+    ro, ri = _rank2_map(do, ko), _rank2_map(di, ki)
+    exact = 4 * n * n * n < (1 << 62)
+    sdt = np.int64 if exact else np.float64
+
+    E = _distinct_pattern(edges_ds)
+    od = grouped_agg(E, ["src"], [("src", "count", "c")])
+    idg = grouped_agg(E, ["dst"], [("dst", "count", "c")])
+
+    def tag(side):
+        def f(b: pa.Table) -> pa.Table:
+            v = b["src" if side == 0 else "dst"]
+            return pa.table({"v": v, "c": b["c"],
+                             "side": np.full(b.num_rows, side, np.int8)})
+        return f
+
+    both = od.map_batches(tag(0), batch_format="pyarrow").union(
+        idg.map_batches(tag(1), batch_format="pyarrow"))
+
+    zero = pa.table({k: pa.array([0], pa.int64()) for k in
+                     ("m", "sx", "sy", "sxx", "syy", "sxy")})
+
+    def moments(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "v" not in t.column_names:
+            return zero
+        v = t["v"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["side"].to_numpy(zero_copy_only=False)
+        uv, inv = np.unique(v, return_inverse=True)
+        odeg = np.zeros(len(uv), dtype=np.int64)
+        ideg = np.zeros(len(uv), dtype=np.int64)
+        odeg[inv[s == 0]] = c[s == 0]
+        ideg[inv[s == 1]] = c[s == 1]
+        x = ro[np.searchsorted(do, odeg)].astype(sdt)
+        y = ri[np.searchsorted(di, ideg)].astype(sdt)
+        return pa.table({"m": [np.int64(len(uv))], "sx": [x.sum()],
+                         "sy": [y.sum()], "sxx": [(x * x).sum()],
+                         "syy": [(y * y).sum()], "sxy": [(x * y).sum()]})
+
+    tot = {k: 0 for k in ("m", "sx", "sy", "sxx", "syy", "sxy")}
+    for b in hash_exchange_apply(both, "v", moments,
+                                 num_partitions=num_partitions) \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_rows == 0 or "m" not in b.column_names:
+            continue
+        for k in tot:
+            tot[k] += b[k][0].as_py()
+    # vertices with no links either way: rank2 of degree 0 on each axis
+    m0 = n - tot["m"]
+    x0 = int(ro[np.searchsorted(do, 0)]) if do[0] == 0 else None
+    y0 = int(ri[np.searchsorted(di, 0)]) if di[0] == 0 else None
+    if m0 > 0:
+        tot["sx"] += m0 * x0
+        tot["sy"] += m0 * y0
+        tot["sxx"] += m0 * x0 * x0
+        tot["syy"] += m0 * y0 * y0
+        tot["sxy"] += m0 * x0 * y0
+    num = n * tot["sxy"] - tot["sx"] * tot["sy"]
+    dx = n * tot["sxx"] - tot["sx"] * tot["sx"]
+    dy = n * tot["syy"] - tot["sy"] * tot["sy"]
+    if dx <= 0 or dy <= 0:
+        return float("nan")
+    return float(num) / math.sqrt(float(dx) * float(dy))
+
+
+def degree_gini(edges_ds, n, endpoint="src"):
+    """Gini coefficient of the degree distribution over ALL ``n``
+    vertices — how concentrated is linking (0 = uniform, →1 = a few
+    hubs hold all edges), the standard web-graph inequality readout.
+
+    Exact from the driver-size degree HISTOGRAM alone (no global sort:
+    each degree value's run contributes ``d·(k·C₀ + k(k+1)/2)`` to the
+    sorted weighted sum, which is tie-order invariant); all sums are
+    Python INTEGERS, the final value is 4 fixed IEEE ops — bit-exact
+    vs a SQL twin."""
+    d, k = _degree_hist(edges_ds, n, endpoint)
+    c0 = 0
+    S = 0
+    T = 0
+    for dv, kv in zip(d.tolist(), k.tolist()):
+        S += dv * (kv * c0 + kv * (kv + 1) // 2)
+        T += dv * kv
+        c0 += kv
+    if T == 0:
+        return 0.0
+    return (2.0 * S) / float(n * T) - (float(n) + 1.0) / float(n)

@@ -302,3 +302,67 @@ def mixture_sample(ds, strata_col: str, total: int, key_col: str,
 
     return hash_exchange_apply(ds, strata_col, per_part,
                                num_partitions=num_partitions)
+
+
+def priority_sample(ds, key_col: str, k: int, num_partitions=None):
+    """Priority sampling (Duffield-Lund-Thorup, JACM 2007): a size-k
+    weighted sample-without-replacement of the per-key row counts that
+    supports UNBIASED subset-sum estimation — each key gets priority
+    ``q = w / u`` (``u`` uniform from a splitmix64 of the key), the
+    top-k priorities are kept, and each kept key's estimator is
+    ``max(w, τ)`` with τ the (k+1)-th priority. The expected sum of
+    estimates over any subset equals that subset's true weight.
+
+    Determinism contract (bit-exact, NO rounding grain):
+    ``u = ((h >> 11) + 1) · 2⁻⁵³`` is EXACTLY representable (53-bit
+    integer scaled by a power of two), so ``q`` and the estimates are
+    single exactly-rounded IEEE divisions a SQL twin reproduces
+    bit-for-bit; ties break by key.
+
+    Scale shape: ONE count exchange (``grouped_agg``), then per-block
+    top-(k+1) candidate cuts (the ``ann_topk`` posture) and an
+    O(k·blocks) driver merge — the counts table itself never sorts
+    globally. Returns an Arrow table ``(rank, key, w, est)``.
+    """
+    from ..stages.reduce import grouped_agg
+    from ..stages.sketch import _hash64
+
+    counts = grouped_agg(ds.select_columns([key_col]), [key_col],
+                         [(key_col, "count", "w")])
+
+    def cand(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.float64())})
+        key = t[key_col].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _hash64(key.astype(np.uint64))
+        u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) / float(2**53)
+        q = w.astype(np.float64) / u
+        order = np.lexsort((key, -q))[:k + 1]
+        return pa.table({key_col: key[order].astype(np.int64),
+                         "w": w[order], "q": q[order]})
+
+    parts = [b for b in counts.map_batches(
+        cand, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None) if b.num_rows]
+    if not parts:
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         key_col: pa.array([], pa.int64()),
+                         "w": pa.array([], pa.int64()),
+                         "est": pa.array([], pa.float64())})
+    t = pa.concat_tables(parts, promote_options="permissive")
+    key = t[key_col].to_numpy(zero_copy_only=False)
+    w = t["w"].to_numpy(zero_copy_only=False)
+    q = t["q"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((key, -q))
+    tau = float(q[order[k]]) if len(order) > k else 0.0
+    sel = order[:k]
+    est = np.maximum(w[sel].astype(np.float64), tau)
+    return pa.table({
+        "rank": np.arange(1, len(sel) + 1, dtype=np.int64),
+        key_col: key[sel].astype(np.int64),
+        "w": w[sel].astype(np.int64),
+        "est": est,
+    })

@@ -560,3 +560,138 @@ def decayed_counts(events_ds, user_col="user_id", ts_col="ts",
     partials = events_ds.select_columns([user_col, ts_col]).map_batches(
         part, batch_format="pyarrow", batch_size=65536)
     return grouped_agg(partials, [user_col], [("score", "sum", "score")])
+
+
+def daily_zscores(events_ds, user_col="user_id", ts_col="ts",
+                  num_partitions=None):
+    """Per-user daily-volume anomaly z-scores — the standard activity
+    anomaly screen (bot bursts, tracking breakage): for each user and
+    active day, ``z = (x - mean) / std`` of that user's daily event
+    counts over their active days (population std; users whose counts
+    never vary get z = 0).
+
+    Determinism contract (bit-exact, NO rounding grain): daily counts
+    ``x``, per-user ``sx = Σx`` and ``sxx = Σx²`` are INTEGERS (exact
+    in any merge order); the float tail is a FIXED single-op sequence
+    — ``m = double(sx)/nd``, ``var = double(sxx)/nd − m·m``,
+    ``z = (x − m)/sqrt(var)`` — each step exactly rounded identically
+    by numpy and a SQL engine, so a DuckDB twin reproduces every z
+    bit-for-bit.
+
+    Scale shape (the :func:`event_transitions` posture): ONE hash
+    exchange keyed by user co-locates each user's events, then a
+    per-partition vectorized pass (lexsort → run-length daily counts →
+    ``add.reduceat`` per-user moments → broadcast back). The stream
+    never sorts globally. Returns ``(user, day, x, z)``.
+    """
+    from ..stages.exchange import hash_exchange_apply
+
+    day_us = 86_400_000_000
+    empty = pa.table({user_col: pa.array([], pa.int64()),
+                      "day": pa.array([], pa.timestamp("us")),
+                      "x": pa.array([], pa.int64()),
+                      "z": pa.array([], pa.float64())})
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        u = t[user_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = (ts // day_us) * day_us
+        order = np.lexsort((day, u))
+        uo, do = u[order], day[order]
+        # run-length compress to one row per (user, day)
+        new = np.empty(len(uo), dtype=bool)
+        new[0] = True
+        new[1:] = (uo[1:] != uo[:-1]) | (do[1:] != do[:-1])
+        starts = np.flatnonzero(new)
+        x = np.diff(np.append(starts, len(uo))).astype(np.int64)
+        uu, dd = uo[starts], do[starts]
+        # per-user moments over the compressed rows
+        ustarts = np.flatnonzero(np.concatenate(
+            [[True], uu[1:] != uu[:-1]]))
+        nd = np.diff(np.append(ustarts, len(uu))).astype(np.int64)
+        sx = np.add.reduceat(x, ustarts)
+        sxx = np.add.reduceat(x * x, ustarts)
+        m = sx.astype(np.float64) / nd
+        var = sxx.astype(np.float64) / nd - m * m
+        std = np.sqrt(np.where(var > 0, var, 1.0))
+        rep = np.repeat(np.arange(len(nd)), nd)
+        z = np.where(var[rep] > 0,
+                     (x - m[rep]) / std[rep], 0.0)
+        return pa.table({
+            user_col: uu.astype(np.int64),
+            "day": pa.array(dd, pa.timestamp("us")),
+            "x": x,
+            "z": z,
+        })
+
+    return hash_exchange_apply(
+        events_ds.select_columns([user_col, ts_col]), user_col, part,
+        num_partitions=num_partitions)
+
+
+def user_cusum(events_ds, user_col="user_id", ts_col="ts",
+               num_partitions=None):
+    """Per-user CUSUM burst statistic over daily event counts — the
+    classic changepoint / burst detector (Page 1954): with ``v_t =
+    nd·x_t − sx − nd`` (daily count recentred by the user's own mean,
+    scaled by the active-day count ``nd`` so everything stays INTEGER,
+    minus one-event-per-day slack), the drift ``D_t = Σ_{s≤t} v_s``
+    and the statistic is ``max_t (D_t − min_{s≤t} D_s) / nd`` — the
+    largest sustained upward burst in the user's activity.
+
+    Determinism contract: every ``D_t`` and running min is INTEGER, so
+    the statistic is exact up to ONE final division — bit-exact vs a
+    SQL twin (integer window sums commute), no rounding grain.
+
+    Scale shape: same ONE user-keyed exchange as
+    :func:`daily_zscores`; the per-partition pass is fully vectorized
+    (the segmented running-min uses a per-segment descending offset —
+    valid while ``4·B·segments`` fits int64, asserted). Returns
+    ``(user, cusum)``.
+    """
+    from ..stages.exchange import hash_exchange_apply
+
+    day_us = 86_400_000_000
+    empty = pa.table({user_col: pa.array([], pa.int64()),
+                      "cusum": pa.array([], pa.float64())})
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        u = t[user_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = (ts // day_us) * day_us
+        order = np.lexsort((day, u))
+        uo, do = u[order], day[order]
+        new = np.empty(len(uo), dtype=bool)
+        new[0] = True
+        new[1:] = (uo[1:] != uo[:-1]) | (do[1:] != do[:-1])
+        starts = np.flatnonzero(new)
+        x = np.diff(np.append(starts, len(uo))).astype(np.int64)
+        uu = uo[starts]
+        ustarts = np.flatnonzero(np.concatenate(
+            [[True], uu[1:] != uu[:-1]]))
+        nd = np.diff(np.append(ustarts, len(uu))).astype(np.int64)
+        sx = np.add.reduceat(x, ustarts)
+        seg = np.repeat(np.arange(len(nd)), nd)
+        v = nd[seg] * x - sx[seg] - nd[seg]
+        # segmented cumsum: global cumsum minus the segment's base
+        cum = np.cumsum(v)
+        base = cum[ustarts] - v[ustarts]
+        d = cum - base[seg]
+        # segmented running min via strictly-descending segment offsets
+        b = int(np.abs(d).max()) + 1 if len(d) else 1
+        assert 4 * b * max(len(nd), 1) < (1 << 62), "cusum offset overflow"
+        off = (-4 * b) * seg
+        runmin = np.minimum.accumulate(d + off) - off
+        stat = np.maximum.reduceat(d - runmin, ustarts)
+        return pa.table({
+            user_col: uu[ustarts].astype(np.int64),
+            "cusum": stat.astype(np.float64) / nd,
+        })
+
+    return hash_exchange_apply(
+        events_ds.select_columns([user_col, ts_col]), user_col, part,
+        num_partitions=num_partitions)
