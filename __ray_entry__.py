@@ -2711,6 +2711,106 @@ def _q_embed_silhouette(sf_dir):
 
 
 
+def _q_docs_pack_offsets(sf_dir):
+    """Global concat-and-chunk sequence-packing layout (GPT-style
+    pretraining packer): per-doc global token offsets from the
+    distributed ordered_prefix_sum SCAN (range exchange + two-phase
+    base offsets), sequences of 256 tokens crossing doc boundaries.
+    Pure integer arithmetic - bit-exact vs the SQL window-sum twin at
+    any partition count."""
+    from python_graphblas_ray.stages.text import pack_offsets
+
+    t = _as_table(pack_offsets(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        budget=256))
+    if t is None or "offset" not in t.column_names:  # empty corpus
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64()),
+                         "offset": pa.array([], pa.int64()),
+                         "first_seq": pa.array([], pa.int64()),
+                         "last_seq": pa.array([], pa.int64())})
+    return t
+
+
+def _q_events_user_entropy(sf_dir):
+    """Per-user Shannon entropy of the event-type mix (behavioral
+    diversity): one grouped-count exchange + one user-keyed segment
+    pass; round-8 absorbs term-order noise."""
+    from python_graphblas_ray.pipelines.windows import user_entropy
+
+    t = _as_table(user_entropy(
+        _read(sf_dir, "events", columns=["user_id", "event_type"])))
+    if t is None or "entropy" not in t.column_names:  # empty stream
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "entropy": pa.array([], pa.float64())})
+    return t
+
+
+
+def _q_events_value_quantiles(sf_dir):
+    """Exact per-event-type value quantiles (p25 / median / p90) via
+    the grouped_quantile exchange (quantile_disc semantics: element
+    ceil(q*n)-1 of the sorted group) - bit-exact vs quantile_disc."""
+    from python_graphblas_ray.stages.reduce import grouped_quantile
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = {}
+    for name, q in (("p25", 0.25), ("med", 0.5), ("p90", 0.9)):
+        t = _as_table(grouped_quantile(ds, ["event_type"], "value",
+                                       q=q, out_col=name))
+        if t is None or name not in t.column_names:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "p25": pa.array([], pa.float64()),
+                             "med": pa.array([], pa.float64()),
+                             "p90": pa.array([], pa.float64())})
+        ks = t["event_type"].to_pylist()
+        vs = t[name].to_numpy(zero_copy_only=False)
+        out[name] = dict(zip(ks, vs))
+    keys = sorted(out["med"])
+    return pa.table({
+        "event_type": pa.array(keys, pa.string()),
+        "p25": pa.array([out["p25"][k] for k in keys], pa.float64()),
+        "med": pa.array([out["med"][k] for k in keys], pa.float64()),
+        "p90": pa.array([out["p90"][k] for k in keys], pa.float64())})
+
+
+def _q_docs_source_stats(sf_dir):
+    """Per-source corpus report (the dataset-card readout): doc count,
+    total/mean/median chars - counts and sums INTEGER (exact any
+    order), mean is one division, median via grouped_quantile -
+    bit-exact, no grain."""
+    from python_graphblas_ray.stages.reduce import (grouped_agg,
+                                                    grouped_quantile)
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+    agg = _as_table(grouped_agg(ds, ["source"],
+                                [("source", "count", "n_docs"),
+                                 ("n_chars", "sum", "sum_chars")]))
+    med = _as_table(grouped_quantile(ds, ["source"], "n_chars",
+                                     q=0.5, out_col="med_chars"))
+    if (agg is None or med is None or "n_docs" not in agg.column_names
+            or "med_chars" not in med.column_names):  # empty corpus
+        return pa.table({"source": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "sum_chars": pa.array([], pa.int64()),
+                         "med_chars": pa.array([], pa.float64()),
+                         "avg_chars": pa.array([], pa.float64())})
+    mm = dict(zip(med["source"].to_pylist(),
+                  med["med_chars"].to_numpy(zero_copy_only=False)))
+    ks = agg["source"].to_pylist()
+    nd = agg["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sc = agg["sum_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(np.asarray(ks, dtype=object))
+    ks = [ks[int(i)] for i in order]
+    nd, sc = nd[order], sc[order]
+    return pa.table({
+        "source": pa.array(ks, pa.string()),
+        "n_docs": nd, "sum_chars": sc,
+        "med_chars": pa.array([mm[k] for k in ks], pa.float64()),
+        "avg_chars": sc.astype(np.float64) / nd})
+
+
+
 SUITES = {
     "degree_suite": ["degree_out", "degree_in", "degree_mean"],
     "reduce_scalar_suite": ["reduce_scalar_plus", "reduce_scalar_max"],
@@ -2840,6 +2940,15 @@ PACKED_SUITES = {
         ("degree_gini", [("n_vertices", "i")], "gini"),
         ("embed_silhouette", [("vec_id", "i"), ("cluster", "i")],
          "sil"),
+        ("docs_pack_offsets", [("doc_id", "i"), ("offset", "i"),
+                               ("first_seq", "i")], "last_seq"),
+        ("events_user_entropy", [("user_id", "i")], "entropy"),
+        ("events_value_quantiles", [("event_type", "s"),
+                                    ("p25", "f2"), ("med", "f2")],
+         "p90"),
+        ("docs_source_stats", [("source", "s"), ("n_docs", "i"),
+                               ("sum_chars", "i"), ("med_chars", "f2")],
+         "avg_chars"),
     ]),
     # the splitmix64/knuth32 hash-replay family (seeded sampling and
     # bounded stochastic rounds) — its own slot so a member failure
@@ -3087,6 +3196,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_rankcorr": _q_degree_rankcorr,
         "degree_gini": _q_degree_gini,
         "embed_silhouette": _q_embed_silhouette,
+        "docs_pack_offsets": _q_docs_pack_offsets,
+        "events_user_entropy": _q_events_user_entropy,
+        "events_value_quantiles": _q_events_value_quantiles,
+        "docs_source_stats": _q_docs_source_stats,
         # packed-suite members (heterogeneous keys -> one string col)
         "reciprocity": _q_reciprocity,
         "docs_lm_score": _q_docs_lm_score,
@@ -5320,6 +5433,43 @@ def oracle_sql() -> dict[str, str]:
         "THEN (sqrt(oth.d) - sqrt(own.d)) / "
         "GREATEST(sqrt(own.d), sqrt(oth.d)) ELSE 0.0 END, 8) AS sil "
         "FROM own JOIN oth ON oth.vec_id = own.vec_id")
+    base["docs_pack_offsets"] = (
+        # concat-and-chunk packing layout: exclusive window sum of
+        # whitespace token counts in doc_id order, 256-token sequences
+        # crossing doc boundaries - all integer, bit-exact
+        r"WITH c AS (SELECT doc_id, "
+        r"CAST(len(regexp_extract_all(COALESCE(text, ''), '\S+')) "
+        r"AS BIGINT) AS n_tokens FROM documents), "
+        r'o AS (SELECT doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER '
+        r'(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND '
+        r'1 PRECEDING), 0) AS "offset" FROM c) '
+        r'SELECT doc_id, n_tokens, "offset", "offset" // 256 AS '
+        r'first_seq, ("offset" + n_tokens - 1) // 256 AS last_seq '
+        r"FROM o WHERE n_tokens > 0")
+    base["events_user_entropy"] = (
+        # per-user event-type entropy: integer counts, per-term
+        # -(c/n)*ln(c/n), round-8 over summation-order noise;
+        # single-type users are exactly 0 (not -0.0)
+        "WITH c AS (SELECT user_id, event_type, count(*) AS c "
+        "FROM events GROUP BY 1, 2), "
+        "s AS (SELECT user_id, CAST(sum(c) AS DOUBLE) AS n, "
+        "count(*) AS k FROM c GROUP BY 1), "
+        "tt AS (SELECT c.user_id, s.k, "
+        "-((CAST(c.c AS DOUBLE)/s.n) * ln(CAST(c.c AS DOUBLE)/s.n)) "
+        "AS term FROM c JOIN s ON s.user_id = c.user_id) "
+        "SELECT user_id, CASE WHEN any_value(k) = 1 THEN 0.0 "
+        "ELSE ROUND(SUM(term), 8) END AS entropy "
+        "FROM tt GROUP BY user_id")
+    base["events_value_quantiles"] = (
+        "SELECT event_type, quantile_disc(value, 0.25) AS p25, "
+        "quantile_disc(value, 0.5) AS med, "
+        "quantile_disc(value, 0.9) AS p90 FROM events GROUP BY 1")
+    base["docs_source_stats"] = (
+        "SELECT source, count(*) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+        "quantile_disc(CAST(n_chars AS DOUBLE), 0.5) AS med_chars, "
+        "CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars "
+        "FROM documents GROUP BY 1")
     base["simrank_iter2"] = (
         # two unrolled SimRank iterations on the 128-vertex distinct
         # quotient: s1 = first-iteration common-in counts scaled by

@@ -695,3 +695,48 @@ def user_cusum(events_ds, user_col="user_id", ts_col="ts",
     return hash_exchange_apply(
         events_ds.select_columns([user_col, ts_col]), user_col, part,
         num_partitions=num_partitions)
+
+
+def user_entropy(events_ds, user_col="user_id", type_col="event_type",
+                 num_partitions=None):
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity axis (0 = single-action users; log k = uniform
+    over k types). Integer counts are exact; the entropy terms
+    ``−(c/n)·ln(c/n)`` are summed in ascending (user, type) order, so
+    a SQL twin agrees within a round-8 grain (term-order noise only).
+
+    Scale shape: ONE (user, type) grouped count exchange, then ONE
+    user-keyed exchange of the (much smaller) counts table with a
+    vectorized per-partition segment pass. Returns ``(user, entropy)``
+    with entropy rounded to 8 decimals."""
+    from ..stages.exchange import hash_exchange_apply
+    from ..stages.reduce import grouped_agg
+
+    counts = grouped_agg(
+        events_ds.select_columns([user_col, type_col]),
+        [user_col, type_col], [(type_col, "count", "c")])
+
+    empty = pa.table({user_col: pa.array([], pa.int64()),
+                      "entropy": pa.array([], pa.float64())})
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c" not in t.column_names:
+            return empty
+        u = t[user_col].to_numpy(zero_copy_only=False)
+        ty = t[type_col].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ty, u))
+        uo, co = u[order], c[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], uo[1:] != uo[:-1]]))
+        nu = np.add.reduceat(co, starts).astype(np.float64)
+        sizes = np.diff(np.append(starts, len(uo)))
+        p = co / np.repeat(nu, sizes)
+        terms = -(p * np.log(p))
+        h = np.add.reduceat(terms, starts)
+        h[sizes == 1] = 0.0  # single-type users: exactly 0, not -0.0
+        return pa.table({user_col: uo[starts].astype(np.int64),
+                         "entropy": np.round(h, 8)})
+
+    return hash_exchange_apply(counts, user_col, part,
+                               num_partitions=num_partitions)

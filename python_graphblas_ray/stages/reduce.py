@@ -476,3 +476,47 @@ def grouped_topk(ds, key_col: str, order_col: str, k: int,
 
     return hash_exchange_apply(ds, key_col, per_part,
                                num_partitions=num_partitions)
+
+
+def grouped_quantile(ds, key_cols, val_col, q=0.5, out_col="qval",
+                     num_partitions=None):
+    """EXACT discrete quantile per group (type-1 / ``quantile_disc``
+    semantics: the element at index ``ceil(q·n) − 1`` of the group's
+    sorted values) — the oracle-grade grouped median/percentile.
+
+    Scale shape: ONE hash exchange keyed by the group columns, then a
+    per-partition lexsort + segment-index pick across ALL the
+    partition's groups at once (no per-group Python). Exact quantiles
+    can't pre-aggregate, so a single giant group lands on one worker —
+    at that scale use the mergeable KLL sketch
+    (:mod:`..stages.sketch`) instead; this operator is for
+    many-moderate-groups layouts. Returns ``key_cols + [out_col]``."""
+    from .exchange import hash_exchange_apply
+
+    key = key_cols[0]
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or val_col not in t.column_names:
+            cols = {c: pa.array([], t[c].type if c in t.column_names
+                                else pa.string()) for c in key_cols}
+            cols[out_col] = pa.array([], pa.float64())
+            return pa.table(cols)
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ks = [t[c].to_numpy(zero_copy_only=False) for c in key_cols]
+        order = np.lexsort((v, *ks[::-1]))
+        kos = [k[order] for k in ks]
+        vo = v[order]
+        same = np.ones(len(vo), dtype=bool)
+        same[0] = False
+        for ko in kos:
+            same[1:] &= ko[1:] == ko[:-1]
+        starts = np.flatnonzero(~same)
+        sizes = np.diff(np.append(starts, len(vo)))
+        idx = starts + np.ceil(q * sizes).astype(np.int64) - 1
+        cols = {c: ko[starts] for c, ko in zip(key_cols, kos)}
+        cols[out_col] = vo[idx]
+        return pa.table(cols)
+
+    return hash_exchange_apply(
+        ds.select_columns([*key_cols, val_col]), key, part,
+        num_partitions=num_partitions)

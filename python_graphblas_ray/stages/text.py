@@ -711,3 +711,47 @@ def chunk_windows(docs_ds, window=64, stride=48, id_col="doc_id",
                          "len": np.minimum(window, nn - start)})
 
     return docs_ds.map_batches(chunks, batch_format="pyarrow")
+
+
+def pack_offsets(docs_ds, budget=256, id_col="doc_id", text_col="text"):
+    """Global concat-and-chunk sequence packing layout (the GPT-style
+    pretraining packer: concatenate every document's tokens in doc-id
+    order, then cut fixed ``budget``-token training sequences): each
+    doc's global token offset comes from the distributed
+    :func:`~python_graphblas_ray.stages.exchange.ordered_prefix_sum`
+    SCAN, and the doc spans sequences ``off // budget`` through
+    ``(off + n - 1) // budget``. Complements :func:`chunk_windows`
+    (per-doc overlapping windows) and ``pipelines.sampling
+    .pack_sequences`` (within-shard first-fit): this is the layout
+    where sequences CROSS document boundaries and nothing is padded.
+
+    Pure integer arithmetic end to end — bit-exact vs a SQL window-sum
+    twin at any partition count or block order. Empty docs occupy no
+    tokens and emit no row. Returns
+    ``(doc_id, n_tokens, offset, first_seq, last_seq)``."""
+    import pyarrow.compute as pc
+
+    from .exchange import ordered_prefix_sum
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.fill_null(batch[text_col], ""), r"\S+").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: batch[id_col], "n_tokens": n})
+
+    off = ordered_prefix_sum(
+        docs_ds.select_columns([id_col, text_col]).map_batches(
+            counts, batch_format="pyarrow"),
+        id_col, "n_tokens", out_col="offset")
+
+    def spans(batch: pa.Table) -> pa.Table:
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        o = batch["offset"].to_numpy(zero_copy_only=False)
+        keep = n > 0
+        n, o = n[keep], o[keep]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({id_col: ids, "n_tokens": n, "offset": o,
+                         "first_seq": o // budget,
+                         "last_seq": (o + n - 1) // budget})
+
+    return off.map_batches(spans, batch_format="pyarrow")

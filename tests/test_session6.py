@@ -259,3 +259,108 @@ def test_silhouette_vector_on_its_centroid():
     # 4.0: a=4, b=6 -> s=(6-4)/6
     assert t["sil"][1] == pytest.approx((6 - 4) / 6, rel=1e-12)
     assert t["cluster"].tolist() == [0, 0]
+
+
+# ------------------------------------------------ scan / pack / entropy
+
+def test_ordered_prefix_sum_partition_invariant():
+    from python_graphblas_ray.stages.exchange import ordered_prefix_sum
+    rng = np.random.RandomState(4)
+    ids = rng.permutation(3000).astype(np.int64)
+    vals = rng.randint(0, 50, 3000).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": ids, "v": vals})) \
+        .repartition(7)
+    order = np.argsort(ids)
+    want = np.concatenate([[0], np.cumsum(vals[order])[:-1]])
+    for P in (1, 4, 32):
+        t = _collect(ordered_prefix_sum(ds, "k", "v",
+                                        num_partitions=P)).to_pandas() \
+            .sort_values("k")
+        assert (t["offset"].to_numpy() == want).all()
+
+
+def test_ordered_prefix_sum_rejects_duplicate_keys():
+    from python_graphblas_ray.stages.exchange import ordered_prefix_sum
+    ds = ray.data.from_arrow(pa.table(
+        {"k": np.array([1, 1, 2], dtype=np.int64),
+         "v": np.array([5, 5, 5], dtype=np.int64)}))
+    with pytest.raises(Exception, match="duplicate"):
+        _collect(ordered_prefix_sum(ds, "k", "v", num_partitions=2))
+
+
+def test_pack_offsets_layout():
+    from python_graphblas_ray.stages.text import pack_offsets
+    texts = ["a b c", "", "d " * 300, "e f"]  # 3, 0, 300, 2 tokens
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": np.arange(4, dtype=np.int64), "text": texts}))
+    t = _collect(pack_offsets(ds, budget=256)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # empty doc 1 emits no row; offsets are the running token layout
+    assert t["doc_id"].tolist() == [0, 2, 3]
+    assert t["offset"].tolist() == [0, 3, 303]
+    assert t["first_seq"].tolist() == [0, 0, 1]
+    # doc 2 spans tokens [3, 303) -> sequences 0 and 1
+    assert t["last_seq"].tolist() == [0, 1, 1]
+
+
+def test_user_entropy_reference():
+    from python_graphblas_ray.pipelines.windows import user_entropy
+    import collections
+    import math
+    rng = np.random.RandomState(6)
+    user = rng.randint(0, 10, 300)
+    types = np.array(["a", "b", "c", "d"])[rng.randint(0, 4, 300)]
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": user.astype(np.int64),
+        "event_type": types}))
+    t = _collect(user_entropy(ds)).to_pandas().set_index("user_id")
+    cnt = collections.Counter(zip(user.tolist(), types.tolist()))
+    for u in np.unique(user):
+        cs = [c for (uu, _), c in cnt.items() if uu == u]
+        n = sum(cs)
+        want = sum(-(c / n) * math.log(c / n) for c in sorted(cs))
+        assert t.loc[int(u), "entropy"] == pytest.approx(want, abs=2e-8)
+    # single-type user is exactly 0.0
+    ds1 = ray.data.from_arrow(pa.table({
+        "user_id": np.array([9, 9], dtype=np.int64),
+        "event_type": ["x", "x"]}))
+    t1 = _collect(user_entropy(ds1)).to_pandas()
+    assert t1["entropy"].tolist() == [0.0]
+
+
+# ------------------------------------------------------ grouped quantile
+
+def test_grouped_quantile_disc_convention():
+    from python_graphblas_ray.stages.reduce import grouped_quantile
+    # quantile_disc semantics: element at ceil(q*n) - 1 of the sorted
+    # group; verified against DuckDB's convention (n=1..5 probe)
+    ds = ray.data.from_arrow(pa.table({
+        "g": ["a"] * 4 + ["b"] * 5 + ["c"],
+        "v": np.array([4.0, 1.0, 3.0, 2.0,
+                       50.0, 10.0, 40.0, 20.0, 30.0, 7.0])}))
+    for q, want in ((0.5, {"a": 2.0, "b": 30.0, "c": 7.0}),
+                    (0.25, {"a": 1.0, "b": 20.0, "c": 7.0}),
+                    (0.9, {"a": 4.0, "b": 50.0, "c": 7.0})):
+        t = _collect(grouped_quantile(ds, ["g"], "v", q=q)).to_pandas()
+        assert dict(zip(t["g"], t["qval"])) == want
+
+
+def test_grouped_quantile_multikey_and_partition_invariance():
+    from python_graphblas_ray.stages.reduce import grouped_quantile
+    rng = np.random.RandomState(8)
+    g1 = rng.randint(0, 6, 400).astype(np.int64)
+    g2 = rng.randint(0, 3, 400).astype(np.int64)
+    v = rng.randn(400)
+    ds = ray.data.from_arrow(pa.table({"g1": g1, "g2": g2, "v": v})) \
+        .repartition(9)
+    import collections
+    groups = collections.defaultdict(list)
+    for a, b, x in zip(g1, g2, v):
+        groups[(a, b)].append(x)
+    want = {k: sorted(xs)[int(np.ceil(0.5 * len(xs))) - 1]
+            for k, xs in groups.items()}
+    for P in (2, 16):
+        t = _collect(grouped_quantile(ds, ["g1", "g2"], "v", q=0.5,
+                                      num_partitions=P)).to_pandas()
+        got = {(a, b): x for a, b, x in zip(t["g1"], t["g2"], t["qval"])}
+        assert got == want
