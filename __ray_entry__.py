@@ -677,7 +677,9 @@ def _q_events_quantiles(sf_dir):
         _read(sf_dir, "events", columns=["value"]), "value",
         cap=262144)  # ≥ rowcount through sf0.1 → exact regime
     est = quantile_query(vals, wts, total, qs)
-    return pa.table({"q": np.asarray(qs), "value": np.round(est, 8)})
+    # empty stream: pin 0.0 (NaN never round-trips a float compare)
+    return pa.table({"q": np.asarray(qs),
+                     "value": np.nan_to_num(np.round(est, 8), nan=0.0)})
 
 
 def _q_events_topk(sf_dir):
@@ -1268,6 +1270,12 @@ def _q_widest4(sf_dir):
     A = GBMatrix.from_dataset(und.map_batches(both, batch_format="pyarrow"),
                               nrows=N_VERT, ncols=N_VERT)
     ids, vals = widest_path_fixed(A, source=0, iters=4).to_coo(sort=True)
+    if len(ids) == 0:
+        # empty graph: the source is still reached (width +inf) — the
+        # schema-less empty edge table poisons the seed union, so
+        # restore the seed row the relaxation starts from
+        return pa.table({"vid": np.array([0], dtype=np.int64),
+                         "width": np.array([np.inf])})
     return pa.table({"vid": ids.astype(np.int64),
                      "width": vals.astype(np.float64)})
 
@@ -2810,6 +2818,51 @@ def _q_docs_source_stats(sf_dir):
         "avg_chars": sc.astype(np.float64) / nd})
 
 
+def _q_events_covisit(sf_dir):
+    """Item-item co-visitation counts + cosine ("users who touched i
+    also touched j") over the (user, item) interaction stream — item =
+    the integer in the props JSON. One distinct exchange, one user-
+    keyed basket exchange with vectorized pair expansion, one bounded
+    pair sum; max_basket guard replicated exactly in the SQL twin.
+    Integer counts + one IEEE sqrt/divide — bit-exact, no grain."""
+    import pyarrow.compute as pc
+
+    from python_graphblas_ray.pipelines.recsys import item_covisitation
+
+    ds = _read(sf_dir, "events", columns=["user_id", "props"])
+
+    def items(batch: pa.Table) -> pa.Table:
+        s = pc.replace_substring_regex(
+            pc.fill_null(batch["props"], ""), r"[^0-9]", "")
+        keep = pc.not_equal(s, "")
+        return pa.table({
+            "user_id": pc.filter(batch["user_id"], keep),
+            "item": pc.cast(pc.filter(s, keep), pa.int64())})
+
+    out = item_covisitation(
+        ds.map_batches(items, batch_format="pyarrow"), max_basket=64)
+    t = _as_table(out)
+    if t is None or "cosine" not in t.column_names:  # empty stream
+        return pa.table({"i": pa.array([], pa.int64()),
+                         "j": pa.array([], pa.int64()),
+                         "c": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    return t
+
+
+def _q_conductance(sf_dir):
+    """Per-community conductance of the deterministic vid%16 labeling
+    over the simple undirected graph — the cut-quality twin of
+    ``modularity``: φ(c) = cut/min(vol, 2m−vol), one streaming k×k
+    label-pair bincount pass, integer counts + one IEEE divide —
+    bit-exact, no grain."""
+    from python_graphblas_ray.pipelines.louvain import conductance
+    from python_graphblas_ray.pipelines.triangles import simple_undirected
+
+    A = simple_undirected(_edge_dataset(sf_dir), N_VERT)
+    labels = np.arange(N_VERT, dtype=np.int64) % 16
+    return conductance(A.ds, labels, N_VERT, k=16)
+
 
 SUITES = {
     "degree_suite": ["degree_out", "degree_in", "degree_mean"],
@@ -2949,6 +3002,10 @@ PACKED_SUITES = {
         ("docs_source_stats", [("source", "s"), ("n_docs", "i"),
                                ("sum_chars", "i"), ("med_chars", "f2")],
          "avg_chars"),
+        ("events_covisit", [("i", "i"), ("j", "i"), ("c", "i")],
+         "cosine"),
+        ("conductance", [("comm", "i"), ("cut", "i"), ("vol", "i")],
+         "phi"),
     ]),
     # the splitmix64/knuth32 hash-replay family (seeded sampling and
     # bounded stochastic rounds) — its own slot so a member failure
@@ -3200,6 +3257,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_entropy": _q_events_user_entropy,
         "events_value_quantiles": _q_events_value_quantiles,
         "docs_source_stats": _q_docs_source_stats,
+        "events_covisit": _q_events_covisit,
+        "conductance": _q_conductance,
         # packed-suite members (heterogeneous keys -> one string col)
         "reciprocity": _q_reciprocity,
         "docs_lm_score": _q_docs_lm_score,
@@ -3621,9 +3680,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST((SELECT count(*) FROM D) AS BIGINT) AS n_edges, "
             "CAST((SELECT count(*) FROM D a JOIN D b "
             "ON b.src = a.dst AND b.dst = a.src) AS BIGINT) AS n_recip, "
-            "round((SELECT count(*) FROM D a JOIN D b "
+            # NULLIF/COALESCE: an empty graph has ratio 0.0 (the Ray
+            # side's convention), not NULL from 0/0
+            "COALESCE(round((SELECT count(*) FROM D a JOIN D b "
             "ON b.src = a.dst AND b.dst = a.src) * 1.0 / "
-            "(SELECT count(*) FROM D), 8) AS ratio"),
+            "NULLIF((SELECT count(*) FROM D), 0), 8), 0.0) AS ratio"),
         "docs_lm_score": (
             # same whitespace tokenize as docs_repetition; Laplace bigram
             # mean log-prob, 8-decimal rounded (matches the Ray side's
@@ -4117,9 +4178,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, event_type, value, row_number() OVER ("
             "PARTITION BY event_type ORDER BY value DESC, event_id) "
             "AS rn FROM events) WHERE rn <= 5"),
+        # COALESCE: the empty-stream quantile is 0.0 on both sides
+        # (NaN never round-trips a float compare)
         "events_quantiles": " UNION ALL ".join(
-            f"SELECT {q} AS q, round(quantile_disc(value, {q}), 8) "
-            "AS value FROM events"
+            f"SELECT {q} AS q, COALESCE(round(quantile_disc(value, "
+            f"{q}), 8), 0.0) AS value FROM events"
             for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)),
         "modularity": (
             # Q = Σ_in/2m − Σ_c (σ_c/2m)² over the simple symmetric
@@ -5470,6 +5533,47 @@ def oracle_sql() -> dict[str, str]:
         "quantile_disc(CAST(n_chars AS DOUBLE), 0.5) AS med_chars, "
         "CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars "
         "FROM documents GROUP BY 1")
+    base["events_covisit"] = (
+        # item-item co-visitation over distinct (user, item) baskets
+        # (item = the integer in the props JSON), baskets capped at 64
+        # distinct items (quadratic-noise guard, replicated exactly);
+        # cosine = c / sqrt(ci*cj) — integers + one IEEE sqrt/divide
+        "WITH ui AS (SELECT DISTINCT user_id, "
+        "CAST(regexp_replace(COALESCE(props, ''), '[^0-9]', '', 'g') "
+        "AS BIGINT) AS item FROM events "
+        "WHERE regexp_replace(COALESCE(props, ''), '[^0-9]', '', 'g') "
+        "<> ''), "
+        "ok AS (SELECT user_id FROM ui GROUP BY 1 "
+        "HAVING count(*) BETWEEN 2 AND 64), "
+        "u2 AS (SELECT ui.user_id, ui.item FROM ui "
+        "JOIN ok ON ok.user_id = ui.user_id), "
+        "p AS (SELECT a.item AS i, b.item AS j, "
+        "CAST(count(*) AS BIGINT) AS c FROM u2 a "
+        "JOIN u2 b ON a.user_id = b.user_id AND a.item < b.item "
+        "GROUP BY 1, 2), "
+        "ci AS (SELECT item, CAST(count(*) AS BIGINT) AS c "
+        "FROM u2 GROUP BY 1) "
+        "SELECT p.i, p.j, p.c, "
+        "p.c / sqrt(CAST(ca.c * cb.c AS DOUBLE)) AS cosine "
+        "FROM p JOIN ci ca ON ca.item = p.i JOIN ci cb ON cb.item = p.j")
+    base["conductance"] = (
+        # φ(c) = cut/min(vol, 2m−vol) of the vid%16 labeling over the
+        # simple symmetric graph (same U/S derivation as modularity);
+        # integer counts + one IEEE divide — bit-exact
+        f"{E}, "
+        "U AS (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM E WHERE src <> dst), "
+        "S AS (SELECT a AS src, b AS dst FROM U "
+        "UNION ALL SELECT b, a FROM U), "
+        "v AS (SELECT src % 16 AS comm, "
+        "CAST(count(*) AS BIGINT) AS vol, "
+        "CAST(count(*) FILTER (src % 16 <> dst % 16) AS BIGINT) AS cut "
+        "FROM S GROUP BY 1), "
+        "m2 AS (SELECT sum(vol) AS tot FROM v) "
+        "SELECT comm, cut, vol, CASE WHEN "
+        "least(vol, (SELECT tot FROM m2) - vol) > 0 THEN "
+        "CAST(cut AS DOUBLE) / least(vol, (SELECT tot FROM m2) - vol) "
+        "ELSE 0.0 END AS phi FROM v")
     base["simrank_iter2"] = (
         # two unrolled SimRank iterations on the 128-vertex distinct
         # quotient: s1 = first-iteration common-in counts scaled by
@@ -5619,12 +5723,16 @@ def oracle_sql() -> dict[str, str]:
         + _sm64_stages_cols("am", "ix", ["r"], "x") + ", "
         "sg AS MATERIALIZED (SELECT r, SUM(CAST((h % 2) * 2 - 1 "
         "AS BIGINT)) AS s FROM amf GROUP BY r), "
+        # empty stream: every sign sum is 0 (the sketch convention) —
+        # pad the 5 rows so the all-empty corpus matches the Ray side
+        "sg0 AS (SELECT t.r, COALESCE(sg.s, 0) AS s FROM range(5) t(r) "
+        "LEFT JOIN sg ON sg.r = t.r), "
         "sq AS (SELECT CAST(r AS BIGINT) AS r, "
-        "CAST(s * s AS DOUBLE) AS v FROM sg), "
+        "CAST(s * s AS DOUBLE) AS v FROM sg0), "
         "med AS (SELECT CAST(5 AS BIGINT) AS r, "
-        "CAST(quantile_disc(s * s, 0.5) AS DOUBLE) AS v FROM sg), "
+        "CAST(quantile_disc(s * s, 0.5) AS DOUBLE) AS v FROM sg0), "
         "ex AS (SELECT CAST(6 AS BIGINT) AS r, "
-        "CAST(SUM(c * c) AS DOUBLE) AS v FROM (SELECT "
+        "CAST(COALESCE(SUM(c * c), 0) AS DOUBLE) AS v FROM (SELECT "
         "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY user_id)) "
         "SELECT r, v FROM sq UNION ALL SELECT r, v FROM med "
         "UNION ALL SELECT r, v FROM ex")
