@@ -2850,6 +2850,68 @@ def _q_events_covisit(sf_dir):
     return t
 
 
+def _q_events_type_corr(sf_dir):
+    """Pearson correlation matrix of the per-day event-count series
+    across event types (shared day grid, missing cells 0): integer
+    moments off ONE grouped-count exchange + a fixed float tail —
+    bit-exact, no grain; zero-variance series pin 0.0."""
+    from python_graphblas_ray.pipelines.windows import (
+        type_daily_correlation)
+
+    return type_daily_correlation(
+        _read(sf_dir, "events", columns=["event_type", "ts"]))
+
+
+def _q_mktseg_top3(sf_dir):
+    """Relational OLAP showcase (the TPC-H Q3/Q10 family): top-3
+    customers by exact integer revenue per market segment —
+    lineitem → per-order revenue (basis units: cents × (100 − disc%),
+    pure int64), hash-join orders, per-customer sum, hash-join
+    customer, grouped top-k with deterministic (rev DESC, custkey)
+    ties. Two hash joins + two bounded grouped sums; every value
+    integer — bit-exact."""
+    from python_graphblas_ray.stages.join import hash_join
+    from python_graphblas_ray.stages.reduce import (grouped_agg,
+                                                    grouped_topk)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(batch: pa.Table) -> pa.Table:
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(p * 100.0 + 0.5).astype(np.int64)
+        disc = np.floor(d * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "rev": cents * (100 - disc)})
+
+    orev = grouped_agg(li.map_batches(rev, batch_format="pyarrow"),
+                       ["l_orderkey"], [("rev", "sum", "rev")])
+    empty = pa.table({"seg": pa.array([], pa.string()),
+                      "custkey": pa.array([], pa.int64()),
+                      "rev": pa.array([], pa.int64())})
+    j1 = hash_join(orev,
+                   _read(sf_dir, "orders",
+                         columns=["o_orderkey", "o_custkey"]),
+                   on="l_orderkey", right_on="o_orderkey")
+    crev = grouped_agg(j1, ["o_custkey"], [("rev", "sum", "rev")])
+    j2 = hash_join(crev,
+                   _read(sf_dir, "customer",
+                         columns=["c_custkey", "c_mktsegment"]),
+                   on="o_custkey", right_on="c_custkey")
+    top = grouped_topk(j2, "c_mktsegment", "rev", 3,
+                       tie_col="o_custkey")
+    t = _as_table(top)
+    if (t is None or "rev" not in t.column_names
+            or "c_mktsegment" not in t.column_names):  # empty inputs
+        return empty
+    return pa.table({
+        "seg": t["c_mktsegment"],
+        "custkey": t["o_custkey"].cast(pa.int64()),
+        "rev": t["rev"].cast(pa.int64())})
+
+
 def _q_conductance(sf_dir):
     """Per-community conductance of the deterministic vid%16 labeling
     over the simple undirected graph — the cut-quality twin of
@@ -3006,6 +3068,8 @@ PACKED_SUITES = {
          "cosine"),
         ("conductance", [("comm", "i"), ("cut", "i"), ("vol", "i")],
          "phi"),
+        ("events_type_corr", [("ta", "s"), ("tb", "s")], "corr"),
+        ("mktseg_top3", [("seg", "s"), ("custkey", "i")], "rev"),
     ]),
     # the splitmix64/knuth32 hash-replay family (seeded sampling and
     # bounded stochastic rounds) — its own slot so a member failure
@@ -3259,6 +3323,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_stats": _q_docs_source_stats,
         "events_covisit": _q_events_covisit,
         "conductance": _q_conductance,
+        "events_type_corr": _q_events_type_corr,
+        "mktseg_top3": _q_mktseg_top3,
         # packed-suite members (heterogeneous keys -> one string col)
         "reciprocity": _q_reciprocity,
         "docs_lm_score": _q_docs_lm_score,
@@ -5556,6 +5622,49 @@ def oracle_sql() -> dict[str, str]:
         "SELECT p.i, p.j, p.c, "
         "p.c / sqrt(CAST(ca.c * cb.c AS DOUBLE)) AS cosine "
         "FROM p JOIN ci ca ON ca.item = p.i JOIN ci cb ON cb.item = p.j")
+    base["events_type_corr"] = (
+        # Pearson over the shared day grid (missing cells 0): integer
+        # moments, then the SAME fixed float tail as the numpy side —
+        # double(n·Sxy − Sx·Sy)/(sqrt(double(n·Sxx−Sx²))·sqrt(...)) —
+        # bit-exact; zero-variance series pin 0.0
+        "WITH c AS (SELECT event_type AS t, date_trunc('day', ts) "
+        "AS day, CAST(count(*) AS BIGINT) AS x FROM events "
+        "GROUP BY 1, 2), "
+        "d AS (SELECT DISTINCT day FROM c), "
+        "ty AS (SELECT DISTINCT t FROM c), "
+        "g AS (SELECT ty.t, d.day, COALESCE(c.x, 0) AS x "
+        "FROM ty CROSS JOIN d "
+        "LEFT JOIN c ON c.t = ty.t AND c.day = d.day), "
+        "m AS (SELECT t, sum(x) AS sx, sum(x*x) AS sxx FROM g "
+        "GROUP BY 1), "
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d), "
+        "p AS (SELECT a.t AS ta, b.t AS tb, sum(a.x * b.x) AS sxy "
+        "FROM g a JOIN g b ON a.day = b.day AND a.t < b.t "
+        "GROUP BY 1, 2) "
+        "SELECT ta, tb, CASE WHEN (n * ma.sxx - ma.sx * ma.sx) > 0 "
+        "AND (n * mb.sxx - mb.sx * mb.sx) > 0 THEN "
+        "CAST(n * p.sxy - ma.sx * mb.sx AS DOUBLE) / "
+        "(sqrt(CAST(n * ma.sxx - ma.sx * ma.sx AS DOUBLE)) * "
+        "sqrt(CAST(n * mb.sxx - mb.sx * mb.sx AS DOUBLE))) "
+        "ELSE 0.0 END AS corr "
+        "FROM p JOIN m ma ON ma.t = p.ta JOIN m mb ON mb.t = p.tb "
+        "CROSS JOIN nn")
+    base["mktseg_top3"] = (
+        # exact integer revenue basis units: cents × (100 − disc%),
+        # both FLOOR(x·100 + 0.5) — identical IEEE ops to the Ray side
+        "WITH r AS (SELECT l_orderkey, CAST(SUM("
+        "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) * "
+        "(100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))) "
+        "AS BIGINT) AS rev FROM lineitem GROUP BY 1), "
+        "cr AS (SELECT o.o_custkey, CAST(SUM(r.rev) AS BIGINT) AS rev "
+        "FROM r JOIN orders o ON o.o_orderkey = r.l_orderkey "
+        "GROUP BY 1), "
+        "j AS (SELECT cu.c_mktsegment AS seg, cr.o_custkey AS custkey, "
+        "cr.rev FROM cr JOIN customer cu "
+        "ON cu.c_custkey = cr.o_custkey), "
+        "rk AS (SELECT seg, custkey, rev, ROW_NUMBER() OVER "
+        "(PARTITION BY seg ORDER BY rev DESC, custkey) AS rn FROM j) "
+        "SELECT seg, custkey, rev FROM rk WHERE rn <= 3")
     base["conductance"] = (
         # φ(c) = cut/min(vol, 2m−vol) of the vid%16 labeling over the
         # simple symmetric graph (same U/S derivation as modularity);

@@ -740,3 +740,157 @@ def user_entropy(events_ds, user_col="user_id", type_col="event_type",
 
     return hash_exchange_apply(counts, user_col, part,
                                num_partitions=num_partitions)
+
+
+def peak_concurrency(events_ds, type_col="event_type", ts_col="ts",
+                     duration_minutes=30, bucket_minutes=1):
+    """Sweep-line peak concurrency per event type: each event opens a
+    half-open activity interval ``[minute(ts), minute(ts) + duration)``;
+    the answer is the maximum number of simultaneously open intervals
+    and the FIRST bucket where that peak is reached — the
+    capacity-planning readout (peak concurrent sessions / streams).
+
+    Determinism contract (bit-exact, NO rounding grain): bucketing makes
+    every endpoint an integer minute; +1/−1 deltas are integers, the
+    running level is an integer prefix sum, and half-open intervals mean
+    an interval ending at ``t`` never overlaps one starting at ``t`` —
+    processing all of a bucket's deltas as one net value is exact
+    because ends (−1) sort before starts (+1) within a bucket, so the
+    intra-bucket running max equals ``max(prev_prefix, net_prefix)``,
+    both of which the per-bucket net-prefix scan sees.
+
+    Scale shape: ONE (type, bucket) grouped-count exchange; the delta
+    table is bounded by ``|types| × |active buckets| × 2`` (time-range
+    bounded, tiny next to the stream), so the sweep runs on the driver.
+    Returns ``(event_type, peak_ts, peak)``."""
+    from ..stages.reduce import grouped_agg
+
+    bucket_us = bucket_minutes * 60_000_000
+    dur_us = int(duration_minutes) * 60_000_000
+    empty = pa.table({type_col: pa.array([], pa.string()),
+                      "peak_ts": pa.array([], pa.timestamp("us")),
+                      "peak": pa.array([], pa.int64())})
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        m = (ts // bucket_us) * bucket_us
+        ty = np.asarray(batch[type_col].to_pylist(), dtype=object)
+        return pa.table({
+            type_col: pa.array(np.concatenate([ty, ty]).tolist(),
+                               pa.string()),
+            "m": np.concatenate([m, m + dur_us]),
+            "delta": np.concatenate([
+                np.ones(len(m), dtype=np.int64),
+                -np.ones(len(m), dtype=np.int64)])})
+
+    agg = grouped_agg(
+        events_ds.select_columns([type_col, ts_col]).map_batches(
+            deltas, batch_format="pyarrow"),
+        [type_col, "m"], [("delta", "sum", "delta")])
+    tabs = [b for b in agg.iter_batches(batch_format="pyarrow",
+                                        batch_size=None)
+            if b.num_rows and "delta" in b.column_names]
+    if not tabs:
+        return empty
+    t = pa.concat_tables(tabs, promote_options="permissive")
+    ty = np.asarray(t[type_col].to_pylist(), dtype=object)
+    m = t["m"].to_numpy(zero_copy_only=False)
+    d = t["delta"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((m, ty))
+    ty, m, d = ty[order], m[order], d[order]
+    starts = np.empty(len(ty), dtype=bool)
+    starts[0] = True
+    starts[1:] = ty[1:] != ty[:-1]
+    run = np.cumsum(d)
+    # reset the cumulative sum at each type boundary (exact: subtract
+    # the prefix total just before the segment starts; each type's
+    # deltas sum to 0 so that prefix is 0, but don't rely on it)
+    sidx = np.flatnonzero(starts)
+    seg = np.cumsum(starts) - 1
+    bounds = np.concatenate([
+        np.zeros(1, dtype=np.int64), run[sidx[1:] - 1]])
+    run = run - bounds[seg]
+    peak = np.zeros(len(sidx), dtype=np.int64)
+    np.maximum.at(peak, seg, run)
+    first = np.zeros(len(sidx), dtype=np.int64)
+    hit = run == peak[seg]
+    # first bucket per segment reaching the peak: minimum m among hits
+    big = np.iinfo(np.int64).max
+    mm = np.where(hit, m, big)
+    first[:] = big
+    np.minimum.at(first, seg, mm)
+    return pa.table({
+        type_col: pa.array(ty[sidx].tolist(), pa.string()),
+        "peak_ts": pa.array(first).cast(pa.timestamp("us")),
+        "peak": peak})
+
+
+def type_daily_correlation(events_ds, type_col="event_type",
+                           ts_col="ts"):
+    """Pearson correlation matrix of the per-day event-count time
+    series across event types — the metric-dashboard "do these two
+    signals move together?" readout (e.g. clicks vs purchases co-vary,
+    errors anti-correlate with traffic).
+
+    Determinism contract (bit-exact, NO rounding grain): the day grid
+    is every day active for ANY type (missing cells are 0); per-type
+    ``Σx``, ``Σx²`` and pairwise ``Σx·y`` are INTEGER sums over that
+    shared grid, so the Pearson moments are exact in any order, and
+    the float tail is the FIXED op sequence
+    ``double(n·Σxy − Σx·Σy) / (sqrt(double(n·Σx²−(Σx)²)) ·
+    sqrt(double(n·Σy²−(Σy)²)))`` — each op exactly rounded identically
+    by numpy and SQL. Zero-variance series pin corr = 0.0.
+
+    Scale shape: ONE (type, day) grouped-count exchange; the counts
+    table is bounded by ``|types| × |days|`` (both tiny next to the
+    stream), so the pivot + integer matmul run on the driver. Returns
+    an Arrow table ``(ta, tb, corr)`` for ``ta < tb`` lexicographic."""
+    from ..stages.reduce import grouped_agg
+
+    day_us = 86_400_000_000
+    empty = pa.table({"ta": pa.array([], pa.string()),
+                      "tb": pa.array([], pa.string()),
+                      "corr": pa.array([], pa.float64())})
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({type_col: batch[type_col],
+                         "day": (ts // day_us) * day_us})
+
+    counts = grouped_agg(
+        events_ds.select_columns([type_col, ts_col]).map_batches(
+            bucket, batch_format="pyarrow"),
+        [type_col, "day"], [("day", "count", "x")])
+    tabs = [b for b in counts.iter_batches(batch_format="pyarrow",
+                                           batch_size=None)
+            if b.num_rows and "x" in b.column_names]
+    if not tabs:
+        return empty
+    t = pa.concat_tables(tabs, promote_options="permissive")
+    ty = np.asarray(t[type_col].to_pylist(), dtype=object)
+    dy = t["day"].to_numpy(zero_copy_only=False)
+    x = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+    types = np.unique(ty)
+    days = np.unique(dy)
+    if len(types) < 2:
+        return empty
+    X = np.zeros((len(types), len(days)), dtype=np.int64)
+    X[np.searchsorted(types, ty), np.searchsorted(days, dy)] = x
+    n = np.int64(len(days))
+    sx = X.sum(axis=1)
+    sxx = (X * X).sum(axis=1)
+    sxy = X @ X.T  # exact int64 matmul
+    ia, ib = np.triu_indices(len(types), k=1)
+    num = n * sxy[ia, ib] - sx[ia] * sx[ib]
+    dena = n * sxx[ia] - sx[ia] * sx[ia]
+    denb = n * sxx[ib] - sx[ib] * sx[ib]
+    ok = (dena > 0) & (denb > 0)
+    corr = np.zeros(len(ia))
+    corr[ok] = (num[ok].astype(np.float64)
+                / (np.sqrt(dena[ok].astype(np.float64))
+                   * np.sqrt(denb[ok].astype(np.float64))))
+    return pa.table({"ta": pa.array(types[ia].tolist(), pa.string()),
+                     "tb": pa.array(types[ib].tolist(), pa.string()),
+                     "corr": corr})

@@ -142,3 +142,62 @@ def test_conductance_degenerate_and_perfect_split():
     t3 = conductance(ds2, np.array([], dtype=np.int64), 0, k=None)
     assert t3.column_names == ["comm", "cut", "vol", "phi"]
     assert t3.num_rows == 0
+
+
+# ------------------------------------------- daily type correlation
+
+def test_type_daily_correlation_numpy_parity():
+    from python_graphblas_ray.pipelines.windows import (
+        type_daily_correlation,
+    )
+    rng = np.random.RandomState(11)
+    DAY = 86_400_000_000
+    n_ev = 3000
+    types = np.array(["a", "b", "c"])[rng.randint(0, 3, n_ev)]
+    day = rng.randint(0, 40, n_ev).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": types,
+        "ts": pa.array(day * DAY + rng.randint(0, DAY, n_ev),
+                       pa.timestamp("us"))})).repartition(6)
+    t = type_daily_correlation(ds).to_pandas()
+    # numpy reference over the shared day grid
+    days = np.unique(day)
+    tys = np.unique(types)
+    X = np.zeros((len(tys), len(days)))
+    for tt, dd in zip(types, day):
+        X[np.searchsorted(tys, tt), np.searchsorted(days, dd)] += 1
+    want = np.corrcoef(X)
+    got = {(r.ta, r.tb): r.corr for r in t.itertuples()}
+    for i in range(len(tys)):
+        for j in range(i + 1, len(tys)):
+            assert got[(tys[i], tys[j])] == pytest.approx(
+                want[i, j], abs=1e-12)
+
+
+def test_type_daily_correlation_edges():
+    from python_graphblas_ray.pipelines.windows import (
+        type_daily_correlation,
+    )
+    DAY = 86_400_000_000
+    # perfectly correlated pair + a constant (zero-variance) series
+    rows_t, rows_ts = [], []
+    for d in range(5):
+        rows_t += ["up"] * (d + 1) + ["dn"] * (2 * d + 2) + ["flat"]
+        rows_ts += [d * DAY] * ((d + 1) + (2 * d + 2) + 1)
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": rows_t,
+        "ts": pa.array(np.array(rows_ts, dtype=np.int64),
+                       pa.timestamp("us"))}))
+    t = type_daily_correlation(ds).to_pandas()
+    got = {(r.ta, r.tb): r.corr for r in t.itertuples()}
+    assert got[("dn", "up")] == pytest.approx(1.0, abs=1e-12)
+    assert got[("dn", "flat")] == 0.0  # zero variance pins 0.0
+    assert got[("flat", "up")] == 0.0
+    # single type -> no pairs, schema kept
+    ds1 = ray.data.from_arrow(pa.table({
+        "event_type": ["a", "a"],
+        "ts": pa.array(np.array([0, DAY], dtype=np.int64),
+                       pa.timestamp("us"))}))
+    t1 = type_daily_correlation(ds1)
+    assert t1.num_rows == 0
+    assert t1.column_names == ["ta", "tb", "corr"]
