@@ -2912,6 +2912,115 @@ def _q_mktseg_top3(sf_dir):
         "rev": t["rev"].cast(pa.int64())})
 
 
+def _q_events_peak(sf_dir):
+    """Sweep-line peak concurrency per event type (30-min half-open
+    activity intervals, minute buckets): ONE (type, minute) grouped
+    ±1-delta exchange bounded by |types|×|active minutes|, integer
+    net-prefix scan on the driver — bit-exact, no grain."""
+    from python_graphblas_ray.pipelines.windows import peak_concurrency
+
+    return peak_concurrency(
+        _read(sf_dir, "events", columns=["event_type", "ts"]))
+
+
+def _q_events_session_sizes(sf_dir):
+    """Session-size histogram (how many sessions have k events): the
+    sessionize composition — ONE user-keyed exchange + vectorized gap
+    scan — finished by one bounded grouped count. Integer — bit-exact."""
+    from python_graphblas_ray.pipelines.windows import sessionize
+    from python_graphblas_ray.stages.reduce import grouped_agg
+
+    s = sessionize(_read(sf_dir, "events", columns=["user_id", "ts"]))
+    h = grouped_agg(s, ["n_events"], [("n_events", "count",
+                                       "n_sessions")])
+    t = _as_table(h)
+    if t is None or "n_events" not in t.column_names:
+        return pa.table({"n_events": pa.array([], pa.int64()),
+                         "n_sessions": pa.array([], pa.int64())})
+    return pa.table({"n_events": t["n_events"].cast(pa.int64()),
+                     "n_sessions": t["n_sessions"].cast(pa.int64())})
+
+
+def _q_region_revenue(sf_dir):
+    """TPC-H Q5-family multi-join: revenue by (region, nation) where
+    the customer and the line's supplier share a nation ("local
+    supplier volume"). lineitem → exact integer revenue basis units
+    cents × (100 − disc%) → hash-join orders → customer → supplier,
+    same-nation filter, ONE bounded grouped sum (≤ |nations| rows),
+    then the tiny nation/region dimension tables join on the driver.
+    All integers — bit-exact."""
+    from python_graphblas_ray.stages.join import hash_join
+    from python_graphblas_ray.stages.reduce import grouped_agg
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+
+    def rev(batch: pa.Table) -> pa.Table:
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(p * 100.0 + 0.5).astype(np.int64)
+        disc = np.floor(d * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "l_suppkey": batch["l_suppkey"],
+            "rev": cents * (100 - disc)})
+
+    empty = pa.table({"region": pa.array([], pa.string()),
+                      "nation": pa.array([], pa.string()),
+                      "rev": pa.array([], pa.int64())})
+    j = hash_join(li.map_batches(rev, batch_format="pyarrow"),
+                  _read(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey"]),
+                  on="l_orderkey", right_on="o_orderkey")
+    j = hash_join(j, _read(sf_dir, "customer",
+                           columns=["c_custkey", "c_nationkey"]),
+                  on="o_custkey", right_on="c_custkey")
+    j = hash_join(j, _read(sf_dir, "supplier",
+                           columns=["s_suppkey", "s_nationkey"]),
+                  on="l_suppkey", right_on="s_suppkey")
+
+    def local(batch: pa.Table) -> pa.Table:
+        c = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        s = batch["s_nationkey"].to_numpy(zero_copy_only=False)
+        keep = c == s
+        return pa.table({
+            "nationkey": pa.array(c[keep].astype(np.int64)),
+            "rev": batch["rev"].to_numpy(zero_copy_only=False)[keep]})
+
+    try:
+        agg = grouped_agg(j.map_batches(local, batch_format="pyarrow"),
+                          ["nationkey"], [("rev", "sum", "rev")])
+        t = _as_table(agg)
+    except Exception:
+        return empty
+    if t is None or "nationkey" not in t.column_names:
+        return empty
+    import pyarrow.parquet as pq
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    df = t.to_pandas().merge(
+        nat, left_on="nationkey", right_on="n_nationkey").merge(
+        reg, left_on="n_regionkey", right_on="r_regionkey")
+    return pa.table({
+        "region": pa.array(df["r_name"].astype(str), pa.string()),
+        "nation": pa.array(df["n_name"].astype(str), pa.string()),
+        "rev": pa.array(df["rev"].astype(np.int64), pa.int64())})
+
+
+def _q_docs_zipf(sf_dir):
+    """Zipf slope of the top-100 term frequencies (vocab-bounded
+    streaming count + per-block candidate cuts; round-8 over SQL SUM
+    order). Degenerate corpora pin slope 0.0."""
+    from python_graphblas_ray.stages.text import zipf_slope
+
+    t = zipf_slope(_read(sf_dir, "documents", columns=["text"]),
+                   top_n=100)
+    s = t["slope"].to_numpy(zero_copy_only=False)
+    return pa.table({"n_terms": t["n_terms"],
+                     "slope": _round_away(s, 8)})
+
+
 def _q_conductance(sf_dir):
     """Per-community conductance of the deterministic vid%16 labeling
     over the simple undirected graph — the cut-quality twin of
@@ -3070,6 +3179,11 @@ PACKED_SUITES = {
          "phi"),
         ("events_type_corr", [("ta", "s"), ("tb", "s")], "corr"),
         ("mktseg_top3", [("seg", "s"), ("custkey", "i")], "rev"),
+        ("events_peak", [("event_type", "s"), ("peak_ts", "t")],
+         "peak"),
+        ("events_session_sizes", [("n_events", "i")], "n_sessions"),
+        ("region_revenue", [("region", "s"), ("nation", "s")], "rev"),
+        ("docs_zipf", [("n_terms", "i")], "slope"),
     ]),
     # the splitmix64/knuth32 hash-replay family (seeded sampling and
     # bounded stochastic rounds) — its own slot so a member failure
@@ -3325,6 +3439,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conductance": _q_conductance,
         "events_type_corr": _q_events_type_corr,
         "mktseg_top3": _q_mktseg_top3,
+        "events_peak": _q_events_peak,
+        "events_session_sizes": _q_events_session_sizes,
+        "region_revenue": _q_region_revenue,
+        "docs_zipf": _q_docs_zipf,
         # packed-suite members (heterogeneous keys -> one string col)
         "reciprocity": _q_reciprocity,
         "docs_lm_score": _q_docs_lm_score,
@@ -5665,6 +5783,70 @@ def oracle_sql() -> dict[str, str]:
         "rk AS (SELECT seg, custkey, rev, ROW_NUMBER() OVER "
         "(PARTITION BY seg ORDER BY rev DESC, custkey) AS rn FROM j) "
         "SELECT seg, custkey, rev FROM rk WHERE rn <= 3")
+    base["events_peak"] = (
+        # half-open [minute, minute+30min) intervals: ±1 deltas netted
+        # per (type, bucket), integer running sum per type, peak = max,
+        # peak_ts = first bucket reaching it (ends-before-starts makes
+        # the per-bucket net prefix see every intra-bucket max)
+        "WITH b AS (SELECT event_type AS t, "
+        "epoch_us(date_trunc('minute', ts)) AS m FROM events), "
+        "d AS (SELECT t, m, CAST(count(*) AS BIGINT) AS delta "
+        "FROM b GROUP BY 1, 2 "
+        "UNION ALL SELECT t, m + 1800000000, "
+        "-CAST(count(*) AS BIGINT) FROM b GROUP BY t, m), "
+        "c AS (SELECT t, m, CAST(SUM(delta) AS BIGINT) AS delta "
+        "FROM d GROUP BY 1, 2), "
+        "r AS (SELECT t, m, SUM(delta) OVER (PARTITION BY t "
+        "ORDER BY m ROWS UNBOUNDED PRECEDING) AS cur FROM c), "
+        "p AS (SELECT t, CAST(MAX(cur) AS BIGINT) AS peak FROM r "
+        "GROUP BY 1) "
+        "SELECT p.t AS event_type, make_timestamp(MIN(r.m)) AS peak_ts, "
+        "p.peak FROM r JOIN p ON p.t = r.t AND r.cur = p.peak "
+        "GROUP BY p.t, p.peak")
+    base["events_session_sizes"] = (
+        "WITH x AS (SELECT user_id, ts, CASE WHEN epoch_us(ts) - "
+        "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) "
+        "> 1800000000 THEN 1 ELSE 0 END AS newsess FROM events), "
+        "y AS (SELECT user_id, ts, sum(newsess) OVER ("
+        "PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) "
+        "AS sess FROM x), "
+        "s AS (SELECT user_id, sess, CAST(count(*) AS BIGINT) "
+        "AS n_events FROM y GROUP BY 1, 2) "
+        "SELECT n_events, CAST(count(*) AS BIGINT) AS n_sessions "
+        "FROM s GROUP BY 1")
+    base["region_revenue"] = (
+        # same exact integer revenue basis as mktseg_top3
+        "SELECT r.r_name AS region, n.n_name AS nation, CAST(SUM("
+        "CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) * "
+        "(100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT))) "
+        "AS BIGINT) AS rev "
+        "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey "
+        "JOIN customer c ON c.c_custkey = o.o_custkey "
+        "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+        "AND s.s_nationkey = c.c_nationkey "
+        "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+        "JOIN region r ON r.r_regionkey = n.n_regionkey "
+        "GROUP BY 1, 2")
+    base["docs_zipf"] = (
+        # least-squares ln(cnt)-on-ln(rank) over the top-100 terms in
+        # (cnt DESC, term) order; round-8 over SQL SUM order;
+        # degenerate corpora pin slope 0.0
+        r"WITH tok AS (SELECT unnest(string_split_regex("
+        r"COALESCE(text, ''), '\s+')) AS w FROM documents), "
+        "c AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok "
+        "WHERE w <> '' GROUP BY 1), "
+        "r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) "
+        "AS rank FROM c QUALIFY rank <= 100), "
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        "SUM(ln(CAST(rank AS DOUBLE))) AS sx, "
+        "SUM(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))) "
+        "AS sxx, SUM(ln(CAST(cnt AS DOUBLE))) AS sy, "
+        "SUM(ln(CAST(rank AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))) "
+        "AS sxy FROM r) "
+        "SELECT n AS n_terms, CASE WHEN n >= 2 "
+        "AND (n * sxx - sx * sx) > 0 THEN "
+        "ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) "
+        "ELSE 0.0 END AS slope FROM m")
     base["conductance"] = (
         # φ(c) = cut/min(vol, 2m−vol) of the vid%16 labeling over the
         # simple symmetric graph (same U/S derivation as modularity);

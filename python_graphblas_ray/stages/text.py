@@ -755,3 +755,63 @@ def pack_offsets(docs_ds, budget=256, id_col="doc_id", text_col="text"):
                          "last_seq": (o + n - 1) // budget})
 
     return off.map_batches(spans, batch_format="pyarrow")
+
+
+def zipf_slope(docs_ds, text_col="text", top_n=100):
+    """Zipf-law slope of the corpus term-frequency distribution: the
+    least-squares slope of ``ln(count)`` on ``ln(rank)`` over the top
+    ``top_n`` terms (rank = 1-based position in the deterministic
+    ``(count DESC, term)`` order) — the dataset-card readout for
+    "does this corpus look like natural language?" (web text sits
+    near −1; templated/log spam flattens, deduped boilerplate
+    steepens).
+
+    Scale shape: the corpus collapses to its word-frequency vocabulary
+    in ONE streaming pass (``bpe.word_counts`` — per-batch Arrow
+    dictionary-encode + bincount partials, vocab-bounded); each vocab
+    block then emits only its own top-``top_n`` candidate cut (the
+    global top-n is contained in the union of per-block top-ns since
+    rows are unique per word), so the driver never sees more than
+    ``top_n × #blocks`` rows.
+
+    Determinism: ranking ties break on the term string; the slope is
+    the fixed formula ``(n·Σxy − Σx·Σy) / (n·Σxx − Σx²)``; callers
+    wanting oracle comparison round to 8 decimals (SQL SUM order is
+    unspecified). Degenerate corpora (n < 2 terms or zero variance)
+    pin slope = 0.0. Returns a 1-row table ``(n_terms, slope)``."""
+    from ..pipelines.bpe import word_counts
+
+    counts = word_counts(docs_ds, text_col=text_col)
+
+    def block_top(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "cnt" not in batch.column_names:
+            return pa.table({"w": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        c = batch["cnt"].to_numpy(zero_copy_only=False)
+        w = np.asarray(batch["w"].to_pylist(), dtype=object)
+        order = np.lexsort((w, -c))[:top_n]
+        return pa.table({"w": pa.array(w[order].tolist(), pa.string()),
+                         "cnt": pa.array(c[order], pa.int64())})
+
+    tabs = [b for b in counts.map_batches(
+                block_top, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow", batch_size=None)
+            if b.num_rows]
+    if tabs:
+        t = pa.concat_tables(tabs, promote_options="permissive")
+        c = t["cnt"].to_numpy(zero_copy_only=False)
+        w = np.asarray(t["w"].to_pylist(), dtype=object)
+        order = np.lexsort((w, -c))[:top_n]
+        c = c[order].astype(np.float64)
+    else:
+        c = np.array([], dtype=np.float64)
+    n = len(c)
+    slope = 0.0
+    if n >= 2:
+        x = np.log(np.arange(1, n + 1, dtype=np.float64))
+        y = np.log(c)
+        den = n * np.sum(x * x) - np.sum(x) * np.sum(x)
+        if den > 0:
+            slope = (n * np.sum(x * y) - np.sum(x) * np.sum(y)) / den
+    return pa.table({"n_terms": pa.array([n], pa.int64()),
+                     "slope": pa.array([slope], pa.float64())})

@@ -64,3 +64,122 @@ def test_peak_concurrency_brute_force():
         first = np.flatnonzero(grid == pk)[0]
         assert got.loc[tt, "peak"] == pk
         assert got.loc[tt, "peak_ts"].value == first * MIN * 1000
+
+
+# ------------------------------------------- session-size histogram
+
+def test_session_size_histogram_parity():
+    from python_graphblas_ray.pipelines.windows import sessionize
+    from python_graphblas_ray.stages.reduce import grouped_agg
+
+    rng = np.random.RandomState(5)
+    n = 4000
+    users = rng.randint(0, 60, n).astype(np.int64)
+    ts = np.sort(rng.randint(0, 86_400_000_000 * 3, n)).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": users,
+        "ts": pa.array(ts, pa.timestamp("us"))})).repartition(7)
+    s = sessionize(ds)
+    h = grouped_agg(s, ["n_events"], [("n_events", "count", "n_sessions")])
+    got = {int(r["n_events"]): int(r["n_sessions"])
+           for r in h.take_all()}
+    # pandas reference
+    import pandas as pd
+    df = pd.DataFrame({"u": users, "t": ts}).sort_values(["u", "t"])
+    gap = 30 * 60 * 1_000_000
+    new = (df["u"].ne(df["u"].shift())
+           | (df["t"] - df["t"].shift() > gap))
+    sizes = df.groupby(new.cumsum()).size()
+    want = sizes.value_counts().to_dict()
+    assert got == {int(k): int(v) for k, v in want.items()}
+
+
+# ------------------------------------------------- zipf slope
+
+def test_zipf_slope_reference():
+    from python_graphblas_ray.stages.text import zipf_slope
+
+    # craft exact counts: term_k appears k times (k = 1..50)
+    docs = []
+    for k in range(1, 51):
+        docs.append(" ".join([f"w{k:03d}"] * k))
+    ds = ray.data.from_items([{"text": d} for d in docs]).repartition(4)
+    t = zipf_slope(ds, top_n=100).to_pandas()
+    assert int(t["n_terms"].iloc[0]) == 50
+    # numpy reference: counts sorted desc = 50..1, ranks 1..50
+    c = np.arange(50, 0, -1, dtype=np.float64)
+    x = np.log(np.arange(1, 51, dtype=np.float64))
+    y = np.log(c)
+    n = 50.0
+    want = (n * np.sum(x * y) - np.sum(x) * np.sum(y)) / (
+        n * np.sum(x * x) - np.sum(x) ** 2)
+    assert t["slope"].iloc[0] == pytest.approx(want, abs=1e-10)
+
+    # top_n cut: only the top 10 terms enter the fit
+    t10 = zipf_slope(ds, top_n=10).to_pandas()
+    c10 = np.arange(50, 40, -1, dtype=np.float64)
+    x10 = np.log(np.arange(1, 11, dtype=np.float64))
+    y10 = np.log(c10)
+    want10 = (10 * np.sum(x10 * y10) - np.sum(x10) * np.sum(y10)) / (
+        10 * np.sum(x10 * x10) - np.sum(x10) ** 2)
+    assert t10["slope"].iloc[0] == pytest.approx(want10, abs=1e-10)
+
+    # degenerate: single term pins 0.0; empty corpus pins (0, 0.0)
+    ds1 = ray.data.from_items([{"text": "a a a"}])
+    t1 = zipf_slope(ds1).to_pandas()
+    assert int(t1["n_terms"].iloc[0]) == 1 and t1["slope"].iloc[0] == 0.0
+    ds0 = ray.data.from_arrow(pa.table({"text": pa.array([], pa.string())}))
+    t0 = zipf_slope(ds0).to_pandas()
+    assert int(t0["n_terms"].iloc[0]) == 0 and t0["slope"].iloc[0] == 0.0
+
+
+# ------------------------------------------------ region revenue
+
+def test_region_revenue_pandas_parity(tmp_path):
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from __ray_entry__ import _q_region_revenue
+
+    rng = np.random.RandomState(9)
+    nl = 500
+    li = pd.DataFrame({
+        "l_orderkey": rng.randint(0, 120, nl).astype(np.int64),
+        "l_suppkey": rng.randint(0, 20, nl).astype(np.int64),
+        "l_extendedprice": np.round(rng.rand(nl) * 1000, 2),
+        "l_discount": np.round(rng.rand(nl) * 0.1, 2)})
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(120, dtype=np.int64),
+        "o_custkey": rng.randint(0, 40, 120).astype(np.int64)})
+    cust = pd.DataFrame({
+        "c_custkey": np.arange(40, dtype=np.int64),
+        "c_nationkey": rng.randint(0, 5, 40).astype(np.int64)})
+    supp = pd.DataFrame({
+        "s_suppkey": np.arange(20, dtype=np.int64),
+        "s_nationkey": rng.randint(0, 5, 20).astype(np.int64)})
+    nation = pd.DataFrame({
+        "n_nationkey": np.arange(5, dtype=np.int64),
+        "n_name": [f"NAT{i}" for i in range(5)],
+        "n_regionkey": np.array([0, 0, 1, 1, 1], dtype=np.int64)})
+    region = pd.DataFrame({
+        "r_regionkey": np.arange(2, dtype=np.int64),
+        "r_name": ["EAST", "WEST"]})
+    for name, df in [("lineitem", li), ("orders", orders),
+                     ("customer", cust), ("supplier", supp),
+                     ("nation", nation), ("region", region)]:
+        pq.write_table(pa.Table.from_pandas(df), tmp_path / f"{name}.parquet")
+    got = _q_region_revenue(str(tmp_path)).to_pandas().sort_values(
+        ["region", "nation"]).reset_index(drop=True)
+    # pandas reference with the same integer basis
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    j = j.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j = j.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    j = j[j.c_nationkey == j.s_nationkey].copy()
+    j["rev"] = (np.floor(j.l_extendedprice * 100 + 0.5).astype(np.int64)
+                * (100 - np.floor(j.l_discount * 100 + 0.5).astype(np.int64)))
+    w = j.groupby("c_nationkey")["rev"].sum().reset_index()
+    w = w.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    w = w.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    want = w[["r_name", "n_name", "rev"]].rename(columns={
+        "r_name": "region", "n_name": "nation"}).sort_values(
+        ["region", "nation"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
