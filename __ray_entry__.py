@@ -2719,6 +2719,36 @@ def _q_embed_silhouette(sf_dir):
 
 
 
+def _q_embed_db_index(sf_dir):
+    """Per-cluster Davies-Bouldin separation scores of the fixed
+    2-update k-means clustering (same deterministic vec_id<8 init +
+    round-6 centroid grain as ``embed_kmeans_iter2``): r_i =
+    max_j (s_i+s_j)/m_ij off ONE streaming (cluster, n, Σdist) partial
+    pass. Round-6 over Σ√d summation order; the SQL twin extends the
+    kmeans CTE chain."""
+    from python_graphblas_ray.pipelines.clustering import (
+        davies_bouldin, kmeans_fit)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    empty = pa.table({"cluster": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64()),
+                      "r": pa.array([], pa.float64())})
+    heads = [b for b in ds.filter(expr="vec_id < 8").iter_batches(
+        batch_format="pyarrow") if b.num_rows]
+    if not heads:
+        return empty
+    head = pa.concat_tables(heads, promote_options="permissive")
+    order = np.argsort(head["vec_id"].to_numpy(zero_copy_only=False))
+    init = np.stack([np.asarray(head["embedding"][int(i)].as_py(),
+                                dtype=np.float64) for i in order])
+    cents, _ = kmeans_fit(ds, 8, iters=2, init_centroids=init,
+                          round_to=6)
+    t = davies_bouldin(ds, cents)
+    return t.set_column(t.schema.get_field_index("r"), "r",
+                        pa.array(_round_away(
+                            t["r"].to_numpy(zero_copy_only=False), 6)))
+
+
 def _q_docs_pack_offsets(sf_dir):
     """Global concat-and-chunk sequence-packing layout (GPT-style
     pretraining packer): per-doc global token offsets from the
@@ -3021,6 +3051,175 @@ def _q_docs_zipf(sf_dir):
                      "slope": _round_away(s, 8)})
 
 
+def _q_events_gap_quantiles(sf_dir):
+    """Inter-arrival cadence per event type: p50/p90 of the same-user
+    gap (µs) preceding each event — ONE user-keyed exchange +
+    vectorized diff, then the exact grouped discrete quantile
+    (quantile_disc semantics). Integer gaps — bit-exact."""
+    from python_graphblas_ray.pipelines.windows import inter_arrival_gaps
+    from python_graphblas_ray.stages.reduce import grouped_quantile
+
+    gaps = inter_arrival_gaps(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_type", "event_id"]))
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "p50": pa.array([], pa.float64()),
+                      "p90": pa.array([], pa.float64())})
+    out = {}
+    for name, q in (("p50", 0.5), ("p90", 0.9)):
+        t = _as_table(grouped_quantile(gaps, ["event_type"], "gap_us",
+                                       q=q, out_col=name))
+        if t is None or name not in t.column_names:
+            return empty
+        out[name] = dict(zip(t["event_type"].to_pylist(),
+                             t[name].to_numpy(zero_copy_only=False)))
+    keys = sorted(out["p50"])
+    return pa.table({
+        "event_type": pa.array(keys, pa.string()),
+        "p50": pa.array([out["p50"][k] for k in keys], pa.float64()),
+        "p90": pa.array([out["p90"][k] for k in keys], pa.float64())})
+
+
+def _q_orders_priority(sf_dir):
+    """TPC-H Q4 shape (EXISTS semi-join): orders per priority having at
+    least one line shipped after the order date — one hash join +
+    late-line filter + DISTINCT-orderkey grouped count (two bounded
+    exchanges). Integers — bit-exact."""
+    from python_graphblas_ray.stages.join import hash_join
+    from python_graphblas_ray.stages.reduce import grouped_agg
+
+    empty = pa.table({"priority": pa.array([], pa.string()),
+                      "n_orders": pa.array([], pa.int64())})
+    j = hash_join(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"]),
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_orderpriority", "o_orderdate"]),
+        on="l_orderkey", right_on="o_orderkey")
+
+    def late(batch: pa.Table) -> pa.Table:
+        s = batch["l_shipdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        o = batch["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = pa.array(s > o)
+        return pa.table({
+            "o_orderkey": batch["l_orderkey"].filter(keep),
+            "o_orderpriority": batch["o_orderpriority"].filter(keep)})
+
+    try:
+        dist = grouped_agg(j.map_batches(late, batch_format="pyarrow"),
+                           ["o_orderkey", "o_orderpriority"],
+                           [(None, "count", "n")])
+        h = grouped_agg(dist, ["o_orderpriority"],
+                        [(None, "count", "n_orders")])
+        t = _as_table(h)
+    except Exception:
+        return empty
+    if t is None or "o_orderpriority" not in t.column_names:
+        return empty
+    return pa.table({"priority": t["o_orderpriority"].cast(pa.string()),
+                     "n_orders": t["n_orders"].cast(pa.int64())})
+
+
+def _q_bipartite(sf_dir):
+    """Per-component bipartiteness: FastSV components → multi-source
+    unit BFS parity from each component's min representative (one
+    engine superstep loop for ALL components) → equal-parity conflict
+    edges counted in one streaming pass over the simple undirected
+    edges. Integer counts — bit-exact; the SQL twin reuses the
+    min-label closure + a 40-bounded multi-source BFS."""
+    from python_graphblas_ray.pipelines.algorithms import (
+        bipartite_check, build_engine, connected_components)
+    from python_graphblas_ray.pipelines.triangles import simple_undirected
+
+    empty = pa.table({"comp": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64()),
+                      "n_conflicts": pa.array([], pa.int64())})
+    A = simple_undirected(_edge_dataset(sf_dir), N_VERT)
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4,
+                       undirected=True, weighted=True)
+    try:
+        comp, _, _ = connected_components(eng)
+        t = bipartite_check(eng, A, comp, max_rounds=40)
+    finally:
+        eng.shutdown()
+    return t if t is not None else empty
+
+
+def _q_events_dau_growth(sf_dir):
+    """Day-over-day active-user growth: distinct users per day (the
+    user-keyed exchange with exactly-summing distinct partials) + the
+    consecutive-day ratio — integer counts, one IEEE divide per day,
+    bit-exact; the first active day pins growth 0.0."""
+    from python_graphblas_ray.pipelines.windows import (
+        windowed_distinct_users)
+
+    t = _as_table(windowed_distinct_users(
+        _read(sf_dir, "events", columns=["user_id", "ts"])))
+    empty = pa.table({"window": pa.array([], pa.timestamp("us")),
+                      "n_users": pa.array([], pa.int64()),
+                      "growth": pa.array([], pa.float64())})
+    if t is None or "window" not in t.column_names or t.num_rows == 0:
+        return empty
+    w = t["window"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    n = t["n_users"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(w)
+    w, n = w[order], n[order]
+    g = np.zeros(len(n), dtype=np.float64)
+    g[1:] = n[1:].astype(np.float64) / n[:-1].astype(np.float64)
+    return pa.table({"window": pa.array(w).cast(pa.timestamp("us")),
+                     "n_users": n, "growth": g})
+
+
+def _q_customers_no_orders(sf_dir):
+    """Anti-join showcase: customers that never ordered, counted per
+    market segment — the shuffle anti-join (left-outer + null-probe;
+    the scale path when the key set outgrows a broadcast) + one
+    bounded grouped count. Integers — bit-exact."""
+    from python_graphblas_ray.stages.join import semi_join_shuffle
+    from python_graphblas_ray.stages.reduce import grouped_agg
+
+    empty = pa.table({"seg": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def ren(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": batch["o_custkey"]})
+
+    try:
+        left = semi_join_shuffle(
+            cust, ["c_custkey"],
+            orders.map_batches(ren, batch_format="pyarrow"), anti=True)
+        h = grouped_agg(left, ["c_mktsegment"], [(None, "count", "n")])
+        t = _as_table(h)
+    except Exception:
+        return empty
+    if t is None or "c_mktsegment" not in t.column_names:
+        # schema-less empty == legitimately no order-less customers
+        # (or no customers at all) — both mean zero output rows
+        return empty
+    return pa.table({"seg": t["c_mktsegment"].cast(pa.string()),
+                     "n": t["n"].cast(pa.int64())})
+
+
+def _q_scc_dag_longest(sf_dir):
+    """Critical chain of the SCC condensation: FW-BW SCC labels → one
+    streaming broadcast-remap pass over the directed edges (≤ |SCCs|²
+    condensed pairs reach the driver) → vectorized Bellman longest-path
+    sweep over the acyclic quotient. Integer depths — bit-exact."""
+    from python_graphblas_ray.pipelines.algorithms import (
+        build_engine, condensation_longest_path, scc)
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
+    try:
+        comp, _, _ = scc(eng)
+    finally:
+        eng.shutdown()
+    return condensation_longest_path(_edge_dataset(sf_dir), comp)
+
+
 def _q_conductance(sf_dir):
     """Per-community conductance of the deterministic vid%16 labeling
     over the simple undirected graph — the cut-quality twin of
@@ -3184,6 +3383,15 @@ PACKED_SUITES = {
         ("events_session_sizes", [("n_events", "i")], "n_sessions"),
         ("region_revenue", [("region", "s"), ("nation", "s")], "rev"),
         ("docs_zipf", [("n_terms", "i")], "slope"),
+        ("events_gap_quantiles", [("event_type", "s"), ("p50", "f2")],
+         "p90"),
+        ("orders_priority", [("priority", "s")], "n_orders"),
+        ("embed_db_index", [("cluster", "i"), ("n", "i")], "r"),
+        ("bipartite", [("comp", "i"), ("n", "i")], "n_conflicts"),
+        ("events_dau_growth", [("window", "t"), ("n_users", "i")],
+         "growth"),
+        ("customers_no_orders", [("seg", "s")], "n"),
+        ("scc_dag_longest", [("comp", "i")], "depth"),
     ]),
     # the splitmix64/knuth32 hash-replay family (seeded sampling and
     # bounded stochastic rounds) — its own slot so a member failure
@@ -3443,6 +3651,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_sizes": _q_events_session_sizes,
         "region_revenue": _q_region_revenue,
         "docs_zipf": _q_docs_zipf,
+        "events_gap_quantiles": _q_events_gap_quantiles,
+        "orders_priority": _q_orders_priority,
+        "embed_db_index": _q_embed_db_index,
+        "bipartite": _q_bipartite,
+        "events_dau_growth": _q_events_dau_growth,
+        "customers_no_orders": _q_customers_no_orders,
+        "scc_dag_longest": _q_scc_dag_longest,
         # packed-suite members (heterogeneous keys -> one string col)
         "reciprocity": _q_reciprocity,
         "docs_lm_score": _q_docs_lm_score,
@@ -5680,6 +5895,55 @@ def oracle_sql() -> dict[str, str]:
         "THEN (sqrt(oth.d) - sqrt(own.d)) / "
         "GREATEST(sqrt(own.d), sqrt(oth.d)) ELSE 0.0 END, 8) AS sil "
         "FROM own JOIN oth ON oth.vec_id = own.vec_id")
+    base["embed_db_index"] = (
+        # Davies-Bouldin per-cluster scores off the same kmeans CTE
+        # chain as embed_silhouette: s_i = mean sqrt own-d, m_ij =
+        # centroid L2, r_i = max_j (s_i+s_j)/m_ij; round-6 over SUM
+        # order; no positive-distance partner pins 0.0
+        "WITH e AS MATERIALIZED (SELECT vec_id, "
+        "CAST(unnest(embedding) AS DOUBLE) AS x, "
+        "generate_subscripts(embedding, 1) AS i FROM embeddings), "
+        "c0 AS (SELECT vec_id AS cid, i, x FROM e WHERE vec_id < 8), "
+        "d1 AS (SELECT e.vec_id, c.cid, "
+        "sum((e.x - c.x) * (e.x - c.x)) AS d "
+        "FROM e JOIN c0 c ON c.i = e.i GROUP BY 1, 2), "
+        "a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn "
+        "FROM d1) WHERE rn = 1), "
+        "u1 AS (SELECT a.cid, e.i, ROUND(avg(e.x), 6) AS x "
+        "FROM e JOIN a1 a ON a.vec_id = e.vec_id GROUP BY 1, 2), "
+        "c1 AS (SELECT c0.cid, c0.i, "
+        "COALESCE(u1.x, ROUND(c0.x, 6)) AS x FROM c0 "
+        "LEFT JOIN u1 ON u1.cid = c0.cid AND u1.i = c0.i), "
+        "d2 AS (SELECT e.vec_id, c.cid, "
+        "sum((e.x - c.x) * (e.x - c.x)) AS d "
+        "FROM e JOIN c1 c ON c.i = e.i GROUP BY 1, 2), "
+        "a2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn "
+        "FROM d2) WHERE rn = 1), "
+        "u2 AS (SELECT a.cid, e.i, ROUND(avg(e.x), 6) AS x "
+        "FROM e JOIN a2 a ON a.vec_id = e.vec_id GROUP BY 1, 2), "
+        "c2 AS MATERIALIZED (SELECT c1.cid, c1.i, "
+        "COALESCE(u2.x, c1.x) AS x FROM c1 "
+        "LEFT JOIN u2 ON u2.cid = c1.cid AND u2.i = c1.i), "
+        "d3 AS MATERIALIZED (SELECT e.vec_id, c.cid, "
+        "sum((e.x - c.x) * (e.x - c.x)) AS d "
+        "FROM e JOIN c2 c ON c.i = e.i GROUP BY 1, 2), "
+        "own AS MATERIALIZED (SELECT vec_id, cid, d FROM ("
+        "SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY d, cid) AS rn FROM d3) WHERE rn = 1), "
+        "s AS MATERIALIZED (SELECT cid, CAST(count(*) AS BIGINT) AS n, "
+        "sum(sqrt(d)) AS sd FROM own GROUP BY 1), "
+        "cd AS (SELECT a.cid AS ca, b.cid AS cb, "
+        "sqrt(sum((a.x - b.x) * (a.x - b.x))) AS m "
+        "FROM c2 a JOIN c2 b ON a.i = b.i AND a.cid <> b.cid "
+        "GROUP BY 1, 2), "
+        "r AS (SELECT s1.cid, MAX((s1.sd / s1.n + s2.sd / s2.n) / cd.m) "
+        "AS r FROM s s1 JOIN cd ON cd.ca = s1.cid "
+        "JOIN s s2 ON s2.cid = cd.cb WHERE cd.m > 0 GROUP BY 1) "
+        "SELECT CAST(s.cid AS BIGINT) AS cluster, s.n, "
+        "ROUND(COALESCE(r.r, 0.0), 6) AS r "
+        "FROM s LEFT JOIN r ON r.cid = s.cid")
     base["docs_pack_offsets"] = (
         # concat-and-chunk packing layout: exclusive window sum of
         # whitespace token counts in doc_id order, 256-token sequences
@@ -5847,6 +6111,80 @@ def oracle_sql() -> dict[str, str]:
         "AND (n * sxx - sx * sx) > 0 THEN "
         "ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) "
         "ELSE 0.0 END AS slope FROM m")
+    base["events_dau_growth"] = (
+        "WITH w AS (SELECT date_trunc('day', ts) AS \"window\", "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+        "FROM events GROUP BY 1) "
+        "SELECT \"window\", n_users, CASE WHEN "
+        "lag(n_users) OVER (ORDER BY \"window\") IS NULL THEN 0.0 "
+        "ELSE CAST(n_users AS DOUBLE) / "
+        "lag(n_users) OVER (ORDER BY \"window\") END AS growth FROM w")
+    base["customers_no_orders"] = (
+        "SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n "
+        "FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey) GROUP BY 1")
+    base["scc_dag_longest"] = (
+        # SCC labels (transitive-closure mutual-reach min) -> distinct
+        # cross-component condensed edges -> longest path over the
+        # acyclic quotient (recursive depth walk, max per node)
+        "WITH RECURSIVE scc AS MATERIALIZED (" + base["scc"] + "), "
+        "E AS (SELECT l_orderkey % 512 AS src, l_partkey % 512 AS dst "
+        "FROM lineitem GROUP BY 1, 2), "
+        "ce AS (SELECT DISTINCT ca.comp AS a, cb.comp AS b FROM E "
+        "JOIN scc ca ON ca.vid = E.src "
+        "JOIN scc cb ON cb.vid = E.dst WHERE ca.comp <> cb.comp), "
+        "walk(v, d) AS (SELECT DISTINCT comp, CAST(0 AS BIGINT) "
+        "FROM scc UNION "
+        "SELECT ce.b, w.d + 1 FROM walk w JOIN ce ON ce.a = w.v) "
+        "SELECT v AS comp, CAST(max(d) AS BIGINT) AS depth FROM walk "
+        "GROUP BY 1")
+    base["bipartite"] = (
+        # min-label components -> multi-source BFS (bound 40, same cap
+        # as the engine loop) from each component rep -> equal-parity
+        # edges on the simple undirected pair set close odd cycles
+        "WITH RECURSIVE E AS (SELECT l_orderkey % 512 AS src, "
+        "l_partkey % 512 AS dst FROM lineitem GROUP BY 1, 2), "
+        "V AS (SELECT range::BIGINT AS vid FROM range(512)), "
+        "E2 AS (SELECT src, dst FROM E "
+        "UNION SELECT dst AS src, src AS dst FROM E), "
+        "reach(vid, root) AS (SELECT vid, vid FROM V UNION "
+        "SELECT e.dst, r.root FROM reach r JOIN E2 e "
+        "ON e.src = r.vid), "
+        "cc AS (SELECT vid, CAST(min(root) AS BIGINT) AS comp "
+        "FROM reach GROUP BY vid), "
+        "bfs(vid, lvl) AS (SELECT comp, CAST(0 AS BIGINT) FROM "
+        "(SELECT DISTINCT comp FROM cc) UNION "
+        "SELECT e.dst, b.lvl + 1 FROM bfs b JOIN E2 e "
+        "ON e.src = b.vid WHERE b.lvl < 40), "
+        "dist AS (SELECT vid, min(lvl) AS d FROM bfs GROUP BY 1), "
+        "SU AS (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM E WHERE src <> dst), "
+        "conf AS (SELECT cc.comp, CAST(count(*) AS BIGINT) AS nc "
+        "FROM SU JOIN dist da ON da.vid = SU.a "
+        "JOIN dist db ON db.vid = SU.b "
+        "JOIN cc ON cc.vid = SU.a "
+        "WHERE (da.d + db.d) % 2 = 0 GROUP BY 1), "
+        "sizes AS (SELECT comp, CAST(count(*) AS BIGINT) AS n "
+        "FROM cc GROUP BY 1) "
+        "SELECT s.comp, s.n, CAST(COALESCE(c.nc, 0) AS BIGINT) "
+        "AS n_conflicts FROM sizes s "
+        "LEFT JOIN conf c ON c.comp = s.comp")
+    base["events_gap_quantiles"] = (
+        # same-user gap preceding each event, (ts, event_id) tie order;
+        # exact discrete quantiles (quantile_disc) — bit-exact
+        "WITH g AS (SELECT event_type, epoch_us(ts) - "
+        "lag(epoch_us(ts)) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS gap FROM events) "
+        "SELECT event_type, "
+        "CAST(quantile_disc(gap, 0.5) AS DOUBLE) AS p50, "
+        "CAST(quantile_disc(gap, 0.9) AS DOUBLE) AS p90 "
+        "FROM g WHERE gap IS NOT NULL GROUP BY 1")
+    base["orders_priority"] = (
+        "SELECT o_orderpriority AS priority, "
+        "CAST(count(*) AS BIGINT) AS n_orders FROM orders o "
+        "WHERE EXISTS (SELECT 1 FROM lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey "
+        "AND l.l_shipdate > o.o_orderdate) GROUP BY 1")
     base["conductance"] = (
         # φ(c) = cut/min(vol, 2m−vol) of the vid%16 labeling over the
         # simple symmetric graph (same U/S derivation as modularity);

@@ -1388,3 +1388,129 @@ def dag_layers_numpy(src, dst, n):
             return layer
         layer = new
     raise ValueError("cycle")
+
+
+def bipartite_check(engine, A_simple, comp, max_rounds=40):
+    """Per-component bipartiteness / odd-cycle detection: a component
+    is bipartite iff NO edge joins two vertices at equal BFS-parity
+    from the component's representative (any spanning-structure parity
+    works: an equal-parity edge closes an odd cycle, and an odd cycle
+    forces one).
+
+    Engine shape: dist = multi-source unit-weight ``min_plus``
+    relaxation on the symmetrized engine — seeds are every component's
+    min-label representative (the FastSV ``comp`` output), ALL
+    components sweep in the SAME O(diameter) superstep loop (one
+    ``ray.put`` broadcast per round, the PageRank posture); conflicts
+    are ONE streaming pass over the simple undirected edge dataset
+    against the broadcast (comp, parity) vectors — per-batch bincount
+    partials, the corpus-size edge table never shuffles. Integer
+    counts — bit-exact.
+
+    ``max_rounds`` caps the sweep (mirroring a bounded recursive-SQL
+    twin); vertices unreached within the cap are excluded from the
+    parity check on both sides. Returns per-component
+    ``(comp, n, n_conflicts)`` — bipartite ⇔ ``n_conflicts == 0``."""
+    import ray
+
+    comp = np.asarray(comp, dtype=np.int64)
+    n_v = len(comp)
+    reps = np.unique(comp) if n_v else np.array([], dtype=np.int64)
+    x = np.full(n_v, np.inf)
+    if len(reps):
+        x[reps] = 0.0
+    for _ in range(max_rounds):
+        y = engine.spmv("min_plus", x)
+        x2 = np.minimum(x, y)
+        if np.array_equal(x2, x):
+            break
+        x = x2
+    finite = np.isfinite(x)
+    parity = np.zeros(n_v, dtype=np.int64)
+    parity[finite] = x[finite].astype(np.int64) % 2
+
+    ref = ray.put((comp, parity, finite))
+
+    def conf(batch: pa.Table) -> pa.Table:
+        c, p, f = ray.get(ref)
+        s = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # each undirected edge once (the dataset is symmetric)
+        keep = (s < d) & f[s] & f[d] & (p[s] == p[d])
+        s = s[keep]
+        cnt = np.bincount(c[s], minlength=len(c)) if len(s) else None
+        if cnt is None:
+            return pa.table({"comp": pa.array([], pa.int64()),
+                             "nc": pa.array([], pa.int64())})
+        nz = np.flatnonzero(cnt)
+        return pa.table({"comp": nz.astype(np.int64),
+                         "nc": cnt[nz].astype(np.int64)})
+
+    nc = np.zeros(n_v, dtype=np.int64)
+    for b in A_simple.ds.map_batches(
+            conf, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None):
+        if b.num_rows and "comp" in b.column_names:
+            np.add.at(nc, b["comp"].to_numpy(zero_copy_only=False),
+                      b["nc"].to_numpy(zero_copy_only=False))
+    sizes = np.bincount(comp, minlength=n_v) if n_v else nc
+    return pa.table({"comp": reps,
+                     "n": sizes[reps].astype(np.int64),
+                     "n_conflicts": nc[reps]})
+
+
+def condensation_longest_path(edges_ds, comp):
+    """Longest-path depth of every node in the SCC condensation DAG —
+    the "critical chain" readout (how many strongly-connected layers
+    deep the link graph runs; the condensation of ANY digraph is
+    acyclic, so longest path is well-defined and finite).
+
+    Engine shape: ONE streaming pass over the raw directed edge
+    dataset against the broadcast SCC labels (per-batch remap +
+    cross-component filter + per-batch dedup) — the corpus never
+    shuffles and the driver sees at most |SCCs|² condensed pairs; the
+    DP is a vectorized Bellman sweep over those pairs
+    (``depth[v] = max over (u,v) of depth[u]+1``, at most #SCCs
+    rounds). Integer — bit-exact.
+
+    Returns per-SCC ``(comp, depth)`` (comp = min-vertex label)."""
+    import ray
+
+    comp = np.asarray(comp, dtype=np.int64)
+    n_v = len(comp)
+    reps = np.unique(comp) if n_v else np.array([], dtype=np.int64)
+    ref = ray.put(comp)
+
+    def remap(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        s = c[batch["src"].to_numpy(zero_copy_only=False).astype(
+            np.int64)]
+        d = c[batch["dst"].to_numpy(zero_copy_only=False).astype(
+            np.int64)]
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s):
+            pairs = np.unique(np.stack([s, d], axis=1), axis=0)
+        else:
+            pairs = np.empty((0, 2), dtype=np.int64)
+        return pa.table({"a": pairs[:, 0], "b": pairs[:, 1]})
+
+    pairs = []
+    for t in edges_ds.map_batches(remap,
+                                  batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        if t.num_rows and "a" in t.column_names:
+            pairs.append(np.stack(
+                [t["a"].to_numpy(zero_copy_only=False),
+                 t["b"].to_numpy(zero_copy_only=False)], axis=1))
+    depth = np.zeros(n_v, dtype=np.int64)
+    if pairs:
+        e = np.unique(np.concatenate(pairs), axis=0)
+        a, b = e[:, 0], e[:, 1]
+        for _ in range(len(reps)):
+            nd = depth.copy()
+            np.maximum.at(nd, b, depth[a] + 1)
+            if np.array_equal(nd, depth):
+                break
+            depth = nd
+    return pa.table({"comp": reps, "depth": depth[reps]})

@@ -196,3 +196,69 @@ def silhouette_simplified(emb_ds, centroids, id_col="vec_id",
 
     return emb_ds.map_batches(score, batch_format="pyarrow",
                               batch_size=batch_size)
+
+
+def davies_bouldin(emb_ds, centroids, emb_col="embedding",
+                   batch_size=8192):
+    """Per-cluster Davies-Bouldin similarity score (Davies & Bouldin
+    1979): with ``s_i`` = mean L2 distance of cluster-i members to
+    their centroid and ``m_ij`` = L2 distance between centroids ``i``
+    and ``j``, each non-empty cluster scores
+    ``r_i = max_{j≠i, m_ij>0} (s_i + s_j) / m_ij`` — lower is
+    better-separated (the classic DB index is the mean of the r_i).
+
+    Scale shape: ONE streaming pass against the k broadcast centroids
+    emitting per-batch ``(cluster, n, Σdist)`` partials (the
+    :func:`silhouette_simplified` posture — the corpus never
+    shuffles); the k×k finish runs on the driver. Assignment = argmin
+    squared L2 with ties to the lowest centroid id (the
+    :func:`kmeans_assign` contract). Callers comparing against a SQL
+    twin round to ~6 decimals (Σ√d summation order is unspecified).
+    Clusters with no positive-distance partner pin ``r = 0.0``.
+    Returns ``(cluster, n, r)`` for non-empty clusters."""
+    c = np.asarray(centroids, dtype=np.float64)
+    k = len(c)
+    ref = ray.put(c)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cc = ray.get(ref)
+        m = _matrix(batch[emb_col])
+        d2 = ((m[:, None, :] - cc[None, :, :]) ** 2).sum(axis=-1)
+        own = np.argmin(d2, axis=1)
+        dist = np.sqrt(d2[np.arange(len(m)), own])
+        n = np.bincount(own, minlength=k).astype(np.int64)
+        sd = np.bincount(own, weights=dist, minlength=k)
+        return pa.table({"cluster": np.arange(k, dtype=np.int64),
+                         "n": n, "sd": sd})
+
+    tabs = [b for b in emb_ds.map_batches(
+                partial, batch_format="pyarrow",
+                batch_size=batch_size).iter_batches(
+                    batch_format="pyarrow", batch_size=None)
+            if b.num_rows and "sd" in b.column_names]
+    empty = pa.table({"cluster": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64()),
+                      "r": pa.array([], pa.float64())})
+    if not tabs:
+        return empty
+    t = pa.concat_tables(tabs, promote_options="permissive")
+    cl = t["cluster"].to_numpy(zero_copy_only=False)
+    n = np.zeros(k, dtype=np.int64)
+    sd = np.zeros(k, dtype=np.float64)
+    np.add.at(n, cl, t["n"].to_numpy(zero_copy_only=False))
+    np.add.at(sd, cl, t["sd"].to_numpy(zero_copy_only=False))
+    live = np.flatnonzero(n > 0)
+    if len(live) == 0:
+        return empty
+    s = np.zeros(k)
+    s[live] = sd[live] / n[live]
+    dm = np.sqrt(((c[:, None, :] - c[None, :, :]) ** 2).sum(axis=-1))
+    r = np.zeros(len(live))
+    for a, i in enumerate(live):
+        best = 0.0
+        for j in live:
+            if j != i and dm[i, j] > 0:
+                best = max(best, (s[i] + s[j]) / dm[i, j])
+        r[a] = best
+    return pa.table({"cluster": live.astype(np.int64),
+                     "n": n[live], "r": r})

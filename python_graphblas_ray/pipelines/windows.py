@@ -894,3 +894,40 @@ def type_daily_correlation(events_ds, type_col="event_type",
     return pa.table({"ta": pa.array(types[ia].tolist(), pa.string()),
                      "tb": pa.array(types[ib].tolist(), pa.string()),
                      "corr": corr})
+
+
+def inter_arrival_gaps(events_ds, user_col="user_id", ts_col="ts",
+                       type_col="event_type", id_col="event_id",
+                       num_partitions=None):
+    """Per-user inter-arrival gaps: for every event with a same-user
+    predecessor, the microsecond gap to it, tagged with the LATER
+    event's type — the raw material for latency/engagement-cadence
+    readouts (median think-time before a purchase, p90 gap before an
+    error).
+
+    ONE hash exchange keyed by user (a user's timeline lives whole in
+    one partition), then a per-partition lexsort over ALL the
+    partition's users at once — ``(user, ts, id)`` order makes
+    simultaneous events deterministic — and one vectorized diff.
+    Integer microseconds — bit-exact. Returns ``(type, gap_us)``."""
+    from ..stages.exchange import hash_exchange_apply
+
+    def part(t: pa.Table) -> pa.Table:
+        empty = pa.table({type_col: pa.array([], pa.string()),
+                          "gap_us": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t[user_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t[id_col].to_numpy(zero_copy_only=False)
+        ty = np.asarray(t[type_col].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, u))
+        u, ts, ty = u[order], ts[order], ty[order]
+        same = u[1:] == u[:-1]
+        return pa.table({
+            type_col: pa.array(ty[1:][same].tolist(), pa.string()),
+            "gap_us": (ts[1:] - ts[:-1])[same]})
+
+    return hash_exchange_apply(
+        events_ds.select_columns([user_col, ts_col, type_col, id_col]),
+        user_col, part, num_partitions=num_partitions)

@@ -183,3 +183,166 @@ def test_region_revenue_pandas_parity(tmp_path):
         "r_name": "region", "n_name": "nation"}).sort_values(
         ["region", "nation"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ------------------------------------------------ inter-arrival gaps
+
+def test_inter_arrival_gaps_pandas_parity():
+    from python_graphblas_ray.pipelines.windows import inter_arrival_gaps
+
+    rng = np.random.RandomState(3)
+    n = 3000
+    users = rng.randint(0, 50, n).astype(np.int64)
+    ts = rng.randint(0, 10**9, n).astype(np.int64)
+    ty = np.array(["a", "b", "c"])[rng.randint(0, 3, n)]
+    eid = np.arange(n, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": users, "event_id": eid,
+        "event_type": ty.tolist(),
+        "ts": pa.array(ts, pa.timestamp("us"))})).repartition(6)
+    got = inter_arrival_gaps(ds).to_pandas()
+    import pandas as pd
+    df = pd.DataFrame({"u": users, "t": ts, "ty": ty, "e": eid})
+    df = df.sort_values(["u", "t", "e"])
+    gaps = df.groupby("u")["t"].diff()
+    ref = df[gaps.notna()].assign(gap=gaps.dropna().astype(np.int64))
+    want = ref.groupby("ty")["gap"].agg(["count", "sum"])
+    g = got.groupby("event_type")["gap_us"].agg(["count", "sum"])
+    assert g.to_dict() == want.to_dict()
+    # exact multiset per type
+    for t in "abc":
+        a = np.sort(got[got.event_type == t]["gap_us"].to_numpy())
+        b = np.sort(ref[ref.ty == t]["gap"].to_numpy())
+        assert np.array_equal(a, b)
+
+
+# ------------------------------------------------ davies-bouldin
+
+def test_davies_bouldin_numpy_parity():
+    from python_graphblas_ray.pipelines.clustering import davies_bouldin
+
+    rng = np.random.RandomState(2)
+    k, d = 4, 8
+    cents = rng.randn(k, d) * 5
+    pts = np.concatenate([cents[i] + 0.3 * rng.randn(200, d)
+                          for i in range(k)])
+    ids = np.arange(len(pts), dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": ids,
+        "embedding": pa.array(list(pts), pa.list_(pa.float64()))})
+    ).repartition(5)
+    got = davies_bouldin(ds, cents).to_pandas().set_index("cluster")
+    # numpy reference
+    d2 = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=-1)
+    own = np.argmin(d2, axis=1)
+    dist = np.sqrt(d2[np.arange(len(pts)), own])
+    s = np.array([dist[own == i].mean() for i in range(k)])
+    dm = np.sqrt(((cents[:, None] - cents[None, :]) ** 2).sum(-1))
+    for i in range(k):
+        r = max((s[i] + s[j]) / dm[i, j] for j in range(k) if j != i)
+        assert got.loc[i, "r"] == pytest.approx(r, abs=1e-9)
+        assert got.loc[i, "n"] == int((own == i).sum())
+    # empty corpus keeps schema
+    e = davies_bouldin(ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float64()))})), cents)
+    assert e.num_rows == 0 and e.column_names == ["cluster", "n", "r"]
+
+
+# ------------------------------------------------ bipartite check
+
+def _mk_engine_und(src, dst, n):
+    from python_graphblas_ray.pipelines.algorithms import build_engine
+    ds = ray.data.from_arrow(pa.table({
+        "src": np.asarray(src, dtype=np.int64),
+        "dst": np.asarray(dst, dtype=np.int64),
+        "val": np.ones(len(src), dtype=np.float64)}))
+    return ds, build_engine(ds, n, num_partitions=2, undirected=True,
+                            weighted=True)
+
+
+def test_bipartite_check_hand_cases():
+    from python_graphblas_ray.pipelines.algorithms import (
+        bipartite_check, connected_components)
+    from python_graphblas_ray.pipelines.triangles import simple_undirected
+
+    # C4 (bipartite) on 0-3 plus C5 (odd cycle) on 4-8, plus isolated 9
+    src = [0, 1, 2, 3, 4, 5, 6, 7, 8]
+    dst = [1, 2, 3, 0, 5, 6, 7, 8, 4]
+    n = 10
+    ds, eng = _mk_engine_und(src, dst, n)
+    try:
+        comp, _, _ = connected_components(eng)
+        A = simple_undirected(ds, n)
+        t = bipartite_check(eng, A, comp).to_pandas().set_index("comp")
+    finally:
+        eng.shutdown()
+    assert t.loc[0, "n"] == 4 and t.loc[0, "n_conflicts"] == 0
+    assert t.loc[4, "n"] == 5 and t.loc[4, "n_conflicts"] == 1
+    assert t.loc[9, "n"] == 1 and t.loc[9, "n_conflicts"] == 0
+
+    # triangle: one odd cycle, exactly one equal-parity edge
+    src2, dst2 = [0, 1, 2], [1, 2, 0]
+    ds2, eng2 = _mk_engine_und(src2, dst2, 3)
+    try:
+        comp2, _, _ = connected_components(eng2)
+        A2 = simple_undirected(ds2, 3)
+        t2 = bipartite_check(eng2, A2, comp2).to_pandas()
+    finally:
+        eng2.shutdown()
+    assert t2["n_conflicts"].tolist() == [1]
+
+
+# ------------------------------------------- condensation longest path
+
+def test_condensation_longest_path_hand_case():
+    from python_graphblas_ray.pipelines.algorithms import (
+        condensation_longest_path)
+
+    # two 2-cycles chained to a sink: {0,1} -> {2,3} -> {4};
+    # depths: comp0=0, comp2=1, comp4=2; isolated 5 stays 0
+    src = [0, 1, 1, 2, 3, 3]
+    dst = [1, 0, 2, 3, 2, 4]
+    comp = np.array([0, 0, 2, 2, 4, 5], dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "src": np.array(src, dtype=np.int64),
+        "dst": np.array(dst, dtype=np.int64)})).repartition(3)
+    t = condensation_longest_path(ds, comp).to_pandas().set_index("comp")
+    assert t.loc[0, "depth"] == 0
+    assert t.loc[2, "depth"] == 1
+    assert t.loc[4, "depth"] == 2
+    assert t.loc[5, "depth"] == 0
+
+    # empty graph
+    e = condensation_longest_path(
+        ray.data.from_arrow(pa.table({
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64())})),
+        np.array([], dtype=np.int64))
+    assert e.num_rows == 0 and e.column_names == ["comp", "depth"]
+
+
+def test_condensation_longest_path_random_vs_networkx_free_dp():
+    from python_graphblas_ray.pipelines.algorithms import (
+        condensation_longest_path)
+
+    # random DAG over 40 nodes (edges only low->high, comp = identity
+    # so the condensation IS the graph); reference = topological DP
+    rng = np.random.RandomState(13)
+    n = 40
+    a = rng.randint(0, n, 300)
+    b = rng.randint(0, n, 300)
+    keep = a < b
+    a, b = a[keep], b[keep]
+    comp = np.arange(n, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "src": a.astype(np.int64),
+        "dst": b.astype(np.int64)})).repartition(4)
+    t = condensation_longest_path(ds, comp).to_pandas().set_index("comp")
+    depth = np.zeros(n, dtype=np.int64)
+    for v in range(n):  # nodes already in topological (ascending) order
+        for x, y in zip(a, b):
+            if y == v:
+                depth[v] = max(depth[v], depth[x] + 1)
+    for v in range(n):
+        assert t.loc[v, "depth"] == depth[v]
