@@ -1651,12 +1651,15 @@ def _q_pagerank_weighted5(sf_dir):
 def _q_sssp(sf_dir):
     """Weighted Bellman-Ford over the dedup'd matrix (weight = edge
     multiplicity) so the hop-bounded recursive-CTE oracle sees the same
-    weights."""
+    weights. Capped at 6 supersteps = min over ≤6-hop walks, EXACTLY the
+    oracle's ``hop < 6`` recursion bound (converged well before 6 on the
+    real-sf graphs; the cap only binds on degenerate ultra-sparse
+    fixtures where longer shortest paths exist)."""
     from python_graphblas_ray.pipelines.algorithms import build_engine, sssp
 
     eng = build_engine(_edge_matrix(sf_dir).ds, N_VERT, num_partitions=4,
                        weighted=True)
-    dist, _ = sssp(eng, source=0)
+    dist, _ = sssp(eng, source=0, itermax=6)
     eng.shutdown()
     vid = np.flatnonzero(np.isfinite(dist)).astype(np.int64)
     return pa.table({"vid": vid, "dist": dist[vid]})
@@ -1892,7 +1895,9 @@ def _q_sssp_parents(sf_dir):
     with dist(u) + w(u,v) == dist(v) (integer weights keep the equality
     exact in doubles) — the path-reconstruction companion to ``sssp``,
     one broadcast-dist batch pass + a min reduction, no new exchange.
-    Source 0 is excluded (it has no parent)."""
+    Source 0 is excluded (it has no parent). Distances use the same
+    6-superstep cap as ``_q_sssp`` so the tree matches the hop-bounded
+    oracle on degenerate ultra-sparse fixtures too."""
     import ray as _ray
 
     from python_graphblas_ray.functions.monoids import monoid
@@ -1903,7 +1908,7 @@ def _q_sssp_parents(sf_dir):
     A = _edge_matrix(sf_dir).ds
     eng = build_engine(A, N_VERT, num_partitions=4, weighted=True)
     try:
-        dist, _ = sssp(eng, source=0)
+        dist, _ = sssp(eng, source=0, itermax=6)
     finally:
         eng.shutdown()
     dref = _ray.put(dist)
@@ -3234,6 +3239,241 @@ def _q_conductance(sf_dir):
     return conductance(A.ds, labels, N_VERT, k=16)
 
 
+def _q_embed_ch_index(sf_dir):
+    """Calinski-Harabasz variance-ratio score of the fixed 2-update
+    k-means clustering (same deterministic vec_id<8 init + round-6
+    centroid grain as ``embed_kmeans_iter2``): CH = (B/(k−1))/(W/(n−k))
+    off ONE streaming (cluster, n, Σd²) partial pass. Round-6 over Σd²
+    summation order; the SQL twin extends the kmeans CTE chain."""
+    from python_graphblas_ray.pipelines.clustering import (
+        calinski_harabasz, kmeans_fit)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64()),
+                      "ch": pa.array([], pa.float64())})
+    heads = [b for b in ds.filter(expr="vec_id < 8").iter_batches(
+        batch_format="pyarrow") if b.num_rows]
+    if not heads:
+        return empty
+    head = pa.concat_tables(heads, promote_options="permissive")
+    order = np.argsort(head["vec_id"].to_numpy(zero_copy_only=False))
+    init = np.stack([np.asarray(head["embedding"][int(i)].as_py(),
+                                dtype=np.float64) for i in order])
+    cents, _ = kmeans_fit(ds, 8, iters=2, init_centroids=init,
+                          round_to=6)
+    t = calinski_harabasz(ds, cents)
+    return t.set_column(t.schema.get_field_index("ch"), "ch",
+                        pa.array(_round_away(
+                            t["ch"].to_numpy(zero_copy_only=False), 6)))
+
+
+def _q_pagerank_resid5(sf_dir):
+    """Per-superstep L1 convergence residual ``Σ|r_t − r_{t−1}|`` of
+    the fixed-5-iteration PageRank — the supersteps-to-convergence
+    diagnostic of the north-star metric, read straight off the
+    engine's per-superstep metrics records (the reference-Recorder
+    analogue). Round-8: both sides sum 512 |deltas| in unspecified
+    order."""
+    from python_graphblas_ray.pipelines.algorithms import (
+        build_engine, pagerank)
+    from python_graphblas_ray.state.checkpoint import SuperstepMetrics
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
+    try:
+        m = SuperstepMetrics()
+        # tol=-1: never early-break — the oracle emits all 5 residuals
+        # even once rdiff hits exactly 0.0 (empty/degenerate graphs)
+        pagerank(eng, tol=-1.0, itermax=5, metrics=m)
+    finally:
+        eng.shutdown()
+    its = np.array([r["superstep"] + 1 for r in m.records],
+                   dtype=np.int64)
+    rd = np.array([r["rdiff"] for r in m.records], dtype=np.float64)
+    return pa.table({"it": pa.array(its, pa.int64()),
+                     "resid": pa.array(_round_away(rd, 8),
+                                       pa.float64())})
+
+
+def _q_custdist(sf_dir):
+    """TPC-H Q13 customer order-count distribution: how many customers
+    placed k orders, INCLUDING the zero-order customers the LEFT JOIN
+    keeps. Ray shape: ONE grouped count over orders keyed by custkey
+    (≤ |customers| rows), an inner hash join against customer (drops
+    dangling o_custkey — the LEFT JOIN twin never sees them either),
+    ONE bounded grouped count by order count (≤ max orders/customer
+    rows), and the zero bucket = |customer| − |matched| off two
+    streaming counts. All integers — bit-exact."""
+    from python_graphblas_ray.stages.join import hash_join
+    from python_graphblas_ray.stages.reduce import grouped_agg
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    n_cust = cust.count()
+    empty = pa.table({"c_count": pa.array([], pa.int64()),
+                      "n_custs": pa.array([], pa.int64())})
+    oc = grouped_agg(orders, ["o_custkey"],
+                     [("o_custkey", "count", "c_count")])
+    rows = 0
+    cc = np.array([], dtype=np.int64)
+    nc = np.array([], dtype=np.int64)
+    try:
+        j = hash_join(oc, cust, on="o_custkey", right_on="c_custkey")
+        h = grouped_agg(j, ["c_count"], [("c_count", "count", "n_custs")])
+        t = _as_table(h)
+    except Exception:
+        t = None
+    if t is not None and "c_count" in t.column_names and len(t):
+        cc = t["c_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = t["n_custs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = int(nc.sum())
+    n_zero = n_cust - rows
+    if n_zero > 0:
+        cc = np.concatenate([cc, [0]])
+        nc = np.concatenate([nc, [n_zero]])
+    if len(cc) == 0:
+        return empty
+    return pa.table({"c_count": pa.array(cc, pa.int64()),
+                     "n_custs": pa.array(nc, pa.int64())})
+
+
+def _q_promo_revenue(sf_dir):
+    """TPC-H Q14 promo-revenue share per ship month: revenue basis
+    units cents × (100 − disc%) (pure int64), lineitem hash-joined to
+    part (inner — dangling partkeys drop on both sides), promo flag
+    ``p_type = 'PROMO'``, ONE grouped sum bounded by |months|; ratio =
+    the fixed two-op tail ``(100.0 · promo) / total`` — one IEEE
+    multiply + one divide, bit-exact."""
+    from python_graphblas_ray.stages.join import hash_join
+    from python_graphblas_ray.stages.reduce import grouped_agg
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+    empty = pa.table({"ym": pa.array([], pa.int64()),
+                      "promo": pa.array([], pa.int64()),
+                      "total": pa.array([], pa.int64()),
+                      "ratio": pa.array([], pa.float64())})
+
+    def rev(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(p * 100.0 + 0.5).astype(np.int64)
+        disc = np.floor(d * 100.0 + 0.5).astype(np.int64)
+        y = pc.year(batch["l_shipdate"]).to_numpy(zero_copy_only=False)
+        m = pc.month(batch["l_shipdate"]).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_partkey": batch["l_partkey"],
+            "ym": (y.astype(np.int64) * 100 + m.astype(np.int64)),
+            "rev": cents * (100 - disc)})
+
+    try:
+        j = hash_join(li.map_batches(rev, batch_format="pyarrow"),
+                      _read(sf_dir, "part",
+                            columns=["p_partkey", "p_type"]),
+                      on="l_partkey", right_on="p_partkey")
+
+        def flag(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            promo = pc.equal(pc.fill_null(batch["p_type"], ""), "PROMO")
+            r = batch["rev"].to_numpy(zero_copy_only=False)
+            pr = np.where(promo.to_numpy(zero_copy_only=False), r, 0)
+            return pa.table({"ym": batch["ym"], "promo": pr, "total": r})
+
+        agg = grouped_agg(j.map_batches(flag, batch_format="pyarrow"),
+                          ["ym"], [("promo", "sum", "promo"),
+                                   ("total", "sum", "total")])
+        t = _as_table(agg)
+    except Exception:
+        return empty
+    if t is None or "ym" not in t.column_names or len(t) == 0:
+        return empty
+    promo = t["promo"].to_numpy(zero_copy_only=False).astype(np.int64)
+    total = t["total"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ratio = np.where(total > 0,
+                     (100.0 * promo.astype(np.float64))
+                     / np.where(total > 0, total, 1).astype(np.float64),
+                     0.0)
+    return pa.table({"ym": t["ym"].cast(pa.int64()),
+                     "promo": pa.array(promo, pa.int64()),
+                     "total": pa.array(total, pa.int64()),
+                     "ratio": pa.array(ratio, pa.float64())})
+
+
+def _q_disc_revenue(sf_dir):
+    """TPC-H Q6 forecasting-revenue-change: ONE streaming filtered sum
+    (no shuffle, no join) of ``cents × disc%`` over lines with disc% in
+    [5, 7] and quantity < 24 — the "how much revenue would we keep by
+    dropping small discounts" scan. Integer basis — bit-exact."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        cents = np.floor(p * 100.0 + 0.5).astype(np.int64)
+        disc = np.floor(d * 100.0 + 0.5).astype(np.int64)
+        keep = (disc >= 5) & (disc <= 7) & (q < 24)
+        return pa.table({
+            "n_lines": pa.array([int(keep.sum())], pa.int64()),
+            "rev": pa.array([int((cents[keep] * disc[keep]).sum())],
+                            pa.int64())})
+
+    n = rev = 0
+    for b in li.map_batches(partial,
+                            batch_format="pyarrow").iter_batches(
+                                batch_format="pyarrow", batch_size=None):
+        if b.num_rows and "rev" in b.column_names:
+            n += int(b["n_lines"].to_numpy(zero_copy_only=False).sum())
+            rev += int(b["rev"].to_numpy(zero_copy_only=False).sum())
+    return pa.table({"n_lines": pa.array([n], pa.int64()),
+                     "rev": pa.array([rev], pa.int64())})
+
+
+def _q_events_autocorr(sf_dir):
+    """Lag-1..7 autocorrelation of the global daily event-count series
+    over the contiguous day grid (missing days 0): ONE (day)
+    grouped-count exchange + integer moments + the fixed IEEE Pearson
+    tail — bit-exact, no grain. Lags with <2 pairs emit no row."""
+    from python_graphblas_ray.pipelines.windows import (
+        daily_autocorrelation)
+
+    return daily_autocorrelation(
+        _read(sf_dir, "events", columns=["ts"]), max_lag=7)
+
+
+def _q_events_hourly(sf_dir):
+    """Hour-of-day activity profile per event type (the seasonality
+    dashboard readout): ONE grouped count bounded by |types| × 24.
+    Integer — bit-exact."""
+    from python_graphblas_ray.stages.reduce import grouped_agg
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "hour": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64())})
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "event_type": batch["event_type"],
+            "hour": pc.hour(batch["ts"]).cast(pa.int64())})
+
+    t = _as_table(grouped_agg(
+        ds.map_batches(bucket, batch_format="pyarrow"),
+        ["event_type", "hour"], [("hour", "count", "n")]))
+    if t is None or "event_type" not in t.column_names:
+        return empty
+    return pa.table({"event_type": t["event_type"],
+                     "hour": t["hour"].cast(pa.int64()),
+                     "n": t["n"].cast(pa.int64())})
+
+
 SUITES = {
     "degree_suite": ["degree_out", "degree_in", "degree_mean"],
     "reduce_scalar_suite": ["reduce_scalar_plus", "reduce_scalar_max"],
@@ -3392,6 +3632,14 @@ PACKED_SUITES = {
          "growth"),
         ("customers_no_orders", [("seg", "s")], "n"),
         ("scc_dag_longest", [("comp", "i")], "depth"),
+        ("custdist", [("c_count", "i")], "n_custs"),
+        ("promo_revenue", [("ym", "i"), ("promo", "i"), ("total", "i")],
+         "ratio"),
+        ("disc_revenue", [("n_lines", "i")], "rev"),
+        ("events_hourly", [("event_type", "s"), ("hour", "i")], "n"),
+        ("events_autocorr", [("lag", "i"), ("n", "i")], "ac"),
+        ("embed_ch_index", [("k", "i"), ("n", "i")], "ch"),
+        ("pagerank_resid5", [("it", "i")], "resid"),
     ]),
     # the splitmix64/knuth32 hash-replay family (seeded sampling and
     # bounded stochastic rounds) — its own slot so a member failure
@@ -3658,6 +3906,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dau_growth": _q_events_dau_growth,
         "customers_no_orders": _q_customers_no_orders,
         "scc_dag_longest": _q_scc_dag_longest,
+        "custdist": _q_custdist,
+        "promo_revenue": _q_promo_revenue,
+        "disc_revenue": _q_disc_revenue,
+        "events_hourly": _q_events_hourly,
+        "events_autocorr": _q_events_autocorr,
+        "embed_ch_index": _q_embed_ch_index,
+        "pagerank_resid5": _q_pagerank_resid5,
         # packed-suite members (heterogeneous keys -> one string col)
         "reciprocity": _q_reciprocity,
         "docs_lm_score": _q_docs_lm_score,
@@ -5895,11 +6150,10 @@ def oracle_sql() -> dict[str, str]:
         "THEN (sqrt(oth.d) - sqrt(own.d)) / "
         "GREATEST(sqrt(own.d), sqrt(oth.d)) ELSE 0.0 END, 8) AS sil "
         "FROM own JOIN oth ON oth.vec_id = own.vec_id")
-    base["embed_db_index"] = (
-        # Davies-Bouldin per-cluster scores off the same kmeans CTE
-        # chain as embed_silhouette: s_i = mean sqrt own-d, m_ij =
-        # centroid L2, r_i = max_j (s_i+s_j)/m_ij; round-6 over SUM
-        # order; no positive-distance partner pins 0.0
+    # shared fixed-2-update kmeans chain ending at the per-vector own
+    # assignment (vec_id, cid, d = squared L2 to its round-6 centroid)
+    # — the prefix of embed_db_index AND embed_ch_index
+    _kmeans2_own = (
         "WITH e AS MATERIALIZED (SELECT vec_id, "
         "CAST(unnest(embedding) AS DOUBLE) AS x, "
         "generate_subscripts(embedding, 1) AS i FROM embeddings), "
@@ -5931,7 +6185,13 @@ def oracle_sql() -> dict[str, str]:
         "FROM e JOIN c2 c ON c.i = e.i GROUP BY 1, 2), "
         "own AS MATERIALIZED (SELECT vec_id, cid, d FROM ("
         "SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id "
-        "ORDER BY d, cid) AS rn FROM d3) WHERE rn = 1), "
+        "ORDER BY d, cid) AS rn FROM d3) WHERE rn = 1)")
+    base["embed_db_index"] = (
+        # Davies-Bouldin per-cluster scores off the same kmeans CTE
+        # chain as embed_silhouette: s_i = mean sqrt own-d, m_ij =
+        # centroid L2, r_i = max_j (s_i+s_j)/m_ij; round-6 over SUM
+        # order; no positive-distance partner pins 0.0
+        _kmeans2_own + ", "
         "s AS MATERIALIZED (SELECT cid, CAST(count(*) AS BIGINT) AS n, "
         "sum(sqrt(d)) AS sd FROM own GROUP BY 1), "
         "cd AS (SELECT a.cid AS ca, b.cid AS cb, "
@@ -5944,6 +6204,26 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(s.cid AS BIGINT) AS cluster, s.n, "
         "ROUND(COALESCE(r.r, 0.0), 6) AS r "
         "FROM s LEFT JOIN r ON r.cid = s.cid")
+    base["embed_ch_index"] = (
+        # Calinski-Harabasz variance ratio off the same kmeans chain:
+        # W = Σ own squared d, B = Σ nᵢ‖cᵢ−c̄‖² around the n-weighted
+        # center of centers, CH = (B·(n−k)) / (W·(k−1)) — the exact op
+        # order of the Ray side; round-6 over SUM order; degenerate
+        # (k<2, n≤k, W=0) pins 0.0; empty corpus emits no row
+        _kmeans2_own + ", "
+        "s AS MATERIALIZED (SELECT cid, CAST(count(*) AS BIGINT) AS n, "
+        "sum(d) AS w FROM own GROUP BY 1), "
+        "tot AS (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS nt, "
+        "CAST(count(*) AS BIGINT) AS kl, sum(w) AS wt FROM s), "
+        "cb AS (SELECT c.i, sum(s.n * c.x) / "
+        "(SELECT CAST(nt AS DOUBLE) FROM tot) AS xb "
+        "FROM c2 c JOIN s ON s.cid = c.cid GROUP BY 1), "
+        "bb AS (SELECT sum(s.n * (c.x - cb.xb) * (c.x - cb.xb)) AS b "
+        "FROM c2 c JOIN s ON s.cid = c.cid JOIN cb ON cb.i = c.i) "
+        "SELECT kl AS k, nt AS n, CASE WHEN kl >= 2 AND nt > kl "
+        "AND wt > 0 THEN ROUND((b * CAST(nt - kl AS DOUBLE)) / "
+        "(wt * CAST(kl - 1 AS DOUBLE)), 6) ELSE 0.0 END AS ch "
+        "FROM tot CROSS JOIN bb WHERE nt > 0")
     base["docs_pack_offsets"] = (
         # concat-and-chunk packing layout: exclusive window sum of
         # whitespace token counts in doc_id order, 256-token sequences
@@ -6169,6 +6449,95 @@ def oracle_sql() -> dict[str, str]:
         "SELECT s.comp, s.n, CAST(COALESCE(c.nc, 0) AS BIGINT) "
         "AS n_conflicts FROM sizes s "
         "LEFT JOIN conf c ON c.comp = s.comp")
+    base["pagerank_resid5"] = (
+        # the pagerank_iter5 recursion with every iterate kept; resid
+        # at step t = Σ_vid |r_t − r_{t−1}| (self-loop 0-weight rows in
+        # C keep all 512 vids present each step); round-8 — both sides
+        # sum 512 |deltas| in unspecified order
+        "WITH RECURSIVE R AS (SELECT l_orderkey % 512 AS src, "
+        "l_partkey % 512 AS dst FROM lineitem), "
+        "Ew AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS cnt "
+        "FROM R GROUP BY 1, 2), "
+        "deg AS (SELECT src AS vid, CAST(count(*) AS DOUBLE) AS d "
+        "FROM R GROUP BY 1), "
+        "V AS (SELECT CAST(range AS BIGINT) AS vid FROM range(512)), "
+        "C AS (SELECT src, dst, cnt FROM Ew "
+        "UNION ALL SELECT vid, vid, 0.0 FROM V), "
+        "pr(it, vid, r) AS ("
+        "SELECT 0, vid, 1.0 / 512 FROM V "
+        "UNION ALL "
+        "SELECT p.it + 1, c.dst, (1.0 - 0.85) / 512 + "
+        "sum(c.cnt * COALESCE(p.r / (deg.d / 0.85), 0.0)) "
+        "FROM pr p JOIN C c ON c.src = p.vid "
+        "LEFT JOIN deg ON deg.vid = p.vid "
+        "WHERE p.it < 5 GROUP BY p.it, c.dst) "
+        "SELECT b.it, ROUND(sum(abs(b.r - a.r)), 8) AS resid "
+        "FROM pr a JOIN pr b ON b.vid = a.vid AND b.it = a.it + 1 "
+        "GROUP BY 1")
+    base["custdist"] = (
+        # TPC-H Q13: order count per customer (LEFT JOIN keeps the
+        # zero-order customers), then the distribution — all integers
+        "WITH oc AS (SELECT c.c_custkey, "
+        "CAST(count(o.o_custkey) AS BIGINT) AS c_count "
+        "FROM customer c LEFT JOIN orders o "
+        "ON o.o_custkey = c.c_custkey GROUP BY 1) "
+        "SELECT c_count, CAST(count(*) AS BIGINT) AS n_custs "
+        "FROM oc GROUP BY 1")
+    base["promo_revenue"] = (
+        # TPC-H Q14 per ship month: exact integer revenue basis units
+        # cents × (100 − disc%); ratio = the fixed (100.0·promo)/total
+        # two-op IEEE tail — bit-exact
+        "WITH r AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
+        "AS ym, CASE WHEN p.p_type = 'PROMO' THEN "
+        "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) * "
+        "(100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) "
+        "ELSE 0 END AS promo, "
+        "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) * "
+        "(100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS rev "
+        "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey), "
+        "m AS (SELECT CAST(ym AS BIGINT) AS ym, "
+        "CAST(sum(promo) AS BIGINT) AS promo, "
+        "CAST(sum(rev) AS BIGINT) AS total FROM r GROUP BY 1) "
+        "SELECT ym, promo, total, CASE WHEN total > 0 THEN "
+        "(100.0 * CAST(promo AS DOUBLE)) / CAST(total AS DOUBLE) "
+        "ELSE 0.0 END AS ratio FROM m")
+    base["disc_revenue"] = (
+        # TPC-H Q6: one filtered scan, integer cents × disc% basis
+        "SELECT CAST(count(*) AS BIGINT) AS n_lines, "
+        "CAST(COALESCE(SUM("
+        "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) * "
+        "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)), 0) AS BIGINT) "
+        "AS rev FROM lineitem "
+        "WHERE CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) "
+        "BETWEEN 5 AND 7 AND l_quantity < 24")
+    base["events_hourly"] = (
+        "SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2")
+    base["events_autocorr"] = (
+        # contiguous day grid (missing days 0), integer moments per
+        # lag, the same fixed IEEE Pearson tail as events_type_corr —
+        # bit-exact; empty stream -> empty grid -> no rows
+        "WITH c AS (SELECT epoch_us(date_trunc('day', ts)) "
+        "// 86400000000 AS d, CAST(count(*) AS BIGINT) AS x "
+        "FROM events GROUP BY 1), "
+        "g AS (SELECT gs.d, COALESCE(c.x, 0) AS x FROM "
+        "(SELECT unnest(range((SELECT min(d) FROM c), "
+        "(SELECT max(d) FROM c) + 1)) AS d) gs "
+        "LEFT JOIN c ON c.d = gs.d), "
+        "l AS (SELECT CAST(range AS BIGINT) + 1 AS lag FROM range(7)), "
+        "p AS (SELECT l.lag, a.x AS xa, b.x AS xb FROM l "
+        "JOIN g a ON TRUE JOIN g b ON b.d = a.d + l.lag), "
+        "m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(xa) AS BIGINT) AS sa, CAST(sum(xb) AS BIGINT) AS sb, "
+        "CAST(sum(xa*xa) AS BIGINT) AS saa, "
+        "CAST(sum(xb*xb) AS BIGINT) AS sbb, "
+        "CAST(sum(xa*xb) AS BIGINT) AS sab FROM p GROUP BY 1) "
+        "SELECT lag, n, CASE WHEN n*saa - sa*sa > 0 "
+        "AND n*sbb - sb*sb > 0 THEN "
+        "CAST(n*sab - sa*sb AS DOUBLE) / "
+        "(sqrt(CAST(n*saa - sa*sa AS DOUBLE)) * "
+        "sqrt(CAST(n*sbb - sb*sb AS DOUBLE))) ELSE 0.0 END AS ac "
+        "FROM m WHERE n >= 2")
     base["events_gap_quantiles"] = (
         # same-user gap preceding each event, (ts, event_id) tie order;
         # exact discrete quantiles (quantile_disc) — bit-exact

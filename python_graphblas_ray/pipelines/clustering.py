@@ -262,3 +262,67 @@ def davies_bouldin(emb_ds, centroids, emb_col="embedding",
         r[a] = best
     return pa.table({"cluster": live.astype(np.int64),
                      "n": n[live], "r": r})
+
+
+def calinski_harabasz(emb_ds, centroids, emb_col="embedding",
+                      batch_size=8192):
+    """Calinski-Harabasz variance-ratio score of a fixed clustering
+    (Caliński & Harabasz 1974): ``CH = (B/(k−1)) / (W/(n−k))`` with
+    ``W`` = Σ squared L2 of members to their (given) center and ``B`` =
+    Σᵢ nᵢ·‖cᵢ − c̄‖² around the member-weighted center of centers
+    ``c̄ = Σ nᵢcᵢ / n`` (equal to the data mean when the centers are
+    exact cluster means) — higher is better-separated.
+
+    Scale shape: ONE streaming pass against the k broadcast centroids
+    emitting per-batch ``(cluster, n, Σd²)`` partials (the
+    :func:`davies_bouldin` posture — the corpus never shuffles); the
+    k×d finish runs on the driver. Assignment = argmin squared L2 with
+    ties to the lowest centroid id (the :func:`kmeans_assign`
+    contract). ``k`` counts NON-EMPTY clusters. Callers comparing
+    against a SQL twin round to ~6 decimals (Σd² summation order is
+    unspecified). Degenerate cases (k < 2, n ≤ k, or W = 0) pin 0.0.
+    Returns a 1-row table ``(k, n, ch)``; empty input → 0 rows."""
+    c = np.asarray(centroids, dtype=np.float64)
+    k = len(c)
+    ref = ray.put(c)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cc = ray.get(ref)
+        m = _matrix(batch[emb_col])
+        d2 = ((m[:, None, :] - cc[None, :, :]) ** 2).sum(axis=-1)
+        own = np.argmin(d2, axis=1)
+        n = np.bincount(own, minlength=k).astype(np.int64)
+        sd2 = np.bincount(own, weights=d2[np.arange(len(m)), own],
+                          minlength=k)
+        return pa.table({"cluster": np.arange(k, dtype=np.int64),
+                         "n": n, "sd2": sd2})
+
+    tabs = [b for b in emb_ds.map_batches(
+                partial, batch_format="pyarrow",
+                batch_size=batch_size).iter_batches(
+                    batch_format="pyarrow", batch_size=None)
+            if b.num_rows and "sd2" in b.column_names]
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64()),
+                      "ch": pa.array([], pa.float64())})
+    if not tabs:
+        return empty
+    t = pa.concat_tables(tabs, promote_options="permissive")
+    cl = t["cluster"].to_numpy(zero_copy_only=False)
+    n = np.zeros(k, dtype=np.int64)
+    w = np.zeros(k, dtype=np.float64)
+    np.add.at(n, cl, t["n"].to_numpy(zero_copy_only=False))
+    np.add.at(w, cl, t["sd2"].to_numpy(zero_copy_only=False))
+    live = np.flatnonzero(n > 0)
+    n_tot = int(n.sum())
+    k_live = len(live)
+    W = float(w.sum())
+    ch = 0.0
+    if k_live >= 2 and n_tot > k_live and W > 0:
+        cbar = (n[live, None] * c[live]).sum(axis=0) / np.float64(n_tot)
+        B = float((n[live] * ((c[live] - cbar) ** 2).sum(axis=1)).sum())
+        ch = (B * np.float64(n_tot - k_live)) \
+            / (W * np.float64(k_live - 1))
+    return pa.table({"k": pa.array([k_live], pa.int64()),
+                     "n": pa.array([n_tot], pa.int64()),
+                     "ch": pa.array([float(ch)], pa.float64())})

@@ -896,6 +896,73 @@ def type_daily_correlation(events_ds, type_col="event_type",
                      "corr": corr})
 
 
+def daily_autocorrelation(events_ds, ts_col="ts", max_lag=7):
+    """Lag-1..``max_lag`` autocorrelation of the global daily event-count
+    series — the seasonality/trend-persistence dashboard readout (a
+    weekly cycle shows as a lag-7 peak; bursty traffic decays fast).
+
+    The series is the CONTIGUOUS day grid from the first to the last
+    active day (missing days count 0 — absence of traffic is signal).
+    For lag L the correlation pairs ``(x_t, x_{t+L})`` over the n−L
+    overlapping days, with the same determinism contract as
+    :func:`type_daily_correlation` (bit-exact, NO rounding grain):
+    integer moments + the fixed IEEE tail
+    ``double(m·Σxy − Σx·Σy) / (sqrt(double(m·Σxx−Σx²)) ·
+    sqrt(double(m·Σyy−Σy²)))``; zero-variance windows pin 0.0; lags
+    with fewer than 2 pairs emit no row.
+
+    Scale shape: ONE (day) grouped-count exchange bounded by the number
+    of active days; the O(days·max_lag) finish runs on the driver.
+    Returns ``(lag, n, ac)``."""
+    from ..stages.reduce import grouped_agg
+
+    day_us = 86_400_000_000
+    empty = pa.table({"lag": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64()),
+                      "ac": pa.array([], pa.float64())})
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"day": ts // day_us})
+
+    counts = grouped_agg(
+        events_ds.select_columns([ts_col]).map_batches(
+            bucket, batch_format="pyarrow"),
+        ["day"], [("day", "count", "x")])
+    tabs = [b for b in counts.iter_batches(batch_format="pyarrow",
+                                           batch_size=None)
+            if b.num_rows and "x" in b.column_names]
+    if not tabs:
+        return empty
+    t = pa.concat_tables(tabs, promote_options="permissive")
+    dy = t["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cx = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lo, hi = int(dy.min()), int(dy.max())
+    x = np.zeros(hi - lo + 1, dtype=np.int64)
+    x[dy - lo] = cx
+    n = len(x)
+    lags, ms, acs = [], [], []
+    for lag in range(1, max_lag + 1):
+        m = n - lag
+        if m < 2:
+            continue
+        a, b = x[:m], x[lag:]
+        sa, sb = a.sum(), b.sum()
+        saa, sbb, sab = (a * a).sum(), (b * b).sum(), (a * b).sum()
+        da, db = m * saa - sa * sa, m * sbb - sb * sb
+        ac = 0.0
+        if da > 0 and db > 0:
+            ac = (np.float64(m * sab - sa * sb)
+                  / (np.sqrt(np.float64(da)) * np.sqrt(np.float64(db))))
+        lags.append(lag)
+        ms.append(m)
+        acs.append(float(ac))
+    return pa.table({"lag": pa.array(lags, pa.int64()),
+                     "n": pa.array(ms, pa.int64()),
+                     "ac": pa.array(acs, pa.float64())})
+
+
 def inter_arrival_gaps(events_ds, user_col="user_id", ts_col="ts",
                        type_col="event_type", id_col="event_id",
                        num_partitions=None):
