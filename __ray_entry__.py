@@ -3239,6 +3239,106 @@ def _q_conductance(sf_dir):
     return conductance(A.ds, labels, N_VERT, k=16)
 
 
+def _q_docs_heaps(sf_dir):
+    """Heaps'-law vocabulary-growth fit V(T) ≈ K·T^β sampled at 16
+    doc-id checkpoints: integer token/vocab cumulatives (bit-exact) +
+    the round-8 ln-ln least-squares β repeated per row."""
+    from python_graphblas_ray.stages.text import heaps_fit
+
+    t = heaps_fit(_read(sf_dir, "documents",
+                        columns=["doc_id", "text"]), n_checkpoints=16)
+    b = t["beta"].to_numpy(zero_copy_only=False)
+    return t.set_column(t.schema.get_field_index("beta"), "beta",
+                        pa.array(_round_away(b, 8), pa.float64()))
+
+
+def _q_docs_js(sf_dir):
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions: (source, term) counts in one streaming pass, one
+    term-keyed exchange emitting k×k partials — round-8 over term
+    summation order (and the last-ulp ln difference)."""
+    from python_graphblas_ray.stages.text import js_source_divergence
+
+    t = js_source_divergence(_read(sf_dir, "documents",
+                                   columns=["source", "text"]))
+    v = t["js"].to_numpy(zero_copy_only=False)
+    return t.set_column(t.schema.get_field_index("js"), "js",
+                        pa.array(_round_away(v, 8), pa.float64()))
+
+
+def _q_trade_matrix(sf_dir):
+    """TPC-H Q7-family cross-nation trade matrix: revenue between every
+    (customer nation, supplier nation) pair — the region_revenue
+    machinery without the same-nation filter: exact integer revenue
+    basis units cents × (100 − disc%), three hash joins, ONE bounded
+    grouped sum (≤ |nations|² rows), nation names joined driver-side.
+    All integers — bit-exact."""
+    from python_graphblas_ray.stages.join import hash_join
+    from python_graphblas_ray.stages.reduce import grouped_agg
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+
+    def rev(batch: pa.Table) -> pa.Table:
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(p * 100.0 + 0.5).astype(np.int64)
+        disc = np.floor(d * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "l_suppkey": batch["l_suppkey"],
+            "rev": cents * (100 - disc)})
+
+    empty = pa.table({"cust_nation": pa.array([], pa.string()),
+                      "supp_nation": pa.array([], pa.string()),
+                      "rev": pa.array([], pa.int64())})
+    try:
+        j = hash_join(li.map_batches(rev, batch_format="pyarrow"),
+                      _read(sf_dir, "orders",
+                            columns=["o_orderkey", "o_custkey"]),
+                      on="l_orderkey", right_on="o_orderkey")
+        j = hash_join(j, _read(sf_dir, "customer",
+                               columns=["c_custkey", "c_nationkey"]),
+                      on="o_custkey", right_on="c_custkey")
+        j = hash_join(j, _read(sf_dir, "supplier",
+                               columns=["s_suppkey", "s_nationkey"]),
+                      on="l_suppkey", right_on="s_suppkey")
+        agg = grouped_agg(j.select_columns(
+            ["c_nationkey", "s_nationkey", "rev"]),
+            ["c_nationkey", "s_nationkey"], [("rev", "sum", "rev")])
+        t = _as_table(agg)
+    except Exception:
+        return empty
+    if t is None or "c_nationkey" not in t.column_names:
+        return empty
+    import pyarrow.parquet as pq
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    df = t.to_pandas().merge(
+        nat[["n_nationkey", "n_name"]], left_on="c_nationkey",
+        right_on="n_nationkey").merge(
+        nat[["n_nationkey", "n_name"]], left_on="s_nationkey",
+        right_on="n_nationkey", suffixes=("_c", "_s"))
+    return pa.table({
+        "cust_nation": pa.array(df["n_name_c"].astype(str), pa.string()),
+        "supp_nation": pa.array(df["n_name_s"].astype(str), pa.string()),
+        "rev": pa.array(df["rev"].astype(np.int64), pa.int64())})
+
+
+def _q_docs_chisq(sf_dir):
+    """Pearson chi-square independence of the lang × source
+    contingency table: integer marginals off ONE |langs|×|sources|-
+    bounded grouped count; round-8 over cell summation order."""
+    from python_graphblas_ray.pipelines.windows import contingency_chisq
+
+    t = contingency_chisq(_read(sf_dir, "documents",
+                                columns=["lang", "source"]),
+                          "lang", "source")
+    c = t["chi2"].to_numpy(zero_copy_only=False)
+    return t.set_column(t.schema.get_field_index("chi2"), "chi2",
+                        pa.array(_round_away(c, 8), pa.float64()))
+
+
 def _q_embed_ch_index(sf_dir):
     """Calinski-Harabasz variance-ratio score of the fixed 2-update
     k-means clustering (same deterministic vec_id<8 init + round-6
@@ -3640,6 +3740,12 @@ PACKED_SUITES = {
         ("events_autocorr", [("lag", "i"), ("n", "i")], "ac"),
         ("embed_ch_index", [("k", "i"), ("n", "i")], "ch"),
         ("pagerank_resid5", [("it", "i")], "resid"),
+        ("docs_heaps", [("ck", "i"), ("tokens", "i"), ("vocab", "i")],
+         "beta"),
+        ("docs_chisq", [("dof", "i"), ("n", "i")], "chi2"),
+        ("docs_js", [("sa", "s"), ("sb", "s")], "js"),
+        ("trade_matrix", [("cust_nation", "s"), ("supp_nation", "s")],
+         "rev"),
     ]),
     # the splitmix64/knuth32 hash-replay family (seeded sampling and
     # bounded stochastic rounds) — its own slot so a member failure
@@ -3913,6 +4019,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_autocorr": _q_events_autocorr,
         "embed_ch_index": _q_embed_ch_index,
         "pagerank_resid5": _q_pagerank_resid5,
+        "docs_heaps": _q_docs_heaps,
+        "docs_chisq": _q_docs_chisq,
+        "docs_js": _q_docs_js,
+        "trade_matrix": _q_trade_matrix,
         # packed-suite members (heterogeneous keys -> one string col)
         "reciprocity": _q_reciprocity,
         "docs_lm_score": _q_docs_lm_score,
@@ -6513,6 +6623,109 @@ def oracle_sql() -> dict[str, str]:
     base["events_hourly"] = (
         "SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour, "
         "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2")
+    base["docs_heaps"] = (
+        # Heaps vocabulary-growth curve at 16 doc-id thresholds
+        # th_i = (max_id·(i+1)) // 16: integer token/vocab cumulatives,
+        # round-8 ln-ln least-squares β; empty corpus -> no rows
+        r"WITH mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS m "
+        r"FROM documents), "
+        r"th AS (SELECT CAST(range AS BIGINT) AS ck, "
+        r"(mx.m * (CAST(range AS BIGINT) + 1)) // 16 AS t "
+        r"FROM range(16) CROSS JOIN mx WHERE mx.m IS NOT NULL), "
+        r"c AS (SELECT doc_id, CAST(len(regexp_extract_all("
+        r"COALESCE(text, ''), '\S+')) AS BIGINT) AS n FROM documents), "
+        r"tk AS (SELECT th.ck, th.t, CAST(COALESCE(sum(c.n), 0) "
+        r"AS BIGINT) AS tokens FROM th LEFT JOIN c "
+        r"ON c.doc_id <= th.t GROUP BY 1, 2), "
+        r"tok AS (SELECT doc_id, unnest(string_split_regex("
+        r"COALESCE(text, ''), '\s+')) AS w FROM documents), "
+        r"f AS (SELECT w, CAST(min(doc_id) AS BIGINT) AS fd FROM tok "
+        r"WHERE w <> '' GROUP BY 1), "
+        r"vc AS (SELECT th.ck, CAST(count(f.w) AS BIGINT) AS vocab "
+        r"FROM th LEFT JOIN f ON f.fd <= th.t GROUP BY 1), "
+        r"pts AS (SELECT tk.ck, tk.tokens, vc.vocab FROM tk "
+        r"JOIN vc ON vc.ck = tk.ck), "
+        r"m2 AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        r"SUM(ln(CAST(tokens AS DOUBLE))) AS sx, "
+        r"SUM(ln(CAST(tokens AS DOUBLE)) * ln(CAST(tokens AS DOUBLE))) "
+        r"AS sxx, SUM(ln(CAST(vocab AS DOUBLE))) AS sy, "
+        r"SUM(ln(CAST(tokens AS DOUBLE)) * ln(CAST(vocab AS DOUBLE))) "
+        r"AS sxy FROM pts WHERE tokens > 0 AND vocab > 0) "
+        r"SELECT pts.ck, pts.tokens, pts.vocab, CASE WHEN m2.n >= 2 "
+        r"AND (m2.n * m2.sxx - m2.sx * m2.sx) > 0 THEN "
+        r"ROUND((m2.n * m2.sxy - m2.sx * m2.sy) / "
+        r"(m2.n * m2.sxx - m2.sx * m2.sx), 8) ELSE 0.0 END AS beta "
+        r"FROM pts CROSS JOIN m2")
+    base["docs_js"] = (
+        # pairwise JS divergence of the source unigram distributions:
+        # integer (source, term) counts + totals, fixed per-term IEEE
+        # sequence p = n/t, 0.5·(p·ln(2p/(p+q)) + q·ln(2q/(p+q)));
+        # round-8 over term SUM order (and last-ulp ln differences)
+        r"WITH tok AS (SELECT COALESCE(source, '') AS s, "
+        r"unnest(string_split_regex(COALESCE(text, ''), '\s+')) AS w "
+        r"FROM documents), "
+        "c AS (SELECT s, w, CAST(count(*) AS BIGINT) AS cnt FROM tok "
+        "WHERE w <> '' GROUP BY 1, 2), "
+        "tot AS (SELECT s, CAST(sum(cnt) AS BIGINT) AS t FROM c "
+        "GROUP BY 1), "
+        "pairs AS (SELECT a.s AS sa, a.t AS ta, b.s AS sb, b.t AS tb "
+        "FROM tot a JOIN tot b ON a.s < b.s), "
+        "g AS (SELECT p.sa, p.sb, p.ta, p.tb, c.w, "
+        "CAST(sum(CASE WHEN c.s = p.sa THEN c.cnt ELSE 0 END) "
+        "AS BIGINT) AS na, "
+        "CAST(sum(CASE WHEN c.s = p.sb THEN c.cnt ELSE 0 END) "
+        "AS BIGINT) AS nb "
+        "FROM pairs p JOIN c ON c.s = p.sa OR c.s = p.sb "
+        "GROUP BY 1, 2, 3, 4, 5), "
+        "t2 AS (SELECT sa, sb, "
+        "CAST(na AS DOUBLE) / CAST(ta AS DOUBLE) AS px, "
+        "CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE) AS py FROM g), "
+        "terms AS (SELECT sa, sb, 0.5 * ("
+        "CASE WHEN px > 0 THEN px * ln((2.0 * px) / (px + py)) "
+        "ELSE 0.0 END + "
+        "CASE WHEN py > 0 THEN py * ln((2.0 * py) / (px + py)) "
+        "ELSE 0.0 END) AS v FROM t2) "
+        "SELECT sa, sb, ROUND(sum(v), 8) AS js FROM terms "
+        "GROUP BY 1, 2")
+    base["trade_matrix"] = (
+        # Q7-family cross-nation revenue matrix: exact integer basis
+        # units, inner joins drop dangling keys on both sides
+        "WITH r AS (SELECT l_orderkey, l_suppkey, "
+        "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) * "
+        "(100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS rev "
+        "FROM lineitem), "
+        "j AS (SELECT cu.c_nationkey AS cn, su.s_nationkey AS sn, "
+        "r.rev FROM r JOIN orders o ON o.o_orderkey = r.l_orderkey "
+        "JOIN customer cu ON cu.c_custkey = o.o_custkey "
+        "JOIN supplier su ON su.s_suppkey = r.l_suppkey), "
+        "a AS (SELECT cn, sn, CAST(sum(rev) AS BIGINT) AS rev FROM j "
+        "GROUP BY 1, 2) "
+        "SELECT nc.n_name AS cust_nation, ns.n_name AS supp_nation, "
+        "a.rev FROM a JOIN nation nc ON nc.n_nationkey = a.cn "
+        "JOIN nation ns ON ns.n_nationkey = a.sn")
+    base["docs_chisq"] = (
+        # lang × source contingency chi-square: integer marginals,
+        # fixed per-cell IEEE term e = (r·c)/n, (o−e)²/e; round-8 over
+        # cell SUM order; NULL categories count as ''
+        "WITH ct AS (SELECT COALESCE(lang, '') AS a, "
+        "COALESCE(source, '') AS b, CAST(count(*) AS BIGINT) AS o "
+        "FROM documents GROUP BY 1, 2), "
+        "r AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM ct "
+        "GROUP BY 1), "
+        "c AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM ct "
+        "GROUP BY 1), "
+        "nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM ct), "
+        "grid AS (SELECT r.ra, c.cb, COALESCE(ct.o, 0) AS o, "
+        "(CAST(r.ra AS DOUBLE) * CAST(c.cb AS DOUBLE)) / "
+        "(SELECT CAST(n AS DOUBLE) FROM nn) AS e "
+        "FROM r CROSS JOIN c LEFT JOIN ct "
+        "ON ct.a = r.a AND ct.b = c.b), "
+        "s AS (SELECT sum(((CAST(o AS DOUBLE) - e) * "
+        "(CAST(o AS DOUBLE) - e)) / e) AS chi2 FROM grid) "
+        "SELECT CAST(((SELECT count(*) FROM r) - 1) * "
+        "((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof, "
+        "nn.n, ROUND(s.chi2, 8) AS chi2 FROM nn CROSS JOIN s "
+        "WHERE nn.n IS NOT NULL")
     base["events_autocorr"] = (
         # contiguous day grid (missing days 0), integer moments per
         # lag, the same fixed IEEE Pearson tail as events_type_corr —

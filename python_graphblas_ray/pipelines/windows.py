@@ -998,3 +998,62 @@ def inter_arrival_gaps(events_ds, user_col="user_id", ts_col="ts",
     return hash_exchange_apply(
         events_ds.select_columns([user_col, ts_col, type_col, id_col]),
         user_col, part, num_partitions=num_partitions)
+
+
+def contingency_chisq(ds, col_a, col_b):
+    """Pearson chi-square independence statistic of the ``col_a`` ×
+    ``col_b`` contingency table — the dataset-card "is the language
+    mix independent of the source?" readout (large χ² = the crawl's
+    sources have very different language profiles; near-dof = mix is
+    homogeneous).
+
+    Scale shape: ONE grouped-count exchange bounded by |A| × |B|
+    distinct pairs (both tiny next to the stream); the R×C finish runs
+    on the driver. NULL categories count as ``''``.
+
+    Determinism: observed/marginal counts are integers (bit-exact);
+    each cell's term is the fixed IEEE sequence ``e = (double(rᵢ) ·
+    double(cⱼ)) / double(n)``, ``(double(o) − e)² / e``; callers
+    comparing against a SQL twin round the statistic to 8 decimals
+    (cell summation order is unspecified). Returns one row
+    ``(dof, n, chi2)`` with ``dof = (R−1)(C−1)``; empty input → 0
+    rows."""
+    from ..stages.reduce import grouped_agg
+
+    empty = pa.table({"dof": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64()),
+                      "chi2": pa.array([], pa.float64())})
+
+    def clean(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": pc.fill_null(batch[col_a].cast(pa.string()), ""),
+            "b": pc.fill_null(batch[col_b].cast(pa.string()), "")})
+
+    counts = grouped_agg(
+        ds.select_columns([col_a, col_b]).map_batches(
+            clean, batch_format="pyarrow"),
+        ["a", "b"], [("a", "count", "o")])
+    tabs = [b for b in counts.iter_batches(batch_format="pyarrow",
+                                           batch_size=None)
+            if b.num_rows and "o" in b.column_names]
+    if not tabs:
+        return empty
+    t = pa.concat_tables(tabs, promote_options="permissive")
+    a = np.asarray(t["a"].to_pylist(), dtype=object)
+    b = np.asarray(t["b"].to_pylist(), dtype=object)
+    o = t["o"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ua, ia = np.unique(a, return_inverse=True)
+    ub, ib = np.unique(b, return_inverse=True)
+    O = np.zeros((len(ua), len(ub)), dtype=np.int64)
+    O[ia, ib] = o
+    r = O.sum(axis=1)
+    c = O.sum(axis=0)
+    n = int(O.sum())
+    e = (r[:, None].astype(np.float64) * c[None, :].astype(np.float64)
+         ) / np.float64(n)
+    d = O.astype(np.float64) - e
+    chi2 = float(((d * d) / e).sum())
+    dof = (len(ua) - 1) * (len(ub) - 1)
+    return pa.table({"dof": pa.array([dof], pa.int64()),
+                     "n": pa.array([n], pa.int64()),
+                     "chi2": pa.array([chi2], pa.float64())})

@@ -815,3 +815,255 @@ def zipf_slope(docs_ds, text_col="text", top_n=100):
             slope = (n * np.sum(x * y) - np.sum(x) * np.sum(y)) / den
     return pa.table({"n_terms": pa.array([n], pa.int64()),
                      "slope": pa.array([slope], pa.float64())})
+
+
+def heaps_fit(docs_ds, id_col="doc_id", text_col="text",
+              n_checkpoints=16):
+    """Heaps'-law vocabulary-growth fit ``V(T) ≈ K·T^β``: the
+    dataset-card readout for "is the corpus still yielding new
+    vocabulary?" (natural web text sits near β ≈ 0.5; heavily deduped
+    or templated corpora flatten, OCR noise inflates). The growth
+    curve is sampled at ``n_checkpoints`` doc-id thresholds
+    ``th_i = (max_id·(i+1)) // n_checkpoints``: ``T_i`` = total
+    whitespace tokens of docs with id ≤ th_i, ``V_i`` = distinct terms
+    whose FIRST occurrence (min doc id) is ≤ th_i; β is the
+    least-squares slope of ``ln V`` on ``ln T`` over the positive
+    checkpoints.
+
+    Scale shape: one max-reduction over the id column, ONE streaming
+    token-count pass emitting per-block ``n_checkpoints``-bin
+    histograms, and ONE vocab-bounded grouped-min exchange for the
+    first occurrences (each block pre-collapses to its distinct terms
+    — the ``word_counts`` posture) finished by a second tiny bucketed
+    count; the O(n_checkpoints) fit runs on the driver.
+
+    Determinism: thresholds, T and V are pure integers (bit-exact at
+    any partition count); β is the fixed ``(m·Σxy − Σx·Σy)/(m·Σxx −
+    Σx²)`` formula — callers comparing against a SQL twin round to 8
+    decimals (SUM order is unspecified). Degenerate corpora (<2
+    positive checkpoints or zero variance) pin β = 0.0. Returns
+    ``(ck, tokens, vocab, beta)`` — one row per checkpoint, β repeated
+    — or 0 rows for an empty corpus."""
+    from ..stages.reduce import grouped_agg
+
+    empty = pa.table({"ck": pa.array([], pa.int64()),
+                      "tokens": pa.array([], pa.int64()),
+                      "vocab": pa.array([], pa.int64()),
+                      "beta": pa.array([], pa.float64())})
+
+    def id_max(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({"m": pa.array([int(ids.max())], pa.int64())})
+
+    mx = None
+    for b in docs_ds.select_columns([id_col]).map_batches(
+            id_max, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None):
+        if b.num_rows and "m" in b.column_names:
+            bm = int(b["m"].to_numpy(zero_copy_only=False).max())
+            mx = bm if mx is None else max(mx, bm)
+    if mx is None:
+        return empty
+    k = n_checkpoints
+    th = (mx * (np.arange(1, k + 1, dtype=np.int64))) // k
+
+    def tok_hist(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.fill_null(batch[text_col], ""), r"\S+").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        bins = np.searchsorted(th, ids, side="left")
+        return pa.table({"ck": np.arange(k, dtype=np.int64),
+                         "t": np.bincount(bins, weights=n,
+                                          minlength=k)
+                         .astype(np.int64)})
+
+    tok = np.zeros(k, dtype=np.int64)
+    for b in docs_ds.select_columns([id_col, text_col]).map_batches(
+            tok_hist, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None):
+        if b.num_rows and "t" in b.column_names:
+            np.add.at(tok, b["ck"].to_numpy(zero_copy_only=False),
+                      b["t"].to_numpy(zero_copy_only=False))
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.split_pattern_regex(pc.fill_null(texts, ""), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        keep = pc.greater(pc.binary_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        ids = batch[id_col].to_numpy(
+            zero_copy_only=False)[parent[keep]]
+        enc = flat.filter(pa.array(keep)).dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        fd = np.full(len(enc.dictionary), np.iinfo(np.int64).max,
+                     dtype=np.int64)
+        np.minimum.at(fd, idx, ids)
+        return pa.table({"w": enc.dictionary,
+                         "fd": pa.array(fd, pa.int64())})
+
+    firsts = grouped_agg(
+        docs_ds.select_columns([id_col, text_col]).map_batches(
+            first_partial, batch_format="pyarrow", batch_size=4096),
+        ["w"], [("fd", "min", "fd")])
+
+    def voc_hist(batch: pa.Table) -> pa.Table:
+        fd = batch["fd"].to_numpy(zero_copy_only=False)
+        bins = np.searchsorted(th, fd, side="left")
+        return pa.table({"ck": np.arange(k, dtype=np.int64),
+                         "v": np.bincount(bins, minlength=k)
+                         .astype(np.int64)})
+
+    voc = np.zeros(k, dtype=np.int64)
+    for b in firsts.map_batches(
+            voc_hist, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None):
+        if b.num_rows and "v" in b.column_names:
+            np.add.at(voc, b["ck"].to_numpy(zero_copy_only=False),
+                      b["v"].to_numpy(zero_copy_only=False))
+
+    T = np.cumsum(tok)
+    V = np.cumsum(voc)
+    pos = (T > 0) & (V > 0)
+    beta = 0.0
+    m = int(pos.sum())
+    if m >= 2:
+        x = np.log(T[pos].astype(np.float64))
+        y = np.log(V[pos].astype(np.float64))
+        den = m * np.sum(x * x) - np.sum(x) * np.sum(x)
+        if den > 0:
+            beta = float((m * np.sum(x * y) - np.sum(x) * np.sum(y))
+                         / den)
+    return pa.table({"ck": pa.array(np.arange(k, dtype=np.int64)),
+                     "tokens": pa.array(T, pa.int64()),
+                     "vocab": pa.array(V, pa.int64()),
+                     "beta": pa.array(np.full(k, beta), pa.float64())})
+
+
+def js_source_divergence(docs_ds, text_col="text", source_col="source"):
+    """Pairwise Jensen-Shannon divergence between the unigram
+    term distributions of every source pair — the dataset-card "which
+    crawl sources have divergent content profiles?" readout (0 =
+    identical mix, ln 2 ≈ 0.693 = disjoint vocabularies; mixture
+    weighting decisions key off exactly this).
+
+    Scale shape: the corpus collapses to its (source, term) frequency
+    table in ONE streaming pass (per-batch dictionary-encode + packed
+    bincount partials — the ``word_counts`` posture, bounded by
+    |sources| × vocabulary); per-source totals are a second tiny
+    grouped sum (≤ |sources| rows, broadcast in-closure); then ONE
+    term-keyed exchange co-locates each term's per-source counts and
+    every partition emits k×k JS partial sums — the corpus never
+    returns to the driver, which only adds |pairs| partials.
+
+    Determinism: counts and totals are integers; each term's
+    contribution is the fixed IEEE sequence ``p = n/t``,
+    ``0.5·(p·ln(2p/(p+q)) + q·ln(2q/(p+q)))`` (zero sides contribute
+    their ``q·ln 2`` half only); callers comparing against a SQL twin
+    round to 8 decimals (term summation order is unspecified, and
+    numpy/DuckDB ``ln`` may differ in the last ulp). Sources with zero
+    tokens take part in no pair. Returns ``(sa, sb, js)`` for
+    ``sa < sb`` lexicographic; <2 live sources → 0 rows."""
+    from ..stages.exchange import hash_exchange_apply
+    from ..stages.reduce import grouped_agg
+
+    empty = pa.table({"sa": pa.array([], pa.string()),
+                      "sb": pa.array([], pa.string()),
+                      "js": pa.array([], pa.float64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        toks = pc.split_pattern_regex(texts, r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        keep = pc.greater(pc.binary_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        src = pc.fill_null(batch[source_col].cast(pa.string()), "")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        senc = src.dictionary_encode()
+        sidx = senc.indices.to_numpy(
+            zero_copy_only=False)[parent[keep]]
+        wenc = flat.filter(pa.array(keep)).dictionary_encode()
+        widx = wenc.indices.to_numpy(zero_copy_only=False)
+        nw = len(wenc.dictionary)
+        packed = sidx.astype(np.int64) * nw + widx
+        cnt = np.bincount(packed, minlength=len(senc.dictionary) * nw)
+        live = np.flatnonzero(cnt)
+        return pa.table({
+            "s": senc.dictionary.take(pa.array(live // nw)),
+            "w": wenc.dictionary.take(pa.array(live % nw)),
+            "cnt": pa.array(cnt[live], pa.int64())})
+
+    counts = grouped_agg(
+        docs_ds.select_columns([source_col, text_col]).map_batches(
+            partial, batch_format="pyarrow", batch_size=4096),
+        ["s", "w"], [("cnt", "sum", "cnt")])
+
+    totals = {}
+    tot_ds = grouped_agg(counts, ["s"], [("cnt", "sum", "t")])
+    for b in tot_ds.iter_batches(batch_format="pyarrow",
+                                 batch_size=None):
+        if b.num_rows and "t" in b.column_names:
+            for s, t in zip(b["s"].to_pylist(),
+                            b["t"].to_pylist()):
+                totals[s] = totals.get(s, 0) + int(t)
+    sources = np.array(sorted(totals), dtype=object)
+    k = len(sources)
+    if k < 2:
+        return empty
+    tot = np.array([totals[s] for s in sources], dtype=np.float64)
+    ia, ib = np.triu_indices(k, k=1)
+
+    def part_js(t: pa.Table) -> pa.Table:
+        out_sa = sources[ia]
+        out_sb = sources[ib]
+        js = np.zeros(len(ia))
+        if t.num_rows:
+            s = np.asarray(t["s"].to_pylist(), dtype=object)
+            w = np.asarray(t["w"].to_pylist(), dtype=object)
+            c = t["cnt"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            _, iw = np.unique(w, return_inverse=True)
+            si = np.searchsorted(sources, s)
+            M = np.zeros((int(iw.max()) + 1, k))
+            M[iw, si] = c
+            P = M / tot[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for x, (i, j) in enumerate(zip(ia, ib)):
+                    pi, pj = P[:, i], P[:, j]
+                    m2 = pi + pj
+                    ta = np.where(pi > 0,
+                                  pi * np.log((2.0 * pi) / m2), 0.0)
+                    tb = np.where(pj > 0,
+                                  pj * np.log((2.0 * pj) / m2), 0.0)
+                    js[x] = (0.5 * (ta + tb)).sum()
+        return pa.table({"sa": pa.array(out_sa.tolist(), pa.string()),
+                         "sb": pa.array(out_sb.tolist(), pa.string()),
+                         "js": pa.array(js, pa.float64())})
+
+    acc = np.zeros(len(ia))
+    for b in hash_exchange_apply(counts, "w", part_js).iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        if b.num_rows and "js" in b.column_names:
+            sa = np.asarray(b["sa"].to_pylist(), dtype=object)
+            sb = np.asarray(b["sb"].to_pylist(), dtype=object)
+            v = b["js"].to_numpy(zero_copy_only=False)
+            idx = (np.searchsorted(sources, sa) * k
+                   + np.searchsorted(sources, sb))
+            flat_idx = {int(a) * k + int(bb): x
+                        for x, (a, bb) in enumerate(zip(ia, ib))}
+            pos = np.array([flat_idx[int(i)] for i in idx],
+                           dtype=np.int64)
+            np.add.at(acc, pos, v)
+    return pa.table({"sa": pa.array(sources[ia].tolist(), pa.string()),
+                     "sb": pa.array(sources[ib].tolist(), pa.string()),
+                     "js": pa.array(acc, pa.float64())})
