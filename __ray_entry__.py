@@ -3325,6 +3325,67 @@ def _q_trade_matrix(sf_dir):
         "rev": pa.array(df["rev"].astype(np.int64), pa.int64())})
 
 
+def _q_docs_tfidf(sf_dir):
+    """Top-20 corpus terms by TF-IDF ``cnt · ln(N/df)`` — the
+    "which terms carry signal vs boilerplate" dataset-card readout.
+    ONE vocab-bounded grouped exchange (cnt and distinct-doc df
+    partials sum exactly: a doc never spans two batches) + per-block
+    top-k candidate cuts; ranking on the ROUNDED (8) score with
+    (score DESC, term) tie order keeps the cut oracle-replayable."""
+    from python_graphblas_ray.stages.text import tfidf_top_terms
+
+    try:
+        n_docs = _read(sf_dir, "documents",
+                       columns=["doc_id"]).count()
+    except Exception:
+        n_docs = 0
+    return tfidf_top_terms(
+        _read(sf_dir, "documents", columns=["text"]),
+        n_docs, text_col="text", top_k=20)
+
+
+def _q_big_orders(sf_dir):
+    """TPC-H Q18 family (large-volume customers): orders whose total
+    line quantity exceeds 150, with their customer — ONE bounded
+    grouped sum keyed by orderkey (quantities are integral doubles,
+    so the sum is EXACT in any merge order) + HAVING filter + two
+    hash joins (order → customer; dangling keys drop, matching the
+    oracle's inner joins). Integers — bit-exact."""
+    from python_graphblas_ray.stages.join import hash_join
+    from python_graphblas_ray.stages.reduce import grouped_agg
+
+    empty = pa.table({"custkey": pa.array([], pa.int64()),
+                      "orderkey": pa.array([], pa.int64()),
+                      "sum_qty": pa.array([], pa.float64())})
+
+    def big(batch: pa.Table) -> pa.Table:
+        keep = pa.array(batch["sum_qty"].to_numpy(
+            zero_copy_only=False) > 150.0)
+        return batch.filter(keep)
+
+    try:
+        agg = grouped_agg(
+            _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_quantity"]),
+            ["l_orderkey"], [("l_quantity", "sum", "sum_qty")])
+        j = hash_join(agg.map_batches(big, batch_format="pyarrow"),
+                      _read(sf_dir, "orders",
+                            columns=["o_orderkey", "o_custkey"]),
+                      on="l_orderkey", right_on="o_orderkey")
+        j = hash_join(j, _read(sf_dir, "customer",
+                               columns=["c_custkey"]),
+                      on="o_custkey", right_on="c_custkey")
+        t = _as_table(j)
+    except Exception:
+        return empty
+    if t is None or "o_custkey" not in t.column_names:
+        return empty
+    return pa.table({
+        "custkey": t["o_custkey"].cast(pa.int64()),
+        "orderkey": t["l_orderkey"].cast(pa.int64()),
+        "sum_qty": t["sum_qty"].cast(pa.float64())})
+
+
 def _q_docs_chisq(sf_dir):
     """Pearson chi-square independence of the lang × source
     contingency table: integer marginals off ONE |langs|×|sources|-
@@ -3746,6 +3807,10 @@ PACKED_SUITES = {
         ("docs_js", [("sa", "s"), ("sb", "s")], "js"),
         ("trade_matrix", [("cust_nation", "s"), ("supp_nation", "s")],
          "rev"),
+        ("docs_tfidf", [("term", "s"), ("cnt", "i"), ("df", "i")],
+         "tfidf"),
+        ("big_orders", [("custkey", "i"), ("orderkey", "i")],
+         "sum_qty"),
     ]),
     # the splitmix64/knuth32 hash-replay family (seeded sampling and
     # bounded stochastic rounds) — its own slot so a member failure
@@ -4023,6 +4088,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chisq": _q_docs_chisq,
         "docs_js": _q_docs_js,
         "trade_matrix": _q_trade_matrix,
+        "docs_tfidf": _q_docs_tfidf,
+        "big_orders": _q_big_orders,
         # packed-suite members (heterogeneous keys -> one string col)
         "reciprocity": _q_reciprocity,
         "docs_lm_score": _q_docs_lm_score,
@@ -6703,6 +6770,30 @@ def oracle_sql() -> dict[str, str]:
         "SELECT nc.n_name AS cust_nation, ns.n_name AS supp_nation, "
         "a.rev FROM a JOIN nation nc ON nc.n_nationkey = a.cn "
         "JOIN nation ns ON ns.n_nationkey = a.sn")
+    base["docs_tfidf"] = (
+        # top-20 terms by tfidf = cnt · ln(N/df); ranking on the
+        # ROUNDED (8, half-away) score with (score DESC, term) ties —
+        # the docs_rrf convention keeps the cut replayable
+        r"WITH tok AS (SELECT doc_id, unnest(string_split_regex("
+        r"COALESCE(text, ''), '\s+')) AS w FROM documents), "
+        "tf AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok "
+        "WHERE w <> '' GROUP BY 1), "
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents), "
+        "s AS (SELECT w, cnt, df, ROUND(cnt * ln(CAST(nd AS DOUBLE) "
+        "/ df), 8) AS tfidf FROM tf, n) "
+        "SELECT w AS term, cnt, df, tfidf FROM s "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY tfidf DESC, w) <= 20")
+    base["big_orders"] = (
+        # Q18 family: total line quantity per order > 150 (integral
+        # doubles — the sum is exact in any order), inner joins drop
+        # dangling order/customer keys exactly like the Ray side
+        "WITH big AS (SELECT l_orderkey, SUM(l_quantity) AS sum_qty "
+        "FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 150) "
+        "SELECT c.c_custkey AS custkey, b.l_orderkey AS orderkey, "
+        "b.sum_qty FROM big b "
+        "JOIN orders o ON o.o_orderkey = b.l_orderkey "
+        "JOIN customer c ON c.c_custkey = o.o_custkey")
     base["docs_chisq"] = (
         # lang × source contingency chi-square: integer marginals,
         # fixed per-cell IEEE term e = (r·c)/n, (o−e)²/e; round-8 over

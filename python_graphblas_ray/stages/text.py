@@ -1067,3 +1067,108 @@ def js_source_divergence(docs_ds, text_col="text", source_col="source"):
     return pa.table({"sa": pa.array(sources[ia].tolist(), pa.string()),
                      "sb": pa.array(sources[ib].tolist(), pa.string()),
                      "js": pa.array(acc, pa.float64())})
+
+
+def tfidf_top_terms(docs_ds, n_docs, id_col="doc_id", text_col="text",
+                    top_k=20):
+    """Corpus-level TF-IDF term ranking: the top-``top_k`` terms by
+    ``tfidf = cnt · ln(N / df)`` where ``cnt`` is the corpus-wide term
+    frequency, ``df`` the number of distinct documents containing the
+    term, and ``N = n_docs`` the corpus size — the dataset-card
+    "which terms carry signal vs boilerplate" readout (reference
+    semantics family: salient-term extraction next to textrank /
+    collocations; ref graphblas has no text ops — this is the
+    training-data-pipeline extension surface).
+
+    Scale shape: each document lives in ONE row, so the (term, cnt,
+    df) triple is computable with per-batch Arrow kernels — split +
+    dictionary-encode + bincount for ``cnt``, a packed (row, code)
+    ``np.unique`` for the per-batch distinct-doc count — and both
+    partials SUM exactly across batches (no doc spans two batches).
+    ONE vocab-bounded grouped exchange merges them; each vocab block
+    then emits only its own top-``top_k`` candidate cut (score is a
+    per-row function of (cnt, df), so the global top-k is contained
+    in the union of per-block top-ks) — the driver never sees the
+    vocabulary, same posture as ``zipf_slope``.
+
+    Determinism: score is ROUNDED to 8 decimals before ranking (ln's
+    last-ulp is the only cross-engine hazard; ranking on the rounded
+    value keeps the order oracle-replayable — the ``docs_rrf``
+    convention), ties break on the term string ascending. Returns
+    ``(term, cnt, df, tfidf)`` in (tfidf DESC, term) order."""
+    from .reduce import grouped_agg
+
+    empty = pa.table({"term": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64()),
+                      "df": pa.array([], pa.int64()),
+                      "tfidf": pa.array([], pa.float64())})
+    if n_docs <= 0:
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.split_pattern_regex(pc.fill_null(texts, ""), r"\s+")
+        flat = pc.list_flatten(toks)
+        row = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        keep = pc.greater(pc.binary_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        enc = flat.filter(pa.array(keep)).dictionary_encode()
+        row = row[keep]
+        nvocab = len(enc.dictionary)
+        if nvocab == 0:
+            return pa.table({"w": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64())})
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cnt = np.bincount(code, minlength=nvocab)
+        # distinct (doc, term) within the batch: docs never span
+        # batches, so these partials sum exactly across batches
+        dd = np.unique(row.astype(np.int64) * nvocab + code) % nvocab
+        df_ = np.bincount(dd, minlength=nvocab)
+        return pa.table({"w": enc.dictionary,
+                         "cnt": pa.array(cnt.astype(np.int64)),
+                         "df": pa.array(df_.astype(np.int64))})
+
+    merged = grouped_agg(
+        docs_ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=4096),
+        ["w"], [("cnt", "sum", "cnt"), ("df", "sum", "df")])
+
+    nd = float(n_docs)
+
+    def block_top(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "cnt" not in batch.column_names:
+            return empty
+        c = batch["cnt"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        d = batch["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.asarray(batch["w"].to_pylist(), dtype=object)
+        raw = c.astype(np.float64) * np.log(nd / d)
+        # DuckDB-compatible ROUND (half away from zero; np.round is
+        # banker's — they differ only on exact half-grain ties)
+        score = np.copysign(np.floor(np.abs(raw) * 1e8 + 0.5) / 1e8, raw)
+        order = np.lexsort((w, -score))[:top_k]
+        return pa.table({"term": pa.array(w[order].tolist(),
+                                          pa.string()),
+                         "cnt": pa.array(c[order], pa.int64()),
+                         "df": pa.array(d[order], pa.int64()),
+                         "tfidf": pa.array(score[order], pa.float64())})
+
+    tabs = [b for b in merged.map_batches(
+                block_top, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow", batch_size=None)
+            if b.num_rows and "term" in b.column_names]
+    if not tabs:
+        return empty
+    t = pa.concat_tables(tabs, promote_options="permissive")
+    s = t["tfidf"].to_numpy(zero_copy_only=False)
+    w = np.asarray(t["term"].to_pylist(), dtype=object)
+    order = np.lexsort((w, -s))[:top_k]
+    return pa.table({"term": pa.array(w[order].tolist(), pa.string()),
+                     "cnt": t["cnt"].take(pa.array(order)),
+                     "df": t["df"].take(pa.array(order)),
+                     "tfidf": t["tfidf"].take(pa.array(order))})

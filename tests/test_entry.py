@@ -58,7 +58,8 @@ SAMPLE = ["edges_build", "degree_out", "mxv_plus_times", "mxm_plus_times",
           "simhash_sig", "ann_ivf_fixed", "sssp_parents", "ball2_size",
           "edge_percolation", "revenue_by_nation",
           "revenue_by_brand_nation", "global_efficiency",
-          "percolation_curve", "betweenness_s0", "docs_cdc_bounds"]
+          "percolation_curve", "betweenness_s0", "docs_cdc_bounds",
+          "docs_tfidf", "big_orders"]
 
 
 @pytest.fixture(scope="module")
