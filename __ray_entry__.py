@@ -3209,6 +3209,128 @@ def _q_customers_no_orders(sf_dir):
                      "n": t["n"].cast(pa.int64())})
 
 
+def _q_small_qty_revenue(sf_dir):
+    """TPC-H Q17 family (small-quantity-order revenue, per brand):
+    revenue locked in lines whose quantity is below 20% of their
+    part's average — the aggregate-then-rejoin shape (ONE bounded
+    grouped (sum, count) keyed by partkey, threshold = the fixed IEEE
+    tail ``0.2 * (sum/cnt)`` replicated verbatim in SQL, re-join to
+    the line stream + part dims, ONE ≤|brands|-row grouped sum over
+    integer cents). Quantities are integral doubles → the per-part
+    sum is exact in any merge order; the only float ops are the
+    division and the 0.2 multiply, identical two-op sequences on both
+    sides — bit-exact."""
+    from python_graphblas_ray.stages.join import hash_join
+    from python_graphblas_ray.stages.reduce import grouped_agg
+
+    empty = pa.table({"brand": pa.array([], pa.string()),
+                      "n_lines": pa.array([], pa.int64()),
+                      "rev": pa.array([], pa.int64())})
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def small(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        sq = batch["sq"].to_numpy(zero_copy_only=False)
+        nq = batch["nq"].to_numpy(zero_copy_only=False)
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        keep = pa.array(q < 0.2 * (sq / nq))
+        return pa.table({
+            "l_partkey": batch["l_partkey"].filter(keep),
+            "cents": pa.array(np.floor(
+                p * 100.0 + 0.5).astype(np.int64)[
+                    keep.to_numpy(zero_copy_only=False)])})
+
+    try:
+        avg = grouped_agg(
+            li.select_columns(["l_partkey", "l_quantity"]),
+            ["l_partkey"], [("l_quantity", "sum", "sq"),
+                            (None, "count", "nq")])
+        j = hash_join(li, avg, on="l_partkey")
+        j = hash_join(j.map_batches(small, batch_format="pyarrow"),
+                      _read(sf_dir, "part",
+                            columns=["p_partkey", "p_brand"]),
+                      on="l_partkey", right_on="p_partkey")
+        h = grouped_agg(j.select_columns(["p_brand", "cents"]),
+                        ["p_brand"], [(None, "count", "n_lines"),
+                                      ("cents", "sum", "rev")])
+        t = _as_table(h)
+    except Exception:
+        return empty
+    if t is None or "p_brand" not in t.column_names:
+        return empty
+    return pa.table({"brand": t["p_brand"].cast(pa.string()),
+                     "n_lines": t["n_lines"].cast(pa.int64()),
+                     "rev": t["rev"].cast(pa.int64())})
+
+
+def _q_idle_rich_customers(sf_dir):
+    """TPC-H Q22 family (promising idle customers): customers whose
+    balance beats the positive-balance average but who never ordered,
+    counted and balance-summed per market segment — the global-
+    aggregate-as-filter-threshold shape (ONE streaming (sum, count)
+    fold over integer cents, driver-held scalar, broadcast into the
+    filter) + the shuffle anti-join + ONE bounded grouped sum.
+    Balances ride integer cents so every sum is exact; the threshold
+    compare ``cents > sum/cnt`` is the same single IEEE division and
+    int→double promote on both sides — bit-exact."""
+    from python_graphblas_ray.stages.join import semi_join_shuffle
+    from python_graphblas_ray.stages.reduce import grouped_agg
+
+    empty = pa.table({"seg": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64()),
+                      "sum_cents": pa.array([], pa.int64())})
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        b = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_custkey": batch["c_custkey"],
+            "c_mktsegment": batch["c_mktsegment"],
+            "cents": pa.array(np.floor(b * 100.0 + 0.5).astype(
+                np.int64))})
+
+    try:
+        cc = cust.map_batches(cents, batch_format="pyarrow")
+        s = n = 0
+        for b in cc.iter_batches(batch_format="pyarrow",
+                                 batch_size=None):
+            if b.num_rows and "cents" in b.column_names:
+                v = b["cents"].to_numpy(zero_copy_only=False)
+                pos = v[v > 0]
+                s += int(pos.sum())
+                n += len(pos)
+        if n == 0:
+            return empty
+        thr = s / n  # one IEEE division, replicated in the oracle
+
+        def rich(batch: pa.Table) -> pa.Table:
+            keep = pa.array(batch["cents"].to_numpy(
+                zero_copy_only=False) > thr)
+            return batch.filter(keep)
+
+        def ren(batch: pa.Table) -> pa.Table:
+            return pa.table({"c_custkey": batch["o_custkey"]})
+
+        left = semi_join_shuffle(
+            cc.map_batches(rich, batch_format="pyarrow"),
+            ["c_custkey"],
+            _read(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+                ren, batch_format="pyarrow"), anti=True)
+        h = grouped_agg(left, ["c_mktsegment"],
+                        [(None, "count", "n"),
+                         ("cents", "sum", "sum_cents")])
+        t = _as_table(h)
+    except Exception:
+        return empty
+    if t is None or "c_mktsegment" not in t.column_names:
+        return empty
+    return pa.table({"seg": t["c_mktsegment"].cast(pa.string()),
+                     "n": t["n"].cast(pa.int64()),
+                     "sum_cents": t["sum_cents"].cast(pa.int64())})
+
+
 def _q_scc_dag_longest(sf_dir):
     """Critical chain of the SCC condensation: FW-BW SCC labels → one
     streaming broadcast-remap pass over the directed edges (≤ |SCCs|²
@@ -3811,6 +3933,10 @@ PACKED_SUITES = {
          "tfidf"),
         ("big_orders", [("custkey", "i"), ("orderkey", "i")],
          "sum_qty"),
+        ("small_qty_revenue", [("brand", "s"), ("n_lines", "i")],
+         "rev"),
+        ("idle_rich_customers", [("seg", "s"), ("n", "i")],
+         "sum_cents"),
     ]),
     # the splitmix64/knuth32 hash-replay family (seeded sampling and
     # bounded stochastic rounds) — its own slot so a member failure
@@ -4090,6 +4216,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trade_matrix": _q_trade_matrix,
         "docs_tfidf": _q_docs_tfidf,
         "big_orders": _q_big_orders,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "idle_rich_customers": _q_idle_rich_customers,
         # packed-suite members (heterogeneous keys -> one string col)
         "reciprocity": _q_reciprocity,
         "docs_lm_score": _q_docs_lm_score,
@@ -6794,6 +6922,33 @@ def oracle_sql() -> dict[str, str]:
         "b.sum_qty FROM big b "
         "JOIN orders o ON o.o_orderkey = b.l_orderkey "
         "JOIN customer c ON c.c_custkey = o.o_custkey")
+    base["small_qty_revenue"] = (
+        # Q17 family: lines below 20% of their part's average quantity,
+        # revenue in integer cents per brand; the threshold is the
+        # identical two-op IEEE tail 0.2 * (sum/cnt)
+        "WITH a AS (SELECT l_partkey, SUM(l_quantity) AS sq, "
+        "CAST(count(*) AS BIGINT) AS nq FROM lineitem GROUP BY 1), "
+        "s AS (SELECT p.p_brand, CAST(FLOOR(l.l_extendedprice * 100 "
+        "+ 0.5) AS BIGINT) AS cents FROM lineitem l "
+        "JOIN a ON a.l_partkey = l.l_partkey "
+        "JOIN part p ON p.p_partkey = l.l_partkey "
+        "WHERE l.l_quantity < 0.2 * (a.sq / a.nq)) "
+        "SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_lines, "
+        "CAST(sum(cents) AS BIGINT) AS rev FROM s GROUP BY 1")
+    base["idle_rich_customers"] = (
+        # Q22 family: balance (integer cents) above the positive-
+        # balance average, no orders (NOT EXISTS anti-join), grouped
+        # per segment; threshold = one IEEE division sum/cnt
+        "WITH c2 AS (SELECT c_custkey, c_mktsegment, "
+        "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents "
+        "FROM customer), "
+        "t AS (SELECT CAST(SUM(cents) AS DOUBLE) / "
+        "CAST(count(*) AS BIGINT) AS thr FROM c2 WHERE cents > 0) "
+        "SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(cents) AS BIGINT) AS sum_cents "
+        "FROM c2, t WHERE cents > thr AND NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c2.c_custkey) "
+        "GROUP BY 1")
     base["docs_chisq"] = (
         # lang × source contingency chi-square: integer marginals,
         # fixed per-cell IEEE term e = (r·c)/n, (o−e)²/e; round-8 over

@@ -59,7 +59,8 @@ SAMPLE = ["edges_build", "degree_out", "mxv_plus_times", "mxm_plus_times",
           "edge_percolation", "revenue_by_nation",
           "revenue_by_brand_nation", "global_efficiency",
           "percolation_curve", "betweenness_s0", "docs_cdc_bounds",
-          "docs_tfidf", "big_orders"]
+          "docs_tfidf", "big_orders", "small_qty_revenue",
+          "idle_rich_customers"]
 
 
 @pytest.fixture(scope="module")

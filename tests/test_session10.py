@@ -109,3 +109,87 @@ def test_big_orders_pandas_parity(tmp_path):
     assert (got.custkey.to_numpy() == want.custkey.to_numpy()).all()
     assert (got.orderkey.to_numpy() == want.orderkey.to_numpy()).all()
     assert np.allclose(got.sum_qty, want.sum_qty, rtol=0, atol=0)
+
+
+def test_small_qty_revenue_pandas_parity(tmp_path):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as em
+
+    rng = np.random.default_rng(11)
+    li = pd.DataFrame({
+        "l_partkey": rng.integers(0, 30, 800),
+        "l_quantity": rng.integers(1, 50, 800).astype(float),
+        "l_extendedprice": np.round(
+            rng.uniform(1, 1000, 800), 2)})
+    part = pd.DataFrame({
+        "p_partkey": np.arange(0, 25),  # keys 25..29 dangle
+        "p_brand": [f"B{i % 4}" for i in range(25)]})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(li), d / "lineitem.parquet")
+    pq.write_table(pa.Table.from_pandas(part), d / "part.parquet")
+    for name in ["region", "nation", "customer", "supplier", "orders",
+                 "events", "documents", "embeddings"]:
+        pq.write_table(pa.table({"x": pa.array([], pa.int64())}),
+                       d / f"{name}.parquet")
+
+    got = em.queries()["small_qty_revenue"](str(d)).to_pandas() \
+        .sort_values("brand").reset_index(drop=True)
+    a = li.groupby("l_partkey").agg(
+        sq=("l_quantity", "sum"), nq=("l_quantity", "count"))
+    j = li.join(a, on="l_partkey")
+    j = j[j.l_quantity < 0.2 * (j.sq / j.nq)]
+    j["cents"] = np.floor(
+        j.l_extendedprice * 100.0 + 0.5).astype(np.int64)
+    j = j.merge(part, left_on="l_partkey", right_on="p_partkey")
+    want = j.groupby("p_brand").agg(
+        n_lines=("cents", "count"), rev=("cents", "sum")) \
+        .reset_index().sort_values("p_brand").reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert list(got.brand) == list(want.p_brand)
+    assert list(got.n_lines) == list(want.n_lines)
+    assert list(got.rev) == list(want.rev)
+
+
+def test_idle_rich_customers_pandas_parity(tmp_path):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as em
+
+    rng = np.random.default_rng(5)
+    cust = pd.DataFrame({
+        "c_custkey": np.arange(0, 40),
+        "c_mktsegment": [f"S{i % 3}" for i in range(40)],
+        "c_acctbal": np.round(rng.uniform(-500, 5000, 40), 2)})
+    # half the customers have orders
+    orders = pd.DataFrame({"o_custkey": np.repeat(
+        np.arange(0, 40, 2), 2)})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(cust), d / "customer.parquet")
+    pq.write_table(pa.Table.from_pandas(orders), d / "orders.parquet")
+    for name in ["region", "nation", "supplier", "part", "lineitem",
+                 "events", "documents", "embeddings"]:
+        pq.write_table(pa.table({"x": pa.array([], pa.int64())}),
+                       d / f"{name}.parquet")
+
+    got = em.queries()["idle_rich_customers"](str(d)).to_pandas() \
+        .sort_values("seg").reset_index(drop=True)
+    c2 = cust.copy()
+    c2["cents"] = np.floor(
+        c2.c_acctbal * 100.0 + 0.5).astype(np.int64)
+    pos = c2.cents[c2.cents > 0]
+    thr = int(pos.sum()) / len(pos)
+    keep = c2[(c2.cents > thr)
+              & ~c2.c_custkey.isin(orders.o_custkey)]
+    want = keep.groupby("c_mktsegment").agg(
+        n=("cents", "count"), sum_cents=("cents", "sum")) \
+        .reset_index().sort_values("c_mktsegment") \
+        .reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert list(got.seg) == list(want.c_mktsegment)
+    assert list(got.n) == list(want.n)
+    assert list(got.sum_cents) == list(want.sum_cents)
