@@ -84,9 +84,58 @@ def _round_away(x, k):
     1/512-derived PageRank mass on degenerate graphs (n = 2⁹) or
     α = 1/128 Katz terms — where banker's would mismatch the oracle.
     Away from exact ties the two roundings agree, so swapping this in
-    is value-identical on non-degenerate inputs."""
+    is value-identical on non-degenerate inputs.
+
+    −0.0 is normalized to +0.0 (the ``+ 0.0``; IEEE −0.0 + 0.0 = +0.0,
+    every other value unchanged): the driver hashes the raw sign bit,
+    and a ~1e−14 least-squares residue can round to −0.0 on one side
+    and +0.0 on the other — DuckDB's parallel SUM order even flips the
+    residue's SIGN run-to-run. Every SQL twin mirrors this via the
+    ``(ROUND(...) + 0.0)`` rewrite in ``oracle_sql()``."""
     p = 10.0 ** k
-    return np.copysign(np.floor(np.abs(np.asarray(x)) * p + 0.5) / p, x)
+    r = np.copysign(np.floor(np.abs(np.asarray(x)) * p + 0.5) / p, x)
+    return r + 0.0
+
+
+def _round0(x, k=8):
+    """Python ``round`` (half-even) with −0.0 normalized to +0.0 —
+    the scalar twin of ``_round_away``'s zero pin for engine-side
+    metrics (assortativity/modularity/... can carry a tiny negative
+    residue whose rounded sign bit would break the driver hash)."""
+    return round(float(x), k) + 0.0
+
+
+def _normalize_sql_round(sql):
+    """Rewrite every ``ROUND(...)`` call in a SQL twin to
+    ``(ROUND(...) + 0.0)`` (recursing into the argument), pinning
+    −0.0 → +0.0 exactly like ``_round_away`` does engine-side. IEEE
+    addition leaves every non-zero value (and NULL) unchanged, so the
+    rewrite is value-identical except on the sign of zero — which
+    DuckDB's parallel SUM order makes nondeterministic for ~1e−14
+    residues (the round-2 ``docs_heaps`` red row)."""
+    out, i = [], 0
+    upper = sql.upper()
+    while True:
+        j = upper.find("ROUND(", i)
+        if j < 0:
+            out.append(sql[i:])
+            return "".join(out)
+        if j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_"):
+            out.append(sql[i:j + 6])
+            i = j + 6
+            continue
+        depth, k = 1, j + 6
+        while depth:
+            c = sql[k]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            k += 1
+        out.append(sql[i:j])
+        inner = _normalize_sql_round(sql[j + 6:k - 1])
+        out.append("(ROUND(" + inner + ") + 0.0)")
+        i = k
 
 
 def _vec(v):
@@ -767,7 +816,7 @@ def _q_reciprocity(sf_dir):
     n_edges, n_recip, ratio = reciprocity(_edge_matrix(sf_dir))
     return pa.table({"n_edges": [int(n_edges)],
                      "n_recip": [int(n_recip)],
-                     "ratio": [round(ratio, 8)]})
+                     "ratio": [_round0(ratio)]})
 
 
 def _q_assortativity(sf_dir):
@@ -776,7 +825,7 @@ def _q_assortativity(sf_dir):
     from python_graphblas_ray.pipelines.linkpred import assortativity
 
     r = assortativity(_edge_matrix(sf_dir), N_VERT)
-    return pa.table({"assortativity": [round(float(r), 8)]})
+    return pa.table({"assortativity": [_round0(r)]})
 
 
 def _q_local_clustering(sf_dir):
@@ -798,7 +847,7 @@ def _q_modularity(sf_dir):
     A = simple_undirected(_edge_dataset(sf_dir), N_VERT)
     labels = np.arange(N_VERT, dtype=np.int64) % 16
     q = modularity(A.ds, labels, N_VERT)
-    return pa.table({"modularity": [round(float(q), 8)]})
+    return pa.table({"modularity": [_round0(q)]})
 
 
 def _q_transitivity(sf_dir):
@@ -807,7 +856,7 @@ def _q_transitivity(sf_dir):
     from python_graphblas_ray.pipelines.linkpred import transitivity
 
     t = transitivity(_edge_dataset(sf_dir), N_VERT, num_tasks=8)
-    return pa.table({"transitivity": [round(float(t), 8)]})
+    return pa.table({"transitivity": [_round0(t)]})
 
 
 def _q_avg_neighbor_degree(sf_dir):
@@ -824,8 +873,8 @@ def _q_rich_club(sf_dir):
     from python_graphblas_ray.pipelines.linkpred import rich_club
 
     k, nk, phi = rich_club(_edge_dataset(sf_dir), N_VERT)
-    return pa.table({"k": [round(float(k), 8)], "n_k": [int(nk)],
-                     "phi": [round(float(phi), 8)]})
+    return pa.table({"k": [_round0(k)], "n_k": [int(nk)],
+                     "phi": [_round0(phi)]})
 
 
 def _q_powerlaw_alpha(sf_dir):
@@ -834,7 +883,7 @@ def _q_powerlaw_alpha(sf_dir):
     from python_graphblas_ray.pipelines.linkpred import powerlaw_alpha
 
     a, _ = powerlaw_alpha(_edge_dataset(sf_dir), N_VERT, degree="in")
-    return pa.table({"alpha": [round(float(a), 8)]})
+    return pa.table({"alpha": [_round0(a)]})
 
 
 def _q_attack_robustness(sf_dir):
@@ -845,7 +894,7 @@ def _q_attack_robustness(sf_dir):
     k, n_kept, frac = attack_robustness(_edge_dataset(sf_dir), N_VERT,
                                         k_remove=25)
     return pa.table({"k_removed": [int(k)], "n_kept": [int(n_kept)],
-                     "giant_frac": [round(float(frac), 8)]})
+                     "giant_frac": [_round0(frac)]})
 
 
 def _q_random_robustness(sf_dir):
@@ -856,7 +905,7 @@ def _q_random_robustness(sf_dir):
     k, n_kept, frac = attack_robustness(_edge_dataset(sf_dir), N_VERT,
                                         k_remove=25, strategy="random")
     return pa.table({"k_removed": [int(k)], "n_kept": [int(n_kept)],
-                     "giant_frac": [round(float(frac), 8)]})
+                     "giant_frac": [_round0(frac)]})
 
 
 def _q_docs_url_canon(sf_dir):
@@ -1866,7 +1915,7 @@ def _q_global_efficiency(sf_dir):
     finally:
         eng.shutdown()
     eff = float(scores.sum()) / (N_VERT * (N_VERT - 1))
-    return pa.table({"efficiency": [round(eff, 8)]})
+    return pa.table({"efficiency": [_round0(eff)]})
 
 
 def _q_edge_percolation(sf_dir):
@@ -7338,4 +7387,4 @@ def oracle_sql() -> dict[str, str]:
             [(n, base[n], c) for n, c in specs], cols, cast)
     for suite, (valkind, specs) in PACKED_SUITES.items():
         base[suite] = _suite_sql_packed(specs, valkind, base)
-    return base
+    return {name: _normalize_sql_round(sql) for name, sql in base.items()}

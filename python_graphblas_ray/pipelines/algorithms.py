@@ -1098,9 +1098,9 @@ def closeness_centrality(engine: SuperstepEngine, sources=None,
             acc[hit] += lev[hit]
             reach[hit] += 1
     if harmonic:
-        return np.round(acc, 8), metrics
+        return np.round(acc, 8) + 0.0, metrics
     out = np.where(acc > 0, reach / np.maximum(acc, 1e-300), 0.0)
-    return np.round(out, 8), metrics
+    return np.round(out, 8) + 0.0, metrics
 
 
 def closeness_centrality_numpy(src, dst, n, sources=None, harmonic=True):
@@ -1128,9 +1128,9 @@ def closeness_centrality_numpy(src, dst, n, sources=None, harmonic=True):
             acc[hit] += lev[hit]
             reach[hit] += 1
     if harmonic:
-        return np.round(acc, 8)
+        return np.round(acc, 8) + 0.0
     return np.round(np.where(acc > 0, reach / np.maximum(acc, 1e-300),
-                             0.0), 8)
+                             0.0), 8) + 0.0
 
 
 def widest_path_fixed(A, source=0, iters=4):

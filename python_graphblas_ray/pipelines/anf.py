@@ -224,7 +224,7 @@ def hyperball_harmonic(engine: SuperstepEngine, tmax: int = 64,
              else _hll_count(regs))
         scores += (c - count) / t
         count = c
-    return (np.round(scores, 8) if exact else scores), exact
+    return (np.round(scores, 8) + 0.0 if exact else scores), exact
 
 
 def hyperball_eccentricity(engine: SuperstepEngine, tmax: int = 64,

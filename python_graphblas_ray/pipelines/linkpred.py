@@ -370,7 +370,7 @@ def local_clustering(A_und, n):
     denom = deg * (deg - 1.0)
     coeff = np.where(denom > 0, tri2 / denom, 0.0)
     return pa.table({"vid": np.arange(n, dtype=np.int64),
-                     "coeff": np.round(coeff, 8)})
+                     "coeff": np.round(coeff, 8) + 0.0})
 
 
 def transitivity(edges_ds, n, num_tasks=8):
@@ -418,7 +418,7 @@ def avg_neighbor_degree(edges_ds, n):
     vids = np.nonzero(present)[0]
     return pa.table({
         "vid": vids.astype(np.int64),
-        "val": np.round(num[present] / dout[present], 8),
+        "val": np.round(num[present] / dout[present], 8) + 0.0,
     })
 
 

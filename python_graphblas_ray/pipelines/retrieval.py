@@ -227,7 +227,7 @@ def bm25_topk(docs_ds, queries: dict[str, str], k: int = 10,
         for r in cand:
             out_q.append(q)
             out_d.append(r[id_col])
-            out_s.append(round(float(r["score"]), round_to))
+            out_s.append(round(float(r["score"]), round_to) + 0.0)
     return pa.table({"qid": pa.array(out_q, type=pa.string()),
                      id_col: pa.array(out_d),
                      "score": pa.array(out_s, type=pa.float64())})
@@ -323,5 +323,5 @@ def rrf_fuse(topk_table: pa.Table, quality_ds, k0: int = 60,
     return pa.table({
         q_col: pa.array(list(qv), type=pa.string()),
         id_col: dv,
-        "rrf": np.round(rrf, round_to),
+        "rrf": np.round(rrf, round_to) + 0.0,
     })

@@ -100,7 +100,7 @@ def textrank_keywords(docs_ds, text_col="text", damping=0.85, iters=5,
     finally:
         eng.shutdown()
     return pa.table({"word": pa.array(vocab, pa.string()),
-                     "rank": np.round(r, 8)})
+                     "rank": np.round(r, 8) + 0.0})
 
 
 def collocations(docs_ds, text_col="text", min_count=5):
@@ -190,6 +190,6 @@ def collocations(docs_ds, text_col="text", min_count=5):
         cb2 = np.array([u[w] for w in w2], dtype=np.float64)
         pmi = np.log(cb * T * T / (N * ca * cb2))
         return pa.table({"w1": w1, "w2": w2, "c": cb,
-                         "pmi": np.round(pmi, 8)})
+                         "pmi": np.round(pmi, 8) + 0.0})
 
     return cnt.map_batches(finish, batch_format="pyarrow")

@@ -736,7 +736,7 @@ def user_entropy(events_ds, user_col="user_id", type_col="event_type",
         h = np.add.reduceat(terms, starts)
         h[sizes == 1] = 0.0  # single-type users: exactly 0, not -0.0
         return pa.table({user_col: uo[starts].astype(np.int64),
-                         "entropy": np.round(h, 8)})
+                         "entropy": np.round(h, 8) + 0.0})
 
     return hash_exchange_apply(counts, user_col, part,
                                num_partitions=num_partitions)

@@ -477,7 +477,7 @@ class _LMScorer:
         nb = np.bincount(did, minlength=n)
         score = np.where(nb > 0, s / np.maximum(nb, 1), 0.0)
         return pa.table({"doc_id": batch["doc_id"],
-                         "lm_score": np.round(score, 8)})
+                         "lm_score": np.round(score, 8) + 0.0})
 
 
 def ngram_lm_score(docs_ds, model, text_col="text", concurrency=8):
@@ -562,7 +562,7 @@ def type_token_ratio(docs_ds, text_col="text", id_col="doc_id"):
         d = np.bincount(dd[first], minlength=len(ids)).astype(np.float64)
         out = np.zeros(len(ids), dtype=np.float64)
         nz = n > 0
-        out[nz] = np.round(d[nz] / n[nz], 8)
+        out[nz] = np.round(d[nz] / n[nz], 8) + 0.0
         return pa.table({id_col: ids, "ttr": out})
 
     return docs_ds.map_batches(ttr, batch_format="pyarrow")
@@ -585,7 +585,8 @@ def readability(docs_ds, text_col="text", id_col="doc_id",
 
     def _round_half_away(x, k):
         p = 10.0 ** k
-        return np.copysign(np.floor(np.abs(x) * p + 0.5) / p, x)
+        # + 0.0 pins -0.0 to +0.0 (the driver hashes the sign bit)
+        return np.copysign(np.floor(np.abs(x) * p + 0.5) / p, x) + 0.0
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch[text_col]
@@ -646,7 +647,7 @@ def char_entropy(docs_ds, text_col="text", id_col="doc_id",
             p = cnt / n
             np.add.at(out, ud, -p * np.log(p))
         return pa.table({id_col: batch[id_col],
-                         "entropy": np.round(out, round_to)})
+                         "entropy": np.round(out, round_to) + 0.0})
 
     return docs_ds.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pyarrow", batch_size=4096)
@@ -1150,7 +1151,8 @@ def tfidf_top_terms(docs_ds, n_docs, id_col="doc_id", text_col="text",
         raw = c.astype(np.float64) * np.log(nd / d)
         # DuckDB-compatible ROUND (half away from zero; np.round is
         # banker's — they differ only on exact half-grain ties)
-        score = np.copysign(np.floor(np.abs(raw) * 1e8 + 0.5) / 1e8, raw)
+        score = np.copysign(np.floor(np.abs(raw) * 1e8 + 0.5) / 1e8,
+                            raw) + 0.0
         order = np.lexsort((w, -score))[:top_k]
         return pa.table({"term": pa.array(w[order].tolist(),
                                           pa.string()),

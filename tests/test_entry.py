@@ -83,6 +83,25 @@ def _to_df(res):
                             promote_options="permissive").to_pandas()
 
 
+def _float_bits_equal(av, bv):
+    """Bit-level float compare — exactly what the driver hashes.
+    ``==``/``allclose`` treat −0.0 == +0.0 and so shipped the round-2
+    ``docs_heaps`` sign-of-zero red row; viewing the float64 bits as
+    uint64 sees the sign bit (and NaN payloads) the way the hash does."""
+    a = np.ascontiguousarray(av, dtype=np.float64).view(np.uint64)
+    b = np.ascontiguousarray(bv, dtype=np.float64).view(np.uint64)
+    return bool((a == b).all())
+
+
+def test_comparator_flags_planted_negative_zero():
+    """The blind comparator (allclose / ==) passes −0.0 vs +0.0; the
+    bit-level one must flag it — guards the comparator itself."""
+    plus, minus = np.array([1.5, 0.0]), np.array([1.5, -0.0])
+    assert np.allclose(plus, minus, rtol=0, atol=0)  # the old blind spot
+    assert not _float_bits_equal(plus, minus)
+    assert _float_bits_equal(plus, plus.copy())
+
+
 def _canon(df):
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -117,7 +136,7 @@ def test_query_matches_oracle(con, name):
     for c in mine.columns:
         av, bv = mine[c].to_numpy(), ora[c].to_numpy()
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
-            assert np.allclose(av.astype(float), bv.astype(float),
-                               rtol=0, atol=0), (name, c)
+            assert _float_bits_equal(av.astype(float),
+                                     bv.astype(float)), (name, c)
         else:
             assert (av == bv).all(), (name, c)
