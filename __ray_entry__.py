@@ -2431,11 +2431,18 @@ def _q_dedup_exact(sf_dir):
 
 
 def _q_word_jaccard(sf_dir):
+    """df-capped exact word-set Jaccard: words in more than half the
+    corpus (classic stopwords) are dropped from the inverted index
+    BEFORE the self-join — a word in k docs contributes k² join rows,
+    so the uncapped form is quadratic on hot words (measured 871 s at
+    sf0.1). The cap is the scale-invariant ``ndocs // 2`` so the SQL
+    twin's HAVING clause replays it exactly at every scale; the score
+    is the exact Jaccard of the capped word sets on both sides."""
     from python_graphblas_ray.pipelines.dedup import word_jaccard_pairs
 
-    return word_jaccard_pairs(_read(sf_dir, "documents",
-                                    columns=["doc_id", "text"]),
-                              threshold=0.8)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return word_jaccard_pairs(docs, threshold=0.8,
+                              max_word_df=docs.count() // 2)
 
 
 def _q_minhash_pairs(sf_dir):
@@ -4564,9 +4571,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_dups, text "
             "FROM documents GROUP BY text"),
         "word_jaccard_pairs": (
-            r"WITH tok AS (SELECT doc_id, unnest(list_distinct("
+            # df-capped Jaccard: the HAVING replays the engine's
+            # hot-word guard (max_word_df = ndocs // 2) — see
+            # _q_word_jaccard
+            r"WITH tok0 AS (SELECT doc_id, unnest(list_distinct("
             r"regexp_split_to_array(trim(text), '\s+'))) AS word "
             "FROM documents), "
+            "keep AS (SELECT word FROM tok0 GROUP BY word "
+            "HAVING count(*) <= "
+            "(SELECT count(*) FROM documents) // 2), "
+            "tok AS (SELECT t.doc_id, t.word FROM tok0 t "
+            "JOIN keep k ON k.word = t.word), "
             "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n "
             "FROM tok GROUP BY 1), "
             "co AS (SELECT a.doc_id AS ia, b.doc_id AS ib, "

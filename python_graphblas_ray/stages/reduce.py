@@ -322,25 +322,15 @@ def grouped_agg(ds, key_cols, specs, driver_merge_threshold=4_000_000):
         return ray.data.from_arrow(
             merge_table(pa.concat_tables(batches,
                                          promote_options="permissive")))
-    # large-cardinality path: distributed shuffle over the partials, then
-    # a per-block Arrow merge (each key lands wholly in one block)
-    key = key_cols[0] if len(key_cols) == 1 else key_cols
-    ray_aggs = []
-    for _, p, m, out_col in partial_aggs:
-        ray_aggs.append({"sum": Sum, "min": Min, "max": Max}[m](
-            p, alias_name=out_col))
-    out = mat.groupby(key).aggregate(*ray_aggs)
-    count_outs = [out_col for _, p, m, out_col in partial_aggs
-                  if p == "count_all"]
-    if count_outs:
-        def cast_counts(batch: pa.Table) -> pa.Table:
-            for c in count_outs:
-                batch = batch.set_column(
-                    batch.column_names.index(c), c,
-                    batch[c].cast(pa.int64()))
-            return batch
-        out = out.map_batches(cast_counts, batch_format="pyarrow")
-    return out
+    # large-cardinality overflow: ONE hash exchange on the leading key
+    # co-locates every key's partials (all columns of a composite key
+    # share the leading column, so hashing it alone is sufficient), then
+    # the SAME Arrow merge kernel runs once per partition — one shuffle,
+    # no sort machinery, no per-group Python (replaces the former
+    # Ray-native ``groupby().aggregate()`` sort-shuffle path).
+    from .exchange import hash_exchange_apply
+
+    return hash_exchange_apply(mat, key_cols[0], merge_table)
 
 
 def groupby_aggregator(ds, key_cols, val_col, aggregator, out_col="val",
@@ -383,8 +373,8 @@ def groupby_aggregator(ds, key_cols, val_col, aggregator, out_col="val",
     # stream is bounded by #groups × #blocks, so when it fits, lexsort it
     # once on the driver and run ``final`` per group in-process — no Ray
     # per-group task dispatch (the measured ~10 s / 80k-group map_groups
-    # trap). The distributed map_groups path remains for cardinalities
-    # beyond the driver threshold.
+    # trap). Beyond the threshold the SAME finisher runs per partition
+    # after one hash exchange (see ``finish_table`` below).
     import ray.data
 
     mat = partials.materialize()
@@ -400,15 +390,21 @@ def groupby_aggregator(ds, key_cols, val_col, aggregator, out_col="val",
                  if aggregator.dtype is not None else pa.float64())
         fields[out_col] = pa.array([], out_t)
         return ray.data.from_arrow(pa.table(fields))
-    if 0 < mat.count() <= driver_merge_threshold:
-        t = pa.concat_tables(
-            [b for b in mat.iter_batches(batch_format="pyarrow",
-                                         batch_size=1 << 20) if b.num_rows],
-            promote_options="permissive")
+    def finish_table(t: pa.Table) -> pa.Table:
+        """Cross-group lexsort + segment finisher over a partials table
+        whose keys are complete (all partials of a key present): one
+        sort across ALL groups at once, then ``final`` per segment —
+        no per-group task dispatch."""
+        n = t.num_rows
+        if n == 0:
+            cols = {c: pa.array([], t[c].type) for c in key_cols}
+            out_t = (pa.from_numpy_dtype(np.dtype(aggregator.dtype))
+                     if aggregator.dtype is not None else pa.float64())
+            cols[out_col] = pa.array([], out_t)
+            return pa.table(cols)
         keys = [t[c].to_numpy(zero_copy_only=False) for c in key_cols]
         pvals = {c[4:]: t[c].to_numpy(zero_copy_only=False)
                  for c in t.column_names if c.startswith("__p_")}
-        n = t.num_rows
         if len(keys) == 1:
             order = np.argsort(keys[0], kind="stable")
         else:
@@ -425,19 +421,25 @@ def groupby_aggregator(ds, key_cols, val_col, aggregator, out_col="val",
                 for s, e in zip(starts, ends)]
         cols = {c: k[starts] for c, k in zip(key_cols, sk)}
         cols[out_col] = (np.asarray(vals, dtype=aggregator.dtype)
-                         if aggregator.dtype is not None else np.asarray(vals))
-        return ray.data.from_arrow(pa.table(cols))
+                         if aggregator.dtype is not None
+                         else np.asarray(vals))
+        return pa.table(cols)
 
-    import pandas as pd
+    if 0 < mat.count() <= driver_merge_threshold:
+        t = pa.concat_tables(
+            [b for b in mat.iter_batches(batch_format="pyarrow",
+                                         batch_size=1 << 20) if b.num_rows],
+            promote_options="permissive")
+        return ray.data.from_arrow(finish_table(t))
 
-    def finalize_group(g: pd.DataFrame) -> pd.DataFrame:
-        d = {c[4:]: g[c].to_numpy() for c in g.columns if c.startswith("__p_")}
-        out = {c: [g[c].iloc[0]] for c in key_cols}
-        out[out_col] = [aggregator.final(d)]
-        return pd.DataFrame(out)
+    # cardinality overflow: ONE hash exchange on the leading key
+    # co-locates each key's partials, then the SAME lexsort/segment
+    # finisher runs per partition (distributing the per-group ``final``
+    # calls across workers) — degrades to one shuffle, not to the
+    # one-Python-call-per-group ``map_groups`` trap.
+    from .exchange import hash_exchange_apply
 
-    key = key_cols[0] if len(key_cols) == 1 else key_cols
-    return mat.groupby(key).map_groups(finalize_group, batch_format="pandas")
+    return hash_exchange_apply(mat, key_cols[0], finish_table)
 
 
 def grouped_topk(ds, key_col: str, order_col: str, k: int,
