@@ -310,6 +310,17 @@ def _q_row_selectk(sf_dir):
     return row_selectk(_edge_matrix(sf_dir), "first", 2).ds
 
 
+def _q_row_selectk_random(sf_dir):
+    """``ss.selectk(how="random", k=2)``: seeded equal-probability
+    2-subset per row via the knuth32 draw of the packed entry key
+    ``src·512 + dst + 7`` — the draw is ONE plain-SQL expression, so
+    the oracle replays the exact pick (reference ``how="random"``,
+    core/ss/matrix.py:3806)."""
+    from python_graphblas_ray.stages.perrow import row_selectk
+
+    return row_selectk(_edge_matrix(sf_dir), "random", 2, seed=7).ds
+
+
 def _q_row_sort(sf_dir):
     from python_graphblas_ray.stages.perrow import row_sort
 
@@ -3822,7 +3833,8 @@ SUITES = {
                     "ewise_union_minus"],
     "select_suite": ["select_tril", "select_valuegt"],
     "assign_suite": ["assign_scalar", "assign_masked"],
-    "perrow_suite": ["row_scan_plus", "row_selectk_first2", "row_sort"],
+    "perrow_suite": ["row_scan_plus", "row_selectk_first2",
+                     "row_selectk_random2", "row_sort"],
     "components_suite": ["connected_components", "scc"],
     "matmul_suite": ["mxm_plus_times", "mxm_min_secondi",
                      "power2_minplus", "kronecker", "cocitation",
@@ -4192,6 +4204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assign_masked": _q_assign_masked,
         "row_scan_plus": _q_row_scan,
         "row_selectk_first2": _q_row_selectk,
+        "row_selectk_random2": _q_row_selectk_random,
         "row_sort": _q_row_sort,
         "connected_components": _q_connected_components,
         "scc": _q_scc,
@@ -4556,6 +4569,14 @@ def oracle_sql() -> dict[str, str]:
         "row_selectk_first2": (
             f"{E} SELECT src, dst, val FROM (SELECT *, row_number() "
             "OVER (PARTITION BY src ORDER BY dst) AS rn FROM E) "
+            "WHERE rn <= 2"),
+        "row_selectk_random2": (
+            # seeded knuth32 draw of the packed entry key — replays
+            # stages/perrow._knuth32_draw exactly (seed=7, ncols=512)
+            f"{E} SELECT src, dst, val FROM (SELECT *, row_number() "
+            "OVER (PARTITION BY src ORDER BY "
+            "((CAST(src AS BIGINT) * 512 + dst + 7) % 4294967296 "
+            "* 2654435761) % 4294967296, dst) AS rn FROM E) "
             "WHERE rn <= 2"),
         "row_sort": (
             f"{E} SELECT src, CAST(row_number() OVER (PARTITION BY src "

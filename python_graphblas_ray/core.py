@@ -2320,13 +2320,13 @@ class _MatrixSS:
         from .stages.perrow import row_scan
         return row_scan(self._A, op, order)
 
-    def selectk(self, how, k):
+    def selectk(self, how, k, seed=0):
         from .stages.perrow import row_selectk
-        return row_selectk(self._A, how, k)
+        return row_selectk(self._A, how, k, seed=seed)
 
-    def compactify(self, how="first", k=None):
+    def compactify(self, how="first", k=None, seed=0):
         from .stages.perrow import row_compactify
-        return row_compactify(self._A, how, k)
+        return row_compactify(self._A, how, k, seed=seed)
 
     def sort(self, ascending=True):
         from .stages.perrow import row_sort

@@ -66,7 +66,25 @@ def row_scan(A: GBMatrix, op: str = "plus", order: str = "rowwise"
     return A._wrap(hash_exchange_apply(A.ds, key, scan_part))
 
 
-def _rank_select(t: pa.Table, how: str, k, compactify: bool) -> pa.Table:
+def _knuth32_draw(src: np.ndarray, dst: np.ndarray, ncols: int,
+                  seed: int) -> np.ndarray:
+    """Deterministic per-entry uniform draw for ``how="random"``: the
+    house Knuth multiplicative hash of the packed entry key
+    ``src·ncols + dst + seed`` — chosen over splitmix64 because it is
+    ONE plain-SQL expression
+    ``((key % 4294967296) * 2654435761) % 4294967296`` (the
+    ``sampling.knuth32`` contract), so a DuckDB oracle can replay the
+    "random" pick exactly. Equal-probability per entry, seeded,
+    partition-count-invariant (pure function of the entry key)."""
+    key = (src.astype(np.uint64) * np.uint64(ncols)
+           + dst.astype(np.uint64) + np.uint64(seed))
+    with np.errstate(over="ignore"):
+        return ((key % np.uint64(2**32)) * np.uint64(2654435761)
+                ) % np.uint64(2**32)
+
+
+def _rank_select(t: pa.Table, how: str, k, compactify: bool,
+                 ncols: int = 0, seed: int = 0) -> pa.Table:
     """Shared selectk/compactify kernel: lexsort by (row, <order>), rank
     within segment, keep by rank — all rows of the partition at once."""
     src = t["src"].to_numpy(zero_copy_only=False)
@@ -81,6 +99,13 @@ def _rank_select(t: pa.Table, how: str, k, compactify: bool) -> pa.Table:
         # with dst DESC ties, then rank from the segment END — order
         # becomes (val desc, dst asc)
         srt = np.lexsort((-dst, val, src))
+    elif how == "random":
+        # reference ``ss.selectk/compactify`` ``how="random"``
+        # (core/ss/matrix.py:3806,:3869): equal-probability k-subset
+        # per row, WITHOUT replacement — here rank-by-seeded-hash,
+        # (draw, dst) ties so the pick is total-ordered and replayable
+        srt = np.lexsort((dst, _knuth32_draw(src, dst, ncols, seed),
+                          src))
     else:
         raise ValueError(how)
     s_src, s_dst, s_val = src[srt], dst[srt], val[srt]
@@ -103,29 +128,40 @@ def _rank_select(t: pa.Table, how: str, k, compactify: bool) -> pa.Table:
                      "val": s_val[keep]})
 
 
-def row_selectk(A: GBMatrix, how: str, k: int) -> GBMatrix:
+def row_selectk(A: GBMatrix, how: str, k: int, seed: int = 0) -> GBMatrix:
     """Keep k entries per row (``ss.selectk``): ``first``/``last`` by
-    column position, ``smallest``/``largest`` by value."""
+    column position, ``smallest``/``largest`` by value, ``random`` an
+    equal-probability seeded k-subset (deterministic — see
+    :func:`_knuth32_draw`; the reference's ``how="random"`` at
+    ``core/ss/matrix.py:3806``)."""
     from .exchange import hash_exchange_apply
+
+    nc = int(A.ncols)
 
     def pick_part(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return _empty_like(t, "src", "dst")
-        return _rank_select(t, how, k, compactify=False)
+        return _rank_select(t, how, k, compactify=False,
+                            ncols=nc, seed=seed)
 
     return A._wrap(hash_exchange_apply(A.ds, "src", pick_part))
 
 
-def row_compactify(A: GBMatrix, how: str = "first", k: int | None = None
-                   ) -> GBMatrix:
+def row_compactify(A: GBMatrix, how: str = "first", k: int | None = None,
+                   seed: int = 0) -> GBMatrix:
     """``ss.compactify``: per-row selectk + re-index surviving entries to
-    columns 0..k-1 (order defined by ``how``)."""
+    columns 0..k-1 (order defined by ``how``; ``random`` ranks by the
+    seeded draw — the reference's "chosen values may not be ordered
+    randomly", ``core/ss/matrix.py:3869``)."""
     from .exchange import hash_exchange_apply
+
+    nc_in = int(A.ncols)
 
     def pick_part(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return _empty_like(t, "src", "dst")
-        return _rank_select(t, how, k, compactify=True)
+        return _rank_select(t, how, k, compactify=True,
+                            ncols=nc_in, seed=seed)
 
     ncols = A.ncols if k is None else min(k, A.ncols)
     out = A._wrap(hash_exchange_apply(A.ds, "src", pick_part))

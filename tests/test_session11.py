@@ -138,3 +138,98 @@ def test_no_pandas_map_groups_left_in_stages():
     for f in (root / "python_graphblas_ray" / "stages").glob("*.py"):
         src = f.read_text()
         assert 'batch_format="pandas"' not in src, f.name
+
+
+def _coo_matrix(rows=40, deg=12, seed=1):
+    from python_graphblas_ray.core import GBMatrix
+
+    rng = np.random.default_rng(seed)
+    src = np.repeat(np.arange(rows, dtype=np.int64), deg)
+    dst = np.concatenate([rng.choice(200, deg, replace=False)
+                          for _ in range(rows)]).astype(np.int64)
+    val = rng.integers(1, 100, rows * deg).astype(np.float64)
+    ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst,
+                                       "val": val}))
+    return GBMatrix.from_dataset(ds, 200, 200), src, dst, val
+
+
+def _coo_of(A):
+    t = pa.concat_tables([b for b in A.ds.iter_batches(
+        batch_format="pyarrow", batch_size=None) if b.num_rows],
+        promote_options="permissive")
+    df = t.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    return df
+
+
+def test_selectk_random_semantics():
+    """ss.selectk(how='random'): k entries per row, a subset of the
+    row's entries, deterministic per seed, seed-sensitive."""
+    from python_graphblas_ray.stages.perrow import row_selectk
+
+    A, src, dst, val = _coo_matrix()
+    k = 3
+    out1 = _coo_of(row_selectk(A, "random", k, seed=7))
+    out2 = _coo_of(row_selectk(A, "random", k, seed=7))
+    out3 = _coo_of(row_selectk(A, "random", k, seed=8))
+    pd.testing.assert_frame_equal(out1, out2)  # deterministic
+    assert not out1.equals(out3)               # seed-sensitive
+    # exactly k per row (every row has degree 12 > k)
+    assert (out1.groupby("src").size() == k).all()
+    # every kept entry is one of the row's original entries (same val)
+    orig = pd.DataFrame({"src": src, "dst": dst, "val": val})
+    merged = out1.merge(orig, on=["src", "dst"], suffixes=("", "_o"))
+    assert len(merged) == len(out1)
+    assert (merged["val"] == merged["val_o"]).all()
+
+
+def test_selectk_random_short_rows():
+    """Rows with fewer than k entries keep everything."""
+    from python_graphblas_ray.core import GBMatrix
+    from python_graphblas_ray.stages.perrow import row_selectk
+
+    ds = ray.data.from_arrow(pa.table({
+        "src": np.array([0, 0, 1], dtype=np.int64),
+        "dst": np.array([3, 5, 9], dtype=np.int64),
+        "val": np.array([1.0, 2.0, 3.0])}))
+    A = GBMatrix.from_dataset(ds, 16, 16)
+    out = _coo_of(row_selectk(A, "random", 5, seed=0))
+    assert len(out) == 3
+
+
+def test_compactify_random():
+    """ss.compactify(how='random'): k survivors re-indexed to columns
+    0..k-1 in draw order; values subset of the row's values."""
+    from python_graphblas_ray.stages.perrow import row_compactify
+
+    A, src, dst, val = _coo_matrix(seed=3)
+    k = 4
+    out = _coo_of(row_compactify(A, "random", k, seed=11))
+    assert out["dst"].isin(range(k)).all()
+    assert (out.groupby("src")["dst"].apply(
+        lambda s: sorted(s) == list(range(k)))).all()
+    C = row_compactify(A, "random", k, seed=11)
+    assert C.ncols == k
+    orig = pd.DataFrame({"src": src, "val": val})
+    for s, grp in out.groupby("src"):
+        assert set(grp["val"]) <= set(orig.loc[orig["src"] == s, "val"])
+
+
+def test_selectk_random_matches_sql_replay():
+    """The engine pick equals a DuckDB ROW_NUMBER replay of the same
+    knuth32 draw — the property the driver-window member relies on."""
+    import duckdb
+    from python_graphblas_ray.stages.perrow import row_selectk
+
+    A, src, dst, val = _coo_matrix(rows=30, deg=9, seed=5)
+    out = _coo_of(row_selectk(A, "random", 2, seed=7))
+    con = duckdb.connect()
+    con.register("E", pd.DataFrame({"src": src, "dst": dst, "val": val}))
+    ora = con.sql(
+        "SELECT src, dst, val FROM (SELECT *, row_number() OVER ("
+        "PARTITION BY src ORDER BY "
+        "((CAST(src AS BIGINT) * 200 + dst + 7) % 4294967296 "
+        "* 2654435761) % 4294967296, dst) AS rn FROM E) WHERE rn <= 2"
+    ).df().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert (out["src"].to_numpy() == ora["src"].to_numpy()).all()
+    assert (out["dst"].to_numpy() == ora["dst"].to_numpy()).all()
+    assert (out["val"].to_numpy() == ora["val"].to_numpy()).all()
