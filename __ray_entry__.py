@@ -455,6 +455,38 @@ def _q_pagerank_iter5(sf_dir):
                      "rank": _round_away(r, 8)})
 
 
+def _q_pagerank_resume5(sf_dir):
+    """Checkpoint/resume identity as a driver-checked query: run 3
+    supersteps writing a per-partition parquet checkpoint (with manifest
+    + lineage), then resume from that checkpoint IN A FRESH
+    CheckpointManager (a new driver process) and finish supersteps 4-5.
+    The loaded float64 vector round-trips parquet bit-exactly and the
+    engine replays the identical spmv order, so the resumed result
+    equals straight-through 5 supersteps — verified against the very
+    same ``pagerank_iter5`` recursive-CTE oracle."""
+    import tempfile
+
+    from python_graphblas_ray.pipelines.algorithms import (
+        build_engine, pagerank)
+    from python_graphblas_ray.state.checkpoint import CheckpointManager
+
+    eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
+    try:
+        with tempfile.TemporaryDirectory(dir="/tmp") as td:
+            ck = CheckpointManager(td, "resume5", num_partitions=2)
+            pagerank(eng, tol=0.0, itermax=3, checkpoint=ck,
+                     checkpoint_every=3)
+            ck2 = CheckpointManager(td, "resume5", num_partitions=2)
+            r, iters, _ = pagerank(eng, tol=0.0, itermax=5,
+                                   checkpoint=ck2,
+                                   checkpoint_every=1_000_000)
+            assert iters == 4, "resume must start past the checkpoint"
+    finally:
+        eng.shutdown()
+    return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
+                     "rank": _round_away(r, 8)})
+
+
 def _q_trustrank_iter5(sf_dir):
     """TrustRank (seed-personalized PageRank, fixed 5 supersteps): the
     teleport mass is uniform over trusted seeds 0..15, so the
@@ -3844,7 +3876,8 @@ SUITES = {
     "apply_view_suite": ["apply_ainv", "apply_rowindex", "transpose",
                          "extract_submatrix"],
     "rank_suite": ["pagerank_iter5", "pagerank_weighted5",
-                   "trustrank_iter5", "pagerank_dangling5"],
+                   "trustrank_iter5", "pagerank_dangling5",
+                   "pagerank_resume5"],
     "langstats_suite": ["lang_count", "quality_filter"],
 }
 
@@ -4220,6 +4253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_submatrix": _q_extract_submatrix,
         "diag": _q_diag,
         "pagerank_iter5": _q_pagerank_iter5,
+        "pagerank_resume5": _q_pagerank_resume5,
         "pagerank_weighted5": _q_pagerank_weighted5,
         "trustrank_iter5": _q_trustrank_iter5,
         "pagerank_dangling5": _q_pagerank_dangling5,
@@ -7416,6 +7450,10 @@ def oracle_sql() -> dict[str, str]:
         f"AS cnt, (SELECT a || chr(31) || b FROM b{r}) AS pair "
         f"WHERE EXISTS (SELECT 1 FROM b{r})"
         for r in range(1, 7))
+    # checkpoint/resume identity: the resumed run must land on exactly
+    # the straight-through 5-superstep scores, so the oracle IS the
+    # pagerank_iter5 recursion verbatim
+    base["pagerank_resume5"] = base["pagerank_iter5"]
     for suite, names in SUITES.items():
         base[suite] = _suite_sql([(n, base[n]) for n in names])
     for suite, (cols, specs, cast) in RENAME_SUITES.items():

@@ -60,7 +60,11 @@ SAMPLE = ["edges_build", "degree_out", "mxv_plus_times", "mxm_plus_times",
           "revenue_by_brand_nation", "global_efficiency",
           "percolation_curve", "betweenness_s0", "docs_cdc_bounds",
           "docs_tfidf", "big_orders", "small_qty_revenue",
-          "idle_rich_customers"]
+          "idle_rich_customers",
+          # round-3 additions: the df-capped jaccard window form, the
+          # seeded random selectk, and the checkpoint/resume identity
+          "word_jaccard_pairs", "row_selectk_random2",
+          "pagerank_resume5"]
 
 
 @pytest.fixture(scope="module")
