@@ -57,3 +57,83 @@ def test_scipy_guard_message():
         pass
     with pytest.raises(ImportError, match="from_csr/from_coo"):
         from_scipy_sparse(object())
+
+
+def test_pydata_sparse_guard_message():
+    try:
+        import sparse  # noqa: F401
+        pytest.skip("sparse present; guard not reachable")
+    except ImportError:
+        pass
+    from python_graphblas_ray.sources.interop import (
+        from_pydata_sparse, to_pydata_sparse)
+    with pytest.raises(ImportError, match="sparse"):
+        from_pydata_sparse(object())
+    with pytest.raises(ImportError, match="to_coo"):
+        to_pydata_sparse(object())
+
+
+def test_awkward_guard_message():
+    try:
+        import awkward  # noqa: F401
+        pytest.skip("awkward present; guard not reachable")
+    except ImportError:
+        pass
+    from python_graphblas_ray.sources.interop import (
+        from_awkward, to_awkward)
+    with pytest.raises(ImportError, match="awkward"):
+        to_awkward(object())
+    with pytest.raises(ImportError, match="awkward"):
+        from_awkward(object())
+
+
+def test_pydata_sparse_roundtrip():
+    """Real roundtrip — runs wherever `sparse` is installed (skips in
+    this container); semantics mirror reference io/_sparse.py."""
+    sparse = pytest.importorskip("sparse")
+    import numpy as np
+
+    from python_graphblas_ray.core import GBMatrix
+    from python_graphblas_ray.sources.interop import (
+        from_pydata_sparse, to_pydata_sparse)
+
+    r = np.array([0, 1, 1, 3], dtype=np.int64)
+    c = np.array([2, 0, 2, 1], dtype=np.int64)
+    v = np.array([1.5, 2.0, -3.0, 4.0])
+    s = sparse.COO(np.asarray([r, c]), v, shape=(4, 4))
+    A = from_pydata_sparse(s)
+    back = to_pydata_sparse(A, format="coo")
+    assert (back.coords == s.coords).all()
+    assert np.allclose(back.data, s.data)
+    # 1-D -> GBVector
+    sv = sparse.COO(np.asarray([[0, 3]]), np.array([1.0, 2.0]),
+                    shape=(5,))
+    V = from_pydata_sparse(sv)
+    i, vv = V.to_coo()
+    assert i.tolist() == [0, 3] and vv.tolist() == [1.0, 2.0]
+
+
+def test_awkward_roundtrip():
+    """Real roundtrip — runs wherever `awkward` is installed (skips in
+    this container); layout contract mirrors reference io/_awkward.py
+    (values/indices fields + format/shape parameters)."""
+    ak = pytest.importorskip("awkward")
+    import numpy as np
+
+    from python_graphblas_ray.core import GBMatrix, GBVector
+    from python_graphblas_ray.sources.interop import (
+        from_awkward, to_awkward)
+
+    A = GBMatrix.from_coo(np.array([0, 1, 1, 3]), np.array([2, 0, 2, 1]),
+                          np.array([1.5, 2.0, -3.0, 4.0]),
+                          nrows=4, ncols=4)
+    for fmt in ("csr", "csc"):
+        arr = to_awkward(A, format=fmt)
+        assert arr.layout.parameters["format"] == fmt
+        assert arr.layout.parameters["shape"] == [4, 4]
+        B = from_awkward(arr)
+        assert A.isequal(B)
+    V = GBVector.from_coo(np.array([1, 4]), np.array([9.0, 8.0]), size=6)
+    arr = to_awkward(V)
+    W = from_awkward(arr)
+    assert V.isequal(W)
