@@ -175,11 +175,31 @@ def _q_vxm_min_plus(sf_dir):
     return _vec(d_out.vxm(A, semiring.min_plus))
 
 
+_MXM_SOAK_CAP_ROWS = 200_000  # raw lineitem rows; above this the
+# full-product matmul members cap the LEFT operand's rows (see
+# _mxm_left) — sf0.001/sf0.01 (~6k/60k rows) run the full product,
+# sf0.1+ (~600k rows, 512²-dense E) run the capped one
+
+
+def _mxm_left(sf_dir, A):
+    """Left operand for the full-product matmul members. At soak
+    scales the 512-vertex edge matrix saturates dense (262k entries),
+    so a full mxm pays 512³ ≈ 134M intermediate products per member —
+    measured 842 s for the suite at sf0.1. Above _MXM_SOAK_CAP_ROWS
+    raw lineitem rows the left operand is row-capped to src < 64 (an
+    8× cut); the SQL twins replicate the SAME data-dependent switch
+    ((SELECT count(*) FROM lineitem) <= cap OR a.src < 64), so every
+    scale stays oracle-exact and sf0.01 driver coverage is the
+    unchanged full product."""
+    n = _read(sf_dir, "lineitem", columns=["l_orderkey"]).count()
+    return A.select("rowle", 63) if n > _MXM_SOAK_CAP_ROWS else A
+
+
 def _q_mxm_plus_times(sf_dir):
     from python_graphblas_ray.functions.monoids import semiring
 
     A = _edge_matrix(sf_dir)
-    return A.mxm(A, semiring.plus_times).ds
+    return _mxm_left(sf_dir, A).mxm(A, semiring.plus_times).ds
 
 
 def _q_power2_minplus(sf_dir):
@@ -188,7 +208,10 @@ def _q_power2_minplus(sf_dir):
     from python_graphblas_ray.functions.monoids import semiring
 
     A = _edge_matrix(sf_dir)
-    return A.power(2, semiring.min_plus).ds
+    L = _mxm_left(sf_dir, A)
+    if L is A:
+        return A.power(2, semiring.min_plus).ds
+    return L.mxm(A, semiring.min_plus).ds  # power(2) == A@A, row-capped
 
 
 def _q_ewise_add(sf_dir):
@@ -697,7 +720,7 @@ def _q_mxm_min_secondi(sf_dir):
     from python_graphblas_ray.functions.monoids import semiring
 
     A = _edge_matrix(sf_dir)
-    return A.mxm(A, semiring.min_secondi).ds
+    return _mxm_left(sf_dir, A).mxm(A, semiring.min_secondi).ds
 
 
 def _q_connected_components(sf_dir):
@@ -4558,9 +4581,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.dst AS vid, min(d.val + e.val) AS val "
             "FROM E e JOIN d ON e.src = d.vid GROUP BY 1"),
         "mxm_plus_times": (
+            # soak row cap replicated from _mxm_left
             f"{E} SELECT a.src AS src, b.dst AS dst, "
             "sum(a.val * b.val) AS val "
-            "FROM E a JOIN E b ON a.dst = b.src GROUP BY 1, 2"),
+            "FROM E a JOIN E b ON a.dst = b.src "
+            "WHERE (SELECT count(*) FROM lineitem) <= 200000 OR a.src < 64 GROUP BY 1, 2"),
         "kronecker": (
             f"{E}, A AS (SELECT * FROM E WHERE src < 16 AND dst < 16), "
             "B AS (SELECT * FROM E WHERE src < 8 AND dst < 8) "
@@ -4817,7 +4842,8 @@ def oracle_sql() -> dict[str, str]:
         "mxm_min_secondi": (
             f"{E} SELECT a.src AS src, b.dst AS dst, "
             "CAST(min(a.dst) AS BIGINT) AS val "
-            "FROM E a JOIN E b ON a.dst = b.src GROUP BY 1, 2"),
+            "FROM E a JOIN E b ON a.dst = b.src "
+            "WHERE (SELECT count(*) FROM lineitem) <= 200000 OR a.src < 64 GROUP BY 1, 2"),
         "assign_masked": (
             f"{E} SELECT src, dst, CASE WHEN src < 20 AND dst < 20 "
             "AND val > 2.0 THEN 99.0 ELSE val END AS val FROM E"),
@@ -5707,7 +5733,8 @@ def oracle_sql() -> dict[str, str]:
         "FROM scores, cuts")
     base["power2_minplus"] = (
         f"{E} SELECT a.src, b.dst, min(a.val + b.val) AS val "
-        "FROM E a JOIN E b ON a.dst = b.src GROUP BY 1, 2")
+        "FROM E a JOIN E b ON a.dst = b.src "
+        "WHERE (SELECT count(*) FROM lineitem) <= 200000 OR a.src < 64 GROUP BY 1, 2")
     # '' doubles the quote inside the SQL string literal; both engines
     # run the identical RE2 pattern.
     _bpe_sql = _BPE_PAT.replace("'", "''")
