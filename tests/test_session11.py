@@ -233,3 +233,168 @@ def test_selectk_random_matches_sql_replay():
     assert (out["src"].to_numpy() == ora["src"].to_numpy()).all()
     assert (out["dst"].to_numpy() == ora["dst"].to_numpy()).all()
     assert (out["val"].to_numpy() == ora["val"].to_numpy()).all()
+
+
+# ---------------------------------------------------------------------------
+# hub-split sampling (round-3: the documented random_walks/sample_neighbors
+# /node2vec hub-split boundary is closed via per-actor offset context)
+# ---------------------------------------------------------------------------
+
+def _skewed_engines(n=200, seed=9):
+    """A graph with one massive hub dst so the hub range splits; returns
+    (split engine, unsplit engine, edge set)."""
+    from python_graphblas_ray.state.superstep import SuperstepEngine
+
+    rng = np.random.default_rng(seed)
+    # hub vertex 7 receives half of all edges
+    n_hub, n_rest = 2000, 2000
+    src_h = rng.integers(0, n, n_hub).astype(np.int64)
+    dst_h = np.full(n_hub, 7, dtype=np.int64)
+    src_r = rng.integers(0, n, n_rest).astype(np.int64)
+    dst_r = rng.integers(0, n, n_rest).astype(np.int64)
+    src = np.concatenate([src_h, src_r])
+    dst = np.concatenate([dst_h, dst_r])
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    t = pa.table({"src": src, "dst": dst})
+    split = SuperstepEngine(ray.data.from_arrow(t), n, num_partitions=4,
+                            partition_mode="exchange",
+                            hub_split_factor=1.2)
+    plain = SuperstepEngine(ray.data.from_arrow(t), n, num_partitions=4,
+                            partition_mode="exchange",
+                            hub_split_factor=None)
+    edges = set(zip(src.tolist(), dst.tolist()))
+    return split, plain, edges
+
+
+def test_hub_split_sample_neighbors_full_coverage():
+    """With k ≥ max degree the windowed sample IS the full adjacency, so
+    the split engine must return exactly the unsplit engine's neighbor
+    sets (order-free) — the strongest equivalence the offset scheme
+    can be held to."""
+    split, plain, edges = _skewed_engines()
+    try:
+        assert split.has_hub_split and not plain.has_hub_split
+        vids = np.arange(200, dtype=np.int64)
+        k = 5000  # > any degree
+        vs, ns = split.sample_neighbors(vids, k, seed=3)
+        vp, npn = plain.sample_neighbors(vids, k, seed=3)
+        got = {}
+        for v, nb in zip(vs.tolist(), ns.tolist()):
+            got.setdefault(v, []).append(nb)
+        want = {}
+        for v, nb in zip(vp.tolist(), npn.tolist()):
+            want.setdefault(v, []).append(nb)
+        assert set(got) == set(want)
+        for v in want:
+            assert sorted(got[v]) == sorted(want[v]), v
+    finally:
+        split.shutdown()
+        plain.shutdown()
+
+
+def test_hub_split_sample_neighbors_k_and_determinism():
+    split, plain, edges = _skewed_engines(seed=17)
+    try:
+        vids = np.array([7, 0, 1, 2, 3], dtype=np.int64)
+        vs1, ns1 = split.sample_neighbors(vids, 5, seed=4)
+        vs2, ns2 = split.sample_neighbors(vids, 5, seed=4)
+        o1 = np.lexsort((ns1, vs1))
+        o2 = np.lexsort((ns2, vs2))
+        assert (vs1[o1] == vs2[o2]).all() and (ns1[o1] == ns2[o2]).all()
+        # every sampled (neighbor -> vid) is a real edge; at most k per
+        # vid; the hub (deg ~2000 > 5) returns exactly 5 DISTINCT slots
+        for v, nb in zip(vs1.tolist(), ns1.tolist()):
+            assert (nb, v) in edges
+        counts = pd.Series(vs1).value_counts()
+        assert counts.max() <= 5
+        assert counts.get(7, 0) == 5
+    finally:
+        split.shutdown()
+        plain.shutdown()
+
+
+def test_hub_split_random_walks_valid_and_deterministic():
+    split, plain, edges = _skewed_engines(seed=23)
+    try:
+        starts = np.arange(40, dtype=np.int64)
+        w1 = split.random_walks(starts, length=6, seed=11)
+        w2 = split.random_walks(starts, length=6, seed=11)
+        assert (w1 == w2).all()
+        # every transition follows an IN-edge: pos[t+1] is an
+        # in-neighbor of pos[t], i.e. (next, cur) in edges
+        for row in w1:
+            for t in range(len(row) - 1):
+                cur, nxt = row[t], row[t + 1]
+                if cur < 0 or nxt < 0:
+                    continue
+                assert (nxt, cur) in edges, (cur, nxt)
+        # walkers that start on the hub must be able to leave it
+        assert (w1[7] >= 0).any()
+    finally:
+        split.shutdown()
+        plain.shutdown()
+
+
+def test_hub_split_node2vec_runs_and_is_valid():
+    split, plain, edges = _skewed_engines(seed=31)
+    try:
+        starts = np.arange(20, dtype=np.int64)
+        w = split.node2vec_walks(starts, length=4, p=2.0, q=0.5, seed=5)
+        assert w.shape == (20, 5)
+        for row in w:
+            for t in range(len(row) - 1):
+                cur, nxt = row[t], row[t + 1]
+                if cur < 0 or nxt < 0:
+                    continue
+                assert (nxt, cur) in edges
+    finally:
+        split.shutdown()
+        plain.shutdown()
+
+
+def test_mode_pairs_two_key_path_beyond_31_bits():
+    """Labels above 2^31 take the lexsort path — must agree with a
+    pure-Python Counter oracle AND with the packed path on the same
+    small-relabelled data."""
+    from collections import Counter
+
+    from python_graphblas_ray.state.superstep import _mode_pairs
+
+    rng = np.random.default_rng(2)
+    dstl = rng.integers(0, 50, 3000).astype(np.int64)
+    big_base = np.int64(1) << np.int64(40)
+    small = rng.integers(0, 97, 3000).astype(np.int64)
+    big = small + big_base
+    ud_b, ul_b, c_b = _mode_pairs(dstl, big)
+    assert ul_b.max() >= big_base  # really exercised the big path
+    oracle = Counter(zip(dstl.tolist(), big.tolist()))
+    got = dict(zip(zip(ud_b.tolist(), ul_b.tolist()), c_b.tolist()))
+    assert got == dict(oracle)
+    # packed path on the small labels agrees after relabelling
+    ud_s, ul_s, c_s = _mode_pairs(dstl, small)
+    assert (ud_s == ud_b).all()
+    assert (ul_s + big_base == ul_b).all()
+    assert (c_s == c_b).all()
+
+
+def test_lpa_unaffected_by_mode_pairs_swap():
+    """Hub-split LPA via the driver pipeline still matches the plain
+    engine (mode merges across split actors)."""
+    from python_graphblas_ray.pipelines.algorithms import (
+        label_propagation)
+
+    split, plain, _ = _skewed_engines(seed=41)
+    try:
+        # undirected LPA needs symmetrized engines
+        su = split.symmetrized()
+        pu = plain.symmetrized()
+        l1, i1, _ = label_propagation(su, itermax=4)
+        l2, i2, _ = label_propagation(pu, itermax=4)
+        assert i1 == i2
+        assert (l1 == l2).all()
+        su.shutdown()
+        pu.shutdown()
+    finally:
+        split.shutdown()
+        plain.shutdown()
