@@ -392,6 +392,47 @@ class GraphPartitionActor:
         rdiff = self.pr_step(w_refs)
         return rdiff, self.pr_w()
 
+    def pr_init_edges(self, bounds):
+        """Follower setup on a hub-split engine: this actor holds a
+        SUBSET of a split range's in-edges and NO vertex state (the
+        group leader owns r/w) — it only needs the slice-exchange
+        gather plan. ``bounds``: DISTINCT-range boundaries (one w slice
+        per range group, produced by the leaders)."""
+        self._pr_bounds = np.asarray(bounds, dtype=np.int64)
+        self._ensure_gather_plan()
+
+    def pr_pull(self, w_refs):
+        """Pull partial for THIS actor's edge subset: Σ w[src] per local
+        dst — the split-group pre-merge half of ``pr_step``. Returns the
+        dense range-sized partial (the leader sums partials)."""
+        size = self.hi - self.lo
+        out = np.zeros(size)
+        if self.nedges:
+            slices = ray.get([w_refs[p] for p, _, _ in self._pr_gather])
+            vals = np.empty(self.nedges)
+            for (p, pos, local), sl in zip(self._pr_gather, slices):
+                vals[pos] = sl[local]
+            out[self.group_dst] = np.add.reduceat(vals, self.starts)
+        return out
+
+    @ray.method(num_returns=2)
+    def pr_merge_step(self, *partial_refs):
+        """Leader finish on a hub-split engine: sum the group's pull
+        partials (its own included), add teleport, update r, return
+        (rdiff partial, next w slice). Addition order is the fixed
+        actor-list order — deterministic across runs. Partials arrive
+        as plain arrays (Ray resolves top-level *args refs — zero-copy
+        plasma reads on-node)."""
+        outs = [ray.get(p) if isinstance(p, ray.ObjectRef) else p
+                for p in partial_refs]
+        tot = outs[0]
+        for o in outs[1:]:
+            tot = tot + o
+        new_r = tot + self._pr_tele
+        rdiff = float(np.abs(self._pr_r - new_r).sum())
+        self._pr_r = new_r
+        return rdiff, self.pr_w()
+
     def pr_result(self):
         return self._pr_r
 
@@ -466,6 +507,30 @@ class GraphPartitionActor:
         self._cc_gp = gp
         return changed, gp
 
+    def cc_mngp_pull(self, gp_refs):
+        """Hub-split FastSV pre-merge: the min-over-in-edges partial of
+        gp[src] for THIS actor's edge subset (int64-max identity where
+        it holds no in-edges) — the group leader min-merges."""
+        size = self.hi - self.lo
+        mngp = np.full(size, np.iinfo(np.int64).max, dtype=np.int64)
+        if self.nedges:
+            slices = ray.get([gp_refs[p] for p, _, _ in self._pr_gather])
+            vals = np.empty(self.nedges, dtype=np.int64)
+            for (p, pos, local), sl in zip(self._pr_gather, slices):
+                vals[pos] = sl[local]
+            mngp[self.group_dst] = np.minimum.reduceat(vals, self.starts)
+        return mngp
+
+    def cc_hook_merge(self, *mngp_partials):
+        """Hub-split FastSV hook at the group leader: elementwise-min the
+        group's mngp partials (min is the stitch monoid — order-free),
+        then f = min(f, mngp, gp) exactly like ``cc_hook``."""
+        mngp = mngp_partials[0]
+        for m in mngp_partials[1:]:
+            mngp = np.minimum(mngp, m)
+        self._cc_f = np.minimum(np.minimum(self._cc_f, mngp), self._cc_gp)
+        return self._cc_f
+
     def cc_result(self):
         return self._cc_f
 
@@ -491,6 +556,46 @@ class GraphPartitionActor:
                 lab[pos] = sl[local]
             ud, ul, counts = _mode_pairs(self.dstl, lab)
             mode = _argmax_per_dst(ud, ul, counts, size)
+        else:
+            mode = np.full(size, -1, dtype=np.int64)
+        new = np.where(mode >= 0, mode, self._lpa_lab)
+        changed = bool(np.any(new != self._lpa_lab))
+        self._lpa_lab = new
+        return changed, new
+
+    def lpa_counts_pull(self, lab_refs):
+        """Hub-split LPA pre-merge: gather in-neighbor labels for THIS
+        actor's edge subset by the slice-exchange plan and return the
+        sparse (local dst, label, count) partial — the group leader
+        integer-sums counts (order-free) before the argmax."""
+        if not self.nedges:
+            z = np.array([], dtype=np.int64)
+            return z, z, z
+        slices = ray.get([lab_refs[p] for p, _, _ in self._pr_gather])
+        lab = np.empty(self.nedges, dtype=np.int64)
+        for (p, pos, local), sl in zip(self._pr_gather, slices):
+            lab[pos] = sl[local]
+        return _mode_pairs(self.dstl, lab)
+
+    @ray.method(num_returns=2)
+    def lpa_merge_step(self, *partials):
+        """Hub-split LPA finish at the group leader: sum the group's
+        (dst, label) count partials (integer sums — any order), take the
+        per-dst mode (ties → smallest), keep own label where no
+        in-neighbors — exactly ``lpa_step`` semantics."""
+        size = self.hi - self.lo
+        ds = np.concatenate([p[0] for p in partials])
+        ls = np.concatenate([p[1] for p in partials])
+        cs = np.concatenate([p[2] for p in partials])
+        if len(ds):
+            order = np.lexsort((ls, ds))
+            d, lo, c = ds[order], ls[order], cs[order]
+            first = np.ones(len(d), dtype=bool)
+            first[1:] = (d[1:] != d[:-1]) | (lo[1:] != lo[:-1])
+            starts = np.flatnonzero(first)
+            csum = np.add.reduceat(c, starts)
+            mode = _argmax_per_dst(d[starts], lo[starts],
+                                   csum.astype(np.int64), size)
         else:
             mode = np.full(size, -1, dtype=np.int64)
         new = np.where(mode >= 0, mode, self._lpa_lab)
@@ -726,6 +831,44 @@ class GraphPartitionActor:
             agg[self.group_dst] = merge.reduceat(rows, self.starts,
                                                  axis=0)
             new = merge(regs, agg)
+        changed = bool((new != regs).any())
+        self._anf_regs = new
+        if self._anf_mode == "exact":
+            cnt = float(np.unpackbits(new.view(np.uint8)).sum())
+        else:
+            cnt = float(_hll_count(new).sum())
+        return (changed, cnt), new
+
+    def anf_pull(self, reg_refs, mode):
+        """Hub-split ANF pre-merge: the ⊕-reduced in-neighbor register
+        rows for THIS actor's edge subset (None when it holds no edges —
+        the leader skips it); shape/dtype follow the gathered slices."""
+        if not self.nedges:
+            return None
+        merge = np.bitwise_or if mode == "exact" else np.maximum
+        slices = ray.get([reg_refs[p] for p, _, _ in self._pr_gather])
+        R = slices[0].shape[1]
+        rows = np.empty((self.nedges, R), dtype=slices[0].dtype)
+        for (p, pos, local), sl in zip(self._pr_gather, slices):
+            rows[pos] = sl[local]
+        agg = np.zeros((self.hi - self.lo, R), dtype=slices[0].dtype)
+        agg[self.group_dst] = merge.reduceat(rows, self.starts, axis=0)
+        return agg
+
+    @ray.method(num_returns=2)
+    def anf_merge_step(self, *partials):
+        """Hub-split ANF finish at the group leader: ⊕-merge the group's
+        register partials into the pinned registers (⊕ is idempotent
+        max/or — the stitch monoid, order-free), then the same
+        changed/count readout as ``anf_step``."""
+        from ..pipelines.anf import _hll_count
+
+        regs = self._anf_regs
+        merge = np.bitwise_or if self._anf_mode == "exact" else np.maximum
+        new = regs
+        for p in partials:
+            if p is not None:
+                new = merge(new, p)
         changed = bool((new != regs).any())
         self._anf_regs = new
         if self._anf_mode == "exact":
@@ -1401,10 +1544,8 @@ class SuperstepEngine:
         """
         n = self.n
         if self.has_hub_split:
-            raise NotImplementedError(
-                "pagerank_inactor assumes exclusive range ownership; "
-                "rebuild with hub_split_factor=None, or use the "
-                "monoid-merging pipelines.algorithms.pagerank driver")
+            return self._pagerank_inactor_split(damping, itermax, tol,
+                                                metrics, force_iters)
         bounds = np.array([lo for lo, _ in self.ranges], dtype=np.int64)
         partial_refs = [a.deg_partial.remote() for a in self.actors]
         ray.wait(partial_refs, num_returns=len(partial_refs))
@@ -1438,6 +1579,75 @@ class SuperstepEngine:
         slices = ray.get([a.pr_result.remote() for a in self.actors])
         return self._stitch_exact(slices), i
 
+    def _pr_split_groups(self):
+        """Hub-split group map for the in-actor algorithms: one LEADER
+        per distinct non-empty range (it owns the range's vertex state),
+        every other same-range actor a FOLLOWER (edges only). Returns
+        ``(ordered [(range, actor idxs)], distinct-range boundaries)``
+        — non-empty distinct ranges tile [0, n), so the boundaries feed
+        the same searchsorted gather plan, with one state slice per
+        GROUP instead of per actor."""
+        groups: dict = {}
+        for i, r in enumerate(self.ranges):
+            if r[1] > r[0]:
+                groups.setdefault(r, []).append(i)
+        ordered = sorted(groups.items(), key=lambda kv: kv[0][0])
+        dbounds = np.array([r[0] for r, _ in ordered], dtype=np.int64)
+        return ordered, dbounds
+
+    def _pagerank_inactor_split(self, damping, itermax, tol, metrics,
+                                force_iters):
+        """pagerank_inactor on a hub-split engine (closes the round-2
+        verdict's "exclusive range ownership" boundary): group leaders
+        pin the vertex state, and each superstep is TWO O(P) actor
+        rounds — every group member pulls its edge subset's partial
+        (Σ w[src] per local dst), then the leader sums its group's
+        partials in fixed actor order (deterministic), adds teleport,
+        and emits (rdiff partial, next w slice). The driver still does
+        O(P) work and never touches an O(n) vector; identical recipe,
+        one extra merge hop only for split ranges' partials."""
+        n = self.n
+        ordered, dbounds = self._pr_split_groups()
+        leaders = [idxs[0] for _, idxs in ordered]
+        partial_refs = [a.deg_partial.remote() for a in self.actors]
+        ray.wait(partial_refs, num_returns=len(partial_refs))
+        inits = [self.actors[j].pr_init.remote(partial_refs, damping,
+                                               n, dbounds)
+                 for j in leaders]
+        inits += [self.actors[j].pr_init_edges.remote(dbounds)
+                  for _, idxs in ordered for j in idxs[1:]]
+        ray.get(inits)
+        rdiff = 1.0
+        i = 0
+        w_refs = [self.actors[j].pr_w.remote() for j in leaders]
+        ray.wait(w_refs, num_returns=len(w_refs))
+        for i in range(itermax):
+            if force_iters is None and rdiff <= tol:
+                break
+            pulls = [[self.actors[j].pr_pull.remote(w_refs)
+                      for j in idxs] for _, idxs in ordered]
+            flat = [ref for refs in pulls for ref in refs]
+            # barrier before the merge round (see pr_step: forwarding
+            # unresolved refs blocks actor slots inside ray.get)
+            ray.wait(flat, num_returns=len(flat))
+            pairs = [self.actors[leaders[g]].pr_merge_step.remote(
+                *pulls[g]) for g in range(len(ordered))]
+            rd_refs = [p[0] for p in pairs]
+            w_refs = [p[1] for p in pairs]
+            rdiff = float(sum(ray.get(rd_refs)))
+            if metrics is not None:
+                metrics.record(i, algorithm="pagerank_inactor",
+                               rdiff=rdiff, edges=self.num_edges)
+            if force_iters is not None and i + 1 >= force_iters:
+                i += 1
+                break
+        slices = ray.get([self.actors[j].pr_result.remote()
+                          for j in leaders])
+        out = np.zeros(n)
+        for (r, _), s in zip(ordered, slices):
+            out[r[0]:r[1]] = s
+        return out, i
+
     def anf_inactor(self, tmax=64, mode="exact", b=6, seed=7,
                     metrics=None):
         """ANF/HyperANF with the register matrix pinned IN the partition
@@ -1448,10 +1658,7 @@ class SuperstepEngine:
         :func:`python_graphblas_ray.pipelines.anf.neighborhood_function`
         (bit-identical results — parity-tested)."""
         if self.has_hub_split:
-            raise NotImplementedError(
-                "anf_inactor assumes exclusive range ownership; rebuild "
-                "with hub_split_factor=None, or use the dense-broadcast "
-                "pipelines.anf.neighborhood_function")
+            return self._anf_inactor_split(tmax, mode, b, seed, metrics)
         bounds = np.array([lo for lo, _ in self.ranges], dtype=np.int64)
         parts = ray.get([a.anf_init.remote(self.n, bounds, mode, b, seed)
                          for a in self.actors])
@@ -1474,6 +1681,44 @@ class SuperstepEngine:
         out = np.asarray(counts)
         return out.astype(np.int64) if mode == "exact" else out
 
+    def _anf_inactor_split(self, tmax, mode, b, seed, metrics):
+        """anf_inactor on a hub-split engine: leaders pin the range's
+        registers, every group member ⊕-reduces its edge subset's
+        in-neighbor rows (``anf_pull``), leaders ⊕-merge (idempotent
+        max/or — order-free, so results are BIT-IDENTICAL to the
+        unsplit engine). Two O(P) actor rounds per superstep."""
+        ordered, dbounds = self._pr_split_groups()
+        leaders = [idxs[0] for _, idxs in ordered]
+        init_refs = [self.actors[j].anf_init.remote(self.n, dbounds,
+                                                    mode, b, seed)
+                     for j in leaders]
+        edge_refs = [self.actors[j].pr_init_edges.remote(dbounds)
+                     for _, idxs in ordered for j in idxs[1:]]
+        parts = ray.get(init_refs)
+        ray.get(edge_refs)
+        counts = [float(sum(parts))]
+        reg_refs = [self.actors[j].anf_regs_slice.remote()
+                    for j in leaders]
+        ray.wait(reg_refs, num_returns=len(reg_refs))
+        for t in range(tmax):
+            pulls = [[self.actors[j].anf_pull.remote(reg_refs, mode)
+                      for j in idxs] for _, idxs in ordered]
+            flat = [ref for refs in pulls for ref in refs]
+            ray.wait(flat, num_returns=len(flat))
+            pairs = [self.actors[leaders[g]].anf_merge_step.remote(
+                *pulls[g]) for g in range(len(ordered))]
+            meta_refs = [p[0] for p in pairs]
+            reg_refs = [p[1] for p in pairs]
+            metas = ray.get(meta_refs)
+            if not any(m[0] for m in metas):
+                break
+            counts.append(float(sum(m[1] for m in metas)))
+            if metrics is not None:
+                metrics.record(t, algorithm="anf_inactor",
+                               pairs=counts[-1], edges=self.num_edges)
+        out = np.asarray(counts)
+        return out.astype(np.int64) if mode == "exact" else out
+
     def connected_components_inactor(self, metrics=None):
         """FastSV with vertex state pinned in the actors: two O(P) rounds
         per superstep (hook+shortcut, then the f[f] grandparent gather as
@@ -1481,9 +1726,7 @@ class SuperstepEngine:
         count to ``pipelines.algorithms.connected_components``. The engine
         must be built over the SYMMETRIZED edge table (undirected)."""
         if self.has_hub_split:
-            raise NotImplementedError(
-                "connected_components_inactor assumes exclusive range "
-                "ownership; rebuild with hub_split_factor=None")
+            return self._cc_inactor_split(metrics)
         bounds = np.array([lo for lo, _ in self.ranges], dtype=np.int64)
         gp_refs = [a.cc_init.remote(self.n, bounds) for a in self.actors]
         ray.wait(gp_refs, num_returns=len(gp_refs))
@@ -1505,17 +1748,59 @@ class SuperstepEngine:
         slices = ray.get([a.cc_result.remote() for a in self.actors])
         return self._stitch_exact(slices, dtype=np.int64), it
 
+    def _cc_inactor_split(self, metrics=None):
+        """FastSV on a hub-split engine: leaders pin f/gp, every group
+        member computes the min-over-in-edges partial of gp[src] for its
+        edge subset (``cc_mngp_pull``), leaders min-merge (min is the
+        stitch monoid — order-free, results IDENTICAL to unsplit) and
+        hook; the value-dependent f[f] grandparent gather runs on
+        leaders only against the group-indexed f slices. Three O(P)
+        actor rounds per superstep; identical recipe and superstep
+        count."""
+        ordered, dbounds = self._pr_split_groups()
+        leaders = [idxs[0] for _, idxs in ordered]
+        gp_refs = [self.actors[j].cc_init.remote(self.n, dbounds)
+                   for j in leaders]
+        edge_refs = [self.actors[j].pr_init_edges.remote(dbounds)
+                     for _, idxs in ordered for j in idxs[1:]]
+        ray.wait(gp_refs, num_returns=len(gp_refs))
+        ray.get(edge_refs)
+        it = 0
+        while True:
+            pulls = [[self.actors[j].cc_mngp_pull.remote(gp_refs)
+                      for j in idxs] for _, idxs in ordered]
+            flat = [ref for refs in pulls for ref in refs]
+            ray.wait(flat, num_returns=len(flat))
+            f_refs = [self.actors[leaders[g]].cc_hook_merge.remote(
+                *pulls[g]) for g in range(len(ordered))]
+            ray.wait(f_refs, num_returns=len(f_refs))
+            pairs = [self.actors[j].cc_grandparent.remote(f_refs, dbounds)
+                     for j in leaders]
+            ch_refs = [p[0] for p in pairs]
+            gp_refs = [p[1] for p in pairs]
+            changed = any(ray.get(ch_refs))
+            if metrics is not None:
+                metrics.record(it, algorithm="fastsv_inactor",
+                               changed=changed)
+            it += 1
+            if not changed:
+                break
+        slices = ray.get([self.actors[j].cc_result.remote()
+                          for j in leaders])
+        out = np.zeros(self.n, dtype=np.int64)
+        for (r, _), s in zip(ordered, slices):
+            out[r[0]:r[1]] = s
+        return out, it
+
     def label_propagation_inactor(self, itermax=100, metrics=None):
         """Synchronous deterministic LPA with labels pinned in the
         actors — one fused O(P) round per superstep (changed flag + new
         label slice per actor). Identical semantics and superstep count
         to ``pipelines.algorithms.label_propagation``. Engine must be
-        undirected; hub-split engines unsupported (labels exchange
-        assumes exclusive range ownership)."""
+        undirected; hub-split engines take the leader-merge path
+        (``_lpa_inactor_split``)."""
         if self.has_hub_split:
-            raise NotImplementedError(
-                "label_propagation_inactor assumes exclusive range "
-                "ownership; use pipelines.algorithms.label_propagation")
+            return self._lpa_inactor_split(itermax, metrics)
         bounds = np.array([lo for lo, _ in self.ranges], dtype=np.int64)
         lab_refs = [a.lpa_init.remote(self.n, bounds)
                     for a in self.actors]
@@ -1533,6 +1818,43 @@ class SuperstepEngine:
                 break
         labels = self._stitch_exact(ray.get(lab_refs), dtype=np.int64)
         return labels, it + 1
+
+    def _lpa_inactor_split(self, itermax=100, metrics=None):
+        """label_propagation_inactor on a hub-split engine: leaders pin
+        the labels, every group member gathers its edge subset's
+        in-neighbor labels and returns SPARSE (dst, label, count)
+        partials, leaders integer-sum counts (order-free) before the
+        tie-broken argmax — identical semantics and superstep count to
+        the unsplit path. Two O(P) actor rounds per superstep."""
+        ordered, dbounds = self._pr_split_groups()
+        leaders = [idxs[0] for _, idxs in ordered]
+        lab_refs = [self.actors[j].lpa_init.remote(self.n, dbounds)
+                    for j in leaders]
+        edge_refs = [self.actors[j].pr_init_edges.remote(dbounds)
+                     for _, idxs in ordered for j in idxs[1:]]
+        ray.wait(lab_refs, num_returns=len(lab_refs))
+        ray.get(edge_refs)
+        it = 0
+        for it in range(itermax):
+            pulls = [[self.actors[j].lpa_counts_pull.remote(lab_refs)
+                      for j in idxs] for _, idxs in ordered]
+            flat = [ref for refs in pulls for ref in refs]
+            ray.wait(flat, num_returns=len(flat))
+            pairs = [self.actors[leaders[g]].lpa_merge_step.remote(
+                *pulls[g]) for g in range(len(ordered))]
+            ch_refs = [p[0] for p in pairs]
+            lab_refs = [p[1] for p in pairs]
+            changed = any(ray.get(ch_refs))
+            if metrics is not None:
+                metrics.record(it, algorithm="lpa_inactor",
+                               changed=changed)
+            if not changed:
+                break
+        slices = ray.get(lab_refs)
+        out = np.zeros(self.n, dtype=np.int64)
+        for (r, _), s in zip(ordered, slices):
+            out[r[0]:r[1]] = s
+        return out, it + 1
 
     def _stitch_exact(self, slices, dtype=np.float64):
         out = np.zeros(self.n, dtype=dtype)

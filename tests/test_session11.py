@@ -398,3 +398,66 @@ def test_lpa_unaffected_by_mode_pairs_swap():
     finally:
         split.shutdown()
         plain.shutdown()
+
+
+def test_hub_split_inactor_pagerank_parity():
+    """pagerank_inactor now runs on hub-split engines (leader-merge):
+    same superstep count and rank vector as the unsplit engine and the
+    pipeline driver."""
+    from python_graphblas_ray.pipelines.algorithms import pagerank
+
+    split, plain, _ = _skewed_engines(seed=51)
+    try:
+        r1, i1 = split.pagerank_inactor(tol=1e-10)
+        r2, i2 = plain.pagerank_inactor(tol=1e-10)
+        assert i1 == i2
+        assert np.allclose(r1, r2, rtol=1e-12, atol=1e-15)
+        r3, i3, _ = pagerank(split, tol=1e-10)
+        assert i3 == i1
+        assert np.allclose(r1, r3, rtol=1e-12, atol=1e-15)
+        r4, _ = split.pagerank_inactor(tol=1e-10)
+        assert (r1 == r4).all()  # deterministic
+    finally:
+        split.shutdown()
+        plain.shutdown()
+
+
+def test_hub_split_inactor_cc_and_lpa_parity():
+    """FastSV and LPA in-actor on hub-split engines: min/count merges
+    are order-free, so results are IDENTICAL to the unsplit engine."""
+    split, plain, _ = _skewed_engines(seed=57)
+    try:
+        su = split.symmetrized()
+        pu = plain.symmetrized()
+        assert su.has_hub_split
+        f1, it1 = su.connected_components_inactor()
+        f2, it2 = pu.connected_components_inactor()
+        assert it1 == it2
+        assert (f1 == f2).all()
+        l1, j1 = su.label_propagation_inactor(itermax=30)
+        l2, j2 = pu.label_propagation_inactor(itermax=30)
+        assert j1 == j2
+        assert (l1 == l2).all()
+        su.shutdown()
+        pu.shutdown()
+    finally:
+        split.shutdown()
+        plain.shutdown()
+
+
+def test_hub_split_inactor_anf_parity():
+    """ANF in-actor on hub-split engines: max/or register merges are
+    idempotent, so per-level counts are bit-identical to unsplit, in
+    both exact-bitset and HLL modes."""
+    split, plain, _ = _skewed_engines(seed=63)
+    try:
+        e1 = split.anf_inactor(tmax=16, mode="exact")
+        e2 = plain.anf_inactor(tmax=16, mode="exact")
+        assert (e1 == e2).all()
+        h1 = split.anf_inactor(tmax=16, mode="hll", b=6, seed=3)
+        h2 = plain.anf_inactor(tmax=16, mode="hll", b=6, seed=3)
+        assert len(h1) == len(h2)
+        assert np.allclose(h1, h2, rtol=0, atol=0)
+    finally:
+        split.shutdown()
+        plain.shutdown()
