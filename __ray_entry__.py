@@ -321,6 +321,15 @@ def _q_vec_extract(sf_dir):
     return _vec(A.reduce_rowwise("plus").extract(slice(10, 100)))
 
 
+def _q_vec_selectk_random(sf_dir):
+    """``Vector.ss.selectk(how="random", k=8)`` over the out-degree
+    vector: seeded equal-probability 8-subset via the knuth32 draw of
+    the index (vid + 13) — replayed by a ROW_NUMBER oracle."""
+    A = _edge_matrix(sf_dir)
+    return _vec(A.reduce_rowwise("plus").ss.selectk("random", 8,
+                                                    seed=13))
+
+
 def _q_row_scan(sf_dir):
     from python_graphblas_ray.stages.perrow import row_scan
 
@@ -3883,7 +3892,8 @@ SUITES = {
     "degree_suite": ["degree_out", "degree_in", "degree_mean"],
     "reduce_scalar_suite": ["reduce_scalar_plus", "reduce_scalar_max"],
     "spmv_suite": ["mxv_plus_times", "vxm_min_plus", "mxv_masked"],
-    "vec_ops_suite": ["vec_ewise_add", "vec_extract", "diag"],
+    "vec_ops_suite": ["vec_ewise_add", "vec_extract",
+                      "vec_selectk_random8", "diag"],
     "ewise_suite": ["ewise_add_plus", "ewise_mult_times",
                     "ewise_union_minus"],
     "select_suite": ["select_tril", "select_valuegt"],
@@ -4251,6 +4261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mxv_masked": _q_mxv_masked,
         "vec_ewise_add": _q_vec_ewise_add,
         "vec_extract": _q_vec_extract,
+        "vec_selectk_random8": _q_vec_selectk_random,
         "ewise_add_plus": _q_ewise_add,
         "ewise_mult_times": _q_ewise_mult,
         "ewise_union_minus": _q_ewise_union,
@@ -4570,6 +4581,14 @@ def oracle_sql() -> dict[str, str]:
         "vec_extract": (
             f"{E} SELECT src - 10 AS vid, sum(val) AS val FROM E "
             "WHERE src >= 10 AND src < 100 GROUP BY 1"),
+        "vec_selectk_random8": (
+            # knuth32 draw of vid + 13 replayed (see stages/perrow
+            # _vector_pick_order); ties by vid
+            f"{E}, d AS (SELECT src AS vid, sum(val) AS val FROM E "
+            "GROUP BY 1) "
+            "SELECT vid, val FROM (SELECT *, row_number() OVER ("
+            "ORDER BY ((vid + 13) % 4294967296 * 2654435761) "
+            "% 4294967296, vid) AS rn FROM d) WHERE rn <= 8"),
         "mxv_plus_times": (
             f"{E}, d AS (SELECT dst AS vid, sum(val) AS val FROM E "
             "GROUP BY 1) "

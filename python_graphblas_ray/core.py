@@ -2368,6 +2368,14 @@ class _VectorSS:
         from .stages.perrow import vector_scan
         return vector_scan(self._v, op)
 
+    def selectk(self, how, k, seed=0):
+        from .stages.perrow import vector_selectk
+        return vector_selectk(self._v, how, k, seed=seed)
+
+    def compactify(self, how="first", k=None, seed=0):
+        from .stages.perrow import vector_compactify
+        return vector_compactify(self._v, how, k, seed=seed)
+
     def serialize(self, path, num_partitions=None):
         ds = self._v.ds
         if num_partitions:

@@ -340,3 +340,87 @@ def vector_scan(v, op: str = "plus"):
 
     ds = ray.data.from_arrow_refs(out_refs)
     return GBVector(ds, v.size, v.dtype)
+
+
+def _vector_pick_order(vid, val, how, seed):
+    """lexsort order array for vector selectk ranking (deterministic
+    ties): first/last by index, smallest/largest by (value, index),
+    random by the seeded knuth32 draw of the index — the same
+    SQL-replayable draw as the matrix ``how="random"``."""
+    if how == "first":
+        return np.argsort(vid, kind="stable")
+    if how == "last":
+        return np.argsort(-vid, kind="stable")
+    if how == "smallest":
+        return np.lexsort((vid, val))
+    if how == "largest":
+        return np.lexsort((vid, -val))
+    if how == "random":
+        key = vid.astype(np.uint64) + np.uint64(seed)
+        with np.errstate(over="ignore"):
+            draw = ((key % np.uint64(2**32)) * np.uint64(2654435761)
+                    ) % np.uint64(2**32)
+        return np.lexsort((vid, draw))
+    raise ValueError(how)
+
+
+def vector_selectk(v, how: str, k: int, seed: int = 0):
+    """``Vector.ss.selectk`` (reference ``core/ss/vector.py:1403``):
+    keep (up to) k of the vector's present entries — ``first``/``last``
+    by index, ``smallest``/``largest`` by value (deterministic
+    (value, index) ties where the reference allows any), ``random`` an
+    equal-probability seeded k-subset via the knuth32 draw of the
+    index (SQL-replayable — the matrix ``how="random"`` contract).
+
+    Scale shape: the global winner set is contained in the union of
+    per-block winners, so each block cuts to its local top-k
+    (vectorized) and ONLY ≤ k·#blocks candidate rows reach the driver
+    for the final cut — the vector itself never does."""
+    from ..core import GBVector
+
+    kk = int(k)
+    if kk < 0:
+        raise ValueError("negative k is not allowed")
+
+    def block_top(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "vid" not in t.column_names:
+            return pa.table({"vid": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.float64())})
+        vid = t["vid"].to_numpy(zero_copy_only=False)
+        val = t["val"].to_numpy(zero_copy_only=False)
+        order = _vector_pick_order(vid, val, how, seed)[:kk]
+        return pa.table({"vid": vid[order], "val": val[order]})
+
+    tabs = [b for b in v.ds.map_batches(
+        block_top, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None) if b.num_rows]
+    if tabs:
+        t = pa.concat_tables(tabs, promote_options="permissive")
+        vid = t["vid"].to_numpy(zero_copy_only=False)
+        val = t["val"].to_numpy(zero_copy_only=False)
+        order = _vector_pick_order(vid, val, how, seed)[:kk]
+        vid, val = vid[order], val[order]
+    else:
+        vid = np.array([], dtype=np.int64)
+        val = np.array([], dtype=np.float64)
+    return GBVector.from_coo(vid, val, size=v.size)
+
+
+def vector_compactify(v, how: str = "first", k: int | None = None,
+                      seed: int = 0):
+    """``Vector.ss.compactify`` (reference ``core/ss/vector.py:1468``
+    family): selectk then re-index the survivors to 0..k−1 in the pick
+    order (``first`` keeps index order; ``largest`` descending value;
+    ``random`` the draw order — "chosen values may not be ordered
+    randomly"). Returns a GBVector of size k (or nvals when k=None)."""
+    from ..core import GBVector
+
+    picked = vector_selectk(v, how, v.size if k is None else k,
+                            seed=seed)
+    vid, val = picked.to_coo()
+    order = _vector_pick_order(np.asarray(vid), np.asarray(val), how,
+                               seed)
+    size = len(vid) if k is None else int(k)
+    return GBVector.from_coo(np.arange(len(order), dtype=np.int64),
+                             np.asarray(val)[order],
+                             size=max(size, 1))

@@ -461,3 +461,59 @@ def test_hub_split_inactor_anf_parity():
     finally:
         split.shutdown()
         plain.shutdown()
+
+
+def test_vector_selectk_all_modes():
+    """Vector.ss.selectk (reference core/ss/vector.py:1403): every mode
+    against a numpy oracle on a 400-entry vector spread over blocks."""
+    from python_graphblas_ray.core import GBVector
+
+    rng = np.random.default_rng(8)
+    vid = np.sort(rng.choice(5000, 400, replace=False)).astype(np.int64)
+    val = rng.normal(size=400)
+    v = GBVector.from_coo(vid, val, size=5000)
+    k = 7
+
+    def got(how, seed=0):
+        i, x = v.ss.selectk(how, k, seed=seed).to_coo()
+        return np.asarray(i), np.asarray(x)
+
+    i, x = got("first")
+    assert (i == vid[:k]).all() and np.allclose(x, val[:k])
+    i, x = got("last")
+    assert (np.sort(i) == vid[-k:]).all()
+    i, x = got("smallest")
+    assert set(x.tolist()) == set(np.sort(val)[:k].tolist())
+    i, x = got("largest")
+    assert set(x.tolist()) == set(np.sort(val)[-k:].tolist())
+    # random: deterministic, seed-sensitive, k entries from the vector
+    i1, x1 = got("random", seed=5)
+    i2, x2 = got("random", seed=5)
+    i3, _ = got("random", seed=6)
+    assert (i1 == i2).all() and (x1 == x2).all()
+    assert not np.array_equal(i1, i3)
+    assert len(i1) == k and set(i1.tolist()) <= set(vid.tolist())
+    # matches the direct knuth32 ranking oracle
+    key = (vid.astype(np.uint64) + np.uint64(5))
+    draw = ((key % np.uint64(2**32)) * np.uint64(2654435761)) \
+        % np.uint64(2**32)
+    want = vid[np.lexsort((vid, draw))[:k]]
+    assert sorted(i1.tolist()) == sorted(want.tolist())
+
+
+def test_vector_selectk_short_and_compactify():
+    from python_graphblas_ray.core import GBVector
+
+    v = GBVector.from_coo(np.array([3, 9, 40]),
+                          np.array([5.0, -2.0, 7.0]), size=64)
+    i, x = v.ss.selectk("smallest", 10).to_coo()
+    assert len(i) == 3  # fewer entries than k keeps everything
+    c = v.ss.compactify("largest", 2)
+    ci, cx = c.to_coo()
+    assert ci.tolist() == [0, 1]
+    assert cx.tolist() == [7.0, 5.0]
+    assert c.size == 2
+    cfull = v.ss.compactify()  # k=None -> nvals, index order
+    fi, fx = cfull.to_coo()
+    assert fi.tolist() == [0, 1, 2]
+    assert fx.tolist() == [5.0, -2.0, 7.0]
