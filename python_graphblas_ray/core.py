@@ -596,6 +596,20 @@ class GBVector(_Base):
             idx, vals = idx[o], vals[o]
         return idx, vals
 
+    def head(self, n=10, sort=False):
+        """First n entries (reference ``Vector.ss.head``)."""
+        ds = self.ds
+        if sort:
+            ds = ds.sort("vid")
+        batches = (list(ds.limit(n).iter_batches(batch_format="pyarrow"))
+                   if n else [])
+        if batches:
+            t = pa.concat_tables(batches, promote_options="permissive")
+        else:
+            t = pa.table({"vid": pa.array([], pa.int64()),
+                          "val": pa.array([], _arrow_val_type(self.dtype))})
+        return (t["vid"].to_numpy(zero_copy_only=False), _np("val", t))
+
     def to_numpy_pair(self):
         """(sorted ids, vals) for broadcast lookup in mxv/vxm kernels."""
         return self.to_coo(sort=True)
@@ -2375,6 +2389,17 @@ class _VectorSS:
     def compactify(self, how="first", k=None, seed=0):
         from .stages.perrow import vector_compactify
         return vector_compactify(self._v, how, k, seed=seed)
+
+    def sort(self, ascending=True, values=True, permutation=True):
+        from .stages.perrow import vector_sort
+        return vector_sort(self._v, ascending, values, permutation)
+
+    def split(self, chunks):
+        from .stages.perrow import vector_split
+        return vector_split(self._v, chunks)
+
+    def head(self, n=10, sort=False):
+        return self._v.head(n, sort)
 
     def serialize(self, path, num_partitions=None):
         ds = self._v.ds

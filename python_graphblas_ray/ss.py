@@ -18,9 +18,13 @@ from ._config import config
 from .pipelines.algorithms import build_engine
 from .stages.perrow import (concat, flatten, reshape, row_compactify,
                             row_scan, row_selectk, row_sort, split,
-                            vector_scan)
+                            vector_compactify, vector_concat,
+                            vector_scan, vector_selectk, vector_sort,
+                            vector_split)
 from .state.superstep import SuperstepEngine
 
 __all__ = ["SuperstepEngine", "build_engine", "concat", "config",
            "flatten", "reshape", "row_compactify", "row_scan",
-           "row_selectk", "row_sort", "split", "vector_scan"]
+           "row_selectk", "row_sort", "split", "vector_compactify",
+           "vector_concat", "vector_scan", "vector_selectk",
+           "vector_sort", "vector_split"]

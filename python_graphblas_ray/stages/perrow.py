@@ -424,3 +424,106 @@ def vector_compactify(v, how: str = "first", k: int | None = None,
     return GBVector.from_coo(np.arange(len(order), dtype=np.int64),
                              np.asarray(val)[order],
                              size=max(size, 1))
+
+
+def vector_sort(v, ascending: bool = True, values: bool = True,
+                permutation: bool = True):
+    """``Vector.ss.sort`` (reference ``core/ss/vector.py`` GxB sort):
+    sorted values compacted to indices 0..nvals−1 (like ``compactify``)
+    plus the permutation vector of ORIGINAL indices, ties by original
+    index (reference ``binary.lt``/``gt`` with index tie-break).
+
+    Scale shape: ONE range sort of the present entries by
+    (value, index), then an O(#blocks) driver prefix over block sizes
+    assigns each block its global rank offset (the two-pass
+    ``vector_scan`` posture) — per-entry work stays in the blocks.
+    Returns ``(values GBVector | None, permutation GBVector | None)``
+    of size ``v.size``."""
+    import ray
+    import ray.data
+
+    from ..core import GBVector
+
+    if not values and not permutation:
+        return None, None
+    mat = v.ds.sort(["val", "vid"],
+                    descending=[not ascending, False]).materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote
+    def block_len(t):
+        return t.num_rows
+
+    counts = ray.get([block_len.remote(r) for r in refs])
+    offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+
+    @ray.remote
+    def emit(t, off):
+        if t.num_rows == 0 or "vid" not in t.column_names:
+            return pa.table({"vid": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.float64()),
+                             "perm": pa.array([], pa.int64())})
+        rank = np.arange(off, off + t.num_rows, dtype=np.int64)
+        return pa.table({"vid": rank, "val": t["val"],
+                         "perm": t["vid"].cast(pa.int64())})
+
+    out = ray.data.from_arrow_refs(
+        [emit.remote(r, int(o)) for r, o in zip(refs, offs[:-1])])
+    vals = perm = None
+    if values:
+        vals = GBVector(out.select_columns(["vid", "val"]),
+                        v.size, v.dtype)
+    if permutation:
+        def pcols(batch: pa.Table) -> pa.Table:
+            return pa.table({"vid": batch["vid"],
+                             "val": batch["perm"]})
+        perm = GBVector(out.map_batches(pcols, batch_format="pyarrow"),
+                        v.size, "int64")
+    return vals, perm
+
+
+def vector_split(v, chunks) -> list:
+    """``Vector.ss.split``: tile into contiguous index-range chunks
+    (sizes summing to ``v.size``) — pure filters + re-base, no shuffle;
+    each chunk is a lazy view over the same Dataset."""
+    from ..core import GBVector
+
+    bounds = np.concatenate([[0], np.cumsum(chunks)])
+    if int(bounds[-1]) != v.size:
+        raise ValueError("chunks must sum to the vector size")
+    out = []
+    for i in range(len(chunks)):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+
+        def cut(batch: pa.Table, lo=lo, hi=hi) -> pa.Table:
+            vid = batch["vid"].to_numpy(zero_copy_only=False)
+            keep = (vid >= lo) & (vid < hi)
+            return pa.table({"vid": vid[keep] - lo,
+                             "val": batch["val"].to_numpy(
+                                 zero_copy_only=False)[keep]})
+
+        out.append(GBVector(v.ds.map_batches(cut,
+                                             batch_format="pyarrow"),
+                            hi - lo, v.dtype))
+    return out
+
+
+def vector_concat(tiles):
+    """``Vector.ss.concat``: reassemble index-range chunks (inverse of
+    :func:`vector_split`)."""
+    from ..core import GBVector
+
+    offs = np.concatenate([[0], np.cumsum([t.size for t in tiles])])
+    parts = []
+    for i, t in enumerate(tiles):
+        off = int(offs[i])
+
+        def shift(batch: pa.Table, off=off) -> pa.Table:
+            return pa.table({"vid": batch["vid"].to_numpy(
+                zero_copy_only=False) + off, "val": batch["val"]})
+
+        parts.append(t.ds.map_batches(shift, batch_format="pyarrow"))
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return GBVector(ds, int(offs[-1]), tiles[0].dtype)

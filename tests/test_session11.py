@@ -517,3 +517,56 @@ def test_vector_selectk_short_and_compactify():
     fi, fx = cfull.to_coo()
     assert fi.tolist() == [0, 1, 2]
     assert fx.tolist() == [5.0, -2.0, 7.0]
+
+
+def test_vector_sort_and_permutation():
+    """Vector.ss.sort (reference GxB sort): sorted values compacted to
+    0..nvals-1 + permutation of original indices, ties by index."""
+    from python_graphblas_ray.core import GBVector
+
+    rng = np.random.default_rng(12)
+    vid = np.sort(rng.choice(900, 120, replace=False)).astype(np.int64)
+    val = rng.integers(0, 20, 120).astype(np.float64)  # many ties
+    v = GBVector.from_coo(vid, val, size=900)
+    w, p = v.ss.sort()
+    wi, wv = w.to_coo()
+    pi, pv = p.to_coo()
+    assert (wi == np.arange(120)).all() and (pi == np.arange(120)).all()
+    order = np.lexsort((vid, val))
+    assert (wv == val[order]).all()
+    assert (pv == vid[order]).all()
+    # descending with index ties
+    wd, pd_ = v.ss.sort(ascending=False)
+    _, wdv = wd.to_coo()
+    _, pdv = pd_.to_coo()
+    order_d = np.lexsort((vid, -val))
+    assert (wdv == val[order_d]).all()
+    assert (pdv == vid[order_d]).all()
+    # flags
+    only_w, none_p = v.ss.sort(permutation=False)
+    assert none_p is None and only_w is not None
+    none_w, only_p = v.ss.sort(values=False)
+    assert none_w is None and only_p is not None
+
+
+def test_vector_split_concat_roundtrip_and_head():
+    from python_graphblas_ray.core import GBVector
+    from python_graphblas_ray.stages.perrow import vector_concat
+
+    vid = np.array([1, 5, 12, 17, 23], dtype=np.int64)
+    val = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    v = GBVector.from_coo(vid, val, size=24)
+    parts = v.ss.split([10, 8, 6])
+    assert [p.size for p in parts] == [10, 8, 6]
+    i0, x0 = parts[0].to_coo()
+    assert i0.tolist() == [1, 5] and x0.tolist() == [1.0, 2.0]
+    i1, x1 = parts[1].to_coo()
+    assert i1.tolist() == [2, 7]  # 12-10, 17-10
+    back = vector_concat(parts)
+    assert back.size == 24
+    bi, bx = back.to_coo()
+    assert bi.tolist() == vid.tolist() and bx.tolist() == val.tolist()
+    hi, hx = v.ss.head(3, sort=True)
+    assert hi.tolist() == [1, 5, 12] and hx.tolist() == [1.0, 2.0, 3.0]
+    with pytest.raises(ValueError):
+        v.ss.split([10, 8])  # doesn't sum to size
