@@ -2338,9 +2338,11 @@ class _MatrixSS:
         from .stages.perrow import row_selectk
         return row_selectk(self._A, how, k, seed=seed)
 
-    def compactify(self, how="first", k=None, seed=0):
+    def compactify(self, how="first", k=None, seed=0, reverse=False,
+                   asindex=False):
         from .stages.perrow import row_compactify
-        return row_compactify(self._A, how, k, seed=seed)
+        return row_compactify(self._A, how, k, seed=seed,
+                              reverse=reverse, asindex=asindex)
 
     def sort(self, ascending=True):
         from .stages.perrow import row_sort
@@ -2386,9 +2388,11 @@ class _VectorSS:
         from .stages.perrow import vector_selectk
         return vector_selectk(self._v, how, k, seed=seed)
 
-    def compactify(self, how="first", k=None, seed=0):
+    def compactify(self, how="first", k=None, seed=0, reverse=False,
+                   asindex=False):
         from .stages.perrow import vector_compactify
-        return vector_compactify(self._v, how, k, seed=seed)
+        return vector_compactify(self._v, how, k, seed=seed,
+                                 reverse=reverse, asindex=asindex)
 
     def sort(self, ascending=True, values=True, permutation=True):
         from .stages.perrow import vector_sort

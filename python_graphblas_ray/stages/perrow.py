@@ -84,7 +84,8 @@ def _knuth32_draw(src: np.ndarray, dst: np.ndarray, ncols: int,
 
 
 def _rank_select(t: pa.Table, how: str, k, compactify: bool,
-                 ncols: int = 0, seed: int = 0) -> pa.Table:
+                 ncols: int = 0, seed: int = 0, reverse: bool = False,
+                 asindex: bool = False) -> pa.Table:
     """Shared selectk/compactify kernel: lexsort by (row, <order>), rank
     within segment, keep by rank — all rows of the partition at once."""
     src = t["src"].to_numpy(zero_copy_only=False)
@@ -122,10 +123,21 @@ def _rank_select(t: pa.Table, how: str, k, compactify: bool,
     else:
         keep = seg_pos < k
         new_dst = seg_pos
+    out_dst = new_dst[keep].astype(np.int64)
+    if compactify and reverse:
+        # reference compactify(reverse=True): positions flip within the
+        # KEPT set of each row (kept = min(row length, k))
+        kept = (seg_len[keep] if k is None
+                else np.minimum(seg_len[keep], k))
+        out_dst = kept - 1 - out_dst
+    out_val = s_val[keep]
+    if compactify and asindex:
+        # reference compactify(asindex=True): the value is the ORIGINAL
+        # column index of the chosen entry
+        out_val = s_dst[keep].astype(np.int64)
     return pa.table({"src": s_src[keep],
-                     "dst": (new_dst[keep].astype(np.int64) if compactify
-                             else s_dst[keep]),
-                     "val": s_val[keep]})
+                     "dst": (out_dst if compactify else s_dst[keep]),
+                     "val": out_val})
 
 
 def row_selectk(A: GBMatrix, how: str, k: int, seed: int = 0) -> GBMatrix:
@@ -148,11 +160,14 @@ def row_selectk(A: GBMatrix, how: str, k: int, seed: int = 0) -> GBMatrix:
 
 
 def row_compactify(A: GBMatrix, how: str = "first", k: int | None = None,
-                   seed: int = 0) -> GBMatrix:
+                   seed: int = 0, reverse: bool = False,
+                   asindex: bool = False) -> GBMatrix:
     """``ss.compactify``: per-row selectk + re-index surviving entries to
     columns 0..k-1 (order defined by ``how``; ``random`` ranks by the
     seeded draw — the reference's "chosen values may not be ordered
-    randomly", ``core/ss/matrix.py:3869``)."""
+    randomly", ``core/ss/matrix.py:3869``). ``reverse`` flips positions
+    within each row's kept set; ``asindex`` returns the ORIGINAL column
+    index as the value (both per the reference signature)."""
     from .exchange import hash_exchange_apply
 
     nc_in = int(A.ncols)
@@ -161,7 +176,8 @@ def row_compactify(A: GBMatrix, how: str = "first", k: int | None = None,
         if t.num_rows == 0:
             return _empty_like(t, "src", "dst")
         return _rank_select(t, how, k, compactify=True,
-                            ncols=nc_in, seed=seed)
+                            ncols=nc_in, seed=seed, reverse=reverse,
+                            asindex=asindex)
 
     ncols = A.ncols if k is None else min(k, A.ncols)
     out = A._wrap(hash_exchange_apply(A.ds, "src", pick_part))
@@ -407,7 +423,8 @@ def vector_selectk(v, how: str, k: int, seed: int = 0):
 
 
 def vector_compactify(v, how: str = "first", k: int | None = None,
-                      seed: int = 0):
+                      seed: int = 0, reverse: bool = False,
+                      asindex: bool = False):
     """``Vector.ss.compactify`` (reference ``core/ss/vector.py:1468``
     family): selectk then re-index the survivors to 0..k−1 in the pick
     order (``first`` keeps index order; ``largest`` descending value;
@@ -420,10 +437,13 @@ def vector_compactify(v, how: str = "first", k: int | None = None,
     vid, val = picked.to_coo()
     order = _vector_pick_order(np.asarray(vid), np.asarray(val), how,
                                seed)
+    if reverse:
+        order = order[::-1]
+    out_val = (np.asarray(vid)[order].astype(np.int64) if asindex
+               else np.asarray(val)[order])
     size = len(vid) if k is None else int(k)
     return GBVector.from_coo(np.arange(len(order), dtype=np.int64),
-                             np.asarray(val)[order],
-                             size=max(size, 1))
+                             out_val, size=max(size, 1))
 
 
 def vector_sort(v, ascending: bool = True, values: bool = True,

@@ -570,3 +570,33 @@ def test_vector_split_concat_roundtrip_and_head():
     assert hi.tolist() == [1, 5, 12] and hx.tolist() == [1.0, 2.0, 3.0]
     with pytest.raises(ValueError):
         v.ss.split([10, 8])  # doesn't sum to size
+
+
+def test_compactify_reverse_and_asindex():
+    """Reference compactify(reverse=, asindex=) signature parity for
+    both Matrix and Vector."""
+    from python_graphblas_ray.core import GBMatrix, GBVector
+
+    A = GBMatrix.from_coo(np.array([0, 0, 0, 1, 1]),
+                          np.array([2, 5, 9, 1, 4]),
+                          np.array([30.0, 10.0, 20.0, 7.0, 3.0]),
+                          nrows=2, ncols=16)
+    # smallest k=2, asindex: values are ORIGINAL column indices
+    C = A.ss.compactify("smallest", 2, asindex=True)
+    r, c, v = C.to_coo()
+    got = {(int(a), int(b)): int(x) for a, b, x in zip(r, c, v)}
+    # row 0 smallest two: 10.0@5, 20.0@9 -> positions 0,1 with idx 5,9
+    assert got[(0, 0)] == 5 and got[(0, 1)] == 9
+    assert got[(1, 0)] == 4 and got[(1, 1)] == 1
+    # reverse flips positions within the kept set
+    Cr = A.ss.compactify("smallest", 2, reverse=True)
+    r, c, v = Cr.to_coo()
+    got = {(int(a), int(b)): float(x) for a, b, x in zip(r, c, v)}
+    assert got[(0, 0)] == 20.0 and got[(0, 1)] == 10.0
+    # vector variants
+    vec = GBVector.from_coo(np.array([3, 9, 40]),
+                            np.array([5.0, -2.0, 7.0]), size=64)
+    ci, cv = vec.ss.compactify("largest", 2, asindex=True).to_coo()
+    assert ci.tolist() == [0, 1] and cv.tolist() == [40, 3]
+    ri, rv = vec.ss.compactify("largest", 2, reverse=True).to_coo()
+    assert ri.tolist() == [0, 1] and rv.tolist() == [5.0, 7.0]
