@@ -330,6 +330,17 @@ def _q_vec_selectk_random(sf_dir):
                                                     seed=13))
 
 
+def _q_vec_sort_desc(sf_dir):
+    """``Vector.ss.sort`` descending over the out-degree vector: sorted
+    values compacted to ranks 0..nvals−1, ties by original index — the
+    permutation side is covered by unit tests; the value side is the
+    ROW_NUMBER replay here."""
+    A = _edge_matrix(sf_dir)
+    w, _ = A.reduce_rowwise("plus").ss.sort(ascending=False,
+                                            permutation=False)
+    return _vec(w)
+
+
 def _q_row_scan(sf_dir):
     from python_graphblas_ray.stages.perrow import row_scan
 
@@ -3893,7 +3904,8 @@ SUITES = {
     "reduce_scalar_suite": ["reduce_scalar_plus", "reduce_scalar_max"],
     "spmv_suite": ["mxv_plus_times", "vxm_min_plus", "mxv_masked"],
     "vec_ops_suite": ["vec_ewise_add", "vec_extract",
-                      "vec_selectk_random8", "diag"],
+                      "vec_selectk_random8", "vec_sort_desc",
+                      "diag"],
     "ewise_suite": ["ewise_add_plus", "ewise_mult_times",
                     "ewise_union_minus"],
     "select_suite": ["select_tril", "select_valuegt"],
@@ -4262,6 +4274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vec_ewise_add": _q_vec_ewise_add,
         "vec_extract": _q_vec_extract,
         "vec_selectk_random8": _q_vec_selectk_random,
+        "vec_sort_desc": _q_vec_sort_desc,
         "ewise_add_plus": _q_ewise_add,
         "ewise_mult_times": _q_ewise_mult,
         "ewise_union_minus": _q_ewise_union,
@@ -4589,6 +4602,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vid, val FROM (SELECT *, row_number() OVER ("
             "ORDER BY ((vid + 13) % 4294967296 * 2654435761) "
             "% 4294967296, vid) AS rn FROM d) WHERE rn <= 8"),
+        "vec_sort_desc": (
+            # Vector.ss.sort(ascending=False): value at rank r of the
+            # (val DESC, vid ASC) order
+            f"{E}, d AS (SELECT src AS vid, sum(val) AS val FROM E "
+            "GROUP BY 1) "
+            "SELECT CAST(row_number() OVER (ORDER BY val DESC, vid) "
+            "- 1 AS BIGINT) AS vid, val FROM d"),
         "mxv_plus_times": (
             f"{E}, d AS (SELECT dst AS vid, sum(val) AS val FROM E "
             "GROUP BY 1) "
