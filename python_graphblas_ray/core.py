@@ -2321,6 +2321,33 @@ GBVector.S = property(lambda self: _MaskView(self, structure=True))
 GBVector.V = property(lambda self: _MaskView(self, structure=False))
 
 
+def _ds_iso_value(ds):
+    """The single stored value when every entry is identical (ONE
+    streaming per-block (min, max) fold), else None. Empty → None."""
+    import pyarrow.compute as pc
+
+    lo = hi = None
+    for b in ds.map_batches(
+            lambda t: pa.table({"lo": [None] if t.num_rows == 0
+                                else [pc.min(t["val"]).as_py()],
+                                "hi": [None] if t.num_rows == 0
+                                else [pc.max(t["val"]).as_py()]}),
+            batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None):
+        for blo, bhi in zip(b["lo"].to_pylist(), b["hi"].to_pylist()):
+            if blo is None:
+                continue
+            lo = blo if lo is None else min(lo, blo)
+            hi = bhi if hi is None else max(hi, bhi)
+    if lo is None or lo != hi:
+        return None
+    return lo
+
+
+def _ds_is_iso(ds):
+    return _ds_iso_value(ds) is not None
+
+
 class _MatrixSS:
     """``A.ss`` — per-matrix extension-method accessor (the reference's
     SuiteSparse ``Matrix.ss``, ``core/ss/matrix.py``): binds the
@@ -2363,6 +2390,35 @@ class _MatrixSS:
     def head(self, n=10, sort=False):
         return self._A.head(n, sort)
 
+    @property
+    def is_iso(self):
+        """Reference ``ss.is_iso`` (``core/ss/matrix.py``): True when
+        every stored value is identical — ONE streaming (min, max) fold
+        over the value column, no materialization."""
+        return _ds_is_iso(self._A.ds)
+
+    @property
+    def iso_value(self):
+        """Reference ``ss.iso_value``: the single stored value (raises
+        when not iso — same contract as the reference)."""
+        v = _ds_iso_value(self._A.ds)
+        if v is None:
+            raise ValueError("Matrix is not iso-valued")
+        return GBScalar.from_value(v)
+
+    @property
+    def format(self):
+        """Storage description (the reference reports the SuiteSparse
+        layout; here the storage is always a distributed COO Arrow
+        Dataset)."""
+        return "coo-dataset"
+
+    @property
+    def nbytes(self):
+        """Approximate pinned bytes of the backing Dataset (Arrow block
+        sizes — the reference reports the GxB memory footprint)."""
+        return int(self._A.ds.size_bytes() or 0)
+
     def serialize(self, path, num_partitions=None):
         """Reference ``ss.serialize`` analogue: the partitioned Parquet
         container sink (resume with ``GBMatrix.read_parquet``)."""
@@ -2404,6 +2460,25 @@ class _VectorSS:
 
     def head(self, n=10, sort=False):
         return self._v.head(n, sort)
+
+    @property
+    def is_iso(self):
+        return _ds_is_iso(self._v.ds)
+
+    @property
+    def iso_value(self):
+        v = _ds_iso_value(self._v.ds)
+        if v is None:
+            raise ValueError("Vector is not iso-valued")
+        return GBScalar.from_value(v)
+
+    @property
+    def format(self):
+        return "coo-dataset"
+
+    @property
+    def nbytes(self):
+        return int(self._v.ds.size_bytes() or 0)
 
     def serialize(self, path, num_partitions=None):
         ds = self._v.ds

@@ -600,3 +600,22 @@ def test_compactify_reverse_and_asindex():
     assert ci.tolist() == [0, 1] and cv.tolist() == [40, 3]
     ri, rv = vec.ss.compactify("largest", 2, reverse=True).to_coo()
     assert ri.tolist() == [0, 1] and rv.tolist() == [5.0, 7.0]
+
+
+def test_ss_is_iso_and_metadata():
+    from python_graphblas_ray.core import GBMatrix, GBVector
+
+    A = GBMatrix.from_coo(np.array([0, 1, 2]), np.array([1, 2, 0]),
+                          np.array([7.0, 7.0, 7.0]), nrows=4, ncols=4)
+    assert A.ss.is_iso
+    assert A.ss.iso_value.value == 7.0
+    assert A.ss.format == "coo-dataset"
+    assert A.ss.nbytes >= 0
+    B = GBMatrix.from_coo(np.array([0, 1]), np.array([1, 2]),
+                          np.array([7.0, 8.0]), nrows=4, ncols=4)
+    assert not B.ss.is_iso
+    with pytest.raises(ValueError):
+        B.ss.iso_value
+    v = GBVector.from_coo(np.array([2, 5]), np.array([3.0, 3.0]),
+                          size=8)
+    assert v.ss.is_iso and v.ss.iso_value.value == 3.0
