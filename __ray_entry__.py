@@ -2561,6 +2561,18 @@ def _q_semantic_dedup(sf_dir):
     return semantic_dedup(_read(sf_dir, "embeddings"), threshold=0.4)
 
 
+def _q_docs_jaccard_groups(sf_dir):
+    """Near-dup TEXT clustering under full oracle verification: the
+    df-capped (ndocs // 2) word-Jaccard ≥ 0.8 pair graph collapses to
+    canonical clusters via FastSV; keep = smallest id per cluster. The
+    lexical twin of semantic_dedup (recursive-CTE closure oracle)."""
+    from python_graphblas_ray.pipelines.corpus import jaccard_dedup_groups
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return jaccard_dedup_groups(docs, threshold=0.8,
+                                max_word_df=docs.count() // 2)
+
+
 def _q_ann_topk(sf_dir):
     from python_graphblas_ray.pipelines.similarity import ann_topk
 
@@ -4520,6 +4532,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
     assert len(window) <= 50, len(window)  # 49: one spare slot
     tail = {
+        # oracle-backed tail (window full): exact lexical dedup clusters
+        "docs_jaccard_groups": _q_docs_jaccard_groups,
         # ---- rows-only tail (no SQL equivalent) ----
         "k_truss": _q_k_truss,
         "pagerank": _q_pagerank,
@@ -4731,6 +4745,35 @@ def oracle_sql() -> dict[str, str]:
             "reach(vid, root) AS (SELECT vec_id, vec_id FROM V UNION "
             "SELECT e.d, r.root FROM reach r JOIN E2 e ON e.s = r.vid) "
             "SELECT vid AS vec_id, CAST(min(root) AS BIGINT) AS cluster, "
+            "min(root) = vid AS keep FROM reach GROUP BY vid"),
+        "docs_jaccard_groups": (
+            # df-capped jaccard pairs (same CTEs as word_jaccard_pairs)
+            # -> undirected closure -> min-root cluster per doc
+            r"WITH RECURSIVE tok0 AS (SELECT doc_id, "
+            r"unnest(list_distinct(regexp_split_to_array(trim(text), "
+            r"'\s+'))) AS word FROM documents), "
+            "keepw AS (SELECT word FROM tok0 GROUP BY word "
+            "HAVING count(*) <= "
+            "(SELECT count(*) FROM documents) // 2), "
+            "tok AS (SELECT t.doc_id, t.word FROM tok0 t "
+            "JOIN keepw k ON k.word = t.word), "
+            "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n "
+            "FROM tok GROUP BY 1), "
+            "co AS (SELECT a.doc_id AS ia, b.doc_id AS ib, "
+            "CAST(count(*) AS BIGINT) AS inter FROM tok a "
+            "JOIN tok b ON a.word = b.word AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2), "
+            "P AS (SELECT co.ia, co.ib FROM co "
+            "JOIN sizes sa ON co.ia = sa.doc_id "
+            "JOIN sizes sb ON co.ib = sb.doc_id "
+            "WHERE CAST(co.inter AS DOUBLE) / (sa.n + sb.n - co.inter) "
+            ">= 0.8), "
+            "V AS (SELECT doc_id FROM documents), "
+            "E2 AS (SELECT ia AS s, ib AS d FROM P "
+            "UNION SELECT ib, ia FROM P), "
+            "reach(vid, root) AS (SELECT doc_id, doc_id FROM V UNION "
+            "SELECT e.d, r.root FROM reach r JOIN E2 e ON e.s = r.vid) "
+            "SELECT vid AS doc_id, CAST(min(root) AS BIGINT) AS cluster, "
             "min(root) = vid AS keep FROM reach GROUP BY vid"),
         "ann_topk": (
             "WITH q AS (SELECT vec_id, embedding FROM embeddings "

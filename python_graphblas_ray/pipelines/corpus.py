@@ -347,3 +347,44 @@ def semantic_dedup(emb_ds, threshold=0.9, id_col="vec_id",
 
     return emb_ds.select_columns([id_col]).map_batches(
         label, batch_format="pyarrow")
+
+
+def jaccard_dedup_groups(docs_ds, threshold=0.8, id_col="doc_id",
+                         text_col="text", max_word_df=None,
+                         num_partitions=4):
+    """Near-duplicate TEXT clustering with exact semantics: the
+    df-capped word-set Jaccard pair graph (``word_jaccard_pairs`` —
+    SQL-replayable) collapses to canonical clusters through the
+    engine's FastSV components (:func:`collapse_pairs`); the kept
+    representative is each cluster's smallest id. The exact twin of
+    :func:`semantic_dedup` for the lexical signal — the final
+    "assign every document to its duplicate group" step of a
+    dedup pipeline, under full oracle verification (the LSH pair set
+    may legitimately MISS pairs, so the oracle-grade clustering rides
+    the exact formulation; route MinHash pairs through
+    :func:`collapse_pairs` directly for the at-scale variant).
+
+    Returns ``(id_col, cluster, keep)``."""
+    from .dedup import word_jaccard_pairs
+
+    mx = docs_ds.max(id_col)
+    if mx is None:
+        return ray.data.from_arrow(pa.table(
+            {id_col: pa.array([], pa.int64()),
+             "cluster": pa.array([], pa.int64()),
+             "keep": pa.array([], pa.bool_())}))
+    n = int(mx) + 1
+    pairs = word_jaccard_pairs(docs_ds, threshold=threshold,
+                               text_col=text_col, id_col=id_col,
+                               max_word_df=max_word_df)
+    f = collapse_pairs(pairs, n, num_partitions=num_partitions)
+    f_ref = ray.put(f)
+
+    def label(batch: pa.Table) -> pa.Table:
+        fv = ray.get(f_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({id_col: ids, "cluster": fv[ids],
+                         "keep": fv[ids] == ids})
+
+    return docs_ds.select_columns([id_col]).map_batches(
+        label, batch_format="pyarrow")

@@ -64,7 +64,8 @@ SAMPLE = ["edges_build", "degree_out", "mxv_plus_times", "mxm_plus_times",
           # round-3 additions: the df-capped jaccard window form, the
           # seeded random selectk, and the checkpoint/resume identity
           "word_jaccard_pairs", "row_selectk_random2",
-          "pagerank_resume5", "vec_selectk_random8", "vec_sort_desc"]
+          "pagerank_resume5", "vec_selectk_random8", "vec_sort_desc",
+          "docs_jaccard_groups"]
 
 
 @pytest.fixture(scope="module")

@@ -619,3 +619,33 @@ def test_ss_is_iso_and_metadata():
     v = GBVector.from_coo(np.array([2, 5]), np.array([3.0, 3.0]),
                           size=8)
     assert v.ss.is_iso and v.ss.iso_value.value == 3.0
+
+
+def test_jaccard_dedup_groups_planted_clusters():
+    """jaccard_dedup_groups: planted near-identical doc groups collapse
+    to one cluster each, keep = smallest id, singletons self-keep."""
+    from python_graphblas_ray.pipelines.corpus import jaccard_dedup_groups
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = []
+    # group A: docs 0,1,2 near-identical (one word changed)
+    docs.append((0, base))
+    docs.append((1, base.replace("kappa", "lambda")))
+    docs.append((2, base.replace("iota", "mu")))
+    # group B: docs 3,4
+    b2 = "one two three four five six seven eight nine ten"
+    docs.append((3, b2))
+    docs.append((4, b2.replace("ten", "eleven")))
+    # singletons
+    docs.append((5, "completely different words entirely here now"))
+    docs.append((6, "unrelated content again nothing shared at all"))
+    t = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                  "text": pa.array([s for _, s in docs], pa.string())})
+    out = ray.data.from_arrow(t)
+    res = pa.concat_tables(list(jaccard_dedup_groups(
+        out, threshold=0.8).iter_batches(
+            batch_format="pyarrow", batch_size=None))).to_pandas()
+    res = res.sort_values("doc_id").reset_index(drop=True)
+    assert res["cluster"].tolist() == [0, 0, 0, 3, 3, 5, 6]
+    assert res["keep"].tolist() == [True, False, False, True, False,
+                                    True, True]
