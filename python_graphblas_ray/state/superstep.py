@@ -194,7 +194,14 @@ class GraphPartitionActor:
             self.starts = np.array([], dtype=np.int64)
             self.group_dst = np.array([], dtype=np.int64)
         self.nedges = n
-        self._indptr = None  # reset the lazy CSC cache on (re)load
+        # reset every edge-layout-bound cache on (re)load: the lazy CSC
+        # indptr, the slice-exchange gather plan (stale positions after
+        # add_blocks made a pagerank→add_edges→pagerank rerun read
+        # garbage — caught by test_add_edges_invalidates_gather_plan),
+        # and the hub-split sampling offsets
+        self._indptr = None
+        self._pr_gather = None
+        self._samp_off = self._samp_gdeg = None
         return n
 
     def add_blocks(self, range_filter, *block_refs, dedupe=False):
@@ -1409,20 +1416,28 @@ class SuperstepEngine:
         ``dedupe=True`` drops appended duplicates of existing (src, dst)
         rows (keep-first — matches the undirected/dedupe build);
         without it duplicate rows stack exactly like duplicate
-        ``from_coo`` entries. Hub-split engines are not supported (the
-        round-robin ref dealing would need rebalancing)."""
-        if self.has_hub_split:
-            raise NotImplementedError(
-                "add_edges on a hub-split engine — rebuild instead")
-        P = len(self.actors)
-        bounds = np.array([lo for lo, _ in self.ranges], dtype=np.int64)
+        ``from_coo`` entries. On a hub-split engine every NEW edge of a
+        split range is appended to the group LEADER (deterministic, no
+        re-dealing) — delta skew concentrates there until a rebuild,
+        the same documented accumulate-then-rebuild contract as range
+        skew; ``dedupe`` then only sees the leader's slice of an
+        already-split range's old edges."""
         block_refs = edges_ds.materialize().to_arrow_refs()
-        b_ref = ray.put(bounds)
-        outs = [_split_block.options(num_returns=P + 1).remote(
-            r, b_ref, P) for r in block_refs]
-        loads = [a.add_blocks.remote(False, *[o[p] for o in outs],
-                                     dedupe=dedupe)
-                 for p, a in enumerate(self.actors)]
+        if self.has_hub_split:
+            ordered, dbounds = self._pr_split_groups()
+            targets = [idxs[0] for _, idxs in ordered]  # group leaders
+            b_ref = ray.put(dbounds)
+            self._samp_ready = False  # sampling offsets are now stale
+        else:
+            targets = list(range(len(self.actors)))
+            b_ref = ray.put(np.array([lo for lo, _ in self.ranges],
+                                     dtype=np.int64))
+        G = len(targets)
+        outs = [_split_block.options(num_returns=G + 1).remote(
+            r, b_ref, G) for r in block_refs]
+        loads = [self.actors[t].add_blocks.remote(
+            False, *[o[g] for o in outs], dedupe=dedupe)
+            for g, t in enumerate(targets)]
         ray.get(loads)
         self.partition_stats = ray.get(
             [a.stats.remote() for a in self.actors])

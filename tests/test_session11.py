@@ -649,3 +649,71 @@ def test_jaccard_dedup_groups_planted_clusters():
     assert res["cluster"].tolist() == [0, 0, 0, 3, 3, 5, 6]
     assert res["keep"].tolist() == [True, False, False, True, False,
                                     True, True]
+
+
+def _rand_edges(seed, n, m):
+    rng = np.random.default_rng(seed)
+    s, d = rng.integers(0, n, m), rng.integers(0, n, m)
+    k = s != d
+    return pa.table({"src": s[k].astype(np.int64),
+                     "dst": d[k].astype(np.int64)})
+
+
+def test_add_edges_invalidates_gather_plan():
+    """Regression: pagerank -> add_edges -> pagerank must equal a fresh
+    engine over the union. Before the fix the slice-exchange gather
+    plan survived the re-load and the second run read garbage (NaNs)."""
+    from python_graphblas_ray.state.superstep import SuperstepEngine
+
+    n = 100
+    t1, t2 = _rand_edges(3, n, 600), _rand_edges(4, n, 600)
+    eng = SuperstepEngine(ray.data.from_arrow(t1), n, num_partitions=4,
+                          partition_mode="exchange",
+                          hub_split_factor=None)
+    eng.pagerank_inactor(tol=1e-10)  # builds the plan pre-update
+    eng.add_edges(ray.data.from_arrow(t2))
+    r_after, i_after = eng.pagerank_inactor(tol=1e-10)
+    eng.shutdown()
+    eng2 = SuperstepEngine(
+        ray.data.from_arrow(pa.concat_tables([t1, t2])), n,
+        num_partitions=4, partition_mode="exchange",
+        hub_split_factor=None)
+    r_truth, i_truth = eng2.pagerank_inactor(tol=1e-10)
+    eng2.shutdown()
+    assert i_after == i_truth
+    assert np.allclose(r_after, r_truth, rtol=1e-9, atol=1e-12)
+    assert not np.isnan(r_after).any()
+
+
+def test_add_edges_on_hub_split_engine():
+    """add_edges now works on hub-split engines: new edges of a split
+    range land at the group leader; results equal a fresh engine over
+    the union, and sampling offsets rebuild (no stale context)."""
+    from python_graphblas_ray.state.superstep import SuperstepEngine
+
+    split, plain, _ = _skewed_engines(seed=71)
+    try:
+        n = 200
+        extra = _rand_edges(9, n, 800)
+        split.add_edges(ray.data.from_arrow(extra))
+        plain.add_edges(ray.data.from_arrow(extra))
+        r1, i1 = split.pagerank_inactor(tol=1e-10)
+        r2, i2 = plain.pagerank_inactor(tol=1e-10)
+        assert i1 == i2
+        assert np.allclose(r1, r2, rtol=1e-9, atol=1e-12)
+        assert split.num_edges == plain.num_edges
+        # sampling still valid post-update: full-coverage equivalence
+        vids = np.arange(n, dtype=np.int64)
+        vs, ns = split.sample_neighbors(vids, 10_000, seed=2)
+        vp, npn = plain.sample_neighbors(vids, 10_000, seed=2)
+        got, want = {}, {}
+        for v, nb in zip(vs.tolist(), ns.tolist()):
+            got.setdefault(v, []).append(nb)
+        for v, nb in zip(vp.tolist(), npn.tolist()):
+            want.setdefault(v, []).append(nb)
+        assert set(got) == set(want)
+        for v in want:
+            assert sorted(got[v]) == sorted(want[v]), v
+    finally:
+        split.shutdown()
+        plain.shutdown()
