@@ -48,6 +48,10 @@ def main(argv=None):
     p.add_argument("--run-id", default="run0")
     p.add_argument("--output", default=None)
     p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--hub-split-factor", type=float, default=2.0,
+                   help="split any dst range whose edge count exceeds "
+                        "this multiple of the per-partition target "
+                        "(power-law skew); 0 disables splitting")
     p.add_argument("--metrics-out", default=None)
     args = p.parse_args(argv)
 
@@ -88,7 +92,8 @@ def main(argv=None):
     eng = build_engine(edges, args.n_pages,
                        num_partitions=args.num_partitions,
                        undirected=undirected,
-                       weighted=(args.algorithm == "sssp"))
+                       weighted=(args.algorithm == "sssp"),
+                       hub_split_factor=(args.hub_split_factor or None))
 
     if args.algorithm == "pagerank":
         vec, iters, _ = pagerank(eng, tol=args.tol, checkpoint=ckpt,
