@@ -63,6 +63,11 @@ def _edge_matrix(sf_dir: str):
 
 
 def _scalar_table(value, name="val"):
+    if value is None:
+        # empty reduction: typed null (float64 — the reduce members'
+        # dtype) so the NULL compares/hashes like the oracle's SQL NULL
+        # instead of an untyped Python None
+        return pa.table({name: pa.array([None], pa.float64())})
     return pa.table({name: [value]})
 
 
@@ -75,6 +80,82 @@ def _seed_schema(ds, **fields):
 
     seed = pa.table({n: pa.array([], type=t) for n, t in fields.items()})
     return ds.union(ray.data.from_arrow(seed))
+
+
+_ARROW_TYPES = {"int64": pa.int64(), "int32": pa.int32(),
+                "double": pa.float64(), "string": pa.string(),
+                "bool": pa.bool_(), "timestamp[us]": pa.timestamp("us")}
+
+# engine-captured output schemas (sf0.001) for every window query whose
+# result can be LEGITIMATELY empty at degenerate scales: Ray drops the
+# schema of 0-block datasets, which would make an empty-vs-empty oracle
+# compare read as a schema mismatch. _schema_stable seeds these.
+_WINDOW_SCHEMAS = {
+    "edges_build": [("src", "int64"), ("dst", "int64"), ("val", "double")],
+    "degree_suite": [("q", "string"), ("vid", "int64"), ("val", "double")],
+    "degree_count": [("vid", "int64"), ("val", "int64")],
+    "reduce_scalar_suite": [("q", "string"), ("val", "double")],
+    "spmv_suite": [("q", "string"), ("vid", "int64"), ("val", "double")],
+    "vec_ops_suite": [("q", "string"), ("vid", "int64"), ("val", "double")],
+    "ewise_suite": [("q", "string"), ("src", "int64"), ("dst", "int64"), ("val", "double")],
+    "select_suite": [("q", "string"), ("src", "int64"), ("dst", "int64"), ("val", "double")],
+    "apply_view_suite": [("q", "string"), ("src", "int64"), ("dst", "int64"), ("val", "double")],
+    "k_core": [("src", "int64"), ("dst", "int64"), ("val", "double")],
+    "rank_suite": [("q", "string"), ("vid", "int64"), ("rank", "double")],
+    "hits_suite": [("q", "string"), ("vid", "int64"), ("hub", "double"), ("authority", "double")],
+    "graph_metric_suite": [("q", "string"), ("val", "double")],
+    "edge_support": [("src", "int64"), ("dst", "int64"), ("val", "int64")],
+    "link_scores": [("u", "int64"), ("v", "int64"), ("common", "int64"), ("jaccard", "double"), ("cosine", "double"), ("preferential", "int64")],
+    "link_jaccard": [("u", "int64"), ("v", "int64"), ("common", "int64"), ("jaccard", "double")],
+    "dedup_exact": [("keep_id", "int64"), ("n_dups", "int64"), ("text", "string")],
+    "word_jaccard_pairs": [("ia", "int64"), ("ib", "int64"), ("jaccard", "double")],
+    "embedding_neardup": [("ia", "int64"), ("ib", "int64")],
+    "ann_topk": [("query_id", "int64"), ("neighbor_id", "int64"), ("rank", "int64")],
+    "token_count": [("doc_id", "int64"), ("ws_tokens", "int64")],
+    "doc_stats": [("doc_id", "int64"), ("q_len", "int64"), ("q_words", "int64")],
+    "pages_roundtrip": [("url", "string"), ("extracted_text", "string")],
+    "semantic_dedup": [("vec_id", "int64"), ("cluster", "int64"), ("keep", "bool")],
+    "docs_repetition": [("doc_id", "int64"), ("words", "int64"), ("dup_word_frac", "double"), ("top_word_frac", "double"), ("dup_bigram_frac", "double")],
+    "docs_decontaminate": [("doc_id", "int64")],
+    "docs_pii": [("doc_id", "int64"), ("text", "string"), ("n_email", "int32"), ("n_ip", "int32"), ("n_phone", "int32")],
+    "docs_dup_spans": [("doc_id", "int64"), ("pos", "int64")],
+    "events_window": [("event_type", "string"), ("window", "timestamp[us]"), ("n", "int64"), ("vmin", "double"), ("vmax", "double")],
+    "events_hopping_window": [("event_type", "string"), ("window_us", "int64"), ("n", "int64")],
+    "events_asof_join": [("event_id", "int64"), ("ts_r", "timestamp[us]")],
+    "events_sessionize": [("user_id", "int64"), ("session_start", "timestamp[us]"), ("session_end", "timestamp[us]"), ("n_events", "int64")],
+    "lineitem_agg": [("l_returnflag", "string"), ("l_linestatus", "string"), ("sum_qty", "double"), ("n", "int64")],
+}
+
+
+def _schema_stable(fn, name):
+    """Make a window query's legitimately-empty result keep its schema
+    at ANY scale. Datasets get the 0-row seed union (``_seed_schema``);
+    an empty in-memory table missing its columns is replaced by the
+    canonical empty table. Non-empty results are unchanged — the seed
+    adds no rows and the types are the engine's own (captured at
+    sf0.001, so the union is schema-identical)."""
+    fields = {c: _ARROW_TYPES[t] for c, t in _WINDOW_SCHEMAS[name]}
+
+    def canonical_empty():
+        return pa.table({c: pa.array([], t) for c, t in fields.items()})
+
+    def run(sf_dir):
+        res = fn(sf_dir)
+        if isinstance(res, pa.Table):
+            if res.num_rows == 0 and set(res.column_names) != set(fields):
+                return canonical_empty()
+            return res
+        if hasattr(res, "union"):  # ray Dataset
+            # iter_batches SKIPS 0-row blocks, so a schema seed block
+            # never reaches the consumer — an EMPTY result must become
+            # an in-memory typed table (the driver hashes it fully
+            # anyway, so the materialize is free work it would do)
+            mat = res.materialize()
+            if mat.count() == 0:
+                return canonical_empty()
+            return mat
+        return res
+    return run
 
 
 def _round_away(x, k):
@@ -98,11 +179,13 @@ def _round_away(x, k):
 
 
 def _round0(x, k=8):
-    """Python ``round`` (half-even) with −0.0 normalized to +0.0 —
-    the scalar twin of ``_round_away``'s zero pin for engine-side
-    metrics (assortativity/modularity/... can carry a tiny negative
-    residue whose rounded sign bit would break the driver hash)."""
-    return round(float(x), k) + 0.0
+    """Scalar ``_round_away``: DuckDB-compatible HALF-AWAY rounding
+    with −0.0 normalized to +0.0. Python's built-in ``round`` is
+    banker's (half to even) and diverges from SQL ROUND exactly on
+    dyadic ties — 1/512 = 0.001953125 rounds to ...12 vs the oracle's
+    ...13 (hit by attack_robustness on a 1-survivor degenerate
+    graph)."""
+    return float(_round_away(float(x), k))
 
 
 def _normalize_sql_round(sql):
@@ -523,7 +606,11 @@ def _q_pagerank_resume5(sf_dir):
             r, iters, _ = pagerank(eng, tol=0.0, itermax=5,
                                    checkpoint=ck2,
                                    checkpoint_every=1_000_000)
-            assert iters == 4, "resume must start past the checkpoint"
+            # a degenerate (e.g. empty) graph converges to rdiff 0.0
+            # before the superstep-3 checkpoint ever writes; only a
+            # written checkpoint implies the resume skipped past it
+            assert iters == 4 or ck2.latest() is None, \
+                "resume must start past the checkpoint"
     finally:
         eng.shutdown()
     return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
@@ -4573,7 +4660,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_textrank": _q_docs_textrank,
         "docs_collocations": _q_docs_collocations,
     }
-    return {**window, **tail, **members}
+    out = {**window, **tail, **members}
+    # degenerate-scale hardening: every window query whose result can
+    # be legitimately empty keeps its schema (see _WINDOW_SCHEMAS)
+    for name in _WINDOW_SCHEMAS:
+        out[name] = _schema_stable(out[name], name)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5056,8 +5148,10 @@ def oracle_sql() -> dict[str, str]:
             "NH AS (SELECT sqrt(sum(h * h)) AS s FROM H3), "
             "NA AS (SELECT sqrt(sum(av * av)) AS s FROM A3) "
             "SELECT v.vid, "
-            "ROUND(COALESCE(h.h, 0) / NULLIF(nh.s, 0), 8) AS hub, "
-            "ROUND(COALESCE(a.av, 0) / NULLIF(na.s, 0), 8) AS authority "
+            "COALESCE(ROUND(COALESCE(h.h, 0) / NULLIF(nh.s, 0), 8), "
+            "0.0) AS hub, "
+            "COALESCE(ROUND(COALESCE(a.av, 0) / NULLIF(na.s, 0), 8), "
+            "0.0) AS authority "
             "FROM V v LEFT JOIN H3 h ON h.vid = v.vid "
             "LEFT JOIN A3 a ON a.vid = v.vid "
             "CROSS JOIN NH nh CROSS JOIN NA na"),
@@ -5093,8 +5187,10 @@ def oracle_sql() -> dict[str, str]:
             "NH AS (SELECT sqrt(sum(h * h)) AS s FROM H3), "
             "NA AS (SELECT sqrt(sum(av * av)) AS s FROM A3) "
             "SELECT v.vid, "
-            "ROUND(COALESCE(h.h, 0) / NULLIF(nh.s, 0), 8) AS hub, "
-            "ROUND(COALESCE(a.av, 0) / NULLIF(na.s, 0), 8) AS authority "
+            "COALESCE(ROUND(COALESCE(h.h, 0) / NULLIF(nh.s, 0), 8), "
+            "0.0) AS hub, "
+            "COALESCE(ROUND(COALESCE(a.av, 0) / NULLIF(na.s, 0), 8), "
+            "0.0) AS authority "
             "FROM V v LEFT JOIN H3 h ON h.vid = v.vid "
             "LEFT JOIN A3 a ON a.vid = v.vid "
             "CROSS JOIN NH nh CROSS JOIN NA na"),
@@ -5383,9 +5479,12 @@ def oracle_sql() -> dict[str, str]:
             "WHERE src % 16 = dst % 16), "
             "sig AS (SELECT src % 16 AS c, sum(w) AS s FROM S "
             "GROUP BY 1) "
-            "SELECT round((SELECT COALESCE(iw, 0) FROM inw) / "
+            # COALESCE: an edgeless graph has 2m = 0 — Q undefined; the
+            # engine pins 0.0 there
+            "SELECT COALESCE(round((SELECT COALESCE(iw, 0) FROM inw) / "
             "(SELECT m FROM m2) - (SELECT sum((s / (SELECT m FROM m2)) "
-            "* (s / (SELECT m FROM m2))) FROM sig), 8) AS modularity"),
+            "* (s / (SELECT m FROM m2))) FROM sig), 8), 0.0) "
+            "AS modularity"),
         "assortativity": (
             f"{E}, dout AS (SELECT src, count(*) AS d FROM E GROUP BY 1), "
             "din AS (SELECT dst, count(*) AS d FROM E GROUP BY 1) "
