@@ -207,10 +207,29 @@ def _normalize_sql_round(sql):
             out.append(sql[i:j + 6])
             i = j + 6
             continue
-        depth, k = 1, j + 6
+        depth, k, n = 1, j + 6, len(sql)
         while depth:
+            if k >= n:
+                raise ValueError(
+                    "unbalanced parentheses while normalizing ROUND() "
+                    f"in SQL twin near offset {j}: {sql[j:j + 80]!r}")
             c = sql[k]
-            if c == "(":
+            if c == "'":
+                # skip single-quoted literals ('' = escaped quote) so a
+                # parenthesis inside a string can't skew the depth count
+                k += 1
+                while True:
+                    if k >= n:
+                        raise ValueError(
+                            "unterminated string literal in SQL twin "
+                            f"near offset {j}")
+                    if sql[k] == "'":
+                        if k + 1 < n and sql[k + 1] == "'":
+                            k += 2
+                            continue
+                        break
+                    k += 1
+            elif c == "(":
                 depth += 1
             elif c == ")":
                 depth -= 1
@@ -4706,8 +4725,9 @@ def oracle_sql() -> dict[str, str]:
             f"{E}, d AS (SELECT src AS vid, sum(val) AS val FROM E "
             "GROUP BY 1) "
             "SELECT vid, val FROM (SELECT *, row_number() OVER ("
-            "ORDER BY ((vid + 13) % 4294967296 * 2654435761) "
-            "% 4294967296, vid) AS rn FROM d) WHERE rn <= 8"),
+            "ORDER BY (CAST((vid + 13) % 4294967296 AS HUGEINT) "
+            "* 2654435761) % 4294967296, vid) AS rn FROM d) "
+            "WHERE rn <= 8"),
         "vec_sort_desc": (
             # Vector.ss.sort(ascending=False): value at rank r of the
             # (val DESC, vid ASC) order
@@ -4779,8 +4799,8 @@ def oracle_sql() -> dict[str, str]:
             # stages/perrow._knuth32_draw exactly (seed=7, ncols=512)
             f"{E} SELECT src, dst, val FROM (SELECT *, row_number() "
             "OVER (PARTITION BY src ORDER BY "
-            "((CAST(src AS BIGINT) * 512 + dst + 7) % 4294967296 "
-            "* 2654435761) % 4294967296, dst) AS rn FROM E) "
+            "(CAST((CAST(src AS BIGINT) * 512 + dst + 7) % 4294967296 "
+            "AS HUGEINT) * 2654435761) % 4294967296, dst) AS rn FROM E) "
             "WHERE rn <= 2"),
         "row_sort": (
             f"{E} SELECT src, CAST(row_number() OVER (PARTITION BY src "

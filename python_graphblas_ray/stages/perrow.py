@@ -75,7 +75,14 @@ def _knuth32_draw(src: np.ndarray, dst: np.ndarray, ncols: int,
     ``((key % 4294967296) * 2654435761) % 4294967296`` (the
     ``sampling.knuth32`` contract), so a DuckDB oracle can replay the
     "random" pick exactly. Equal-probability per entry, seeded,
-    partition-count-invariant (pure function of the entry key)."""
+    partition-count-invariant (pure function of the entry key).
+
+    SQL-twin range note: in DuckDB the product must be computed in
+    HUGEINT — write ``(CAST(key % 4294967296 AS HUGEINT) * 2654435761)
+    % 4294967296`` — because BIGINT overflows (errors, not wraps) once
+    ``key % 2^32`` exceeds ~3.47e9; the engine side wraps in uint64 and
+    needs no cast. With the HUGEINT cast the replay holds for ALL
+    32-bit keys; the plain-BIGINT form is only safe below that bound."""
     key = (src.astype(np.uint64) * np.uint64(ncols)
            + dst.astype(np.uint64) + np.uint64(seed))
     with np.errstate(over="ignore"):
@@ -441,9 +448,11 @@ def vector_compactify(v, how: str = "first", k: int | None = None,
         order = order[::-1]
     out_val = (np.asarray(vid)[order].astype(np.int64) if asindex
                else np.asarray(val)[order])
+    # Size follows the reference exactly: k when given (including k=0 —
+    # a genuine size-0 vector, NOT padded to 1), else the survivor count.
     size = len(vid) if k is None else int(k)
     return GBVector.from_coo(np.arange(len(order), dtype=np.int64),
-                             out_val, size=max(size, 1))
+                             out_val, size=size)
 
 
 def vector_sort(v, ascending: bool = True, values: bool = True,

@@ -322,15 +322,51 @@ def grouped_agg(ds, key_cols, specs, driver_merge_threshold=4_000_000):
         return ray.data.from_arrow(
             merge_table(pa.concat_tables(batches,
                                          promote_options="permissive")))
-    # large-cardinality overflow: ONE hash exchange on the leading key
-    # co-locates every key's partials (all columns of a composite key
-    # share the leading column, so hashing it alone is sufficient), then
-    # the SAME Arrow merge kernel runs once per partition — one shuffle,
-    # no sort machinery, no per-group Python (replaces the former
-    # Ray-native ``groupby().aggregate()`` sort-shuffle path).
+    # large-cardinality overflow: ONE hash exchange co-locates every
+    # key's partials, then the SAME Arrow merge kernel runs once per
+    # partition — one shuffle, no sort machinery, no per-group Python
+    # (replaces the former Ray-native ``groupby().aggregate()``
+    # sort-shuffle path). A single-column key hashes directly; a
+    # COMPOSITE key exchanges on a combined hash of ALL key columns —
+    # hashing only the leading column would collapse the exchange to a
+    # handful of partitions whenever that column is low-cardinality
+    # (e.g. a status flag), re-serializing the merge this path exists
+    # to distribute.
     from .exchange import hash_exchange_apply
 
-    return hash_exchange_apply(mat, key_cols[0], merge_table)
+    if len(key_cols) == 1:
+        return hash_exchange_apply(mat, key_cols[0], merge_table)
+
+    from .sketch import _hash_any
+
+    def add_xkey(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__xkey", pa.array([], pa.uint64()))
+        z = np.zeros(t.num_rows, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c in key_cols:
+                kc = t[c]
+                if pa.types.is_integer(kc.type):
+                    h = kc.to_numpy(zero_copy_only=False).astype(np.uint64)
+                    h += np.uint64(0x9E3779B97F4A7C15)
+                    h = (h ^ (h >> np.uint64(30))) * np.uint64(
+                        0xBF58476D1CE4E5B9)
+                    h = (h ^ (h >> np.uint64(27))) * np.uint64(
+                        0x94D049BB133111EB)
+                    h ^= h >> np.uint64(31)
+                else:
+                    h = _hash_any(kc)
+                # boost-style combine: order-sensitive, avalanched
+                z = (z * np.uint64(0x100000001B3)) ^ h
+        return t.append_column("__xkey", pa.array(z, pa.uint64()))
+
+    def merge_drop(t: pa.Table) -> pa.Table:
+        if "__xkey" in t.column_names:
+            t = t.drop_columns(["__xkey"])
+        return merge_table(t)
+
+    keyed = mat.map_batches(add_xkey, batch_format="pyarrow")
+    return hash_exchange_apply(keyed, "__xkey", merge_drop)
 
 
 def groupby_aggregator(ds, key_cols, val_col, aggregator, out_col="val",

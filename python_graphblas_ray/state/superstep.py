@@ -76,7 +76,12 @@ def _mode_pairs(dstl, lab):
     if len(lab) == 0:
         z = np.array([], dtype=np.int64)
         return z, z, z
-    if lab.max() < _MODE_PACK_LIMIT and lab.min() >= 0:
+    # Pack path needs BOTH operands in range: labels in [0, 2^31) AND the
+    # local dst index below 2^32 — dstl<<31 overflows int64 past that
+    # (a partition range spanning >4.3B vertices would otherwise yield
+    # negative dst ids silently). Out-of-range either way → lexsort path.
+    if (lab.max() < _MODE_PACK_LIMIT and lab.min() >= 0
+            and dstl.max() < np.int64(1) << np.int64(32) and dstl.min() >= 0):
         packed = (dstl << np.int64(31)) | lab
         uniq, counts = np.unique(packed, return_counts=True)
         return (uniq >> np.int64(31), uniq & np.int64((1 << 31) - 1),

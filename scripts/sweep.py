@@ -1,0 +1,150 @@
+"""Window correctness sweep — the in-repo twin of the driver's
+CORRECTNESS gate.
+
+Runs every (or the first N) ``queries()`` entry side-by-side with its
+``oracle_sql()`` DuckDB twin over the same parquet tables, canon-sorts
+columns by name and rows by all columns, and compares rows / schema /
+values BIT-level (float64 compared through ``.view(uint64)`` so −0.0,
+NaN payloads and last-ulp drift all count — the round-3 comparator).
+
+Usage::
+
+    python scripts/sweep.py /root/testdata/sf0.01 [ncpus] [--window N]
+        [--only name1,name2] [--json out.json]
+
+Prints one line per query (OK / RED / rows-only) and a final tally;
+exit code 1 if any RED.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
+
+
+def canon(t: pa.Table):
+    """(schema-sig, row-count, bit-level value matrix) in canonical
+    column order / row order — the driver's compare."""
+    import pandas as pd
+
+    cols = sorted(t.column_names)
+    df = t.select(cols).to_pandas()
+    if len(df):
+        df = df.sort_values(cols, kind="mergesort").reset_index(drop=True)
+    mats = []
+    for c in cols:
+        v = df[c].to_numpy()
+        if v.dtype == np.float64:
+            v = np.nan_to_num(v, nan=np.nan)  # no-op, keep dtype
+            v = v.view(np.uint64)
+        elif v.dtype == np.float32:
+            v = v.astype(np.float32).view(np.uint32).astype(np.uint64)
+        elif v.dtype == object:
+            v = pd.util.hash_array(np.asarray(
+                ["\x00N" if x is None else str(x) for x in v],
+                dtype=object))
+        else:
+            v = v.astype(np.int64, copy=False).view(np.uint64)
+        mats.append(v)
+    sig = tuple(cols)
+    return sig, len(df), mats
+
+
+def compare(a: pa.Table, b: pa.Table):
+    sa, na, ma = canon(a)
+    sb, nb, mb = canon(b)
+    rows = na == nb
+    schema = sa == sb
+    values = rows and schema and all(
+        (x == y).all() for x, y in zip(ma, mb))
+    return rows, schema, bool(values)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir")
+    ap.add_argument("ncpus", nargs="?", type=int, default=16)
+    ap.add_argument("--window", type=int, default=50)
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    import duckdb
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.ncpus,
+                 include_dashboard=False, ignore_reinit_error=True)
+
+    import __ray_entry__ as entry
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    names = list(qs)[:args.window] if args.window else list(qs)
+    if args.only:
+        names = [n for n in args.only.split(",") if n in qs]
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(args.sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    results, n_ok = {}, 0
+    for name in names:
+        t0 = time.time()
+        try:
+            got = entry._as_table(qs[name](args.sf_dir))
+        except Exception as e:  # noqa: BLE001
+            print(f"RED  {name}: engine raised {e!r}")
+            results[name] = {"err": f"engine: {e}"}
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ok?  {name}: rows-only ({got.num_rows} rows, "
+                  f"{time.time() - t0:.1f}s)")
+            results[name] = {"rows": got.num_rows, "oracle": None}
+            n_ok += 1
+            continue
+        try:
+            want = con.execute(
+                entry._normalize_sql_round(sql)).fetch_arrow_table()
+        except Exception as e:  # noqa: BLE001
+            print(f"RED  {name}: oracle raised {e!r}")
+            results[name] = {"err": f"oracle: {e}"}
+            continue
+        rows, schema, values = compare(got, want)
+        ok = rows and schema and values
+        results[name] = {"rows_match": rows, "schema_match": schema,
+                         "hash_match": values,
+                         "spark_rows": got.num_rows,
+                         "oracle_rows": want.num_rows}
+        tag = "OK  " if ok else "RED "
+        if ok:
+            n_ok += 1
+        print(f"{tag} {name}: rows={got.num_rows}/{want.num_rows} "
+              f"schema={schema} values={values} "
+              f"({time.time() - t0:.1f}s)")
+        sys.stdout.flush()
+
+    n_red = len(names) - n_ok
+    print(f"\nTOTAL {n_ok} OK / {n_red} RED of {len(names)}")
+    if args.json:
+        Path(args.json).write_text(json.dumps(results, indent=1))
+    ray.shutdown()
+    sys.exit(1 if n_red else 0)
+
+
+if __name__ == "__main__":
+    main()
