@@ -33,6 +33,13 @@ _DEFAULTS = {
     # pair graphs at or below this edge count collapse with driver-local
     # FastSV instead of spinning up the distributed engine
     "local_cc_limit": 2_000_000,
+    # hash_join route when the call leaves ``streaming`` unset:
+    # "materialize" (count-and-prune — measured faster single-node:
+    # the count collapses tiny joins to one partition) or "streaming"
+    # (sentinel-guarded, barrier-free — the multi-node scale mode where
+    # the barrier would buffer both sides and stall pipelining). The
+    # full 50-entry driver window is parity-swept green in BOTH modes.
+    "join_mode": "materialize",
 }
 
 

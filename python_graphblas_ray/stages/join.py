@@ -202,7 +202,7 @@ def _hash_join_streaming(left, right, lschema, rschema, on, right_on, how,
 
 def hash_join(left, right, on, right_on=None, how="inner",
               left_suffix=None, right_suffix=None, num_partitions=None,
-              streaming=False):
+              streaming=None):
     """Hash-partitioned join of two Datasets on key column(s).
 
     ``streaming=True``: no materialization barrier — each side gets a
@@ -211,11 +211,20 @@ def hash_join(left, right, on, right_on=None, how="inner",
     the join's shuffle. This is the multi-node scale mode: at cluster
     scale the barrier costs pipelining and buffers both sides.
 
-    ``streaming=False`` (default): materialize-and-prune. MEASURED faster
+    ``streaming=False``: materialize-and-prune. MEASURED faster
     on this single node (1.5 s vs 2.3-4.2 s per small join — the sentinel
     union + schema peek add fixed stages, and the count lets the
     partition heuristic collapse tiny joins to one partition). Also used
-    automatically when a side's schema is unknowable."""
+    automatically when a side's schema is unknowable.
+
+    ``streaming=None`` (default): route by ``config["join_mode"]`` —
+    "materialize" on a single node, flip to "streaming" cluster-wide
+    with one config set (no per-call kwargs). The full driver window is
+    parity-swept green in both modes."""
+    if streaming is None:
+        from .._config import config
+
+        streaming = config["join_mode"] == "streaming"
     on = (on,) if isinstance(on, str) else tuple(on)
     right_on = on if right_on is None else (
         (right_on,) if isinstance(right_on, str) else tuple(right_on))

@@ -23,6 +23,7 @@ import time
 from pathlib import Path
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 REPO = Path(__file__).resolve().parent.parent
@@ -35,10 +36,24 @@ TABLES = ("region nation customer supplier part orders lineitem "
 def canon(t: pa.Table):
     """(schema-sig, row-count, bit-level value matrix) in canonical
     column order / row order — the driver's compare."""
-    import pandas as pd
-
     cols = sorted(t.column_names)
     df = t.select(cols).to_pandas()
+    # normalize timestamps BEFORE sort/compare: engine and DuckDB arrow
+    # results can surface the same instants as datetime64[us]/[ns] or
+    # as object-dtype pd.Timestamp — canonicalize all to ns-epoch
+    for c in cols:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[ns]").astype(np.int64)
+        elif s.dtype == object and len(s):
+            import datetime
+
+            probe = s.dropna()
+            if len(probe) and isinstance(
+                    probe.iloc[0],
+                    (pd.Timestamp, np.datetime64, datetime.date)):
+                df[c] = pd.to_datetime(s).astype("datetime64[ns]"
+                                                 ).astype(np.int64)
     if len(df):
         df = df.sort_values(cols, kind="mergesort").reset_index(drop=True)
     mats = []
@@ -77,7 +92,19 @@ def main():
     ap.add_argument("--window", type=int, default=50)
     ap.add_argument("--only", default=None)
     ap.add_argument("--json", default=None)
+    ap.add_argument("--set", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="gb.config override, e.g. --set "
+                         "join_mode=streaming")
     args = ap.parse_args()
+
+    if args.set:
+        from python_graphblas_ray import config
+
+        for kv in args.set:
+            k, _, v = kv.partition("=")
+            config[k] = int(v) if v.lstrip("-").isdigit() else v
+        print(f"config overrides: {args.set}")
 
     import duckdb
     import ray
