@@ -1104,9 +1104,14 @@ def _apply(obj, op, right=None, left=None, thunk=None):
         # raw callable (HPEC2022 `A.apply(lambda v: ...)` style): wrap as
         # an anonymous UnaryOp; the callable receives the numpy VALUE
         # ARRAY of each batch, so plain arithmetic / field access
-        # (`v * 2`, `v["x"]` on UDT records) vectorizes as-is
-        from .functions.ops import UnaryOp
-        op = UnaryOp(getattr(op, "__name__", "<lambda>"), op)
+        # (`v * 2`, `v["x"]` on UDT records) vectorizes as-is. A
+        # NON-vectorizable scalar fn (per-element branching) falls back
+        # to np.frompyfunc with a one-time perf warning — matching
+        # reference register_new semantics for plain Python fns
+        # (``core/operator/unary.py:331``).
+        from .functions.ops import UnaryOp, _adaptive_fn
+        op = UnaryOp(getattr(op, "__name__", "<lambda>"),
+                     _adaptive_fn(op))
 
     def kern(batch: pa.Table) -> pa.Table:
         vals = _np("val", batch)

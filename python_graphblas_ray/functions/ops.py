@@ -28,6 +28,54 @@ __all__ = [
 ]
 
 
+def _adaptive_fn(fn, nargs=1):
+    """Vectorize-or-fallback wrapper for USER UDFs (the reference
+    numba-JITs plain SCALAR Python functions —
+    ``core/operator/unary.py:172-239`` — while this engine hands UDFs
+    the whole numpy value array of each batch). The first call probes
+    the vectorized path; a UDF that raises on arrays (per-element
+    ``if``/branching) or returns a shape that doesn't broadcast-match
+    its inputs drops PERMANENTLY to an ``np.frompyfunc`` per-element
+    loop with a ONE-TIME performance warning — semantically identical,
+    orders of magnitude slower, so the warning tells users to rewrite
+    with ``np.where``. Builtin ops never pass through this wrapper."""
+    state = {"mode": None, "pyf": None}
+
+    def run_scalar(args):
+        if state["pyf"] is None:
+            state["pyf"] = np.frompyfunc(fn, nargs, 1)
+        out = np.asarray(state["pyf"](*args))
+        if out.dtype == object:
+            out = np.array(out.tolist())
+        return out
+
+    def wrapped(*args):
+        if state["mode"] == "scalar":
+            return run_scalar(args)
+        try:
+            want = np.broadcast_shapes(*[np.shape(a) for a in args])
+            out = np.asarray(fn(*args))
+            if out.shape == want:
+                state["mode"] = "vector"
+                return out
+        except Exception:
+            pass
+        if state["mode"] is None:
+            import warnings
+
+            warnings.warn(
+                f"UDF {getattr(fn, '__name__', '<udf>')!r} is not "
+                "vectorizable over numpy arrays; falling back to a "
+                "per-element np.frompyfunc loop (slow). Rewrite with "
+                "numpy kernels (np.where instead of if/else) for "
+                "vectorized execution.", stacklevel=2)
+            state["mode"] = "scalar"
+        return run_scalar(args)
+
+    wrapped.__name__ = getattr(fn, "__name__", "<udf>")
+    return wrapped
+
+
 class _Namespace:
     """Attribute/dict hybrid namespace like ``gb.unary`` / ``gb.binary``."""
 
@@ -76,8 +124,9 @@ class UnaryOp:
         """User extension hook (reference ``unary.py:331``);
         ``parameterized=True`` registers an op FACTORY (reference
         ``base.py:646``) — ``fn(*params)`` must return the value fn."""
-        op = (ParameterizedOp(name, fn, lambda n, f: UnaryOp(n, f))
-              if parameterized else UnaryOp(name, fn))
+        op = (ParameterizedOp(
+            name, fn, lambda n, f: UnaryOp(n, _adaptive_fn(f)))
+            if parameterized else UnaryOp(name, _adaptive_fn(fn)))
         unary._register(op)
         return op
 
@@ -107,9 +156,10 @@ class BinaryOp:
 
     @staticmethod
     def register_new(name, fn, commutes_to=None, *, parameterized=False):
-        op = (ParameterizedOp(name, fn,
-                              lambda n, f: BinaryOp(n, f, None))
-              if parameterized else BinaryOp(name, fn, commutes_to))
+        op = (ParameterizedOp(
+            name, fn, lambda n, f: BinaryOp(n, _adaptive_fn(f, 2), None))
+            if parameterized
+            else BinaryOp(name, _adaptive_fn(fn, 2), commutes_to))
         binary._register(op)
         return op
 
@@ -164,9 +214,11 @@ class IndexUnaryOp:
 
     @staticmethod
     def register_new(name, fn, bool_valued=True, *, parameterized=False):
-        op = (ParameterizedOp(name, fn,
-                              lambda n, f: IndexUnaryOp(n, f, bool_valued))
-              if parameterized else IndexUnaryOp(name, fn, bool_valued))
+        op = (ParameterizedOp(
+            name, fn,
+            lambda n, f: IndexUnaryOp(n, _adaptive_fn(f, 4), bool_valued))
+            if parameterized
+            else IndexUnaryOp(name, _adaptive_fn(fn, 4), bool_valued))
         indexunary._register(op)
         return op
 

@@ -93,3 +93,63 @@ def test_register_aggregator():
     vec = A.reduce_rowwise(agg["range_width"])
     d = vec.to_dict()
     assert d[0] == 6.0 and d[1] == 0.0
+
+
+def test_scalar_branching_udf_falls_back(recwarn):
+    """A plain SCALAR Python fn with per-element branching (raises on
+    arrays) must still work via the np.frompyfunc fallback — reference
+    register_new semantics for non-vectorizable fns (r3 verdict item 6),
+    with a one-time perf warning."""
+    import warnings
+
+    def clip5(v):
+        if v > 5:          # raises ValueError on a numpy array
+            return 5.0
+        return float(v)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        UnaryOp.register_new("clip5_scalar", clip5)
+        A = GBMatrix.from_coo([0, 1, 2], [1, 0, 2], [2.0, 9.0, 7.0],
+                              nrows=3, ncols=3)
+        r, c, v = A.apply("clip5_scalar").to_coo()
+        np.testing.assert_allclose(sorted(v), [2.0, 5.0, 5.0])
+        # Vector apply too
+        vec = GBVector.from_coo([0, 1], [8.0, 3.0], size=3)
+        _, vv = vec.apply("clip5_scalar").to_coo()
+        np.testing.assert_allclose(sorted(vv), [3.0, 5.0])
+        # raw-callable apply path (A.apply(lambda ...))
+        r2, c2, v2 = A.apply(clip5).to_coo()
+        np.testing.assert_allclose(sorted(v2), [2.0, 5.0, 5.0])
+
+
+def test_scalar_branching_binary_udf_falls_back():
+    import warnings
+
+    def pick(x, y):
+        return float(x) if x > y else float(y) * 10
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        BinaryOp.register_new("pick_scalar", pick)
+        A = GBMatrix.from_coo([0, 1], [1, 0], [2.0, 9.0], nrows=2,
+                              ncols=2)
+        B = GBMatrix.from_coo([0, 1], [1, 0], [5.0, 4.0], nrows=2,
+                              ncols=2)
+        r, c, v = A.ewise_mult(B, "pick_scalar").to_coo()
+        np.testing.assert_allclose(sorted(v), [9.0, 50.0])
+
+
+def test_vectorized_udf_keeps_fast_path():
+    """A vectorizable UDF must stay on the array path (no object-dtype
+    round trip): probe by registering a fn that records its input."""
+    seen = {}
+
+    def vfn(x):
+        seen["t"] = type(x).__name__
+        return x * 2
+
+    UnaryOp.register_new("dbl_probe", vfn)
+    A = GBMatrix.from_coo([0, 1], [1, 0], [2.0, 5.0], nrows=2, ncols=2)
+    _, _, v = A.apply("dbl_probe").to_coo()
+    np.testing.assert_allclose(sorted(v), [4.0, 10.0])
