@@ -2,11 +2,12 @@
 
 Media are opaque ``binary`` columns with typed metadata; decode /
 feature-extract / resize / frame-sample are actor-pool ``map_batches``
-stages. The decode libraries (PIL/ffmpeg/torchaudio) are NOT in this
-container, so the codec step is stubbed behind an import-try: with the
-real library absent, ``DETERMINISTIC_FAKE`` mode derives a tiny pixel
-block from a hash of the bytes so the Ray-side plumbing — schema, batch
-size, actor signature, output layout — is real and testable end-to-end.
+stages. IMAGE decode is REAL: the stdlib-zlib PNG codec in
+``pipelines/png.py`` (mode ``PNG``, the default — no PIL needed, no
+stub); PIL is used instead when present AND the payload is not PNG.
+``DETERMINISTIC_FAKE`` remains for plumbing tests that want payloads
+without real pixels. Video frame decode stays a clearly-marked stub
+(ffmpeg genuinely absent from this container).
 
 Schema convention for a media table:
     (media_id:int64, media:binary, media_type:string,
@@ -29,7 +30,10 @@ except ImportError:
     _HAVE_PIL = False
 
 DETERMINISTIC_FAKE = "fake"
-STRICT = "strict"
+PNG = "png"
+#: Back-compat alias: STRICT used to raise NotImplementedError without
+#: PIL; the stdlib PNG codec made the real path unconditional.
+STRICT = PNG
 
 
 def media_table(media_ids, payloads, media_type="image") -> pa.Table:
@@ -64,37 +68,43 @@ def _fake_pixels(data: bytes, h=4, w=4) -> np.ndarray:
 
 
 class ImageDecoder:
-    """Actor-pool stage: decode ``media`` bytes → fixed-size pixel tensor
-    flattened into a ``list<uint8>`` column (+ shape columns).
+    """Actor-pool stage: decode ``media`` bytes → pixel tensor flattened
+    into a ``list<uint8>`` column (+ per-row shape columns).
 
-    mode=STRICT raises NotImplementedError when PIL is unavailable (the
-    clearly-marked stub); mode=DETERMINISTIC_FAKE uses the hash decode so
-    the pipeline shape is exercised.
+    mode=PNG (default): the REAL stdlib-zlib PNG codec
+    (:mod:`.png` — grey/RGB/RGBA, all five filters); PIL handles
+    non-PNG payloads when installed, otherwise they raise ValueError.
+    Decoded images keep their NATIVE size (resize is the separate
+    ``ImageResizer`` stage); ``out_hw`` only applies to FAKE mode.
+    mode=DETERMINISTIC_FAKE: the hash decode for plumbing tests.
     """
 
-    def __init__(self, mode=DETERMINISTIC_FAKE, out_hw=(4, 4)):
-        if mode == STRICT and not _HAVE_PIL:
-            raise NotImplementedError(
-                "image decode requires PIL, which is not available in this "
-                "environment; use mode=DETERMINISTIC_FAKE for plumbing tests")
+    def __init__(self, mode=PNG, out_hw=(4, 4)):
         self.mode = mode
         self.h, self.w = out_hw
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .png import _SIG, png_decode
+
         payloads = batch["media"].to_pylist()
-        if self.mode == STRICT and _HAVE_PIL:  # pragma: no cover
-            import io
-            pix = [np.asarray(Image.open(io.BytesIO(p)).convert("RGB")
-                              .resize((self.w, self.h)), dtype=np.uint8)
-                   for p in payloads]
+        if self.mode == PNG:
+            pix = []
+            for p in payloads:
+                if p[:8] == _SIG or not _HAVE_PIL:
+                    pix.append(png_decode(p))
+                else:  # pragma: no cover - PIL absent in this container
+                    import io
+                    pix.append(np.asarray(
+                        Image.open(io.BytesIO(p)).convert("RGB"),
+                        dtype=np.uint8))
         else:
             pix = [_fake_pixels(p, self.h, self.w) for p in payloads]
         flat = [p.ravel().tolist() for p in pix]
         return pa.table({
             "media_id": batch["media_id"],
             "pixels": pa.array(flat, type=pa.list_(pa.uint8())),
-            "height": pa.array([self.h] * len(flat), pa.int32()),
-            "width": pa.array([self.w] * len(flat), pa.int32()),
+            "height": pa.array([p.shape[0] for p in pix], pa.int32()),
+            "width": pa.array([p.shape[1] for p in pix], pa.int32()),
         })
 
 
@@ -165,7 +175,7 @@ class FrameSampler:
     ffmpeg decode is NotImplemented in this container (STRICT mode)."""
 
     def __init__(self, mode=DETERMINISTIC_FAKE, frame_bytes=64, stride=2):
-        if mode == STRICT:
+        if mode != DETERMINISTIC_FAKE:
             raise NotImplementedError(
                 "video decode requires ffmpeg, not available here")
         self.frame_bytes = frame_bytes
@@ -185,7 +195,7 @@ class FrameSampler:
 
 
 def decode_images(media_ds, concurrency=2, batch_size=32,
-                  mode=DETERMINISTIC_FAKE):
+                  mode=PNG):
     """Actor pool: small batches (binary payloads), setup once per actor."""
     return media_ds.map_batches(
         ImageDecoder, fn_constructor_kwargs=dict(mode=mode),

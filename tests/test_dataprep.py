@@ -304,12 +304,14 @@ def test_multimodal_decode_features_frames():
     payloads = [rng.bytes(200) for _ in range(10)]
     t = media_table(np.arange(10), payloads)
     ds = ray.data.from_arrow(t)
-    dec = decode_images(ds, concurrency=2, batch_size=4)
+    dec = decode_images(ds, concurrency=2, batch_size=4,
+                        mode="fake")  # arbitrary payloads → fake decode
     feats = _table(image_features(dec)).to_pandas()
     assert len(feats) == 10
     assert all(len(f) == 3 for f in feats.feat_mean)
     # determinism: same payload → same features
-    dec2 = decode_images(ray.data.from_arrow(t), concurrency=2, batch_size=4)
+    dec2 = decode_images(ray.data.from_arrow(t), concurrency=2,
+                         batch_size=4, mode="fake")
     feats2 = _table(image_features(dec2)).to_pandas()
     f1 = [list(x) for x in feats.sort_values("media_id").feat_mean]
     f2 = [list(x) for x in feats2.sort_values("media_id").feat_mean]
@@ -328,7 +330,8 @@ def test_multimodal_resize():
     rng = np.random.default_rng(7)
     payloads = [rng.bytes(200) for _ in range(6)]
     t = media_table(np.arange(6), payloads)
-    dec = decode_images(ray.data.from_arrow(t), batch_size=3)  # 4x4
+    dec = decode_images(ray.data.from_arrow(t), batch_size=3,
+                        mode="fake")  # 4x4 fake pixels from raw bytes
     for oh, ow in ((2, 2), (8, 6)):
         out = _table(resize_images(dec, out_hw=(oh, ow))).to_pandas()
         out = out.sort_values("media_id").reset_index(drop=True)
@@ -349,13 +352,31 @@ def test_multimodal_resize():
     assert out1["height"][0].as_py() == 2
 
 
-def test_decode_strict_raises_without_pil():
+def test_decode_real_png_no_pil_needed():
+    """The r3 STRICT stub is gone: PNG payloads decode for REAL via the
+    stdlib-zlib codec, no PIL required (STRICT aliases PNG mode)."""
     from python_graphblas_ray.pipelines.multimodal import (
-        STRICT, ImageDecoder, _HAVE_PIL)
-    if _HAVE_PIL:
-        pytest.skip("PIL present")
+        STRICT, ImageDecoder, PNG)
+    from python_graphblas_ray.pipelines.png import png_encode
+
+    assert STRICT == PNG  # back-compat alias, not a raise
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 256, (5, 7, 3)).astype(np.uint8)
+            for _ in range(4)]
+    t = media_table(np.arange(4), [png_encode(im) for im in imgs])
+    out = ImageDecoder()(t)
+    for i, im in enumerate(imgs):
+        got = np.asarray(out["pixels"][i].as_py(),
+                         dtype=np.uint8).reshape(5, 7, 3)
+        assert np.array_equal(got, im)
+    assert out["height"].to_pylist() == [5] * 4
+    assert out["width"].to_pylist() == [7] * 4
+
+
+def test_video_frame_decode_still_stubbed():
+    from python_graphblas_ray.pipelines.multimodal import FrameSampler
     with pytest.raises(NotImplementedError):
-        ImageDecoder(mode=STRICT)
+        FrameSampler(mode="strict-video")
 
 
 def test_prepare_corpus_end_to_end():
