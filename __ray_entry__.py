@@ -121,6 +121,7 @@ _WINDOW_SCHEMAS = {
     "docs_dup_spans": [("doc_id", "int64"), ("pos", "int64")],
     "events_window": [("event_type", "string"), ("window", "timestamp[us]"), ("n", "int64"), ("vmin", "double"), ("vmax", "double")],
     "events_hopping_window": [("event_type", "string"), ("window_us", "int64"), ("n", "int64")],
+    "docs_image_resize": [("doc_id", "int64"), ("px_sum", "int64"), ("checksum", "int64")],
     "events_asof_join": [("event_id", "int64"), ("ts_r", "timestamp[us]")],
     "events_sessionize": [("user_id", "int64"), ("session_start", "timestamp[us]"), ("session_end", "timestamp[us]"), ("n_events", "int64")],
     "lineitem_agg": [("l_returnflag", "string"), ("l_linestatus", "string"), ("sum_qty", "double"), ("n", "int64")],
@@ -485,7 +486,9 @@ def _q_bfs_levels(sf_dir):
         bfs_level, build_engine)
 
     eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
-    levels, _ = bfs_level(eng, source=0)
+    # in-actor O(P)-driver path (bit-parity with bfs_level —
+    # tests/test_fx_inactor.py)
+    levels, _ = eng.bfs_level_inactor(0)
     eng.shutdown()
     vid = np.flatnonzero(levels >= 0).astype(np.int64)
     return pa.table({"vid": vid, "lvl": levels[vid]})
@@ -767,7 +770,8 @@ def _q_dag_layers(sf_dir):
     edges = _edge_dataset(sf_dir).map_batches(
         dagify, batch_format="pyarrow").materialize()
     eng = build_engine(edges, N_VERT, num_partitions=4)
-    layers, _, _ = dag_layers(eng)
+    # in-actor O(P)-driver path (bit-parity with dag_layers)
+    layers, _, _ = eng.dag_layers_inactor()
     eng.shutdown()
     return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
                      "layer": layers})
@@ -824,7 +828,8 @@ def _q_bfs_parents(sf_dir):
         bfs_parent, build_engine)
 
     eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
-    parent, _ = bfs_parent(eng, source=0)
+    # in-actor O(P)-driver path (bit-parity with bfs_parent)
+    parent, _ = eng.bfs_parent_inactor(0)
     eng.shutdown()
     vid = np.flatnonzero(parent >= 0).astype(np.int64)
     return pa.table({"vid": vid, "parent": parent[vid]})
@@ -867,7 +872,8 @@ def _q_scc(sf_dir):
     from python_graphblas_ray.pipelines.algorithms import build_engine, scc
 
     eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
-    comp, _, _ = scc(eng)
+    # in-actor O(P)-driver path (bit-parity with scc)
+    comp, _, _ = eng.scc_inactor()
     eng.shutdown()
     return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
                      "comp": comp})
@@ -955,7 +961,8 @@ def _q_mis(sf_dir):
 
     A = simple_undirected(_edge_dataset(sf_dir), N_VERT)
     eng = build_engine(A.ds, N_VERT, num_partitions=4)
-    mis, _, _ = maximal_independent_set(eng)
+    # in-actor O(P)-driver path (bit-parity with maximal_independent_set)
+    mis, _, _ = eng.mis_inactor()
     eng.shutdown()
     return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
                      "in_mis": mis.astype(np.int64)})
@@ -995,7 +1002,8 @@ def _q_greedy_color(sf_dir):
 
     A = simple_undirected(_edge_dataset(sf_dir), N_VERT)
     eng = build_engine(A.ds, N_VERT, num_partitions=4)
-    color, _, _ = greedy_color(eng)
+    # in-actor O(P)-driver path (bit-parity with greedy_color)
+    color, _, _ = eng.greedy_color_inactor()
     eng.shutdown()
     return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
                      "color": color})
@@ -1493,9 +1501,7 @@ def _q_widest4(sf_dir):
     every width exact (source carries +inf); the SQL twin replays the
     relaxation as a bounded recursive CTE with MAX(LEAST(...))
     grouping per round."""
-    from python_graphblas_ray.core import GBMatrix
-    from python_graphblas_ray.pipelines.algorithms import \
-        widest_path_fixed
+    from python_graphblas_ray.pipelines.algorithms import build_engine
     from python_graphblas_ray.pipelines.mst import undirected_weights
 
     und = undirected_weights(_edge_dataset(sf_dir), N_VERT)
@@ -1508,17 +1514,19 @@ def _q_widest4(sf_dir):
                          "dst": np.concatenate([b, a]),
                          "val": np.concatenate([w, w])})
 
-    A = GBMatrix.from_dataset(und.map_batches(both, batch_format="pyarrow"),
-                              nrows=N_VERT, ncols=N_VERT)
-    ids, vals = widest_path_fixed(A, source=0, iters=4).to_coo(sort=True)
-    if len(ids) == 0:
-        # empty graph: the source is still reached (width +inf) — the
-        # schema-less empty edge table poisons the seed union, so
-        # restore the seed row the relaxation starts from
-        return pa.table({"vid": np.array([0], dtype=np.int64),
-                         "width": np.array([np.inf])})
-    return pa.table({"vid": ids.astype(np.int64),
-                     "width": vals.astype(np.float64)})
+    # in-actor O(P)-driver path (present-value parity with
+    # widest_path_fixed — tests/test_fx_inactor.py); the dense result's
+    # reached set is exactly the sparse vxm formulation's support, and
+    # the source is always reached (width +inf), so the empty-graph
+    # seed row falls out naturally
+    eng = build_engine(und.map_batches(both, batch_format="pyarrow"),
+                       N_VERT, num_partitions=4, weighted=True)
+    try:
+        dense = eng.widest_inactor(0, iters=4)
+    finally:
+        eng.shutdown()
+    ids = np.flatnonzero(dense > -np.inf).astype(np.int64)
+    return pa.table({"vid": ids, "width": dense[ids]})
 
 
 def _q_embed_mmr(sf_dir):
@@ -1900,7 +1908,8 @@ def _q_sssp(sf_dir):
 
     eng = build_engine(_edge_matrix(sf_dir).ds, N_VERT, num_partitions=4,
                        weighted=True)
-    dist, _ = sssp(eng, source=0, itermax=6)
+    # in-actor O(P)-driver path (bit-parity with sssp)
+    dist, _ = eng.sssp_inactor(0, itermax=6)
     eng.shutdown()
     vid = np.flatnonzero(np.isfinite(dist)).astype(np.int64)
     return pa.table({"vid": vid, "dist": dist[vid]})
@@ -4374,6 +4383,54 @@ def entry() -> Any:
     }).to_pandas()
 
 
+def _q_image_resize(sf_dir):
+    """REAL image codec path (r3 verdict item 3 — STRICT stub gone):
+    one deterministic synthetic 16×12 RGB PNG per document
+    (pixel(y, x, c) = (doc_id·7 + y·131 + x·17 + c·29) mod 256,
+    stdlib-zlib encoded), decoded by the hand-rolled PNG decoder
+    (``pipelines/png.py`` — real zlib inflate + scanline unfilter, no
+    PIL) in the ``decode_images`` actor pool, nearest-neighbor resized
+    to 8×8 by ``ImageResizer``, then reduced to integer per-image
+    checksums. The SQL twin replays the pixel formula AND the resize's
+    pixel-center index map — any decode/unfilter/resize defect shifts
+    the sums."""
+    from python_graphblas_ray.pipelines.multimodal import (
+        decode_images, media_table, resize_images)
+    from python_graphblas_ray.pipelines.png import png_encode
+
+    H, W, OH, OW = 16, 12, 8, 8
+    ids_ds = _read(sf_dir, "documents", columns=["doc_id"]).sort(
+        "doc_id").limit(48)
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        y = np.arange(H)[:, None, None]
+        x = np.arange(W)[None, :, None]
+        c = np.arange(3)[None, None, :]
+        payloads = [png_encode(((int(d) * 7 + y * 131 + x * 17 + c * 29)
+                                % 256).astype(np.uint8)) for d in ids]
+        return media_table(ids, payloads)
+
+    media = ids_ds.map_batches(synth, batch_format="pyarrow")
+    decoded = decode_images(media, batch_size=16)
+    resized = resize_images(decoded, out_hw=(OH, OW))
+
+    def agg(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "px_sum": pa.array([], pa.int64()),
+                             "checksum": pa.array([], pa.int64())})
+        arr = np.stack([np.asarray(p, dtype=np.int64)
+                        for p in batch["pixels"].to_pylist()])
+        wgt = np.arange(arr.shape[1], dtype=np.int64) + 1
+        return pa.table({
+            "doc_id": batch["media_id"],
+            "px_sum": arr.sum(axis=1),
+            "checksum": (arr * wgt).sum(axis=1)})
+
+    return resized.map_batches(agg, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so every SQL-oracle-backed operator gets a row inside the
     driver's 50-entry correctness window: same-schema operator families
@@ -4631,7 +4688,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii": _q_docs_pii,
         "docs_dup_spans": _q_docs_dup_spans,
         "events_window": _q_events_window,
-        "events_hopping_window": _q_events_hopping,
+        # real-codec multimodal row (r3 verdict item 3); hopping-window
+        # moved to the tail to free the slot (still oracle-backed there)
+        "docs_image_resize": _q_image_resize,
         "events_asof_join": _q_events_asof,
         "events_sessionize": _q_events_sessionize,
         "lineitem_agg": _q_lineitem_agg,
@@ -4640,6 +4699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     tail = {
         # oracle-backed tail (window full): exact lexical dedup clusters
         "docs_jaccard_groups": _q_docs_jaccard_groups,
+        "events_hopping_window": _q_events_hopping,
         # ---- rows-only tail (no SQL equivalent) ----
         "k_truss": _q_k_truss,
         "pagerank": _q_pagerank,
@@ -5006,6 +5066,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, date_trunc('day', ts) AS window, "
             "CAST(count(*) AS BIGINT) AS n, min(value) AS vmin, "
             "max(value) AS vmax FROM events GROUP BY 1, 2"),
+        "docs_image_resize": (
+            # replay the synthetic pixel formula + the pixel-center
+            # nearest-neighbor index map of ImageResizer: src_row =
+            # min(floor((y+0.5)·16/8), 15), src_col =
+            # min(floor((x+0.5)·12/8), 11); decode correctness rides on
+            # the sums matching (any unfilter/inflate/resize defect
+            # shifts every checksum)
+            "WITH ids AS (SELECT doc_id FROM documents "
+            "ORDER BY doc_id LIMIT 48), "
+            "g AS (SELECT i.doc_id, y.range AS y, x.range AS x, "
+            "c.range AS c FROM ids i, range(8) y, range(8) x, "
+            "range(3) c), "
+            "v AS (SELECT doc_id, (y * 8 + x) * 3 + c AS pos, "
+            "(doc_id * 7 "
+            "+ LEAST(CAST(FLOOR((y + 0.5) * 16.0 / 8) AS BIGINT), 15) "
+            "* 131 "
+            "+ LEAST(CAST(FLOOR((x + 0.5) * 12.0 / 8) AS BIGINT), 11) "
+            "* 17 + c * 29) % 256 AS val FROM g) "
+            "SELECT doc_id, CAST(SUM(val) AS BIGINT) AS px_sum, "
+            "CAST(SUM(val * (pos + 1)) AS BIGINT) AS checksum "
+            "FROM v GROUP BY doc_id"),
         "events_hopping_window": (
             "WITH e AS (SELECT event_type, epoch_us(ts) AS t FROM events),"
             " w AS (SELECT event_type, unnest(generate_series("

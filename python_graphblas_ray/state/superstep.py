@@ -900,6 +900,348 @@ class GraphPartitionActor:
             return z, z, z
         return self._mode_counts(labels)
 
+    # ---- generic in-actor frontier fixpoint family (O(P) driver) ----
+    # ONE machinery for the masked-semiring vertex-state algorithms
+    # (BFS level/parent, SSSP, DAG layers, the SCC min-label reach,
+    # MIS / greedy coloring, widest path, bipartite parity): vertex
+    # state lives in the actors as dense [lo, hi) slices; per superstep
+    # each group leader PUBLISHES a masked value slice — inactive
+    # vertices carry the pull identity (+inf / −inf / False), so the
+    # frontier mask rides the value slice and needs NO second
+    # exchange — every actor pulls the published slices of its in-edge
+    # sources via the precomputed slice-exchange gather plan, semiring-
+    # reduces per local dst, and the leader applies the algorithm's
+    # O(range) update rule and publishes the next slice. The driver
+    # does O(P) work per superstep (ref forwarding + a P-scalar merge).
+    # Hub-split engines take the pull→leader-merge two-round path with
+    # idempotent merge monoids (min/max/or) — results BIT-IDENTICAL to
+    # the unsplit engine.
+    #
+    # Value parity with the O(n)-driver broadcast family
+    # (pipelines/algorithms.py) is exact, including superstep counts:
+    # the broadcast loops are either already frontier-masked
+    # (bfs/sssp/dag) or use idempotent-monotone min/max merges, for
+    # which delta propagation computes identical per-round values
+    # (every vertex's value is pushed when it last changed, and the
+    # min/max merge accumulates) — parity-tested in
+    # tests/test_fx_inactor.py.
+
+    def _fx_gather(self, xm_refs, dtype):
+        """Gather xm[src] for every pinned edge from the published
+        slices (batched zero-copy gets, int32 plan — O(E/P) work)."""
+        slices = ray.get([xm_refs[p] for p, _, _ in self._pr_gather])
+        vals = np.empty(self.nedges, dtype=dtype)
+        for (p, pos, local), sl in zip(self._pr_gather, slices):
+            vals[pos] = sl[local]
+        return vals
+
+    def fx_pull(self, pull, xm_refs):
+        """Semiring pull partial over this actor's in-edges; identity-
+        filled where it holds none (so leader merges are order-free).
+
+        ``pull`` kinds: ``or`` (any true in-neighbor — BFS level),
+        ``min_srcid`` (min GLOBAL src id among true in-neighbors — BFS
+        parent's min_secondi), ``min`` / ``max`` (min_second /
+        max_second), ``min_plus_w`` (+edge weight — SSSP),
+        ``min_plus1`` (unit weight — bipartite parity BFS),
+        ``max_min_w`` (bottleneck — widest path)."""
+        size = self.hi - self.lo
+        if pull == "or":
+            out = np.zeros(size, dtype=bool)
+            if self.nedges:
+                q = self._fx_gather(xm_refs, np.bool_)
+                s = np.add.reduceat(q.astype(np.int64), self.starts)
+                out[self.group_dst] = s > 0
+            return out
+        if pull == "min_srcid":
+            out = np.full(size, np.inf)
+            if self.nedges:
+                q = self._fx_gather(xm_refs, np.bool_)
+                cand = np.where(q, self.src.astype(np.float64), np.inf)
+                out[self.group_dst] = np.minimum.reduceat(cand,
+                                                          self.starts)
+            return out
+        ufunc, identity = ((np.maximum, -np.inf) if pull.startswith("max")
+                           else (np.minimum, np.inf))
+        out = np.full(size, identity)
+        if self.nedges:
+            vals = self._fx_gather(xm_refs, np.float64)
+            if pull == "min_plus_w":
+                vals = vals + self.w
+            elif pull == "min_plus1":
+                vals = vals + 1.0
+            elif pull == "max_min_w":
+                vals = np.minimum(vals, self.w)
+            out[self.group_dst] = ufunc.reduceat(vals, self.starts)
+        return out
+
+    @ray.method(num_returns=2)
+    def fx_init(self, n, bounds, spec, aux=None):
+        """Install fixpoint state for this range per ``spec`` (a small
+        plain dict — O(1) data) and return ``(meta, first published
+        slice)``. ``aux``: optional per-range array (e.g. the SCC
+        active mask) riding the object store."""
+        self._pr_n = int(n)
+        self._pr_bounds = np.asarray(bounds, dtype=np.int64)
+        self._ensure_gather_plan()
+        lo, hi = self.lo, self.hi
+        size = hi - lo
+        ids = np.arange(lo, hi, dtype=np.int64)
+        aux = ray.get(aux) if isinstance(aux, ray.ObjectRef) else aux
+        alg = spec["alg"]
+        st = self._fx = {"alg": alg}
+        if alg == "bfs_level":
+            v = np.full(size, -1, dtype=np.int64)
+            q = np.zeros(size, dtype=bool)
+            s = spec["source"]
+            if lo <= s < hi:
+                v[s - lo] = 0
+                q[s - lo] = True
+            st["v"] = v
+            st["level"] = 1
+            return int(q.sum()), q
+        if alg == "bfs_parent":
+            parent = np.full(size, -1, dtype=np.int64)
+            q = np.zeros(size, dtype=bool)
+            s = spec["source"]
+            if lo <= s < hi:
+                parent[s - lo] = s
+                q[s - lo] = True
+            st["parent"] = parent
+            return int(q.sum()), q
+        if alg == "sssp":
+            dist = np.full(size, np.inf)
+            act = np.zeros(size, dtype=bool)
+            s = spec["source"]
+            if lo <= s < hi:
+                dist[s - lo] = 0.0
+                act[s - lo] = True
+            st["dist"] = dist
+            return int(act.sum()), np.where(act, dist, np.inf)
+        if alg == "dag":
+            st["layer"] = np.zeros(size)
+            # round 0: every vertex proposes (broadcast parity)
+            return size, st["layer"] + 1.0
+        if alg == "minreach":
+            activeV = (np.ones(size, dtype=bool) if aux is None
+                       else np.asarray(aux, dtype=bool))
+            st["activeV"] = activeV
+            st["lab"] = np.where(activeV, ids.astype(np.float64), np.inf)
+            # round 1 frontier = every active vertex
+            return int(activeV.sum()), st["lab"].copy()
+        if alg == "mis":
+            from ..pipelines.algorithms import _knuth32
+
+            st["prio"] = _knuth32(ids).astype(np.float64)
+            if spec.get("active_from_color"):
+                act = self._fx_color["uncolored"].copy()
+            elif aux is not None:
+                act = np.asarray(aux, dtype=bool).copy()
+            else:
+                act = np.ones(size, dtype=bool)
+            st["active"] = act
+            st["in_mis"] = np.zeros(size, dtype=bool)
+            st["phase"] = "a"
+            return int(act.sum()), np.where(act, st["prio"], np.inf)
+        if alg == "widest":
+            x = np.full(size, -np.inf)
+            s = spec["source"]
+            if lo <= s < hi:
+                x[s - lo] = np.inf
+            st["x"] = x
+            return 0, x.copy()
+        if alg == "bp":
+            comp = (np.asarray(aux, dtype=np.int64) if aux is not None
+                    else np.asarray(self._cc_f, dtype=np.int64))
+            seeds = comp == ids
+            dist = np.where(seeds, 0.0, np.inf)
+            st["dist"] = dist
+            st["comp"] = comp
+            return int(seeds.sum()), np.where(seeds, dist, np.inf)
+        raise ValueError(f"unknown fx algorithm {alg!r}")
+
+    def fx_update(self, red):
+        """Apply this algorithm's O(range) update rule to the pulled
+        (or leader-merged) reduction and return ``(meta, next published
+        slice)``."""
+        st = self._fx
+        alg = st["alg"]
+        if alg == "bfs_level":
+            v = st["v"]
+            q = red & (v < 0)
+            v[q] = st["level"]
+            st["level"] += 1
+            return int(q.sum()), q
+        if alg == "bfs_parent":
+            parent = st["parent"]
+            q = np.isfinite(red) & (parent < 0)
+            parent[q] = red[q].astype(np.int64)
+            return int(q.sum()), q
+        if alg == "sssp":
+            dist = st["dist"]
+            new = np.minimum(dist, red)
+            act = new < dist
+            st["dist"] = new
+            return int(act.sum()), np.where(act, new, np.inf)
+        if alg == "dag":
+            layer = st["layer"]
+            new = np.maximum(layer, red)
+            act = new > layer
+            st["layer"] = new
+            return int(act.sum()), np.where(act, new + 1.0, -np.inf)
+        if alg == "minreach":
+            lab = st["lab"]
+            new = np.minimum(lab, red)
+            new[~st["activeV"]] = np.inf
+            changed = new != lab
+            st["lab"] = new
+            return bool(changed.any()), np.where(changed, new, np.inf)
+        if alg == "mis":
+            if st["phase"] == "a":
+                p = np.where(st["active"], st["prio"], np.inf)
+                sel = st["active"] & (p < red)
+                st["sel"] = sel
+                st["phase"] = "b"
+                return int(sel.sum()), sel
+            sel = st["sel"]
+            st["in_mis"] |= sel
+            st["active"] &= ~(sel | red)
+            st["phase"] = "a"
+            return (int(st["active"].sum()),
+                    np.where(st["active"], st["prio"], np.inf))
+        if alg == "widest":
+            x = np.maximum(st["x"], red)
+            changed = bool((x != st["x"]).any())
+            st["x"] = x
+            return changed, x.copy()
+        if alg == "bp":
+            dist = st["dist"]
+            new = np.minimum(dist, red)
+            changed = new < dist
+            st["dist"] = new
+            return bool(changed.any()), np.where(changed, new, np.inf)
+        raise ValueError(f"unknown fx algorithm {alg!r}")
+
+    @ray.method(num_returns=2)
+    def fx_step(self, pull, xm_refs):
+        """Fused superstep (sole-owner ranges): pull + update + publish
+        in one dispatch round."""
+        return self.fx_update(self.fx_pull(pull, xm_refs))
+
+    @ray.method(num_returns=2)
+    def fx_merge_step(self, pull, *partial_refs):
+        """Hub-split leader finish: merge the group's identity-filled
+        pull partials with the pull's idempotent monoid (min/max/or —
+        order-free, bit-identical to unsplit), then update + publish."""
+        outs = [ray.get(p) if isinstance(p, ray.ObjectRef) else p
+                for p in partial_refs]
+        if pull == "or":
+            merge = np.logical_or
+        elif pull.startswith("max"):
+            merge = np.maximum
+        else:
+            merge = np.minimum
+        red = outs[0]
+        for o in outs[1:]:
+            red = merge(red, o)
+        return self.fx_update(red)
+
+    def fx_result(self, key):
+        return self._fx[key]
+
+    # ---- SCC retire round (comp/active pinned across fx fixpoints) ----
+    def scc_init(self):
+        """comp = identity, all vertices active. Returns the active
+        slice (the forward/backward minreach fixpoints seed from it)."""
+        lo, hi = self.lo, self.hi
+        self._scc_comp = np.arange(lo, hi, dtype=np.int64)
+        self._scc_active = np.ones(hi - lo, dtype=bool)
+        return self._scc_active
+
+    @ray.method(num_returns=2)
+    def scc_retire(self, B_ref):
+        """One FW-BW retire round on this slice: F is the local forward
+        minreach result (``_fx["lab"]``), B arrives from the transposed
+        engine's range-aligned leader. Vertices with F == B take
+        component id F and retire. Returns (still-active count, next
+        active slice)."""
+        B = ray.get(B_ref) if isinstance(B_ref, ray.ObjectRef) else B_ref
+        F = self._fx["lab"]
+        active = self._scc_active
+        assign = active & (F == B)
+        self._scc_comp[assign] = F[assign].astype(np.int64)
+        active &= ~assign
+        return int(active.sum()), active.copy()
+
+    def scc_result(self):
+        return self._scc_comp
+
+    # ---- greedy coloring (color state persists across MIS runs) ----
+    def color_init(self):
+        size = self.hi - self.lo
+        self._fx_color = {"color": np.full(size, -1, dtype=np.int64),
+                          "uncolored": np.ones(size, dtype=bool)}
+        return size
+
+    def color_apply(self, k):
+        """Assign color k to this MIS run's winners; returns the
+        remaining-uncolored count partial."""
+        c = self._fx_color
+        sel = self._fx["in_mis"]
+        c["color"][sel] = int(k)
+        c["uncolored"] &= ~sel
+        return int(c["uncolored"].sum())
+
+    def color_result(self):
+        return self._fx_color["color"]
+
+    # ---- bipartite conflict count (over the pinned edges) ----
+    def bp_pack(self):
+        """Publish (comp, parity, reached) packed into ONE int64 slice:
+        comp·4 + parity·2 + reached — a single exchange feeds both
+        endpoints of the conflict check."""
+        st = self._fx
+        dist = st["dist"]
+        finite = np.isfinite(dist)
+        parity = np.zeros(len(dist), dtype=np.int64)
+        parity[finite] = dist[finite].astype(np.int64) % 2
+        return st["comp"] * 4 + parity * 2 + finite.astype(np.int64)
+
+    def bp_conflicts(self, packed_refs):
+        """Equal-parity conflict partial over THIS actor's pinned
+        edges: each undirected edge counted once globally via the
+        src < dst filter (the engine is symmetrized, so every
+        undirected pair appears in both directions across the pool).
+        Returns sparse (comp, count)."""
+        z = np.array([], dtype=np.int64)
+        if not self.nedges:
+            return z, z
+        ps = self._fx_gather(packed_refs, np.int64)
+        own = int(np.clip(np.searchsorted(self._pr_bounds, self.lo,
+                                          "right") - 1,
+                          0, len(self._pr_bounds) - 1))
+        pd_slice = (packed_refs[own] if not isinstance(
+            packed_refs[own], ray.ObjectRef)
+            else ray.get(packed_refs[own]))
+        pdv = pd_slice[self.dstl + self.lo - self._pr_bounds[own]]
+        dst_g = self.dstl + self.lo
+        keep = ((self.src < dst_g) & ((ps & 1) > 0) & ((pdv & 1) > 0)
+                & (((ps >> 1) & 1) == ((pdv >> 1) & 1)))
+        if not keep.any():
+            return z, z
+        comps = ps[keep] >> 2
+        uc, cnt = np.unique(comps, return_counts=True)
+        return uc.astype(np.int64), cnt.astype(np.int64)
+
+    def bp_sizes(self):
+        """Sparse (comp, size) partial of this range's comp slice."""
+        comp = self._fx["comp"]
+        if not len(comp):
+            z = np.array([], dtype=np.int64)
+            return z, z
+        uc, cnt = np.unique(comp, return_counts=True)
+        return uc.astype(np.int64), cnt.astype(np.int64)
+
 
 @ray.remote
 def _split_block(t, bounds, P):
@@ -1882,6 +2224,355 @@ class SuperstepEngine:
             if hi > lo:
                 out[lo:hi] = s
         return out
+
+    # ---- generic in-actor frontier-fixpoint drivers (O(P) driver) ----
+    # The whole masked-semiring family (BFS level/parent, SSSP, DAG
+    # layers, SCC, MIS, greedy coloring, widest path, bipartite
+    # parity) in the same posture as pagerank_inactor: vertex state in
+    # the actors, published-slice exchange per superstep, O(P) driver
+    # work, hub-split capable (pull → idempotent leader merge). Values
+    # AND superstep counts match the O(n)-driver broadcast recipes in
+    # ``pipelines/algorithms.py`` exactly (parity-tested).
+
+    def _fx_groups(self):
+        ordered, dbounds = self._pr_split_groups()
+        leaders = [idxs[0] for _, idxs in ordered]
+        return ordered, leaders, dbounds
+
+    def _fx_init_all(self, spec, aux=None):
+        """Install fx state on the group leaders (+ gather plans on
+        followers). ``aux``: optional per-group arrays/refs in ordered-
+        group order. Returns (ctx, init metas, published slice refs)."""
+        ordered, leaders, dbounds = self._fx_groups()
+        pairs = [self.actors[leaders[g]].fx_init.remote(
+            self.n, dbounds, spec, None if aux is None else aux[g])
+            for g in range(len(ordered))]
+        edge_refs = [self.actors[j].pr_init_edges.remote(dbounds)
+                     for _, idxs in ordered for j in idxs[1:]]
+        metas = ray.get([p[0] for p in pairs])
+        xm_refs = [p[1] for p in pairs]
+        if edge_refs:
+            ray.get(edge_refs)
+        return (ordered, leaders, dbounds), metas, xm_refs
+
+    def _fx_round(self, ctx, pull, xm_refs):
+        """One superstep: fused step on sole-owner ranges, pull +
+        leader-merge on split groups (the pr_step barrier discipline:
+        never forward unresolved refs into a blocking get)."""
+        ordered, leaders, _ = ctx
+        multi = {g: idxs for g, (_, idxs) in enumerate(ordered)
+                 if len(idxs) > 1}
+        pulls = {}
+        if multi:
+            pulls = {g: [self.actors[j].fx_pull.remote(pull, xm_refs)
+                         for j in idxs] for g, idxs in multi.items()}
+            flat = [r for refs in pulls.values() for r in refs]
+            ray.wait(flat, num_returns=len(flat))
+        pairs = []
+        for g, (_, idxs) in enumerate(ordered):
+            if len(idxs) == 1:
+                pairs.append(self.actors[idxs[0]].fx_step.remote(
+                    pull, xm_refs))
+            else:
+                pairs.append(
+                    self.actors[leaders[g]].fx_merge_step.remote(
+                        pull, *pulls[g]))
+        metas = ray.get([p[0] for p in pairs])
+        return metas, [p[1] for p in pairs]
+
+    def _fx_stitch(self, ctx, slices, dtype):
+        ordered = ctx[0]
+        out = np.zeros(self.n, dtype=dtype)
+        for (r, _), s in zip(ordered, slices):
+            out[r[0]:r[1]] = s
+        return out
+
+    def _fx_collect(self, ctx, key, dtype):
+        leaders = ctx[1]
+        slices = ray.get([self.actors[j].fx_result.remote(key)
+                          for j in leaders])
+        return self._fx_stitch(ctx, slices, dtype)
+
+    def bfs_level_inactor(self, source, metrics=None):
+        """``pipelines.algorithms.bfs_level`` with the level vector and
+        frontier pinned in the actors — identical levels and superstep
+        count; the driver handles P scalars per level."""
+        from .checkpoint import SuperstepMetrics
+
+        metrics = metrics or SuperstepMetrics()
+        ctx, metas, xm = self._fx_init_all(
+            {"alg": "bfs_level", "source": int(source)})
+        frontier = int(sum(metas))
+        level = 1
+        while frontier:
+            metas, xm = self._fx_round(ctx, "or", xm)
+            frontier = int(sum(metas))
+            metrics.record(level, algorithm="bfs", frontier=frontier)
+            level += 1
+        return self._fx_collect(ctx, "v", np.int64), metrics
+
+    def bfs_parent_inactor(self, source, metrics=None):
+        """``bfs_parent`` (min_secondi recipe) in-actor: the pull takes
+        the min GLOBAL src id among frontier in-neighbors directly from
+        the pinned edge arrays — the identity vector never ships."""
+        from .checkpoint import SuperstepMetrics
+
+        metrics = metrics or SuperstepMetrics()
+        ctx, metas, xm = self._fx_init_all(
+            {"alg": "bfs_parent", "source": int(source)})
+        frontier = int(sum(metas))
+        level = 1
+        while frontier:
+            metas, xm = self._fx_round(ctx, "min_srcid", xm)
+            frontier = int(sum(metas))
+            metrics.record(level, algorithm="bfs_parent",
+                           frontier=frontier)
+            level += 1
+        return self._fx_collect(ctx, "parent", np.int64), metrics
+
+    def sssp_inactor(self, source, itermax=None, metrics=None):
+        """Bellman-Ford delta relaxation in-actor (engine must be
+        weighted). Same distances and superstep count as
+        ``pipelines.algorithms.sssp``."""
+        from .checkpoint import SuperstepMetrics
+
+        if not self.weighted:
+            raise ValueError("sssp_inactor needs a weighted engine")
+        metrics = metrics or SuperstepMetrics()
+        ctx, metas, xm = self._fx_init_all(
+            {"alg": "sssp", "source": int(source)})
+        active = int(sum(metas))
+        itermax = itermax or self.n
+        it = 0
+        while it < itermax and active:
+            metas, xm = self._fx_round(ctx, "min_plus_w", xm)
+            active = int(sum(metas))
+            metrics.record(it, algorithm="sssp", frontier=active)
+            it += 1
+        return self._fx_collect(ctx, "dist", np.float64), metrics
+
+    def dag_layers_inactor(self, itermax=None, metrics=None):
+        """Longest-path DAG layering in-actor; raises on cycles exactly
+        like the broadcast recipe (no fixpoint within itermax)."""
+        from .checkpoint import SuperstepMetrics
+
+        metrics = metrics or SuperstepMetrics()
+        ctx, metas, xm = self._fx_init_all({"alg": "dag"})
+        active = int(sum(metas))
+        itermax = itermax or self.n + 1
+        it = 0
+        while active:
+            if it >= itermax:
+                raise ValueError(
+                    f"dag_layers: no fixpoint after {it} supersteps — "
+                    "the graph has a cycle (or raise itermax)")
+            metas, xm = self._fx_round(ctx, "max", xm)
+            active = int(sum(metas))
+            metrics.record(it, algorithm="dag_layers", frontier=active)
+            it += 1
+        layers = self._fx_collect(ctx, "layer", np.float64)
+        return layers.astype(np.int64), it, metrics
+
+    def _mis_rounds(self, ctx, xm, metrics, alg_tag="mis"):
+        """Drive MIS select/exclude round pairs until no active vertex
+        remains. Returns (rounds, final xm refs)."""
+        rounds = 0
+        while True:
+            metas_a, xm = self._fx_round(ctx, "min", xm)
+            sel_cnt = int(sum(metas_a))
+            if sel_cnt == 0:
+                raise ValueError(
+                    "MIS made no progress — graph has self-loops? "
+                    "maximal_independent_set requires a simple graph")
+            metas_b, xm = self._fx_round(ctx, "or", xm)
+            active_cnt = int(sum(metas_b))
+            rounds += 1
+            if metrics is not None:
+                metrics.record(rounds, algorithm=alg_tag,
+                               selected=sel_cnt, active=active_cnt)
+            if active_cnt == 0:
+                return rounds, xm
+
+    def mis_inactor(self, metrics=None, active_init=None):
+        """Luby MIS with static knuth32 priorities in-actor — identical
+        set and round count to ``maximal_independent_set``. Engine must
+        be undirected and simple."""
+        from .checkpoint import SuperstepMetrics
+
+        metrics = metrics or SuperstepMetrics()
+        aux = None
+        if active_init is not None:
+            a = np.asarray(active_init, dtype=bool)
+            ordered, _, _ = self._fx_groups()
+            aux = [a[r[0]:r[1]] for r, _ in ordered]
+        ctx, metas, xm = self._fx_init_all({"alg": "mis"}, aux=aux)
+        rounds = 0
+        if int(sum(metas)):
+            rounds, xm = self._mis_rounds(ctx, xm, metrics)
+        in_mis = self._fx_collect(ctx, "in_mis", bool)
+        return in_mis, rounds, metrics
+
+    def greedy_color_inactor(self, metrics=None, max_colors=4096):
+        """Iterated-MIS coloring in-actor: the color vector persists in
+        the actors across MIS runs; same colors and color count as
+        ``greedy_color``."""
+        from .checkpoint import SuperstepMetrics
+
+        metrics = metrics or SuperstepMetrics()
+        ordered, leaders, dbounds = self._fx_groups()
+        uncolored = int(sum(ray.get(
+            [self.actors[j].color_init.remote() for j in leaders])))
+        k = 0
+        while uncolored:
+            if k >= max_colors:
+                raise ValueError("exceeded max_colors — self-loops?")
+            ctx, metas, xm = self._fx_init_all(
+                {"alg": "mis", "active_from_color": True})
+            if int(sum(metas)):
+                self._mis_rounds(ctx, xm, None)
+            uncolored = int(sum(ray.get(
+                [self.actors[j].color_apply.remote(k)
+                 for j in leaders])))
+            metrics.record(k, algorithm="greedy_color",
+                           remaining=uncolored)
+            k += 1
+        slices = ray.get([self.actors[j].color_result.remote()
+                          for j in leaders])
+        color = self._fx_stitch((ordered, leaders, dbounds), slices,
+                                np.int64)
+        return color, k, metrics
+
+    def widest_inactor(self, source, iters=4):
+        """Fixed-round widest (bottleneck) path over max_min in-actor
+        (weighted engine). Returns the DENSE width vector with −inf =
+        unreached (``widest_path_fixed`` returns the sparse reached
+        set — same present values)."""
+        if not self.weighted:
+            raise ValueError("widest_inactor needs a weighted engine")
+        ctx, metas, xm = self._fx_init_all(
+            {"alg": "widest", "source": int(source)})
+        for _ in range(int(iters)):
+            metas, xm = self._fx_round(ctx, "max_min_w", xm)
+        return self._fx_collect(ctx, "x", np.float64)
+
+    def _fx_minreach(self, active_refs, metrics, tag):
+        """min-label reach fixpoint over the active subgraph (the SCC
+        building block); the converged labels stay pinned as
+        ``_fx["lab"]`` on this engine's leaders."""
+        ctx, metas, xm = self._fx_init_all({"alg": "minreach"},
+                                           aux=active_refs)
+        it = 0
+        while True:
+            metas, xm = self._fx_round(ctx, "min", xm)
+            it += 1
+            if not any(metas):
+                break
+        if metrics is not None:
+            metrics.record(it, algorithm=f"scc_{tag}",
+                           edges=self.num_edges)
+        return ctx
+
+    def scc_inactor(self, engine_t=None, metrics=None):
+        """FW-BW min-label SCC peeling in-actor: comp/active pinned in
+        this engine's leaders, the backward fixpoint on the transposed
+        engine (range-aligned by construction — ``transposed()``
+        inherits ranges), retire = F == B on slice pairs. Same comps
+        and round count as ``pipelines.algorithms.scc``."""
+        from .checkpoint import SuperstepMetrics
+
+        metrics = metrics or SuperstepMetrics()
+        own_t = engine_t is None
+        if own_t:
+            engine_t = self.transposed()
+        ordered, leaders, dbounds = self._fx_groups()
+        ordered_t, leaders_t, _ = engine_t._fx_groups()
+        if [r for r, _ in ordered] != [r for r, _ in ordered_t]:
+            raise ValueError(
+                "scc_inactor needs a range-aligned transposed engine "
+                "(use engine.transposed())")
+        active_refs = [self.actors[j].scc_init.remote()
+                       for j in leaders]
+        ray.wait(active_refs, num_returns=len(active_refs))
+        n_active = self.n
+        rounds = 0
+        try:
+            while n_active:
+                self._fx_minreach(active_refs, metrics, "fwd")
+                engine_t._fx_minreach(active_refs, metrics, "bwd")
+                B_refs = [engine_t.actors[j].fx_result.remote("lab")
+                          for j in leaders_t]
+                ray.wait(B_refs, num_returns=len(B_refs))
+                pairs = [self.actors[leaders[g]].scc_retire.remote(
+                    B_refs[g]) for g in range(len(leaders))]
+                cnt_refs = [p[0] for p in pairs]
+                active_refs = [p[1] for p in pairs]
+                n_active = int(sum(ray.get(cnt_refs)))
+                rounds += 1
+        finally:
+            if own_t:
+                engine_t.shutdown()
+        slices = ray.get([self.actors[j].scc_result.remote()
+                          for j in leaders])
+        comp = self._fx_stitch((ordered, leaders, dbounds), slices,
+                               np.int64)
+        return comp, rounds, metrics
+
+    def bipartite_inactor(self, comp=None, max_rounds=40):
+        """Per-component bipartiteness in-actor over THIS (symmetrized,
+        deduped) engine: multi-source unit-BFS parity from each
+        component's min representative, then equal-parity conflicts
+        counted over the PINNED edges (src < dst counts each undirected
+        edge once) — one packed (comp, parity, reached) exchange feeds
+        both endpoints. ``comp`` defaults to the pinned FastSV result
+        (run ``connected_components_inactor`` first); pass the full
+        vector to run standalone. Returns the same (comp, n,
+        n_conflicts) table as ``bipartite_check``.
+
+        Hub-split caveat: a duplicate (src, dst) copy surviving in the
+        OTHER split actor of a range (the documented ``symmetrized``
+        dedupe tradeoff) would double-count its conflict — exact on
+        unsplit engines and on split engines built from pre-deduped
+        simple inputs."""
+        ordered, leaders, dbounds = self._fx_groups()
+        aux = None
+        if comp is not None:
+            comp = np.asarray(comp, dtype=np.int64)
+            aux = [comp[r[0]:r[1]] for r, _ in ordered]
+        if not self.weighted:
+            raise ValueError(
+                "bipartite_inactor needs a weighted engine (the parity "
+                "sweep is min_plus over the edge weights, matching "
+                "bipartite_check — the driver uses val=1.0 unit edges)")
+        ctx, metas, xm = self._fx_init_all({"alg": "bp"}, aux=aux)
+        for _ in range(int(max_rounds)):
+            metas, xm = self._fx_round(ctx, "min_plus_w", xm)
+            if not any(metas):
+                break
+        packed_refs = [self.actors[j].bp_pack.remote() for j in leaders]
+        ray.wait(packed_refs, num_returns=len(packed_refs))
+        conf_refs = [a.bp_conflicts.remote(packed_refs)
+                     for a in self.actors]
+        size_refs = [self.actors[j].bp_sizes.remote() for j in leaders]
+
+        def merge_sparse(parts):
+            parts = [p for p in parts if len(p[0])]
+            if not parts:
+                z = np.array([], dtype=np.int64)
+                return z, z
+            ks = np.concatenate([p[0] for p in parts])
+            vs = np.concatenate([p[1] for p in parts])
+            uk, inv = np.unique(ks, return_inverse=True)
+            out = np.zeros(len(uk), dtype=np.int64)
+            np.add.at(out, inv, vs)
+            return uk, out
+
+        uc, nc = merge_sparse(ray.get(conf_refs))
+        us, ns = merge_sparse(ray.get(size_refs))
+        conf_map = np.zeros(len(us), dtype=np.int64)
+        if len(uc):
+            pos = np.searchsorted(us, uc)
+            conf_map[pos] = nc
+        return pa.table({"comp": us, "n": ns, "n_conflicts": conf_map})
 
     def shutdown(self):
         for a in self.actors:

@@ -1,0 +1,238 @@
+"""In-actor frontier-fixpoint family parity (round-4 verdict item 1).
+
+Every ``*_inactor`` variant must match its O(n)-driver broadcast twin
+in ``pipelines/algorithms.py`` EXACTLY — values AND superstep counts —
+on both unsplit and hub-split engines (hub-split results are required
+bit-identical to unsplit: the leader merges are idempotent monoids).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+import ray.data
+
+from python_graphblas_ray.pipelines.algorithms import (
+    bfs_level,
+    bfs_parent,
+    bipartite_check,
+    build_engine,
+    connected_components,
+    dag_layers,
+    greedy_color,
+    maximal_independent_set,
+    scc,
+    sssp,
+    widest_path_fixed,
+)
+from python_graphblas_ray.state.superstep import SuperstepEngine
+
+N = 400
+
+
+def _rand_graph(seed=5, m=2600, n=N):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    uniq = np.unique(src * n + dst)
+    src, dst = (uniq // n).astype(np.int64), (uniq % n).astype(np.int64)
+    w = ((src * 7 + dst * 13) % 10 + 1).astype(np.float64)
+    return src, dst, w
+
+
+@pytest.fixture(scope="module")
+def graph(ray_session):
+    src, dst, w = _rand_graph()
+    ds = ray.data.from_arrow(
+        pa.table({"src": src, "dst": dst, "val": w}))
+    return src, dst, w, ds
+
+
+@pytest.fixture(scope="module")
+def engines(graph):
+    """(directed weighted, directed weighted hub-split) engines."""
+    _, _, _, ds = graph
+    plain = build_engine(ds, N, num_partitions=4, weighted=True,
+                         hub_split_factor=0)
+    split = SuperstepEngine(ds, N, num_partitions=4, weighted=True,
+                            hub_split_factor=1.02)
+    yield plain, split
+    plain.shutdown()
+    split.shutdown()
+
+
+@pytest.fixture(scope="module")
+def und_engines(graph):
+    _, _, _, ds = graph
+    plain = build_engine(ds, N, num_partitions=4, undirected=True,
+                         weighted=True, hub_split_factor=0)
+    yield plain
+    plain.shutdown()
+
+
+def _n_records(metrics, alg=None):
+    if alg is None:
+        return len(metrics.records)
+    return sum(1 for r in metrics.records if r.get("algorithm") == alg)
+
+
+def test_bfs_level_inactor_parity(engines):
+    plain, split = engines
+    want, m_b = bfs_level(plain, source=0)
+    for eng in (plain, split):
+        got, m_i = eng.bfs_level_inactor(0)
+        assert np.array_equal(got, want)
+        assert _n_records(m_i) == _n_records(m_b)
+
+
+def test_bfs_parent_inactor_parity(engines):
+    plain, split = engines
+    want, m_b = bfs_parent(plain, source=0)
+    for eng in (plain, split):
+        got, m_i = eng.bfs_parent_inactor(0)
+        assert np.array_equal(got, want)
+        assert _n_records(m_i) == _n_records(m_b)
+
+
+def test_sssp_inactor_parity(engines):
+    plain, split = engines
+    want, m_b = sssp(plain, source=0)
+    for eng in (plain, split):
+        got, m_i = eng.sssp_inactor(0)
+        assert np.array_equal(got, want)  # bit-exact: min-only merges
+        assert _n_records(m_i) == _n_records(m_b)
+
+
+def test_sssp_inactor_itermax_cap(engines):
+    plain, _ = engines
+    want, _ = sssp(plain, source=0, itermax=3)
+    got, _ = plain.sssp_inactor(0, itermax=3)
+    assert np.array_equal(got, want)
+
+
+def test_dag_layers_inactor_parity(ray_session):
+    # DAG: only u < v edges
+    src, dst, w = _rand_graph(seed=9)
+    keep = src < dst
+    ds = ray.data.from_arrow(pa.table({
+        "src": src[keep], "dst": dst[keep], "val": w[keep]}))
+    plain = build_engine(ds, N, num_partitions=4, hub_split_factor=0)
+    split = SuperstepEngine(ds, N, num_partitions=4,
+                            hub_split_factor=1.02)
+    try:
+        want, it_b, _ = dag_layers(plain)
+        for eng in (plain, split):
+            got, it_i, _ = eng.dag_layers_inactor()
+            assert np.array_equal(got, want)
+            assert it_i == it_b
+    finally:
+        plain.shutdown()
+        split.shutdown()
+
+
+def test_dag_layers_inactor_cycle_raises(engines):
+    plain, _ = engines  # the random directed graph has cycles
+    with pytest.raises(ValueError, match="cycle"):
+        plain.dag_layers_inactor(itermax=30)
+
+
+def test_widest_inactor_parity(graph, engines):
+    src, dst, w, ds = graph
+    plain, split = engines
+    from python_graphblas_ray.core import GBMatrix
+
+    A = GBMatrix.from_coo(src, dst, w, nrows=N, ncols=N)
+    ids, vals = widest_path_fixed(A, source=0, iters=4).to_coo(sort=True)
+    for eng in (plain, split):
+        dense = eng.widest_inactor(0, iters=4)
+        reached = np.flatnonzero(np.isfinite(dense) | (dense == np.inf))
+        got_ids = np.flatnonzero(dense > -np.inf)
+        assert np.array_equal(got_ids, np.asarray(ids))
+        assert np.array_equal(dense[got_ids], np.asarray(vals))
+        del reached
+
+
+def test_mis_inactor_parity(und_engines):
+    und = und_engines
+    want, rounds_b, _ = maximal_independent_set(und)
+    got, rounds_i, _ = und.mis_inactor()
+    assert np.array_equal(got, want)
+    assert rounds_i == rounds_b
+    # restricted run (the greedy_color per-class shape)
+    active = np.zeros(N, dtype=bool)
+    active[: N // 2] = True
+    w2, r2, _ = maximal_independent_set(und, active_init=active)
+    g2, ri2, _ = und.mis_inactor(active_init=active)
+    assert np.array_equal(g2, w2)
+    assert ri2 == r2
+
+
+def test_greedy_color_inactor_parity(und_engines):
+    und = und_engines
+    want, k_b, _ = greedy_color(und)
+    got, k_i, _ = und.greedy_color_inactor()
+    assert np.array_equal(got, want)
+    assert k_i == k_b
+
+
+def test_scc_inactor_parity(engines):
+    plain, split = engines
+    want, rounds_b, _ = scc(plain)
+    for eng in (plain, split):
+        got, rounds_i, _ = eng.scc_inactor()
+        assert np.array_equal(got, want)
+        assert rounds_i == rounds_b
+
+
+def test_bipartite_inactor_parity(graph, und_engines):
+    src, dst, w, ds = graph
+    und = und_engines
+    from python_graphblas_ray.pipelines.triangles import simple_undirected
+
+    A = simple_undirected(ds, N)
+    comp, _, _ = connected_components(und)
+    want = bipartite_check(und, A, comp, max_rounds=40)
+    got = und.bipartite_inactor(comp=comp, max_rounds=40)
+    assert got.num_rows == want.num_rows
+    for c in ("comp", "n", "n_conflicts"):
+        assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), c
+
+
+def test_bipartite_inactor_reads_pinned_cc(und_engines):
+    """comp=None: bipartite chains off the pinned FastSV state."""
+    und = und_engines
+    comp, _ = und.connected_components_inactor()
+    got = und.bipartite_inactor()
+    want = und.bipartite_inactor(comp=comp)
+    for c in ("comp", "n", "n_conflicts"):
+        assert np.array_equal(got[c].to_numpy(), want[c].to_numpy())
+
+
+def test_hub_split_is_bit_identical_on_mis_family(graph, ray_session):
+    """MIS/greedy/bipartite on a hub-split UNDIRECTED engine built from
+    a pre-deduped simple input (no duplicate survivors possible) must
+    bit-match the unsplit engine."""
+    src, dst, w, ds = graph
+    plain = build_engine(ds, N, num_partitions=4, undirected=True,
+                         weighted=True, hub_split_factor=0)
+    split = build_engine(ds, N, num_partitions=4, undirected=True,
+                         weighted=True, hub_split_factor=1.02)
+    try:
+        mp, rp, _ = plain.mis_inactor()
+        ms, rs, _ = split.mis_inactor()
+        assert np.array_equal(mp, ms) and rp == rs
+        cp, kp, _ = plain.greedy_color_inactor()
+        cs, ks, _ = split.greedy_color_inactor()
+        assert np.array_equal(cp, cs) and kp == ks
+        comp_p, _ = plain.connected_components_inactor()
+        comp_s, _ = split.connected_components_inactor()
+        assert np.array_equal(comp_p, comp_s)
+        bp = plain.bipartite_inactor()
+        bs = split.bipartite_inactor()
+        for c in ("comp", "n", "n_conflicts"):
+            assert np.array_equal(bp[c].to_numpy(), bs[c].to_numpy())
+    finally:
+        plain.shutdown()
+        split.shutdown()
