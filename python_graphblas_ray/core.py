@@ -2429,6 +2429,121 @@ class _MatrixSS:
         container sink (resume with ``GBMatrix.read_parquet``)."""
         return self._A.write_parquet(path, num_partitions)
 
+    def export(self, format=None, sort=True):
+        """Explicit physical-format export (reference ``ss.export``,
+        ``core/ss/matrix.py:525-741`` ``raw=False`` shapes): returns a
+        plain dict with a ``format`` key and the format's arrays —
+        csr / csc / hypercsr / hypercsc / bitmapr / bitmapc / fullr /
+        fullc / coor / cooc / coo. ``format=None`` picks ``fullr`` when
+        every cell is present, else ``csr`` (the reference exports its
+        current internal layout; this engine's storage is always the
+        COO dataset, so the default is the canonical sparse form).
+
+        Driver-memory interchange surface — like ``to_csr``/``to_dense``
+        it materializes to numpy; at engine scale use the Parquet
+        container (``serialize``) instead."""
+        A = self._A
+        nr, nc = A.nrows, A.ncols
+        if format is None:
+            format = "fullr" if A.nvals == nr * nc else "csr"
+        f = format.lower()
+        out = {"format": f, "nrows": nr, "ncols": nc}
+        if f in ("fullr", "fullc"):
+            if A.nvals != nr * nc:
+                raise ValueError(
+                    f"export format {f!r} requires a FULL matrix "
+                    f"({A.nvals} of {nr * nc} cells present)")
+            dense = A.to_dense()
+            out["values"] = (np.ascontiguousarray(dense) if f == "fullr"
+                             else np.asfortranarray(dense))
+            return out
+        if f in ("bitmapr", "bitmapc"):
+            r, c, v = A.to_coo(sort=False)
+            bitmap = np.zeros((nr, nc), dtype=bool)
+            vals = np.zeros((nr, nc),
+                            dtype=v.dtype if len(v) else np.float64)
+            bitmap[r, c] = True
+            vals[r, c] = v
+            conv = (np.ascontiguousarray if f == "bitmapr"
+                    else np.asfortranarray)
+            out["bitmap"] = conv(bitmap)
+            out["values"] = conv(vals)
+            out["nvals"] = int(len(r))
+            return out
+        if f == "csr":
+            indptr, col_indices, values = A.to_csr()
+            out.update(indptr=indptr, col_indices=col_indices,
+                       values=values, sorted_cols=bool(sort))
+            return out
+        if f == "csc":
+            indptr, row_indices, values = A.to_csc()
+            out.update(indptr=indptr, row_indices=row_indices,
+                       values=values, sorted_rows=bool(sort))
+            return out
+        if f == "hypercsr":
+            rows, indptr, col_indices, values = A.to_dcsr()
+            out.update(rows=rows, indptr=indptr,
+                       col_indices=col_indices, values=values,
+                       sorted_cols=bool(sort))
+            return out
+        if f == "hypercsc":
+            cols, indptr, row_indices, values = A.to_dcsc()
+            out.update(cols=cols, indptr=indptr,
+                       row_indices=row_indices, values=values,
+                       sorted_rows=bool(sort))
+            return out
+        if f in ("coo", "coor", "cooc"):
+            r, c, v = A.to_coo(sort=sort)
+            if f == "cooc":
+                o = np.lexsort((r, c))
+                r, c, v = r[o], c[o], v[o]
+            out.update(rows=r, cols=c, values=v,
+                       sorted_rows=f != "cooc", sorted_cols=f == "cooc")
+            return out
+        raise ValueError(f"unknown export format {format!r}")
+
+
+def matrix_import_any(**d):
+    """Rebuild a GBMatrix from an ``ss.export``-shaped dict (reference
+    ``ss.import_any`` — ``core/ss/matrix.py:1987,:2371,:2686`` family).
+    Dispatches on ``format``; per-format wrappers live in ``gb.ss``."""
+    f = d["format"].lower()
+    nr, nc = d.get("nrows"), d.get("ncols")
+    if f in ("fullr", "fullc"):
+        return GBMatrix.from_dense(np.ascontiguousarray(d["values"]))
+    if f in ("bitmapr", "bitmapc"):
+        bitmap = np.asarray(d["bitmap"], dtype=bool)
+        vals = np.asarray(d["values"])
+        r, c = np.nonzero(bitmap)
+        return GBMatrix.from_coo(r, c, vals[r, c],
+                                 nrows=nr or bitmap.shape[0],
+                                 ncols=nc or bitmap.shape[1])
+    if f == "csr":
+        return GBMatrix.from_csr(d["indptr"], d["col_indices"],
+                                 d["values"], ncols=nc)
+    if f == "csc":
+        indptr = np.asarray(d["indptr"], dtype=np.int64)
+        rows = np.asarray(d["row_indices"], dtype=np.int64)
+        cols = np.repeat(np.arange(len(indptr) - 1, dtype=np.int64),
+                         np.diff(indptr))
+        return GBMatrix.from_coo(rows, cols, d["values"],
+                                 nrows=nr, ncols=len(indptr) - 1)
+    if f == "hypercsr":
+        return GBMatrix.from_dcsr(d["rows"], d["indptr"],
+                                  d["col_indices"], d["values"],
+                                  nrows=nr, ncols=nc)
+    if f == "hypercsc":
+        cols_p = np.asarray(d["cols"], dtype=np.int64)
+        indptr = np.asarray(d["indptr"], dtype=np.int64)
+        rows = np.asarray(d["row_indices"], dtype=np.int64)
+        cols = np.repeat(cols_p, np.diff(indptr))
+        return GBMatrix.from_coo(rows, cols, d["values"],
+                                 nrows=nr, ncols=nc)
+    if f in ("coo", "coor", "cooc"):
+        return GBMatrix.from_coo(d["rows"], d["cols"], d["values"],
+                                 nrows=nr, ncols=nc)
+    raise ValueError(f"unknown import format {d['format']!r}")
+
 
 GBMatrix.ss = property(_MatrixSS)
 
@@ -2491,6 +2606,61 @@ class _VectorSS:
             ds = ds.repartition(num_partitions)
         ds.write_parquet(path)
         return path
+
+    def export(self, format=None, sort=True):
+        """Vector physical-format export (reference ``core/ss/
+        vector.py`` ``raw=False`` shapes): ``sparse`` (indices +
+        values), ``bitmap`` (dense bool mask + values) or ``full``
+        (every entry present). ``format=None`` picks ``full`` when the
+        vector is dense, else ``sparse``."""
+        v = self._v
+        n = v.size
+        if format is None:
+            format = "full" if v.nvals == n else "sparse"
+        f = format.lower()
+        out = {"format": f, "size": n}
+        if f == "full":
+            if v.nvals != n:
+                raise ValueError(
+                    f"export format 'full' requires a FULL vector "
+                    f"({v.nvals} of {n} entries present)")
+            out["values"] = v.to_dense()
+            return out
+        idx, vals = v.to_coo(sort=sort)
+        idx = np.asarray(idx)
+        vals = np.asarray(vals)
+        if f == "bitmap":
+            bitmap = np.zeros(n, dtype=bool)
+            dense = np.zeros(
+                n, dtype=vals.dtype if len(vals) else np.float64)
+            bitmap[idx] = True
+            dense[idx] = vals
+            out.update(bitmap=bitmap, values=dense,
+                       nvals=int(len(idx)))
+            return out
+        if f == "sparse":
+            out.update(indices=idx, values=vals, nvals=int(len(idx)),
+                       sorted_index=bool(sort))
+            return out
+        raise ValueError(f"unknown export format {format!r}")
+
+
+def vector_import_any(**d):
+    """Rebuild a GBVector from a ``Vector.ss.export`` dict (reference
+    ``import_any`` family)."""
+    f = d["format"].lower()
+    n = d.get("size")
+    if f == "full":
+        return GBVector.from_dense(np.asarray(d["values"]))
+    if f == "bitmap":
+        bitmap = np.asarray(d["bitmap"], dtype=bool)
+        vals = np.asarray(d["values"])
+        idx = np.flatnonzero(bitmap)
+        return GBVector.from_coo(idx, vals[idx],
+                                 size=n or len(bitmap))
+    if f == "sparse":
+        return GBVector.from_coo(d["indices"], d["values"], size=n)
+    raise ValueError(f"unknown import format {d['format']!r}")
 
 
 GBVector.ss = property(_VectorSS)

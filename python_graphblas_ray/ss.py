@@ -15,6 +15,7 @@ Ray-engine equivalents:
 """
 
 from ._config import config
+from .core import matrix_import_any, vector_import_any
 from .pipelines.algorithms import build_engine
 from .stages.perrow import (concat, flatten, reshape, row_compactify,
                             row_scan, row_selectk, row_sort, split,
@@ -24,7 +25,15 @@ from .stages.perrow import (concat, flatten, reshape, row_compactify,
 from .state.superstep import SuperstepEngine
 
 __all__ = ["SuperstepEngine", "build_engine", "concat", "config",
-           "flatten", "reshape", "row_compactify", "row_scan",
-           "row_selectk", "row_sort", "split", "vector_compactify",
-           "vector_concat", "vector_scan", "vector_selectk",
+           "flatten", "import_any", "matrix_import_any", "reshape",
+           "row_compactify", "row_scan", "row_selectk", "row_sort",
+           "split", "vector_compactify", "vector_concat",
+           "vector_import_any", "vector_scan", "vector_selectk",
            "vector_sort", "vector_split"]
+
+
+def import_any(**d):
+    """Reference ``ss.import_any`` dispatch: a ``size`` key marks a
+    Vector export, everything else a Matrix export."""
+    return (vector_import_any(**d) if "size" in d
+            else matrix_import_any(**d))
