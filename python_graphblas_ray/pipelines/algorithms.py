@@ -1084,23 +1084,15 @@ def closeness_centrality(engine: SuperstepEngine, sources=None,
 
     Returns ``(scores: float64[n], metrics)``."""
     metrics = metrics or SuperstepMetrics()
-    n = engine.n
     if sources is None:
-        sources = range(n)
-    acc = np.zeros(n)
-    reach = np.zeros(n, dtype=np.int64)
-    for s in sources:
-        lev, _ = bfs_level(engine, int(s), metrics)
-        hit = lev > 0  # reached, excluding the source itself (d=0)
-        if harmonic:
-            acc[hit] += 1.0 / lev[hit]
-        else:
-            acc[hit] += lev[hit]
-            reach[hit] += 1
-    if harmonic:
-        return np.round(acc, 8) + 0.0, metrics
-    out = np.where(acc > 0, reach / np.maximum(acc, 1e-300), 0.0)
-    return np.round(out, 8) + 0.0, metrics
+        sources = range(engine.n)
+    # in-actor route (r4): per-source BFS AND the acc/reach folds run
+    # in the actors — O(P) driver per superstep, one O(n) readout at
+    # the end. Bit-identical to the former broadcast loop (integer
+    # levels, same per-source fold order) — parity in
+    # tests/test_fx_inactor.py.
+    return engine.closeness_inactor(sources, harmonic=harmonic,
+                                    metrics=metrics)
 
 
 def closeness_centrality_numpy(src, dst, n, sources=None, harmonic=True):
@@ -1202,7 +1194,8 @@ def approx_diameter(engine: SuperstepEngine, start=0, sweeps=2,
     u = int(start)
     endpoints = (u, u)
     for _ in range(max(1, sweeps)):
-        lev, _ = bfs_level(engine, u, metrics)
+        # in-actor BFS (bit-parity with bfs_level)
+        lev, _ = engine.bfs_level_inactor(u, metrics)
         far = int(np.argmax(lev))
         ecc = int(lev[far])
         if ecc > best:

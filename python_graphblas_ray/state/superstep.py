@@ -1195,6 +1195,31 @@ class GraphPartitionActor:
     def color_result(self):
         return self._fx_color["color"]
 
+    # ---- closeness accumulation (across per-source BFS runs) ----
+    def clo_init(self):
+        size = self.hi - self.lo
+        self._fx_clo = {"acc": np.zeros(size),
+                        "reach": np.zeros(size, dtype=np.int64)}
+        return size
+
+    def clo_accum(self, harmonic):
+        """Fold THIS source's finished BFS levels (``_fx["v"]``) into
+        the pinned closeness accumulators — the O(range) per-source
+        update that used to be O(n) driver work per source."""
+        lev = self._fx["v"]
+        c = self._fx_clo
+        hit = lev > 0
+        if harmonic:
+            c["acc"][hit] += 1.0 / lev[hit]
+        else:
+            c["acc"][hit] += lev[hit]
+            c["reach"][hit] += 1
+        return True
+
+    def clo_result(self):
+        c = self._fx_clo
+        return c["acc"], c["reach"]
+
     # ---- bipartite conflict count (over the pinned edges) ----
     def bp_pack(self):
         """Publish (comp, parity, reached) packed into ONE int64 slice:
@@ -2454,6 +2479,43 @@ class SuperstepEngine:
         for _ in range(int(iters)):
             metas, xm = self._fx_round(ctx, "max_min_w", xm)
         return self._fx_collect(ctx, "x", np.float64)
+
+    def closeness_inactor(self, sources, harmonic=True, metrics=None):
+        """(Harmonic) closeness from a source sample with the
+        accumulators pinned in the actors: one in-actor BFS per source
+        (O(P) driver per superstep), each followed by ONE O(P) accum
+        round folding the finished levels into the pinned acc/reach
+        slices — the O(n·sources) driver work of the broadcast form
+        collapses to a single O(n) readout. Bit-identical to
+        ``pipelines.algorithms.closeness_centrality`` (integer levels,
+        same fold order per source)."""
+        from .checkpoint import SuperstepMetrics
+
+        metrics = metrics or SuperstepMetrics()
+        ordered, leaders, dbounds = self._fx_groups()
+        ray.get([self.actors[j].clo_init.remote() for j in leaders])
+        for s in sources:
+            ctx, metas, xm = self._fx_init_all(
+                {"alg": "bfs_level", "source": int(s)})
+            frontier = int(sum(metas))
+            level = 1
+            while frontier:
+                metas, xm = self._fx_round(ctx, "or", xm)
+                frontier = int(sum(metas))
+                metrics.record(level, algorithm="bfs",
+                               frontier=frontier)
+                level += 1
+            ray.get([self.actors[j].clo_accum.remote(harmonic)
+                     for j in leaders])
+        pairs = ray.get([self.actors[j].clo_result.remote()
+                         for j in leaders])
+        ctx = (ordered, leaders, dbounds)
+        acc = self._fx_stitch(ctx, [p[0] for p in pairs], np.float64)
+        reach = self._fx_stitch(ctx, [p[1] for p in pairs], np.int64)
+        if harmonic:
+            return np.round(acc, 8) + 0.0, metrics
+        out = np.where(acc > 0, reach / np.maximum(acc, 1e-300), 0.0)
+        return np.round(out, 8) + 0.0, metrics
 
     def _fx_minreach(self, active_refs, metrics, tag):
         """min-label reach fixpoint over the active subgraph (the SCC

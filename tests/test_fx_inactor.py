@@ -236,3 +236,35 @@ def test_hub_split_is_bit_identical_on_mis_family(graph, ray_session):
     finally:
         plain.shutdown()
         split.shutdown()
+
+
+def test_closeness_inactor_parity(engines):
+    """closeness_inactor == the former broadcast fold, bit-level, on
+    plain AND hub-split engines (integer levels, per-source order)."""
+    import numpy as np
+
+    from python_graphblas_ray.pipelines.algorithms import bfs_level
+
+    plain, split = engines
+    sources = [0, 3, 17, 40]
+    for harmonic in (True, False):
+        # reference fold via the broadcast BFS
+        n = plain.n
+        acc = np.zeros(n)
+        reach = np.zeros(n, dtype=np.int64)
+        for s in sources:
+            lev, _ = bfs_level(plain, s)
+            hit = lev > 0
+            if harmonic:
+                acc[hit] += 1.0 / lev[hit]
+            else:
+                acc[hit] += lev[hit]
+                reach[hit] += 1
+        if harmonic:
+            want = np.round(acc, 8) + 0.0
+        else:
+            want = np.round(np.where(
+                acc > 0, reach / np.maximum(acc, 1e-300), 0.0), 8) + 0.0
+        for eng in (plain, split):
+            got, _ = eng.closeness_inactor(sources, harmonic=harmonic)
+            assert np.array_equal(got, want), harmonic
