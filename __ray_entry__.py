@@ -122,6 +122,7 @@ _WINDOW_SCHEMAS = {
     "events_window": [("event_type", "string"), ("window", "timestamp[us]"), ("n", "int64"), ("vmin", "double"), ("vmax", "double")],
     "events_hopping_window": [("event_type", "string"), ("window_us", "int64"), ("n", "int64")],
     "docs_image_resize": [("doc_id", "int64"), ("px_sum", "int64"), ("checksum", "int64")],
+    "docs_audio_features": [("doc_id", "int64"), ("n_samples", "int64"), ("zero_crossings", "int64"), ("amp_sum", "int64"), ("amp_checksum", "int64")],
     "events_asof_join": [("event_id", "int64"), ("ts_r", "timestamp[us]")],
     "events_sessionize": [("user_id", "int64"), ("session_start", "timestamp[us]"), ("session_end", "timestamp[us]"), ("n_events", "int64")],
     "lineitem_agg": [("l_returnflag", "string"), ("l_linestatus", "string"), ("sum_qty", "double"), ("n", "int64")],
@@ -4431,6 +4432,62 @@ def _q_image_resize(sf_dir):
     return resized.map_batches(agg, batch_format="pyarrow")
 
 
+def _q_audio_features(sf_dir):
+    """REAL audio codec path: one deterministic synthetic mono 16-bit
+    PCM WAV per document (sample i = ((doc_id·31 + i²·7) mod 4001) −
+    2000, 480 samples at 16 kHz, stdlib-struct RIFF encode), decoded by
+    the hand-rolled WAV decoder (``pipelines/audio.py``) in an actor
+    pool, reduced to INTEGER features the SQL twin replays from the
+    formula: zero crossings (sign-change count of the decoded floats)
+    and amplitude sums recovered exactly from the decode (round(x ·
+    32767) == the original int16 — any decode defect shifts them)."""
+    from python_graphblas_ray.pipelines.audio import (decode_audio,
+                                                      wav_encode)
+    from python_graphblas_ray.pipelines.multimodal import media_table
+
+    NS = 480
+    ids_ds = _read(sf_dir, "documents", columns=["doc_id"]).sort(
+        "doc_id").limit(32)
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        i = np.arange(NS, dtype=np.int64)
+        payloads = [wav_encode((((int(d) * 31 + i * i * 7) % 4001)
+                                - 2000).astype(np.int16), rate=16000)
+                    for d in ids]
+        return media_table(ids, payloads, media_type="audio")
+
+    media = ids_ds.map_batches(synth, batch_format="pyarrow")
+    dec = decode_audio(media, batch_size=16)
+
+    def feats(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "n_samples": pa.array([], pa.int64()),
+                "zero_crossings": pa.array([], pa.int64()),
+                "amp_sum": pa.array([], pa.int64()),
+                "amp_checksum": pa.array([], pa.int64())})
+        out_zc, out_s, out_ck, out_n = [], [], [], []
+        for m in batch["samples"].to_pylist():
+            x = np.asarray(m, dtype=np.float64)
+            v = np.round(x * 32767.0).astype(np.int64)
+            out_n.append(len(v))
+            out_zc.append(int((np.signbit(x[1:])
+                               != np.signbit(x[:-1])).sum()))
+            a = np.abs(v)
+            out_s.append(int(a.sum()))
+            out_ck.append(int((a * (np.arange(len(a)) + 1)).sum()))
+        return pa.table({
+            "doc_id": batch["media_id"],
+            "n_samples": np.array(out_n, dtype=np.int64),
+            "zero_crossings": np.array(out_zc, dtype=np.int64),
+            "amp_sum": np.array(out_s, dtype=np.int64),
+            "amp_checksum": np.array(out_ck, dtype=np.int64)})
+
+    return dec.map_batches(feats, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so every SQL-oracle-backed operator gets a row inside the
     driver's 50-entry correctness window: same-schema operator families
@@ -4700,6 +4757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-backed tail (window full): exact lexical dedup clusters
         "docs_jaccard_groups": _q_docs_jaccard_groups,
         "events_hopping_window": _q_events_hopping,
+        "docs_audio_features": _q_audio_features,
         # ---- rows-only tail (no SQL equivalent) ----
         "k_truss": _q_k_truss,
         "pagerank": _q_pagerank,
@@ -5087,6 +5145,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(SUM(val) AS BIGINT) AS px_sum, "
             "CAST(SUM(val * (pos + 1)) AS BIGINT) AS checksum "
             "FROM v GROUP BY doc_id"),
+        "docs_audio_features": (
+            # replay the synthetic int16 waveform: v(i) =
+            # ((doc_id*31 + i*i*7) % 4001) - 2000; the engine recovers
+            # v exactly from the decoded floats (round(x*32767))
+            "WITH ids AS (SELECT doc_id FROM documents "
+            "ORDER BY doc_id LIMIT 32), "
+            "s AS (SELECT d.doc_id, i.range AS i, "
+            "((d.doc_id * 31 + i.range * i.range * 7) % 4001) - 2000 "
+            "AS v FROM ids d, range(480) i), "
+            "z AS (SELECT doc_id, i, v, CASE WHEN (v < 0) <> "
+            "LAG(v < 0) OVER (PARTITION BY doc_id ORDER BY i) "
+            "THEN 1 ELSE 0 END AS zc FROM s) "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples, "
+            "CAST(SUM(zc) AS BIGINT) AS zero_crossings, "
+            "CAST(SUM(ABS(v)) AS BIGINT) AS amp_sum, "
+            "CAST(SUM(ABS(v) * (i + 1)) AS BIGINT) AS amp_checksum "
+            "FROM z GROUP BY doc_id"),
         "events_hopping_window": (
             "WITH e AS (SELECT event_type, epoch_us(ts) AS t FROM events),"
             " w AS (SELECT event_type, unnest(generate_series("
