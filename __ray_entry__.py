@@ -861,7 +861,9 @@ def _q_connected_components(sf_dir):
 
     eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4,
                        undirected=True)
-    f, _, _ = connected_components(eng)
+    # in-actor O(P)-driver FastSV (bit-parity with connected_components
+    # — r3 parity tests)
+    f, _ = eng.connected_components_inactor()
     eng.shutdown()
     return pa.table({"vid": np.arange(N_VERT, dtype=np.int64), "comp": f})
 
@@ -2214,10 +2216,10 @@ def _q_lpa_iter2(sf_dir):
 
     eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4,
                        undirected=True)
-    labels = np.arange(N_VERT, dtype=np.int64)
-    for _ in range(2):
-        mode = eng.mode(labels)
-        labels = np.where(mode >= 0, mode, labels)
+    # in-actor O(P)-driver synchronous LPA (identical mode/tie-break
+    # kernel; 2 forced supersteps unless labels already fixed — same
+    # values either way)
+    labels, _ = eng.label_propagation_inactor(itermax=2)
     eng.shutdown()
     return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
                      "label": labels})
