@@ -194,11 +194,25 @@ class FrameSampler:
                          "frame_idx": np.array(out_frame, dtype=np.int64)})
 
 
+def _bound(cls, **kw):
+    """Bake constructor kwargs into a subclass so the actor pool needs
+    NO fn_constructor_kwargs — Ray puts those in the object store and
+    logs an actor-restart hazard (ray#53727) on every pool; baked-in
+    kwargs ride the serialized class instead."""
+    class _B(cls):
+        def __init__(self):
+            super().__init__(**kw)
+
+    _B.__name__ = cls.__name__
+    _B.__qualname__ = cls.__qualname__
+    return _B
+
+
 def decode_images(media_ds, concurrency=2, batch_size=32,
                   mode=PNG):
     """Actor pool: small batches (binary payloads), setup once per actor."""
     return media_ds.map_batches(
-        ImageDecoder, fn_constructor_kwargs=dict(mode=mode),
+        _bound(ImageDecoder, mode=mode),
         batch_format="pyarrow", concurrency=(1, concurrency),
         batch_size=batch_size)
 
@@ -212,13 +226,13 @@ def image_features(decoded_ds, concurrency=2, batch_size=64):
 def resize_images(decoded_ds, out_hw=(8, 8), concurrency=2,
                   batch_size=64):
     return decoded_ds.map_batches(
-        ImageResizer, fn_constructor_kwargs=dict(out_hw=out_hw),
+        _bound(ImageResizer, out_hw=out_hw),
         batch_format="pyarrow", concurrency=(1, concurrency),
         batch_size=batch_size)
 
 
 def sample_frames(media_ds, concurrency=2, batch_size=16, stride=2):
     return media_ds.map_batches(
-        FrameSampler, fn_constructor_kwargs=dict(stride=stride),
+        _bound(FrameSampler, stride=stride),
         batch_format="pyarrow", concurrency=(1, concurrency),
         batch_size=batch_size)
