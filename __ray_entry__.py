@@ -800,7 +800,8 @@ def _q_critical_path(sf_dir):
     eng = build_engine(
         base.map_batches(dag_weighted, batch_format="pyarrow"),
         N_VERT, num_partitions=4, weighted=True)
-    dist, _, _ = critical_path(eng)
+    # in-actor O(P)-driver path (bit-parity with critical_path)
+    dist, _, _ = eng.critical_path_inactor()
     eng.shutdown()
     return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
                      "dist": dist})

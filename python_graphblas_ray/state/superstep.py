@@ -966,7 +966,7 @@ class GraphPartitionActor:
         out = np.full(size, identity)
         if self.nedges:
             vals = self._fx_gather(xm_refs, np.float64)
-            if pull == "min_plus_w":
+            if pull in ("min_plus_w", "max_plus_w"):
                 vals = vals + self.w
             elif pull == "min_plus1":
                 vals = vals + 1.0
@@ -1022,6 +1022,9 @@ class GraphPartitionActor:
             st["layer"] = np.zeros(size)
             # round 0: every vertex proposes (broadcast parity)
             return size, st["layer"] + 1.0
+        if alg == "critical":
+            st["dist"] = np.zeros(size)
+            return size, st["dist"].copy()
         if alg == "minreach":
             activeV = (np.ones(size, dtype=bool) if aux is None
                        else np.asarray(aux, dtype=bool))
@@ -1089,6 +1092,12 @@ class GraphPartitionActor:
             act = new > layer
             st["layer"] = new
             return int(act.sum()), np.where(act, new + 1.0, -np.inf)
+        if alg == "critical":
+            dist = st["dist"]
+            new = np.maximum(dist, red)
+            act = new > dist
+            st["dist"] = new
+            return int(act.sum()), np.where(act, new, -np.inf)
         if alg == "minreach":
             lab = st["lab"]
             new = np.minimum(lab, red)
@@ -2397,6 +2406,35 @@ class SuperstepEngine:
             it += 1
         layers = self._fx_collect(ctx, "layer", np.float64)
         return layers.astype(np.int64), it, metrics
+
+    def critical_path_inactor(self, itermax=None, metrics=None):
+        """Weighted longest-path (critical path) in-actor: the max_plus
+        twin of ``dag_layers_inactor`` (weights ride the pinned
+        blocks — weighted engine required); raises on cycles exactly
+        like the broadcast recipe. Bit-identical values (max is
+        selection — no float accumulation order)."""
+        from .checkpoint import SuperstepMetrics
+
+        if not self.weighted:
+            raise ValueError("critical_path_inactor needs a weighted "
+                             "engine")
+        metrics = metrics or SuperstepMetrics()
+        ctx, metas, xm = self._fx_init_all({"alg": "critical"})
+        active = int(sum(metas))
+        itermax = itermax or self.n + 1
+        it = 0
+        while active:
+            if it >= itermax:
+                raise ValueError(
+                    f"critical_path: no fixpoint after {it} "
+                    "supersteps — the graph has a cycle (or raise "
+                    "itermax)")
+            metas, xm = self._fx_round(ctx, "max_plus_w", xm)
+            active = int(sum(metas))
+            metrics.record(it, algorithm="critical_path",
+                           frontier=active)
+            it += 1
+        return self._fx_collect(ctx, "dist", np.float64), it, metrics
 
     def _mis_rounds(self, ctx, xm, metrics, alg_tag="mis"):
         """Drive MIS select/exclude round pairs until no active vertex

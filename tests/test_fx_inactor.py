@@ -268,3 +268,33 @@ def test_closeness_inactor_parity(engines):
         for eng in (plain, split):
             got, _ = eng.closeness_inactor(sources, harmonic=harmonic)
             assert np.array_equal(got, want), harmonic
+
+
+def test_critical_path_inactor_parity(ray_session):
+    from python_graphblas_ray.pipelines.algorithms import critical_path
+
+    src, dst, w = _rand_graph(seed=13)
+    keep = src < dst  # DAG
+    ds = ray.data.from_arrow(pa.table({
+        "src": src[keep], "dst": dst[keep], "val": w[keep]}))
+    plain = build_engine(ds, N, num_partitions=4, weighted=True,
+                         hub_split_factor=0)
+    split = SuperstepEngine(ds, N, num_partitions=4, weighted=True,
+                            hub_split_factor=1.02)
+    try:
+        want, it_b, _ = critical_path(plain)
+        for eng in (plain, split):
+            got, it_i, _ = eng.critical_path_inactor()
+            assert np.array_equal(got, want)
+            assert it_i == it_b
+        with pytest.raises(ValueError, match="cycle"):
+            cyc = build_engine(ray.data.from_arrow(pa.table({
+                "src": src, "dst": dst, "val": w})), N,
+                num_partitions=4, weighted=True, hub_split_factor=0)
+            try:
+                cyc.critical_path_inactor(itermax=25)
+            finally:
+                cyc.shutdown()
+    finally:
+        plain.shutdown()
+        split.shutdown()
