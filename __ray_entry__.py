@@ -718,7 +718,8 @@ def _q_bowtie(sf_dir):
         build_engine, bowtie)
 
     eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
-    parts, _ = bowtie(eng)
+    # in-actor O(P)-driver path (bit-parity with bowtie)
+    parts, _ = eng.bowtie_inactor()
     eng.shutdown()
     return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
                      "part": pa.array(list(parts), type=pa.string())})

@@ -1053,6 +1053,13 @@ class GraphPartitionActor:
                 x[s - lo] = np.inf
             st["x"] = x
             return 0, x.copy()
+        if alg == "reach":
+            seeds = (np.zeros(size, dtype=bool) if aux is None
+                     else np.asarray(aux, dtype=bool))
+            st["r"] = seeds.copy()
+            # frontier = the seeds; or-monotone delta pushes give the
+            # same per-round reach set as the unmasked broadcast
+            return int(seeds.sum()), seeds.copy()
         if alg == "bp":
             comp = (np.asarray(aux, dtype=np.int64) if aux is not None
                     else np.asarray(self._cc_f, dtype=np.int64))
@@ -1123,6 +1130,11 @@ class GraphPartitionActor:
             changed = bool((x != st["x"]).any())
             st["x"] = x
             return changed, x.copy()
+        if alg == "reach":
+            r = st["r"]
+            new = red & ~r
+            r |= red
+            return int(new.sum()), new
         if alg == "bp":
             dist = st["dist"]
             new = np.minimum(dist, red)
@@ -1203,6 +1215,65 @@ class GraphPartitionActor:
 
     def color_result(self):
         return self._fx_color["color"]
+
+    # ---- named fx-state keeps (survive across fx_init runs) ----
+    def fx_save(self, name, key="r"):
+        """Copy the CURRENT fx state vector into the keep store (the
+        next ``fx_init`` overwrites ``_fx`` — bowtie composes several
+        reach fixpoints and needs the earlier results)."""
+        if not hasattr(self, "_fx_keep"):
+            self._fx_keep = {}
+        self._fx_keep[name] = np.asarray(self._fx[key]).copy()
+        return True
+
+    def fx_keep(self, name):
+        return self._fx_keep[name]
+
+    # ---- bow-tie decomposition slice ops (O(range) each) ----
+    def bt_counts(self):
+        """Sparse (comp, size) partial of the pinned SCC labels."""
+        comp = self._scc_comp
+        if not len(comp):
+            z = np.array([], dtype=np.int64)
+            return z, z
+        uc, cnt = np.unique(comp, return_counts=True)
+        return uc.astype(np.int64), cnt.astype(np.int64)
+
+    def bt_core(self, core_id):
+        core = self._scc_comp == int(core_id)
+        if not hasattr(self, "_fx_keep"):
+            self._fx_keep = {}
+        self._fx_keep["core"] = core
+        return core
+
+    def bt_andnot(self, a, b_ref, out):
+        """keep[out] = keep[a] & ~b — b rides as a slice (ref or
+        array), range-aligned across the engine pair."""
+        b = ray.get(b_ref) if isinstance(b_ref, ray.ObjectRef) else b_ref
+        res = self._fx_keep[a] & ~np.asarray(b, dtype=bool)
+        self._fx_keep[out] = res
+        return res
+
+    def bt_codes(self, vin_ref, to_out_ref):
+        """Final bow-tie class codes for this slice from the kept
+        core/vout/from_in plus the transposed engine's vin/to_out."""
+        vin = (ray.get(vin_ref) if isinstance(vin_ref, ray.ObjectRef)
+               else vin_ref)
+        to_out = (ray.get(to_out_ref)
+                  if isinstance(to_out_ref, ray.ObjectRef)
+                  else to_out_ref)
+        k = self._fx_keep
+        core, vout, from_in = k["core"], k["vout"], k["from_in"]
+        rest = ~(core | vin | vout)
+        tube = rest & from_in & to_out
+        tendril = rest & ~tube & (from_in | to_out)
+        codes = np.full(len(core), 5, dtype=np.int64)
+        codes[tendril] = 4
+        codes[tube] = 3
+        codes[vout] = 2
+        codes[vin] = 1
+        codes[core] = 0
+        return codes
 
     # ---- closeness accumulation (across per-source BFS runs) ----
     def clo_init(self):
@@ -2616,6 +2687,88 @@ class SuperstepEngine:
         comp = self._fx_stitch((ordered, leaders, dbounds), slices,
                                np.int64)
         return comp, rounds, metrics
+
+    def _reach_fixpoint(self, seed_refs, save_as):
+        """Boolean reachability fixpoint from per-group seed slices
+        (or-monotone delta pushes — same reach set per round as the
+        unmasked broadcast ``_reach_mask``); result kept under
+        ``save_as`` on this engine's leaders. Skips the rounds when the
+        seed set is globally empty (matching the broadcast guard)."""
+        ctx, metas, xm = self._fx_init_all({"alg": "reach"},
+                                           aux=seed_refs)
+        frontier = int(sum(metas))
+        while frontier:
+            metas, xm = self._fx_round(ctx, "or", xm)
+            frontier = int(sum(metas))
+        leaders = ctx[1]
+        ray.get([self.actors[j].fx_save.remote(save_as, "r")
+                 for j in leaders])
+        return ctx
+
+    def bowtie_inactor(self, engine_t=None, metrics=None):
+        """Bow-tie decomposition in-actor (Broder et al. 2000): SCC via
+        ``scc_inactor`` (comp/active pinned on this engine's leaders),
+        the four boolean reach fixpoints as slice-exchange "or"
+        supersteps, and ALL the set algebra as O(range) slice ops in
+        the actors — the driver handles P refs and the sparse
+        comp-size merge; only the final (parts, comp) readout is O(n).
+        Bit-identical to ``pipelines.algorithms.bowtie`` (booleans and
+        exact SCC labels throughout) — parity-tested."""
+        from .checkpoint import SuperstepMetrics
+
+        metrics = metrics or SuperstepMetrics()
+        own_t = engine_t is None
+        if own_t:
+            engine_t = self.transposed()
+        try:
+            comp, _, _ = self.scc_inactor(engine_t, metrics=metrics)
+            ordered, leaders, dbounds = self._fx_groups()
+            _, leaders_t, _ = engine_t._fx_groups()
+            # largest SCC, ties -> smallest id (sparse partials merge)
+            parts = ray.get([self.actors[j].bt_counts.remote()
+                             for j in leaders])
+            parts = [p for p in parts if len(p[0])]
+            ks = np.concatenate([p[0] for p in parts])
+            vs = np.concatenate([p[1] for p in parts])
+            uk, inv = np.unique(ks, return_inverse=True)
+            sizes = np.zeros(len(uk), dtype=np.int64)
+            np.add.at(sizes, inv, vs)
+            core_id = int(uk[np.argmax(sizes)])
+            core_refs = [self.actors[j].bt_core.remote(core_id)
+                         for j in leaders]
+            ray.wait(core_refs, num_returns=len(core_refs))
+            # fwd = reachable from core; bwd = reaching core
+            self._reach_fixpoint(core_refs, "fwd")
+            engine_t._reach_fixpoint(core_refs, "bwd")
+            # vin = bwd & ~core (on T); vout = fwd & ~core (on E)
+            vin_refs = [engine_t.actors[leaders_t[g]].bt_andnot.remote(
+                "bwd", core_refs[g], "vin") for g in range(len(leaders))]
+            vout_refs = [self.actors[leaders[g]].bt_andnot.remote(
+                "fwd", core_refs[g], "vout")
+                for g in range(len(leaders))]
+            ray.wait(vin_refs + vout_refs,
+                     num_returns=len(vin_refs) + len(vout_refs))
+            self._reach_fixpoint(vin_refs, "from_in")
+            engine_t._reach_fixpoint(vout_refs, "to_out")
+            to_out_refs = [engine_t.actors[j].fx_keep.remote("to_out")
+                           for j in leaders_t]
+            ray.wait(to_out_refs, num_returns=len(to_out_refs))
+            code_slices = ray.get([
+                self.actors[leaders[g]].bt_codes.remote(
+                    vin_refs[g], to_out_refs[g])
+                for g in range(len(leaders))])
+            codes = self._fx_stitch((ordered, leaders, dbounds),
+                                    code_slices, np.int64)
+        finally:
+            if own_t:
+                engine_t.shutdown()
+        from ..pipelines.algorithms import BOWTIE_PARTS
+
+        parts_arr = np.array(BOWTIE_PARTS, dtype=object)[codes]
+        metrics.record(0, algorithm="bowtie",
+                       sizes={p: int((codes == i).sum())
+                              for i, p in enumerate(BOWTIE_PARTS)})
+        return parts_arr, comp
 
     def bipartite_inactor(self, comp=None, max_rounds=40):
         """Per-component bipartiteness in-actor over THIS (symmetrized,

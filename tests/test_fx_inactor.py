@@ -298,3 +298,14 @@ def test_critical_path_inactor_parity(ray_session):
     finally:
         plain.shutdown()
         split.shutdown()
+
+
+def test_bowtie_inactor_parity(engines):
+    from python_graphblas_ray.pipelines.algorithms import bowtie
+
+    plain, split = engines
+    want_parts, want_comp = bowtie(plain)
+    for eng in (plain, split):
+        got_parts, got_comp = eng.bowtie_inactor()
+        assert np.array_equal(got_comp, want_comp)
+        assert list(got_parts) == list(want_parts)
