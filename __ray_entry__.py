@@ -2372,7 +2372,8 @@ def _q_ppr_local(sf_dir):
         build_engine, ppr_push)
 
     eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
-    p, r, _, _ = ppr_push(eng, [0, 7], alpha=0.15, eps=1e-7)
+    # in-actor O(P)-driver path (bit-parity with ppr_push)
+    p, r, _, _ = eng.ppr_inactor([0, 7], alpha=0.15, eps=1e-7)
     eng.shutdown()
     return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
                      "ppr": np.round(p, 10),

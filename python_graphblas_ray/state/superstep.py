@@ -961,6 +961,34 @@ class GraphPartitionActor:
                 out[self.group_dst] = np.minimum.reduceat(cand,
                                                           self.starts)
             return out
+        if pull == "plus":
+            out = np.zeros(size)
+            if self.nedges:
+                vals = self._fx_gather(xm_refs, np.float64)
+                out[self.group_dst] = np.add.reduceat(vals, self.starts)
+            return out
+        if pull == "plus_pos":
+            # sum of the STRICTLY-POSITIVE shares only, reduced over
+            # exactly the same element sequence as ``spmv_masked``
+            # (np.add.reduceat is pairwise — summing interleaved zeros
+            # would change the reduction tree and drift the last ulp,
+            # breaking bit-parity with the broadcast push)
+            out = np.zeros(size)
+            if self.nedges:
+                vals = self._fx_gather(xm_refs, np.float64)
+                sel = vals > 0
+                if sel.any():
+                    idx = np.flatnonzero(sel)
+                    dstl = self.dstl[idx]
+                    v = vals[idx]
+                    order = np.argsort(dstl, kind="stable")
+                    dstl, v = dstl[order], v[order]
+                    change = np.empty(len(dstl), dtype=bool)
+                    change[0] = True
+                    change[1:] = dstl[1:] != dstl[:-1]
+                    starts = np.flatnonzero(change)
+                    out[dstl[starts]] = np.add.reduceat(v, starts)
+            return out
         ufunc, identity = ((np.maximum, -np.inf) if pull.startswith("max")
                            else (np.minimum, np.inf))
         out = np.full(size, identity)
@@ -1053,6 +1081,28 @@ class GraphPartitionActor:
                 x[s - lo] = np.inf
             st["x"] = x
             return 0, x.copy()
+        if alg == "ppr":
+            # aux = the deg_partial refs of EVERY actor (pr_init shape)
+            d = np.zeros(size)
+            for usrc, cnt in ray.get(list(aux)):
+                sel = (usrc >= lo) & (usrc < hi)
+                if sel.any():
+                    np.add.at(d, usrc[sel] - lo, cnt[sel])
+            s = np.zeros(size)
+            for v, mass in spec["seeds"]:
+                if lo <= v < hi:
+                    s[v - lo] = mass
+            st["alpha"] = float(spec["alpha"])
+            st["eps"] = float(spec["eps"])
+            st["d"] = d
+            st["p"] = np.zeros(size)
+            st["r"] = s
+            S = s > st["eps"] * np.maximum(d, 1.0)
+            x = np.where(S & (d > 0),
+                         (1.0 - st["alpha"]) * s / np.maximum(d, 1.0),
+                         0.0)
+            st["S"] = S
+            return int(S.sum()), x
         if alg == "reach":
             seeds = (np.zeros(size, dtype=bool) if aux is None
                      else np.asarray(aux, dtype=bool))
@@ -1130,6 +1180,17 @@ class GraphPartitionActor:
             changed = bool((x != st["x"]).any())
             st["x"] = x
             return changed, x.copy()
+        if alg == "ppr":
+            S, r, d = st["S"], st["r"], st["d"]
+            st["p"][S] += st["alpha"] * r[S]
+            r = np.where(S, 0.0, r) + red
+            st["r"] = r
+            S2 = r > st["eps"] * np.maximum(d, 1.0)
+            x = np.where(S2 & (d > 0),
+                         (1.0 - st["alpha"]) * r / np.maximum(d, 1.0),
+                         0.0)
+            st["S"] = S2
+            return int(S2.sum()), x
         if alg == "reach":
             r = st["r"]
             new = red & ~r
@@ -1158,6 +1219,10 @@ class GraphPartitionActor:
                 for p in partial_refs]
         if pull == "or":
             merge = np.logical_or
+        elif pull in ("plus", "plus_pos"):
+            # identity-0 partials; per-dst gains are disjoint by edge
+            # subset, so + merge is exact for the non-negative PPR sums
+            merge = np.add
         elif pull.startswith("max"):
             merge = np.maximum
         else:
@@ -2687,6 +2752,46 @@ class SuperstepEngine:
         comp = self._fx_stitch((ordered, leaders, dbounds), slices,
                                np.int64)
         return comp, rounds, metrics
+
+    def ppr_inactor(self, seeds, alpha=0.15, eps=1e-7, itermax=1000,
+                    metrics=None):
+        """Approximate personalized PageRank by residual push in-actor:
+        p/r/out-degree slices pinned on the leaders, one "plus" pull of
+        the published push shares per round — bit-identical to
+        ``pipelines.algorithms.ppr_push`` (the shares are non-negative,
+        inactive sources publish exact 0.0, and the pulled sums run in
+        the same pinned edge order). Returns (p, r, rounds, metrics).
+        ``seeds``: vertex ids (uniform mass) or a full distribution."""
+        from .checkpoint import SuperstepMetrics
+
+        metrics = metrics or SuperstepMetrics()
+        seeds = np.asarray(list(seeds)
+                           if not isinstance(seeds, np.ndarray)
+                           else seeds)
+        if seeds.dtype.kind in "iu":
+            pairs = [(int(v), 1.0 / len(seeds)) for v in seeds]
+        else:
+            nz = np.flatnonzero(seeds)
+            pairs = [(int(v), float(seeds[v])) for v in nz]
+        partial_refs = [a.deg_partial.remote() for a in self.actors]
+        ray.wait(partial_refs, num_returns=len(partial_refs))
+        ordered, leaders, dbounds = self._fx_groups()
+        ctx, metas, xm = self._fx_init_all(
+            {"alg": "ppr", "alpha": float(alpha), "eps": float(eps),
+             "seeds": pairs},
+            aux=[partial_refs] * len(ordered))
+        frontier = int(sum(metas))
+        rounds = 0
+        while frontier and rounds < itermax:
+            rounds += 1
+            this_frontier = frontier
+            metas, xm = self._fx_round(ctx, "plus_pos", xm)
+            frontier = int(sum(metas))
+            metrics.record(rounds, algorithm="ppr_push",
+                           frontier=this_frontier)
+        p = self._fx_collect(ctx, "p", np.float64)
+        r = self._fx_collect(ctx, "r", np.float64)
+        return p, r, rounds, metrics
 
     def _reach_fixpoint(self, seed_refs, save_as):
         """Boolean reachability fixpoint from per-group seed slices

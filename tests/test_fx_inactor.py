@@ -309,3 +309,30 @@ def test_bowtie_inactor_parity(engines):
         got_parts, got_comp = eng.bowtie_inactor()
         assert np.array_equal(got_comp, want_comp)
         assert list(got_parts) == list(want_parts)
+
+
+def test_ppr_inactor_parity(engines):
+    from python_graphblas_ray.pipelines.algorithms import ppr_push
+
+    plain, split = engines
+    want_p, want_r, rounds_b, _ = ppr_push(plain, seeds=[0, 7],
+                                           eps=1e-6)
+    got_p, got_r, rounds_i, _ = plain.ppr_inactor([0, 7], eps=1e-6)
+    # unsplit: bit-exact (same pinned-edge sum order, exact-zero
+    # inactive shares)
+    assert np.array_equal(got_p, want_p)
+    assert np.array_equal(got_r, want_r)
+    assert rounds_i == rounds_b
+    # hub-split: a split dst's gains merge subset-wise (+ in actor
+    # order) — allclose, same round count
+    sp_p, sp_r, rounds_s, _ = split.ppr_inactor([0, 7], eps=1e-6)
+    np.testing.assert_allclose(sp_p, want_p, rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(sp_r, want_r, rtol=1e-12, atol=1e-15)
+    assert rounds_s == rounds_b
+    # distribution-seed form
+    dist = np.zeros(N)
+    dist[3] = 0.75
+    dist[11] = 0.25
+    w2, _, r2, _ = ppr_push(plain, seeds=dist, eps=1e-6)
+    g2, _, ri2, _ = plain.ppr_inactor(dist, eps=1e-6)
+    assert np.array_equal(g2, w2) and ri2 == r2
