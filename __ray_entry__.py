@@ -598,7 +598,8 @@ def _q_pagerank_iter5(sf_dir):
         build_engine, pagerank)
 
     eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
-    r, _, _ = pagerank(eng, tol=0.0, itermax=5)
+    # in-actor O(P)-driver path (bit-parity with pagerank, fixed iters)
+    r, _ = eng.pagerank_inactor(tol=0.0, itermax=5, force_iters=5)
     eng.shutdown()
     return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
                      "rank": _round_away(r, 8)})
@@ -649,7 +650,11 @@ def _q_trustrank_iter5(sf_dir):
         build_engine, trustrank)
 
     eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
-    r, _, _ = trustrank(eng, seeds=np.arange(16), tol=0.0, itermax=5)
+    # in-actor O(P)-driver path (personalized teleport/r0 slices)
+    pvec = np.zeros(N_VERT)
+    pvec[np.arange(16)] = 1.0 / 16
+    r, _ = eng.pagerank_inactor(tol=0.0, itermax=5, force_iters=5,
+                                personalization=pvec)
     eng.shutdown()
     return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
                      "rank": _round_away(r, 8)})
@@ -1896,7 +1901,9 @@ def _q_pagerank_weighted5(sf_dir):
 
     eng = build_engine(base.map_batches(reweight, batch_format="pyarrow"),
                        N_VERT, num_partitions=4, weighted=True)
-    r, _, _ = pagerank(eng, tol=0.0, itermax=5, weighted=True)
+    # in-actor O(P)-driver path (bit-parity incl. weighted transition)
+    r, _ = eng.pagerank_inactor(tol=0.0, itermax=5, force_iters=5,
+                                weighted=True)
     eng.shutdown()
     return pa.table({"vid": np.arange(N_VERT, dtype=np.int64),
                      "rank": _round_away(r, 8)})

@@ -334,6 +334,22 @@ class GraphPartitionActor:
         return out
 
     # ---- in-actor PageRank (vertex state partitioned; O(P) driver) ----
+    def strength_partial(self):
+        """Sparse weighted out-strength partial: (unique src, Σ w) of
+        THIS partition's edges — the weighted twin of deg_partial."""
+        if not self.nedges:
+            return (np.array([], dtype=np.int64), np.array([]))
+        order = np.argsort(self.src, kind="stable")
+        s = self.src[order]
+        w = (self.w[order] if self.w is not None
+             else np.ones(self.nedges))
+        change = np.empty(len(s), dtype=bool)
+        change[0] = True
+        change[1:] = s[1:] != s[:-1]
+        starts = np.flatnonzero(change)
+        sums = np.add.reduceat(w, starts)
+        return s[starts], sums
+
     def deg_partial(self):
         """Sparse out-degree partial of THIS partition's edges:
         (unique src, count) — O(E/P) rows, never a dense O(n) vector."""
@@ -343,12 +359,17 @@ class GraphPartitionActor:
         usrc, cnt = np.unique(self.src, return_counts=True)
         return usrc, cnt
 
-    def pr_init(self, partial_refs, damping, n, bounds):
+    def pr_init(self, partial_refs, damping, n, bounds,
+                weighted=False, tele_slice=None, r0_slice=None):
         """Install PageRank vertex state for this actor's dst range.
-        Out-degrees are built IN the actor by merging the sparse partials
-        of every partition (batched zero-copy object-store reads) — the
-        driver never materializes an O(n) vector. ``bounds``: global
-        partition boundaries for the slice-exchange plan."""
+        Out-degrees (or weighted out-strengths) are built IN the actor
+        by merging the sparse partials of every partition (batched
+        zero-copy object-store reads) — the driver never materializes
+        an O(n) vector. ``bounds``: global partition boundaries for the
+        slice-exchange plan. ``weighted``: gather multiplies edge
+        weights (plus_times transition). ``tele_slice`` / ``r0_slice``:
+        per-range personalization teleport / initial rank (uniform
+        when None)."""
         self._pr_n = int(n)
         self._pr_bounds = np.asarray(bounds, dtype=np.int64)
         lo, hi = self.lo, self.hi
@@ -359,8 +380,15 @@ class GraphPartitionActor:
                 np.add.at(d, usrc[sel] - lo, cnt[sel])
         self._pr_has = d > 0
         self._pr_d = np.where(self._pr_has, d / damping, 1.0)
-        self._pr_tele = (1.0 - damping) / n
-        self._pr_r = np.full(self.hi - self.lo, 1.0 / n)
+        self._pr_weighted = bool(weighted)
+        if tele_slice is not None:
+            self._pr_tele = np.asarray(tele_slice, dtype=np.float64)
+        else:
+            self._pr_tele = (1.0 - damping) / n
+        if r0_slice is not None:
+            self._pr_r = np.asarray(r0_slice, dtype=np.float64).copy()
+        else:
+            self._pr_r = np.full(self.hi - self.lo, 1.0 / n)
         # per source-partition gather plan: edge positions + local source
         # offsets, so a superstep touches O(E/P) — never O(n) — and only
         # the slices this partition's sources live in are fetched
@@ -389,6 +417,8 @@ class GraphPartitionActor:
             vals = np.empty(self.nedges)
             for (p, pos, local), sl in zip(self._pr_gather, slices):
                 vals[pos] = sl[local]
+            if getattr(self, "_pr_weighted", False):
+                vals = vals * self.w  # plus_times transition
             out[self.group_dst] = np.add.reduceat(vals, self.starts)
         new_r = out + self._pr_tele
         rdiff = float(np.abs(self._pr_r - new_r).sum())
@@ -404,13 +434,14 @@ class GraphPartitionActor:
         rdiff = self.pr_step(w_refs)
         return rdiff, self.pr_w()
 
-    def pr_init_edges(self, bounds):
+    def pr_init_edges(self, bounds, weighted=False):
         """Follower setup on a hub-split engine: this actor holds a
         SUBSET of a split range's in-edges and NO vertex state (the
         group leader owns r/w) — it only needs the slice-exchange
         gather plan. ``bounds``: DISTINCT-range boundaries (one w slice
         per range group, produced by the leaders)."""
         self._pr_bounds = np.asarray(bounds, dtype=np.int64)
+        self._pr_weighted = bool(weighted)
         self._ensure_gather_plan()
 
     def pr_pull(self, w_refs):
@@ -424,6 +455,8 @@ class GraphPartitionActor:
             vals = np.empty(self.nedges)
             for (p, pos, local), sl in zip(self._pr_gather, slices):
                 vals[pos] = sl[local]
+            if getattr(self, "_pr_weighted", False):
+                vals = vals * self.w
             out[self.group_dst] = np.add.reduceat(vals, self.starts)
         return out
 
@@ -2061,7 +2094,8 @@ class SuperstepEngine:
         return np.stack(walk, axis=1)
 
     def pagerank_inactor(self, damping=0.85, itermax=100, tol=1e-4,
-                         metrics=None, force_iters=None):
+                         metrics=None, force_iters=None, weighted=False,
+                         personalization=None):
         """PageRank with vertex state pinned IN the partition actors:
         per superstep the driver does O(P) work (2·P actor calls and a
         P-float sum) — no O(n) broadcast, gather or arithmetic on the
@@ -2077,12 +2111,25 @@ class SuperstepEngine:
         n = self.n
         if self.has_hub_split:
             return self._pagerank_inactor_split(damping, itermax, tol,
-                                                metrics, force_iters)
+                                                metrics, force_iters,
+                                                weighted,
+                                                personalization)
         bounds = np.array([lo for lo, _ in self.ranges], dtype=np.int64)
-        partial_refs = [a.deg_partial.remote() for a in self.actors]
+        partial_refs = [(a.strength_partial if weighted
+                         else a.deg_partial).remote()
+                        for a in self.actors]
         ray.wait(partial_refs, num_returns=len(partial_refs))
-        ray.get([a.pr_init.remote(partial_refs, damping, n, bounds)
-                 for a in self.actors])
+        tele = r0 = None
+        if personalization is not None:
+            p = np.asarray(personalization, dtype=np.float64)
+            tele = [(1.0 - damping) * p[lo:hi]
+                    for lo, hi in self.ranges]
+            r0 = [p[lo:hi] for lo, hi in self.ranges]
+        ray.get([a.pr_init.remote(
+            partial_refs, damping, n, bounds, weighted=weighted,
+            tele_slice=None if tele is None else tele[j],
+            r0_slice=None if r0 is None else r0[j])
+            for j, a in enumerate(self.actors)])
         rdiff = 1.0
         i = 0
         w_refs = None
@@ -2128,7 +2175,8 @@ class SuperstepEngine:
         return ordered, dbounds
 
     def _pagerank_inactor_split(self, damping, itermax, tol, metrics,
-                                force_iters):
+                                force_iters, weighted=False,
+                                personalization=None):
         """pagerank_inactor on a hub-split engine (closes the round-2
         verdict's "exclusive range ownership" boundary): group leaders
         pin the vertex state, and each superstep is TWO O(P) actor
@@ -2141,13 +2189,23 @@ class SuperstepEngine:
         n = self.n
         ordered, dbounds = self._pr_split_groups()
         leaders = [idxs[0] for _, idxs in ordered]
-        partial_refs = [a.deg_partial.remote() for a in self.actors]
+        partial_refs = [(a.strength_partial if weighted
+                         else a.deg_partial).remote()
+                        for a in self.actors]
         ray.wait(partial_refs, num_returns=len(partial_refs))
-        inits = [self.actors[j].pr_init.remote(partial_refs, damping,
-                                               n, dbounds)
-                 for j in leaders]
-        inits += [self.actors[j].pr_init_edges.remote(dbounds)
-                  for _, idxs in ordered for j in idxs[1:]]
+        tele = r0 = None
+        if personalization is not None:
+            p = np.asarray(personalization, dtype=np.float64)
+            tele = [(1.0 - damping) * p[r[0]:r[1]] for r, _ in ordered]
+            r0 = [p[r[0]:r[1]] for r, _ in ordered]
+        inits = [self.actors[leaders[g]].pr_init.remote(
+            partial_refs, damping, n, dbounds, weighted=weighted,
+            tele_slice=None if tele is None else tele[g],
+            r0_slice=None if r0 is None else r0[g])
+            for g in range(len(ordered))]
+        inits += [self.actors[j].pr_init_edges.remote(
+            dbounds, weighted=weighted)
+            for _, idxs in ordered for j in idxs[1:]]
         ray.get(inits)
         rdiff = 1.0
         i = 0

@@ -336,3 +336,35 @@ def test_ppr_inactor_parity(engines):
     w2, _, r2, _ = ppr_push(plain, seeds=dist, eps=1e-6)
     g2, _, ri2, _ = plain.ppr_inactor(dist, eps=1e-6)
     assert np.array_equal(g2, w2) and ri2 == r2
+
+
+def test_pagerank_inactor_weighted_personalized_parity(graph, engines):
+    """Weighted (plus_times / out-strength) and personalized (teleport
+    + r0 slices) pagerank_inactor vs the broadcast recipe — bit-exact
+    at the tested partition counts, matching superstep counts."""
+    from python_graphblas_ray.pipelines.algorithms import pagerank
+
+    _, _, _, ds = graph
+    plain, split = engines
+    # weighted
+    want, it_b, _ = pagerank(plain, weighted=True, itermax=40)
+    for eng in (plain, split):
+        got, it_i = eng.pagerank_inactor(itermax=40, weighted=True)
+        assert np.array_equal(got, want)
+        assert it_i == it_b
+    # personalized (trustrank shape), fixed iters
+    p = np.zeros(N)
+    p[[0, 7, 19]] = 1.0 / 3
+    want_p, itp_b, _ = pagerank(plain, personalization=p, itermax=5,
+                                tol=0.0)
+    for eng in (plain, split):
+        got_p, itp_i = eng.pagerank_inactor(
+            itermax=5, tol=0.0, personalization=p, force_iters=5)
+        assert np.array_equal(got_p, want_p)
+    # weighted + personalized together
+    want_wp, _, _ = pagerank(plain, weighted=True, personalization=p,
+                             itermax=5, tol=0.0)
+    got_wp, _ = plain.pagerank_inactor(
+        itermax=5, tol=0.0, weighted=True, personalization=p,
+        force_iters=5)
+    assert np.array_equal(got_wp, want_wp)
