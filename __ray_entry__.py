@@ -1386,7 +1386,9 @@ def _q_wl_refine2(sf_dir):
     eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4,
                        dedupe=True)
     try:
-        deg, lab = wl_refinement(eng, N_VERT, rounds=2)
+        # in-actor O(P)-driver path (bit-parity with wl_refinement —
+        # mod-2^64 sums are exactly associative)
+        deg, lab = eng.wl_inactor(rounds=2)
     finally:
         eng.shutdown()
     return pa.table({

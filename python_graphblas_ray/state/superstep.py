@@ -1000,6 +1000,16 @@ class GraphPartitionActor:
                 vals = self._fx_gather(xm_refs, np.float64)
                 out[self.group_dst] = np.add.reduceat(vals, self.starts)
             return out
+        if pull == "add_u64":
+            # wrapping uint64 sum — mod 2^64 is exactly associative and
+            # commutative, so split-group merges are bit-exact
+            out = np.zeros(size, dtype=np.uint64)
+            if self.nedges:
+                vals = self._fx_gather(xm_refs, np.uint64)
+                with np.errstate(over="ignore"):
+                    out[self.group_dst] = np.add.reduceat(vals,
+                                                          self.starts)
+            return out
         if pull == "plus_pos":
             # sum of the STRICTLY-POSITIVE shares only, reduced over
             # exactly the same element sequence as ``spmv_masked``
@@ -1114,6 +1124,9 @@ class GraphPartitionActor:
                 x[s - lo] = np.inf
             st["x"] = x
             return 0, x.copy()
+        if alg == "wl":
+            st["lab"] = None  # set from the first (degree) pull
+            return 0, np.ones(size, dtype=np.uint64)
         if alg == "ppr":
             # aux = the deg_partial refs of EVERY actor (pr_init shape)
             d = np.zeros(size)
@@ -1213,6 +1226,15 @@ class GraphPartitionActor:
             changed = bool((x != st["x"]).any())
             st["x"] = x
             return changed, x.copy()
+        if alg == "wl":
+            if st["lab"] is None:
+                st["deg"] = red.copy()
+                st["lab"] = red.copy()
+            else:
+                with np.errstate(over="ignore"):
+                    st["lab"] = _splitmix64(
+                        st["lab"] + np.uint64(1 << 32)) + red
+            return 0, _splitmix64(st["lab"])
         if alg == "ppr":
             S, r, d = st["S"], st["r"], st["d"]
             st["p"][S] += st["alpha"] * r[S]
@@ -1252,7 +1274,7 @@ class GraphPartitionActor:
                 for p in partial_refs]
         if pull == "or":
             merge = np.logical_or
-        elif pull in ("plus", "plus_pos"):
+        elif pull in ("plus", "plus_pos", "add_u64"):
             # identity-0 partials; per-dst gains are disjoint by edge
             # subset, so + merge is exact for the non-negative PPR sums
             merge = np.add
@@ -2810,6 +2832,20 @@ class SuperstepEngine:
         comp = self._fx_stitch((ordered, leaders, dbounds), slices,
                                np.int64)
         return comp, rounds, metrics
+
+    def wl_inactor(self, rounds=2):
+        """Weisfeiler-Lehman sum-hash refinement in-actor: the label
+        slices stay pinned, each round is ONE wrapping-uint64 "add"
+        pull of the splitmix64'd neighbor labels (mod 2^64 sums are
+        exactly associative — bit-identical on hub-split engines and to
+        the dense-broadcast ``wl_refinement``). Returns (deg, labels)
+        as uint64 vectors."""
+        ctx, metas, xm = self._fx_init_all({"alg": "wl"})
+        for _ in range(int(rounds) + 1):  # round 0 = the degree pull
+            metas, xm = self._fx_round(ctx, "add_u64", xm)
+        deg = self._fx_collect(ctx, "deg", np.uint64)
+        lab = self._fx_collect(ctx, "lab", np.uint64)
+        return deg, lab
 
     def ppr_inactor(self, seeds, alpha=0.15, eps=1e-7, itermax=1000,
                     metrics=None):

@@ -368,3 +368,14 @@ def test_pagerank_inactor_weighted_personalized_parity(graph, engines):
         itermax=5, tol=0.0, weighted=True, personalization=p,
         force_iters=5)
     assert np.array_equal(got_wp, want_wp)
+
+
+def test_wl_inactor_parity(engines):
+    from python_graphblas_ray.pipelines.algorithms import wl_refinement
+
+    plain, split = engines
+    want_deg, want_lab = wl_refinement(plain, N, rounds=2)
+    for eng in (plain, split):
+        deg, lab = eng.wl_inactor(rounds=2)
+        assert np.array_equal(deg, want_deg)
+        assert np.array_equal(lab, want_lab)
