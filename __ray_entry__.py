@@ -623,13 +623,17 @@ def _q_pagerank_resume5(sf_dir):
     eng = build_engine(_edge_dataset(sf_dir), N_VERT, num_partitions=4)
     try:
         with tempfile.TemporaryDirectory(dir="/tmp") as td:
+            # in-actor path: per-partition checkpoints are WRITTEN BY
+            # THE PARTITION ACTORS (one slice each, atomic manifest
+            # commit) and resumed slice-wise — the driver never
+            # materializes r (bit-parity with the broadcast recipe)
             ck = CheckpointManager(td, "resume5", num_partitions=2)
-            pagerank(eng, tol=0.0, itermax=3, checkpoint=ck,
-                     checkpoint_every=3)
+            eng.pagerank_inactor(tol=0.0, itermax=3, checkpoint=ck,
+                                 checkpoint_every=3)
             ck2 = CheckpointManager(td, "resume5", num_partitions=2)
-            r, iters, _ = pagerank(eng, tol=0.0, itermax=5,
-                                   checkpoint=ck2,
-                                   checkpoint_every=1_000_000)
+            r, iters = eng.pagerank_inactor(tol=0.0, itermax=5,
+                                            checkpoint=ck2,
+                                            checkpoint_every=1_000_000)
             # a degenerate (e.g. empty) graph converges to rdiff 0.0
             # before the superstep-3 checkpoint ever writes; only a
             # written checkpoint implies the resume skipped past it

@@ -63,6 +63,39 @@ class CheckpointManager:
             shutil.rmtree(d)
         os.rename(tmp, d)  # atomic commit
 
+    def begin_slices(self, it: int) -> str:
+        """Start a PER-PARTITION checkpoint: returns the tmp directory
+        the partition owners write their ``part=<g>.parquet`` slices
+        into (each actor writes its own range — the driver never
+        materializes the vectors). Finish with :meth:`commit_slices`."""
+        tmp = self._iter_dir(it) + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        return tmp
+
+    def commit_slices(self, it: int, n: int, vectors: list,
+                      num_partitions: int, metrics: dict | None = None,
+                      lineage: list | None = None):
+        """Atomically commit a slice-written checkpoint (same manifest
+        and layout contract as :meth:`save` — :meth:`load` reassembles
+        by vid, so readers are layout-agnostic)."""
+        d = self._iter_dir(it)
+        tmp = d + ".tmp"
+        manifest = {
+            "iter": it,
+            "n": int(n),
+            "num_partitions": int(num_partitions),
+            "vectors": sorted(vectors),
+            "written_at": time.time(),
+            "metrics": metrics or {},
+            "lineage": lineage or [],
+        }
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        if os.path.exists(d):
+            import shutil
+            shutil.rmtree(d)
+        os.rename(tmp, d)
+
     def latest(self):
         """(iter, manifest) of the newest COMPLETE checkpoint, or None."""
         if not os.path.isdir(self.dir):

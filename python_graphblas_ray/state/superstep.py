@@ -395,6 +395,40 @@ class GraphPartitionActor:
         # (multi-node: only those move; single node: shared-memory reads)
         self._ensure_gather_plan()
 
+    def pr_ckpt_write(self, path, part_idx):
+        """Write THIS range's rank slice as one checkpoint part —
+        per-partition checkpointing without driver materialization."""
+        import os
+
+        import pyarrow.parquet as pq_
+
+        t = pa.table({"vid": np.arange(self.lo, self.hi,
+                                       dtype=np.int64),
+                      "r": self._pr_r})
+        pq_.write_table(t, os.path.join(path,
+                                        f"part={int(part_idx)}.parquet"))
+        return self.nedges
+
+    def pr_ckpt_load(self, path, part_idx):
+        """Restore this range's rank slice from its own part file;
+        returns False when the file's vid range doesn't match (layout
+        changed — caller falls back to a driver-side reassemble)."""
+        import os
+
+        import pyarrow.parquet as pq_
+
+        f = os.path.join(path, f"part={int(part_idx)}.parquet")
+        if not os.path.exists(f):
+            return False
+        t = pq_.read_table(f)
+        vid = t["vid"].to_numpy(zero_copy_only=False)
+        if (len(vid) != self.hi - self.lo or len(vid) == 0
+                or vid[0] != self.lo or vid[-1] != self.hi - 1):
+            return False
+        self._pr_r = t["r"].to_numpy(zero_copy_only=False).astype(
+            np.float64).copy()
+        return True
+
     def pr_set_r(self, r_slice):
         self._pr_r = np.asarray(r_slice, dtype=np.float64)
 
@@ -2117,7 +2151,8 @@ class SuperstepEngine:
 
     def pagerank_inactor(self, damping=0.85, itermax=100, tol=1e-4,
                          metrics=None, force_iters=None, weighted=False,
-                         personalization=None):
+                         personalization=None, checkpoint=None,
+                         checkpoint_every=10):
         """PageRank with vertex state pinned IN the partition actors:
         per superstep the driver does O(P) work (2·P actor calls and a
         P-float sum) — no O(n) broadcast, gather or arithmetic on the
@@ -2132,6 +2167,13 @@ class SuperstepEngine:
         """
         n = self.n
         if self.has_hub_split:
+            if checkpoint is not None:
+                raise ValueError(
+                    "in-actor checkpointing is implemented for unsplit "
+                    "engines; hub-split leaders could write the same "
+                    "way but the resume layout check is range-keyed — "
+                    "use the broadcast pagerank for checkpointed "
+                    "hub-split runs")
             return self._pagerank_inactor_split(damping, itermax, tol,
                                                 metrics, force_iters,
                                                 weighted,
@@ -2153,9 +2195,27 @@ class SuperstepEngine:
             r0_slice=None if r0 is None else r0[j])
             for j, a in enumerate(self.actors)])
         rdiff = 1.0
-        i = 0
+        start_iter = 0
+        if checkpoint is not None:
+            latest = checkpoint.latest()
+            if latest is not None:
+                ck_it, manifest = latest
+                d = checkpoint._iter_dir(ck_it)
+                oks = ray.get([a.pr_ckpt_load.remote(d, j)
+                               for j, a in enumerate(self.actors)])
+                if not all(oks):
+                    # layout changed (different partition count/ranges):
+                    # reassemble once driver-side and scatter
+                    vecs, _ = checkpoint.load(ck_it)
+                    r_full = vecs["r"]
+                    ray.get([a.pr_set_r.remote(r_full[lo:hi])
+                             for a, (lo, hi) in zip(self.actors,
+                                                    self.ranges)])
+                rdiff = manifest["metrics"].get("rdiff", 1.0)
+                start_iter = ck_it + 1
+        i = start_iter
         w_refs = None
-        for i in range(itermax):
+        for i in range(start_iter, itermax):
             if force_iters is None and rdiff <= tol:
                 break
             if w_refs is None:
@@ -2174,6 +2234,20 @@ class SuperstepEngine:
             if metrics is not None:
                 metrics.record(i, algorithm="pagerank_inactor",
                                rdiff=rdiff, edges=self.num_edges)
+            if (checkpoint is not None
+                    and (i + 1) % checkpoint_every == 0):
+                # PER-PARTITION checkpoint: every actor writes its own
+                # range slice (the driver never materializes r), then
+                # one atomic manifest commit — the north-rule resume
+                # path at 10^12 vertices
+                tmp = checkpoint.begin_slices(i)
+                ray.get([a.pr_ckpt_write.remote(tmp, j)
+                         for j, a in enumerate(self.actors)])
+                checkpoint.commit_slices(
+                    i, self.n, ["r"], len(self.actors),
+                    metrics={"rdiff": rdiff},
+                    lineage=[{"superstep": i,
+                              "partitions": self.partition_stats}])
             if force_iters is not None and i + 1 >= force_iters:
                 i += 1
                 break

@@ -379,3 +379,42 @@ def test_wl_inactor_parity(engines):
         deg, lab = eng.wl_inactor(rounds=2)
         assert np.array_equal(deg, want_deg)
         assert np.array_equal(lab, want_lab)
+
+
+def test_pagerank_inactor_slice_checkpoint_resume(graph, tmp_path):
+    """Per-partition (actor-written) checkpoints: interrupt after the
+    iter-4 checkpoint, resume on a FRESH engine — bit-identical to the
+    uninterrupted run; the checkpoint directory holds one part per
+    partition; CheckpointManager.load reassembles it layout-agnostic."""
+    import os
+
+    from python_graphblas_ray.pipelines.algorithms import build_engine
+    from python_graphblas_ray.state.checkpoint import CheckpointManager
+
+    _, _, _, ds = graph
+    eng = build_engine(ds, N, num_partitions=4, hub_split_factor=0)
+    try:
+        want, it_full = eng.pagerank_inactor(tol=1e-10, itermax=30)
+        ck = CheckpointManager(str(tmp_path), "pr_in", num_partitions=4)
+        # phase 1: run 10 iters with checkpoints every 5 (writes iter=4,
+        # iter=9), as if the job died after
+        eng2 = build_engine(ds, N, num_partitions=4, hub_split_factor=0)
+        eng2.pagerank_inactor(tol=1e-10, itermax=10, force_iters=10,
+                              checkpoint=ck, checkpoint_every=5)
+        eng2.shutdown()
+        assert ck.latest()[0] == 9
+        parts = [f for f in os.listdir(ck._iter_dir(9))
+                 if f.startswith("part=")]
+        assert len(parts) == 4  # one slice per partition actor
+        # phase 2: fresh engine resumes from iter=9 and converges
+        eng3 = build_engine(ds, N, num_partitions=4, hub_split_factor=0)
+        got, it_res = eng3.pagerank_inactor(tol=1e-10, itermax=30,
+                                            checkpoint=ck)
+        eng3.shutdown()
+        assert np.array_equal(got, want)
+        assert it_res == it_full
+        # driver-side reassemble also works (layout-agnostic readers)
+        vecs, man = ck.load(9)
+        assert len(vecs["r"]) == N
+    finally:
+        eng.shutdown()
