@@ -95,43 +95,56 @@ def main(argv=None):
                        weighted=(args.algorithm == "sssp"),
                        hub_split_factor=(args.hub_split_factor or None))
 
+    # The submitted-job path runs the IN-ACTOR forms throughout —
+    # O(P) driver work per superstep, vertex state pinned in the
+    # partition actors (bit-parity with the broadcast recipes is
+    # pinned by tests/test_fx_inactor.py). PageRank with a checkpoint
+    # on a hub-split engine falls back to the broadcast path (the
+    # slice-checkpoint layout is unsplit-range-keyed).
     if args.algorithm == "pagerank":
-        vec, iters, _ = pagerank(eng, tol=args.tol, checkpoint=ckpt,
-                                 checkpoint_every=args.checkpoint_every,
-                                 metrics=metrics)
+        if ckpt is not None and eng.has_hub_split:
+            vec, iters, _ = pagerank(
+                eng, tol=args.tol, checkpoint=ckpt,
+                checkpoint_every=args.checkpoint_every,
+                metrics=metrics)
+        else:
+            vec, iters = eng.pagerank_inactor(
+                tol=args.tol, checkpoint=ckpt,
+                checkpoint_every=args.checkpoint_every,
+                metrics=metrics)
         col = "rank"
     elif args.algorithm == "cc":
-        vec, iters, _ = connected_components(eng, metrics=metrics)
+        vec, iters = eng.connected_components_inactor(metrics=metrics)
         col = "comp"
     elif args.algorithm == "bfs":
-        vec, _ = bfs_level(eng, args.source, metrics=metrics)
+        vec, _ = eng.bfs_level_inactor(args.source, metrics=metrics)
         iters = len(metrics.records)
         col = "level"
     elif args.algorithm == "bfs_parent":
-        vec, _ = bfs_parent(eng, args.source, metrics=metrics)
+        vec, _ = eng.bfs_parent_inactor(args.source, metrics=metrics)
         iters = len(metrics.records)
         col = "parent"
     elif args.algorithm == "sssp":
-        vec, _ = sssp(eng, args.source, metrics=metrics)
+        vec, _ = eng.sssp_inactor(args.source, metrics=metrics)
         iters = len(metrics.records)
         col = "dist"
     elif args.algorithm == "hits":
         vec, _, iters, _ = hits(eng, tol=args.tol, metrics=metrics)
         col = "hub"
     elif args.algorithm == "scc":
-        vec, iters, _ = scc(eng, metrics=metrics)
+        vec, iters, _ = eng.scc_inactor(metrics=metrics)
         col = "comp"
     elif args.algorithm == "mis":
-        mis_mask, iters, _ = maximal_independent_set(eng, metrics=metrics)
+        mis_mask, iters, _ = eng.mis_inactor(metrics=metrics)
         vec = mis_mask.astype(np.int64)
         col = "in_mis"
     elif args.algorithm == "color":
-        vec, iters, _ = greedy_color(eng, metrics=metrics)
+        vec, iters, _ = eng.greedy_color_inactor(metrics=metrics)
         col = "color"
     elif args.algorithm == "closeness":
-        vec, _ = closeness_centrality(
-            eng, sources=range(0, args.n_pages,
-                               max(1, args.n_pages // 8)),
+        vec, _ = eng.closeness_inactor(
+            sources=range(0, args.n_pages,
+                          max(1, args.n_pages // 8)),
             metrics=metrics)
         iters = len(metrics.records)
         col = "closeness"
@@ -165,7 +178,7 @@ def main(argv=None):
         eng.shutdown()
         return
     else:
-        vec, iters, _ = label_propagation(eng, metrics=metrics)
+        vec, iters = eng.label_propagation_inactor(metrics=metrics)
         col = "label"
 
     if args.output:
