@@ -418,3 +418,51 @@ def test_pagerank_inactor_slice_checkpoint_resume(graph, tmp_path):
         assert len(vecs["r"]) == N
     finally:
         eng.shutdown()
+
+
+def test_fx_family_on_empty_edge_graph(ray_session):
+    """Edgeless engine: every in-actor algorithm still bit-matches its
+    broadcast twin (degenerate-scale hazard class)."""
+    from python_graphblas_ray.pipelines.algorithms import (
+        bowtie, build_engine, critical_path, ppr_push, wl_refinement)
+
+    empty = ray.data.from_arrow(pa.table({
+        "src": pa.array([], pa.int64()),
+        "dst": pa.array([], pa.int64()),
+        "val": pa.array([], pa.float64())}))
+    eng = build_engine(empty, 6, num_partitions=2, weighted=True,
+                      hub_split_factor=0)
+    try:
+        d1, l1 = wl_refinement(eng, 6, rounds=2)
+        d2, l2 = eng.wl_inactor(rounds=2)
+        assert np.array_equal(d1, d2) and np.array_equal(l1, l2)
+        p1, c1 = bowtie(eng)
+        p2, c2 = eng.bowtie_inactor()
+        assert list(p1) == list(p2) and np.array_equal(c1, c2)
+        w1, i1, _ = critical_path(eng)
+        w2, i2, _ = eng.critical_path_inactor()
+        assert np.array_equal(w1, w2) and i1 == i2
+        wp, wr, rb, _ = ppr_push(eng, seeds=[0], eps=1e-8)
+        gp, gr, ri, _ = eng.ppr_inactor([0], eps=1e-8)
+        assert np.array_equal(gp, wp) and rb == ri
+    finally:
+        eng.shutdown()
+
+
+def test_ppr_inactor_dangling_seed(ray_session):
+    """Seeds with no out-edges bank their mass — same as ppr_push."""
+    from python_graphblas_ray.pipelines.algorithms import (build_engine,
+                                                           ppr_push)
+
+    ds2 = ray.data.from_arrow(pa.table({
+        "src": np.array([0, 1, 2], dtype=np.int64),
+        "dst": np.array([1, 2, 3], dtype=np.int64),
+        "val": np.ones(3)}))
+    eng = build_engine(ds2, 5, num_partitions=2, hub_split_factor=0)
+    try:
+        wp, wr, rb, _ = ppr_push(eng, seeds=[3, 4], eps=1e-8)
+        gp, gr, ri, _ = eng.ppr_inactor([3, 4], eps=1e-8)
+        assert np.array_equal(gp, wp) and np.array_equal(gr, wr)
+        assert rb == ri
+    finally:
+        eng.shutdown()
