@@ -5871,8 +5871,20 @@ def oracle_sql() -> dict[str, str]:
             "WITH cnt AS (SELECT source, count(*) AS n FROM documents "
             "GROUP BY 1), "
             "w AS (SELECT source, n, pow(n, 0.5) AS wr FROM cnt), "
-            "tot AS (SELECT sum(wr) AS s FROM w), "
-            "raw AS (SELECT source, n, 200 * wr / s AS r FROM w, tot), "
+            # s must be the SEQUENTIAL source-ordered fold (the engine's
+            # np.sum over sorted names): a bare sum(wr) lets DuckDB's
+            # parallel hash-group output order pick the fold order,
+            # which flipped floor(r) at an integer boundary and made the
+            # oracle nondeterministic at sf0.1 (±20 rows run-to-run);
+            # the cumulative-window last row pins left-to-right order,
+            # and r replicates the engine's (wr/s)*200 expression shape
+            "ws AS (SELECT source, n, wr, "
+            "sum(wr) OVER (ORDER BY source ROWS UNBOUNDED PRECEDING) "
+            "AS cs, row_number() OVER (ORDER BY source DESC) AS rvn "
+            "FROM w), "
+            "tot AS (SELECT cs AS s FROM ws WHERE rvn = 1), "
+            "raw AS (SELECT source, n, (wr / s) * 200 AS r "
+            "FROM ws, tot), "
             "base AS (SELECT source, n, CAST(floor(r) AS BIGINT) AS b, "
             "r - floor(r) AS f FROM raw), "
             "rem AS (SELECT 200 - sum(b) AS m FROM base), "
