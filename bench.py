@@ -347,6 +347,52 @@ def _pair_effs(results: dict, pairs) -> dict:
     return out
 
 
+def run_media_bench(n_images: int) -> dict:
+    """Multimodal rider: synthesize deterministic RGB PNGs (the real
+    stdlib-zlib codec), decode + nearest-neighbor resize through the
+    actor-pool stages, and report decode-pipeline throughput. Synthesis
+    cost excluded from the timing."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from python_graphblas_ray.pipelines.multimodal import (
+        decode_images, media_table, resize_images)
+    from python_graphblas_ray.pipelines.png import png_encode
+
+    H, W = 32, 24
+    ids = np.arange(n_images, dtype=np.int64)
+
+    def synth(batch):
+        b_ids = batch["id"].to_numpy(zero_copy_only=False)
+        y = np.arange(H)[:, None, None]
+        x = np.arange(W)[None, :, None]
+        c = np.arange(3)[None, None, :]
+        payloads = [png_encode(((int(d) * 7 + y * 131 + x * 17
+                                 + c * 29) % 256).astype(np.uint8))
+                    for d in b_ids]
+        return media_table(b_ids, payloads)
+
+    media = ray.data.from_arrow(pa.table({"id": ids})).repartition(
+        32).map_batches(synth, batch_format="pyarrow").materialize()
+    t0 = time.time()
+    out = resize_images(decode_images(media, concurrency=8,
+                                      batch_size=64),
+                        out_hw=(8, 8), concurrency=8)
+    n_out = 0
+    px_sum = 0
+    for b in out.iter_batches(batch_format="pyarrow", batch_size=None):
+        n_out += b.num_rows
+        for p in b["pixels"].to_pylist():
+            px_sum += int(np.asarray(p, dtype=np.int64).sum())
+    sec = max(time.time() - t0, 1e-9)
+    return {"media_images": int(n_out),
+            "media_decode_sec": round(sec, 3),
+            "media_images_per_sec": round(n_out / sec, 1),
+            "media_px_checksum": int(px_sum % (1 << 62))}
+
+
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -422,6 +468,9 @@ def main():
                         else int(v))
                     for k, v in res["extra"].items()})
         out.update(dedup)
+        # multimodal rider: REAL PNG decode + resize throughput through
+        # the actor-pool stages (also outside the headline total)
+        out.update(run_media_bench(max(2_000, int(sf * 100_000))))
         out.update(_calibrate())
         ray.shutdown()
         # scaling pairs (fresh subprocesses AFTER the main session is
