@@ -34,54 +34,61 @@ TABLES = ("region nation customer supplier part orders lineitem "
 
 
 def canon(t: pa.Table):
-    """(schema-sig, row-count, bit-level value matrix) in canonical
-    column order / row order — the driver's compare."""
+    """Canonical (column order, sorted dataframe) for the bit-level
+    compare — timestamps normalized to ns-epoch int64 first."""
+    import datetime
+
     cols = sorted(t.column_names)
     df = t.select(cols).to_pandas()
-    # normalize timestamps BEFORE sort/compare: engine and DuckDB arrow
-    # results can surface the same instants as datetime64[us]/[ns] or
-    # as object-dtype pd.Timestamp — canonicalize all to ns-epoch
     for c in cols:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.astype("datetime64[ns]").astype(np.int64)
         elif s.dtype == object and len(s):
-            import datetime
-
             probe = s.dropna()
             if len(probe) and isinstance(
                     probe.iloc[0],
                     (pd.Timestamp, np.datetime64, datetime.date)):
                 df[c] = pd.to_datetime(s).astype("datetime64[ns]"
                                                  ).astype(np.int64)
+            elif len(probe) and isinstance(probe.iloc[0],
+                                           __import__("decimal").Decimal):
+                df[c] = s.astype(np.float64)
     if len(df):
         df = df.sort_values(cols, kind="mergesort").reset_index(drop=True)
-    mats = []
-    for c in cols:
-        v = df[c].to_numpy()
-        if v.dtype == np.float64:
-            v = np.nan_to_num(v, nan=np.nan)  # no-op, keep dtype
-            v = v.view(np.uint64)
-        elif v.dtype == np.float32:
-            v = v.astype(np.float32).view(np.uint32).astype(np.uint64)
-        elif v.dtype == object:
-            v = pd.util.hash_array(np.asarray(
-                ["\x00N" if x is None else str(x) for x in v],
-                dtype=object))
-        else:
-            v = v.astype(np.int64, copy=False).view(np.uint64)
-        mats.append(v)
-    sig = tuple(cols)
-    return sig, len(df), mats
+    return tuple(cols), df
+
+
+def _col_equal(gv: np.ndarray, wv: np.ndarray) -> bool:
+    """Bit-level column compare with NUMERIC DTYPE UNIFICATION: an
+    integer column on one side vs DOUBLE on the other (DuckDB SUM /
+    window aggregates surface as DOUBLE) compares by exact float64
+    value (int64→float64 is exact below 2^53 — the driver's compare
+    canonicalizes the same way); float-float compares by bits."""
+    g_f = np.issubdtype(gv.dtype, np.floating)
+    w_f = np.issubdtype(wv.dtype, np.floating)
+    g_i = np.issubdtype(gv.dtype, np.integer) or gv.dtype == bool
+    w_i = np.issubdtype(wv.dtype, np.integer) or wv.dtype == bool
+    if g_f and w_f:
+        return bool((gv.astype(np.float64).view(np.uint64)
+                     == wv.astype(np.float64).view(np.uint64)).all())
+    if (g_f and w_i) or (g_i and w_f):
+        return bool((gv.astype(np.float64).view(np.uint64)
+                     == wv.astype(np.float64).view(np.uint64)).all())
+    if g_i and w_i:
+        return bool((gv.astype(np.int64) == wv.astype(np.int64)).all())
+    return bool(np.array_equal(
+        np.asarray(["\x00N" if x is None else str(x) for x in gv]),
+        np.asarray(["\x00N" if x is None else str(x) for x in wv])))
 
 
 def compare(a: pa.Table, b: pa.Table):
-    sa, na, ma = canon(a)
-    sb, nb, mb = canon(b)
-    rows = na == nb
+    sa, da = canon(a)
+    sb, db = canon(b)
+    rows = len(da) == len(db)
     schema = sa == sb
     values = rows and schema and all(
-        (x == y).all() for x, y in zip(ma, mb))
+        _col_equal(da[c].to_numpy(), db[c].to_numpy()) for c in sa)
     return rows, schema, bool(values)
 
 
