@@ -77,8 +77,11 @@ def wav_decode(data: bytes):
         x = np.frombuffer(raw[:len(raw) // (2 * ch) * 2 * ch],
                           dtype="<i2").astype(np.float64) / 32767.0
     else:
+        # /128 keeps unsigned 8-bit PCM inside the documented [-1, 1]
+        # (sample 0 → -1.0; /127 would give -1.0079 and overflow int16
+        # on a round(x*32767) re-quantize)
         x = (np.frombuffer(raw[:len(raw) // ch * ch], dtype=np.uint8)
-             .astype(np.float64) - 128.0) / 127.0
+             .astype(np.float64) - 128.0) / 128.0
     return x.reshape(-1, ch), rate
 
 

@@ -849,10 +849,24 @@ def embedding_neardup_pairs(emb_ds, threshold=0.4, id_col="vec_id",
 
 
 def _embedding_neardup_ivf(emb_ds, threshold, id_col, emb_col,
-                           num_centroids, nassign):
-    """IVF-bucketed near-dup: multi-assign → groupby(bucket) →
-    within-bucket matmul → distinct pairs (a pair can co-occur in up to
-    ``nassign`` buckets)."""
+                           num_centroids, nassign, max_cell=4096):
+    """IVF-bucketed near-dup: multi-assign → ONE hash exchange on the
+    cell id (``_bucket_self_join`` pattern) → within-cell matmul →
+    distinct pairs (a pair can co-occur in up to ``nassign`` cells).
+
+    Hot-cell guard (EXACT — a cell's global size is its local size after
+    the exchange): a cell larger than ``max_cell`` would do an unbounded
+    quadratic matmul in one task (the common dedup skew: boilerplate
+    near-dup mass collapsing into one centroid), so oversized cells are
+    recursively SIGN-SPLIT by MEAN-CENTERED random hyperplanes
+    (deterministic, seeded by cell id + depth) until every sub-cell fits
+    the cap — centering makes each plane halve even a tight cluster,
+    and a near-dup pair straddles a plane only with probability
+    ~ pair-distance / cluster-spread, so recall stays high. Sub-cells
+    still hot at the ``_SIGN_SPLIT_MAX_PLANES`` depth bound are
+    near-identical mass (inherently quadratic pair sets, e.g. exact-
+    duplicate embeddings) and are dropped with the same documented
+    semantics as the MinHash/SimHash ``max_bucket`` guards."""
     import ray
 
     from .similarity import _matrix, _normalize, ivf_build
@@ -880,18 +894,86 @@ def _embedding_neardup_ivf(emb_ds, threshold, id_col, emb_col,
     assigned = emb_ds.select_columns([id_col, emb_col]).map_batches(
         multi_assign, batch_format="pyarrow")
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        ids = g[id_col].to_numpy(zero_copy_only=False)
-        m = _normalize(_matrix(g[emb_col]))
+    def cell_pairs(m: np.ndarray, ids: np.ndarray) -> tuple:
         sims = m @ m.T
         ii, jj = np.nonzero(sims >= threshold)
         ia, ib = ids[ii], ids[jj]
         keep = ia < ib
-        return pa.table({"ia": ia[keep], "ib": ib[keep]})
+        return ia[keep], ib[keep]
 
-    pairs = assigned.groupby("bucket").map_groups(bucket_pairs,
-                                                  batch_format="pyarrow")
+    def _split_emit(mseg, idseg, seed, depth, out_a, out_b):
+        """Recursive mean-centered binary sign-split of a hot cell: a
+        random hyperplane through the CELL MEAN halves even a tight
+        cluster (one through the origin never splits it), so each level
+        roughly halves the mass; near-dup pairs straddle a centered
+        plane with probability ~ pair-distance / cluster-spread, keeping
+        recall high. Deterministic (seeded by cell id + depth). Mass
+        still hot at the depth bound is near-identical by construction
+        (its full pair set is inherently quadratic) and is dropped with
+        the documented ``max_bucket``-guard semantics."""
+        sz = len(idseg)
+        if sz < 2:
+            return
+        if sz <= max_cell:
+            ia, ib = cell_pairs(mseg, idseg)
+            out_a.append(ia)
+            out_b.append(ib)
+            return
+        if depth >= _SIGN_SPLIT_MAX_PLANES:
+            return  # sign-identical mass above the cap: dropped (guard)
+        rng = np.random.default_rng(np.uint64(_splitmix64(
+            np.array([seed * np.int64(31) + depth]))[0]))
+        proj = rng.standard_normal(mseg.shape[1])
+        v = (mseg - mseg.mean(axis=0)) @ proj
+        hi = v >= 0
+        _split_emit(mseg[hi], idseg[hi], seed, depth + 1, out_a, out_b)
+        _split_emit(mseg[~hi], idseg[~hi], seed, depth + 1, out_a, out_b)
+
+    def pairs_part(t: pa.Table) -> pa.Table:
+        empty = pa.table({"ia": pa.array([], pa.int64()),
+                          "ib": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "bucket" not in t.column_names:
+            return empty
+        bk = t["bucket"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_matrix(t[emb_col]))
+        order = np.argsort(bk, kind="stable")
+        bk, ids, m = bk[order], ids[order], m[order]
+        change = np.empty(len(bk), dtype=bool)
+        if len(bk):
+            change[0] = True
+            change[1:] = bk[1:] != bk[:-1]
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.append(starts, len(bk)))
+        out_a, out_b = [], []
+        for s, sz in zip(starts, sizes):
+            if sz < 2:
+                continue
+            _split_emit(m[s:s + sz], ids[s:s + sz], int(bk[s]), 0,
+                        out_a, out_b)
+        if not out_a:
+            return empty
+        ia = np.concatenate(out_a)
+        ib = np.concatenate(out_b)
+        if not len(ia):
+            return empty
+        # per-partition distinct (a pair can co-occur in several cells)
+        o2 = np.lexsort((ib, ia))
+        ia, ib = ia[o2], ib[o2]
+        first = np.empty(len(ia), dtype=bool)
+        first[0] = True
+        first[1:] = (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])
+        return pa.table({"ia": ia[first], "ib": ib[first]})
+
+    from ..stages.exchange import hash_exchange_apply
+
+    pairs = hash_exchange_apply(assigned, "bucket", pairs_part)
     return _dedup_pairs(pairs)
+
+
+#: sign-split depth bound for hot IVF cells: 16 planes = 65k sub-cells;
+#: a sub-cell still hot past this is sign-identical (quadratic by nature)
+_SIGN_SPLIT_MAX_PLANES = 16
 
 
 def duplicate_spans(docs_ds, window=16, text_col="text",

@@ -41,7 +41,9 @@ def extract_links(html: bytes) -> list:
 
 def _splitmix64_bytes(data: bytes) -> int:
     """Deterministic 64-bit hash of bytes (FNV-1a folded through
-    splitmix64 finalizer) — pure python, stable across processes."""
+    splitmix64 finalizer) — pure-python REFERENCE form; the hot path is
+    the vectorized twin ``vid_from_url`` (parity-pinned in
+    ``tests/test_ingest.py``)."""
     h = 0xCBF29CE484222325
     for b in data:
         h ^= b
@@ -53,8 +55,22 @@ def _splitmix64_bytes(data: bytes) -> int:
 
 
 def vid_from_url(urls) -> np.ndarray:
-    return np.array([_splitmix64_bytes(u.encode("utf-8")) for u in urls],
-                    dtype=np.int64)
+    """Vectorized url → vid: FNV-1a 64 over the Arrow string buffers
+    (``dedup._fnv1a_str_vec`` — one numpy pass per byte position over the
+    DISTINCT urls, gathered back through dictionary indices) folded
+    through a vectorized splitmix64 finalizer. Byte-identical to
+    ``_splitmix64_bytes(u.encode('utf-8'))`` per url; no per-byte Python
+    on the real-crawl ingest hot path."""
+    from .dedup import _fnv1a_str_vec
+
+    arr = urls if isinstance(urls, (pa.Array, pa.ChunkedArray)) else \
+        pa.array(list(urls), type=pa.string())
+    h = _fnv1a_str_vec(arr)
+    with np.errstate(over="ignore"):
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h = (h ^ (h >> np.uint64(31))) & np.uint64(0x7FFFFFFFFFFFFFFF)
+    return h.astype(np.int64)
 
 
 _PAGE_PATH_RE = re.compile(r"/page/(\d+)$")
@@ -65,8 +81,12 @@ def vid_from_synthetic_url(urls) -> np.ndarray:
     [0, n) vids so vertex vectors are plain arrays. Vectorized: one Arrow
     regex kernel + int cast over the whole url array (urls is one row per
     LINK — the hottest column in ingest)."""
-    arr = urls if isinstance(urls, pa.Array) else pa.array(
-        urls, type=pa.string())
+    if isinstance(urls, pa.ChunkedArray):
+        arr = urls.combine_chunks()
+    elif isinstance(urls, pa.Array):
+        arr = urls
+    else:
+        arr = pa.array(list(urls), type=pa.string())
     m = pa.compute.extract_regex(arr, r"/page/(?P<id>\d+)$")
     return pa.compute.struct_field(m, "id").cast(pa.int64()).to_numpy(
         zero_copy_only=False)
@@ -88,18 +108,19 @@ class LinkExtractor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         htmls = batch["html"].to_pylist()
-        urls = batch["url"].to_pylist()
-        src_urls, dst_urls = [], []
-        for u, h in zip(urls, htmls):
-            for link in extract_links(h):
-                src_urls.append(u)
-                dst_urls.append(link)
-        if self.synthetic:
-            src = vid_from_synthetic_url(src_urls)
-            dst = vid_from_synthetic_url(dst_urls)
-        else:
-            src = vid_from_url(src_urls)
-            dst = vid_from_url(dst_urls)
+        # per-doc findall is one C regex scan per document; the dst urls
+        # flatten into ONE Arrow array hashed in a single vectorized
+        # pass, and each SOURCE url is hashed once per page (not once
+        # per out-link) then repeated by its link count.
+        links_per_doc = [extract_links(h) for h in htmls]
+        counts = np.fromiter((len(ls) for ls in links_per_doc),
+                             dtype=np.int64, count=len(links_per_doc))
+        dst_arr = pa.array(
+            [link for ls in links_per_doc for link in ls],
+            type=pa.string())
+        vid = vid_from_synthetic_url if self.synthetic else vid_from_url
+        src = np.repeat(vid(batch["url"]), counts)
+        dst = vid(dst_arr) if len(dst_arr) else np.array([], dtype=np.int64)
         return pa.table({
             "src": src,
             "dst": dst,

@@ -67,6 +67,62 @@ def _fake_pixels(data: bytes, h=4, w=4) -> np.ndarray:
     return out.reshape(h, w, 3)
 
 
+def _pack_pixel_rows(pix_list) -> tuple:
+    """Pixel tensors → one contiguous uint8 buffer + int32 offsets,
+    wrapped zero-copy with ``pa.ListArray.from_arrays`` — no per-pixel
+    Python ints (the r4 ``tolist`` path was one Python object per
+    pixel). Returns ``(ListArray, heights, widths)``."""
+    n = len(pix_list)
+    sizes = np.fromiter((p.size for p in pix_list), dtype=np.int64,
+                        count=n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+    flat = (np.concatenate([p.reshape(-1) for p in pix_list])
+            if n else np.empty(0, dtype=np.uint8))
+    arr = pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32), type=pa.int32()),
+        pa.array(flat, type=pa.uint8()))
+    h = np.fromiter((p.shape[0] for p in pix_list), dtype=np.int32,
+                    count=n)
+    w = np.fromiter((p.shape[1] for p in pix_list), dtype=np.int32,
+                    count=n)
+    return arr, h, w
+
+
+def _pixels_np(batch: pa.Table) -> tuple:
+    """Zero-copy (values:uint8, offsets:int64) view of the ``pixels``
+    list column."""
+    col = batch["pixels"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = np.asarray(col.values)
+    offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return vals, offs
+
+
+def _shape_groups(vals, offs, hcol, wcol):
+    """Yield ``(h, w, row_indices, (k,h,w,3) uint8 tensor)`` per DISTINCT
+    per-row shape. Grouping by (height, width) — not just pixel count —
+    means a batch mixing e.g. 16x12 and 12x16 rows resizes each with the
+    right geometry (ADVICE r4: row-0 shape silently misapplied). The
+    uniform-and-contiguous fast path is a single zero-copy reshape."""
+    n = len(hcol)
+    keys = hcol.astype(np.int64) * (np.int64(1) << np.int64(32)) + \
+        wcol.astype(np.int64)
+    for key in np.unique(keys):
+        idxs = np.nonzero(keys == key)[0]
+        h = int(key >> 32)
+        w = int(key & 0xFFFFFFFF)
+        sz = h * w * 3
+        if len(idxs) == n and bool((offs[1:] - offs[:-1] == sz).all()):
+            grp = vals[offs[0]:offs[-1]].reshape(n, h, w, 3)
+        else:
+            gather = (offs[idxs][:, None]
+                      + np.arange(sz, dtype=np.int64)[None, :]).reshape(-1)
+            grp = vals[gather].reshape(len(idxs), h, w, 3)
+        yield h, w, idxs, grp
+
+
 class ImageDecoder:
     """Actor-pool stage: decode ``media`` bytes → pixel tensor flattened
     into a ``list<uint8>`` column (+ per-row shape columns).
@@ -99,26 +155,31 @@ class ImageDecoder:
                         dtype=np.uint8))
         else:
             pix = [_fake_pixels(p, self.h, self.w) for p in payloads]
-        flat = [p.ravel().tolist() for p in pix]
+        pixels, h, w = _pack_pixel_rows(pix)
         return pa.table({
             "media_id": batch["media_id"],
-            "pixels": pa.array(flat, type=pa.list_(pa.uint8())),
-            "height": pa.array([p.shape[0] for p in pix], pa.int32()),
-            "width": pa.array([p.shape[1] for p in pix], pa.int32()),
+            "pixels": pixels,
+            "height": pa.array(h, pa.int32()),
+            "width": pa.array(w, pa.int32()),
         })
 
 
 class ImageFeatures:
     """Feature extraction over decoded pixels: per-channel mean/std —
-    vectorized numpy over the reassembled (N, H, W, 3) tensor."""
+    vectorized numpy per (h, w) shape group (zero-copy reshape of the
+    list-column buffer when the batch is uniform)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        h = batch["height"][0].as_py()
-        w = batch["width"][0].as_py()
-        pix = np.stack([np.asarray(p, dtype=np.float64).reshape(h, w, 3)
-                        for p in batch["pixels"].to_pylist()])
-        mean = pix.mean(axis=(1, 2))
-        std = pix.std(axis=(1, 2))
+        hcol = batch["height"].to_numpy(zero_copy_only=False)
+        wcol = batch["width"].to_numpy(zero_copy_only=False)
+        vals, offs = _pixels_np(batch)
+        n = batch.num_rows
+        mean = np.empty((n, 3), dtype=np.float64)
+        std = np.empty((n, 3), dtype=np.float64)
+        for _h, _w, idxs, grp in _shape_groups(vals, offs, hcol, wcol):
+            g = grp.astype(np.float64)
+            mean[idxs] = g.mean(axis=(1, 2))
+            std[idxs] = g.std(axis=(1, 2))
         return pa.table({
             "media_id": batch["media_id"],
             "feat_mean": pa.array(mean.tolist(),
@@ -129,43 +190,51 @@ class ImageFeatures:
 
 class ImageResizer:
     """Resize decoded pixel tensors to ``out_hw`` — REAL math (not a
-    codec stub): vectorized nearest-neighbor gather on the whole batch
-    tensor at once. Index grids are built once per actor in
-    ``__init__`` for the common fixed-input-size path and rebuilt only
-    when a batch's (h, w) differs."""
+    codec stub): vectorized nearest-neighbor gather per (h, w) shape
+    group (mixed-shape batches each get the right geometry; uniform
+    batches reshape the list buffer zero-copy). Index grids are cached
+    per input shape across batches on the actor."""
 
     def __init__(self, out_hw=(8, 8), in_hw=None):
         self.oh, self.ow = out_hw
-        self._grid_for = None
-        self._rows = self._cols = None
+        self._grids = {}
         if in_hw is not None:
-            self._build(*in_hw)
+            self._grid(*in_hw)
 
-    def _build(self, h, w):
-        # pixel-center nearest neighbor: src = floor((i + 0.5) * in/out)
-        self._rows = np.minimum(
-            ((np.arange(self.oh) + 0.5) * h / self.oh).astype(np.int64),
-            h - 1)
-        self._cols = np.minimum(
-            ((np.arange(self.ow) + 0.5) * w / self.ow).astype(np.int64),
-            w - 1)
-        self._grid_for = (h, w)
+    def _grid(self, h, w):
+        g = self._grids.get((h, w))
+        if g is None:
+            # pixel-center nearest neighbor: src = floor((i+0.5)*in/out)
+            rows = np.minimum(
+                ((np.arange(self.oh) + 0.5) * h / self.oh).astype(np.int64),
+                h - 1)
+            cols = np.minimum(
+                ((np.arange(self.ow) + 0.5) * w / self.ow).astype(np.int64),
+                w - 1)
+            g = self._grids[(h, w)] = (rows, cols)
+        return g
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        h = batch["height"][0].as_py()
-        w = batch["width"][0].as_py()
-        if self._grid_for != (h, w):
-            self._build(h, w)
-        pix = np.stack([np.asarray(p, dtype=np.uint8).reshape(h, w, 3)
-                        for p in batch["pixels"].to_pylist()])
-        out = pix[:, self._rows][:, :, self._cols]  # (N, oh, ow, 3)
-        flat = out.reshape(len(pix), -1).tolist()
-        n = len(flat)
+        hcol = batch["height"].to_numpy(zero_copy_only=False)
+        wcol = batch["width"].to_numpy(zero_copy_only=False)
+        vals, offs = _pixels_np(batch)
+        n = batch.num_rows
+        per_row = self.oh * self.ow * 3
+        out = np.empty((n, per_row), dtype=np.uint8)
+        for h, w, idxs, grp in _shape_groups(vals, offs, hcol, wcol):
+            rows, cols = self._grid(h, w)
+            out[idxs] = grp[:, rows][:, :, cols].reshape(len(idxs), -1)
+        pixels = pa.ListArray.from_arrays(
+            pa.array((np.arange(n + 1, dtype=np.int64)
+                      * per_row).astype(np.int32), type=pa.int32()),
+            pa.array(out.reshape(-1), type=pa.uint8()))
         return pa.table({
             "media_id": batch["media_id"],
-            "pixels": pa.array(flat, type=pa.list_(pa.uint8())),
-            "height": pa.array([self.oh] * n, pa.int32()),
-            "width": pa.array([self.ow] * n, pa.int32()),
+            "pixels": pixels,
+            "height": pa.array(np.full(n, self.oh, dtype=np.int32),
+                               pa.int32()),
+            "width": pa.array(np.full(n, self.ow, dtype=np.int32),
+                              pa.int32()),
         })
 
 

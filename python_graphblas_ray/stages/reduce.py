@@ -346,7 +346,11 @@ def grouped_agg(ds, key_cols, specs, driver_merge_threshold=4_000_000):
         with np.errstate(over="ignore"):
             for c in key_cols:
                 kc = t[c]
-                if pa.types.is_integer(kc.type):
+                # the inline integer fast path requires null-free
+                # columns: with nulls, to_numpy yields float NaN and the
+                # uint64 cast is platform-defined — route through
+                # _hash_any (which fill_nulls) instead
+                if pa.types.is_integer(kc.type) and kc.null_count == 0:
                     h = kc.to_numpy(zero_copy_only=False).astype(np.uint64)
                     h += np.uint64(0x9E3779B97F4A7C15)
                     h = (h ^ (h >> np.uint64(30))) * np.uint64(

@@ -2925,10 +2925,14 @@ class SuperstepEngine:
                     metrics=None):
         """Approximate personalized PageRank by residual push in-actor:
         p/r/out-degree slices pinned on the leaders, one "plus" pull of
-        the published push shares per round — bit-identical to
-        ``pipelines.algorithms.ppr_push`` (the shares are non-negative,
-        inactive sources publish exact 0.0, and the pulled sums run in
-        the same pinned edge order). Returns (p, r, rounds, metrics).
+        the published push shares per round. On UNSPLIT engines this is
+        bit-identical to ``pipelines.algorithms.ppr_push`` (the shares
+        are non-negative, inactive sources publish exact 0.0, and the
+        pulled sums run in the same pinned edge order); on HUB-SPLIT
+        engines ``fx_merge_step``'s '+' merge of the split partials
+        changes the float reduction tree, so parity is allclose-level
+        (1e-12 — what the parity test asserts), not bitwise.
+        Returns (p, r, rounds, metrics).
         ``seeds``: vertex ids (uniform mass) or a full distribution."""
         from .checkpoint import SuperstepMetrics
 

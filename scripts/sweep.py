@@ -73,8 +73,25 @@ def _col_equal(gv: np.ndarray, wv: np.ndarray) -> bool:
         return bool((gv.astype(np.float64).view(np.uint64)
                      == wv.astype(np.float64).view(np.uint64)).all())
     if (g_f and w_i) or (g_i and w_f):
-        return bool((gv.astype(np.float64).view(np.uint64)
-                     == wv.astype(np.float64).view(np.uint64)).all())
+        iv = (gv if g_i else wv).astype(np.int64)
+        fv = (wv if g_i else gv).astype(np.float64)
+        big = np.abs(iv) > (1 << 53)
+        if big.any():
+            # above 2^53 the float64 cast of the int side loses bits —
+            # two DIFFERENT totals could round to the same double, so
+            # require the float side to be integral and compare exact
+            # integer values there (no silent tolerance loosening)
+            fb = fv[big]
+            if not bool(np.isfinite(fb).all()) or \
+                    not bool((fb == np.trunc(fb)).all()):
+                return False
+            if any(int(f) != int(i) for f, i in zip(fb, iv[big])):
+                return False
+            small = ~big
+            return bool((iv[small].astype(np.float64).view(np.uint64)
+                         == fv[small].view(np.uint64)).all())
+        return bool((iv.astype(np.float64).view(np.uint64)
+                     == fv.view(np.uint64)).all())
     if g_i and w_i:
         return bool((gv.astype(np.int64) == wv.astype(np.int64)).all())
     return bool(np.array_equal(

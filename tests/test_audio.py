@@ -45,7 +45,10 @@ def test_decode_8bit_and_chunk_skip():
             + b"data" + struct.pack("<I", len(v8)) + v8.tobytes())
     x, rate = wav_decode(data)
     assert rate == 1000
-    assert np.allclose(x[:, 0], (v8.astype(np.float64) - 128) / 127.0)
+    assert np.allclose(x[:, 0], (v8.astype(np.float64) - 128) / 128.0)
+    # decoded 8-bit PCM stays inside the documented [-1, 1] range
+    # (sample 0 maps to exactly -1.0, not -1.0079)
+    assert x.min() >= -1.0 and x.max() <= 1.0
 
 
 def test_decode_errors():

@@ -352,6 +352,36 @@ def test_multimodal_resize():
     assert out1["height"][0].as_py() == 2
 
 
+def test_multimodal_resize_mixed_shapes_same_pixel_count():
+    """A batch mixing 16x12 and 12x16 rows (EQUAL pixel counts — the
+    ADVICE-r4 aliasing case) resizes each row with its own geometry and
+    matches the per-image numpy oracle; features likewise."""
+    from python_graphblas_ray.pipelines.multimodal import (ImageDecoder,
+                                                           ImageFeatures,
+                                                           ImageResizer)
+    from python_graphblas_ray.pipelines.png import png_encode
+
+    rng = np.random.default_rng(23)
+    shapes = [(16, 12), (12, 16), (16, 12), (12, 16)]
+    imgs = [rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            for h, w in shapes]
+    t = media_table(np.arange(4), [png_encode(im) for im in imgs])
+    dec = ImageDecoder()(t)
+    assert dec["height"].to_pylist() == [h for h, _ in shapes]
+    out = ImageResizer(out_hw=(6, 5))(dec)
+    for i, im in enumerate(imgs):
+        h, w = shapes[i]
+        rows = np.minimum(((np.arange(6) + 0.5) * h / 6).astype(int), h - 1)
+        cols = np.minimum(((np.arange(5) + 0.5) * w / 5).astype(int), w - 1)
+        want = im[rows][:, cols].ravel().tolist()
+        assert out["pixels"][i].as_py() == want, i
+    feats = ImageFeatures()(dec)
+    for i, im in enumerate(imgs):
+        np.testing.assert_allclose(
+            feats["feat_mean"][i].as_py(),
+            im.astype(np.float64).mean(axis=(0, 1)))
+
+
 def test_decode_real_png_no_pil_needed():
     """The r3 STRICT stub is gone: PNG payloads decode for REAL via the
     stdlib-zlib codec, no PIL required (STRICT aliases PNG mode)."""

@@ -68,6 +68,40 @@ def test_hash_vid_deterministic():
     assert (v1 >= 0).all()  # int64-positive contract
 
 
+def test_hash_vid_vectorized_matches_scalar_reference():
+    """The Arrow-buffer FNV+splitmix path is byte-identical to the
+    pure-python reference hash, including empty / non-ascii / repeated
+    urls (dictionary-encode gather path)."""
+    from python_graphblas_ray.pipelines.ingest import _splitmix64_bytes
+
+    urls = (["https://a.example/x", "", "üñîçødé/☃", "https://a.example/x"]
+            + [f"http://h{i}.example/p?q={i * 7}" for i in range(500)])
+    got = vid_from_url(urls)
+    ref = np.array([_splitmix64_bytes(u.encode("utf-8")) for u in urls],
+                   dtype=np.int64)
+    np.testing.assert_array_equal(got, ref)
+    # and the chunked-array entry point used by LinkExtractor
+    ca = pa.chunked_array([pa.array(urls[:3]), pa.array(urls[3:])])
+    np.testing.assert_array_equal(vid_from_url(ca), ref)
+
+
+def test_extract_edges_hashed_vids():
+    """Non-synthetic (real-crawl) vid path: same edge STRUCTURE as the
+    synthetic path, vids = the reference hash of the url strings."""
+    from python_graphblas_ray.pipelines.ingest import _splitmix64_bytes
+    from python_graphblas_ray.sources.pages import url_of
+
+    n = 120
+    pages = pages_dataset(n, parallelism=3)
+    t = _collect(extract_edges(pages, synthetic_ids=False)).to_pandas()
+    s, d = out_links(np.arange(n), n)
+    uniq = np.unique(np.concatenate([s, d]))
+    h = {int(i): _splitmix64_bytes(u.encode("utf-8"))
+         for i, u in zip(uniq, url_of(uniq))}
+    expect = {(h[int(a)], h[int(b)]) for a, b in zip(s, d)}
+    assert set(zip(t.src.tolist(), t.dst.tolist())) == expect
+
+
 def test_url_canonicalizer_rule_chain():
     import pyarrow as pa
 

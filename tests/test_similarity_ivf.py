@@ -77,6 +77,42 @@ def test_embedding_neardup_ivf_recall(emb_ds):
     assert recall >= 0.95, recall
 
 
+def test_embedding_neardup_ivf_hot_cell_guard():
+    """One centroid swallowing ~50% of the corpus (the boilerplate-skew
+    case IVF dedup exists for) must finish LINEARLY: the guarded
+    exchange sign-splits the hot cell instead of one unbounded
+    quadratic task, keeps recall on the planted near-dups inside the
+    hot cluster, and emits no false positives."""
+    rng = np.random.default_rng(31)
+    n, d = 4000, 16
+    hot = rng.normal(size=d) * 5
+    other = -hot
+    base = np.where((np.arange(n) % 2 == 0)[:, None],
+                    hot[None, :], other[None, :]) \
+        + rng.normal(size=(n, d)) * 0.4
+    for i in range(0, 400, 2):  # planted near-dups inside the HOT half
+        base[i] = hot + rng.normal(size=d) * 0.3
+        base[i + 1] = base[i] + rng.normal(size=d) * 0.005
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [row.tolist() for row in base],
+    })).repartition(8).materialize()
+    brute = _table(embedding_neardup_pairs(
+        ds, threshold=0.999, method="brute")).to_pandas()
+    # max_cell far below the hot-cell size forces the sign-split path
+    from python_graphblas_ray.pipelines.dedup import _embedding_neardup_ivf
+    ivf = _table(_embedding_neardup_ivf(
+        ds, 0.999, "vec_id", "embedding", num_centroids=4, nassign=1,
+        max_cell=256)).to_pandas()
+    b = set(zip(brute.ia.tolist(), brute.ib.tolist()))
+    v = set(zip(ivf.ia.tolist(), ivf.ib.tolist()))
+    planted = {(i, i + 1) for i in range(0, 400, 2)}
+    assert v <= b                       # exact verify: no false positives
+    assert planted <= b
+    got = len(planted & v) / len(planted)
+    assert got >= 0.95, got
+
+
 def test_embedding_neardup_auto_routes_small_to_brute(emb_ds):
     # auto on a small corpus must be byte-identical to brute
     a = _table(embedding_neardup_pairs(emb_ds, threshold=0.995,
