@@ -33,6 +33,11 @@ _DEFAULTS = {
     # pair graphs at or below this edge count collapse with driver-local
     # FastSV instead of spinning up the distributed engine
     "local_cc_limit": 2_000_000,
+    # Mask.new(complement=True) materializes the DENSE complement of a
+    # mask — inherently O(shape) entries; allowed only when the full
+    # shape (nrows*ncols / size) is at or below this bound, else raise
+    # (pass the lazy ~mask to the op instead)
+    "complement_materialize_limit": 10_000_000,
     # hash_join route when the call leaves ``streaming`` unset:
     # "materialize" (count-and-prune — measured faster single-node:
     # the count collapses tiny joins to one partition) or "streaming"

@@ -2312,13 +2312,56 @@ class _MaskView:
 
     def new(self, complement=False):
         """Materialize the mask as a bool container (reference
-        ``mask.py:36``). Complemented masks stay lazy — materializing the
-        complement is dense; keep using ``~mask`` in ops instead."""
-        if self.complement or complement:
+        ``mask.py:36``): True wherever the mask would apply; with
+        ``complement=True`` (or on an already-complemented view) True
+        wherever it would NOT. The complement is inherently DENSE —
+        O(shape) entries — so it is shape-bounded by
+        ``config["complement_materialize_limit"]``; above the bound it
+        raises (keep passing the lazy ``~mask`` to ops instead, which
+        stays sparse at any scale)."""
+        effective = self.complement ^ bool(complement)
+        if not effective:
+            return self._bool_container(self._positions())
+        import ray.data as _rd
+
+        from ._config import config as _cfg
+
+        p = self.parent
+        keys = p._key_cols
+        if isinstance(p, GBVector):
+            shape_n = p.size
+        else:
+            shape_n = p.nrows * p.ncols
+        limit = _cfg["complement_materialize_limit"]
+        if shape_n > limit:
             raise NotImplementedError(
-                "materializing a complemented mask is dense at engine "
-                "scale; pass the lazy ~mask to the op instead")
-        return self._bool_container(self._positions())
+                f"materializing a complemented mask is dense: shape has "
+                f"{shape_n} entries > "
+                f"config['complement_materialize_limit']={limit}; pass "
+                "the lazy ~mask to the op instead")
+        base = _MaskView(p, self.structure, complement=False)
+        if isinstance(p, GBVector):
+            kname = keys[0]
+
+            def to_pos(batch: pa.Table) -> pa.Table:
+                ids = batch["id"].to_numpy(zero_copy_only=False)
+                return pa.table({
+                    kname: ids.astype(np.int64),
+                    "val": np.ones(len(ids), dtype=bool)})
+        else:
+            ncols = p.ncols
+
+            def to_pos(batch: pa.Table) -> pa.Table:
+                ids = batch["id"].to_numpy(zero_copy_only=False)
+                return pa.table({
+                    keys[0]: (ids // ncols).astype(np.int64),
+                    keys[1]: (ids % ncols).astype(np.int64),
+                    "val": np.ones(len(ids), dtype=bool)})
+
+        full = _rd.range(shape_n).map_batches(to_pos,
+                                              batch_format="pyarrow")
+        pos = semi_join_filter(full, keys, base.keyset(), anti=True)
+        return self._bool_container(pos)
 
 
 # Vector also gets S/V mask views

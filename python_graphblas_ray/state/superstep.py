@@ -515,6 +515,197 @@ class GraphPartitionActor:
     def pr_result(self):
         return self._pr_r
 
+    # ---- sub-slice frontier exchange (finer than per-partition slices:
+    # only the source ENTRIES this partition's edges read ever move) ----
+    def pr_sub_requests(self):
+        """Request half of the sub-slice frontier exchange, recorded
+        once at plan build: per referenced source partition, the UNIQUE
+        local source indices this partition's edges read. Gather
+        positions are remapped onto the unique set so each superstep
+        fetches only those entries instead of the partition's full w
+        slice — O(unique sources referenced) traffic instead of O(n/P)
+        per referenced partition. Returns ``[(p, ref(uniq int32))]``;
+        the refs go to the owners via ``pr_register_consumers``."""
+        self._ensure_gather_plan()
+        out = []
+        self._pr_sub_local = []
+        for p, pos, local in self._pr_gather:
+            uniq = np.unique(local)
+            self._pr_sub_local.append(
+                np.searchsorted(uniq, local).astype(np.int32))
+            out.append((int(p), ray.put(uniq)))
+        return out
+
+    def pr_register_consumers(self, consumer_ids, *uniq_refs):
+        """Owner half: remember, per consumer, which local indices of
+        this range's w slice it reads; ``pr_w_sub`` /
+        ``pr_step_fused_sub`` emit one sub-array per consumer in this
+        order (star-arg refs resolve raylet-side)."""
+        self._pr_sub_consumers = [np.asarray(u) for u in uniq_refs]
+        self._pr_sub_consumer_ids = list(consumer_ids)
+        return len(self._pr_sub_consumers)
+
+    def _pr_w_subs(self):
+        w = self.pr_w()
+        return [w[idx] for idx in getattr(self, "_pr_sub_consumers", [])]
+
+    def pr_w_sub(self):
+        """First-round publish: one w sub-array per registered consumer
+        (call with ``options(num_returns=k)``; k ≥ 1)."""
+        subs = self._pr_w_subs()
+        return subs[0] if len(subs) == 1 else tuple(subs)
+
+    def pr_step_sub(self, sub_refs):
+        """``pr_step`` on sub-slices: ``sub_refs`` aligns with this
+        actor's ``pr_sub_requests`` order. Bit-identical to the slice
+        path — the gathered values and the reduceat order are the
+        same; only the transport granularity changes."""
+        size = self.hi - self.lo
+        out = np.zeros(size)
+        if self.nedges:
+            slices = ray.get(list(sub_refs))
+            vals = np.empty(self.nedges)
+            for (p, pos, local), rem, sl in zip(
+                    self._pr_gather, self._pr_sub_local, slices):
+                vals[pos] = sl[rem]
+            if getattr(self, "_pr_weighted", False):
+                vals = vals * self.w
+            out[self.group_dst] = np.add.reduceat(vals, self.starts)
+        new_r = out + self._pr_tele
+        rdiff = float(np.abs(self._pr_r - new_r).sum())
+        self._pr_r = new_r
+        return rdiff
+
+    def pr_step_fused_sub(self, sub_refs):
+        """Fused sub-slice superstep: pull + update + next per-consumer
+        subs in one dispatch round (call with
+        ``options(num_returns=1+k)``)."""
+        rdiff = self.pr_step_sub(sub_refs)
+        subs = self._pr_w_subs()
+        if not subs:
+            return rdiff
+        return (rdiff, *subs)
+
+    def pr_pull_sub(self, sub_refs):
+        """Hub-split group pull on sub-slices (``pr_pull`` twin)."""
+        size = self.hi - self.lo
+        out = np.zeros(size)
+        if self.nedges:
+            slices = ray.get(list(sub_refs))
+            vals = np.empty(self.nedges)
+            for (p, pos, local), rem, sl in zip(
+                    self._pr_gather, self._pr_sub_local, slices):
+                vals[pos] = sl[rem]
+            if getattr(self, "_pr_weighted", False):
+                vals = vals * self.w
+            out[self.group_dst] = np.add.reduceat(vals, self.starts)
+        return out
+
+    def pr_merge_step_sub(self, *partial_refs):
+        """Hub-split leader finish emitting per-consumer w subs instead
+        of the full next slice (``pr_merge_step`` twin; call with
+        ``options(num_returns=1+k)``)."""
+        outs = [ray.get(p) if isinstance(p, ray.ObjectRef) else p
+                for p in partial_refs]
+        tot = outs[0]
+        for o in outs[1:]:
+            tot = tot + o
+        new_r = tot + self._pr_tele
+        rdiff = float(np.abs(self._pr_r - new_r).sum())
+        self._pr_r = new_r
+        subs = self._pr_w_subs()
+        if not subs:
+            return rdiff
+        return (rdiff, *subs)
+
+    # ---- in-actor power-iteration family (katz / hits): pinned x
+    # slice + gather over ARBITRARY publisher bounds (the hits engine
+    # pair gathers from the OTHER engine's slices) ----
+    def vx_init(self, n, pub_bounds, x0=0.0, weighted=False):
+        """Pin a vertex-vector slice (constant ``x0``) and build the
+        gather plan against ``pub_bounds`` — the slice boundaries of
+        whatever actor set PUBLISHES the vector this actor pulls."""
+        self._pr_n = int(n)
+        self._pr_bounds = np.asarray(pub_bounds, dtype=np.int64)
+        self._pr_weighted = bool(weighted)
+        self._vx = np.full(self.hi - self.lo, float(x0))
+        self._vx_raw = None
+        self._ensure_gather_plan()
+
+    def vx_slice(self):
+        return self._vx
+
+    def _vx_gather_sum(self, x_refs):
+        """Σ x[src] (⊗ w) per local dst over this partition's edges —
+        the shared pull kernel (same gather + reduceat as ``pr_step``,
+        so unsplit results are bit-identical to the stitched spmv)."""
+        size = self.hi - self.lo
+        out = np.zeros(size)
+        if self.nedges:
+            slices = ray.get([x_refs[p] for p, _, _ in self._pr_gather])
+            vals = np.empty(self.nedges)
+            for (p, pos, local), sl in zip(self._pr_gather, slices):
+                vals[pos] = sl[local]
+            if getattr(self, "_pr_weighted", False):
+                vals = vals * self.w
+            out[self.group_dst] = np.add.reduceat(vals, self.starts)
+        return out
+
+    @ray.method(num_returns=2)
+    def katz_step_fused(self, x_refs, alpha, beta):
+        """One in-actor Katz superstep: ``x' = alpha·(AᵀX pull) + beta``
+        on this slice; returns (delta_partial = max|x' − x|, next x
+        slice). Element-wise ops match the broadcast recipe exactly, so
+        unsplit engines are bit-identical to ``katz_centrality``."""
+        nxt = alpha * self._vx_gather_sum(x_refs) + beta
+        delta = float(np.abs(nxt - self._vx).max()) if len(nxt) else 0.0
+        self._vx = nxt
+        return delta, self._vx
+
+    def vx_pull(self, x_refs):
+        """Hub-split group pull partial for the power family."""
+        return self._vx_gather_sum(x_refs)
+
+    @ray.method(num_returns=2)
+    def katz_merge_step(self, alpha, beta, *partial_refs):
+        """Hub-split leader finish: sum the group's pull partials in
+        fixed actor order, apply ``alpha·Σ + beta``, return (delta
+        partial, next x slice)."""
+        outs = [ray.get(p) if isinstance(p, ray.ObjectRef) else p
+                for p in partial_refs]
+        tot = outs[0]
+        for o in outs[1:]:
+            tot = tot + o
+        nxt = alpha * tot + beta
+        delta = float(np.abs(nxt - self._vx).max()) if len(nxt) else 0.0
+        self._vx = nxt
+        return delta, self._vx
+
+    def vx_pull_norm(self, x_refs):
+        """HITS half-step, pull phase: raw = Σ x[src] per local dst is
+        HELD (unscaled) and the slice's squared-2-norm partial returned
+        — the driver merges the P partials with ``math.fsum`` (exactly
+        rounded compensated sum, the O(P) norm merge)."""
+        self._vx_raw = self._vx_gather_sum(x_refs)
+        return float(np.dot(self._vx_raw, self._vx_raw))
+
+    def vx_scale_publish(self, norm):
+        """HITS half-step, scale phase: ``x = raw / norm`` (no scaling
+        when norm == 0, matching the broadcast recipe); returns the
+        published slice."""
+        self._vx = self._vx_raw / norm if norm > 0 else self._vx_raw
+        return self._vx
+
+    @ray.method(num_returns=2)
+    def vx_scale_delta_publish(self, norm):
+        """Like :meth:`vx_scale_publish` but also returns the
+        convergence partial max|x' − x| against the previous slice
+        (the h-side of a HITS iteration)."""
+        nxt = self._vx_raw / norm if norm > 0 else self._vx_raw
+        delta = float(np.abs(nxt - self._vx).max()) if len(nxt) else 0.0
+        self._vx = nxt
+        return delta, self._vx
+
     # ---- in-actor FastSV connected components (O(P) driver) ----
     def cc_init(self, n, bounds):
         """f = gp = identity on this dst-range slice; gather plan reuses
@@ -529,8 +720,19 @@ class GraphPartitionActor:
         return self._cc_gp
 
     def _ensure_gather_plan(self):
+        # plan is keyed by the PUBLISHER bounds it was built against:
+        # the in-actor power-iteration pair (hits_inactor) gathers from
+        # the OTHER engine's slices, so one actor can legitimately see
+        # different bounds across algorithm runs — rebuild on change
+        # instead of silently reusing a stale searchsorted plan
         if getattr(self, "_pr_gather", None) is not None:
-            return
+            prev = getattr(self, "_pr_gather_bounds", None)
+            if prev is not None and np.array_equal(prev,
+                                                   self._pr_bounds):
+                return
+            self._pr_gather = None
+        self._pr_gather_bounds = np.asarray(self._pr_bounds,
+                                            dtype=np.int64).copy()
         self._pr_gather = []
         if self.nedges:
             P = len(self._pr_bounds)
@@ -2152,7 +2354,7 @@ class SuperstepEngine:
     def pagerank_inactor(self, damping=0.85, itermax=100, tol=1e-4,
                          metrics=None, force_iters=None, weighted=False,
                          personalization=None, checkpoint=None,
-                         checkpoint_every=10):
+                         checkpoint_every=10, frontier="slice"):
         """PageRank with vertex state pinned IN the partition actors:
         per superstep the driver does O(P) work (2·P actor calls and a
         P-float sum) — no O(n) broadcast, gather or arithmetic on the
@@ -2160,12 +2362,25 @@ class SuperstepEngine:
         (zero-copy on-node; only needed ranges fetched), which is the
         multi-node scale path the frontier-broadcast engine documents.
 
+        ``frontier``: transport granularity of the rank frontier.
+        ``"slice"`` (default) ships each referenced partition's FULL w
+        slice; ``"sub"`` records at plan build exactly which source
+        entries each partition reads and ships only those — O(unique
+        referenced sources) per edge partition instead of O(n/P) per
+        referenced partition. Bit-identical values and superstep counts
+        either way (the gathered operands and reduceat order are the
+        same); "sub" wins once average in-degree per referenced range
+        drops below the range size (sparse / high-locality graphs —
+        see BASELINE.md).
+
         Semantics identical to ``pipelines.algorithms.pagerank``
         (pagerank_3f): same update order, same rdiff, same superstep
         count. ``force_iters`` pins the superstep count (benchmark mode:
         identical work at every parallelism level).
         """
         n = self.n
+        if frontier not in ("slice", "sub"):
+            raise ValueError(f"unknown frontier mode {frontier!r}")
         if self.has_hub_split:
             if checkpoint is not None:
                 raise ValueError(
@@ -2177,7 +2392,8 @@ class SuperstepEngine:
             return self._pagerank_inactor_split(damping, itermax, tol,
                                                 metrics, force_iters,
                                                 weighted,
-                                                personalization)
+                                                personalization,
+                                                frontier=frontier)
         bounds = np.array([lo for lo, _ in self.ranges], dtype=np.int64)
         partial_refs = [(a.strength_partial if weighted
                          else a.deg_partial).remote()
@@ -2213,6 +2429,10 @@ class SuperstepEngine:
                                                     self.ranges)])
                 rdiff = manifest["metrics"].get("rdiff", 1.0)
                 start_iter = ck_it + 1
+        if frontier == "sub":
+            return self._pagerank_inactor_sub(
+                damping, itermax, tol, metrics, force_iters,
+                checkpoint, checkpoint_every, rdiff, start_iter)
         i = start_iter
         w_refs = None
         for i in range(start_iter, itermax):
@@ -2254,6 +2474,78 @@ class SuperstepEngine:
         slices = ray.get([a.pr_result.remote() for a in self.actors])
         return self._stitch_exact(slices), i
 
+    def _pagerank_inactor_sub(self, damping, itermax, tol, metrics,
+                              force_iters, checkpoint, checkpoint_every,
+                              rdiff, start_iter):
+        """Sub-slice frontier loop of :meth:`pagerank_inactor` (state
+        already installed by ``pr_init`` / checkpoint resume): one
+        request/register exchange at setup, then per superstep each
+        actor ships only the w ENTRIES its consumers actually read."""
+        req_lists = ray.get([a.pr_sub_requests.remote()
+                             for a in self.actors])
+        owner_consumers = {p: [] for p in range(len(self.actors))}
+        for c, lst in enumerate(req_lists):
+            for p, ref in lst:
+                owner_consumers[p].append((c, ref))
+        ray.get([self.actors[p].pr_register_consumers.remote(
+            [c for c, _ in lst], *[r for _, r in lst])
+            for p, lst in owner_consumers.items()])
+        # first-round publish
+        sub_refs = {}
+        for p, lst in owner_consumers.items():
+            k = len(lst)
+            if k == 0:
+                continue
+            outs = self.actors[p].pr_w_sub.options(
+                num_returns=k).remote()
+            if k == 1:
+                outs = [outs]
+            for (c, _), ref in zip(lst, outs):
+                sub_refs[(p, c)] = ref
+        if sub_refs:
+            ray.wait(list(sub_refs.values()),
+                     num_returns=len(sub_refs))
+        i = start_iter
+        for i in range(start_iter, itermax):
+            if force_iters is None and rdiff <= tol:
+                break
+            rd_refs = []
+            published = []
+            for c, a in enumerate(self.actors):
+                my = [sub_refs[(p, c)] for p, _ in req_lists[c]]
+                k = len(owner_consumers[c])
+                outs = a.pr_step_fused_sub.options(
+                    num_returns=1 + k).remote(my)
+                if k == 0:
+                    rd_refs.append(outs)
+                else:
+                    rd_refs.append(outs[0])
+                    published.append((c, outs[1:]))
+            # the rdiff get is the per-superstep barrier, so forwarded
+            # sub refs are always resolved (see pr_step_fused)
+            rdiff = float(sum(ray.get(rd_refs)))
+            for owner, outs in published:
+                for (cons, _), ref in zip(owner_consumers[owner], outs):
+                    sub_refs[(owner, cons)] = ref
+            if metrics is not None:
+                metrics.record(i, algorithm="pagerank_inactor",
+                               rdiff=rdiff, edges=self.num_edges)
+            if (checkpoint is not None
+                    and (i + 1) % checkpoint_every == 0):
+                tmp = checkpoint.begin_slices(i)
+                ray.get([a.pr_ckpt_write.remote(tmp, j)
+                         for j, a in enumerate(self.actors)])
+                checkpoint.commit_slices(
+                    i, self.n, ["r"], len(self.actors),
+                    metrics={"rdiff": rdiff},
+                    lineage=[{"superstep": i,
+                              "partitions": self.partition_stats}])
+            if force_iters is not None and i + 1 >= force_iters:
+                i += 1
+                break
+        slices = ray.get([a.pr_result.remote() for a in self.actors])
+        return self._stitch_exact(slices), i
+
     def _pr_split_groups(self):
         """Hub-split group map for the in-actor algorithms: one LEADER
         per distinct non-empty range (it owns the range's vertex state),
@@ -2272,7 +2564,7 @@ class SuperstepEngine:
 
     def _pagerank_inactor_split(self, damping, itermax, tol, metrics,
                                 force_iters, weighted=False,
-                                personalization=None):
+                                personalization=None, frontier="slice"):
         """pagerank_inactor on a hub-split engine (closes the round-2
         verdict's "exclusive range ownership" boundary): group leaders
         pin the vertex state, and each superstep is TWO O(P) actor
@@ -2304,6 +2596,69 @@ class SuperstepEngine:
             for _, idxs in ordered for j in idxs[1:]]
         ray.get(inits)
         rdiff = 1.0
+        if frontier == "sub":
+            # request/register against the GROUP LEADERS (owners are
+            # distinct ranges; consumers are every group member)
+            req_lists = ray.get([self.actors[j].pr_sub_requests.remote()
+                                 for j in range(len(self.actors))])
+            owner_consumers = {g: [] for g in range(len(ordered))}
+            for j, lst in enumerate(req_lists):
+                for g, ref in lst:
+                    owner_consumers[g].append((j, ref))
+            ray.get([self.actors[leaders[g]].pr_register_consumers.remote(
+                [j for j, _ in lst], *[r for _, r in lst])
+                for g, lst in owner_consumers.items()])
+            sub_refs = {}
+            for g, lst in owner_consumers.items():
+                k = len(lst)
+                if k == 0:
+                    continue
+                outs = self.actors[leaders[g]].pr_w_sub.options(
+                    num_returns=k).remote()
+                if k == 1:
+                    outs = [outs]
+                for (j, _), ref in zip(lst, outs):
+                    sub_refs[(g, j)] = ref
+            if sub_refs:
+                ray.wait(list(sub_refs.values()),
+                         num_returns=len(sub_refs))
+            i = 0
+            for i in range(itermax):
+                if force_iters is None and rdiff <= tol:
+                    break
+                pulls = [[self.actors[j].pr_pull_sub.remote(
+                    [sub_refs[(g, j)] for g, _ in req_lists[j]])
+                    for j in idxs] for _, idxs in ordered]
+                flat = [ref for refs in pulls for ref in refs]
+                ray.wait(flat, num_returns=len(flat))
+                rd_refs = []
+                published = []
+                for g in range(len(ordered)):
+                    k = len(owner_consumers[g])
+                    outs = self.actors[leaders[g]] \
+                        .pr_merge_step_sub.options(
+                            num_returns=1 + k).remote(*pulls[g])
+                    if k == 0:
+                        rd_refs.append(outs)
+                    else:
+                        rd_refs.append(outs[0])
+                        published.append((g, outs[1:]))
+                rdiff = float(sum(ray.get(rd_refs)))
+                for g, outs in published:
+                    for (j, _), ref in zip(owner_consumers[g], outs):
+                        sub_refs[(g, j)] = ref
+                if metrics is not None:
+                    metrics.record(i, algorithm="pagerank_inactor",
+                                   rdiff=rdiff, edges=self.num_edges)
+                if force_iters is not None and i + 1 >= force_iters:
+                    i += 1
+                    break
+            slices = ray.get([self.actors[j].pr_result.remote()
+                              for j in leaders])
+            out = np.zeros(n)
+            for (r, _), s in zip(ordered, slices):
+                out[r[0]:r[1]] = s
+            return out, i
         i = 0
         w_refs = [self.actors[j].pr_w.remote() for j in leaders]
         ray.wait(w_refs, num_returns=len(w_refs))
@@ -2333,6 +2688,148 @@ class SuperstepEngine:
         for (r, _), s in zip(ordered, slices):
             out[r[0]:r[1]] = s
         return out, i
+
+    def katz_inactor(self, alpha=0.1, beta=1.0, itermax=100, tol=1e-8,
+                     weighted=False, metrics=None):
+        """Katz centrality with the x vector pinned IN the partition
+        actors (O(P) driver per superstep; x slices travel actor→actor).
+        No global norm is involved, so on UNSPLIT engines the result is
+        BIT-IDENTICAL to ``pipelines.algorithms.katz_centrality`` with
+        equal superstep counts; hub-split leaders '+'-merge their
+        group's pull partials, which changes the float reduction tree —
+        allclose-level parity there (1e-12, what the parity test
+        asserts). Returns ``(x, iters, metrics)``."""
+        from .checkpoint import SuperstepMetrics
+
+        metrics = metrics or SuperstepMetrics()
+        n = self.n
+        if self.has_hub_split:
+            ordered, dbounds = self._pr_split_groups()
+            leaders = [idxs[0] for _, idxs in ordered]
+            inits = [self.actors[leaders[g]].vx_init.remote(
+                n, dbounds, 0.0, weighted) for g in range(len(ordered))]
+            inits += [self.actors[j].pr_init_edges.remote(
+                dbounds, weighted=weighted)
+                for _, idxs in ordered for j in idxs[1:]]
+            ray.get(inits)
+            x_refs = [self.actors[j].vx_slice.remote() for j in leaders]
+            ray.wait(x_refs, num_returns=len(x_refs))
+            it = 0
+            for it in range(itermax):
+                pulls = [[self.actors[j].vx_pull.remote(x_refs)
+                          for j in idxs] for _, idxs in ordered]
+                flat = [r for refs in pulls for r in refs]
+                ray.wait(flat, num_returns=len(flat))
+                pairs = [self.actors[leaders[g]].katz_merge_step.remote(
+                    alpha, beta, *pulls[g])
+                    for g in range(len(ordered))]
+                d_refs = [p[0] for p in pairs]
+                x_refs = [p[1] for p in pairs]
+                delta = float(max(ray.get(d_refs)))
+                metrics.record(it, algorithm="katz_inactor",
+                               delta=delta, edges=self.num_edges)
+                if delta <= tol:
+                    break
+            slices = ray.get([self.actors[j].vx_slice.remote()
+                              for j in leaders])
+            out = np.zeros(n)
+            for (r, _), s in zip(ordered, slices):
+                out[r[0]:r[1]] = s
+            return out, it + 1, metrics
+        bounds = np.array([lo for lo, _ in self.ranges], dtype=np.int64)
+        ray.get([a.vx_init.remote(n, bounds, 0.0, weighted)
+                 for a in self.actors])
+        x_refs = [a.vx_slice.remote() for a in self.actors]
+        ray.wait(x_refs, num_returns=len(x_refs))
+        it = 0
+        for it in range(itermax):
+            pairs = [a.katz_step_fused.remote(x_refs, alpha, beta)
+                     for a in self.actors]
+            d_refs = [p[0] for p in pairs]
+            x_refs = [p[1] for p in pairs]
+            # the delta get is the per-superstep barrier (see pr_step)
+            delta = float(max(ray.get(d_refs)))
+            metrics.record(it, algorithm="katz_inactor", delta=delta,
+                           edges=self.num_edges)
+            if delta <= tol:
+                break
+        slices = ray.get([a.vx_slice.remote() for a in self.actors])
+        return self._stitch_exact(slices), it + 1, metrics
+
+    def hits_inactor(self, engine_t=None, itermax=100, tol=1e-8,
+                     metrics=None):
+        """HITS with hub/authority slices pinned across the engine PAIR
+        (this engine computes ``Aᵀ@x`` and holds the authority slices;
+        ``engine_t`` computes ``A@x`` and holds the hub slices — derived
+        via :meth:`transposed` when not supplied). Per iteration: four
+        O(P) actor rounds; the global 2-norms are merged from per-slice
+        ``x·x`` partials with ``math.fsum`` (exactly-rounded compensated
+        O(P) merge), which reorders the reduction vs the broadcast
+        ``np.linalg.norm`` — parity is allclose-level (1e-12 with equal
+        iteration counts, the parity test's assertion), NOT bitwise;
+        the broadcast :func:`pipelines.algorithms.hits` remains the
+        bit-exact oracle form. Hub-split engines raise (their leaders
+        would need the same treatment; use the broadcast form there).
+        Returns ``(hubs, authorities, iters, metrics)``."""
+        from math import fsum
+
+        from .checkpoint import SuperstepMetrics
+
+        metrics = metrics or SuperstepMetrics()
+        if self.has_hub_split:
+            raise NotImplementedError(
+                "hits_inactor runs on unsplit engines; use the "
+                "broadcast hits() on hub-split engines")
+        own_t = engine_t is None
+        if own_t:
+            engine_t = self.transposed()
+        try:
+            if engine_t.has_hub_split:
+                raise NotImplementedError(
+                    "hits_inactor needs an unsplit transposed engine")
+            n = self.n
+            bounds_e = np.array([lo for lo, _ in self.ranges],
+                                dtype=np.int64)
+            bounds_t = np.array([lo for lo, _ in engine_t.ranges],
+                                dtype=np.int64)
+            # authority slices live on THIS engine's actors (they pull
+            # h published by engine_t); hub slices on engine_t's
+            ray.get([a.vx_init.remote(n, bounds_t, 0.0)
+                     for a in self.actors]
+                    + [a.vx_init.remote(n, bounds_e,
+                                        1.0 / np.sqrt(n))
+                       for a in engine_t.actors])
+            h_refs = [a.vx_slice.remote() for a in engine_t.actors]
+            ray.wait(h_refs, num_returns=len(h_refs))
+            it = 0
+            for it in range(itermax):
+                parts = ray.get([a.vx_pull_norm.remote(h_refs)
+                                 for a in self.actors])
+                na = float(np.sqrt(fsum(parts)))
+                a_refs = [a.vx_scale_publish.remote(na)
+                          for a in self.actors]
+                ray.wait(a_refs, num_returns=len(a_refs))
+                parts = ray.get([t.vx_pull_norm.remote(a_refs)
+                                 for t in engine_t.actors])
+                nh = float(np.sqrt(fsum(parts)))
+                pairs = [t.vx_scale_delta_publish.remote(nh)
+                         for t in engine_t.actors]
+                d_refs = [p[0] for p in pairs]
+                h_refs = [p[1] for p in pairs]
+                delta = float(max(ray.get(d_refs)))
+                metrics.record(it, algorithm="hits_inactor",
+                               delta=delta, edges=self.num_edges)
+                if delta <= tol:
+                    break
+            h = engine_t._stitch_exact(
+                ray.get([t.vx_slice.remote()
+                         for t in engine_t.actors]))
+            a_vec = self._stitch_exact(
+                ray.get([a.vx_slice.remote() for a in self.actors]))
+            return h, a_vec, it + 1, metrics
+        finally:
+            if own_t:
+                engine_t.shutdown()
 
     def anf_inactor(self, tmax=64, mode="exact", b=6, seed=7,
                     metrics=None):

@@ -370,6 +370,141 @@ def test_pagerank_inactor_weighted_personalized_parity(graph, engines):
     assert np.array_equal(got_wp, want_wp)
 
 
+def test_pagerank_sub_slice_frontier_parity(graph, engines):
+    """frontier="sub" (ship only the referenced w ENTRIES, recorded at
+    plan build) vs the slice frontier AND the broadcast recipe — values
+    BIT-IDENTICAL and superstep counts equal on plain and hub-split
+    engines; weighted and personalized forms included."""
+    from python_graphblas_ray.pipelines.algorithms import pagerank
+
+    _, _, _, ds = graph
+    plain, split = engines
+    want, it_b, _ = pagerank(plain, weighted=True, itermax=40)
+    for eng in (plain, split):
+        got, it_s = eng.pagerank_inactor(itermax=40, weighted=True,
+                                         frontier="sub")
+        assert np.array_equal(got, want)
+        assert it_s == it_b
+    # personalized, fixed iters, unweighted
+    p = np.zeros(N)
+    p[[0, 7, 19]] = 1.0 / 3
+    want_p, _, _ = pagerank(plain, personalization=p, itermax=5,
+                            tol=0.0)
+    for eng in (plain, split):
+        got_p, _ = eng.pagerank_inactor(
+            itermax=5, tol=0.0, personalization=p, force_iters=5,
+            frontier="sub")
+        assert np.array_equal(got_p, want_p)
+    with pytest.raises(ValueError, match="frontier"):
+        plain.pagerank_inactor(frontier="entries")
+
+
+def test_pagerank_sub_frontier_checkpoint_resume(graph, tmp_path):
+    """The sub-slice frontier composes with actor-written checkpoints:
+    run-to-10 + resume-to-convergence == uninterrupted run."""
+    from python_graphblas_ray.pipelines.algorithms import build_engine
+    from python_graphblas_ray.state.checkpoint import CheckpointManager
+
+    _, _, _, ds = graph
+    eng = build_engine(ds, N, num_partitions=4, hub_split_factor=0)
+    try:
+        want, it_full = eng.pagerank_inactor(tol=1e-10, itermax=30,
+                                             frontier="sub")
+        ck = CheckpointManager(str(tmp_path), "pr_sub",
+                               num_partitions=4)
+        eng2 = build_engine(ds, N, num_partitions=4, hub_split_factor=0)
+        eng2.pagerank_inactor(tol=1e-10, itermax=10, force_iters=10,
+                              checkpoint=ck, checkpoint_every=5,
+                              frontier="sub")
+        eng2.shutdown()
+        eng3 = build_engine(ds, N, num_partitions=4, hub_split_factor=0)
+        got, it_res = eng3.pagerank_inactor(tol=1e-10, itermax=30,
+                                            checkpoint=ck,
+                                            frontier="sub")
+        eng3.shutdown()
+        assert np.array_equal(got, want)
+        assert it_res == it_full
+    finally:
+        eng.shutdown()
+
+
+def test_katz_inactor_parity(graph, engines):
+    """In-actor Katz (no global norm → plain engines are BIT-identical
+    to the broadcast recipe; hub-split '+'-merge is allclose 1e-12) —
+    superstep counts equal everywhere."""
+    from python_graphblas_ray.pipelines.algorithms import katz_centrality
+
+    plain, split = engines
+    for weighted, alpha in ((False, 0.05), (True, 0.01)):
+        want, it_b, mb = katz_centrality(plain, alpha=alpha,
+                                         weighted=weighted, itermax=60)
+        got, it_i, mi = plain.katz_inactor(alpha=alpha,
+                                           weighted=weighted,
+                                           itermax=60)
+        assert np.array_equal(got, want)          # bit-exact, unsplit
+        assert it_i == it_b
+        assert _n_records(mi, "katz_inactor") == it_i
+        got_s, it_s, _ = split.katz_inactor(alpha=alpha,
+                                            weighted=weighted,
+                                            itermax=60)
+        np.testing.assert_allclose(got_s, want, rtol=1e-12, atol=1e-14)
+        assert it_s == it_b
+
+
+@pytest.fixture()
+def hub_engine(ray_session):
+    """A GENUINELY hub-split engine: every edge points at vertex 0, so
+    the edge-balanced boundaries put all mass in one range and the
+    split factor duplicates it (``has_hub_split`` is True — unlike the
+    module fixture's 'split' engine, which this graph never splits)."""
+    n = 401
+    src = np.arange(1, n, dtype=np.int64)
+    dst = np.zeros(n - 1, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table(
+        {"src": src, "dst": dst,
+         "val": np.ones(n - 1, dtype=np.float64)}))
+    eng = SuperstepEngine(ds, n, num_partitions=4,
+                          hub_split_factor=1.02)
+    assert eng.has_hub_split
+    plain = build_engine(ds, n, num_partitions=4, hub_split_factor=0)
+    yield eng, plain, src, dst, n
+    eng.shutdown()
+    plain.shutdown()
+
+
+def test_katz_inactor_true_hub_split_parity(hub_engine):
+    """katz_inactor on an engine that REALLY hub-splits: the leaders'
+    '+'-merge reorders the float reduction, so parity vs the broadcast
+    recipe is allclose 1e-12 with equal superstep counts."""
+    from python_graphblas_ray.pipelines.algorithms import katz_centrality
+
+    split, plain, _, _, _ = hub_engine
+    want, it_b, _ = katz_centrality(plain, alpha=0.05, itermax=60)
+    got, it_s, _ = split.katz_inactor(alpha=0.05, itermax=60)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
+    assert it_s == it_b
+
+
+def test_hits_inactor_parity(graph, engines, hub_engine):
+    """In-actor HITS (engine pair, fsum-merged O(P) 2-norms): allclose
+    1e-12 vs the broadcast recipe with EQUAL iteration counts — the
+    compensated norm merge reorders the reduction, so bitwise parity is
+    not claimed (broadcast hits stays the oracle form). Hub-split
+    raises with the documented message."""
+    from python_graphblas_ray.pipelines.algorithms import hits
+
+    plain, _ = engines
+    want_h, want_a, it_b, _ = hits(plain, itermax=50, tol=1e-8)
+    got_h, got_a, it_i, mi = plain.hits_inactor(itermax=50, tol=1e-8)
+    assert it_i == it_b
+    np.testing.assert_allclose(got_h, want_h, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(got_a, want_a, rtol=1e-12, atol=1e-14)
+    assert _n_records(mi, "hits_inactor") == it_i
+    true_split = hub_engine[0]
+    with pytest.raises(NotImplementedError, match="hub-split"):
+        true_split.hits_inactor(itermax=2)
+
+
 def test_wl_inactor_parity(engines):
     from python_graphblas_ray.pipelines.algorithms import wl_refinement
 

@@ -211,11 +211,53 @@ def test_mask_complement_compose_lazy():
     B = GBMatrix.from_coo([0], [1], [1.0], nrows=3, ncols=3)
     m = ~A.S | ~B.S                 # = ~(A & B): complement stays lazy
     assert m.complement
-    with pytest.raises(NotImplementedError):
-        m.new()
     sel = A.select(m)  # keeps A entries NOT in (A & B) = all but (0,1)
     r, c, _ = sel.to_coo()
     assert set(zip(r, c)) == {(1, 0), (1, 2), (2, 2)}
+    # shape-bounded materialization (reference mask.py:36): the dense
+    # complement of (A & B) over the full 3x3 shape
+    dense = m.new()
+    r, c, v = dense.to_coo()
+    assert all(v)
+    assert set(zip(r, c)) == {(i, j) for i in range(3)
+                              for j in range(3)} - {(0, 1)}
+    # above the configured bound it still refuses (engine-scale guard)
+    from python_graphblas_ray import config
+    with config.set(complement_materialize_limit=4):
+        with pytest.raises(NotImplementedError, match="dense"):
+            m.new()
+
+
+def test_mask_new_complement_reference_fixture():
+    """Models reference tests/test_mask.py:10 (test_mask_new, the
+    single-mask arm): for the 8 mask views of the fixture vectors,
+    ``m.new()`` and ``m.new(complement=True)`` match the brute-force
+    applied-position sets, as bool containers of all-True entries."""
+    from python_graphblas_ray.core import GBVector
+
+    n = 10
+    # v1[3:6] = 0, v1[:3] = 10 ; v2[1::3] = 0, v2[::3] = 10
+    v1 = GBVector.from_coo([0, 1, 2, 3, 4, 5],
+                           [10, 10, 10, 0, 0, 0], size=n)
+    v2 = GBVector.from_coo([1, 4, 7, 0, 3, 6, 9],
+                           [0, 0, 0, 10, 10, 10, 10], size=n)
+    present = {id(v1): {0, 1, 2, 3, 4, 5}, id(v2): {0, 1, 3, 4, 6, 7, 9}}
+    truthy = {id(v1): {0, 1, 2}, id(v2): {0, 3, 6, 9}}
+    for vec in (v1, v2):
+        for structure in (True, False):
+            applied = present[id(vec)] if structure else truthy[id(vec)]
+            m = vec.S if structure else vec.V
+            for view, want in ((m, applied), (~m, set(range(n)) - applied)):
+                got = view.new()
+                i, vals = got.to_coo()
+                assert set(i.tolist()) == want, (structure,
+                                                 view.complement)
+                assert all(vals)
+                # complement=True flips once more
+                got_c = view.new(complement=True)
+                i_c, vals_c = got_c.to_coo()
+                assert set(i_c.tolist()) == set(range(n)) - want
+                assert all(vals_c)
 
 
 # ---------------------------------------------------------------------------
