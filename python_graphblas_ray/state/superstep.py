@@ -1727,6 +1727,16 @@ def _split_block(t, bounds, P):
     return tuple(slices) + (counts,)
 
 
+
+def _spread_actor():
+    """Partition-actor handle with SPREAD scheduling: on a multi-node
+    cluster the pinned CSC blocks (and their superstep compute) balance
+    across raylets instead of packing the first node's worker pool —
+    observed on the 3-raylet evidence cluster to also reduce the
+    first-spawn worker-registration stall (BASELINE.md, multi-process
+    section). Single-node it is a no-op."""
+    return GraphPartitionActor.options(scheduling_strategy="SPREAD")
+
 class SuperstepEngine:
     """Builds the pinned actor pool from an edge Dataset; drives supersteps."""
 
@@ -1777,7 +1787,7 @@ class SuperstepEngine:
             # serializing after them (the pool spin-up is the dominant
             # build phase at small scale — see build_phases)
             base_actors = [
-                GraphPartitionActor.remote(
+                _spread_actor().remote(
                     int(boundaries[p]),
                     int(boundaries[p + 1]) if p + 1 < len(boundaries)
                     else self.n,
@@ -1864,7 +1874,7 @@ class SuperstepEngine:
                     # the k-1 extras spawn deferred now
                     for j in range(k):
                         pre = (base_actors[p] if j == 0 else
-                               GraphPartitionActor.remote(
+                               _spread_actor().remote(
                                    lo, hi, weighted, False, defer=True))
                         part_jobs.append((pre, per_part_refs[p][j::k],
                                           lo, hi))
@@ -1886,7 +1896,7 @@ class SuperstepEngine:
         for pre, refs, lo, hi in part_jobs:
             self.ranges.append((lo, hi))
             if pre is None:
-                self.actors.append(GraphPartitionActor.remote(
+                self.actors.append(_spread_actor().remote(
                     lo, hi, weighted, range_filter, *refs, dedupe=dedupe))
             else:
                 self.actors.append(pre)
@@ -1984,7 +1994,7 @@ class SuperstepEngine:
         # hub-split duplicate ranges, a reciprocal copy landing in the
         # OTHER split actor can still survive — the documented skew
         # tradeoff; the inactor LPA path rejects hub-split engines.)
-        out.actors = [GraphPartitionActor.remote(
+        out.actors = [_spread_actor().remote(
             lo, hi, self.weighted, False, *blocks[j],
             dedupe=include_forward)
             for j, (lo, hi) in enumerate(out.ranges)]

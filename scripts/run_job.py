@@ -36,7 +36,19 @@ def main(argv=None):
                             "bfs", "bfs_parent", "sssp", "hits",
                             "scc", "mis", "color", "closeness",
                             "diameter", "eccentricity", "katz",
-                            "matching"])
+                            "matching", "minhash"])
+    p.add_argument("--cluster", action="store_true",
+                   help="attach to a running Ray cluster "
+                        "(ray.init(address='auto')) instead of "
+                        "starting a local one")
+    p.add_argument("--join-mode", default=None,
+                   choices=["materialize", "streaming"],
+                   help="override config['join_mode'] for this job "
+                        "(streaming = the multi-node barrier-free "
+                        "route)")
+    p.add_argument("--frontier", default="slice",
+                   choices=["slice", "sub"],
+                   help="pagerank_inactor frontier transport")
     p.add_argument("--source", type=int, default=0,
                    help="source vertex for bfs/bfs_parent/sssp")
     p.add_argument("--pages", required=True,
@@ -61,8 +73,12 @@ def main(argv=None):
     import ray.data
 
     if not ray.is_initialized():
-        ray.init(address="auto" if "--cluster" in (argv or sys.argv)
-                 else "local", include_dashboard=False)
+        ray.init(address="auto" if args.cluster else "local",
+                 include_dashboard=False)
+
+    if args.join_mode:
+        from python_graphblas_ray import config as _gb_config
+        _gb_config["join_mode"] = args.join_mode
 
     from python_graphblas_ray.pipelines.algorithms import (
         approx_diameter, bfs_level, bfs_parent, build_engine,
@@ -75,6 +91,35 @@ def main(argv=None):
         CheckpointManager, SuperstepMetrics)
 
     t0 = time.time()
+
+    if args.algorithm == "minhash":
+        # near-dup over the pages' extracted text (doc id = page id):
+        # the dedup leg of the cluster-evidence run — streams through
+        # the guarded one-exchange MinHash-LSH path
+        import pyarrow.compute as pc
+
+        from python_graphblas_ray.pipelines.dedup import minhash_lsh_pairs
+        from python_graphblas_ray.pipelines.ingest import (
+            extract_text_table)
+
+        docs = extract_text_table(
+            ray.data.read_parquet(args.pages, columns=["url", "html"]))
+
+        def _docify(b: pa.Table) -> pa.Table:
+            m = pc.extract_regex(b["url"], r"/page/(?P<id>\d+)$")
+            return pa.table({
+                "doc_id": pc.struct_field(m, "id").cast(pa.int64()),
+                "text": b["extracted_text"]})
+
+        pairs = minhash_lsh_pairs(
+            docs.map_batches(_docify, batch_format="pyarrow"),
+            threshold=0.5)
+        npairs = pairs.count()
+        print(json.dumps({"algorithm": "minhash", "pairs": int(npairs),
+                          "n": args.n_pages,
+                          "sec": round(time.time() - t0, 2)}))
+        return
+
     pages = ray.data.read_parquet(args.pages, columns=["url", "html"])
     edges = extract_edges(pages).materialize()
 
@@ -111,7 +156,7 @@ def main(argv=None):
             vec, iters = eng.pagerank_inactor(
                 tol=args.tol, checkpoint=ckpt,
                 checkpoint_every=args.checkpoint_every,
-                metrics=metrics)
+                metrics=metrics, frontier=args.frontier)
         col = "rank"
     elif args.algorithm == "cc":
         vec, iters = eng.connected_components_inactor(metrics=metrics)
