@@ -97,6 +97,18 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     edges = extract_edges(pages).materialize()
     timings["pages_ingest"] = time.time() - t0
 
+    # real-crawl vid rider: the NON-synthetic ingest path (urls hashed
+    # through the vectorized Arrow-buffer FNV+splitmix, not parsed) —
+    # outside the headline total; the ratio audits the r4-verdict
+    # "hashed ingest within 2x of the synthetic path" bar
+    t0 = time.time()
+    eh = extract_edges(pages_dataset(n_pages, parallelism=parallelism),
+                       synthetic_ids=False).materialize()
+    extra["ingest_hashed_sec"] = time.time() - t0
+    extra["ingest_hashed_ratio"] = (extra["ingest_hashed_sec"]
+                                    / max(timings["pages_ingest"], 1e-9))
+    del eh
+
     t0 = time.time()
     eng = build_engine(edges, n_pages, num_partitions=num_cpus)
     timings["graph_build"] = time.time() - t0

@@ -294,7 +294,11 @@ class GBScalar:
         return GBScalar(self.value if keep else None, self.dtype)
 
     def __repr__(self):
-        return f"GBScalar({self.value!r})"
+        try:
+            from .formatting import scalar_repr
+            return scalar_repr(self)
+        except Exception:  # terse fallback: repr must never raise
+            return f"GBScalar({self.value!r})"
 
 
 class _Base:
@@ -950,7 +954,11 @@ class GBVector(_Base):
         return cls(ds, size, dtype)
 
     def __repr__(self):
-        return f"GBVector(size={self.size}, dtype={self.dtype})"
+        try:
+            from .formatting import vector_repr
+            return vector_repr(self)
+        except Exception:  # terse fallback: repr must never raise
+            return f"GBVector(size={self.size}, dtype={self.dtype})"
 
 
 class _EwiseInfix:
@@ -2211,7 +2219,12 @@ class GBMatrix(_Base):
         return _MaskView(self, structure=False)
 
     def __repr__(self):
-        return f"GBMatrix({self.nrows}x{self.ncols}, dtype={self.dtype})"
+        try:
+            from .formatting import matrix_repr
+            return matrix_repr(self)
+        except Exception:  # terse fallback: repr must never raise
+            return f"GBMatrix({self.nrows}x{self.ncols}, " \
+                   f"dtype={self.dtype})"
 
 
 class _MaskView:
@@ -2230,6 +2243,14 @@ class _MaskView:
         self.parent = parent
         self.structure = structure
         self.complement = complement
+
+    def __repr__(self):
+        try:
+            from .formatting import mask_repr
+            return mask_repr(self)
+        except Exception:  # terse fallback: repr must never raise
+            kind = ("StructuralMask" if self.structure else "ValueMask")
+            return f"{'~' if self.complement else ''}{kind}"
 
     def __invert__(self):
         return _MaskView(self.parent, self.structure, not self.complement)

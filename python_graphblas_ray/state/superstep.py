@@ -706,6 +706,48 @@ class GraphPartitionActor:
         self._vx = nxt
         return delta, self._vx
 
+    def vx_merge_norm(self, *partial_refs):
+        """Hub-split leader half-step for the normalized power family
+        (eigenvector): sum the group's pull partials in fixed actor
+        order, HOLD the raw vector, return its squared-2-norm partial
+        (driver fsum-merges)."""
+        outs = [ray.get(p) if isinstance(p, ray.ObjectRef) else p
+                for p in partial_refs]
+        tot = outs[0]
+        for o in outs[1:]:
+            tot = tot + o
+        self._vx_raw = tot
+        return float(np.dot(tot, tot))
+
+    def vx_norm2(self):
+        """Squared-2-norm partial of the held slice (final SALSA
+        normalization)."""
+        return float(np.dot(self._vx, self._vx))
+
+    def salsa_init(self, n, pub_bounds, x0):
+        """SALSA side-state: pinned slice + the LOCAL reciprocal degree
+        of this partition's dst range (a partition owns ALL in-edges of
+        its range, so the multigraph in-degree — out-degree on the
+        reversed engine — is one local bincount; integer counts are
+        order-exact, so the slice is bitwise the broadcast recipe's)."""
+        self.vx_init(n, pub_bounds, x0)
+        size = self.hi - self.lo
+        deg = (np.bincount(self.dstl, minlength=size).astype(np.float64)
+               if self.nedges else np.zeros(size))
+        self._vx_invdeg = np.where(deg > 0, 1.0 / deg, 0.0)
+
+    def vx_scaled_publish_local(self):
+        """Publish x · inv-degree (the SALSA stochastic scaling, by the
+        PUBLISHER's own degree slice)."""
+        return self._vx * self._vx_invdeg
+
+    def salsa_step(self, x_refs):
+        """One SALSA half-step: pull the other side's scaled slices,
+        hold the raw sum, publish it scaled by this side's local
+        reciprocal degree."""
+        self._vx = self._vx_gather_sum(x_refs)
+        return self._vx * self._vx_invdeg
+
     # ---- in-actor FastSV connected components (O(P) driver) ----
     def cc_init(self, n, bounds):
         """f = gp = identity on this dst-range slice; gather plan reuses
@@ -2837,6 +2879,141 @@ class SuperstepEngine:
             a_vec = self._stitch_exact(
                 ray.get([a.vx_slice.remote() for a in self.actors]))
             return h, a_vec, it + 1, metrics
+        finally:
+            if own_t:
+                engine_t.shutdown()
+
+    def eigenvector_inactor(self, itermax=100, tol=1e-8, weighted=False,
+                            metrics=None):
+        """Eigenvector centrality with x pinned in the partition actors:
+        per iteration one O(P) pull round (per-slice ``x·x`` partials)
+        + one O(P) scale round; the global 2-norm is the ``math.fsum``
+        of the partials (exactly-rounded compensated merge) — allclose
+        1e-12 vs the broadcast recipe with equal iteration counts (the
+        broadcast ``np.linalg.norm`` reduction tree differs), which
+        stays the bit-exact oracle form. Hub-split engines run the
+        leader-merge variant. Returns ``(x, iters, metrics)``."""
+        from math import fsum
+
+        from .checkpoint import SuperstepMetrics
+
+        metrics = metrics or SuperstepMetrics()
+        n = self.n
+        x0 = 1.0 / np.sqrt(n)
+        if self.has_hub_split:
+            ordered, dbounds = self._pr_split_groups()
+            leaders = [idxs[0] for _, idxs in ordered]
+            inits = [self.actors[leaders[g]].vx_init.remote(
+                n, dbounds, x0, weighted) for g in range(len(ordered))]
+            inits += [self.actors[j].pr_init_edges.remote(
+                dbounds, weighted=weighted)
+                for _, idxs in ordered for j in idxs[1:]]
+            ray.get(inits)
+            x_refs = [self.actors[j].vx_slice.remote() for j in leaders]
+            ray.wait(x_refs, num_returns=len(x_refs))
+            it = 0
+            for it in range(itermax):
+                pulls = [[self.actors[j].vx_pull.remote(x_refs)
+                          for j in idxs] for _, idxs in ordered]
+                flat = [r for refs in pulls for r in refs]
+                ray.wait(flat, num_returns=len(flat))
+                parts = ray.get([self.actors[leaders[g]]
+                                 .vx_merge_norm.remote(*pulls[g])
+                                 for g in range(len(ordered))])
+                norm = float(np.sqrt(fsum(parts)))
+                pairs = [self.actors[j].vx_scale_delta_publish.remote(
+                    norm) for j in leaders]
+                d_refs = [p[0] for p in pairs]
+                x_refs = [p[1] for p in pairs]
+                delta = float(max(ray.get(d_refs)))
+                metrics.record(it, algorithm="eigenvector_inactor",
+                               delta=delta, edges=self.num_edges)
+                if delta <= tol:
+                    break
+            slices = ray.get([self.actors[j].vx_slice.remote()
+                              for j in leaders])
+            out = np.zeros(n)
+            for (r, _), s in zip(ordered, slices):
+                out[r[0]:r[1]] = s
+            return out, it + 1, metrics
+        bounds = np.array([lo for lo, _ in self.ranges], dtype=np.int64)
+        ray.get([a.vx_init.remote(n, bounds, x0, weighted)
+                 for a in self.actors])
+        x_refs = [a.vx_slice.remote() for a in self.actors]
+        ray.wait(x_refs, num_returns=len(x_refs))
+        it = 0
+        for it in range(itermax):
+            parts = ray.get([a.vx_pull_norm.remote(x_refs)
+                             for a in self.actors])
+            norm = float(np.sqrt(fsum(parts)))
+            pairs = [a.vx_scale_delta_publish.remote(norm)
+                     for a in self.actors]
+            d_refs = [p[0] for p in pairs]
+            x_refs = [p[1] for p in pairs]
+            delta = float(max(ray.get(d_refs)))
+            metrics.record(it, algorithm="eigenvector_inactor",
+                           delta=delta, edges=self.num_edges)
+            if delta <= tol:
+                break
+        slices = ray.get([a.vx_slice.remote() for a in self.actors])
+        return self._stitch_exact(slices), it + 1, metrics
+
+    def salsa_fixed_inactor(self, engine_t=None, iters=3):
+        """Fixed-iteration SALSA across the engine pair, fully in-actor:
+        both sides' stochastic scalings use LOCALLY-computed reciprocal
+        degrees (bitwise the broadcast recipe's — integer counts), the
+        half-step pulls are the shared gather kernel, and only the two
+        FINAL L2 norms are fsum-merged — so parity vs
+        ``pipelines.algorithms.salsa_fixed`` is allclose 1e-12 (the
+        norms' reduction trees differ; everything before them is
+        bit-identical on unsplit engines). Hub-split raises (use the
+        broadcast form). Returns ``(hubs, authorities)``."""
+        from math import fsum
+
+        if self.has_hub_split:
+            raise NotImplementedError(
+                "salsa_fixed_inactor runs on unsplit engines; use the "
+                "broadcast salsa_fixed on hub-split engines")
+        own_t = engine_t is None
+        if own_t:
+            engine_t = self.transposed()
+        try:
+            if engine_t.has_hub_split:
+                raise NotImplementedError(
+                    "salsa_fixed_inactor needs an unsplit transposed "
+                    "engine")
+            n = self.n
+            bounds_e = np.array([lo for lo, _ in self.ranges],
+                                dtype=np.int64)
+            bounds_t = np.array([lo for lo, _ in engine_t.ranges],
+                                dtype=np.int64)
+            # authority slices on THIS engine (pull h·inv_out published
+            # by engine_t); hub slices (h₀ = 1) on engine_t
+            ray.get([a.salsa_init.remote(n, bounds_t, 0.0)
+                     for a in self.actors]
+                    + [t.salsa_init.remote(n, bounds_e, 1.0)
+                       for t in engine_t.actors])
+            hs_refs = [t.vx_scaled_publish_local.remote()
+                       for t in engine_t.actors]
+            ray.wait(hs_refs, num_returns=len(hs_refs))
+            for _ in range(int(iters)):
+                as_refs = [a.salsa_step.remote(hs_refs)
+                           for a in self.actors]
+                ray.wait(as_refs, num_returns=len(as_refs))
+                hs_refs = [t.salsa_step.remote(as_refs)
+                           for t in engine_t.actors]
+                ray.wait(hs_refs, num_returns=len(hs_refs))
+            na = float(np.sqrt(fsum(ray.get(
+                [a.vx_norm2.remote() for a in self.actors]))))
+            nh = float(np.sqrt(fsum(ray.get(
+                [t.vx_norm2.remote() for t in engine_t.actors]))))
+            a_vec = self._stitch_exact(
+                ray.get([a.vx_slice.remote() for a in self.actors]))
+            h = engine_t._stitch_exact(
+                ray.get([t.vx_slice.remote()
+                         for t in engine_t.actors]))
+            return (h / nh if nh > 0 else h), \
+                (a_vec / na if na > 0 else a_vec)
         finally:
             if own_t:
                 engine_t.shutdown()

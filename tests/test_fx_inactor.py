@@ -505,6 +505,43 @@ def test_hits_inactor_parity(graph, engines, hub_engine):
         true_split.hits_inactor(itermax=2)
 
 
+def test_eigenvector_inactor_parity(graph, engines, hub_engine):
+    """In-actor eigenvector centrality (fsum-merged 2-norms): allclose
+    1e-12 with equal iteration counts vs the broadcast recipe on plain
+    AND genuinely hub-split engines; weighted form included."""
+    from python_graphblas_ray.pipelines.algorithms import (
+        eigenvector_centrality)
+
+    plain, _ = engines
+    for weighted in (False, True):
+        want, it_b, _ = eigenvector_centrality(plain, itermax=60,
+                                               weighted=weighted)
+        got, it_i, mi = plain.eigenvector_inactor(itermax=60,
+                                                  weighted=weighted)
+        assert it_i == it_b
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
+        assert _n_records(mi, "eigenvector_inactor") == it_i
+    split, hub_plain, _, _, _ = hub_engine
+    want_s, it_sb, _ = eigenvector_centrality(hub_plain, itermax=40)
+    got_s, it_si, _ = split.eigenvector_inactor(itermax=40)
+    assert it_si == it_sb
+    np.testing.assert_allclose(got_s, want_s, rtol=1e-12, atol=1e-14)
+
+
+def test_salsa_inactor_parity(graph, engines, hub_engine):
+    """In-actor SALSA (local reciprocal degrees, final fsum norms):
+    allclose 1e-12 vs the broadcast recipe; hub-split raises."""
+    from python_graphblas_ray.pipelines.algorithms import salsa_fixed
+
+    plain, _ = engines
+    want_h, want_a = salsa_fixed(plain, iters=3)
+    got_h, got_a = plain.salsa_fixed_inactor(iters=3)
+    np.testing.assert_allclose(got_h, want_h, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(got_a, want_a, rtol=1e-12, atol=1e-14)
+    with pytest.raises(NotImplementedError, match="hub-split"):
+        hub_engine[0].salsa_fixed_inactor(iters=2)
+
+
 def test_wl_inactor_parity(engines):
     from python_graphblas_ray.pipelines.algorithms import wl_refinement
 
