@@ -2650,12 +2650,17 @@ class SuperstepEngine:
         rdiff = 1.0
         if frontier == "sub":
             # request/register against the GROUP LEADERS (owners are
-            # distinct ranges; consumers are every group member)
-            req_lists = ray.get([self.actors[j].pr_sub_requests.remote()
-                                 for j in range(len(self.actors))])
+            # distinct ranges; consumers are every group MEMBER — an
+            # empty-range actor belongs to no group, was never
+            # pr_init'ed, and must not be asked for a plan)
+            members = [j for _, idxs in ordered for j in idxs]
+            req_refs = {j: self.actors[j].pr_sub_requests.remote()
+                        for j in members}
+            req_lists = dict(zip(req_refs,
+                                 ray.get(list(req_refs.values()))))
             owner_consumers = {g: [] for g in range(len(ordered))}
-            for j, lst in enumerate(req_lists):
-                for g, ref in lst:
+            for j in members:
+                for g, ref in req_lists[j]:
                     owner_consumers[g].append((j, ref))
             ray.get([self.actors[leaders[g]].pr_register_consumers.remote(
                 [j for j, _ in lst], *[r for _, r in lst])

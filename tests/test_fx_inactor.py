@@ -399,6 +399,22 @@ def test_pagerank_sub_slice_frontier_parity(graph, engines):
         plain.pagerank_inactor(frontier="entries")
 
 
+def test_pagerank_sub_frontier_true_hub_split_parity(hub_engine):
+    """frontier="sub" on an engine that REALLY hub-splits (leader-owned
+    ranges, follower edge subsets, empty quantile ranges present):
+    bit-identical to the broadcast recipe with equal superstep
+    counts."""
+    from python_graphblas_ray.pipelines.algorithms import pagerank
+
+    split, hub_plain, _, _, _ = hub_engine
+    want, it_b, _ = pagerank(hub_plain, itermax=40)
+    got, it_s = split.pagerank_inactor(itermax=40, frontier="sub")
+    assert np.array_equal(got, want)
+    assert it_s == it_b
+    got2, it2 = split.pagerank_inactor(itermax=40)  # slice twin
+    assert np.array_equal(got2, want) and it2 == it_b
+
+
 def test_pagerank_sub_frontier_checkpoint_resume(graph, tmp_path):
     """The sub-slice frontier composes with actor-written checkpoints:
     run-to-10 + resume-to-convergence == uninterrupted run."""
