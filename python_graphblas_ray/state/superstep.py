@@ -724,6 +724,38 @@ class GraphPartitionActor:
         normalization)."""
         return float(np.dot(self._vx, self._vx))
 
+    def vx_deg_partial(self):
+        """This member's in-degree partial over its dst range (bincount
+        of the pinned local dst; integer counts — split groups sum the
+        partials on the leader EXACTLY)."""
+        size = self.hi - self.lo
+        return (np.bincount(self.dstl,
+                            minlength=size).astype(np.float64)
+                if self.nedges else np.zeros(size))
+
+    def salsa_leader_init(self, n, pub_bounds, x0, *deg_refs):
+        """Hub-split SALSA leader: pinned slice + reciprocal of the
+        GROUP-MERGED degree (a split range's in-edges live across its
+        member actors, so the local bincount alone undercounts)."""
+        self.vx_init(n, pub_bounds, x0)
+        size = self.hi - self.lo
+        deg = np.zeros(size)
+        for d in deg_refs:
+            deg += (ray.get(d) if isinstance(d, ray.ObjectRef) else d)
+        self._vx_invdeg = np.where(deg > 0, 1.0 / deg, 0.0)
+
+    def salsa_merge_publish(self, *partial_refs):
+        """Hub-split SALSA leader half-step: sum the group's pull
+        partials in fixed actor order, hold the raw slice, publish it
+        scaled by this side's reciprocal degree."""
+        outs = [ray.get(p) if isinstance(p, ray.ObjectRef) else p
+                for p in partial_refs]
+        tot = outs[0]
+        for o in outs[1:]:
+            tot = tot + o
+        self._vx = tot
+        return self._vx * self._vx_invdeg
+
     def salsa_init(self, n, pub_bounds, x0):
         """SALSA side-state: pinned slice + the LOCAL reciprocal degree
         of this partition's dst range (a partition owns ALL in-edges of
@@ -2825,25 +2857,24 @@ class SuperstepEngine:
         ``np.linalg.norm`` — parity is allclose-level (1e-12 with equal
         iteration counts, the parity test's assertion), NOT bitwise;
         the broadcast :func:`pipelines.algorithms.hits` remains the
-        bit-exact oracle form. Hub-split engines raise (their leaders
-        would need the same treatment; use the broadcast form there).
+        bit-exact oracle form. Hub-split engines (either side of the
+        pair) run the leader-grouped variant: members pull their edge
+        subsets' partials, leaders '+'-merge in fixed order, hold the
+        raw slice, and scale after the fsum'd norm — six O(P) rounds
+        per iteration instead of four, same allclose-level parity.
         Returns ``(hubs, authorities, iters, metrics)``."""
         from math import fsum
 
         from .checkpoint import SuperstepMetrics
 
         metrics = metrics or SuperstepMetrics()
-        if self.has_hub_split:
-            raise NotImplementedError(
-                "hits_inactor runs on unsplit engines; use the "
-                "broadcast hits() on hub-split engines")
         own_t = engine_t is None
         if own_t:
             engine_t = self.transposed()
         try:
-            if engine_t.has_hub_split:
-                raise NotImplementedError(
-                    "hits_inactor needs an unsplit transposed engine")
+            if self.has_hub_split or engine_t.has_hub_split:
+                return self._hits_inactor_groups(engine_t, itermax,
+                                                 tol, metrics)
             n = self.n
             bounds_e = np.array([lo for lo, _ in self.ranges],
                                 dtype=np.int64)
@@ -2963,6 +2994,68 @@ class SuperstepEngine:
         slices = ray.get([a.vx_slice.remote() for a in self.actors])
         return self._stitch_exact(slices), it + 1, metrics
 
+    def _hits_inactor_groups(self, engine_t, itermax, tol, metrics):
+        """Leader-grouped HITS for hub-split engine pairs (see
+        :meth:`hits_inactor`). Caller owns ``engine_t``'s lifetime."""
+        from math import fsum
+
+        n = self.n
+        ord_e, db_e = self._pr_split_groups()
+        ord_t, db_t = engine_t._pr_split_groups()
+        lead_e = [idxs[0] for _, idxs in ord_e]
+        lead_t = [idxs[0] for _, idxs in ord_t]
+        inits = [self.actors[lead_e[g]].vx_init.remote(n, db_t, 0.0)
+                 for g in range(len(ord_e))]
+        inits += [self.actors[j].pr_init_edges.remote(db_t)
+                  for _, idxs in ord_e for j in idxs[1:]]
+        inits += [engine_t.actors[lead_t[g]].vx_init.remote(
+            n, db_e, 1.0 / np.sqrt(n)) for g in range(len(ord_t))]
+        inits += [engine_t.actors[j].pr_init_edges.remote(db_e)
+                  for _, idxs in ord_t for j in idxs[1:]]
+        ray.get(inits)
+        h_refs = [engine_t.actors[j].vx_slice.remote() for j in lead_t]
+        ray.wait(h_refs, num_returns=len(h_refs))
+        it = 0
+        for it in range(itermax):
+            pulls = [[self.actors[j].vx_pull.remote(h_refs)
+                      for j in idxs] for _, idxs in ord_e]
+            flat = [r for refs in pulls for r in refs]
+            ray.wait(flat, num_returns=len(flat))
+            parts = ray.get([self.actors[lead_e[g]]
+                             .vx_merge_norm.remote(*pulls[g])
+                             for g in range(len(ord_e))])
+            na = float(np.sqrt(fsum(parts)))
+            a_refs = [self.actors[j].vx_scale_publish.remote(na)
+                      for j in lead_e]
+            ray.wait(a_refs, num_returns=len(a_refs))
+            pulls_t = [[engine_t.actors[j].vx_pull.remote(a_refs)
+                        for j in idxs] for _, idxs in ord_t]
+            flat = [r for refs in pulls_t for r in refs]
+            ray.wait(flat, num_returns=len(flat))
+            parts = ray.get([engine_t.actors[lead_t[g]]
+                             .vx_merge_norm.remote(*pulls_t[g])
+                             for g in range(len(ord_t))])
+            nh = float(np.sqrt(fsum(parts)))
+            pairs = [engine_t.actors[j].vx_scale_delta_publish.remote(
+                nh) for j in lead_t]
+            d_refs = [p[0] for p in pairs]
+            h_refs = [p[1] for p in pairs]
+            delta = float(max(ray.get(d_refs)))
+            metrics.record(it, algorithm="hits_inactor", delta=delta,
+                           edges=self.num_edges)
+            if delta <= tol:
+                break
+        h = np.zeros(n)
+        for (r, _), s in zip(ord_t, ray.get(
+                [engine_t.actors[j].vx_slice.remote()
+                 for j in lead_t])):
+            h[r[0]:r[1]] = s
+        a_vec = np.zeros(n)
+        for (r, _), s in zip(ord_e, ray.get(
+                [self.actors[j].vx_slice.remote() for j in lead_e])):
+            a_vec[r[0]:r[1]] = s
+        return h, a_vec, it + 1, metrics
+
     def salsa_fixed_inactor(self, engine_t=None, iters=3):
         """Fixed-iteration SALSA across the engine pair, fully in-actor:
         both sides' stochastic scalings use LOCALLY-computed reciprocal
@@ -2971,22 +3064,19 @@ class SuperstepEngine:
         FINAL L2 norms are fsum-merged — so parity vs
         ``pipelines.algorithms.salsa_fixed`` is allclose 1e-12 (the
         norms' reduction trees differ; everything before them is
-        bit-identical on unsplit engines). Hub-split raises (use the
-        broadcast form). Returns ``(hubs, authorities)``."""
+        bit-identical on unsplit engines). Hub-split pairs run the
+        leader-grouped variant (group-merged degrees are EXACT —
+        integer partials; the leaders' '+'-merge of pull partials is
+        the usual allclose-level reordering).
+        Returns ``(hubs, authorities)``."""
         from math import fsum
 
-        if self.has_hub_split:
-            raise NotImplementedError(
-                "salsa_fixed_inactor runs on unsplit engines; use the "
-                "broadcast salsa_fixed on hub-split engines")
         own_t = engine_t is None
         if own_t:
             engine_t = self.transposed()
         try:
-            if engine_t.has_hub_split:
-                raise NotImplementedError(
-                    "salsa_fixed_inactor needs an unsplit transposed "
-                    "engine")
+            if self.has_hub_split or engine_t.has_hub_split:
+                return self._salsa_inactor_groups(engine_t, iters)
             n = self.n
             bounds_e = np.array([lo for lo, _ in self.ranges],
                                 dtype=np.int64)
@@ -3022,6 +3112,66 @@ class SuperstepEngine:
         finally:
             if own_t:
                 engine_t.shutdown()
+
+    def _salsa_inactor_groups(self, engine_t, iters):
+        """Leader-grouped SALSA for hub-split engine pairs (see
+        :meth:`salsa_fixed_inactor`). Caller owns ``engine_t``."""
+        from math import fsum
+
+        n = self.n
+        ord_e, db_e = self._pr_split_groups()
+        ord_t, db_t = engine_t._pr_split_groups()
+        lead_e = [idxs[0] for _, idxs in ord_e]
+        lead_t = [idxs[0] for _, idxs in ord_t]
+        # group-merged degree partials (exact — integer counts)
+        deg_e = [[self.actors[j].vx_deg_partial.remote()
+                  for j in idxs] for _, idxs in ord_e]
+        deg_t = [[engine_t.actors[j].vx_deg_partial.remote()
+                  for j in idxs] for _, idxs in ord_t]
+        inits = [self.actors[lead_e[g]].salsa_leader_init.remote(
+            n, db_t, 0.0, *deg_e[g]) for g in range(len(ord_e))]
+        inits += [self.actors[j].pr_init_edges.remote(db_t)
+                  for _, idxs in ord_e for j in idxs[1:]]
+        inits += [engine_t.actors[lead_t[g]].salsa_leader_init.remote(
+            n, db_e, 1.0, *deg_t[g]) for g in range(len(ord_t))]
+        inits += [engine_t.actors[j].pr_init_edges.remote(db_e)
+                  for _, idxs in ord_t for j in idxs[1:]]
+        ray.get(inits)
+        hs_refs = [engine_t.actors[j].vx_scaled_publish_local.remote()
+                   for j in lead_t]
+        ray.wait(hs_refs, num_returns=len(hs_refs))
+        for _ in range(int(iters)):
+            pulls = [[self.actors[j].vx_pull.remote(hs_refs)
+                      for j in idxs] for _, idxs in ord_e]
+            flat = [r for refs in pulls for r in refs]
+            ray.wait(flat, num_returns=len(flat))
+            as_refs = [self.actors[lead_e[g]]
+                       .salsa_merge_publish.remote(*pulls[g])
+                       for g in range(len(ord_e))]
+            ray.wait(as_refs, num_returns=len(as_refs))
+            pulls_t = [[engine_t.actors[j].vx_pull.remote(as_refs)
+                        for j in idxs] for _, idxs in ord_t]
+            flat = [r for refs in pulls_t for r in refs]
+            ray.wait(flat, num_returns=len(flat))
+            hs_refs = [engine_t.actors[lead_t[g]]
+                       .salsa_merge_publish.remote(*pulls_t[g])
+                       for g in range(len(ord_t))]
+            ray.wait(hs_refs, num_returns=len(hs_refs))
+        na = float(np.sqrt(fsum(ray.get(
+            [self.actors[j].vx_norm2.remote() for j in lead_e]))))
+        nh = float(np.sqrt(fsum(ray.get(
+            [engine_t.actors[j].vx_norm2.remote() for j in lead_t]))))
+        h = np.zeros(n)
+        for (r, _), s in zip(ord_t, ray.get(
+                [engine_t.actors[j].vx_slice.remote()
+                 for j in lead_t])):
+            h[r[0]:r[1]] = s
+        a_vec = np.zeros(n)
+        for (r, _), s in zip(ord_e, ray.get(
+                [self.actors[j].vx_slice.remote() for j in lead_e])):
+            a_vec[r[0]:r[1]] = s
+        return (h / nh if nh > 0 else h), \
+            (a_vec / na if na > 0 else a_vec)
 
     def anf_inactor(self, tmax=64, mode="exact", b=6, seed=7,
                     metrics=None):

@@ -516,9 +516,14 @@ def test_hits_inactor_parity(graph, engines, hub_engine):
     np.testing.assert_allclose(got_h, want_h, rtol=1e-12, atol=1e-14)
     np.testing.assert_allclose(got_a, want_a, rtol=1e-12, atol=1e-14)
     assert _n_records(mi, "hits_inactor") == it_i
-    true_split = hub_engine[0]
-    with pytest.raises(NotImplementedError, match="hub-split"):
-        true_split.hits_inactor(itermax=2)
+    # genuinely hub-split pair: the leader-grouped variant, same bar
+    true_split, hub_plain = hub_engine[0], hub_engine[1]
+    want_h2, want_a2, it2b, _ = hits(hub_plain, itermax=30, tol=1e-8)
+    got_h2, got_a2, it2i, _ = true_split.hits_inactor(itermax=30,
+                                                      tol=1e-8)
+    assert it2i == it2b
+    np.testing.assert_allclose(got_h2, want_h2, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(got_a2, want_a2, rtol=1e-12, atol=1e-14)
 
 
 def test_eigenvector_inactor_parity(graph, engines, hub_engine):
@@ -545,8 +550,9 @@ def test_eigenvector_inactor_parity(graph, engines, hub_engine):
 
 
 def test_salsa_inactor_parity(graph, engines, hub_engine):
-    """In-actor SALSA (local reciprocal degrees, final fsum norms):
-    allclose 1e-12 vs the broadcast recipe; hub-split raises."""
+    """In-actor SALSA (local / group-merged reciprocal degrees, final
+    fsum norms): allclose 1e-12 vs the broadcast recipe on plain AND
+    genuinely hub-split engine pairs."""
     from python_graphblas_ray.pipelines.algorithms import salsa_fixed
 
     plain, _ = engines
@@ -554,8 +560,11 @@ def test_salsa_inactor_parity(graph, engines, hub_engine):
     got_h, got_a = plain.salsa_fixed_inactor(iters=3)
     np.testing.assert_allclose(got_h, want_h, rtol=1e-12, atol=1e-14)
     np.testing.assert_allclose(got_a, want_a, rtol=1e-12, atol=1e-14)
-    with pytest.raises(NotImplementedError, match="hub-split"):
-        hub_engine[0].salsa_fixed_inactor(iters=2)
+    true_split, hub_plain = hub_engine[0], hub_engine[1]
+    want_h2, want_a2 = salsa_fixed(hub_plain, iters=3)
+    got_h2, got_a2 = true_split.salsa_fixed_inactor(iters=3)
+    np.testing.assert_allclose(got_h2, want_h2, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(got_a2, want_a2, rtol=1e-12, atol=1e-14)
 
 
 def test_wl_inactor_parity(engines):
