@@ -213,12 +213,38 @@ def test_bipartite_inactor_reads_pinned_cc(und_engines):
 def test_hub_split_is_bit_identical_on_mis_family(graph, ray_session):
     """MIS/greedy/bipartite on a hub-split UNDIRECTED engine built from
     a pre-deduped simple input (no duplicate survivors possible) must
-    bit-match the unsplit engine."""
+    bit-match the unsplit engine. The module graph's quantiles never
+    actually split at factor 1.02, so a SKEWED star overlay (asserted
+    ``has_hub_split``) rides the same assertions below."""
     src, dst, w, ds = graph
     plain = build_engine(ds, N, num_partitions=4, undirected=True,
                          weighted=True, hub_split_factor=0)
     split = build_engine(ds, N, num_partitions=4, undirected=True,
                          weighted=True, hub_split_factor=1.02)
+    # genuinely split pair: a hub star (all edges touch vertex 0)
+    s2 = np.arange(1, 400, dtype=np.int64)
+    d2 = np.zeros(399, dtype=np.int64)
+    ds2 = ray.data.from_arrow(pa.table(
+        {"src": s2, "dst": d2, "val": np.ones(399)}))
+    plain2 = build_engine(ds2, 400, num_partitions=4, undirected=True,
+                          hub_split_factor=0)
+    split2 = build_engine(ds2, 400, num_partitions=4, undirected=True,
+                          hub_split_factor=1.02)
+    assert split2.has_hub_split
+    try:
+        for a, b in ((plain2, split2),):
+            mp, rp, _ = a.mis_inactor()
+            ms, rs, _ = b.mis_inactor()
+            assert np.array_equal(mp, ms) and rp == rs
+            cp, kp, _ = a.greedy_color_inactor()
+            cs, ks, _ = b.greedy_color_inactor()
+            assert np.array_equal(cp, cs) and kp == ks
+            comp_p, _ = a.connected_components_inactor()
+            comp_s, _ = b.connected_components_inactor()
+            assert np.array_equal(comp_p, comp_s)
+    finally:
+        plain2.shutdown()
+        split2.shutdown()
     try:
         mp, rp, _ = plain.mis_inactor()
         ms, rs, _ = split.mis_inactor()
